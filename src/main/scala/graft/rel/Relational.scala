@@ -1,0 +1,434 @@
+package graft.rel
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Generalized relational operator surface (SURVEY.md §2.4-2.5, G1-G17 +
+  * J1/A3/K1 analogues) over the shared TPC-H-ish parquet tables.
+  *
+  * Every query here is a pure `(SparkSession, sfDir) => DataFrame` whose
+  * whole plan stays declarative so Catalyst applies predicate pushdown,
+  * column pruning, partial aggregation and (AQE) broadcast/skew handling.
+  * Scale notes per query are in the Scaladoc — the same plans run unchanged
+  * on a 1000-executor cluster because nothing ever touches the driver.
+  *
+  * Oracle-determinism conventions (SURVEY.md §5.2):
+  *   - money aggregates are summed as DECIMAL(18,2) (exact, order-insensitive)
+  *     then cast to DOUBLE — bit-identical to DuckDB's result;
+  *   - every query ends in a total-order `ORDER BY`;
+  *   - timestamps are exposed as DATE or epoch-micros longs, never raw
+  *     engine-specific timestamp encodings.
+  */
+object Relational {
+
+  private def d2(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Exact money sum: decimal accumulate (associative+exact), double result. */
+  private def money(c: Column): Column = sum(d2(c)).cast(DoubleType)
+
+  // ---------------------------------------------------------------- G6 / A3
+  /** Pricing summary (TPC-H Q1 shape): scan-filter-agg, map-side partial agg
+    * then 2-way shuffle on the tiny (flag,status) key space. At 100 TB the
+    * partial agg reduces the shuffle to a few KB per task. */
+  def q01_agg_pricing(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        money(col("l_quantity")).as("sum_qty"),
+        money(col("l_extendedprice")).as("sum_base_price"),
+        sum(d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount"))))
+          .cast(DoubleType).as("sum_disc_price"),
+        (money(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  // ------------------------------------------------------------------- G1/G2
+  /** Filter + projection pushdown: predicate and 3-column read schema both
+    * reach the parquet scan (verified via explain: PushedFilters/ReadSchema). */
+  def q02_filter_project(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .filter(col("p_size").between(10, 30) &&
+        col("p_type").like("%AND%") && // matches STANDARD
+        col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      .orderBy(col("p_partkey"))
+
+  // -------------------------------------------------------------------- G3
+  /** 3-way equi-join + agg + top-k (TPC-H Q3 shape). orders⋈lineitem is the
+    * big shuffle (both sides hashed on orderkey); customer side is small and
+    * AQE broadcast it. Top-k lowers to TakeOrderedAndProject (no full sort). */
+  def q03_join_topk_revenue(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("orderdate"))
+      .agg(sum(d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(20)
+
+  // -------------------------------------------------------------------- G4
+  /** Star join through explicitly broadcast dimensions (supplier/nation/
+    * region are tiny): the fact table never shuffles — one scan, local hash
+    * probes, then agg on a 25-key space. The right plan at any scale. */
+  def q04_join_broadcast_dims(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount"))))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  // -------------------------------------------------------------------- G3
+  /** Left-semi join (EXISTS): customers that have at least one order.
+    * Semi-join only ships the join key of the probe side. */
+  def q05_join_semi(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        money(col("c_acctbal")).as("sum_acctbal"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Left-anti join (NOT EXISTS): customers that never placed an urgent
+    * order. The anti side is pre-filtered before the join — at scale the
+    * filter prunes the build input, not the probe output. */
+  def q06_join_anti(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(
+        Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  // -------------------------------------------------------------------- G5
+  /** Range/theta join: orders banded by totalprice against a broadcast
+    * band table (BroadcastNestedLoopJoin over 3 rows — the only sane
+    * physical plan for a non-equi join at scale). */
+  def q07_join_range_bands(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      ("low", 0.0, 50000.0),
+      ("mid", 50000.0, 150000.0),
+      ("high", 150000.0, 1.0e9)).toDF("band", "lo", "hi")
+    Tables.orders(s, dir)
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"), money(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("band"))
+  }
+
+  // -------------------------------------------------------------------- G7
+  /** ROLLUP with grouping set id — partial totals at (priority,status),
+    * (priority), and grand-total levels in one shuffle. */
+  def q08_rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), money(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n_orders"), col("sum_price"))
+      .orderBy(col("priority"), col("status"))
+
+  // -------------------------------------------------------------------- G9
+  /** Ranking window: top-3 orders per customer. One shuffle on o_custkey;
+    * rank filter is applied before any downstream work (WindowGroupLimit
+    * pushes the limit into the sort at execution). */
+  def q09_window_rank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  // ------------------------------------------------------------------- G10
+  /** Frame window: per-supplier running quantity + previous-row lag over a
+    * deterministic total order (shipdate, orderkey, linenumber). */
+  def q10_window_frame(s: SparkSession, dir: String): DataFrame = {
+    val ord = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(ord: _*)
+    Tables.lineitem(s, dir)
+      .select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"),
+        sum(d2(col("l_quantity")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DoubleType).as("running_qty"),
+        lag(col("l_quantity"), 1).over(w).as("prev_qty"))
+      .orderBy(col("l_suppkey") +: ord: _*)
+  }
+
+  // ------------------------------------------------------------------- G11
+  /** Global top-k: TakeOrderedAndProject — each partition keeps k rows, the
+    * driver merges k*numPartitions rows; never a full global sort. */
+  def q11_topk_orders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  // ------------------------------------------------------------------- G12
+  /** Set ops: customers ordering in 1997 vs 1998 — INTERSECT / EXCEPT both
+    * lower to aggregate-based joins (no row explosion). */
+  def q12_set_ops(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def keys(y: Int) =
+      o.filter(year(col("o_orderdate")) === y).select(col("o_custkey")).distinct()
+    val a = keys(1997)
+    val b = keys(1998)
+    a.intersect(b).withColumn("tag", lit("both"))
+      .unionByName(a.except(b).withColumn("tag", lit("only_1997")))
+      .unionByName(b.except(a).withColumn("tag", lit("only_1998")))
+      .orderBy(col("tag"), col("o_custkey"))
+  }
+
+  // ------------------------------------------------------------------- G13
+  /** Scalar date math: per order-month, order count and average
+    * order→ship delay in days (exact int avg → identical double). */
+  def q13_date_math(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        (sum(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))))
+          .cast(DoubleType) / count(lit(1))).as("avg_ship_delay_days"),
+        min(to_date(col("o_orderdate"))).as("first_order"),
+        max(to_date(col("o_orderdate"))).as("last_order"))
+      .orderBy(col("o_year"), col("o_month"))
+
+  // ------------------------------------------------------------------- G15
+  /** JSON extraction from the events.props payload; agg per extracted key
+    * bucket. get_json_object is codegen'd; no UDF. */
+  def q15_json_extract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("value"))
+      .groupBy(col("event_type"), (col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n_events"), money(col("value")).as("sum_value"))
+      .orderBy(col("event_type"), col("k_bucket"))
+
+  // ------------------------------------------------------------------- G16
+  /** Gap-based sessionization (batch form): lag + cumulative-sum of
+    * session-start flags, then per-session rollup. Two window passes over
+    * one user_id shuffle partitioning (Catalyst reuses the exchange). */
+  def q16_sessionize(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000 // 30 min session gap, epoch-us
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts_us"))
+      .withColumn("new_s",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1)
+          .when(lag(col("ts_us"), 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  // ------------------------------------------------------------------- G17
+  /** Exact dedup, deterministic survivor: first doc_id per identical text.
+    * row_number(=1) over the dup key — at scale this is one hash shuffle on
+    * the text (in production: on a text digest to keep keys small). */
+  def q17_dedup_exact(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------------------- J1
+  /** The reference's bind_comments join (J1) re-expressed relationally:
+    * parent⋈children grouped to an ordered nested array. The reference's
+    * O(T·F²) directory rescan loop (wrangler.py:358-367) becomes a single
+    * shuffle join + collect_list — sort_array gives a deterministic nested
+    * ordering (SURVEY §5.2 pitfall). */
+  def q18_bind_children(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sort_array(collect_list(col("l_linenumber"))).as("line_numbers"))
+      .orderBy(col("o_orderkey"))
+
+  // ------------------------------------------------------------------- G8
+  /** HLL approximate distinct — engine-only (sketch is algorithm-specific,
+    * SURVEY §2.5 G8). */
+  def q_approx_distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+
+  // ------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg_pricing"        -> (q01_agg_pricing _),
+    "q02_filter_project"     -> (q02_filter_project _),
+    "q03_join_topk_revenue"  -> (q03_join_topk_revenue _),
+    "q04_join_broadcast_dims"-> (q04_join_broadcast_dims _),
+    "q05_join_semi"          -> (q05_join_semi _),
+    "q06_join_anti"          -> (q06_join_anti _),
+    "q07_join_range_bands"   -> (q07_join_range_bands _),
+    "q08_rollup"             -> (q08_rollup _),
+    "q09_window_rank"        -> (q09_window_rank _),
+    "q10_window_frame"       -> (q10_window_frame _),
+    "q11_topk_orders"        -> (q11_topk_orders _),
+    "q12_set_ops"            -> (q12_set_ops _),
+    "q13_date_math"          -> (q13_date_math _),
+    "q15_json_extract"       -> (q15_json_extract _),
+    "q16_sessionize"         -> (q16_sessionize _),
+    "q17_dedup_exact"        -> (q17_dedup_exact _),
+    "q18_bind_children"      -> (q18_bind_children _),
+    "q_approx_distinct"      -> (q_approx_distinct _))
+
+  val oracle: Map[String, String] = Map(
+    "q01_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT p_partkey, p_brand, p_type, p_size FROM part
+        |WHERE p_size BETWEEN 10 AND 30 AND p_type LIKE '%AND%'
+        |  AND p_brand IN ('Brand#1','Brand#2','Brand#3')
+        |ORDER BY p_partkey""".stripMargin,
+    "q03_join_topk_revenue" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q04_join_broadcast_dims" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q05_join_semi" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q06_join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q07_join_range_bands" ->
+      """SELECT band, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN (VALUES ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+        |  ('high', 150000.0, 1000000000.0)) AS bands(band, lo, hi)
+        | ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+    "q08_rollup" ->
+      """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+        | COALESCE(o_orderstatus, 'ALL') AS status,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        |ORDER BY priority, status""".stripMargin,
+    "q09_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q10_window_frame" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+        | LAG(l_quantity, 1) OVER (
+        |   PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+    "q11_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q12_set_ops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE date_part('year', o_orderdate) = 1997),
+        |     b AS (SELECT DISTINCT o_custkey FROM orders WHERE date_part('year', o_orderdate) = 1998)
+        |SELECT o_custkey, 'both' AS tag FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b) t1
+        |UNION ALL
+        |SELECT o_custkey, 'only_1997' AS tag FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b) t2
+        |UNION ALL
+        |SELECT o_custkey, 'only_1998' AS tag FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a) t3
+        |ORDER BY tag, o_custkey""".stripMargin,
+    "q13_date_math" ->
+      """SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS o_year,
+        | CAST(date_part('month', o_orderdate) AS INTEGER) AS o_month,
+        | COUNT(*) AS n_lines,
+        | CAST(SUM(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS DOUBLE) / COUNT(*) AS avg_ship_delay_days,
+        | MIN(CAST(o_orderdate AS DATE)) AS first_order,
+        | MAX(CAST(o_orderdate AS DATE)) AS last_order
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_year, o_month ORDER BY o_year, o_month""".stripMargin,
+    "q15_json_extract" ->
+      """SELECT event_type,
+        | CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY event_type, k_bucket ORDER BY event_type, k_bucket""".stripMargin,
+    "q16_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |g AS (SELECT user_id, ts_us,
+        |  CASE WHEN LAG(ts_us) OVER w IS NULL THEN 1
+        |       WHEN ts_us - LAG(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |s AS (SELECT user_id, ts_us,
+        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        | MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q17_dedup_exact" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        | SELECT doc_id, lang, source, n_chars,
+        |  ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        | FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q18_bind_children" ->
+      """SELECT o_orderkey, COUNT(*) AS n_lines,
+        | list(l_linenumber ORDER BY l_linenumber) AS line_numbers
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)
+}
