@@ -66,7 +66,14 @@ def main():
             n_fail += 1
             continue
         flist = ", ".join(f"'{f}'" for f in files)
-        sdf = canon(con.sql(f"SELECT * FROM read_parquet([{flist}])").df())
+        dtypes = {c: str(t) for c, t in zip(con.sql(sql).columns, con.sql(sql).types)}
+        srel = con.sql(f"SELECT * FROM read_parquet([{flist}])")
+        stypes = {c: str(t) for c, t in zip(srel.columns, srel.types)}
+        sdf = canon(srel.df())
+        mism = {c: (stypes.get(c), dtypes.get(c)) for c in dtypes
+                if c in stypes and stypes[c] != dtypes[c]}
+        if mism:
+            print(f"WARN {name}: dtype mismatch {mism}")
         if list(sdf.columns) != list(ddf.columns):
             print(f"FAIL {name}: columns spark={list(sdf.columns)} duck={list(ddf.columns)}")
             n_fail += 1

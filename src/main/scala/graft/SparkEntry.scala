@@ -11,13 +11,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The §7.2 corpus pipeline: cleanse → tokenize → stopword-filter →
+    * per-language term frequency → top-k. */
   def entry(spark: SparkSession): DataFrame =
-    rel.Relational.q01_agg_pricing(spark, "/root/testdata/sf0.001")
+    text.TextOps.q32_corpus_pipeline(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    rel.Relational.queries
+    rel.Relational.queries ++ text.TextOps.queries ++ ml.Vocab.queries
 
   def oracleSql: Map[String, String] =
-    rel.Relational.oracle
+    rel.Relational.oracle ++ text.TextOps.oracle ++ ml.Vocab.oracle
 }

@@ -1,0 +1,121 @@
+package graft.ml
+
+import graft.Tables
+import graft.text.Cleanse
+import org.apache.spark.ml.feature.CountVectorizer
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Dictionary + bag-of-words (SURVEY.md §2.4 A1/A2) — the Spark-native
+  * replacement for gensim `Dictionary`/`doc2bow` (LDA_logic.py:274-277).
+  *
+  * Two implementations of the same semantics:
+  *  - a fully relational form (explode → doc-frequency agg → rank) that the
+  *    DuckDB oracle can check row-by-row;
+  *  - MLlib `CountVectorizer` (engine path feeding LDA) — same pruning
+  *    parameters, vector-typed output, engine-only.
+  *
+  * The reference prunes with `filter_extremes(no_below=5, no_above=0.5,
+  * keep_n=5000)` (LDA_logic.py:276). On the synthetic `documents` corpus a
+  * 0.5 ceiling keeps 1 term (tiny 31-word vocabulary, df up to 80%), so the
+  * declared queries use no_above=0.9 to stay meaningful; `countVectorize`
+  * exposes the knobs with the reference defaults.
+  */
+object Vocab {
+
+  val MinDF = 5
+  val MaxDFFrac = 0.9
+  val VocabSize = 5000
+
+  private def toks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Cleanse.tokens(col("text"))).as("term"))
+
+  /** A1 relational twin: term → dense id ranked by (df desc, term asc),
+    * pruned by document-frequency floor/ceiling and vocab cap.
+    *
+    * Scale: doc-frequency agg is a (term) hash shuffle with map-side
+    * partial aggregation; the global rank window runs over the *vocabulary*
+    * (bounded, ≤ a few M rows at 100 TB corpus) — never over the corpus. */
+  def dictionary(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val dfreq = toks(s, dir)
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.orderBy(col("df").desc, col("term"))
+    dfreq.crossJoin(n)
+      .filter(col("df") >= MinDF && col("df") <= col("n_docs") * MaxDFFrac)
+      .select(col("term"), col("df"))
+      .withColumn("term_id", (row_number().over(w) - 1).cast(LongType))
+      .filter(col("term_id") < VocabSize)
+      .select(col("term_id"), col("term"), col("df"))
+  }
+
+  def q24_dictionary(s: SparkSession, dir: String): DataFrame =
+    dictionary(s, dir).orderBy(col("term_id"))
+
+  /** A2 relational twin: per-doc sparse (term_id, freq) pairs. */
+  def q25_doc2bow(s: SparkSession, dir: String): DataFrame =
+    toks(s, dir)
+      .join(dictionary(s, dir), "term")
+      .groupBy(col("doc_id"), col("term_id"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("doc_id"), col("term_id"))
+
+  /** MLlib path (engine-only): CountVectorizer with the reference's pruning
+    * semantics; returns (doc_id, tokens, features SparseVector). */
+  def countVectorize(s: SparkSession, dir: String,
+      minDF: Double = MinDF, maxDF: Double = MaxDFFrac,
+      vocabSize: Int = VocabSize): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), Cleanse.tokens(col("text")).as("tokens"))
+    val cv = new CountVectorizer()
+      .setInputCol("tokens").setOutputCol("features")
+      .setMinDF(minDF).setMaxDF(maxDF)
+      .setVocabSize(vocabSize)
+    cv.fit(docs).transform(docs)
+  }
+
+  /** Engine-only query: CountVectorizer vocabulary as (term_id, term). */
+  def m_vocab_countvectorizer(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), Cleanse.tokens(col("text")).as("tokens"))
+    val model = new CountVectorizer()
+      .setInputCol("tokens").setOutputCol("features")
+      .setMinDF(MinDF).setVocabSize(VocabSize)
+      .fit(docs)
+    model.vocabulary.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toSeq
+      .toDF("term_id", "term").orderBy(col("term_id"))
+  }
+
+  private val DToks =
+    "list_filter(string_split(trim(text), ' '), t -> t <> '')"
+  private val DictSql =
+    s"""toks AS (SELECT doc_id, unnest($DToks) AS term FROM documents),
+       |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |dict AS (SELECT term_id, term, df FROM (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY df DESC, term) AS BIGINT) - 1 AS term_id, term, df
+       |  FROM dfreq, n WHERE df >= $MinDF AND df <= n_docs * $MaxDFFrac) r
+       | WHERE term_id < $VocabSize)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_dictionary" -> (q24_dictionary _),
+    "q25_doc2bow"    -> (q25_doc2bow _),
+    "m_vocab_countvectorizer" -> (m_vocab_countvectorizer _))
+
+  val oracle: Map[String, String] = Map(
+    "q24_dictionary" ->
+      s"""WITH $DictSql
+         |SELECT term_id, term, df FROM dict ORDER BY term_id""".stripMargin,
+    "q25_doc2bow" ->
+      s"""WITH $DictSql
+         |SELECT t.doc_id, d.term_id, COUNT(*) AS freq
+         |FROM toks t JOIN dict d ON t.term = d.term
+         |GROUP BY t.doc_id, d.term_id ORDER BY doc_id, term_id""".stripMargin)
+}

@@ -1,0 +1,74 @@
+package graft.text
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val b = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    if (new java.io.File("/dev/shm").isDirectory)
+      b.config("spark.local.dir", "/dev/shm/spark-local")
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+class CleanseSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def one(expr: org.apache.spark.sql.Column, input: String): String = {
+    import spark.implicits._
+    Seq(input).toDF("s").select(expr.as("r")).collect()(0).getString(0)
+  }
+
+  test("html_unescape: named, decimal, hex entities (wrangler.py:318 semantics)") {
+    assert(one(Cleanse.htmlUnescape(col("s")), "a &amp; b &lt;x&gt; &quot;q&quot;") == "a & b <x> \"q\"")
+    assert(one(Cleanse.htmlUnescape(col("s")), "&#65;&#x42;&#x1F600;") == "AB😀")
+    assert(one(Cleanse.htmlUnescape(col("s")), "no entities") == "no entities")
+    assert(one(Cleanse.htmlUnescape(col("s")), "&bogus; &#xZZ; &") == "&bogus; &#xZZ; &")
+    // single pass: unescaped '&' is not re-interpreted
+    assert(one(Cleanse.htmlUnescape(col("s")), "&amp;lt;") == "&lt;")
+  }
+
+  test("normalize_nfkc: ligatures, fullwidth digits, NBSP") {
+    assert(one(Cleanse.normalizeNfkc(col("s")), "ﬁle") == "file")
+    assert(one(Cleanse.normalizeNfkc(col("s")), "１２３") == "123")
+    assert(one(Cleanse.normalizeNfkc(col("s")), "a b") == "a b")
+  }
+
+  test("nfkc expression survives codegen inside a filter+projection plan") {
+    import spark.implicits._
+    val out = Seq(("ﬁx１", 1L), ("plain", 2L)).toDF("s", "id")
+      .select(Cleanse.normalizeNfkc(col("s")).as("n"), col("id"))
+      .filter(length(col("n")) >= 3)
+      .collect().map(_.getString(0)).sorted
+    assert(out.toSeq == Seq("fix1", "plain"))
+  }
+
+  test("scrub_pii drops email/url/uuid/md5/ipv4 tokens, keeps the rest") {
+    val in = "contact user@example.com at https://x.io/a or 10.0.0.1 " +
+      "id 123e4567-e89b-12d3-a456-426614174000 hash d41d8cd98f00b204e9800998ecf8427e ok"
+    assert(one(array_join(Cleanse.scrubPii(Cleanse.tokens(col("s"))), " "), in)
+      == "contact at or id hash ok")
+  }
+
+  test("keepAlnumLines drops punct/blank lines, keeps alnum lines (de-bugged wrangler.py:316-325)") {
+    val in = "good line 1\n!!!\n\nsecond good 2\n---"
+    assert(one(Cleanse.keepAlnumLines(col("s")), in) == "good line 1 second good 2")
+  }
+
+  test("cleanse is idempotent (SURVEY §5.2 property)") {
+    val in = "Hello world 42\nnoise!\nmore text here"
+    val once = one(Cleanse.cleanse(col("s")), in)
+    assert(one(Cleanse.cleanse(col("s")), once) == once)
+  }
+
+  test("tokens drops empty tokens from repeated/trailing spaces") {
+    assert(one(array_join(Cleanse.tokens(col("s")), "|"), "  a  b c  ") == "a|b|c")
+  }
+}
