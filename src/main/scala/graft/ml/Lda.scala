@@ -1,0 +1,96 @@
+package graft.ml
+
+import graft.Tables
+import graft.text.Cleanse
+import org.apache.spark.ml.clustering.{LDA, LDAModel}
+import org.apache.spark.ml.feature.CountVectorizerModel
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LDA topic modeling (SURVEY.md §2.6 M2/M3/M5/M6) — the Spark-native
+  * replacement for gensim `LdaMulticore` (LDA_logic.py:69-95, 338-341).
+  *
+  * MLlib's online variational optimizer is the same algorithm family as
+  * LdaMulticore; seeds are fixed (M6 — the reference seeds from
+  * random.randint, LDA_logic.py:59-67, which is untestable; determinism is
+  * a correctness-gate requirement). All engine-only: topic-term weights are
+  * optimizer-specific, never DuckDB-oracle-gated (SURVEY §5.2).
+  */
+object Lda {
+
+  val Seed = 42L
+  val MaxIter = 20 // reference UI caps iterations < 200, passes < 20
+
+  /** Corpus → (docs with features, fitted vocabulary). */
+  def prepare(s: SparkSession, dir: String): (DataFrame, CountVectorizerModel) = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), Cleanse.tokens(col("text")).as("tokens"))
+    val cv = new org.apache.spark.ml.feature.CountVectorizer()
+      .setInputCol("tokens").setOutputCol("features")
+      .setMinDF(Vocab.MinDF).setVocabSize(Vocab.VocabSize)
+      .fit(docs)
+    (cv.transform(docs), cv)
+  }
+
+  def train(features: DataFrame, k: Int, maxIter: Int = MaxIter): LDAModel =
+    new LDA().setK(k).setMaxIter(maxIter).setSeed(Seed)
+      .setFeaturesCol("features")
+      .fit(features)
+
+  /** M5: topics described as (topic, rank, term, weight). */
+  def describe(s: SparkSession, model: LDAModel,
+      vocab: Array[String], topN: Int = 5): DataFrame = {
+    val vocabCol = typedlit(vocab.toSeq)
+    model.describeTopics(topN)
+      .select(col("topic"), posexplode(col("termIndices")).as(Seq("rank", "term_idx")),
+        col("termWeights"))
+      .select(col("topic"), (col("rank") + 1).as("rank"),
+        element_at(vocabCol, col("term_idx") + 1).as("term"),
+        round(element_at(col("termWeights"), col("rank") + 1), 6).as("weight"))
+  }
+
+  /** Engine query: k=5 LDA, top-5 terms per topic (the reference's
+    * `top_k_topics`, LDA_logic.py:124-134). */
+  def m_lda_topics(s: SparkSession, dir: String): DataFrame = {
+    val (feats, cv) = prepare(s, dir)
+    val model = train(feats, k = 5)
+    describe(s, model, cv.vocabulary).orderBy(col("topic"), col("rank"))
+  }
+
+  /** Top-N topic words for coherence, driver-side (tiny). */
+  private def topWords(model: LDAModel, vocab: Array[String], topN: Int): Seq[Seq[String]] =
+    model.describeTopics(topN).select("termIndices").collect()
+      .map(_.getSeq[Int](0).map(vocab(_)).toSeq).toSeq
+
+  /** M3 model-selection sweep (reference trains k=1..19 per click,
+    * LDA_logic.py:338-350): k=2..6 here, scoring each k by log-likelihood,
+    * log-perplexity and c_v coherence. */
+  def m_lda_sweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (feats, cv) = prepare(s, dir)
+    feats.cache()
+    val tokensDf = feats.select(col("doc_id"), col("tokens"))
+    val rows = (2 to 6).map { k =>
+      val model = train(feats, k)
+      val coh = Coherence.cv(s, tokensDf, topWords(model, cv.vocabulary, 10))
+        .agg(avg(col("coherence"))).as[Double].head()
+      (k, model.logLikelihood(feats), model.logPerplexity(feats), coh)
+    }
+    feats.unpersist()
+    rows.toDF("k", "log_likelihood", "log_perplexity", "coherence_cv")
+      .orderBy(col("k"))
+  }
+
+  /** M4 standalone: c_v coherence of the k=5 model's topics. */
+  def m_lda_coherence(s: SparkSession, dir: String): DataFrame = {
+    val (feats, cv) = prepare(s, dir)
+    val model = train(feats, k = 5)
+    Coherence.cv(s, feats.select(col("doc_id"), col("tokens")),
+      topWords(model, cv.vocabulary, 10))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_lda_topics"    -> (m_lda_topics _),
+    "m_lda_sweep"     -> (m_lda_sweep _),
+    "m_lda_coherence" -> (m_lda_coherence _))
+}

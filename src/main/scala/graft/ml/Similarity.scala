@@ -1,0 +1,263 @@
+package graft.ml
+
+import graft.Tables
+import graft.text.Cleanse
+import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Similarity search + near-duplicate detection (SURVEY.md §2.5 G18/G19 and
+  * the LLM-pipeline operators: ANN over embeddings, MinHash/SimHash/n-gram
+  * Jaccard dedup).
+  *
+  * Scale design: the oracle-checked brute-force paths bound one side (query
+  * set / doc-id window) so the cross product stays linear in the corpus; the
+  * engine paths (LSH bucketing, MLlib MinHashLSH, SimHash banding) are the
+  * 100 TB algorithms — candidate generation via equi-join on bucket keys
+  * (hash shuffle, no cross product), exact re-scoring only within buckets.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product over two double arrays — same evaluation
+    * order as DuckDB's list_dot_product, so rounded results agree. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+
+  // ------------------------------------------------------------------- G19
+  /** Brute-force cosine top-5 for a small query set (vec_id < 5) against
+    * the full collection: the correctness baseline for ANN. The query side
+    * is broadcast; the big side streams — one scan, no shuffle until the
+    * tiny per-query top-k. */
+  def q19_similarity_topk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_r").desc, col("neighbor_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qemb"), col("emb")), 6).as("sim_r"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim_r"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ------------------------------------------------- n-gram Jaccard dedup
+  /** Exact token-3-gram Jaccard near-dup pairs (J ≥ 0.5) via shingle
+    * inverted-index self-join — no cross product: pairs only materialize
+    * for docs sharing a shingle. The standard exact-dedup shape at scale
+    * (explode → equi-join on shingle → agg). */
+  def q33_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), Cleanse.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(t)-2), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))")))
+        .as("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b,
+      col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---------------------------------------------------- engine-only: ANN
+  /** Banded random-hyperplane (SimHash-for-cosine) signatures: `bands`
+    * independent hash tables of `planes` sign bits each. Two vectors
+    * collide in a band with P = (1 - θ/π)^planes, in ≥1 band with
+    * 1-(1-P)^bands — the classic LSH amplification (Indyk-Motwani / Charikar
+    * STOC'02). Emits (vec_id, band, key) — candidate generation is then a
+    * plain equi-join on (band, key): a hash shuffle, never a cross product.
+    * One projection pass computes all bands×planes dots per row. */
+  private def bandKeys(s: SparkSession, e: DataFrame,
+      bands: Int, planes: Int, dim: Int = 64): DataFrame = {
+    val rnd = new scala.util.Random(42)
+    val hyper: IndexedSeq[IndexedSeq[Double]] =
+      IndexedSeq.fill(bands * planes)(IndexedSeq.fill(dim)(rnd.nextGaussian()))
+    def key(b: Int): Column =
+      (0 until planes).map { i =>
+        when(dot(col("emb"), typedlit(hyper(b * planes + i))) >= 0,
+          lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+    e.select(col("vec_id") +: col("emb") +:
+      (0 until bands).map(b => key(b).as(s"k$b")): _*)
+      .select(col("vec_id"), col("emb"), posexplode(
+        array((0 until bands).map(b => col(s"k$b")): _*)).as(Seq("band", "key")))
+  }
+
+  /** ANN top-3 for 50 query vectors: candidates share any of 8×6-bit band
+    * keys (≈52 % recall per cos-0.5 pair, ≫99 % for true near-dups);
+    * exact cosine re-scores candidates only. At 100 TB: the band join
+    * shuffles (band,key)-partitioned — no broadcast of the corpus, no
+    * cross product, and bucket skew is bounded by 2^planes per band. */
+  def m_ann_lsh(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val keys = bandKeys(s, e, bands = 8, planes = 6)
+    val q = keys.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+        col("band"), col("key"))
+    val cands = q.join(keys, Seq("band", "key"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qemb"), col("vec_id").as("neighbor_id"),
+        col("emb"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cands
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qemb"), col("emb")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Global top-20 most-similar embedding pairs via banded LSH candidates
+    * (threshold-free: labels are uncorrelated with cosine in this corpus,
+    * max pair cosine ≈0.51, so a 0.9-style cutoff would be vacuous).
+    * Scale shape: candidates = Σ_buckets C(|bucket|,2) ≪ C(n,2); pair ids
+    * dedup BEFORE scoring; norms precomputed once per vector, not per pair.
+    * Brute-force all-pairs (the old shape) was 27 s at sf0.1 and O(n²) —
+    * this is the 100 TB-viable form. */
+  def m_dedup_embedding(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+      .select(col("vec_id"),
+        transform(col("emb"), x => x / sqrt(dot(col("emb"), col("emb"))))
+          .as("emb"))
+    val keys = bandKeys(s, e, bands = 8, planes = 6)
+      .select(col("vec_id"), col("band"), col("key"))
+    val pairs = keys.as("a").join(keys.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    pairs
+      .join(e.select(col("vec_id").as("id_a"), col("emb").as("emb_a")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("emb").as("emb_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("emb_a"), col("emb_b")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
+  // ------------------------------------------------ engine-only: MinHashLSH
+  /** G18: MLlib MinHashLSH near-dup join over binary token vectors
+    * (Jaccard distance ≤ 0.3). */
+  def m_dedup_minhash_lsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), array_distinct(Cleanse.tokens(col("text"))).as("tokens"))
+      .filter(size(col("tokens")) > 0)
+    val cv = new CountVectorizer()
+      .setInputCol("tokens").setOutputCol("features").setBinary(true)
+      .fit(docs)
+    val vecs = cv.transform(docs)
+    val mh = new MinHashLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(4).setSeed(42)
+      .fit(vecs)
+    mh.approxSimilarityJoin(vecs, vecs, 0.3, "jaccard_dist")
+      .select(
+        col("datasetA.doc_id").as("doc_a"),
+        col("datasetB.doc_id").as("doc_b"),
+        round(col("jaccard_dist"), 6).as("jaccard_dist"))
+      .filter(col("doc_a") < col("doc_b"))
+      .orderBy(col("jaccard_dist"), col("doc_a"), col("doc_b"))
+  }
+
+  // --------------------------------------------------- engine-only: SimHash
+  /** 64-bit SimHash from xxhash64 token hashes: per-bit signed vote in one
+    * aggregation pass (64 conditional sums — single shuffle on doc_id),
+    * then 16-bit band bucketing for near-dup candidates. */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Cleanse.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("freq"))
+      .withColumn("h", xxhash64(col("term")))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("freq"))
+        .otherwise(-col("freq"))).as(s"v$b")
+    }
+    val sig = (0 until 64).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    toks.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  def m_dedup_simhash(s: SparkSession, dir: String): DataFrame = {
+    val sig = simhash(s, dir)
+    val bands = sig.select(col("doc_id"), col("simhash"), explode(array(
+      (0 until 4).map(i => struct(lit(i).as("band"),
+        shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 12)
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+  }
+
+  // ------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_similarity_topk" -> (q19_similarity_topk _),
+    "q33_ngram_jaccard"   -> (q33_ngram_jaccard _),
+    "m_ann_lsh"           -> (m_ann_lsh _),
+    "m_dedup_embedding"   -> (m_dedup_embedding _),
+    "m_dedup_minhash_lsh" -> (m_dedup_minhash_lsh _),
+    "m_dedup_simhash"     -> (m_dedup_simhash _))
+
+  private val DToks =
+    "list_filter(string_split(trim(text), ' '), t -> t <> '')"
+
+  val oracle: Map[String, String] = Map(
+    "q19_similarity_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 5),
+        |pairs AS (SELECT query_id, vec_id AS neighbor_id,
+        |  round(list_dot_product(qemb, emb) /
+        |        (sqrt(list_dot_product(qemb, qemb)) * sqrt(list_dot_product(emb, emb))), 6) AS sim_r
+        |  FROM q, e WHERE vec_id <> query_id),
+        |ranked AS (SELECT query_id, neighbor_id, sim_r,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rank FROM pairs)
+        |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, sim_r
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q33_ngram_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |  unnest(list_transform(range(1, len(t) - 1),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+         |  FROM toks WHERE len(t) >= 3),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jaccard
+         |FROM inter JOIN sizes x ON inter.doc_a = x.doc_id
+         |           JOIN sizes y ON inter.doc_b = y.doc_id
+         |WHERE round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin)
+}
