@@ -19,9 +19,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rel.Relational.queries ++ text.TextOps.queries ++ ml.Vocab.queries ++
-      ml.Similarity.queries ++ ml.Lda.queries
+      ml.Similarity.queries ++ ml.Lda.queries ++ ingest.Tickets.queries
 
   def oracleSql: Map[String, String] =
     rel.Relational.oracle ++ text.TextOps.oracle ++ ml.Vocab.oracle ++
-      ml.Similarity.oracle
+      ml.Similarity.oracle ++ ingest.Tickets.oracle
 }

@@ -1,0 +1,284 @@
+package graft.ingest
+
+import graft.text.Cleanse
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ticket/comment ingest — the reference's wrangling core re-expressed as
+  * declarative scans + one join (SURVEY.md §2.1 S1/S2, §2.2 P1-P4, §2.4 J1,
+  * §2.3 T6).
+  *
+  * Reference behavior (intended semantics, de-bugged per SURVEY §0):
+  *  - S1 `tickets_reshaped` (wrangler.py:413-438): JSON array of Zendesk
+  *    tickets → typed records; `fields[0].value` → ticket_type,
+  *    `fields[2].value` → outcome (0-based; Spark `element_at` is 1-based),
+  *    missing `tags` → [], lowercase status upcased into the enum domain.
+  *  - S2/P2 comment files (wrangler.py:363-381): one JSON object per
+  *    ticket, filename prefixed with the ticket id, each value an array of
+  *    comment objects (`id`, `created_at`, `plain_body`).
+  *  - P3 (wrangler.py:431-438): the ticket description seeds the first
+  *    comment at the ticket's created_at; the reference uses
+  *    random.randint for the id — untestable, so we derive a deterministic
+  *    id with xxhash64 (uniqueness is the only intent).
+  *  - J1 `comments_bound` (wrangler.py:343-394): O(tickets × files²)
+  *    nested directory rescans in the reference → a single left-outer
+  *    equi-join + group-to-nested-array here. Tickets with no comment file
+  *    are kept (the reference logs a warning and keeps them).
+  *
+  * Scale notes: schemas are explicit (inference would cost a full extra
+  * pass over 100 TB of JSON); the join shuffles both sides hash-partitioned
+  * on ticket_id — no directory listing per row, no quadratic rescans; the
+  * nested form groups on the already-partitioned key so the groupBy reuses
+  * the join's exchange.
+  */
+object Tickets {
+
+  /** Fixture inputs are repo-local (FIXTURES.md §A) — the shared sf dirs
+    * hold only the driver's parquet tables. */
+  val FixturesDir = "/root/repo/fixtures"
+
+  // S1: explicit Zendesk-shaped schema (wrangler.py:417-437 field accesses).
+  val ticketRawSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("created_at", StringType),
+    StructField("updated_at", StringType),
+    StructField("status", StringType),
+    StructField("subject", StringType),
+    StructField("description", StringType),
+    StructField("tags", ArrayType(StringType)),
+    StructField("fields", ArrayType(StructType(Seq(
+      StructField("id", LongType),
+      StructField("value", StringType)))))))
+
+  private val commentSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("created_at", StringType),
+    StructField("plain_body", StringType)))
+
+  // S2: per-ticket JSON object; every array-valued key holds comments
+  // (wrangler.py:375 iterates all values). The fixtures use two keys.
+  val commentFileSchema: StructType = StructType(Seq(
+    StructField("comments", ArrayType(commentSchema)),
+    StructField("internal_notes", ArrayType(commentSchema))))
+
+  private val TsFmt = "yyyy-MM-dd'T'HH:mm:ssX"
+
+  /** P4: status name → enum ordinal (wrangler.py:52-65). */
+  def statusOrdinal(status: Column): Column =
+    when(status === "OPEN", 1).when(status === "HOLD", 2)
+      .when(status === "PENDING", 3).when(status === "SOLVED", 4)
+      .when(status === "CLOSED", 5)
+
+  /** S1 scan: a single JSON file holding an array of objects needs
+    * multiLine — in line-mode Spark would see broken fragments. On a
+    * cluster one such file is one input split; real feeds arrive as many
+    * files, so the scan parallelizes by file count. */
+  def scanTickets(s: SparkSession, path: String = s"$FixturesDir/tickets.json"): DataFrame =
+    s.read.option("multiLine", "true").schema(ticketRawSchema).json(path)
+
+  /** P1 reshape: project/rename/cast per wrangler.py:417-430. */
+  def reshapeTickets(raw: DataFrame): DataFrame =
+    raw.select(
+      col("id").as("ticket_id"),
+      to_timestamp(col("created_at"), TsFmt).as("created_at"),
+      to_timestamp(col("updated_at"), TsFmt).as("last_updated"),
+      upper(col("status")).as("status"),
+      col("subject"),
+      col("description"),
+      coalesce(col("tags"), array()).as("tags"),
+      element_at(col("fields"), 3).getField("value").as("outcome"),
+      element_at(col("fields"), 1).getField("value").as("ticket_type"))
+      .withColumn("status_ord", statusOrdinal(col("status")))
+
+  /** S2 scan + P2 reshape: all comment files in one distributed scan; the
+    * ticket id comes from the filename prefix (wrangler.py:368) via
+    * input_file_name — no per-ticket directory listing. */
+  def scanComments(s: SparkSession, dir: String = s"$FixturesDir/comments"): DataFrame = {
+    val raw = s.read.option("multiLine", "true")
+      .schema(commentFileSchema).json(dir)
+      .withColumn("ticket_id",
+        regexp_extract(input_file_name(), "([0-9]+)[^/]*\\.json$", 1).cast(LongType))
+    raw.select(col("ticket_id"), explode(
+        concat(coalesce(col("comments"), array()),
+          coalesce(col("internal_notes"), array()))).as("c"))
+      .select(col("ticket_id"), col("c.id").as("comment_id"),
+        to_timestamp(col("c.created_at"), TsFmt).as("created_at"),
+        col("c.plain_body").as("body"))
+  }
+
+  /** P3: the description-seeded first comment (wrangler.py:431-438),
+    * deterministic id. */
+  def seededComments(tickets: DataFrame): DataFrame =
+    tickets.select(col("ticket_id"),
+      xxhash64(col("ticket_id")).as("comment_id"),
+      col("created_at"), col("description").as("body"))
+
+  /** J1 flat form: seeded ∪ bound comments, one row per (ticket, comment).
+    * Tickets with no comment file survive via the seeded row. */
+  def allComments(s: SparkSession, tickets: DataFrame,
+      commentsDir: String = s"$FixturesDir/comments"): DataFrame =
+    seededComments(tickets).unionByName(scanComments(s, commentsDir))
+
+  /** J1 nested form — SURVEY §1.4's Ticket row: comments collected to an
+    * ARRAY<STRUCT> ordered by (created_at, comment_id). sort_array (not
+    * collect order) keeps the result deterministic under any shuffle. */
+  def bindComments(s: SparkSession, tickets: DataFrame): DataFrame = {
+    val flat = allComments(s, tickets)
+      .select(col("ticket_id"),
+        struct(col("created_at"), col("comment_id"), col("body")).as("c"))
+      .groupBy(col("ticket_id"))
+      .agg(sort_array(collect_list(col("c"))).as("comments"))
+    tickets.join(flat, Seq("ticket_id"), "left_outer")
+  }
+
+  /** T6 corpus: one document per ticket — subject + every comment body in
+    * (created_at, body) order, full cleanse chain (T1 unescape → T2 NFKC →
+    * T4 line filter → T5 PII scrub). Never a driver-side global string. */
+  def corpus(s: SparkSession, tickets: DataFrame): DataFrame = {
+    val bodies = allComments(s, tickets)
+      .select(col("ticket_id"), struct(col("created_at"), col("body")).as("c"))
+      .groupBy(col("ticket_id"))
+      .agg(array_join(transform(sort_array(collect_list(col("c"))),
+        x => x.getField("body")), " ").as("bodies"))
+    tickets.select(col("ticket_id"), col("subject"))
+      .join(bodies, Seq("ticket_id"), "left_outer")
+      .select(col("ticket_id"),
+        Cleanse.cleanse(concat_ws(" ", col("subject"), col("bodies"))).as("doc"))
+  }
+
+  // --------------------------------------------------------------- queries
+  /** Oracle-facing tokens: T4+T5 only (NFKC/unescape are not expressible in
+    * DuckDB; the full chain is covered by unit tests + m_ingest_nested). */
+  private def oracleTokens(c: Column): Column = Cleanse.cleanseTokens(c)
+
+  def q34_ingest_tickets(s: SparkSession, dir: String): DataFrame =
+    reshapeTickets(scanTickets(s))
+      .select(col("ticket_id"), col("created_at"), col("last_updated"),
+        col("status"), col("status_ord"), col("subject"),
+        size(col("tags")).as("n_tags"), col("outcome"), col("ticket_type"))
+      .orderBy(col("ticket_id"))
+
+  def q35_ingest_comments(s: SparkSession, dir: String): DataFrame =
+    scanComments(s)
+      .select(col("ticket_id"), col("comment_id"), col("created_at"),
+        md5(col("body").cast("binary")).as("body_md5"))
+      .orderBy(col("ticket_id"), col("comment_id"))
+
+  /** Flat J1 check: per-ticket comment counts + order-stable body digest
+    * (seeded description + bound comments). */
+  def q36_bind_comments(s: SparkSession, dir: String): DataFrame = {
+    val t = reshapeTickets(scanTickets(s))
+    allComments(s, t)
+      .select(col("ticket_id"), struct(col("created_at"), col("body")).as("c"))
+      .groupBy(col("ticket_id"))
+      .agg(count(lit(1)).as("n_comments"),
+        min(col("c.created_at")).as("first_at"),
+        max(col("c.created_at")).as("last_at"),
+        md5(array_join(transform(sort_array(collect_list(col("c"))),
+          x => x.getField("body")), " ").cast("binary")).as("bodies_md5"))
+      .orderBy(col("ticket_id"))
+  }
+
+  /** T6 corpus check (oracle-safe cleanse subset). */
+  def q37_ticket_corpus(s: SparkSession, dir: String): DataFrame = {
+    val t = reshapeTickets(scanTickets(s))
+    val bodies = allComments(s, t)
+      .select(col("ticket_id"), struct(col("created_at"), col("body")).as("c"))
+      .groupBy(col("ticket_id"))
+      .agg(array_join(transform(sort_array(collect_list(col("c"))),
+        x => x.getField("body")), " ").as("bodies"))
+    t.select(col("ticket_id"), col("subject"))
+      .join(bodies, Seq("ticket_id"), "left_outer")
+      .select(col("ticket_id"),
+        oracleTokens(concat_ws(" ", col("subject"), col("bodies"))).as("toks"))
+      .select(col("ticket_id"), size(col("toks")).as("n_tokens"),
+        md5(array_join(col("toks"), " ").cast("binary")).as("doc_md5"))
+      .orderBy(col("ticket_id"))
+  }
+
+  /** Engine-only: the full nested Ticket shape (SURVEY §1.4) with the
+    * complete cleanse chain applied to the corpus column. */
+  def m_ingest_nested(s: SparkSession, dir: String): DataFrame = {
+    val t = reshapeTickets(scanTickets(s))
+    bindComments(s, t)
+      .join(corpus(s, t), Seq("ticket_id"))
+      .orderBy(col("ticket_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_ingest_tickets" -> (q34_ingest_tickets _),
+    "q35_ingest_comments" -> (q35_ingest_comments _),
+    "q36_bind_comments"  -> (q36_bind_comments _),
+    "q37_ticket_corpus"  -> (q37_ticket_corpus _),
+    "m_ingest_nested"    -> (m_ingest_nested _))
+
+  // DuckDB twins read the same fixture files (read_json ships in-box).
+  private val DTickets =
+    s"""read_json('$FixturesDir/tickets.json', columns = {
+       | id: 'BIGINT', created_at: 'VARCHAR', updated_at: 'VARCHAR',
+       | status: 'VARCHAR', subject: 'VARCHAR', description: 'VARCHAR',
+       | tags: 'VARCHAR[]',
+       | fields: 'STRUCT(id BIGINT, value VARCHAR)[]'})""".stripMargin
+  private val DComments =
+    s"""read_json('$FixturesDir/comments/*.json', filename = true, columns = {
+       | comments: 'STRUCT(id BIGINT, created_at VARCHAR, plain_body VARCHAR)[]',
+       | internal_notes: 'STRUCT(id BIGINT, created_at VARCHAR, plain_body VARCHAR)[]'})""".stripMargin
+  // T4 line filter + tokenize + T5 PII scrub. NB coalesce: DuckDB's
+  // array_to_string([]) is NULL where Spark's array_join([]) is ''.
+  private val DCleanTokens =
+    s"""list_filter(list_filter(string_split(trim(coalesce(array_to_string(
+       |  list_filter(string_split_regex(doc, '\\r?\\n'),
+       |              l -> regexp_matches(l, '^[A-Za-z0-9 ]+$$')), ' '), '')), ' '),
+       |  t -> t <> ''), t -> NOT regexp_matches(t, '${Cleanse.PiiRe}'))""".stripMargin
+  private val DReshaped =
+    s"""SELECT id AS ticket_id,
+       | strptime(created_at, '%Y-%m-%dT%H:%M:%SZ') AS created_at,
+       | strptime(updated_at, '%Y-%m-%dT%H:%M:%SZ') AS last_updated,
+       | upper(status) AS status,
+       | CASE upper(status) WHEN 'OPEN' THEN 1 WHEN 'HOLD' THEN 2
+       |   WHEN 'PENDING' THEN 3 WHEN 'SOLVED' THEN 4 WHEN 'CLOSED' THEN 5
+       | END AS status_ord,
+       | subject, description, coalesce(tags, []) AS tags,
+       | fields[3].value AS outcome, fields[1].value AS ticket_type
+       |FROM $DTickets""".stripMargin
+  private val DFlatComments =
+    s"""SELECT CAST(regexp_extract(filename, '([0-9]+)[^/]*\\.json$$', 1) AS BIGINT)
+       |   AS ticket_id,
+       | c.id AS comment_id,
+       | strptime(c.created_at, '%Y-%m-%dT%H:%M:%SZ') AS created_at,
+       | c.plain_body AS body
+       |FROM (SELECT filename,
+       |        unnest(coalesce(comments, []) || coalesce(internal_notes, [])) AS c
+       |      FROM $DComments)""".stripMargin
+  private val DAllComments =
+    s"""SELECT ticket_id, created_at, description AS body FROM ($DReshaped)
+       |UNION ALL
+       |SELECT ticket_id, created_at, body FROM ($DFlatComments)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q34_ingest_tickets" ->
+      s"""SELECT ticket_id, created_at, last_updated, status,
+         | CAST(status_ord AS INTEGER) AS status_ord, subject,
+         | CAST(len(tags) AS INTEGER) AS n_tags, outcome, ticket_type
+         |FROM ($DReshaped) ORDER BY ticket_id""".stripMargin,
+    "q35_ingest_comments" ->
+      s"""SELECT ticket_id, comment_id, created_at, md5(body) AS body_md5
+         |FROM ($DFlatComments) ORDER BY ticket_id, comment_id""".stripMargin,
+    "q36_bind_comments" ->
+      s"""SELECT ticket_id, COUNT(*) AS n_comments,
+         | MIN(created_at) AS first_at, MAX(created_at) AS last_at,
+         | md5(string_agg(body, ' ' ORDER BY created_at, body)) AS bodies_md5
+         |FROM ($DAllComments) GROUP BY ticket_id ORDER BY ticket_id""".stripMargin,
+    "q37_ticket_corpus" ->
+      s"""WITH docs AS (
+         |  SELECT t.ticket_id,
+         |    t.subject || ' ' || string_agg(a.body, ' ' ORDER BY a.created_at, a.body)
+         |      AS doc
+         |  FROM ($DReshaped) t JOIN ($DAllComments) a USING (ticket_id)
+         |  GROUP BY t.ticket_id, t.subject),
+         |toks AS (SELECT ticket_id, $DCleanTokens AS toks FROM docs)
+         |SELECT ticket_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+         | md5(coalesce(array_to_string(toks, ' '), '')) AS doc_md5
+         |FROM toks ORDER BY ticket_id""".stripMargin)
+}

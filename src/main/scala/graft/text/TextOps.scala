@@ -43,11 +43,13 @@ object TextOps {
   /** DuckDB twin of `Cleanse.tokens`: non-empty whitespace tokens. */
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
-  /** DuckDB twin of `Cleanse.cleanseTokens` (alnum-line filter + PII scrub). */
+  /** DuckDB twin of `Cleanse.cleanseTokens` (alnum-line filter + PII scrub).
+    * NB coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+    * array_join([]) is ''. */
   private val DCleanToks =
-    s"""list_filter(list_filter(string_split(trim(array_to_string(
+    s"""list_filter(list_filter(string_split(trim(coalesce(array_to_string(
        |  list_filter(string_split_regex(text, '\\r?\\n'),
-       |              l -> regexp_matches(l, '^[A-Za-z0-9 ]+$$')), ' ')), ' '),
+       |              l -> regexp_matches(l, '^[A-Za-z0-9 ]+$$')), ' '), '')), ' '),
        |  t -> t <> ''), t -> NOT regexp_matches(t, '${Cleanse.PiiRe}'))""".stripMargin
 
   // ---------------------------------------------------------------- T3/T4/T5
