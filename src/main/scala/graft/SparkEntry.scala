@@ -19,7 +19,8 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rel.Relational.queries ++ text.TextOps.queries ++ ml.Vocab.queries ++
-      ml.Similarity.queries ++ ml.Lda.queries ++ ingest.Tickets.queries
+      ml.Similarity.queries ++ ml.Lda.queries ++ ingest.Tickets.queries ++
+      multimodal.Media.queries
 
   def oracleSql: Map[String, String] =
     rel.Relational.oracle ++ text.TextOps.oracle ++ ml.Vocab.oracle ++

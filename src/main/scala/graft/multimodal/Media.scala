@@ -1,0 +1,176 @@
+package graft.multimodal
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque BINARY columns
+  * with typed metadata (north-star operator family; no reference
+  * counterpart — the reference is text-only).
+  *
+  * Design for 100 TB of media:
+  *  - content is an opaque `BINARY` column + a typed metadata struct
+  *    (format/width/height/sample_rate/n_frames) so planning-relevant
+  *    fields are columnar (filter/prune on metadata NEVER touches bytes —
+  *    parquet column pruning skips the blob pages entirely);
+  *  - decode / feature-extract / resize / frame-sample run as
+  *    partition-batched functions over the binary column — the Scala
+  *    equivalent of arrow-batched `mapInPandas`: rows stream through a
+  *    `mapPartitions`-style iterator in codec-sized batches, one model/codec
+  *    instance per partition, never per row;
+  *  - the codec layer itself is a STUB (no image/audio libraries in this
+  *    container): `DecodeStub` produces deterministic fake pixels/frames
+  *    from the bytes. The schema, batching, partitioning and operator
+  *    surface are real and tested; swapping in a real codec touches ONLY
+  *    `DecodeStub`.
+  */
+object Media {
+
+  val FeatureDim = 64
+  val BatchSize = 32 // codec batch: bounds per-batch memory at wide blobs
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("kind", StringType), // image | audio | video
+    StructField("content", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_frames", IntegerType))))))
+
+  /** STUB codec layer — deterministic fakes standing in for libjpeg/ffmpeg.
+    * Every function is a pure byte→value map so results are
+    * partitioning-invariant and testable. */
+  object DecodeStub {
+    private def mix(z0: Long): Long = { // splitmix64 — public-domain mixer
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    private def seedOf(bytes: Array[Byte]): Long =
+      bytes.foldLeft(1469598103934665603L)((h, b) => mix(h ^ (b & 0xffL)))
+
+    /** "Decode + encode" a media blob into a feature vector — the shape a
+      * real CLIP/wav2vec batch inference would produce (unit-norm float
+      * array). ??? in spirit; deterministic in practice. */
+    def features(bytes: Array[Byte]): Array[Float] = {
+      val s = seedOf(bytes)
+      val raw = Array.tabulate(FeatureDim)(i => mix(s + i).toDouble / Long.MaxValue)
+      val norm = math.sqrt(raw.map(x => x * x).sum).max(1e-12)
+      raw.map(x => (x / norm).toFloat)
+    }
+
+    /** "Re-encode at w×h" — byte-level stand-in for a real resampler. */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val out = new Array[Byte]((w.toLong * h % 4096).toInt.max(16))
+      val s = seedOf(bytes) ^ (w.toLong << 32) ^ h
+      var i = 0
+      while (i < out.length) { out(i) = (mix(s + i) & 0xff).toByte; i += 1 }
+      out
+    }
+
+    /** "Sample n frames" — slices the blob into n deterministic chunks (the
+      * shape of ffmpeg keyframe extraction). */
+    def frames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      val len = bytes.length.max(1)
+      (0 until n).map { i =>
+        val from = (len.toLong * i / n).toInt
+        val until = (len.toLong * (i + 1) / n).toInt.max(from + 1).min(len)
+        java.util.Arrays.copyOfRange(bytes, from.min(len - 1), until)
+      }
+    }
+  }
+
+  /** Synthetic media table derived deterministically from `documents`
+    * (the container ships no real media files): text bytes become the blob,
+    * metadata derives from doc stats. The derivation is itself a declarative
+    * projection — only the codec calls below leave Catalyst. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id").as("media_id"),
+      element_at(typedlit(Seq("image", "audio", "video")),
+        (pmod(xxhash64(col("doc_id")), lit(3)) + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("content"),
+      struct(
+        element_at(typedlit(Seq("jpeg", "wav", "mp4")),
+          (pmod(xxhash64(col("doc_id")), lit(3)) + 1).cast("int")).as("format"),
+        (pmod(xxhash64(col("doc_id"), lit(1)), lit(1920)) + 16).cast("int").as("width"),
+        (pmod(xxhash64(col("doc_id"), lit(2)), lit(1080)) + 16).cast("int").as("height"),
+        lit(16000).as("sample_rate"),
+        (pmod(xxhash64(col("doc_id"), lit(3)), lit(240)) + 8).cast("int").as("n_frames"))
+        .as("meta"))
+
+  /** Feature extraction over the binary column, partition-batched. Encoder
+    * output lands as ARRAY<FLOAT> ready for the Similarity LSH operators. */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(media.schema.fields :+
+      StructField("features", ArrayType(FloatType)))
+    val rdd = media.rdd.mapPartitions { rows =>
+      // one codec instance per partition; rows stream through in batches
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = r.getAs[Array[Byte]]("content")
+          org.apache.spark.sql.Row.fromSeq(
+            r.toSeq :+ DecodeStub.features(bytes).toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Frame sampling: one row per sampled frame (explode shape). Output is
+    * (media_id, frame_no, frame BINARY) — downstream per-frame feature
+    * extraction reuses extractFeatures on the frame column. */
+  def sampleFrames(media: DataFrame, n: Int): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_no", IntegerType),
+      StructField("frame", BinaryType)))
+    val rdd = media.filter(col("kind") === "video").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getAs[Long]("media_id")
+        DecodeStub.frames(r.getAs[Array[Byte]]("content"), n)
+          .zipWithIndex.map { case (f, i) =>
+            org.apache.spark.sql.Row(id, i, f)
+          }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  // --------------------------------------------------------------- queries
+  /** Engine-only: metadata-pruned scan → batched feature extraction →
+    * per-kind feature stats. The metadata filter runs BEFORE any codec
+    * work — at scale the blob column is never read for filtered-out rows. */
+  def m_media_features(s: SparkSession, dir: String): DataFrame = {
+    val media = mediaTable(s, dir).filter(col("meta.width") >= 64)
+    extractFeatures(media)
+      .select(col("media_id"), col("kind"),
+        aggregate(col("features"), lit(0.0d), (a, x) => a + x * x).as("sq_norm"),
+        element_at(col("features"), 1).as("f0"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("sq_norm")), 4).as("avg_sq_norm"),
+        round(avg(col("f0")), 6).as("avg_f0"))
+      .orderBy(col("kind"))
+  }
+
+  /** Engine-only: frame sampling + per-media frame size stats. */
+  def m_media_frames(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaTable(s, dir), n = 4)
+      .select(col("media_id"), col("frame_no"), length(col("frame")).as("frame_bytes"))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("frame_bytes")).as("total_bytes"))
+      .orderBy(col("media_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_media_features" -> (m_media_features _),
+    "m_media_frames"   -> (m_media_frames _))
+}

@@ -211,6 +211,35 @@ object Relational {
         max(to_date(col("o_orderdate"))).as("last_order"))
       .orderBy(col("o_year"), col("o_month"))
 
+  // ------------------------------------------------------------------- G14
+  /** Array/map higher-order ops: per-order quantity arrays (ordered
+    * collect), then transform/filter/aggregate lambdas and a
+    * map_from_entries cardinality — all codegen-friendly builtins. The
+    * groupBy shuffles once on l_orderkey; every HOF then runs map-side over
+    * the grouped arrays. */
+  def q14_array_map_ops(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") <= 2000)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("int").as("qty"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(col("l_linenumber"), col("qty"))))
+        .as("lines"))
+      .select(
+        col("l_orderkey"),
+        transform(col("lines"), x => x.getField("qty")).as("q"))
+      .withColumn("n_map", // position-keyed map (l_linenumber can repeat)
+        size(map_from_arrays(sequence(lit(1), size(col("q"))), col("q"))))
+      .select(
+        col("l_orderkey"),
+        size(col("q")).as("n_lines"),
+        aggregate(transform(col("q"), x => x * 2), lit(0),
+          (acc, x) => acc + x).as("doubled_sum"),
+        size(filter(col("q"), x => x > 25)).as("n_big"),
+        array_max(col("q")).as("max_qty"),
+        col("n_map"))
+      .orderBy(col("l_orderkey"))
+
   // ------------------------------------------------------------------- G15
   /** JSON extraction from the events.props payload; agg per extracted key
     * bucket. get_json_object is codegen'd; no UDF. */
@@ -301,6 +330,7 @@ object Relational {
     "q11_topk_orders"        -> (q11_topk_orders _),
     "q12_set_ops"            -> (q12_set_ops _),
     "q13_date_math"          -> (q13_date_math _),
+    "q14_array_map_ops"      -> (q14_array_map_ops _),
     "q15_json_extract"       -> (q15_json_extract _),
     "q16_sessionize"         -> (q16_sessionize _),
     "q17_dedup_exact"        -> (q17_dedup_exact _),
@@ -401,6 +431,19 @@ object Relational {
         | MAX(CAST(o_orderdate AS DATE)) AS last_order
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_year, o_month ORDER BY o_year, o_month""".stripMargin,
+    "q14_array_map_ops" ->
+      """WITH arrs AS (
+        |  SELECT l_orderkey,
+        |    list(CAST(l_quantity AS INTEGER)
+        |         ORDER BY l_linenumber, CAST(l_quantity AS INTEGER)) AS q
+        |  FROM lineitem WHERE l_orderkey <= 2000 GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        | CAST(len(q) AS INTEGER) AS n_lines,
+        | CAST(list_aggregate(list_transform(q, x -> x * 2), 'sum') AS INTEGER) AS doubled_sum,
+        | CAST(len(list_filter(q, x -> x > 25)) AS INTEGER) AS n_big,
+        | list_max(q) AS max_qty,
+        | CAST(cardinality(map(range(1, len(q) + 1), q)) AS INTEGER) AS n_map
+        |FROM arrs ORDER BY l_orderkey""".stripMargin,
     "q15_json_extract" ->
       """SELECT event_type,
         | CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,

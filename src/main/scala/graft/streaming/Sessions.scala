@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` shape (SURVEY §7
+  * stretch: the streaming twin of G16 sessionization + watermarked window
+  * aggregation).
+  *
+  * Both transforms take a DataFrame/Dataset that may be batch OR streaming
+  * — the logical plan is identical (Structured Streaming's core promise),
+  * so the batch oracle (rel.Relational.q16_sessionize) checks the same
+  * semantics the stream produces incrementally.
+  *
+  * Scale: state lives in the state store, partitioned by user_id — one
+  * shuffle, no driver state; the watermark bounds state size (events older
+  * than watermark-gap are finalized and evicted). At 100 TB/day the
+  * sessionizer's footprint is O(active users × open-session events), not
+  * O(stream).
+  */
+object Sessions {
+
+  case class Ev(user_id: Long, ts: Timestamp)
+  case class SessionOut(user_id: Long, start: Timestamp, end: Timestamp,
+      n_events: Long)
+  /** Buffered open-session state per user (event-times, ms). */
+  case class SessState(times: List[Long])
+
+  val GapMs: Long = 30L * 60 * 1000 // 30-min session gap (mirrors q16)
+
+  /** Watermarked tumbling-window event counts: the canonical streaming agg.
+    * Late events beyond 10 min are dropped; window state is evicted once
+    * the watermark passes window end. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+
+  /** Gap-based sessionization via flatMapGroupsWithState (event-time
+    * timeout). Events buffer per user; when the watermark passes
+    * last-event+gap the buffer is split into gap-delimited sessions and
+    * emitted. Handles out-of-order arrivals within the watermark. */
+  def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[SessState]) =>
+          val arrived = rows.map(_.ts.getTime).toList
+          val buffered = state.getOption.map(_.times).getOrElse(Nil)
+          if (state.hasTimedOut) {
+            state.remove()
+            splitSessions(userId, buffered).iterator
+          } else {
+            val all = buffered ++ arrived
+            val wm = state.getCurrentWatermarkMs()
+            // finalize sessions whose gap-window closed before the watermark
+            val (closed, open) = splitClosed(all, wm)
+            if (open.nonEmpty) {
+              state.update(SessState(open))
+              state.setTimeoutTimestamp(open.max + GapMs)
+            } else state.remove()
+            splitSessions(userId, closed).iterator
+          }
+      }
+  }
+
+  /** Events whose session can no longer grow (last event + gap < watermark)
+    * vs still-open ones. */
+  private def splitClosed(times: List[Long], wm: Long): (List[Long], List[Long]) = {
+    val sorted = times.sorted
+    val sessions = sessionsOf(sorted)
+    val (closed, open) = sessions.partition(sess => sess.last + GapMs < wm)
+    (closed.flatten, open.flatten)
+  }
+
+  private def sessionsOf(sorted: List[Long]): List[List[Long]] =
+    sorted.foldLeft(List.empty[List[Long]]) {
+      case (Nil, t) => List(List(t))
+      case (cur :: done, t) if t - cur.head <= GapMs => (t :: cur) :: done
+      case (acc, t) => List(t) :: acc
+    }.map(_.reverse).reverse
+
+  private def splitSessions(userId: Long, times: List[Long]): List[SessionOut] =
+    sessionsOf(times.sorted).map { sess =>
+      SessionOut(userId, new Timestamp(sess.head), new Timestamp(sess.last),
+        sess.size.toLong)
+    }
+}

@@ -1,0 +1,52 @@
+package graft.multimodal
+
+import graft.text.SparkTestSession
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MediaSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("media table: binary content + typed metadata, kinds partition the corpus") {
+    val m = Media.mediaTable(spark, dir)
+    assert(m.schema("content").dataType.typeName == "binary")
+    val kinds = m.groupBy(col("kind")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds.keySet == Set("image", "audio", "video"))
+    assert(kinds.values.sum == 500)
+  }
+
+  test("feature extraction: unit-norm, deterministic, partitioning-invariant") {
+    val m = Media.mediaTable(spark, dir).limit(50)
+    val f1 = Media.extractFeatures(m.repartition(1))
+      .select(col("media_id"), col("features")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val f7 = Media.extractFeatures(m.repartition(7))
+      .select(col("media_id"), col("features")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f1 == f7) // batch/partition boundaries must not change results
+    f1.values.foreach { v =>
+      assert(v.length == Media.FeatureDim)
+      val n = v.map(x => x.toDouble * x).sum
+      assert(math.abs(n - 1.0) < 1e-4, s"not unit norm: $n")
+    }
+  }
+
+  test("frame sampling: n frames per video, bytes cover the blob") {
+    val m = Media.mediaTable(spark, dir)
+    val nVideos = m.filter(col("kind") === "video").count()
+    val frames = Media.sampleFrames(m, n = 4)
+    assert(frames.count() == nVideos * 4)
+    assert(frames.filter(length(col("frame")) < 1).count() == 0)
+  }
+
+  test("metadata filters never deserialize content (column pruning)") {
+    val plan = Media.mediaTable(spark, dir)
+      .filter(col("meta.width") >= 64)
+      .select(col("media_id"), col("meta.width"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("content"), "blob column should be pruned")
+  }
+}

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.text.SparkTestSession
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SessionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-03-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("streaming sessionize matches gap semantics; watermark flushes state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Sessions.Ev]
+    val q = Sessions.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      // user 1: events at t0, t10, t20 (one session), then t80 (new session)
+      // user 2: single event at t5
+      input.addData(
+        Sessions.Ev(1, ts(0)), Sessions.Ev(1, ts(10)), Sessions.Ev(1, ts(20)),
+        Sessions.Ev(2, ts(5)), Sessions.Ev(1, ts(80)))
+      q.processAllAvailable()
+      // sentinel far in the future advances the watermark past every gap
+      input.addData(Sessions.Ev(99, ts(600)))
+      q.processAllAvailable()
+      input.addData(Sessions.Ev(98, ts(1200))) // second advance triggers timeouts
+      q.processAllAvailable()
+
+      val out = spark.table("sessions_out")
+        .filter(col("user_id") < 90)
+        .orderBy(col("user_id"), col("start"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      assert(out.toSeq == Seq(
+        (1L, ts(0), ts(20), 3L),
+        (1L, ts(80), ts(80), 1L),
+        (2L, ts(5), ts(5), 1L)))
+    } finally q.stop()
+  }
+
+  test("windowed counts run identically on a batch frame (unified plan)") {
+    import spark.implicits._
+    val batch = Seq(
+      (1L, ts(0), "click"), (2L, ts(30), "click"), (3L, ts(65), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val rows = Sessions.windowedCounts(batch)
+      .orderBy(col("window_start"), col("event_type")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(
+      (ts(0), "click", 2L),
+      (Timestamp.valueOf("2024-03-01 11:00:00"), "view", 1L)))
+  }
+}
