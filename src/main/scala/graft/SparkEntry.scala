@@ -18,11 +18,13 @@ object SparkEntry {
     text.TextOps.q32_corpus_pipeline(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    rel.Relational.queries ++ text.TextOps.queries ++ ml.Vocab.queries ++
+    rel.Relational.queries ++ text.TextOps.queries ++ text.Tokenize.queries ++
+      ml.Vocab.queries ++
       ml.Similarity.queries ++ ml.Lda.queries ++ ingest.Tickets.queries ++
       multimodal.Media.queries
 
   def oracleSql: Map[String, String] =
-    rel.Relational.oracle ++ text.TextOps.oracle ++ ml.Vocab.oracle ++
+    rel.Relational.oracle ++ text.TextOps.oracle ++ text.Tokenize.oracle ++
+      ml.Vocab.oracle ++
       ml.Similarity.oracle ++ ingest.Tickets.oracle
 }

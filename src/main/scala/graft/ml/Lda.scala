@@ -21,6 +21,17 @@ object Lda {
   val Seed = 42L
   val MaxIter = 20 // reference UI caps iterations < 200, passes < 20
 
+  /** P5 `validate_params` (LDA_logic.py:145-168): the reference rejects
+    * non-int input and requires passes < 20, iterations < 200. Driver-side
+    * precondition — fails fast before any cluster work is scheduled. */
+  def validateParams(passes: Int, iterations: Int, numTopics: Int): Unit = {
+    require(passes > 0 && passes < 20,
+      s"passes must be in (0, 20), got $passes")
+    require(iterations > 0 && iterations < 200,
+      s"iterations must be in (0, 200), got $iterations")
+    require(numTopics > 0, s"num_topics must be positive, got $numTopics")
+  }
+
   /** Corpus → (docs with features, fitted vocabulary). */
   def prepare(s: SparkSession, dir: String): (DataFrame, CountVectorizerModel) = {
     val docs = Tables.documents(s, dir)

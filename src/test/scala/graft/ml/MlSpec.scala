@@ -1,0 +1,89 @@
+package graft.ml
+
+import graft.text.SparkTestSession
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ML-layer invariants (SURVEY §5.2 items 3-4): dictionary/doc2bow
+  * properties, the c_v golden test, LDA smoke, P5 validation. */
+class MlSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("P5 validate_params mirrors the reference bounds (LDA_logic.py:145-168)") {
+    Lda.validateParams(passes = 5, iterations = 100, numTopics = 5)
+    intercept[IllegalArgumentException](Lda.validateParams(20, 100, 5))
+    intercept[IllegalArgumentException](Lda.validateParams(5, 200, 5))
+    intercept[IllegalArgumentException](Lda.validateParams(5, 100, 0))
+  }
+
+  test("A1 dictionary: term ids dense in [0, vocab), df within bounds") {
+    val d = Vocab.dictionary(spark, dir).collect()
+    val ids = d.map(_.getAs[Long]("term_id")).sorted
+    assert(ids.toSeq == ids.indices.map(_.toLong)) // dense 0..n-1
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    d.foreach { r =>
+      val df = r.getAs[Long]("df")
+      assert(df >= Vocab.MinDF && df <= nDocs * Vocab.MaxDFFrac)
+    }
+  }
+
+  test("A2 doc2bow: per-doc freq sums equal in-dictionary token counts") {
+    import spark.implicits._
+    val bowSums = Vocab.q25_doc2bow(spark, dir)
+      .groupBy(col("doc_id")).agg(sum(col("freq")).as("bow"))
+    val dictTerms = Vocab.dictionary(spark, dir).select(col("term"))
+    val tokCounts = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.text.Cleanse.tokens(col("text"))).as("term"))
+      .join(dictTerms, "term")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("toks"))
+    val bad = bowSums.join(tokCounts, "doc_id")
+      .filter(col("bow") =!= col("toks")).count()
+    assert(bad == 0)
+  }
+
+  test("M4 c_v golden test: hand-computed toy corpus (SURVEY §7.4)") {
+    import spark.implicits._
+    // one window per doc (all docs < 110 tokens):
+    // p(apple)=3/4, p(banana)=2/4, p(apple,banana)=2/4
+    // npmi(a,b)=log(.5/.375)/-log(.5)=0.415037; self-npmi=1
+    // one-set cosine of v_a=(1,.415), v_b=(.415,1) vs their sum → 0.9241484
+    val docs = Seq(
+      (1L, Seq("apple", "banana")), (2L, Seq("apple", "banana")),
+      (3L, Seq("apple", "cherry")), (4L, Seq("dog")))
+      .toDF("doc_id", "tokens")
+    val c = Coherence.cv(spark, docs, Seq(Seq("apple", "banana")))
+      .collect()(0).getAs[Double]("coherence")
+    assert(math.abs(c - 0.9241484) < 1e-6, s"c_v was $c")
+  }
+
+  test("M2/M5 LDA smoke: fixed seed, k topics, finite weights, top-5 terms") {
+    val (feats, cv) = Lda.prepare(spark, dir)
+    val model = Lda.train(feats, k = 3, maxIter = 5)
+    val topics = Lda.describe(spark, model, cv.vocabulary, topN = 5).collect()
+    assert(topics.map(_.getAs[Int]("topic")).distinct.sorted.toSeq == Seq(0, 1, 2))
+    assert(topics.length == 15) // 3 topics x 5 ranked terms
+    topics.foreach { r =>
+      assert(!r.getAs[Double]("weight").isNaN)
+      assert(cv.vocabulary.contains(r.getAs[String]("term")))
+    }
+  }
+
+  test("S4 run log: one JSON line per completed query") {
+    val path = java.nio.file.Files.createTempDirectory("graft-log")
+      .resolve("run.jsonl").toString
+    val l = graft.sink.RunLog.attach(spark, path)
+    try {
+      graft.Tables.documents(spark, dir).limit(3).collect()
+      // listener fires asynchronously on the listener bus
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)) &&
+        System.nanoTime() < deadline) Thread.sleep(100)
+      val lines = scala.io.Source.fromFile(path).getLines().toList
+      assert(lines.nonEmpty)
+      assert(lines.forall(_.contains("\"status\":\"ok\"")))
+    } finally spark.listenerManager.unregister(l)
+  }
+}
