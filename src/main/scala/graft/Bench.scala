@@ -18,7 +18,8 @@ object Bench {
     * correctness-gated by Verify every round. Override with
     * SPARK_GRAFT_BENCH_ALL=1 to time everything. */
   val heavyModelFits: Set[String] =
-    Set("m_lda_topics", "m_lda_sweep", "m_lda_coherence", "m_dedup_minhash_lsh")
+    Set("m_lda_topics", "m_lda_sweep", "m_lda_coherence", "m_dedup_minhash_lsh",
+      "m_ann_ivf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -75,21 +75,31 @@ object Lda {
 
   /** M3 model-selection sweep (reference trains k=1..19 per click,
     * LDA_logic.py:338-350): k=2..6 here, scoring each k by log-likelihood,
-    * log-perplexity and c_v coherence. */
+    * log-perplexity and c_v coherence. Sweep models train at half MaxIter
+    * (model *selection* needs ranking stability, not convergence), and all
+    * ks' topics go through ONE combined coherence computation — one corpus
+    * co-occurrence pass instead of one per k. */
   def m_lda_sweep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (feats, cv) = prepare(s, dir)
     feats.cache()
     val tokensDf = feats.select(col("doc_id"), col("tokens"))
-    val rows = (2 to 6).map { k =>
-      val model = train(feats, k)
-      val coh = Coherence.cv(s, tokensDf, topWords(model, cv.vocabulary, 10))
-        .agg(avg(col("coherence"))).as[Double].head()
-      (k, model.logLikelihood(feats), model.logPerplexity(feats), coh)
+    val ks = (2 to 6).toSeq
+    val trained = ks.map { k =>
+      val model = train(feats, k, maxIter = MaxIter / 2)
+      (k, model, topWords(model, cv.vocabulary, 10))
     }
+    // global topic index -> k, then a single cv() over every topic
+    val topicK: Seq[Int] = trained.flatMap { case (k, _, tws) => tws.map(_ => k) }
+    val kOf = typedlit(topicK)
+    val cohByK = Coherence.cv(s, tokensDf, trained.flatMap(_._3))
+      .select(element_at(kOf, col("topic").cast("int") + 1).as("k"), col("coherence"))
+      .groupBy(col("k")).agg(avg(col("coherence")).as("coherence_cv"))
+    val scores = trained.map { case (k, m, _) =>
+      (k, m.logLikelihood(feats), m.logPerplexity(feats))
+    }.toDF("k", "log_likelihood", "log_perplexity")
     feats.unpersist()
-    rows.toDF("k", "log_likelihood", "log_perplexity", "coherence_cv")
-      .orderBy(col("k"))
+    scores.join(cohByK, Seq("k"), "left_outer").orderBy(col("k"))
   }
 
   /** M4 standalone: c_v coherence of the k=5 model's topics. */

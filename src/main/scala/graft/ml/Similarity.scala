@@ -92,17 +92,32 @@ object Similarity {
   private def bandKeys(s: SparkSession, e: DataFrame,
       bands: Int, planes: Int, dim: Int = 64): DataFrame = {
     val rnd = new scala.util.Random(42)
-    val hyper: IndexedSeq[IndexedSeq[Double]] =
-      IndexedSeq.fill(bands * planes)(IndexedSeq.fill(dim)(rnd.nextGaussian()))
-    def key(b: Int): Column =
-      (0 until planes).map { i =>
-        when(dot(col("emb"), typedlit(hyper(b * planes + i))) >= 0,
-          lit(1 << i)).otherwise(lit(0))
-      }.reduce(_ + _)
-    e.select(col("vec_id") +: col("emb") +:
-      (0 until bands).map(b => key(b).as(s"k$b")): _*)
-      .select(col("vec_id"), col("emb"), posexplode(
-        array((0 until bands).map(b => col(s"k$b")): _*)).as(Seq("band", "key")))
+    val hyper: Array[Array[Double]] =
+      Array.fill(bands * planes)(Array.fill(dim)(rnd.nextGaussian()))
+    // One compiled UDF computing every band key in primitive loops. The
+    // declarative alternative (bands×planes aggregate/zip_with columns)
+    // runs through Catalyst's *interpreted* higher-order-function path —
+    // measured 129 s vs <2 s at sf0.01 for the dedup query. A UDF is the
+    // right tool when the builtin form can't reach codegen.
+    val keysUdf = udf { (emb: Seq[Double]) =>
+      val v = emb.toArray
+      Array.tabulate(bands) { b =>
+        var key = 0
+        var i = 0
+        while (i < planes) {
+          val p = hyper(b * planes + i)
+          var sum = 0.0
+          var j = 0
+          val n = math.min(v.length, p.length)
+          while (j < n) { sum += v(j) * p(j); j += 1 }
+          if (sum >= 0) key |= (1 << i)
+          i += 1
+        }
+        key
+      }
+    }
+    e.select(col("vec_id"), col("emb"),
+      posexplode(keysUdf(col("emb"))).as(Seq("band", "key")))
   }
 
   /** ANN top-3 for 50 query vectors: candidates share any of 8×6-bit band
@@ -139,10 +154,12 @@ object Similarity {
     * Brute-force all-pairs (the old shape) was 27 s at sf0.1 and O(n²) —
     * this is the 100 TB-viable form. */
   def m_dedup_embedding(s: SparkSession, dir: String): DataFrame = {
+    // norm as a scalar column FIRST: dividing inside transform would
+    // re-evaluate the interpreted dot() per array element (64× per row)
     val e = emb(s, dir)
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
       .select(col("vec_id"),
-        transform(col("emb"), x => x / sqrt(dot(col("emb"), col("emb"))))
-          .as("emb"))
+        transform(col("emb"), x => x / col("nrm")).as("emb"))
     val keys = bandKeys(s, e, bands = 8, planes = 6)
       .select(col("vec_id"), col("band"), col("key"))
     val pairs = keys.as("a").join(keys.as("b"),
@@ -157,6 +174,50 @@ object Similarity {
         round(dot(col("emb_a"), col("emb_b")), 6).as("sim"))
       .orderBy(col("sim").desc, col("id_a"), col("id_b"))
       .limit(20)
+  }
+
+  // ---------------------------------------------------- engine-only: IVF
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path
+    * complementing LSH: k-means centroids partition the collection; each
+    * vector lands in one list; queries probe the `nProbe` nearest lists
+    * and re-score exactly inside them. At 100 TB: the centroid table is a
+    * broadcast dim (k×dim floats), the collection is hash-partitioned by
+    * centroid id, and recall/cost tunes with nProbe — candidate volume is
+    * nProbe/k of the corpus instead of all of it. */
+  def m_ann_ivf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val k = 16
+    val nProbe = 2
+    val e = emb(s, dir).withColumn("v", array_to_vector(col("emb")))
+    val km = new KMeans().setK(k).setSeed(42).setMaxIter(10)
+      .setFeaturesCol("v").fit(e)
+    val assigned = km.transform(e)
+      .select(col("vec_id"), col("emb"), col("prediction").as("list_id"))
+    // tiny (k × dim) centroid dim table, broadcast for probe selection
+    val cents = s.createDataFrame(
+      km.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) })
+      .toDF("list_id", "cent")
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist"), col("list_id"))
+    val probes = assigned.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qemb"), col("list_id"),
+        (dot(col("qemb"), col("qemb")) - lit(2) * dot(col("qemb"), col("cent"))
+          + dot(col("cent"), col("cent"))).as("cdist"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qemb"), col("list_id"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    probes.join(assigned, "list_id") // equi-join on centroid id — no cross product
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qemb"), col("emb")), 6).as("sim"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .orderBy(col("query_id"), col("rank"))
   }
 
   // ------------------------------------------------ engine-only: MinHashLSH
@@ -225,6 +286,7 @@ object Similarity {
     "q19_similarity_topk" -> (q19_similarity_topk _),
     "q33_ngram_jaccard"   -> (q33_ngram_jaccard _),
     "m_ann_lsh"           -> (m_ann_lsh _),
+    "m_ann_ivf"           -> (m_ann_ivf _),
     "m_dedup_embedding"   -> (m_dedup_embedding _),
     "m_dedup_minhash_lsh" -> (m_dedup_minhash_lsh _),
     "m_dedup_simhash"     -> (m_dedup_simhash _))

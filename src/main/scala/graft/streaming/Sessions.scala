@@ -82,7 +82,7 @@ object Sessions {
     (closed.flatten, open.flatten)
   }
 
-  private def sessionsOf(sorted: List[Long]): List[List[Long]] =
+  private[graft] def sessionsOf(sorted: List[Long]): List[List[Long]] =
     sorted.foldLeft(List.empty[List[Long]]) {
       case (Nil, t) => List(List(t))
       case (cur :: done, t) if t - cur.head <= GapMs => (t :: cur) :: done

@@ -178,6 +178,23 @@ object TextOps {
       .orderBy(col("band"), col("h"))
   }
 
+  // ------------------------------------------- rolling-hash fingerprint
+  /** Rabin-Karp-style positional document fingerprint: fold
+    * h ← (h·31 + code(token)) mod 1e9+7 over the token stream. Pure
+    * map-side `aggregate` HOF — order-sensitive (a permuted document gets a
+    * different fingerprint, unlike minhash) and O(tokens) per doc. */
+  def q39_fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val M = 1000000007L
+    val toks = Cleanse.tokens(col("text"))
+    val code = (t: org.apache.spark.sql.Column) => ascii(t) * length(t)
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      aggregate(toks, lit(7L), (acc, t) => (acc * 31 + code(t)) % M)
+        .as("fingerprint"),
+      size(toks).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------ flagship (§7.2)
   /** Corpus pipeline: cleanse → tokenize → stopword-filter → per-language
     * term frequencies → top-10 terms per language. scan → scalar fns →
@@ -207,6 +224,7 @@ object TextOps {
     "q29_lang_id"          -> (q29_lang_id _),
     "q30_minhash_signature"-> (q30_minhash_signature _),
     "q31_minhash_buckets"  -> (q31_minhash_buckets _),
+    "q39_fingerprint"      -> (q39_fingerprint _),
     "q32_corpus_pipeline"  -> (q32_corpus_pipeline _))
 
   val oracle: Map[String, String] = Map(
@@ -266,6 +284,14 @@ object TextOps {
          |bands AS (${(1 to 4).map(i => s"SELECT doc_id, $i AS band, h$i AS h FROM sig").mkString(" UNION ALL ")})
          |SELECT band, h, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
          |FROM bands GROUP BY band, h HAVING COUNT(*) > 1 ORDER BY band, h""".stripMargin,
+    "q39_fingerprint" ->
+      s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents)
+         |SELECT doc_id,
+         | list_reduce([CAST(7 AS BIGINT)] ||
+         |   list_transform(t, x -> CAST(ascii(x) * len(x) AS BIGINT)),
+         |   (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint,
+         | CAST(len(t) AS INTEGER) AS n_tokens
+         |FROM toks ORDER BY doc_id""".stripMargin,
     "q32_corpus_pipeline" ->
       s"""WITH toks AS (SELECT lang, unnest($DCleanToks) AS term FROM documents),
          |freqs AS (SELECT lang, term, COUNT(*) AS freq FROM toks

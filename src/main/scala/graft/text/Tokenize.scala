@@ -41,13 +41,16 @@ object Tokenize {
       t => t.rlike("^[a-z]+$") && length(t) >= 2 &&
         !t.isin(EnglishStopwords.map(x => x: Any): _*))
 
-  /** Apply the first matching suffix rule to one token. */
+  /** Apply the first matching suffix rule to one token: a flat
+    * first-non-null `coalesce` over `when(rlike, replace)` arms — linear
+    * expression size. (A fold threading a "done" flag re-nests every prior
+    * arm into each next one: O(rules²) tree growth, measured 91 s for q38
+    * at sf0.01 vs ~1 s for this form.) */
   def lemma(token: Column): Column =
-    LemmaRules.foldLeft((token, lit(false))) { case ((cur, done), (pat, rep)) =>
-      val hits = cur.rlike(pat)
-      (when(!done && hits, regexp_replace(cur, pat, rep)).otherwise(cur),
-        done || hits)
-    }._1
+    coalesce(
+      (LemmaRules.map { case (pat, rep) =>
+        when(token.rlike(pat), regexp_replace(token, pat, rep))
+      } :+ token): _*)
 
   /** Full M1 pipe: text → lemmatized content tokens. */
   def lemmaTokens(text: Column): Column = transform(words(text), t => lemma(t))
@@ -55,10 +58,11 @@ object Tokenize {
   /** Oracle-gated query: per-document lemma stream digest + per-corpus
     * top lemmas (checks tokenization, stopwords and rules end-to-end). */
   def q38_lemma_tokens(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
-      col("doc_id"),
-      size(lemmaTokens(col("text"))).as("n_lemmas"),
-      md5(array_join(lemmaTokens(col("text")), " ").cast("binary")).as("lemmas_md5"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), lemmaTokens(col("text")).as("lemmas"))
+      .select(col("doc_id"),
+        size(col("lemmas")).as("n_lemmas"),
+        md5(array_join(col("lemmas"), " ").cast("binary")).as("lemmas_md5"))
       .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,0 +1,85 @@
+package graft
+
+import graft.text.{Cleanse, SparkTestSession, Tokenize}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck properties for the pure (non-Spark) kernels. */
+object PureProperties extends Properties("graft.pure") {
+
+  private val bytesGen = Gen.containerOf[Array, Byte](Gen.choose(-128, 127).map(_.toByte))
+
+  property("DecodeStub.features: deterministic + unit-norm") =
+    Prop.forAll(bytesGen) { bs =>
+      val a = multimodal.Media.DecodeStub.features(bs)
+      val b = multimodal.Media.DecodeStub.features(bs.clone())
+      val norm = a.map(x => x.toDouble * x).sum
+      a.sameElements(b) && math.abs(norm - 1.0) < 1e-4
+    }
+
+  property("DecodeStub.frames: n chunks, bytes conserved, in order") =
+    Prop.forAll(Gen.nonEmptyContainerOf[Array, Byte](Gen.choose(-128, 127).map(_.toByte)),
+      Gen.choose(1, 8)) { (bs, n) =>
+      val fs = multimodal.Media.DecodeStub.frames(bs, n)
+      fs.size == n && fs.forall(_.nonEmpty) &&
+        (bs.length < n || fs.flatten.sameElements(bs)) // exact cover when enough bytes
+    }
+
+  property("Sessions.sessionsOf: gap-consistent partition of the input") =
+    Prop.forAll(Gen.listOf(Gen.choose(0L, 10L * streaming.Sessions.GapMs))) { ts =>
+      val sorted = ts.sorted
+      val sessions = streaming.Sessions.sessionsOf(sorted)
+      val within = sessions.forall(s =>
+        s.zip(s.drop(1)).forall { case (a, b) => b - a <= streaming.Sessions.GapMs })
+      val separated = sessions.zip(sessions.drop(1)).forall {
+        case (a, b) => b.head - a.last > streaming.Sessions.GapMs
+      }
+      sessions.flatten == sorted && within && separated
+    }
+}
+
+/** Batched property checks for Column transforms: all generated cases run
+  * as ONE DataFrame job per property (SURVEY §5.2 item 3). */
+class ColumnPropertySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private val seed = new scala.util.Random(42)
+  private def randomTexts(n: Int): Seq[String] = {
+    val alphabet = "abcXYZ019 .,&#;<>@/-\n\r\tﬁ１"
+    Seq.fill(n)(Seq.fill(seed.nextInt(80))(
+      alphabet(seed.nextInt(alphabet.length))).mkString)
+  }
+
+  test("cleanse is idempotent over random noisy strings") {
+    import spark.implicits._
+    val df = randomTexts(300).toDF("s")
+      .select(Cleanse.cleanse(col("s")).as("once"))
+      .select(col("once"), Cleanse.cleanse(col("once")).as("twice"))
+    assert(df.filter(col("once") =!= col("twice")).count() == 0)
+  }
+
+  test("scrubPii never increases token count; output is a subset") {
+    import spark.implicits._
+    val df = randomTexts(300).toDF("s")
+      .select(Cleanse.tokens(col("s")).as("toks"))
+      .select(size(col("toks")).as("n"),
+        size(Cleanse.scrubPii(col("toks"))).as("m"),
+        size(array_except(Cleanse.scrubPii(col("toks")), col("toks"))).as("extra"))
+    assert(df.filter(col("m") > col("n") || col("extra") =!= 0).count() == 0)
+  }
+
+  test("lemma never lengthens a token and is a no-op on non-matching tokens") {
+    import spark.implicits._
+    val toks = Seq("queries", "classes", "loading", "loaded", "slowly",
+      "errors", "ss", "a", "run", "amazingly", "supposedly", "glass")
+    val df = toks.toDF("t")
+      .select(col("t"), Tokenize.lemma(col("t")).as("l"))
+    val out = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("queries") == "query" && out("classes") == "class")
+    assert(out("loading") == "load" && out("loaded") == "load")
+    assert(out("errors") == "error" && out("glass") == "glass")
+    assert(out.forall { case (t, l) => l.length <= t.length })
+  }
+}
