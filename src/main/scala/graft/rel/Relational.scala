@@ -139,6 +139,19 @@ object Relational {
         col("n_orders"), col("sum_price"))
       .orderBy(col("priority"), col("status"))
 
+  /** CUBE over (returnflag, linestatus) with the grouping_id bit vector —
+    * all four grouping sets in one shuffle (G7's other half). */
+  def q40_cube_grouping(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_lines"), money(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("gid"), col("n_lines"), col("sum_qty"))
+      .orderBy(col("gid"), col("rflag"), col("lstatus"))
+
   // -------------------------------------------------------------------- G9
   /** Ranking window: top-3 orders per customer. One shuffle on o_custkey;
     * rank filter is applied before any downstream work (WindowGroupLimit
@@ -325,6 +338,7 @@ object Relational {
     "q06_join_anti"          -> (q06_join_anti _),
     "q07_join_range_bands"   -> (q07_join_range_bands _),
     "q08_rollup"             -> (q08_rollup _),
+    "q40_cube_grouping"      -> (q40_cube_grouping _),
     "q09_window_rank"        -> (q09_window_rank _),
     "q10_window_frame"       -> (q10_window_frame _),
     "q11_topk_orders"        -> (q11_topk_orders _),
@@ -395,6 +409,14 @@ object Relational {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
         |ORDER BY priority, status""".stripMargin,
+    "q40_cube_grouping" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+        | COALESCE(l_linestatus, 'ALL') AS lstatus,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+        | COUNT(*) AS n_lines,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, rflag, lstatus""".stripMargin,
     "q09_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
         | SELECT o_custkey, o_orderkey, o_totalprice,
