@@ -1,0 +1,75 @@
+package graft.rel
+
+import graft.Tables
+import graft.text.SparkTestSession
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-technique specs (SCALING.md): these don't test a query's answer —
+  * they pin the *physical plan properties* that matter at 100 TB, so a
+  * regression that silently reintroduces a shuffle or breaks the salting
+  * algebra fails CI. */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bucketed tables co-locate the join: no Exchange in the joined plan") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-buckets").toString
+    Tables.orders(spark, dir)
+      .write.mode("overwrite").option("path", s"$wh/b_orders")
+      .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("b_orders")
+    Tables.lineitem(spark, dir)
+      .write.mode("overwrite").option("path", s"$wh/b_lineitem")
+      .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("b_lineitem")
+    try {
+      // disable auto-broadcast so the join would otherwise shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle; plan:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
+  test("salted two-stage aggregation equals direct aggregation (skew recipe)") {
+    val salts = 8
+    val base = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("k"), col("l_quantity").as("v"))
+    val direct = base.groupBy(col("k"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+    // stage 1: spread each hot key over `salts` sub-keys; stage 2: merge.
+    // sum/count are algebraic — partials compose exactly.
+    val salted = base
+      .withColumn("salt", pmod(xxhash64(rand(7) * 1e6), lit(salts)))
+      .groupBy(col("k"), col("salt"))
+      .agg(sum(col("v")).as("ps"), count(lit(1)).as("pn"))
+      .groupBy(col("k"))
+      .agg(sum(col("ps")).as("s"), sum(col("pn")).as("n"))
+    val d = direct.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val s = salted.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(d.keySet == s.keySet)
+    d.foreach { case (k, (sv, n)) =>
+      assert(math.abs(sv - s(k)._1) < 1e-6 && n == s(k)._2, s"key $k differs")
+    }
+  }
+
+  test("partial aggregation present: groupBy plans a map-side HashAggregate") {
+    val plan = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")))
+      .queryExecution.executedPlan.toString
+    // partial + final pair = two HashAggregate nodes around the exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2)
+  }
+}
