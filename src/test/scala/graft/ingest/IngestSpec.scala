@@ -80,4 +80,13 @@ class IngestSpec extends AnyFunSuite {
     assert(back.select(explode(col("comments"))).count() ==
       Tickets.allComments(spark, tickets).count())
   }
+
+  test("typed Dataset boundary: TicketRow encoder round-trips the nested model") {
+    val ds = TypedTickets.tickets(spark)
+    val rows = ds.collect()
+    assert(rows.length == 60)
+    assert(rows.forall(_.comments.nonEmpty))
+    val open = TypedTickets.latestCommentOfOpen(spark).collect()
+    assert(open.length == 12 && open.forall(_._2.nonEmpty))
+  }
 }
