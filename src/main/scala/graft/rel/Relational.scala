@@ -224,6 +224,54 @@ object Relational {
         max(to_date(col("o_orderdate"))).as("last_order"))
       .orderBy(col("o_year"), col("o_month"))
 
+  // ------------------------------------------------------- percentiles
+  /** Exact percentiles per group (Spark `percentile` ≡ DuckDB
+    * quantile_cont: linear interpolation). At 100 TB switch to
+    * `approx_percentile` — exact percentile needs a per-group sort; the
+    * t-digest sketch is the scale path (same trade as G8's HLL). */
+  def q41_percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  // -------------------------------------------------------------- pivot
+  /** groupBy().pivot(): order counts + money by priority pivoted over the
+    * (closed, 3-value) status domain. Pivot compiles to conditional
+    * aggregation — one shuffle, no per-pivot-value passes; the pivot
+    * column domain is declared explicitly (at scale an undeclared domain
+    * costs a distinct-scan first). */
+  def q42_pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"), money(col("o_totalprice")).as("price"))
+      .orderBy(col("priority"))
+
+  // -------------------------------------------- SQL front-end + subquery
+  /** The spark.sql() surface with a correlated EXISTS subquery — customers
+    * holding an above-average-value urgent order. Catalyst rewrites the
+    * correlated EXISTS into a left-semi join (same physical shape as q05);
+    * the scalar subquery becomes a one-row broadcast. */
+  def q43_sql_subquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+    s.sql(
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM v_customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM v_orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderpriority = '1-URGENT'
+        |    AND o.o_totalprice > (SELECT AVG(o_totalprice) FROM v_orders))
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
   // ------------------------------------------------------------------- G14
   /** Array/map higher-order ops: per-order quantity arrays (ordered
     * collect), then transform/filter/aggregate lambdas and a
@@ -339,6 +387,9 @@ object Relational {
     "q07_join_range_bands"   -> (q07_join_range_bands _),
     "q08_rollup"             -> (q08_rollup _),
     "q40_cube_grouping"      -> (q40_cube_grouping _),
+    "q41_percentiles"        -> (q41_percentiles _),
+    "q42_pivot"              -> (q42_pivot _),
+    "q43_sql_subquery"       -> (q43_sql_subquery _),
     "q09_window_rank"        -> (q09_window_rank _),
     "q10_window_frame"       -> (q10_window_frame _),
     "q11_topk_orders"        -> (q11_topk_orders _),
@@ -417,6 +468,32 @@ object Relational {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY gid, rflag, lstatus""".stripMargin,
+    "q41_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.5) AS p50_qty,
+        | quantile_cont(l_quantity, 0.9) AS p90_qty,
+        | quantile_cont(l_extendedprice, 0.5) AS p50_price,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q42_pivot" ->
+      """SELECT o_orderpriority AS priority,
+        | COUNT(*) FILTER (o_orderstatus = 'F') AS "F_n",
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'F') AS DOUBLE) AS "F_price",
+        | COUNT(*) FILTER (o_orderstatus = 'O') AS "O_n",
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'O') AS DOUBLE) AS "O_price",
+        | COUNT(*) FILTER (o_orderstatus = 'P') AS "P_n",
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'P') AS DOUBLE) AS "P_price"
+        |FROM orders GROUP BY o_orderpriority ORDER BY priority""".stripMargin,
+    "q43_sql_subquery" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderpriority = '1-URGENT'
+        |    AND o.o_totalprice > (SELECT AVG(o_totalprice) FROM orders))
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "q09_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
         | SELECT o_custkey, o_orderkey, o_totalprice,
