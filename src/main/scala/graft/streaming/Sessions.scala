@@ -42,6 +42,15 @@ object Sessions {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"))
 
+  /** Streaming exact dedup: first occurrence of each key wins; the
+    * watermark bounds the dedup state (keys older than the watermark are
+    * evicted — at 100 TB/day unbounded dedup state is the classic
+    * streaming OOM). Works identically on batch frames (global dedup). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Gap-based sessionization via flatMapGroupsWithState (event-time
     * timeout). Events buffer per user; when the watermark passes
     * last-event+gap the buffer is split into gap-delimited sessions and

@@ -58,4 +58,23 @@ class SessionsSpec extends AnyFunSuite {
       (ts(0), "click", 2L),
       (Timestamp.valueOf("2024-03-01 11:00:00"), "view", 1L)))
   }
+
+  test("streaming dedup drops replayed keys within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = Sessions.dedupStream(
+        input.toDS().toDF("event_id", "ts"), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(0)), (2L, ts(1)), (1L, ts(2)), (2L, ts(0)))
+      q.processAllAvailable()
+      input.addData((1L, ts(3)), (3L, ts(4))) // 1 replays again, 3 is new
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select(col("event_id"))
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
 }
