@@ -20,10 +20,10 @@ import org.apache.spark.sql.types.LongType
   */
 object Similarity {
 
-  /** Sequential-fold dot product over two double arrays — same evaluation
-    * order as DuckDB's list_dot_product, so rounded results agree. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential dot product over two double arrays — the native codegen'd
+    * expression (see ml.DotProductD); same index-order evaluation as
+    * DuckDB's list_dot_product, so rounded oracle results agree. */
+  private def dot(a: Column, b: Column): Column = VecFunctions.dot_d(a, b)
 
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -100,32 +100,21 @@ object Similarity {
   private def bandKeys(s: SparkSession, e: DataFrame,
       bands: Int, planes: Int, dim: Int = 64): DataFrame = {
     val rnd = new scala.util.Random(42)
-    val hyper: Array[Array[Double]] =
-      Array.fill(bands * planes)(Array.fill(dim)(rnd.nextGaussian()))
-    // One compiled UDF computing every band key in primitive loops. The
-    // declarative alternative (bands×planes aggregate/zip_with columns)
-    // runs through Catalyst's *interpreted* higher-order-function path —
-    // measured 129 s vs <2 s at sf0.01 for the dedup query. A UDF is the
-    // right tool when the builtin form can't reach codegen.
-    val keysUdf = udf { (emb: Seq[Double]) =>
-      val v = emb.toArray
-      Array.tabulate(bands) { b =>
-        var key = 0
-        var i = 0
-        while (i < planes) {
-          val p = hyper(b * planes + i)
-          var sum = 0.0
-          var j = 0
-          val n = math.min(v.length, p.length)
-          while (j < n) { sum += v(j) * p(j); j += 1 }
-          if (sum >= 0) key |= (1 << i)
-          i += 1
-        }
-        key
-      }
-    }
-    e.select(col("vec_id"), col("emb"),
-      posexplode(keysUdf(col("emb"))).as(Seq("band", "key")))
+    val hyper: IndexedSeq[Seq[Double]] =
+      IndexedSeq.fill(bands * planes)(IndexedSeq.fill(dim)(rnd.nextGaussian()))
+    // bands×planes sign bits via the native codegen'd dot expression.
+    // History of this hot path: builtin aggregate/zip_with HOFs run
+    // interpreted (129 s at sf0.01) → compiled Scala UDF (<2 s) → this
+    // fully-codegen expression form (no encoder boundary, reads
+    // UnsafeArrayData in place) — the preference ladder from the design
+    // notes, with measurements.
+    def key(b: Int): Column =
+      (0 until planes).map { i =>
+        when(dot(col("emb"), typedlit(hyper(b * planes + i))) >= 0,
+          lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+    e.select(col("vec_id"), col("emb"), posexplode(
+      array((0 until bands).map(b => key(b)): _*)).as(Seq("band", "key")))
   }
 
   /** ANN top-3 for 50 query vectors: candidates share any of 8×6-bit band

@@ -86,4 +86,26 @@ class MlSpec extends AnyFunSuite {
       assert(lines.forall(_.contains("\"status\":\"ok\"")))
     } finally spark.listenerManager.unregister(l)
   }
+
+  test("DotProductD: codegen'd native dot product matches reference math") {
+    import spark.implicits._
+    // literal-only frames constant-fold to LocalTableScan, so check values
+    // there but plan shape over a real parquet scan
+    val vals = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.0, 0.0), Seq(1.0, 1.0)),
+      (Seq(1.5), Seq(-2.0)))
+      .toDF("a", "b")
+      .select(VecFunctions.dot_d(col("a"), col("b")).as("d"))
+    assert(vals.collect().map(_.getDouble(0)).toSeq == Seq(32.0, 0.0, -3.0))
+
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("embedding").cast("array<double>").as("e"))
+      .filter(VecFunctions.dot_d(col("e"), col("e")) > 0)
+      .select(VecFunctions.dot_d(col("e"), col("e")).as("sq"))
+    assert(emb.count() > 0)
+    val plan = emb.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*(1)"),
+      s"expected codegen in plan:\n$plan")
+  }
 }
