@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for graft's native expressions, so
+  * `spark.sql("SELECT normalize_nfkc(s) ...")` works like any builtin.
+  *
+  * Two entry points:
+  *  - cluster config: `spark.sql.extensions=graft.GraftExtensions`
+  *    (standard SparkSessionExtensions injection at session build);
+  *  - library call: `GraftExtensions.register(spark)` for an
+  *    already-running session (tests, notebooks).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("normalize_nfkc",
+      info("normalize_nfkc", "_FUNC_(str) - Unicode NFKC normalization."),
+      (args: Seq[Expression]) => text.NormalizeNFKC(args.head)),
+    ("html_unescape",
+      info("html_unescape", "_FUNC_(str) - Decode HTML entities."),
+      (args: Seq[Expression]) => text.HtmlUnescape(args.head)),
+    ("dot_product_d",
+      info("dot_product_d", "_FUNC_(a, b) - Dot product of two double arrays."),
+      (args: Seq[Expression]) => ml.DotProductD(args(0), args(1))))
+
+  /** Register into a live session's function registry. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, inf, builder) =>
+      GraftSqlBridge.registerFunction(spark, name, inf, builder)
+    }
+}

@@ -123,6 +123,28 @@ object Media {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Re-encode every image at w×h: metadata updates declaratively, only
+    * the blob transform leaves Catalyst (partition-batched stub codec).
+    * Same plumbing as a real thumbnailing pass. */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val kind = r.getAs[String]("kind")
+        if (kind != "image") org.apache.spark.sql.Row.fromSeq(r.toSeq)
+        else {
+          val resized = DecodeStub.resize(r.getAs[Array[Byte]]("content"), w, h)
+          val meta = r.getAs[org.apache.spark.sql.Row]("meta")
+          org.apache.spark.sql.Row(
+            r.getAs[Long]("media_id"), kind, resized,
+            org.apache.spark.sql.Row(meta.getAs[String]("format"), w, h,
+              meta.getAs[Int]("sample_rate"), meta.getAs[Int]("n_frames")))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
   /** Frame sampling: one row per sampled frame (explode shape). Output is
     * (media_id, frame_no, frame BINARY) — downstream per-frame feature
     * extraction reuses extractFeatures on the frame column. */

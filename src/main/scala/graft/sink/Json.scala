@@ -44,3 +44,16 @@ object Json {
   def writeCorpus(corpus: DataFrame, outDir: String, dateStamp: String): Unit =
     corpus.write.mode("overwrite").json(s"$outDir/corpus_$dateStamp")
 }
+
+/** Hive-partitioned parquet sink — the standard lake layout at 100 TB:
+  * one directory per partition value (`lang=en/…`), so downstream scans
+  * with a partition predicate read only matching directories (partition
+  * pruning happens before any file I/O). Keep partition columns
+  * low-cardinality; high-cardinality keys create a small-file explosion. */
+object Parquet {
+  def writePartitioned(df: DataFrame, outDir: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(outDir)
+}

@@ -1,0 +1,54 @@
+package graft.sink
+
+import graft.Tables
+import graft.text.SparkTestSession
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SinkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("partitioned parquet sink: hive layout + partition pruning on read") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Parquet.writePartitioned(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+      out, Seq("lang"))
+    val langDirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("lang=")).sorted
+    assert(langDirs.nonEmpty && langDirs.forall(_.matches("lang=[a-z]+")))
+    // a lang predicate must prune partitions at plan time, not post-scan
+    val scan = spark.read.parquet(out).filter(col("lang") === "en")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"expected partition filter in scan:\n$plan")
+    assert(scan.count() ==
+      Tables.documents(spark, dir).filter(col("lang") === "en").count())
+  }
+
+  test("SQL registration: native expressions callable from spark.sql") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT normalize_nfkc('ﬁle１２３') AS n, html_unescape('&amp;x') AS h, " +
+        "dot_product_d(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect()(0)
+    assert(r.getString(0) == "file123")
+    assert(r.getString(1) == "&x")
+    assert(r.getDouble(2) == 11.0)
+  }
+
+  test("media resize: images re-encoded at target dims, other kinds untouched") {
+    val media = graft.multimodal.Media.mediaTable(spark, dir).limit(60)
+    val resized = graft.multimodal.Media.resizeImages(media, 128, 128)
+    assert(resized.count() == media.count())
+    val img = resized.filter(col("kind") === "image")
+      .select(col("meta.width"), col("meta.height")).distinct().collect()
+    assert(img.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((128, 128)))
+    val audioUnchanged = resized.filter(col("kind") === "audio")
+      .join(media.filter(col("kind") === "audio")
+        .select(col("media_id"), col("content").as("orig")), "media_id")
+      .filter(col("content") =!= col("orig")).count()
+    assert(audioUnchanged == 0)
+  }
+}
