@@ -239,6 +239,39 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  // ----------------------------------------------- distribution windows
+  /** ntile / percent_rank / cume_dist over customers by balance within
+    * segment — same single-shuffle window shape as G9. */
+  def q44_ntile_stats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .filter(col("c_custkey") <= 200)
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
+  // -------------------------------------------------- fuzzy edit distance
+  /** Levenshtein fuzzy matching — the non-token cousin of the dedup
+    * family: supplier names within a nation at edit distance ≤ 2. The
+    * nation equi-join bounds the candidate space (the blocking-key
+    * pattern); never an unblocked all-pairs compare at scale. */
+  def q45_edit_distance(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.supplier(s, dir)
+      .select(col("s_nationkey"), col("s_suppkey").as("id_a"), col("s_name").as("name_a"))
+    val b = Tables.supplier(s, dir)
+      .select(col("s_nationkey"), col("s_suppkey").as("id_b"), col("s_name").as("name_b"))
+    a.join(b, Seq("s_nationkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"))
+      .filter(col("dist") <= 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // -------------------------------------------------------------- pivot
   /** groupBy().pivot(): order counts + money by priority pivoted over the
     * (closed, 3-value) status domain. Pivot compiles to conditional
@@ -390,6 +423,8 @@ object Relational {
     "q41_percentiles"        -> (q41_percentiles _),
     "q42_pivot"              -> (q42_pivot _),
     "q43_sql_subquery"       -> (q43_sql_subquery _),
+    "q44_ntile_stats"        -> (q44_ntile_stats _),
+    "q45_edit_distance"      -> (q45_edit_distance _),
     "q09_window_rank"        -> (q09_window_rank _),
     "q10_window_frame"       -> (q10_window_frame _),
     "q11_topk_orders"        -> (q11_topk_orders _),
@@ -494,6 +529,22 @@ object Relational {
         |    AND o.o_totalprice > (SELECT AVG(o_totalprice) FROM orders))
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    "q44_ntile_stats" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        | CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        | round(percent_rank() OVER w, 6) AS pct_rank,
+        | round(cume_dist() OVER w, 6) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |QUALIFY c_custkey <= 200
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "q45_edit_distance" ->
+      """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+        | CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS dist
+        |FROM supplier a JOIN supplier b
+        |  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     "q09_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
         | SELECT o_custkey, o_orderkey, o_totalprice,
