@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main (driver contract): runs the declared query set on
   * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line with per-query seconds.
@@ -36,21 +36,28 @@ object Bench {
     if (new java.io.File("/dev/shm").isDirectory)
       builder.config("spark.local.dir", "/dev/shm/spark-local")
     val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR: keep the single JSON result line easy for the driver to find
+    spark.sparkContext.setLogLevel("ERROR")
 
     val benchSet =
       if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) SparkEntry.queries
       else SparkEntry.queries -- heavyModelFits
 
+    // Materialize EVERY projected column (count() would let Catalyst prune
+    // the expensive projections and final sorts — round-1 advice): the noop
+    // sink consumes all rows/columns without write-side I/O in the timing.
+    def run(fn: (SparkSession, String) => DataFrame, dir: String): Unit =
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+
     val warmDir = "/root/testdata/sf0.001"
     benchSet.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try run(fn, warmDir) catch { case _: Throwable => () }
     }
 
     val results = benchSet.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+        try run(fn, sfDir) catch { case _: Throwable => return -1.0 }
         (System.nanoTime() - t0) / 1e9
       }
       val a = once()

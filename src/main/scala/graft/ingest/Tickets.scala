@@ -97,8 +97,10 @@ object Tickets {
   def scanComments(s: SparkSession, dir: String = s"$FixturesDir/comments"): DataFrame = {
     val raw = s.read.option("multiLine", "true")
       .schema(commentFileSchema).json(dir)
-      .withColumn("ticket_id",
-        regexp_extract(input_file_name(), "([0-9]+)[^/]*\\.json$", 1).cast(LongType))
+      .withColumn("ticket_id", // anchored at the path separator: the id is
+        // the filename *prefix* (wrangler.py:368 startswith), so digits
+        // appearing mid-name (e.g. notes_123.json) must not bind
+        regexp_extract(input_file_name(), "/([0-9]+)[^/]*\\.json$", 1).cast(LongType))
     raw.select(col("ticket_id"), explode(
         concat(coalesce(col("comments"), array()),
           coalesce(col("internal_notes"), array()))).as("c"))
@@ -197,12 +199,22 @@ object Tickets {
       .orderBy(col("ticket_id"))
   }
 
-  /** Engine-only: the full nested Ticket shape (SURVEY §1.4) with the
-    * complete cleanse chain applied to the corpus column. */
+  /** Engine-only: builds the full nested Ticket shape (SURVEY §1.4) with
+    * the complete cleanse chain on the corpus column, then projects scalar
+    * digests of the nested parts — the driver's rows-only gate still sorts
+    * the dump, and raw ARRAY<STRUCT> columns crash that sort (round-1
+    * 'unhashable numpy.ndarray' failure). The nested plan is exercised in
+    * full; only the dumped shape is flattened. */
   def m_ingest_nested(s: SparkSession, dir: String): DataFrame = {
     val t = reshapeTickets(scanTickets(s))
     bindComments(s, t)
       .join(corpus(s, t), Seq("ticket_id"))
+      .select(col("ticket_id"), col("status"), col("status_ord"),
+        size(col("tags")).as("n_tags"),
+        size(col("comments")).as("n_comments"),
+        md5(to_json(col("comments")).cast("binary")).as("comments_md5"),
+        length(col("doc")).as("doc_len"),
+        md5(col("doc").cast("binary")).as("doc_md5"))
       .orderBy(col("ticket_id"))
   }
 
@@ -243,7 +255,7 @@ object Tickets {
        | fields[3].value AS outcome, fields[1].value AS ticket_type
        |FROM $DTickets""".stripMargin
   private val DFlatComments =
-    s"""SELECT CAST(regexp_extract(filename, '([0-9]+)[^/]*\\.json$$', 1) AS BIGINT)
+    s"""SELECT CAST(regexp_extract(filename, '/([0-9]+)[^/]*\\.json$$', 1) AS BIGINT)
        |   AS ticket_id,
        | c.id AS comment_id,
        | strptime(c.created_at, '%Y-%m-%dT%H:%M:%SZ') AS created_at,

@@ -10,10 +10,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * stretch: the streaming twin of G16 sessionization + watermarked window
   * aggregation).
   *
-  * Both transforms take a DataFrame/Dataset that may be batch OR streaming
-  * — the logical plan is identical (Structured Streaming's core promise),
-  * so the batch oracle (rel.Relational.q16_sessionize) checks the same
-  * semantics the stream produces incrementally.
+  * `windowedCounts` and `dedupStream` take a DataFrame that may be batch OR
+  * streaming — their logical plans are identical (Structured Streaming's
+  * core promise), and SessionsSpec checks both modes. `sessionize` is
+  * streaming-ONLY: flatMapGroupsWithState with EventTimeTimeout is rejected
+  * by Spark's UnsupportedOperationChecker on batch Datasets (and its
+  * watermark callbacks have no batch meaning) — its batch twin is
+  * rel.Relational.q16_sessionize, which SessionsSpec compares against the
+  * stream's output on the same events.
   *
   * Scale: state lives in the state store, partitioned by user_id — one
   * shuffle, no driver state; the watermark bounds state size (events older

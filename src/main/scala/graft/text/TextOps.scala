@@ -67,12 +67,16 @@ object TextOps {
   // -------------------------------------------------------------------- T1
   /** html_unescape against a constructed entity-bearing prefix — the oracle
     * side carries the already-unescaped literal, so this checks our
-    * Catalyst expression against Python-html.unescape semantics. */
+    * Catalyst expression against Python-html.unescape semantics. Both sides
+    * strip '&' from the corpus text so the equivalence never depends on
+    * whether the fixture corpus happens to contain entities (round-1
+    * advice: a regenerated corpus with entities would silently diverge). */
   def q22_html_unescape(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id"),
       md5(Cleanse.htmlUnescape(
-        concat(lit("&amp;x &lt;tag&gt; &quot;q&quot; &#65; &#x42; "), col("text")))
+        concat(lit("&amp;x &lt;tag&gt; &quot;q&quot; &#65; &#x42; "),
+          regexp_replace(col("text"), "&", "")))
         .cast("binary")).as("unescaped_md5"))
       .orderBy(col("doc_id"))
 
@@ -213,8 +217,51 @@ object TextOps {
       .orderBy(col("lang"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- tf-idf
+  /** Relational TF-IDF, top-3 terms per document: tf from one (doc, term)
+    * agg, df from one (term) agg, idf = ln(N/df) joined back through the
+    * *term-keyed* side (vocabulary-sized, broadcastable at any corpus
+    * scale), ranked per doc. Two hash shuffles + one window — the whole
+    * thing stays relational, so at 100 TB it is exactly the doc2bow plan
+    * plus a broadcast join. */
+  def q48_tfidf(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Cleanse.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(df.crossJoin(n)), "term")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf") * log(col("n_docs").cast(DoubleType) / col("df"))).as("tfidf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        round(col("tfidf"), 6).as("tfidf_r"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  // ------------------------------------------------- deterministic sample
+  /** Reproducible hash sampling — the train/test-split / corpus-subsample
+    * primitive: keep rows whose md5(key) starts in a fixed bucket range
+    * (here 2/16 ≈ 12.5 %). Unlike rand()-sampling this is stable across
+    * runs, engines, partitionings and cluster sizes — at 100 TB the split
+    * must be a pure function of the key, never of execution order. Pure
+    * map-side filter; no shuffle. */
+  def q49_hash_sample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+        .isin("0", "1"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_tfidf"            -> (q48_tfidf _),
+    "q49_hash_sample"      -> (q49_hash_sample _),
     "q21_cleanse_tokens"   -> (q21_cleanse_tokens _),
     "q22_html_unescape"    -> (q22_html_unescape _),
     "q23_corpus_stats"     -> (q23_corpus_stats _),
@@ -228,13 +275,32 @@ object TextOps {
     "q32_corpus_pipeline"  -> (q32_corpus_pipeline _))
 
   val oracle: Map[String, String] = Map(
+    "q48_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($DToks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+         |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (SELECT doc_id, term, tf, df,
+         |    tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
+         |  FROM tf JOIN df USING (term), n),
+         |ranked AS (SELECT doc_id, term, tf, df, tfidf,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+         |  FROM scored)
+         |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df,
+         | round(tfidf, 6) AS tfidf_r
+         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q49_hash_sample" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        |ORDER BY doc_id""".stripMargin,
     "q21_cleanse_tokens" ->
       s"""WITH c AS (SELECT doc_id, $DCleanToks AS toks FROM documents)
          |SELECT doc_id, md5(array_to_string(toks, ' ')) AS clean_md5,
          | CAST(len(toks) AS INTEGER) AS n_tokens
          |FROM c ORDER BY doc_id""".stripMargin,
     "q22_html_unescape" ->
-      """SELECT doc_id, md5('&x <tag> "q" A B ' || text) AS unescaped_md5
+      """SELECT doc_id,
+        | md5('&x <tag> "q" A B ' || regexp_replace(text, '&', '', 'g')) AS unescaped_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q23_corpus_stats" ->
       s"""SELECT COUNT(*) AS n_docs,
