@@ -233,10 +233,15 @@ object Relational {
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
-        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        // one percentile buffer for both quantile points (array form),
+        // not one sorted buffer per point
+        expr("percentile(l_quantity, array(0.5, 0.9))").as("pq"),
         expr("percentile(l_extendedprice, 0.5)").as("p50_price"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        element_at(col("pq"), 1).as("p50_qty"),
+        element_at(col("pq"), 2).as("p90_qty"),
+        col("p50_price"), col("n"))
       .orderBy(col("l_returnflag"))
 
   // ----------------------------------------------- distribution windows
@@ -284,6 +289,22 @@ object Relational {
       .pivot("o_orderstatus", Seq("F", "O", "P"))
       .agg(count(lit(1)).as("n"), money(col("o_totalprice")).as("price"))
       .orderBy(col("priority"))
+
+  // ------------------------------------------------------------ unpivot
+  /** Unpivot (melt) — the inverse of q42's pivot: wide per-flag measure
+    * columns to long (flag, measure, value) rows. Spark's `unpivot` lowers
+    * to Expand (each input row emits one row per measure in the same
+    * task) — a map-side reshape, no shuffle beyond the feeding agg. */
+  def q50_unpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        money(col("l_quantity")).as("qty"),
+        money(col("l_extendedprice")).as("price"),
+        money(col("l_discount")).as("disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("qty"), col("price"), col("disc")), "measure", "value")
+      .orderBy(col("l_returnflag"), col("measure"))
 
   // -------------------------------------------- SQL front-end + subquery
   /** The spark.sql() surface with a correlated EXISTS subquery — customers
@@ -503,6 +524,7 @@ object Relational {
     "q18_bind_children"      -> (q18_bind_children _),
     "q46_skew_salted_agg"    -> (q46_skew_salted_agg _),
     "q47_asof_join"          -> (q47_asof_join _),
+    "q50_unpivot"            -> (q50_unpivot _),
     "q_approx_distinct"      -> (q_approx_distinct _))
 
   val oracle: Map[String, String] = Map(
@@ -711,5 +733,14 @@ object Relational {
         | v.ts_us AS view_ts_us, v.view_value
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
-        |ORDER BY purchase_id""".stripMargin)
+        |ORDER BY purchase_id""".stripMargin,
+    "q50_unpivot" ->
+      """WITH agg AS (SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, measure, value
+        |FROM (UNPIVOT agg ON qty, price, disc INTO NAME measure VALUE value)
+        |ORDER BY l_returnflag, measure""".stripMargin)
 }
