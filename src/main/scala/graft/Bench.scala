@@ -36,6 +36,7 @@ object Bench {
     if (new java.io.File("/dev/shm").isDirectory)
       builder.config("spark.local.dir", "/dev/shm/spark-local")
     val spark = builder.getOrCreate()
+    GraftExtensions.register(spark) // SQL functions + optimizer rules
     // ERROR: keep the single JSON result line easy for the driver to find
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -14,10 +14,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    already-running session (tests, notebooks).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => plans.BoundedLevenshtein)
+  }
 }
 
 object GraftExtensions {
@@ -36,9 +38,15 @@ object GraftExtensions {
       info("dot_product_d", "_FUNC_(a, b) - Dot product of two double arrays."),
       (args: Seq[Expression]) => ml.DotProductD(args(0), args(1))))
 
-  /** Register into a live session's function registry. */
-  def register(spark: SparkSession): Unit =
+  /** Register into a live session: function registry + optimizer rules
+    * (experimental.extraOptimizations is the post-build hook for
+    * Rule[LogicalPlan]; it runs as a final optimizer batch). */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, inf, builder) =>
       GraftSqlBridge.registerFunction(spark, name, inf, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(plans.BoundedLevenshtein))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ plans.BoundedLevenshtein
+  }
 }

@@ -17,6 +17,7 @@ object Verify {
     if (new java.io.File("/dev/shm").isDirectory)
       builder.config("spark.local.dir", "/dev/shm/spark-local")
     val spark = builder.getOrCreate()
+    GraftExtensions.register(spark) // SQL functions + optimizer rules
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Dev-only subset filter (comma-separated names); driver leaves it unset.
