@@ -291,7 +291,75 @@ object Similarity {
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
 
+  /** DuckDB twins of the banded-LSH queries. The hyperplanes come from a
+    * seeded RNG (Random(42), same draw order as `bandKeys`), so the oracle
+    * can reproduce the exact signatures by embedding the plane constants as
+    * SQL literals — Double.toString round-trips, and a sign flip would need
+    * |dot| below double noise (P ~ 1e-10 for Gaussian planes). This turns
+    * the two LSH paths from rows-only checks into exact hash-gated ones. */
+  private def hyperPlanesSql(bands: Int, planes: Int, dim: Int): IndexedSeq[String] = {
+    val rnd = new scala.util.Random(42)
+    IndexedSeq.fill(bands * planes)(
+      IndexedSeq.fill(dim)(rnd.nextGaussian()).mkString("[", ", ", "]"))
+  }
+
+  /** `key` expression for one band: planes sign bits packed little-endian,
+    * mirroring bandKeys' when(dot >= 0, 1 << i) sum. */
+  private def bandKeySql(embCol: String, b: Int, planes: Int,
+      hyper: IndexedSeq[String]): String =
+    (0 until planes).map { i =>
+      s"(CASE WHEN list_dot_product($embCol, ${hyper(b * planes + i)}) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** keys CTE body: one UNION ALL arm per band over relation `src`
+    * (columns vec_id, emb) — the unrolled twin of posexplode(array(keys)). */
+  private def keysSql(src: String, bands: Int, planes: Int,
+      hyper: IndexedSeq[String]): String =
+    (0 until bands).map { b =>
+      s"SELECT vec_id, emb, $b AS band, ${bandKeySql("emb", b, planes, hyper)} AS key FROM $src"
+    }.mkString("\nUNION ALL\n")
+
+  private lazy val annLshOracle: String = {
+    val hyper = hyperPlanesSql(8, 6, 64)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |keys AS (
+       |${keysSql("e", 8, 6, hyper)}
+       |),
+       |q AS (SELECT vec_id AS query_id, band, key FROM keys WHERE vec_id < 50),
+       |cand AS (SELECT DISTINCT q.query_id, k.vec_id AS neighbor_id
+       |  FROM q JOIN keys k ON q.band = k.band AND q.key = k.key
+       |  WHERE k.vec_id <> q.query_id),
+       |scored AS (SELECT c.query_id, c.neighbor_id,
+       |  round(list_dot_product(a.emb, b.emb) /
+       |        (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+       |  FROM cand c JOIN e a ON a.vec_id = c.query_id
+       |              JOIN e b ON b.vec_id = c.neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, sim,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
+  private lazy val dedupEmbeddingOracle: String = {
+    val hyper = hyperPlanesSql(8, 6, 64)
+    s"""WITH r AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
+       |e AS (SELECT vec_id,
+       |  list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS emb FROM r),
+       |keys AS (
+       |${keysSql("e", 8, 6, hyper)}
+       |),
+       |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM keys a JOIN keys b
+       |  ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, round(list_dot_product(x.emb, y.emb), 6) AS sim
+       |FROM pairs JOIN e x ON x.vec_id = id_a JOIN e y ON y.vec_id = id_b
+       |ORDER BY sim DESC, id_a, id_b LIMIT 20""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "m_ann_lsh"         -> annLshOracle,
+    "m_dedup_embedding" -> dedupEmbeddingOracle,
     "q19_similarity_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 5),
