@@ -19,12 +19,12 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rel.Relational.queries ++ text.TextOps.queries ++ text.Tokenize.queries ++
-      ml.Vocab.queries ++
+      text.CorpusFilters.queries ++ ml.Vocab.queries ++
       ml.Similarity.queries ++ ml.Lda.queries ++ ingest.Tickets.queries ++
       multimodal.Media.queries
 
   def oracleSql: Map[String, String] =
     rel.Relational.oracle ++ text.TextOps.oracle ++ text.Tokenize.oracle ++
-      ml.Vocab.oracle ++
+      text.CorpusFilters.oracle ++ ml.Vocab.oracle ++
       ml.Similarity.oracle ++ ingest.Tickets.oracle
 }

@@ -37,8 +37,12 @@ object Vocab {
     * pruned by document-frequency floor/ceiling and vocab cap.
     *
     * Scale: doc-frequency agg is a (term) hash shuffle with map-side
-    * partial aggregation; the global rank window runs over the *vocabulary*
-    * (bounded, ≤ a few M rows at 100 TB corpus) — never over the corpus. */
+    * partial aggregation; the vocab cap is applied with orderBy+limit —
+    * TakeOrderedAndProject, a distributed per-partition top-K followed by
+    * a driver-side merge of K-row heaps — so no single partition ever
+    * holds the full term table (pre-cap vocabularies reach tens of
+    * millions of terms at 100 TB). Only the already-capped VocabSize rows
+    * pass through the global rank window that assigns dense ids. */
   def dictionary(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val dfreq = toks(s, dir)
@@ -49,8 +53,8 @@ object Vocab {
     dfreq.crossJoin(n)
       .filter(col("df") >= MinDF && col("df") <= col("n_docs") * MaxDFFrac)
       .select(col("term"), col("df"))
+      .orderBy(col("df").desc, col("term")).limit(VocabSize)
       .withColumn("term_id", (row_number().over(w) - 1).cast(LongType))
-      .filter(col("term_id") < VocabSize)
       .select(col("term_id"), col("term"), col("df"))
   }
 

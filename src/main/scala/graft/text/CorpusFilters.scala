@@ -1,0 +1,193 @@
+package graft.text
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Corpus-curation filters for LLM training-data pipelines — the quality /
+  * contamination / mixture layer that runs between raw ingest and
+  * tokenization (no reference counterpart; north-star operator family like
+  * dedup and ANN).
+  *
+  * All three are pure relational plans (explode → hash agg → join), so at
+  * 100 TB they inherit Catalyst's map-side partial aggregation and AQE;
+  * nothing here touches a window over the corpus or a driver-side loop.
+  * Every output is deterministic (hash-threshold sampling, not rand()), so
+  * each query is oracle-gated against DuckDB.
+  */
+object CorpusFilters {
+
+  private def docToks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Cleanse.tokens(col("text")).as("t"))
+
+  // ------------------------------------------------ repetition quality (Gopher)
+  /** Gopher-style repetition scores: fraction of the doc covered by its
+    * most frequent unigram / bigram, plus distinct-token ratio. Repetitive
+    * machine-generated text scores high and gets flagged (the thresholds
+    * are the published Gopher ones for the closest measure, 0.30 / 0.18 —
+    * Rae et al. 2021, "Scaling Language Models", table A1).
+    *
+    * Scale: two explode→(doc,gram) hash aggs with map-side combine; the
+    * per-doc rollup keys on doc_id, so everything co-partitions after the
+    * first shuffle. No windows, no driver state. */
+  def q51_repetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = docToks(s, dir).filter(size(col("t")) >= 2)
+    val uni = toks
+      .select(col("doc_id"), explode(col("t")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("top_uni"),
+        count(lit(1)).as("n_distinct"))
+    val bi = toks
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t)-1), i -> concat(element_at(t,i), ' ', element_at(t,i+1)))"))
+        .as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bi"))
+    uni.join(bi, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("top_uni").cast(DoubleType) / col("n_tokens"), 6).as("top_uni_frac"),
+        round(col("top_bi").cast(DoubleType) / col("n_bigrams"), 6).as("top_bi_frac"),
+        round(col("n_distinct").cast(DoubleType) / col("n_tokens"), 6).as("distinct_frac"))
+      .withColumn("flagged",
+        col("top_uni_frac") > 0.30 || col("top_bi_frac") > 0.18)
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------- benchmark contamination
+  /** Benchmark-contamination check: token-5-gram overlap of every corpus
+    * document against a held-out "benchmark" set (docs whose md5 bucket is
+    * 'f' — a stand-in for an eval suite; in production the benchmark grams
+    * come from the eval corpora themselves). Reports per-doc distinct-gram
+    * hit fraction — the decontamination signal used by GPT-3/PaLM-style
+    * training-set filtering (13-gram in the papers; 5 here so the small
+    * fixture corpus exercises nonzero overlap).
+    *
+    * Scale: the benchmark gram set is tiny relative to the corpus (eval
+    * suites are MBs, the corpus is TBs) — broadcast it; the corpus side is
+    * one explode → distinct → broadcast-hash lookup → per-doc agg. No
+    * shuffle of corpus grams against each other. */
+  def q52_contamination(s: SparkSession, dir: String): DataFrame = {
+    val grams = docToks(s, dir).filter(size(col("t")) >= 5)
+      .select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+          .as("bucket"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, size(t)-4), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2), element_at(t,i+3), element_at(t,i+4)))")))
+          .as("g"))
+    val benchGrams = grams.filter(col("bucket") === "f")
+      .select(col("g")).distinct().withColumn("hit", lit(1L))
+    grams.filter(col("bucket") =!= "f")
+      .join(broadcast(benchGrams), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast(DoubleType) / col("n_grams"), 6).as("hit_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------ domain-mix resample
+  /** Deterministic domain-mix resampling: given per-source target weights,
+    * subsample each source with rate C·w_s/n_s where C = min_s(n_s/w_s) —
+    * the largest scale leaving every rate ≤ 1 — so the kept corpus follows
+    * the target mixture exactly, using hash-threshold sampling (pure
+    * function of doc_id: stable across engines, partitionings, cluster
+    * sizes; the same primitive as q49). Weights here derive from the source
+    * id (num mod 5 + 1) to keep the query self-contained.
+    *
+    * Scale: per-source counts are a tiny agg (|sources| rows) broadcast
+    * back; the keep-filter is map-side. One corpus scan, one broadcast
+    * join, no corpus shuffle. */
+  def q53_domain_mix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4),
+          16, 10).cast("long").as("h"))
+    val weights = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_orig"))
+      .withColumn("w",
+        (regexp_extract(col("source"), "([0-9]+)", 1).cast("long") % 5 + 1)
+          .cast(DoubleType))
+    val c = weights
+      .agg(min(col("n_orig").cast(DoubleType) / col("w")).as("c"))
+    val rates = weights.crossJoin(c)
+      .select(col("source"), col("n_orig"),
+        (col("c") * col("w") / col("n_orig")).as("rate"))
+    docs.join(broadcast(rates), "source")
+      .filter(col("h") < col("rate") * 65536)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"))
+      .join(rates, "source")
+      .select(col("source"), col("n_orig"), col("n_kept"),
+        round(col("rate"), 6).as("rate_r"))
+      .orderBy(col("source"))
+  }
+
+  // ------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_repetition"    -> (q51_repetition _),
+    "q52_contamination" -> (q52_contamination _),
+    "q53_domain_mix"    -> (q53_domain_mix _))
+
+  private val DToks =
+    "list_filter(string_split(trim(text), ' '), t -> t <> '')"
+
+  val oracle: Map[String, String] = Map(
+    "q51_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
+         |d AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+         |uni AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS top_uni,
+         |    COUNT(*) AS n_distinct
+         |  FROM (SELECT doc_id, g, COUNT(*) AS c
+         |        FROM (SELECT doc_id, unnest(t) AS g FROM d) GROUP BY 1, 2)
+         |  GROUP BY doc_id),
+         |bi AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS top_bi
+         |  FROM (SELECT doc_id, g, COUNT(*) AS c
+         |        FROM (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         |          i -> t[i] || ' ' || t[i+1])) AS g FROM d) GROUP BY 1, 2)
+         |  GROUP BY doc_id)
+         |SELECT uni.doc_id, n_tokens,
+         |  round(CAST(top_uni AS DOUBLE) / n_tokens, 6) AS top_uni_frac,
+         |  round(CAST(top_bi AS DOUBLE) / n_bigrams, 6) AS top_bi_frac,
+         |  round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_frac,
+         |  (round(CAST(top_uni AS DOUBLE) / n_tokens, 6) > 0.30
+         |   OR round(CAST(top_bi AS DOUBLE) / n_bigrams, 6) > 0.18) AS flagged
+         |FROM uni JOIN bi ON uni.doc_id = bi.doc_id
+         |ORDER BY uni.doc_id""".stripMargin,
+    "q52_contamination" ->
+      s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
+         |grams AS (SELECT DISTINCT doc_id,
+         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+         |    unnest(list_transform(range(1, len(t) - 3),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+         |  FROM toks WHERE len(t) >= 5),
+         |bench AS (SELECT DISTINCT g FROM grams WHERE bucket = 'f')
+         |SELECT doc_id, COUNT(*) AS n_grams,
+         |  CAST(SUM(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  round(CAST(SUM(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / COUNT(*), 6) AS hit_frac
+         |FROM (SELECT * FROM grams WHERE bucket <> 'f') c
+         |LEFT JOIN bench ON c.g = bench.g
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q53_domain_mix" ->
+      """WITH docs AS (SELECT doc_id, source,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) AS h
+        |  FROM documents),
+        |weights AS (SELECT source, COUNT(*) AS n_orig,
+        |    CAST(CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 5 + 1
+        |      AS DOUBLE) AS w
+        |  FROM docs GROUP BY source),
+        |c AS (SELECT MIN(CAST(n_orig AS DOUBLE) / w) AS c FROM weights),
+        |rates AS (SELECT source, n_orig, (c.c * w / n_orig) AS rate
+        |  FROM weights, c),
+        |kept AS (SELECT d.source, COUNT(*) AS n_kept
+        |  FROM docs d JOIN rates r ON d.source = r.source
+        |  WHERE d.h < r.rate * 65536 GROUP BY d.source)
+        |SELECT r.source, r.n_orig, k.n_kept, round(r.rate, 6) AS rate_r
+        |FROM rates r JOIN kept k ON r.source = k.source
+        |ORDER BY r.source""".stripMargin)
+}
