@@ -485,6 +485,32 @@ object Relational {
       .orderBy(col("purchase_id"))
   }
 
+  /** The same as-of lookup through the NATIVE operator (graft.plans
+    * .AsofJoin: custom LogicalPlan + SparkStrategy + streaming-merge
+    * SparkPlan). Where q47's union+window encoding shuffles left and right
+    * together through one window frame, this plans as two by-key exchanges
+    * + local sorts + an O(1)-state per-partition merge; same oracle as q47
+    * (DuckDB ASOF LEFT JOIN). */
+  def q47b_asof_native(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_type"), col("value"))
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("value")).as("view_value"))
+      .select(col("user_id").as("v_user_id"), col("ts_us").as("view_ts_us"),
+        col("view_value"))
+    val purch = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_us"), col("value").as("purchase_value"))
+    graft.plans.Asof.join(purch, views,
+        leftBy = Seq("user_id"), rightBy = Seq("v_user_id"),
+        leftOn = "ts_us", rightOn = "view_ts_us")
+      .select(col("purchase_id"), col("user_id"), col("ts_us"),
+        col("purchase_value"), col("view_ts_us"), col("view_value"))
+      .orderBy(col("purchase_id"))
+  }
+
   // ------------------------------------------------------------------- G8
   /** HLL approximate distinct — engine-only (sketch is algorithm-specific,
     * SURVEY §2.5 G8). */
@@ -533,6 +559,7 @@ object Relational {
     "q18_bind_children"      -> (q18_bind_children _),
     "q46_skew_salted_agg"    -> (q46_skew_salted_agg _),
     "q47_asof_join"          -> (q47_asof_join _),
+    "q47b_asof_native"       -> (q47b_asof_native _),
     "q50_unpivot"            -> (q50_unpivot _),
     "q_approx_distinct"      -> (q_approx_distinct _))
 
@@ -732,6 +759,18 @@ object Relational {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q47_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |             event_type, value FROM events),
+        |v AS (SELECT user_id, ts_us, MAX(value) AS view_value
+        |      FROM e WHERE event_type = 'view' GROUP BY user_id, ts_us),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts_us,
+        |        value AS purchase_value FROM e WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id, p.ts_us, p.purchase_value,
+        | v.ts_us AS view_ts_us, v.view_value
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
+        |ORDER BY purchase_id""".stripMargin,
+    "q47b_asof_native" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |             event_type, value FROM events),
         |v AS (SELECT user_id, ts_us, MAX(value) AS view_value

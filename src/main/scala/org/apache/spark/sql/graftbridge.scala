@@ -10,6 +10,17 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Wrap a custom LogicalPlan as a DataFrame (private[sql] Dataset.ofRows —
+    * the standard entry point for libraries adding whole-operator nodes). */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** A DataFrame's analyzed logical plan (for composing custom nodes). */
+  def analyzedPlan(df: Dataset[_]):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
   /** Register a native expression into a live session's function registry
     * (the post-build twin of SparkSessionExtensions.injectFunction). */
   def registerFunction(spark: SparkSession, name: String,
