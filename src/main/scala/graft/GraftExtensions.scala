@@ -37,7 +37,8 @@ object GraftExtensions {
       (args: Seq[Expression]) => text.HtmlUnescape(args.head)),
     ("dot_product_d",
       info("dot_product_d", "_FUNC_(a, b) - Dot product of two double arrays."),
-      (args: Seq[Expression]) => ml.DotProductD(args(0), args(1))))
+      (args: Seq[Expression]) => ml.DotProductD(args(0), args(1))),
+    ml.KmvFunctions.sqlFunction)
 
   /** Register into a live session: function registry + optimizer rules
     * (experimental.extraOptimizations is the post-build hook for

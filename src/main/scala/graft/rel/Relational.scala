@@ -531,6 +531,23 @@ object Relational {
           <= lit(0.05) * col("exact_parts")).as("approx_ok"))
       .orderBy(col("l_returnflag"))
 
+  /** Distinct parts per flag via the native KMV bottom-k sketch
+    * (ml.KmvDistinct) beside the exact count: the gate asserts the sketch
+    * lands within 10 % of exact (k=256 → ~6 % RSE; the sketch is
+    * deterministic, so the flag is stable). Same contract as
+    * q_approx_distinct but through OUR aggregate, not Spark's HLL —
+    * exercising partial aggregation + buffer merge across shuffles. */
+  def q54_kmv_distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        graft.ml.KmvFunctions.kmv_distinct(col("l_partkey")).as("kmv"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("kmv") - col("exact_parts"))
+          <= lit(0.10) * col("exact_parts")).as("kmv_ok"))
+      .orderBy(col("l_returnflag"))
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"        -> (q01_agg_pricing _),
@@ -561,7 +578,8 @@ object Relational {
     "q47_asof_join"          -> (q47_asof_join _),
     "q47b_asof_native"       -> (q47b_asof_native _),
     "q50_unpivot"            -> (q50_unpivot _),
-    "q_approx_distinct"      -> (q_approx_distinct _))
+    "q_approx_distinct"      -> (q_approx_distinct _),
+    "q54_kmv_distinct"       -> (q54_kmv_distinct _))
 
   val oracle: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -796,5 +814,11 @@ object Relational {
         |  COUNT(DISTINCT l_partkey) AS exact_parts,
         |  (abs(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
         |     <= 0.05 * COUNT(DISTINCT l_partkey)) AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the oracle can't run our sketch; it asserts the accuracy contract the
+    // Spark side computes (kmv_ok must come out TRUE for every group)
+    "q54_kmv_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS kmv_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }
