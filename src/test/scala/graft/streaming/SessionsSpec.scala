@@ -77,4 +77,48 @@ class SessionsSpec extends AnyFunSuite {
       assert(ids.toSeq == Seq(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("stream-static enrichment broadcast-joins the dim; batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "segment")
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = Sessions.enrich(input.toDS().toDF("user_id", "ts"), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(0)), (3L, ts(1))) // 3 has no dim row -> null
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .collect().map(r => (r.getLong(0), Option(r.get(2)))).sortBy(_._1)
+      assert(got.toSeq == Seq((1L, Some("gold")), (3L, None)))
+    } finally q.stop()
+    // unified plan: the same transform on a batch frame
+    val batch = Sessions.enrich(
+        Seq((2L, ts(5))).toDF("user_id", "ts"), dim, "user_id")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(batch.toSeq == Seq((2L, "basic")))
+  }
+
+  test("foreachBatch hands each micro-batch to the handler with its id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    val q = Sessions.sinkForeachBatch(
+        input.toDS().toDF("event_id", "ts"),
+        (batch, id) => seen.synchronized {
+          seen += id -> batch.collect().map(_.getLong(0)).toSeq.sorted
+        })
+      .start()
+    try {
+      input.addData((1L, ts(0)), (2L, ts(1)))
+      q.processAllAvailable()
+      input.addData((3L, ts(2)))
+      q.processAllAvailable()
+      val byId = seen.filter(_._2.nonEmpty).sortBy(_._1)
+      assert(byId.map(_._2).toSeq == Seq(Seq(1L, 2L), Seq(3L)))
+      assert(byId.map(_._1) == byId.map(_._1).sorted, "batch ids monotonic")
+    } finally q.stop()
+  }
 }
