@@ -244,6 +244,29 @@ object Relational {
         col("p50_price"), col("n"))
       .orderBy(col("l_returnflag"))
 
+  /** The 100 TB percentile path: approx_percentile (t-digest-style
+    * positional sketch, mergeable constant-size state) beside the exact
+    * sort-based percentile, gated on the accuracy contract — at accuracy
+    * 10000 the rank error is n/10000, well inside the value tolerances
+    * asserted here (same contract pattern as q54/q_approx_distinct). */
+  def q41b_percentiles_approx(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, array(0.5, 0.9))").as("pq"),
+        expr("approx_percentile(l_quantity, array(0.5, 0.9), 10000)").as("aq"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50_price"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("a50_price"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("n"),
+        (abs(element_at(col("aq"), 1) - element_at(col("pq"), 1)) <= 1.0)
+          .as("p50_qty_ok"),
+        (abs(element_at(col("aq"), 2) - element_at(col("pq"), 2)) <= 1.0)
+          .as("p90_qty_ok"),
+        (abs(col("a50_price") - col("p50_price")) <= lit(0.01) * col("p50_price"))
+          .as("p50_price_ok"))
+      .orderBy(col("l_returnflag"))
+
   // ----------------------------------------------- distribution windows
   /** ntile / percent_rank / cume_dist over customers by balance within
     * segment — same single-shuffle window shape as G9. */
@@ -560,6 +583,7 @@ object Relational {
     "q08_rollup"             -> (q08_rollup _),
     "q40_cube_grouping"      -> (q40_cube_grouping _),
     "q41_percentiles"        -> (q41_percentiles _),
+    "q41b_percentiles_approx"-> (q41b_percentiles_approx _),
     "q42_pivot"              -> (q42_pivot _),
     "q43_sql_subquery"       -> (q43_sql_subquery _),
     "q44_ntile_stats"        -> (q44_ntile_stats _),
@@ -820,5 +844,10 @@ object Relational {
     "q54_kmv_distinct" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS kmv_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // accuracy-contract gate (see q54): flags must come out TRUE
+    "q41b_percentiles_approx" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  TRUE AS p50_qty_ok, TRUE AS p90_qty_ok, TRUE AS p50_price_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }

@@ -100,6 +100,31 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).isNullAt(3) && out(0).isNullAt(5))
   }
 
+  test("bucketed-by-key sources as-of join with ZERO shuffle") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-asof-buckets").toString
+    (1 to 500).map(i => (i.toLong, (i % 20).toLong, (i * 7 % 300).toLong))
+      .toDF("id", "user_id", "ts")
+      .write.mode("overwrite").option("path", s"$wh/b_asof_l")
+      .bucketBy(4, "user_id").sortBy("user_id", "ts")
+      .saveAsTable("b_asof_l")
+    (1 to 200).map(i => ((i % 25).toLong, (i * 11 % 300).toLong, i / 10.0))
+      .toDF("r_user_id", "r_ts", "v")
+      .write.mode("overwrite").option("path", s"$wh/b_asof_r")
+      .bucketBy(4, "r_user_id").sortBy("r_user_id", "r_ts")
+      .saveAsTable("b_asof_r")
+    try {
+      val joined = native(spark.table("b_asof_l"), spark.table("b_asof_r"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed as-of must not shuffle; plan:\n$plan")
+      assert(joined.count() == 500)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_asof_l")
+      spark.sql("DROP TABLE IF EXISTS b_asof_r")
+    }
+  }
+
   test("plans as AsofJoinExec: by-key exchanges + local sorts, no window, no join") {
     import spark.implicits._
     val left = Seq((1L, 1L, 100L)).toDF("id", "user_id", "ts")

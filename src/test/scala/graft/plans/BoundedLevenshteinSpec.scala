@@ -63,6 +63,14 @@ class BoundedLevenshteinSpec extends AnyFunSuite {
     }
   }
 
+  test("fires inside q45's optimized plan (thresholded form present)") {
+    val plan = graft.rel.Relational
+      .q45_edit_distance(spark, "/root/testdata/sf0.001")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("Some(2)") && plan.contains("abs((length("),
+      s"expected bounded rewrite in q45's plan:\n$plan")
+  }
+
   test("k = 0 and negative-k literals stay safe") {
     assert(pairs.filter(levenshtein(col("a"), col("b")) <= 0)
       .collect().map(_.getString(0)) sameElements Array("abc"))
