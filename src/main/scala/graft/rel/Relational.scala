@@ -535,19 +535,18 @@ object Relational {
   }
 
   // ------------------------------------------------------------------- G8
-  /** HLL approximate distinct — engine-only (sketch is algorithm-specific,
-    * SURVEY §2.5 G8). */
   /** HLL sketch vs exact distinct. The raw approx value can't be compared
     * across engines (different HLL implementations), so the gated output is
-    * the exact count plus a within-5%-of-exact flag: Spark runs at rsd=0.01
-    * (~1% error) and DuckDB's HLL is sub-2%, so both sides land inside the
+    * the exact count plus a within-5%-of-exact flag: Spark runs at
+    * rsd=0.02 (~2% error; 0.01 doubled sketch width for a 7x slower agg)
+    * and DuckDB's HLL is sub-2%, so both sides land inside the
     * 5% band deterministically — turning a rows-only check into an exact
     * gate without pretending the sketches are bit-identical. */
   def q_approx_distinct(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
       .select(col("l_returnflag"), col("exact_parts"),
         (abs(col("approx_parts") - col("exact_parts"))
