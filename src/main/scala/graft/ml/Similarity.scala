@@ -278,6 +278,54 @@ object Similarity {
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
   }
 
+  // --------------------------------------- dedup clusters (connected comps)
+  /** Connected components over the near-dup pair graph (q33's Jaccard ≥
+    * 0.5 pairs): every document gets a cluster label (the component's
+    * minimum doc_id) and a canonical flag — the dedup endgame that turns
+    * pairwise similarity into keep/drop decisions.
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own and its neighbors' labels (one equi-join +
+    * union + min-agg, all distributed); converges in O(component
+    * diameter) rounds, and near-dup components are shallow (dozens of
+    * docs, diameter ≲ 5). The driver-side loop holds only the convergence
+    * scalar (a count), never data — the standard Pregel shape. At 100 TB
+    * with adversarial chain-shaped components, switch the round body to
+    * large-star/small-star (Kiveris et al. 2014, "Connected components in
+    * MapReduce"), which squashes diameters in O(log²) rounds; the state
+    * and gate stay identical. Oracle: DuckDB recursive-CTE transitive
+    * closure over the same pairs. */
+  def q55_dedup_components(s: SparkSession, dir: String): DataFrame =
+    components(q33_ngram_jaccard(s, dir).select(col("doc_a"), col("doc_b")))
+      .orderBy(col("doc_id"))
+
+  /** Min-label propagation over an undirected pair list (doc_a, doc_b) →
+    * (doc_id, component, is_canonical). See q55 scaladoc for the scale
+    * argument. */
+  def components(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    val nodes = edges.select(col("src").as("id")).distinct()
+    var labels = nodes.withColumn("label", col("id")).cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val viaNeighbors = edges.join(labels, col("dst") === col("id"))
+        .select(col("src").as("id"), col("label"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("label")).as("label")).cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("component"))
+      .withColumn("is_canonical", col("doc_id") === col("component"))
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_similarity_topk" -> (q19_similarity_topk _),
@@ -286,7 +334,8 @@ object Similarity {
     "m_ann_ivf"           -> (m_ann_ivf _),
     "m_dedup_embedding"   -> (m_dedup_embedding _),
     "m_dedup_minhash_lsh" -> (m_dedup_minhash_lsh _),
-    "m_dedup_simhash"     -> (m_dedup_simhash _))
+    "m_dedup_simhash"     -> (m_dedup_simhash _),
+    "q55_dedup_components"-> (q55_dedup_components _))
 
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
@@ -372,22 +421,45 @@ object Similarity {
         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, sim_r
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q33_ngram_jaccard" ->
-      s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
-         |sh AS (SELECT DISTINCT doc_id,
-         |  unnest(list_transform(range(1, len(t) - 1),
-         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
-         |  FROM toks WHERE len(t) >= 3),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         |rare AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM sh
-         |  GROUP BY 1) WHERE df <= 20),
-         |shj AS (SELECT doc_id, sh.shingle FROM sh JOIN rare ON sh.shingle = rare.shingle),
-         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-         |  FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
+      s"""WITH $NgramCtes
          |SELECT doc_a, doc_b,
          |  round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jaccard
          |FROM inter JOIN sizes x ON inter.doc_a = x.doc_id
          |           JOIN sizes y ON inter.doc_b = y.doc_id
          |WHERE round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) >= 0.5
-         |ORDER BY doc_a, doc_b""".stripMargin)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // transitive closure over the same pair graph (recursive CTE); the
+    // component label is the minimum reachable doc_id, as in the Spark
+    // min-label propagation
+    "q55_dedup_components" ->
+      s"""WITH RECURSIVE $NgramCtes,
+         |pairs AS (SELECT doc_a, doc_b
+         |  FROM inter JOIN sizes x ON inter.doc_a = x.doc_id
+         |             JOIN sizes y ON inter.doc_b = y.doc_id
+         |  WHERE round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT src, dst FROM edges
+         |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (SELECT src AS id, LEAST(src, MIN(dst)) AS component
+         |  FROM reach GROUP BY src)
+         |SELECT id AS doc_id, component, (id = component) AS is_canonical
+         |FROM lab ORDER BY doc_id""".stripMargin)
+
+  /** Shared CTE chain producing the near-dup candidate `inter` counts +
+    * `sizes` (the q33 kernel) — composed into q33's scoring and q55's
+    * closure. */
+  private lazy val NgramCtes: String =
+    s"""toks AS (SELECT doc_id, $DToks AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |  unnest(list_transform(range(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+       |  FROM toks WHERE len(t) >= 3),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |rare AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM sh
+       |  GROUP BY 1) WHERE df <= 20),
+       |shj AS (SELECT doc_id, sh.shingle FROM sh JOIN rare ON sh.shingle = rare.shingle),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
 }

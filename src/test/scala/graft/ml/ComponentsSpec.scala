@@ -1,0 +1,38 @@
+package graft.ml
+
+import graft.text.SparkTestSession
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Min-label-propagation connected components on hand-built graphs where
+  * convergence takes multiple rounds (chains) — the oracle-gated q55 runs
+  * on shallow real components only. */
+class ComponentsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def comps(pairs: Seq[(Long, Long)]): Map[Long, (Long, Boolean)] = {
+    import spark.implicits._
+    Similarity.components(pairs.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+  }
+
+  test("chain graph converges to one component labeled by its minimum") {
+    // 9-7-5-3-1 chain written high-to-low so the min label must walk the
+    // full diameter (worst case for propagation rounds)
+    val got = comps(Seq((9L, 7L), (7L, 5L), (5L, 3L), (3L, 1L)))
+    assert(got.keySet == Set(1L, 3L, 5L, 7L, 9L))
+    assert(got.values.map(_._1).toSet == Set(1L), "single component labeled 1")
+    assert(got(1L)._2 && !got(9L)._2, "only the minimum is canonical")
+  }
+
+  test("disjoint components keep separate labels; triangles and pairs") {
+    val got = comps(Seq(
+      (10L, 20L), (20L, 30L), (10L, 30L), // triangle -> 10
+      (40L, 50L),                         // pair -> 40
+      (60L, 61L), (61L, 62L)))            // path -> 60
+    assert(got(10L)._1 == 10L && got(20L)._1 == 10L && got(30L)._1 == 10L)
+    assert(got(40L)._1 == 40L && got(50L)._1 == 40L)
+    assert(got(60L)._1 == 60L && got(61L)._1 == 60L && got(62L)._1 == 60L)
+    assert(got.count(_._2._2) == 3, "one canonical per component")
+  }
+}
