@@ -127,11 +127,44 @@ object CorpusFilters {
       .orderBy(col("source"))
   }
 
+  // ------------------------------------------------- LM-score quality filter
+  /** Unigram language-model scoring — the relational stand-in for the
+    * KenLM-perplexity quality filter (CCNet/LLaMA-style): every document
+    * gets its mean token log-probability under the corpus unigram model;
+    * unusually improbable docs (gibberish, wrong-language, boilerplate)
+    * score low. Flags the low tail via a fixed nats threshold (-3.5 sits
+    * ~2% of docs below it on this corpus with ≥1e-4 margin to the nearest
+    * doc, so the boolean is float-noise-proof; percentile cutoffs would
+    * re-rank per run — a fixed threshold recalibrated offline is the
+    * production shape).
+    *
+    * Scale: the model IS the term-frequency table (vocabulary-sized →
+    * broadcast); scoring is one corpus scan + broadcast lookup + per-doc
+    * avg. Swapping in a real KenLM means replacing the broadcast lookup
+    * with a partition-batched scorer (multimodal.Media's codec pattern);
+    * the surrounding plan is unchanged. */
+  def q56_unigram_logprob(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Cleanse.tokens(col("text"))).as("term"))
+    val freqs = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks
+      .join(broadcast(freqs.crossJoin(total)), "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(log(col("tf").cast(DoubleType) / col("total"))).as("lp"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("lp"), 6).as("avg_logprob"),
+        (col("lp") < -3.5).as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_repetition"    -> (q51_repetition _),
     "q52_contamination" -> (q52_contamination _),
-    "q53_domain_mix"    -> (q53_domain_mix _))
+    "q53_domain_mix"    -> (q53_domain_mix _),
+    "q56_unigram_logprob" -> (q56_unigram_logprob _))
 
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
@@ -173,6 +206,16 @@ object CorpusFilters {
          |FROM (SELECT * FROM grams WHERE bucket <> 'f') c
          |LEFT JOIN bench ON c.g = bench.g
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q56_unigram_logprob" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($DToks) AS term FROM documents),
+         |freqs AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),
+         |tot AS (SELECT COUNT(*) AS total FROM toks),
+         |scored AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |    AVG(ln(CAST(tf AS DOUBLE) / total)) AS lp
+         |  FROM toks JOIN freqs USING (term), tot GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, round(lp, 6) AS avg_logprob,
+         |  (lp < -3.5) AS flagged
+         |FROM scored ORDER BY doc_id""".stripMargin,
     "q53_domain_mix" ->
       """WITH docs AS (SELECT doc_id, source,
         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) AS h
