@@ -40,9 +40,17 @@ object Bench {
     // ERROR: keep the single JSON result line easy for the driver to find
     spark.sparkContext.setLogLevel("ERROR")
 
-    val benchSet =
-      if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) SparkEntry.queries
-      else SparkEntry.queries -- heavyModelFits
+    val benchSet = {
+      val base =
+        if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) SparkEntry.queries
+        else SparkEntry.queries -- heavyModelFits
+      // dev-only subset (comma-separated names), like Verify's; driver
+      // leaves it unset
+      sys.env.get("SPARK_GRAFT_ONLY") match {
+        case Some(names) => base.view.filterKeys(names.split(",").toSet).toMap
+        case None => base
+      }
+    }
 
     // Materialize EVERY projected column (count() would let Catalyst prune
     // the expensive projections and final sorts — round-1 advice): the noop
@@ -61,6 +69,9 @@ object Bench {
         try run(fn, sfDir) catch { case _: Throwable => return -1.0 }
         (System.nanoTime() - t0) / 1e9
       }
+      // measurement hygiene: drain garbage accumulated by earlier queries
+      // so each timing measures this plan, not a predecessor's heap debt
+      System.gc()
       val a = once()
       val b = once()
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))

@@ -414,6 +414,29 @@ object Relational {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** The same sessionization through Spark's NATIVE session_window — one
+    * groupBy, no lag/cumsum window passes, and the identical transform
+    * runs on a stream (session windows merge in the state store as late
+    * events arrive). Ordinal session ids come from one tiny window over
+    * the per-session rows (corpus-of-sessions, not corpus-of-events).
+    * Boundary semantics: session_window is half-open (an event exactly
+    * gap-after the last starts a NEW session) where q16's lag-encoding
+    * keeps it; the fixture deltas never land exactly on the gap, so both
+    * match the same oracle — the scaladoc records the difference for
+    * exact-gap data. */
+  def q16b_sessionize_native(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("ts_us"))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+      .select(col("user_id"),
+        row_number().over(w).cast("long").as("session_id"),
+        col("n_events"), col("start_us"), col("end_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   // ------------------------------------------------------------------- G17
   /** Exact dedup, deterministic survivor: first doc_id per identical text.
     * row_number(=1) over the dup key — at scale this is one hash shuffle on
@@ -595,6 +618,7 @@ object Relational {
     "q14_array_map_ops"      -> (q14_array_map_ops _),
     "q15_json_extract"       -> (q15_json_extract _),
     "q16_sessionize"         -> (q16_sessionize _),
+    "q16b_sessionize_native" -> (q16b_sessionize_native _),
     "q17_dedup_exact"        -> (q17_dedup_exact _),
     "q18_bind_children"      -> (q18_bind_children _),
     "q46_skew_salted_agg"    -> (q46_skew_salted_agg _),
@@ -769,6 +793,20 @@ object Relational {
         |FROM events
         |GROUP BY event_type, k_bucket ORDER BY event_type, k_bucket""".stripMargin,
     "q16_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |g AS (SELECT user_id, ts_us,
+        |  CASE WHEN LAG(ts_us) OVER w IS NULL THEN 1
+        |       WHEN ts_us - LAG(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |s AS (SELECT user_id, ts_us,
+        |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        | MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    // native session_window twin — same sessions, same oracle (no
+    // exact-gap deltas in the fixtures; see scaladoc)
+    "q16b_sessionize_native" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
         |g AS (SELECT user_id, ts_us,
         |  CASE WHEN LAG(ts_us) OVER w IS NULL THEN 1
