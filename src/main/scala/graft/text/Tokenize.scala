@@ -1,8 +1,13 @@
 package graft.text
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** M1 `tokenize_lemmatize` (SURVEY §2.6; LDA_logic.py:230-261) — the
   * Spark-native stand-in for the reference's spaCy `en_core_web_lg`
@@ -52,8 +57,21 @@ object Tokenize {
         when(token.rlike(pat), regexp_replace(token, pat, rep))
       } :+ token): _*)
 
-  /** Full M1 pipe: text → lemmatized content tokens. */
-  def lemmaTokens(text: Column): Column = transform(words(text), t => lemma(t))
+  /** Full M1 pipe: text → lemmatized content tokens.
+    *
+    * Runs as ONE native codegen'd expression (LemmaTokens): the
+    * builtin-HOF form (`transform(filter(split(...)))` with per-token
+    * rlike + a 180-word isin) evaluates interpreted per element — 5.2 s
+    * for 5k docs at sf0.1; the compiled kernel with a static stopword
+    * hash set and precompiled patterns is the same trade DotProductD
+    * documents. `words`/`lemma` stay as the column-level reference
+    * semantics (PropertySpec cross-checks the two forms). */
+  def lemmaTokens(text: Column): Column =
+    GraftSqlBridge.column(LemmaTokens(GraftSqlBridge.expression(text)))
+
+  /** The builtin-HOF reference form of lemmaTokens (kept for the
+    * equivalence property test). */
+  def lemmaTokensHof(text: Column): Column = transform(words(text), t => lemma(t))
 
   /** Oracle-gated query: per-document lemma stream digest + per-corpus
     * top lemmas (checks tokenization, stopwords and rules end-to-end). */
@@ -89,4 +107,68 @@ object Tokenize {
          |SELECT doc_id, CAST(len(lemmas) AS INTEGER) AS n_lemmas,
          | md5(coalesce(array_to_string(lemmas, ' '), '')) AS lemmas_md5
          |FROM l ORDER BY doc_id""".stripMargin)
+}
+
+/** Compiled kernel behind the LemmaTokens expression — static, public,
+  * deterministic (referenced from generated code). Token scan: runs of
+  * ASCII letters case-folded in place (identical piece set to
+  * `split(lower(text), "[^a-zA-Z]+")` — non-ASCII characters are
+  * separators on both paths), length/stopword filter against a hash set,
+  * then the first matching precompiled suffix rule. */
+object LemmaUtil {
+  private val stop: java.util.HashSet[String] = {
+    val h = new java.util.HashSet[String]()
+    Tokenize.EnglishStopwords.foreach(h.add)
+    h
+  }
+  private val compiled: Array[(java.util.regex.Pattern, String)] =
+    Tokenize.LemmaRules.map { case (p, r) =>
+      (java.util.regex.Pattern.compile(p), r)
+    }.toArray
+
+  private def applyRules(tok: String): String = {
+    var j = 0
+    while (j < compiled.length) {
+      val m = compiled(j)._1.matcher(tok)
+      if (m.find()) return m.replaceAll(compiled(j)._2)
+      j += 1
+    }
+    tok
+  }
+
+  def lemmaTokens(u: UTF8String): ArrayData = {
+    val s = u.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    val n = s.length
+    while (i <= n) { // one past the end flushes the final token
+      val c = if (i < n) s.charAt(i) else ' '
+      if (c >= 'a' && c <= 'z') sb.append(c)
+      else if (c >= 'A' && c <= 'Z') sb.append((c + 32).toChar)
+      else {
+        if (sb.length >= 2) {
+          val tok = sb.toString
+          if (!stop.contains(tok))
+            out += UTF8String.fromString(applyRules(tok))
+        }
+        sb.setLength(0)
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** M1 tokenize+lemmatize as ONE native codegen'd expression (see
+  * Tokenize.lemmaTokens for the measured rationale). */
+case class LemmaTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "lemma_tokens"
+  override protected def nullSafeEval(input: Any): Any =
+    LemmaUtil.lemmaTokens(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.LemmaUtil.lemmaTokens($c)")
+  override protected def withNewChildInternal(newChild: Expression): LemmaTokens =
+    copy(child = newChild)
 }

@@ -82,4 +82,15 @@ class ColumnPropertySpec extends AnyFunSuite {
     assert(out("errors") == "error" && out("glass") == "glass")
     assert(out.forall { case (t, l) => l.length <= t.length })
   }
+
+  test("native LemmaTokens kernel ≡ builtin-HOF pipeline on random text") {
+    import spark.implicits._
+    val texts = randomTexts(400) ++ Seq(
+      "", "   ", "a b c", "Loading QUERIES slowly!!", "the and of",
+      "mixed123tokens999loaded", "ünïcödé Straße amazingly")
+    val df = texts.toDF("s").select(
+      Tokenize.lemmaTokens(col("s")).as("fast"),
+      Tokenize.lemmaTokensHof(col("s")).as("ref"))
+    assert(df.filter(not(col("fast") <=> col("ref"))).count() == 0)
+  }
 }
