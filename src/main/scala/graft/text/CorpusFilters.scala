@@ -159,12 +159,68 @@ object CorpusFilters {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------ document chunking
+  /** Fixed-size token chunking — the sequence-packing primitive: long
+    * documents split into CHUNK-token pieces, each with an ordinal and a
+    * content digest (tokenizer-ready rows for training-sequence assembly).
+    * Pure per-row array math (sequence → slice → posexplode): map-side
+    * only, no shuffle until the output sort; at 100 TB the chunk stream
+    * feeds straight into the pack/shuffle stage with chunk counts known
+    * from size(t) without materializing anything. */
+  def q57_chunk(s: SparkSession, dir: String): DataFrame = {
+    val chunk = 32
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Cleanse.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, CAST(ceil(size(t) / $chunk.0) AS INT) - 1)," +
+          s" i -> slice(t, i * $chunk + 1, $chunk))"))
+        .as(Seq("chunk_id", "c")))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("c")).as("n_tokens"),
+        md5(array_join(col("c"), " ").cast("binary")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  // ------------------------------------------------------ numeric profiling
+  /** describe()-style numeric profile with DETERMINISTIC parallel floats:
+    * mean and stddev come from DECIMAL sums (exact, association-free) cast
+    * to DOUBLE at the end, so Spark's partition-order summation and
+    * DuckDB's sequential one produce bit-identical statistics — the same
+    * trick as the money aggregates, extended to second moments (x² of a
+    * 2-decimal value is exactly 4 decimals). */
+  def q58_numeric_profile(s: SparkSession, dir: String): DataFrame = {
+    def d2(c: Column) = c.cast("decimal(18,2)")
+    def prof(name: String, c: Column): Column = {
+      val n = count(lit(1)).cast(DoubleType)
+      val sm = sum(d2(c)).cast(DoubleType)
+      val sq = sum(d2(c) * d2(c)).cast(DoubleType)
+      struct(
+        round(sm / n, 6).as("mean_r"),
+        round(sqrt((sq - sm * sm / n) / (n - lit(1.0))), 6).as("std_r"),
+        min(c).as("mn"), max(c).as("mx"))
+        .as(name)
+    }
+    Tables.lineitem(s, dir)
+      .agg(count(lit(1)).as("n"),
+        prof("q", col("l_quantity")),
+        prof("p", col("l_extendedprice")),
+        prof("d", col("l_discount")))
+      .select(col("n"),
+        col("q.mean_r").as("qty_mean"), col("q.std_r").as("qty_std"),
+        col("q.mn").as("qty_min"), col("q.mx").as("qty_max"),
+        col("p.mean_r").as("price_mean"), col("p.std_r").as("price_std"),
+        col("d.mean_r").as("disc_mean"), col("d.std_r").as("disc_std"))
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_repetition"    -> (q51_repetition _),
     "q52_contamination" -> (q52_contamination _),
     "q53_domain_mix"    -> (q53_domain_mix _),
-    "q56_unigram_logprob" -> (q56_unigram_logprob _))
+    "q56_unigram_logprob" -> (q56_unigram_logprob _),
+    "q57_chunk"           -> (q57_chunk _),
+    "q58_numeric_profile" -> (q58_numeric_profile _))
 
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
@@ -216,6 +272,35 @@ object CorpusFilters {
          |SELECT doc_id, n_tokens, round(lp, 6) AS avg_logprob,
          |  (lp < -3.5) AS flagged
          |FROM scored ORDER BY doc_id""".stripMargin,
+    "q57_chunk" ->
+      s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
+         |d AS (SELECT doc_id, t FROM toks WHERE len(t) >= 1),
+         |ch AS (SELECT doc_id, i AS chunk_id,
+         |    t[i * 32 + 1 : least((i + 1) * 32, len(t))] AS c
+         |  FROM d, unnest(range(0, CAST(ceil(len(t) / 32.0) AS INT))) AS u(i))
+         |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+         |  CAST(len(c) AS INTEGER) AS n_tokens,
+         |  md5(array_to_string(c, ' ')) AS chunk_md5
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+    "q58_numeric_profile" ->
+      """WITH a AS (SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qq,
+        |  MIN(l_quantity) AS qmn, MAX(l_quantity) AS qmx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS pp,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS dd
+        | FROM lineitem)
+        |SELECT n,
+        | round(sq / n, 6) AS qty_mean,
+        | round(sqrt((qq - sq * sq / n) / (n - 1.0)), 6) AS qty_std,
+        | qmn AS qty_min, qmx AS qty_max,
+        | round(sp / n, 6) AS price_mean,
+        | round(sqrt((pp - sp * sp / n) / (n - 1.0)), 6) AS price_std,
+        | round(sd / n, 6) AS disc_mean,
+        | round(sqrt((dd - sd * sd / n) / (n - 1.0)), 6) AS disc_std
+        |FROM a""".stripMargin,
     "q53_domain_mix" ->
       """WITH docs AS (SELECT doc_id, source,
         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) AS h
