@@ -1,0 +1,56 @@
+package graft.text
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit edges for the corpus-curation operators (the oracle gates cover
+  * the full corpus paths; these pin the semantics on constructed docs). */
+class CorpusFiltersSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  test("chunking reassembles losslessly; all chunks full except the last") {
+    import spark.implicits._
+    val chunk = 32
+    // lengths around the boundary: 1, chunk-1, chunk, chunk+1, 3*chunk
+    val docs = Seq(1, chunk - 1, chunk, chunk + 1, 3 * chunk).zipWithIndex
+      .map { case (n, id) => (id.toLong, (1 to n).map(i => s"w$i").mkString(" ")) }
+    val df = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), Cleanse.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), posexplode(expr(
+        s"transform(sequence(0, CAST(ceil(size(t) / $chunk.0) AS INT) - 1)," +
+          s" i -> slice(t, i * $chunk + 1, $chunk))")).as(Seq("chunk_id", "c")))
+    val perDoc = df.groupBy(col("doc_id"))
+      .agg(first(col("t")).as("t"),
+        flatten(sort_array(collect_list(struct(col("chunk_id"), col("c")))
+          .getField("c"))).as("re"),
+        max(col("chunk_id")).as("last_id"),
+        sum(when(size(col("c")) === chunk, 1).otherwise(0)).as("n_full"),
+        count(lit(1)).as("n_chunks"))
+      .collect()
+    perDoc.foreach { r =>
+      val t = r.getSeq[String](1); val re = r.getSeq[String](2)
+      assert(re == t, s"doc ${r.getLong(0)} reassembly mismatch")
+      val nChunks = r.getLong(5)
+      assert(r.getInt(3) == nChunks - 1, "chunk ids are 0..n-1")
+      assert(r.getLong(4) >= nChunks - 1, "only the last chunk may be short")
+    }
+  }
+
+  test("repetition scores: degenerate doc flagged, diverse doc not") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Array.fill(50)("spam spam").mkString(" ")),      // one bigram everywhere
+      (2L, (1 to 100).map(i => s"tok$i").mkString(" ")))    // all distinct
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents_rep")
+    val toks = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), Cleanse.tokens(col("text")).as("t"))
+    val uni = toks.select(col("doc_id"), explode(col("t")).as("g"))
+      .groupBy("doc_id", "g").count()
+      .groupBy("doc_id").agg(max("count").as("top"), sum("count").as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1).toDouble / r.getLong(2))).toMap
+    assert(uni(1L) > 0.30, "degenerate doc exceeds the Gopher unigram bound")
+    assert(uni(2L) <= 0.30, "diverse doc stays under it")
+  }
+}
