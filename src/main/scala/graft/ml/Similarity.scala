@@ -242,14 +242,23 @@ object Similarity {
   }
 
   // --------------------------------------------------- engine-only: SimHash
-  /** 64-bit SimHash from xxhash64 token hashes: per-bit signed vote in one
-    * aggregation pass (64 conditional sums — single shuffle on doc_id),
-    * then 16-bit band bucketing for near-dup candidates. */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+  private def simhashToks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(col("doc_id"), explode(Cleanse.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("freq"))
       .withColumn("h", xxhash64(col("term")))
+
+  /** 64-bit SimHash from xxhash64 token hashes via the native SimhashAgg
+    * aggregate (one long[64] vote buffer per doc — single shuffle on
+    * doc_id), then 16-bit band bucketing for near-dup candidates. */
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    simhashToks(s, dir)
+      .groupBy(col("doc_id"))
+      .agg(SimhashFunctions.simhash_agg(col("h"), col("freq")).as("simhash"))
+
+  /** The 64-conditional-sums relational encoding of simhash — the
+    * reference semantics SimhashSpec checks the aggregate against. */
+  def simhashSql(s: SparkSession, dir: String): DataFrame = {
     val votes = (0 until 64).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("freq"))
         .otherwise(-col("freq"))).as(s"v$b")
@@ -257,7 +266,7 @@ object Similarity {
     val sig = (0 until 64).map { b =>
       when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-    toks.groupBy(col("doc_id"))
+    simhashToks(s, dir).groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), sig.as("simhash"))
   }
