@@ -437,6 +437,37 @@ object Relational {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Time-series resample + forward fill: events land on an hourly grid
+    * per user (gap hours included) carrying the hour's event count and the
+    * last-observed value at-or-before each grid point — the
+    * feature-engineering "as-of state at regular intervals" shape that
+    * feeds windowed models. One (user, hour) agg, a bounds-driven
+    * sequence explode for the grid (no generate_series cross product: each
+    * user's grid spans only its own [min, max]), a co-partitioned left
+    * join, and one ordered window for the fill — every step keyed on
+    * user_id, so the whole plan rides a single hash partitioning. Ties
+    * inside an hour resolve by max(struct(ts, value)) — deterministic in
+    * both engines (lexicographic struct max). */
+  def q59_resample_ffill(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000 * 1000
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("value"),
+        expr(s"ts_us div $hourUs").as("hb")) // integer division, like DuckDB //
+    val hourly = ev.groupBy(col("user_id"), col("hb"))
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(col("ts_us"), col("value"))).getField("value").as("hv"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(min(col("hb")).as("h0"), max(col("hb")).as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hb"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hb"), "left")
+      .select(col("user_id"), col("hb"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("hv"), ignoreNulls = true).over(w).as("value_ffill"))
+      .orderBy(col("user_id"), col("hb"))
+  }
+
   // ------------------------------------------------------------------- G17
   /** Exact dedup, deterministic survivor: first doc_id per identical text.
     * row_number(=1) over the dup key — at scale this is one hash shuffle on
@@ -619,6 +650,7 @@ object Relational {
     "q15_json_extract"       -> (q15_json_extract _),
     "q16_sessionize"         -> (q16_sessionize _),
     "q16b_sessionize_native" -> (q16b_sessionize_native _),
+    "q59_resample_ffill"     -> (q59_resample_ffill _),
     "q17_dedup_exact"        -> (q17_dedup_exact _),
     "q18_bind_children"      -> (q18_bind_children _),
     "q46_skew_salted_agg"    -> (q46_skew_salted_agg _),
@@ -804,6 +836,23 @@ object Relational {
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         | MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q59_resample_ffill" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value,
+        |    CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hb FROM events),
+        |hourly AS (SELECT user_id, hb, COUNT(*) AS n_events,
+        |    (max(struct_pack(t := ts_us, v := value))).v AS hv
+        |  FROM e GROUP BY user_id, hb),
+        |bounds AS (SELECT user_id, MIN(hb) AS h0, MAX(hb) AS h1
+        |  FROM e GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS hb FROM bounds)
+        |SELECT g.user_id, g.hb,
+        |  COALESCE(h.n_events, 0) AS n_events,
+        |  last_value(h.hv IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |    ORDER BY g.hb ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS value_ffill
+        |FROM grid g LEFT JOIN hourly h
+        |  ON g.user_id = h.user_id AND g.hb = h.hb
+        |ORDER BY g.user_id, g.hb""".stripMargin,
     // native session_window twin — same sessions, same oracle (no
     // exact-gap deltas in the fixtures; see scaladoc)
     "q16b_sessionize_native" ->
