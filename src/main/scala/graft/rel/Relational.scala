@@ -468,6 +468,46 @@ object Relational {
       .orderBy(col("user_id"), col("hb"))
   }
 
+  /** Ordered funnel: per user, first view → first purchase strictly after
+    * it → conversion lag. One unordered (user_id) window broadcasts the
+    * stage-1 time across the user's rows, then conditional mins finish in
+    * the same partitioning — no self-joins, and deeper funnels extend by
+    * chaining one window+conditional-min per stage, never re-shuffling. */
+  def q60_funnel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_type"))
+      .withColumn("view_us",
+        min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(min(col("view_us")).as("view_us"),
+        min(when(col("event_type") === "purchase"
+          && col("ts_us") > col("view_us"), col("ts_us")))
+          .as("purchase_after_view_us"))
+      .select(col("user_id"), col("view_us"), col("purchase_after_view_us"),
+        (col("purchase_after_view_us") - col("view_us")).as("lag_us"),
+        (col("view_us").isNotNull && col("purchase_after_view_us").isNotNull)
+          .as("converted"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Weekly retention cohorts: users grouped by first-activity week,
+    * counted per subsequent activity week offset — the
+    * cohort × week-offset retention triangle. Two (user)-keyed aggs + one
+    * (cohort, offset) agg; at 100 TB the user table is the only wide
+    * shuffle and it already exists in any activity pipeline. */
+  def q61_retention(s: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 24 * 3600 * 1000 * 1000
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), expr(s"ts_us div $weekUs").as("wk"))
+    val firstWk = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    e.distinct()
+      .join(firstWk, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_wk"), col("wk_offset"))
+  }
+
   // ------------------------------------------------------------------- G17
   /** Exact dedup, deterministic survivor: first doc_id per identical text.
     * row_number(=1) over the dup key — at scale this is one hash shuffle on
@@ -651,6 +691,8 @@ object Relational {
     "q16_sessionize"         -> (q16_sessionize _),
     "q16b_sessionize_native" -> (q16b_sessionize_native _),
     "q59_resample_ffill"     -> (q59_resample_ffill _),
+    "q60_funnel"             -> (q60_funnel _),
+    "q61_retention"          -> (q61_retention _),
     "q17_dedup_exact"        -> (q17_dedup_exact _),
     "q18_bind_children"      -> (q18_bind_children _),
     "q46_skew_salted_agg"    -> (q46_skew_salted_agg _),
@@ -836,6 +878,26 @@ object Relational {
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         | MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q60_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |v AS (SELECT user_id, MIN(ts_us) FILTER (event_type = 'view') AS view_us
+        |  FROM e GROUP BY user_id),
+        |j AS (SELECT e.user_id, v.view_us,
+        |    MIN(e.ts_us) FILTER (e.event_type = 'purchase'
+        |      AND e.ts_us > v.view_us) AS pav
+        |  FROM e JOIN v USING (user_id) GROUP BY e.user_id, v.view_us)
+        |SELECT user_id, view_us, pav AS purchase_after_view_us,
+        | pav - view_us AS lag_us,
+        | (view_us IS NOT NULL AND pav IS NOT NULL) AS converted
+        |FROM j ORDER BY user_id""".stripMargin,
+    "q61_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS wk FROM events),
+        |f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id)
+        |SELECT f.cohort_wk, e.wk - f.cohort_wk AS wk_offset,
+        | COUNT(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q59_resample_ffill" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value,
         |    CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hb FROM events),
