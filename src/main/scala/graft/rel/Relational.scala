@@ -508,6 +508,20 @@ object Relational {
       .orderBy(col("cohort_wk"), col("wk_offset"))
   }
 
+  /** Hopping (sliding) time windows via the native window() function:
+    * 6-hour windows every hour, so each event lands in 6 buckets —
+    * Spark expands the buckets map-side (explode of the window set, no
+    * per-window passes) and one hash agg finishes. The DuckDB twin
+    * derives the same bucket set arithmetically. Same operator drives
+    * the streaming windowedCounts. */
+  def q62_hopping_windows(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "6 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), money(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("window_start_us"), col("event_type"))
+
   // ------------------------------------------------------------------- G17
   /** Exact dedup, deterministic survivor: first doc_id per identical text.
     * row_number(=1) over the dup key — at scale this is one hash shuffle on
@@ -693,6 +707,7 @@ object Relational {
     "q59_resample_ffill"     -> (q59_resample_ffill _),
     "q60_funnel"             -> (q60_funnel _),
     "q61_retention"          -> (q61_retention _),
+    "q62_hopping_windows"    -> (q62_hopping_windows _),
     "q17_dedup_exact"        -> (q17_dedup_exact _),
     "q18_bind_children"      -> (q18_bind_children _),
     "q46_skew_salted_agg"    -> (q46_skew_salted_agg _),
@@ -878,6 +893,15 @@ object Relational {
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         | MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q62_hopping_windows" ->
+      """WITH e AS (SELECT event_type, value,
+        |    epoch_us(ts) // 3600000000 AS h FROM events),
+        |x AS (SELECT event_type, value,
+        |    unnest(range(h - 5, h + 1)) AS ws FROM e)
+        |SELECT ws * 3600000000 AS window_start_us, event_type,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q60_funnel" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
         |v AS (SELECT user_id, MIN(ts_us) FILTER (event_type = 'view') AS view_us
