@@ -522,6 +522,22 @@ object Relational {
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("window_start_us"), col("event_type"))
 
+  /** Order-insensitive table checksum — the reconciliation primitive for
+    * comparing a table across engines/migrations without sorting it: each
+    * row hashes to 48 bits of its md5 over a canonical key projection
+    * (ints and strings only — float formatting is engine-specific), and
+    * the commutative DECIMAL sum makes the digest partition- and
+    * order-independent. One scan, one scalar: at 100 TB this replaces
+    * "sort both copies and diff" with a map-side fold. */
+  def q64_table_checksum(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(conv(substring(md5(concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_returnflag"), col("l_linestatus"))
+        .cast("binary")), 1, 12), 16, 10)
+        .cast(DecimalType(38, 0)).as("h"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+
   // ------------------------------------------------------------------- G17
   /** Exact dedup, deterministic survivor: first doc_id per identical text.
     * row_number(=1) over the dup key — at scale this is one hash shuffle on
@@ -708,6 +724,7 @@ object Relational {
     "q60_funnel"             -> (q60_funnel _),
     "q61_retention"          -> (q61_retention _),
     "q62_hopping_windows"    -> (q62_hopping_windows _),
+    "q64_table_checksum"     -> (q64_table_checksum _),
     "q17_dedup_exact"        -> (q17_dedup_exact _),
     "q18_bind_children"      -> (q18_bind_children _),
     "q46_skew_salted_agg"    -> (q46_skew_salted_agg _),
@@ -893,6 +910,13 @@ object Relational {
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         | MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q64_table_checksum" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  SUM(CAST(CAST('0x' || substr(md5(
+        |    l_orderkey || '|' || l_linenumber || '|' || l_partkey || '|' ||
+        |    l_suppkey || '|' || l_returnflag || '|' || l_linestatus), 1, 12)
+        |    AS BIGINT) AS DECIMAL(38,0))) AS checksum
+        |FROM lineitem""".stripMargin,
     "q62_hopping_windows" ->
       """WITH e AS (SELECT event_type, value,
         |    epoch_us(ts) // 3600000000 AS h FROM events),

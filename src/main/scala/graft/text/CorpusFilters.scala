@@ -213,6 +213,26 @@ object CorpusFilters {
         col("d.mean_r").as("disc_mean"), col("d.std_r").as("disc_std"))
   }
 
+  // ----------------------------------------------------- lexical diversity
+  /** Per-document lexical diversity: Shannon entropy of the token
+    * distribution (nats) and type-token ratio — the complement of q51's
+    * repetition coverage (entropy catches diffuse repetition that no
+    * single gram dominates). One (doc, term) agg then a per-doc rollup,
+    * both map-side-combining on the same doc_id keys. */
+  def q63_lexical_diversity(s: SparkSession, dir: String): DataFrame =
+    docToks(s, dir).filter(size(col("t")) >= 1)
+      .select(col("doc_id"), explode(col("t")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("c") * log(col("c").cast(DoubleType))).as("clogc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        // H = ln n - (1/n)·Σ c·ln c  (exact algebra of -Σ p·ln p)
+        round(log(col("n_tokens").cast(DoubleType))
+          - col("clogc") / col("n_tokens"), 6).as("entropy_r"),
+        round(col("n_types").cast(DoubleType) / col("n_tokens"), 6).as("ttr"))
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_repetition"    -> (q51_repetition _),
@@ -220,7 +240,8 @@ object CorpusFilters {
     "q53_domain_mix"    -> (q53_domain_mix _),
     "q56_unigram_logprob" -> (q56_unigram_logprob _),
     "q57_chunk"           -> (q57_chunk _),
-    "q58_numeric_profile" -> (q58_numeric_profile _))
+    "q58_numeric_profile" -> (q58_numeric_profile _),
+    "q63_lexical_diversity" -> (q63_lexical_diversity _))
 
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
@@ -301,6 +322,19 @@ object CorpusFilters {
         | round(sd / n, 6) AS disc_mean,
         | round(sqrt((dd - sd * sd / n) / (n - 1.0)), 6) AS disc_std
         |FROM a""".stripMargin,
+    "q63_lexical_diversity" ->
+      s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
+         |g AS (SELECT doc_id, g, COUNT(*) AS c FROM (
+         |  SELECT doc_id, unnest(t) AS g FROM toks WHERE len(t) >= 1)
+         |  GROUP BY doc_id, g),
+         |d AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |    COUNT(*) AS n_types,
+         |    SUM(c * ln(CAST(c AS DOUBLE))) AS clogc
+         |  FROM g GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_types,
+         | round(ln(CAST(n_tokens AS DOUBLE)) - clogc / n_tokens, 6) AS entropy_r,
+         | round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr
+         |FROM d ORDER BY doc_id""".stripMargin,
     "q53_domain_mix" ->
       """WITH docs AS (SELECT doc_id, source,
         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) AS h
