@@ -38,7 +38,14 @@ object GraftExtensions {
     ("dot_product_d",
       info("dot_product_d", "_FUNC_(a, b) - Dot product of two double arrays."),
       (args: Seq[Expression]) => ml.DotProductD(args(0), args(1))),
-    ml.KmvFunctions.sqlFunction)
+    ml.KmvFunctions.sqlFunction,
+    ("lemma_tokens",
+      info("lemma_tokens", "_FUNC_(str) - Tokenize + stopword-filter + suffix-lemmatize."),
+      (args: Seq[Expression]) => text.LemmaTokens(args.head)),
+    ("simhash_agg",
+      info("simhash_agg", "_FUNC_(hash, weight) - 64-bit weighted SimHash aggregate."),
+      (args: Seq[Expression]) =>
+        ml.SimhashAgg(args(0), args(1)).toAggregateExpression()))
 
   /** Register into a live session: function registry + optimizer rules
     * (experimental.extraOptimizations is the post-build hook for
