@@ -538,6 +538,31 @@ object Relational {
         .cast(DecimalType(38, 0)).as("h"))
       .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
 
+  /** Z-score anomaly counts per event type: per-group mean/σ from DECIMAL
+    * sums (deterministic parallel floats, the q58 trick), then a second
+    * pass counts |value−μ| > 3σ. Two scans, both map-side-combining on
+    * the same (event_type) keys — the broadcast of the tiny stats table
+    * keeps the flagging pass shuffle-free. */
+  def q65_zscore_outliers(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val stats = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(DoubleType).as("n"),
+        sum(d2(col("value"))).cast(DoubleType).as("sm"),
+        sum(d2(col("value")) * d2(col("value"))).cast(DoubleType).as("sq"))
+      .select(col("event_type"), col("n").cast("long").as("n_events"),
+        (col("sm") / col("n")).as("mu"),
+        sqrt((col("sq") - col("sm") * col("sm") / col("n")) / (col("n") - lit(1.0)))
+          .as("sigma"))
+    e.join(broadcast(stats), "event_type")
+      .groupBy(col("event_type"))
+      .agg(min(col("n_events")).as("n_events"),
+        round(min(col("mu")), 6).as("mu_r"),
+        round(min(col("sigma")), 6).as("sigma_r"),
+        sum(when(abs(col("value") - col("mu")) > lit(3.0) * col("sigma"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   // ------------------------------------------------------------------- G17
   /** Exact dedup, deterministic survivor: first doc_id per identical text.
     * row_number(=1) over the dup key — at scale this is one hash shuffle on
@@ -725,6 +750,7 @@ object Relational {
     "q61_retention"          -> (q61_retention _),
     "q62_hopping_windows"    -> (q62_hopping_windows _),
     "q64_table_checksum"     -> (q64_table_checksum _),
+    "q65_zscore_outliers"    -> (q65_zscore_outliers _),
     "q17_dedup_exact"        -> (q17_dedup_exact _),
     "q18_bind_children"      -> (q18_bind_children _),
     "q46_skew_salted_agg"    -> (q46_skew_salted_agg _),
@@ -910,6 +936,19 @@ object Relational {
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         | MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q65_zscore_outliers" ->
+      """WITH s AS (SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sm,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sq
+        |  FROM events GROUP BY event_type),
+        |st AS (SELECT event_type, n AS n_events, sm / n AS mu,
+        |    sqrt((sq - sm * sm / n) / (n - 1.0)) AS sigma FROM s)
+        |SELECT e.event_type, MIN(st.n_events) AS n_events,
+        | round(MIN(st.mu), 6) AS mu_r, round(MIN(st.sigma), 6) AS sigma_r,
+        | CAST(SUM(CASE WHEN abs(e.value - st.mu) > 3.0 * st.sigma
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM events e JOIN st USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "q64_table_checksum" ->
       """SELECT COUNT(*) AS n_rows,
         |  SUM(CAST(CAST('0x' || substr(md5(
