@@ -86,6 +86,22 @@ object Sessions {
       }
   }
 
+  /** Gap sessionization via the NATIVE session_window — the same
+    * transform as rel.Relational.q16b, watermarked so it runs on a
+    * stream: windows merge in the state store as late events arrive and
+    * emit once the watermark passes session end + gap. Prefer this over
+    * the hand-rolled flatMapGroupsWithState `sessionize` unless custom
+    * per-session state logic is needed; both are kept (the custom-state
+    * rung matters when the emission contract isn't expressible as an
+    * aggregation). Identical plan on batch frames. */
+  def sessionizeNative(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("start"), max(col("ts")).as("end"))
+      .select(col("user_id"), col("start"), col("end"), col("n_events"))
+
   /** Stream-static enrichment: join the event stream against a static
     * dimension frame on a key. The static side re-plans per micro-batch
     * (so a dim refreshed by an outside writer is picked up) and, being a

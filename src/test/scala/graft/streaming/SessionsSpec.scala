@@ -78,6 +78,34 @@ class SessionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native session_window sessionize on a stream matches the custom-state one") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Sessions.Ev]
+    val q = Sessions.sessionizeNative(
+        input.toDS().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("sessions_native_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Sessions.Ev(1, ts(0)), Sessions.Ev(1, ts(10)), Sessions.Ev(1, ts(20)),
+        Sessions.Ev(2, ts(5)), Sessions.Ev(1, ts(80)))
+      q.processAllAvailable()
+      input.addData(Sessions.Ev(99, ts(600))) // watermark past every gap
+      q.processAllAvailable()
+      val out = spark.table("sessions_native_out")
+        .filter(col("user_id") < 90)
+        .orderBy(col("user_id"), col("start"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      // same sessions the flatMapGroupsWithState test asserts
+      assert(out.toSeq == Seq(
+        (1L, ts(0), ts(20), 3L),
+        (1L, ts(80), ts(80), 1L),
+        (2L, ts(5), ts(5), 1L)))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment broadcast-joins the dim; batch parity") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
