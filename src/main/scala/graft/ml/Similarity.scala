@@ -65,26 +65,29 @@ object Similarity {
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(1, size(t)-2), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))")))
         .as("shingle"))
-    // Annotate shingle-frequency (df) and doc-size (n) with two windows in
-    // ONE pipeline over the exploded stream — the old shape recomputed the
-    // explode three times (sizes agg, rare-shingle agg, join input) and
-    // re-joined sizes at the end; here the self-join's identical sides
-    // also share one ReusedExchange.
+    // Doc sizes and shingle document-frequency are hash aggregations, NOT
+    // window passes: a window over the full exploded shingle stream
+    // sort-buffers the entire corpus (WindowExec), twice — measured as the
+    // round-2 bench outlier. groupBy aggs combine map-side, and the df
+    // semi-join lands on the same `shingle` hash partitioning the
+    // self-join needs, so the planner reuses one exchange.
     // Hot-shingle ceiling (df ≤ 20): a shingle shared by many documents
     // generates O(df²) candidate pairs while carrying no near-dup signal —
     // the classic "stop-shingle" guard that keeps the self-join linear at
-    // 100 TB. (Max df in the test corpus is 7, so results are unchanged
-    // there; the DuckDB twin applies the identical ceiling.)
-    val annotated = sh
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .filter(col("df") <= 20)
-    val a = annotated.as("a"); val b = annotated.as("b")
+    // 100 TB. df=1 shingles can't form a pair, so they're dropped too
+    // (pure pruning; the DuckDB twin keeps them and agrees — a lone
+    // shingle never reaches `inter`).
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairable = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 20)).select(col("shingle"))
+    val filtered = sh.join(pairable, Seq("shingle"), "left_semi")
+    val a = filtered.as("a"); val b = filtered.as("b")
     a.join(b,
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"),
-        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
           .as("jaccard"))

@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
 
 /** Generalized relational operator surface (SURVEY.md §2.4-2.5, G1-G17 +
   * J1/A3/K1 analogues) over the shared TPC-H-ish parquet tables.
@@ -528,7 +528,9 @@ object Relational {
     * (ints and strings only — float formatting is engine-specific), and
     * the commutative DECIMAL sum makes the digest partition- and
     * order-independent. One scan, one scalar: at 100 TB this replaces
-    * "sort both copies and diff" with a map-side fold. */
+    * "sort both copies and diff" with a map-side fold. The final digest
+    * is emitted as STRING: its magnitude exceeds 2^53, so any float64
+    * hop in a downstream comparator would silently round it. */
   def q64_table_checksum(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .select(conv(substring(md5(concat_ws("|",
@@ -536,7 +538,8 @@ object Relational {
         col("l_suppkey"), col("l_returnflag"), col("l_linestatus"))
         .cast("binary")), 1, 12), 16, 10)
         .cast(DecimalType(38, 0)).as("h"))
-      .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("h")).cast(StringType).as("checksum"))
 
   /** Z-score anomaly counts per event type: per-group mean/σ from DECIMAL
     * sums (deterministic parallel floats, the q58 trick), then a second
@@ -951,10 +954,10 @@ object Relational {
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "q64_table_checksum" ->
       """SELECT COUNT(*) AS n_rows,
-        |  SUM(CAST(CAST('0x' || substr(md5(
+        |  CAST(SUM(CAST(CAST('0x' || substr(md5(
         |    l_orderkey || '|' || l_linenumber || '|' || l_partkey || '|' ||
         |    l_suppkey || '|' || l_returnflag || '|' || l_linestatus), 1, 12)
-        |    AS BIGINT) AS DECIMAL(38,0))) AS checksum
+        |    AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS checksum
         |FROM lineitem""".stripMargin,
     "q62_hopping_windows" ->
       """WITH e AS (SELECT event_type, value,
