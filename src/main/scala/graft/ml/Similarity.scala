@@ -68,23 +68,35 @@ object Similarity {
     // Doc sizes and shingle document-frequency are hash aggregations, NOT
     // window passes: a window over the full exploded shingle stream
     // sort-buffers the entire corpus (WindowExec), twice — measured as the
-    // round-2 bench outlier. groupBy aggs combine map-side, and the df
-    // semi-join lands on the same `shingle` hash partitioning the
-    // self-join needs, so the planner reuses one exchange.
+    // round-2 bench outlier.
+    // Candidate pairs come from ONE groupBy(shingle) pass that buckets the
+    // (≤ 20) doc ids per pairable shingle and expands C(df,2) ordered pairs
+    // in-task — replacing the previous df-semi-join + shingle self-join,
+    // which re-evaluated the tokenize+explode subtree a third time and
+    // shuffled the exploded stream twice (the round-3/4 advice item: sh fed
+    // sizes, pairable AND the probe side). Now `sh` is computed exactly
+    // twice (sizes + buckets) and the pair expansion is a map-side
+    // transform over arrays bounded by the stop-shingle cap.
     // Hot-shingle ceiling (df ≤ 20): a shingle shared by many documents
     // generates O(df²) candidate pairs while carrying no near-dup signal —
-    // the classic "stop-shingle" guard that keeps the self-join linear at
+    // the classic "stop-shingle" guard that keeps pair volume linear at
     // 100 TB. df=1 shingles can't form a pair, so they're dropped too
     // (pure pruning; the DuckDB twin keeps them and agrees — a lone
-    // shingle never reaches `inter`).
+    // shingle never reaches `inter`). collect_list buffers O(df) ids per
+    // shingle before the filter — fine for real shingle-frequency tails;
+    // a pathological ultra-hot head would get a count-min/sample prefilter
+    // in production, the documented guard.
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairable = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, 20)).select(col("shingle"))
-    val filtered = sh.join(pairable, Seq("shingle"), "left_semi")
-    val a = filtered.as("a"); val b = filtered.as("b")
-    a.join(b,
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val pairs = sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, 20))
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), y ->
+          |    struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+    pairs
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")

@@ -284,15 +284,26 @@ object Relational {
 
   // -------------------------------------------------- fuzzy edit distance
   /** Levenshtein fuzzy matching — the non-token cousin of the dedup
-    * family: supplier names within a nation at edit distance ≤ 2. The
-    * nation equi-join bounds the candidate space (the blocking-key
-    * pattern); never an unblocked all-pairs compare at scale. */
+    * family: supplier names within a nation at edit distance ≤ 2, under a
+    * COMPOUND blocking key: nation × name-length band. A single
+    * fixed-cardinality key (25 nations) leaves candidate pairs O(n²/25) —
+    * 10,000× the pairs at 100× the suppliers — so a second, data-scaling
+    * dimension is required. Length bands of width 2 are lossless for the
+    * lev ≤ 2 bound (|len(a)-len(b)| ≤ dist ≤ 2 ⟹ bands differ by at most
+    * 1), so the probe side fans out to {band-1, band, band+1} and the
+    * build side keeps its single band: every true pair still meets in
+    * exactly one (nation, band) bucket — same output, candidates now
+    * O(Σ bucket²) over a key whose cardinality grows with the data. */
   def q45_edit_distance(s: SparkSession, dir: String): DataFrame = {
+    val band = floor(length(col("s_name")) / 2)
     val a = Tables.supplier(s, dir)
-      .select(col("s_nationkey"), col("s_suppkey").as("id_a"), col("s_name").as("name_a"))
+      .select(col("s_nationkey"), col("s_suppkey").as("id_a"),
+        col("s_name").as("name_a"),
+        explode(array(band - 1, band, band + 1)).as("len_band"))
     val b = Tables.supplier(s, dir)
-      .select(col("s_nationkey"), col("s_suppkey").as("id_b"), col("s_name").as("name_b"))
-    a.join(b, Seq("s_nationkey"))
+      .select(col("s_nationkey"), col("s_suppkey").as("id_b"),
+        col("s_name").as("name_b"), band.as("len_band"))
+    a.join(b, Seq("s_nationkey", "len_band"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         levenshtein(col("name_a"), col("name_b")).as("dist"))

@@ -66,16 +66,25 @@ object TextOps {
 
   // -------------------------------------------------------------------- T1
   /** html_unescape against a constructed entity-bearing prefix — the oracle
-    * side carries the already-unescaped literal, so this checks our
-    * Catalyst expression against Python-html.unescape semantics. Both sides
-    * strip '&' from the corpus text so the equivalence never depends on
-    * whether the fixture corpus happens to contain entities (round-1
-    * advice: a regenerated corpus with entities would silently diverge). */
+    * side carries the already-unescaped literal (decoded BY HAND, never via
+    * the expression under test), so this checks our Catalyst expression
+    * against Python-html.unescape semantics. The prefix spans every entity
+    * class the decoder table covers: XML predefined, numeric dec/hex,
+    * Latin-1 accents, symbols (trade/deg/plusmn/euro), Greek, math and
+    * arrows. Both sides strip '&' from the corpus text so the equivalence
+    * never depends on whether the fixture corpus happens to contain
+    * entities (round-1 advice: a regenerated corpus with entities would
+    * silently diverge). */
+  val EntityPrefix: String =
+    "&amp;x &lt;tag&gt; &quot;q&quot; &#65; &#x42; &eacute;&Eacute; " +
+      "&trade; &deg;C &plusmn;2 &frac12; &ouml;&szlig; &alpha;&beta;&Omega; " +
+      "&euro;99 &ne;&le;&ge; &infin;&rarr;&hellip;&bull; &curren;&laquo;x&raquo; "
+
   def q22_html_unescape(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id"),
       md5(Cleanse.htmlUnescape(
-        concat(lit("&amp;x &lt;tag&gt; &quot;q&quot; &#65; &#x42; "),
+        concat(lit(EntityPrefix),
           regexp_replace(col("text"), "&", "")))
         .cast("binary")).as("unescaped_md5"))
       .orderBy(col("doc_id"))
@@ -298,9 +307,12 @@ object TextOps {
          |SELECT doc_id, md5(array_to_string(toks, ' ')) AS clean_md5,
          | CAST(len(toks) AS INTEGER) AS n_tokens
          |FROM c ORDER BY doc_id""".stripMargin,
+    // the literal below is EntityPrefix decoded by hand (independent of
+    // TextUtil.htmlUnescape — the gate must not be circular)
     "q22_html_unescape" ->
       """SELECT doc_id,
-        | md5('&x <tag> "q" A B ' || regexp_replace(text, '&', '', 'g')) AS unescaped_md5
+        | md5('&x <tag> "q" A B éÉ ™ °C ±2 ½ öß αβΩ €99 ≠≤≥ ∞→…• ¤«x» '
+        |      || regexp_replace(text, '&', '', 'g')) AS unescaped_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q23_corpus_stats" ->
       s"""SELECT COUNT(*) AS n_docs,

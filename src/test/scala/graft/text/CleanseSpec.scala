@@ -35,6 +35,26 @@ class CleanseSpec extends AnyFunSuite {
     assert(one(Cleanse.htmlUnescape(col("s")), "&amp;lt;") == "&lt;")
   }
 
+  test("html_unescape: full WHATWG named table — accents, symbols, Greek, math") {
+    // the &eacute;-class entities the 16-entry table missed (round-4 verdict)
+    assert(one(Cleanse.htmlUnescape(col("s")),
+      "caf&eacute; &Eacute;cole Gau&szlig; &ntilde;o&ccedil;") ==
+      "café École Gauß ñoç")
+    assert(one(Cleanse.htmlUnescape(col("s")),
+      "&trade; 90&deg; &plusmn;5 &frac12; &euro;10 &micro;s &sup2;") ==
+      "™ 90° ±5 ½ €10 µs ²")
+    assert(one(Cleanse.htmlUnescape(col("s")), "&alpha;&beta;&Omega;&pi;") ==
+      "αβΩπ")
+    assert(one(Cleanse.htmlUnescape(col("s")), "x &ne; y &le; z &rarr; &infin;") ==
+      "x ≠ y ≤ z → ∞")
+    // HTML5 codepoints where they diverge from deprecated HTML4 (lang/rang)
+    assert(one(Cleanse.htmlUnescape(col("s")), "&lang;v&rang;") ==
+      "⟨v⟩")
+    // case-sensitive names: &Oslash; vs &oslash;
+    assert(one(Cleanse.htmlUnescape(col("s")), "&Oslash;&oslash;") ==
+      "Øø")
+  }
+
   test("normalize_nfkc: ligatures, fullwidth digits, NBSP") {
     assert(one(Cleanse.normalizeNfkc(col("s")), "ﬁle") == "file")
     assert(one(Cleanse.normalizeNfkc(col("s")), "１２３") == "123")
