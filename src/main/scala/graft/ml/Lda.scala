@@ -110,8 +110,36 @@ object Lda {
       topWords(model, cv.vocabulary, 10))
   }
 
+  /** M7 completion — per-document topic distributions, the projection the
+    * reference's results surface is actually built from (pyLDAvis consumes
+    * doc-topic AND topic-term matrices, LDA_logic.py:97-122; `describe`
+    * covers only the latter). `LDAModel.transform` scores every document
+    * against the fitted model — a broadcast of the topic-term matrix +
+    * one map-side variational E-step per document, no shuffle until the
+    * final sort — and this emits the per-doc argmax topic, its weight,
+    * the full distribution rounded (as an array digest) and its entropy.
+    * Engine-only: variational doc-topic posteriors are optimizer-specific
+    * (SURVEY §5.2), same rationale as m_lda_topics. */
+  def m_lda_doc_topics(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
+    val (feats, _) = prepare(s, dir)
+    val model = train(feats, k = 5)
+    model.transform(feats)
+      .select(col("doc_id"), vector_to_array(col("topicDistribution")).as("td"))
+      .select(
+        col("doc_id"),
+        (expr("array_position(td, array_max(td))") - 1).cast("int").as("top_topic"),
+        round(array_max(col("td")), 6).as("top_weight"),
+        expr("transform(td, x -> round(x, 6))").as("dist"),
+        round(expr(
+          "-aggregate(td, 0D, (a, x) -> a + if(x > 0D, x * ln(x), 0D))"), 6)
+          .as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m_lda_topics"    -> (m_lda_topics _),
-    "m_lda_sweep"     -> (m_lda_sweep _),
-    "m_lda_coherence" -> (m_lda_coherence _))
+    "m_lda_topics"     -> (m_lda_topics _),
+    "m_lda_sweep"      -> (m_lda_sweep _),
+    "m_lda_coherence"  -> (m_lda_coherence _),
+    "m_lda_doc_topics" -> (m_lda_doc_topics _))
 }

@@ -259,12 +259,23 @@ object Similarity {
       .orderBy(col("jaccard_dist"), col("doc_a"), col("doc_b"))
   }
 
-  // --------------------------------------------------- engine-only: SimHash
+  // -------------------------------------------------------------- SimHash
+  /** Per-(doc, term) frequencies with a 64-bit token hash assembled from
+    * two md5 halves — md5 (not xxhash64) precisely so the ENTIRE
+    * signature→band→Hamming pipeline has a DuckDB twin and m_dedup_simhash
+    * is hash-gated rather than rows-only (round-4 advice item 2: every
+    * rows-only entry is a place a wrong answer could hide). Hash quality is
+    * equivalent for simhash voting; the two 32-bit hex parses stay inside
+    * signed-long range on both engines. */
   private def simhashToks(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), explode(Cleanse.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("freq"))
-      .withColumn("h", xxhash64(col("term")))
+      .withColumn("m", md5(col("term").cast("binary")))
+      .withColumn("h",
+        shiftleft(conv(substring(col("m"), 1, 8), 16, 10).cast(LongType), 32)
+          .bitwiseOR(conv(substring(col("m"), 9, 8), 16, 10).cast(LongType)))
+      .drop("m")
 
   /** 64-bit SimHash from xxhash64 token hashes via the native SimhashAgg
     * aggregate (one long[64] vote buffer per doc — single shuffle on
@@ -289,6 +300,11 @@ object Similarity {
       .select(col("doc_id"), sig.as("simhash"))
   }
 
+  /** SimHash near-dup candidates: 16-bit band bucketing over the 64-bit
+    * signatures, Hamming ≤ 12 within buckets. Oracle-gated end to end (the
+    * md5-derived token hash above makes the whole pipeline
+    * DuckDB-expressible; the generated 64-conditional-sum oracle is
+    * `simhashOracle` below). */
   def m_dedup_simhash(s: SparkSession, dir: String): DataFrame = {
     val sig = simhash(s, dir)
     val bands = sig.select(col("doc_id"), col("simhash"), explode(array(
@@ -305,52 +321,150 @@ object Similarity {
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
   }
 
+  /** Generated DuckDB twin of m_dedup_simhash: token hash = two md5 hex
+    * halves, signature = 64 conditional frequency sums (one per bit,
+    * mirroring SimhashAgg's vote buffer), bands = (sig >> 16b) & 0xFFFF,
+    * Hamming = bit_count(xor). Signature bits combine with bitwise OR of
+    * per-bit signed literals (never `+`/`<<` at bit 63 — BIGINT sums
+    * overflow-error in DuckDB where Spark wraps). */
+  private lazy val simhashOracle: String = {
+    // signed assembly: DuckDB errors on `hi << 32` once bit 31 is set
+    // (BIGINT shift overflow), so bias hi into signed-32 range first —
+    // (hi - 2^32·[hi ≥ 2^31]) · 2^32 + lo is two's-complement-identical to
+    // Spark's shiftleft(hi, 32) | lo and never leaves signed-64 range
+    val h64 = "((hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)" +
+      " * 4294967296 + lo)"
+    val votes = (0 until 64).map { b =>
+      s"SUM(CASE WHEN ((h >> $b) & 1) = 1 THEN freq ELSE -freq END) AS v$b"
+    }.mkString(",\n  ")
+    val sig = (0 until 64).map { b =>
+      s"(CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" | ")
+    s"""WITH toks AS (SELECT doc_id, unnest($DToks) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS freq FROM toks
+       |  GROUP BY doc_id, term),
+       |hs AS (SELECT doc_id, freq, $h64 AS h
+       |  FROM (SELECT doc_id, freq,
+       |          CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) AS hi,
+       |          CAST('0x' || substr(md5(term), 9, 8) AS BIGINT) AS lo
+       |        FROM tf)),
+       |votes AS (SELECT doc_id,
+       |  $votes
+       |  FROM hs GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sig AS simhash FROM votes),
+       |bands AS (SELECT doc_id, simhash, band,
+       |    ((simhash >> (band * 16)) & 65535) AS key
+       |  FROM sig, (VALUES (0),(1),(2),(3)) b(band)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+       |    AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 12
+       |ORDER BY hamming, doc_a, doc_b""".stripMargin
+  }
+
   // --------------------------------------- dedup clusters (connected comps)
   /** Connected components over the near-dup pair graph (q33's Jaccard ≥
     * 0.5 pairs): every document gets a cluster label (the component's
     * minimum doc_id) and a canonical flag — the dedup endgame that turns
     * pairwise similarity into keep/drop decisions.
     *
-    * Algorithm: iterative min-label propagation — each round every node
-    * takes the min of its own and its neighbors' labels (one equi-join +
-    * union + min-agg, all distributed); converges in O(component
-    * diameter) rounds, and near-dup components are shallow (dozens of
-    * docs, diameter ≲ 5). The driver-side loop holds only the convergence
-    * scalar (a count), never data — the standard Pregel shape. At 100 TB
-    * with adversarial chain-shaped components, switch the round body to
-    * large-star/small-star (Kiveris et al. 2014, "Connected components in
-    * MapReduce"), which squashes diameters in O(log²) rounds; the state
-    * and gate stay identical. Oracle: DuckDB recursive-CTE transitive
-    * closure over the same pairs. */
+    * Algorithm: alternating large-star/small-star (see `components`) —
+    * O(log² n) rounds regardless of component diameter, convergence
+    * asserted rather than capped, driver holds only a convergence
+    * scalar. Oracle: DuckDB recursive-CTE transitive closure over the
+    * same pairs. */
   def q55_dedup_components(s: SparkSession, dir: String): DataFrame =
     components(q33_ngram_jaccard(s, dir).select(col("doc_a"), col("doc_b")))
       .orderBy(col("doc_id"))
 
-  /** Min-label propagation over an undirected pair list (doc_a, doc_b) →
-    * (doc_id, component, is_canonical). See q55 scaladoc for the scale
-    * argument. */
-  def components(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
-    val nodes = edges.select(col("src").as("id")).distinct()
-    var labels = nodes.withColumn("label", col("id")).cache()
-    var changed = 1L
+  /** Connected components over an undirected pair list (doc_a, doc_b) →
+    * (doc_id, component, is_canonical) by ALTERNATING LARGE-STAR /
+    * SMALL-STAR (Kiveris et al. 2014, "Connected components in MapReduce
+    * and beyond" — public algorithm): each round rewires every node's
+    * larger neighbors (large-star) then its smaller ones (small-star) to
+    * the local minimum, squashing component diameter geometrically. The
+    * edge set converges to one star per component centered on the
+    * component's minimum id in O(log²) rounds — unlike plain min-label
+    * propagation, whose O(diameter) rounds made a 50-round cap reachable
+    * on adversarial chains, and whose cap exit silently mislabeled them
+    * (round-4 "what's wrong" item 1). Per round: two groupBy-min aggs +
+    * two equi-joins, all hash-partitioned on node id; the driver holds
+    * only the convergence counter. Convergence is now ASSERTED, never
+    * truncated: MaxRounds = 64 covers graphs past 2^64 nodes with margin,
+    * so hitting it means a bug, not big data. */
+  def components(pairs: DataFrame): DataFrame = componentsWithRounds(pairs)._1
+
+  val MaxRounds = 64
+
+  /** (labels, rounds-to-converge) — rounds exposed for ComponentsSpec's
+    * O(log) convergence assertion on a long chain. */
+  private[graft] def componentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
+    // canonical orientation: (u, v) with u > v, deduped
+    // localCheckpoint (not cache) each round: star ops reference their
+    // input ~6 times, so the composed logical plan grows 6^rounds —
+    // Catalyst ANALYSIS of the tree becomes the bottleneck long before
+    // execution does. Checkpointing truncates lineage to a constant-size
+    // LogicalRDD per round (on a cluster: reliable checkpoint to the DFS).
+    val init = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var edges = init
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
-      val viaNeighbors = edges.join(labels, col("dst") === col("id"))
-        .select(col("src").as("id"), col("label"))
-      val next = labels.unionByName(viaNeighbors)
-        .groupBy(col("id")).agg(min(col("label")).as("label")).cache()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") < col("old")).count()
-      labels.unpersist()
-      labels = next
+    var converged = false
+    while (!converged && rounds < MaxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // set equality: both sides are distinct, so same-count + empty
+      // one-way difference suffices (two tiny driver scalars per round)
+      converged = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      edges = next
       rounds += 1
     }
-    edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("component"))
-      .withColumn("is_canonical", col("doc_id") === col("component"))
+    require(converged,
+      s"large-star/small-star did not converge in $MaxRounds rounds — " +
+        "impossible for any finite graph; investigate input")
+    // at the fixpoint every edge is (member, component-min)
+    val nodes = init
+      .select(explode(array(col("u"), col("v"))).as("doc_id")).distinct()
+    val labels = nodes
+      .join(edges.select(col("u").as("doc_id"), col("v").as("label")),
+        Seq("doc_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(coalesce(min(col("label")), first(col("doc_id"))).as("component"))
+      .select(col("doc_id"), col("component"),
+        (col("doc_id") === col("component")).as("is_canonical"))
+    (labels, rounds)
+  }
+
+  /** Large-star: every node u connects its strictly-larger neighbors to
+    * m(u) = min(N(u) ∪ {u}). Input/output edges are canonically oriented
+    * (first col > second). */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val nbrs = edges.select(col("u").as("x"), col("v").as("y"))
+      .unionByName(edges.select(col("v").as("x"), col("u").as("y")))
+    val m = nbrs.groupBy(col("x")).agg(min(col("y")).as("mn"))
+      .select(col("x"), least(col("mn"), col("x")).as("m"))
+    nbrs.join(m, "x")
+      .filter(col("y") > col("x"))
+      .select(col("y").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star: every node u connects its smaller-or-equal neighbors
+    * (canonical edges already point large→small) plus itself to
+    * m(u) = min of those neighbors. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val m = edges.groupBy(col("u")).agg(min(col("v")).as("m"))
+    val viaNbr = edges.join(m, "u")
+      .select(col("v").as("u2"), col("m").as("v2"))
+    val self = m.select(col("u").as("u2"), col("m").as("v2"))
+    viaNbr.unionByName(self)
+      .filter(col("u2") =!= col("v2"))
+      .select(col("u2").as("u"), col("v2").as("v"))
+      .distinct()
   }
 
   // ------------------------------------------------------------- registry
@@ -436,6 +550,7 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "m_ann_lsh"         -> annLshOracle,
     "m_dedup_embedding" -> dedupEmbeddingOracle,
+    "m_dedup_simhash"   -> simhashOracle,
     "q19_similarity_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 5),

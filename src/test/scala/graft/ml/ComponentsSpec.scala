@@ -4,7 +4,7 @@ import graft.text.SparkTestSession
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Min-label-propagation connected components on hand-built graphs where
+/** Large-star/small-star connected components on hand-built graphs where
   * convergence takes multiple rounds (chains) — the oracle-gated q55 runs
   * on shallow real components only. */
 class ComponentsSpec extends AnyFunSuite {
@@ -14,6 +14,20 @@ class ComponentsSpec extends AnyFunSuite {
     import spark.implicits._
     Similarity.components(pairs.toDF("doc_a", "doc_b"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+  }
+
+  test("80-node chain converges in O(log) rounds, not O(diameter)") {
+    import spark.implicits._
+    // the adversarial shape for min-label propagation: diameter 79, which
+    // would have exceeded the old 50-round cap and silently mislabeled
+    val chain = (1L until 80L).map(i => (i + 1, i))
+    val (labels, rounds) = Similarity.componentsWithRounds(
+      chain.toDF("doc_a", "doc_b"))
+    val got = labels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (1L to 80L).toSet)
+    assert(got.values.toSet == Set(1L), "whole chain labeled by its minimum")
+    assert(rounds <= 10, s"star-contraction must be logarithmic, took $rounds")
   }
 
   test("chain graph converges to one component labeled by its minimum") {

@@ -71,6 +71,27 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("M7 doc-topic distributions: one row per doc, valid simplex, deterministic") {
+    val rows = Lda.m_lda_doc_topics(spark, dir).collect()
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    assert(rows.length == nDocs, "one distribution per document")
+    rows.foreach { r =>
+      val top = r.getAs[Int]("top_topic")
+      assert(top >= 0 && top < 5, s"argmax topic in [0,5): $top")
+      val w = r.getAs[Double]("top_weight")
+      assert(w >= 1.0 / 5 - 1e-6 && w <= 1.0, s"argmax weight ≥ uniform: $w")
+      val dist = r.getSeq[Double](r.fieldIndex("dist"))
+      assert(dist.length == 5)
+      assert(math.abs(dist.sum - 1.0) < 1e-3, s"simplex sums to 1: ${dist.sum}")
+      val h = r.getAs[Double]("entropy")
+      assert(h >= -1e-9 && h <= math.log(5.0) + 1e-6, s"entropy in [0, ln k]: $h")
+    }
+    // M6: fixed seed ⟹ re-running the fit reproduces the distributions
+    val again = Lda.m_lda_doc_topics(spark, dir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "seeded doc-topic transform is deterministic")
+  }
+
   test("S4 run log: one JSON line per completed query") {
     val path = java.nio.file.Files.createTempDirectory("graft-log")
       .resolve("run.jsonl").toString
