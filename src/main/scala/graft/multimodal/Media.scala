@@ -85,24 +85,19 @@ object Media {
     }
   }
 
-  /** Synthetic media table derived deterministically from `documents`
-    * (the container ships no real media files): text bytes become the blob,
-    * metadata derives from doc stats. The derivation is itself a declarative
-    * projection — only the codec calls below leave Catalyst. */
-  def mediaTable(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
-      col("doc_id").as("media_id"),
-      element_at(typedlit(Seq("image", "audio", "video")),
-        (pmod(xxhash64(col("doc_id")), lit(3)) + 1).cast("int")).as("kind"),
-      col("text").cast("binary").as("content"),
-      struct(
-        element_at(typedlit(Seq("jpeg", "wav", "mp4")),
-          (pmod(xxhash64(col("doc_id")), lit(3)) + 1).cast("int")).as("format"),
-        (pmod(xxhash64(col("doc_id"), lit(1)), lit(1920)) + 16).cast("int").as("width"),
-        (pmod(xxhash64(col("doc_id"), lit(2)), lit(1080)) + 16).cast("int").as("height"),
-        lit(16000).as("sample_rate"),
-        (pmod(xxhash64(col("doc_id"), lit(3)), lit(240)) + 8).cast("int").as("n_frames"))
-        .as("meta"))
+  /** The media table, served through the DSv2 `MediaSource` connector
+    * (TableProvider + column-pruning scan — see MediaSource.scala; the
+    * container ships no real media files, so rows generate
+    * deterministically from media_id). Row count tracks the `documents`
+    * table of the given SF dir so media scales with the corpus; the count
+    * is a parquet metadata read, not a data scan. Scan-level column
+    * pruning means a metadata-only query never constructs a blob —
+    * asserted by MediaSourceSpec via the MediaGen.contentReads counter. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.documents(s, dir).count()
+    s.read.format("graft.multimodal.MediaSource")
+      .option("rows", n.toString).option("partitions", "8").load()
+  }
 
   /** Feature extraction over the binary column, partition-batched. Encoder
     * output lands as ARRAY<FLOAT> ready for the Similarity LSH operators. */

@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -111,6 +112,38 @@ object Sessions {
     * licenses) to a firehose. */
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
+
+  /** Stream-static AS-OF enrichment (the streaming twin of
+    * rel.Relational.q47 / plans.AsofJoin — round-3 ladder item 8): each
+    * stream event picks the latest static-dim row with dim ts ≤ event ts
+    * for its key. The trick that keeps it STREAMING-LEGAL: an as-of is a
+    * stream-side aggregation (max ts ≤ t) — unsupported without watermark
+    * state — unless the static side is pre-compiled into half-open
+    * validity intervals [ts, next_ts) via one batch window pass (lead over
+    * the dim, fine on the static side); the as-of then becomes a pure
+    * stateless range join, one interval matching per event. The dim
+    * broadcasts and is re-planned per micro-batch, so an externally
+    * refreshed dim is picked up; the stream side never shuffles. Works
+    * identically on batch frames (unified plan). At 100 TB/day this is
+    * point-in-time feature lookup against a slowly-changing dimension —
+    * the join shape that avoids both state stores and stream shuffles.
+    *
+    * `dim` columns: key, rightTs, payload…; equal-ts rows must be unique
+    * per (key, ts) (same contract as q47's pre-deduped right side —
+    * inclusive ≥ semantics match DuckDB ASOF). */
+  def asofEnrich(events: DataFrame, dim: DataFrame, key: String,
+      leftTs: String, rightTs: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(rightTs))
+    val intervals = dim
+      .withColumn("__valid_until", lead(col(rightTs), 1).over(w))
+      .withColumnRenamed(key, "__dim_key")
+    events.join(broadcast(intervals),
+        col(key) === col("__dim_key") &&
+          col(leftTs) >= col(rightTs) &&
+          (col("__valid_until").isNull || col(leftTs) < col("__valid_until")),
+        "left")
+      .drop("__dim_key", "__valid_until")
+  }
 
   /** foreachBatch lake sink: per-micro-batch handler receiving a BATCH
     * frame + monotonic batch id, the standard exit to sinks without a

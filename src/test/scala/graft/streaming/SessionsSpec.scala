@@ -128,6 +128,64 @@ class SessionsSpec extends AnyFunSuite {
     assert(batch.toSeq == Seq((2L, "basic")))
   }
 
+  test("stream-static as-of enrichment matches the native batch as-of join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // unique (user_id, ts) quotes — the q47 right-side contract
+    val dim = Seq((1L, 0L, 10.0), (1L, 20L, 11.0), (2L, 5L, 7.0))
+      .toDF("user_id", "qts", "quote")
+    val events = Seq(
+      (100L, 1L, 25L), // between quotes -> qts=20
+      (101L, 1L, 5L),  // -> qts=0
+      (102L, 1L, 0L),  // equal ts: inclusive >= -> qts=0
+      (103L, 2L, 4L),  // before first quote -> null
+      (104L, 3L, 9L))  // key absent from dim -> null
+    val input = MemoryStream[(Long, Long, Long)]
+    val q = Sessions.asofEnrich(
+        input.toDS().toDF("event_id", "user_id", "ets"),
+        dim, "user_id", "ets", "qts")
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    val streamed =
+      try {
+        input.addData(events: _*)
+        q.processAllAvailable()
+        spark.table("asof_out")
+          .select(col("event_id"), col("qts"), col("quote"))
+          .collect()
+          .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+          .sortBy(_._1).toSeq
+      } finally q.stop()
+    assert(streamed == Seq(
+      (100L, Some(20L), Some(11.0)),
+      (101L, Some(0L), Some(10.0)),
+      (102L, Some(0L), Some(10.0)),
+      (103L, None, None),
+      (104L, None, None)))
+    // parity with the native batch as-of operator on the same frames
+    graft.GraftExtensions.register(spark) // AsofJoin strategy
+    val native = graft.plans.Asof.join(
+        events.toDF("event_id", "user_id", "ets"),
+        dim.toDF("d_user", "qts", "quote"),
+        leftBy = Seq("user_id"), rightBy = Seq("d_user"),
+        leftOn = "ets", rightOn = "qts")
+      .select(col("event_id"), col("qts"), col("quote"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+      .sortBy(_._1).toSeq
+    assert(native == streamed, "stream-static as-of ≡ native batch as-of")
+    // unified plan: the same transform on a batch frame, broadcast-hash
+    val batch = Sessions.asofEnrich(
+      events.toDF("event_id", "user_id", "ets"), dim, "user_id", "ets", "qts")
+    assert(batch.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "equi key should hash-join; range conditions ride as join residual")
+    val batchRows = batch.select(col("event_id"), col("qts"), col("quote"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+      .sortBy(_._1).toSeq
+    assert(batchRows == streamed)
+  }
+
   test("foreachBatch hands each micro-batch to the handler with its id") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
