@@ -22,7 +22,7 @@ object Bench {
     * SPARK_GRAFT_BENCH_ALL=1 to time everything. */
   val heavyModelFits: Set[String] =
     Set("m_lda_topics", "m_lda_sweep", "m_lda_coherence", "m_lda_doc_topics",
-      "m_dedup_minhash_lsh", "m_ann_ivf")
+      "m_lda_relevance", "m_dedup_minhash_lsh", "m_ann_ivf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -5,6 +5,7 @@ import graft.text.Cleanse
 import org.apache.spark.ml.clustering.{LDA, LDAModel}
 import org.apache.spark.ml.feature.CountVectorizerModel
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LDA topic modeling (SURVEY.md §2.6 M2/M3/M5/M6) — the Spark-native
@@ -137,9 +138,67 @@ object Lda {
       .orderBy(col("doc_id"))
   }
 
+  /** The last pyLDAvis projection (completing the reference's
+    * `visualize_results` surface next to topic-term weights and doc-topic
+    * distributions): RELEVANCE-ranked terms per topic —
+    * relevance(w,t | λ) = λ·ln p(w|t) + (1−λ)·ln(p(w|t)/p(w)), λ = 0.6
+    * (Sievert & Shirley 2014, the pyLDAvis default) — plus each topic's
+    * corpus-wide proportion (mean doc-topic mass). Mechanics: the k×V
+    * topic-term matrix is a driver-side model object by MLlib design
+    * (tiny — vocab is capped); p(w) and topic proportions are distributed
+    * aggregations; ranking is a window over k×V rows. */
+  def m_lda_relevance(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
+    import s.implicits._
+    val k = 5
+    val lambda = 0.6
+    val topN = 5
+    val (feats, cv) = prepare(s, dir)
+    val model = train(feats, k)
+    val vocab = cv.vocabulary
+
+    // p(w|t): normalized columns of the fitted topic-term matrix (V × k)
+    val tm = model.topicsMatrix
+    val colSums = (0 until k).map(t =>
+      (0 until vocab.length).map(w => tm(w, t)).sum)
+    val pwt = (for (t <- 0 until k; w <- vocab.indices)
+      yield (t, vocab(w), tm(w, t) / colSums(t)))
+      .toDF("topic", "term", "p_wt")
+
+    // p(w): corpus unigram probability over the model's vocabulary —
+    // distributed explode + agg, vocabulary-sized result (broadcastable)
+    val toks = feats.select(explode(col("tokens")).as("term"))
+      .filter(col("term").isin(vocab.map(x => x: Any): _*))
+    val pw = toks.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .withColumn("p_w", col("n") / sum(col("n")).over(Window.partitionBy()))
+      .select(col("term"), col("p_w"))
+
+    // topic proportions: mean doc-topic mass (distributed transform + agg)
+    val props = model.transform(feats)
+      .select(posexplode(vector_to_array(col("topicDistribution")))
+        .as(Seq("topic", "mass")))
+      .groupBy(col("topic")).agg(avg(col("mass")).as("topic_prop"))
+
+    val w = Window.partitionBy(col("topic"))
+      .orderBy(col("relevance").desc, col("term"))
+    pwt.join(broadcast(pw), "term")
+      .select(col("topic"), col("term"), col("p_wt"), col("p_w"),
+        (lit(lambda) * log(col("p_wt")) +
+          lit(1 - lambda) * log(col("p_wt") / col("p_w"))).as("relevance"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .join(props, "topic")
+      .select(col("topic"), col("rank"), col("term"),
+        round(col("relevance"), 6).as("relevance"),
+        round(col("p_wt"), 6).as("p_wt"),
+        round(col("topic_prop"), 6).as("topic_prop"))
+      .orderBy(col("topic"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_lda_topics"     -> (m_lda_topics _),
     "m_lda_sweep"      -> (m_lda_sweep _),
     "m_lda_coherence"  -> (m_lda_coherence _),
-    "m_lda_doc_topics" -> (m_lda_doc_topics _))
+    "m_lda_doc_topics" -> (m_lda_doc_topics _),
+    "m_lda_relevance"  -> (m_lda_relevance _))
 }

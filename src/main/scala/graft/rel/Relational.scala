@@ -541,7 +541,12 @@ object Relational {
     * order-independent. One scan, one scalar: at 100 TB this replaces
     * "sort both copies and diff" with a map-side fold. The final digest
     * is emitted as STRING: its magnitude exceeds 2^53, so any float64
-    * hop in a downstream comparator would silently round it. */
+    * hop in a downstream comparator would silently round it.
+    * Overflow headroom (round-4 advice): with ANSI off, a DECIMAL(38,0)
+    * sum overflow would yield NULL (and DuckDB would error, not match) —
+    * but 48-bit row hashes need ~10^23 rows to overflow 38 digits, ten
+    * orders of magnitude past 100 TB of lineitem; checksum IS NOT NULL
+    * for any real table size. */
   def q64_table_checksum(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .select(conv(substring(md5(concat_ws("|",

@@ -59,6 +59,42 @@ class MlSpec extends AnyFunSuite {
     assert(math.abs(c - 0.9241484) < 1e-6, s"c_v was $c")
   }
 
+  test("M4 c_v sliding windows: matches brute-force window enumeration") {
+    import spark.implicits._
+    // doc1: 220 tokens with apple@100, banana@115 — the pair straddles a
+    // 110-token tumbling boundary, so only true sliding windows co-count it
+    val t1 = Array.fill(220)("x")
+    t1(100) = "apple"; t1(115) = "banana"
+    val corpus = Seq(t1.toSeq, Seq("apple", "banana", "y"))
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "tokens")
+    val got = Coherence.cv(spark, docs, Seq(Seq("apple", "banana")))
+      .collect()(0).getAs[Double]("coherence")
+
+    // independent oracle: literally enumerate every sliding window
+    val windows = corpus.flatMap { toks =>
+      val L = toks.length
+      val starts = if (L <= Coherence.WindowSize) Seq(0)
+      else 0 to (L - Coherence.WindowSize)
+      starts.map(s => toks.slice(s, s + Coherence.WindowSize).toSet)
+    }
+    val W = windows.size.toDouble
+    def p(ws: String*): Double = windows.count(w => ws.forall(w)) / W
+    val eps = 1e-12
+    def npmi(a: String, b: String): Double = {
+      val pij = p(a, b)
+      math.log((pij + eps) / (p(a) * p(b) + eps)) / -math.log(pij + eps)
+    }
+    val words = Seq("apple", "banana")
+    val vecs = words.map(wi => words.map(wj => npmi(wi, wj)))
+    val sv = words.indices.map(j => vecs.map(_(j)).sum)
+    def norm(v: Seq[Double]) = math.sqrt(v.map(x => x * x).sum)
+    val expect = vecs.map(v =>
+      v.zip(sv).map { case (a, b) => a * b }.sum / (norm(v) * norm(sv)))
+      .sum / vecs.size
+    assert(math.abs(got - expect) < 1e-7, s"c_v was $got, expected $expect")
+  }
+
   test("M2/M5 LDA smoke: fixed seed, k topics, finite weights, top-5 terms") {
     val (feats, cv) = Lda.prepare(spark, dir)
     val model = Lda.train(feats, k = 3, maxIter = 5)
@@ -90,6 +126,26 @@ class MlSpec extends AnyFunSuite {
     val again = Lda.m_lda_doc_topics(spark, dir).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq,
       "seeded doc-topic transform is deterministic")
+  }
+
+  test("M7 relevance ranking: k×topN rows, sane probabilities, proportions sum to 1") {
+    val rows = Lda.m_lda_relevance(spark, dir).collect()
+    assert(rows.length == 25, "5 topics × 5 relevance-ranked terms")
+    val byTopic = rows.groupBy(_.getAs[Int]("topic"))
+    assert(byTopic.keySet == (0 until 5).toSet)
+    byTopic.values.foreach { trs =>
+      val rel = trs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("relevance"))
+      assert(rel.zip(rel.tail).forall { case (a, b) => a >= b },
+        "relevance non-increasing within topic")
+      trs.foreach { r =>
+        val p = r.getAs[Double]("p_wt")
+        assert(p > 0 && p <= 1, s"p(w|t) in (0,1]: $p")
+      }
+    }
+    val props = rows.map(r =>
+      r.getAs[Int]("topic") -> r.getAs[Double]("topic_prop")).toMap
+    assert(math.abs(props.values.sum - 1.0) < 1e-3,
+      s"topic proportions sum to 1: ${props.values.sum}")
   }
 
   test("S4 run log: one JSON line per completed query") {
