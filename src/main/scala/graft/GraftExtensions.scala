@@ -39,6 +39,7 @@ object GraftExtensions {
       info("dot_product_d", "_FUNC_(a, b) - Dot product of two double arrays."),
       (args: Seq[Expression]) => ml.DotProductD(args(0), args(1))),
     ml.KmvFunctions.sqlFunction,
+    ml.Bloom.sqlFunction,
     ("lemma_tokens",
       info("lemma_tokens", "_FUNC_(str) - Tokenize + stopword-filter + suffix-lemmatize."),
       (args: Seq[Expression]) => text.LemmaTokens(args.head)),

@@ -20,8 +20,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rel.Relational.queries ++ text.TextOps.queries ++ text.Tokenize.queries ++
       text.CorpusFilters.queries ++ ml.Vocab.queries ++
-      ml.Similarity.queries ++ ml.Lda.queries ++ ingest.Tickets.queries ++
-      multimodal.Media.queries
+      ml.Similarity.queries ++ ml.Lda.queries ++ ml.Bloom.queries ++
+      ingest.Tickets.queries ++ multimodal.Media.queries
 
   def oracleSql: Map[String, String] =
     rel.Relational.oracle ++ text.TextOps.oracle ++ text.Tokenize.oracle ++

@@ -233,6 +233,64 @@ object CorpusFilters {
         round(col("n_types").cast(DoubleType) / col("n_tokens"), 6).as("ttr"))
       .orderBy(col("doc_id"))
 
+  // ----------------------------------------------------- span-level dedup
+  /** C4-style sub-document exact dedup: the corpus is cut into tumbling
+    * 8-token spans and every span that occurs anywhere else in the corpus
+    * is removed EXCEPT its first occurrence (C4 does this with
+    * three-sentence spans — Raffel et al. 2020 §2.2; spans here are
+    * fixed-stride because the synthetic corpus has no sentence marks).
+    * Output is the surviving span set: one row per distinct span content,
+    * carrying the (doc_id, seg_id) of its first occurrence and its corpus
+    * copy count. Doc-level dedup (q17) can't see this — boilerplate
+    * repeats inside otherwise-unique pages.
+    *
+    * Scale: spans never all-pair — one hash shuffle on span digest, and
+    * the "first occurrence" is an argmin INSIDE that same aggregation (the
+    * (doc_id, seg_id) pair packs into one long, so min() is the argmin —
+    * no join-back, no window over the corpus). Map-side partial aggs
+    * shrink the shuffle to ~distinct-span cardinality. */
+  def q66_span_dedup(s: SparkSession, dir: String): DataFrame = {
+    val seg = 8
+    docToks(s, dir).filter(size(col("t")) >= seg)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, CAST(floor(size(t) / $seg.0) AS INT) - 1)," +
+          s" i -> array_join(slice(t, i * $seg + 1, $seg), ' '))"))
+        .as(Seq("seg_id", "sg")))
+      .groupBy(md5(col("sg").cast("binary")).as("seg_md5"))
+      // seg_id < 1e6 always (docs are KB-scale; even 100-TB corpora cap
+      // documents far below 8M tokens), so the packed long's min is the
+      // lexicographic min of (doc_id, seg_id)
+      .agg(min(col("doc_id") * 1000000L + col("seg_id")).as("enc"),
+        count(lit(1)).as("n_copies"))
+      .select((col("enc") / 1000000L).cast("long").as("doc_id"),
+        (col("enc") % 1000000L).cast("int").as("seg_id"),
+        col("seg_md5"), col("n_copies"))
+      .orderBy(col("doc_id"), col("seg_id"))
+  }
+
+  // ----------------------------------------------------- per-source caps
+  /** Per-domain document cap — the mixture guard that keeps one crawl
+    * domain from dominating the corpus (every production web pipeline
+    * caps pages-per-domain; cf. Gopher's per-domain limits): keep the top
+    * N docs per source by a quality key (n_chars here; any score column
+    * slots in), with doc_id as the deterministic tiebreak.
+    *
+    * Scale: rank-within-group ≤ N is exactly what Spark's WindowGroupLimit
+    * optimization turns into a per-partition bounded heap (no full sort of
+    * a giant domain's partition) — the window form IS the scale-safe form
+    * on Spark ≥ 3.5. One shuffle on source. */
+  def q67_source_cap(s: SparkSession, dir: String): DataFrame = {
+    val cap = 20
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= cap)
+      .orderBy(col("source"), col("rnk"))
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_repetition"    -> (q51_repetition _),
@@ -241,7 +299,9 @@ object CorpusFilters {
     "q56_unigram_logprob" -> (q56_unigram_logprob _),
     "q57_chunk"           -> (q57_chunk _),
     "q58_numeric_profile" -> (q58_numeric_profile _),
-    "q63_lexical_diversity" -> (q63_lexical_diversity _))
+    "q63_lexical_diversity" -> (q63_lexical_diversity _),
+    "q66_span_dedup"      -> (q66_span_dedup _),
+    "q67_source_cap"      -> (q67_source_cap _))
 
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
@@ -335,6 +395,26 @@ object CorpusFilters {
          | round(ln(CAST(n_tokens AS DOUBLE)) - clogc / n_tokens, 6) AS entropy_r,
          | round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr
          |FROM d ORDER BY doc_id""".stripMargin,
+    "q66_span_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
+         |seg AS (SELECT doc_id, CAST(i AS INT) AS seg_id,
+         |    array_to_string(t[i*8+1 : i*8+8], ' ') AS sg
+         |  FROM toks, unnest(range(0, CAST(floor(len(t) / 8.0) AS INT))) AS u(i)
+         |  WHERE len(t) >= 8),
+         |k AS (SELECT md5(sg) AS seg_md5,
+         |    MIN(doc_id * 1000000 + seg_id) AS enc,
+         |    COUNT(*) AS n_copies
+         |  FROM seg GROUP BY md5(sg))
+         |SELECT CAST(enc // 1000000 AS BIGINT) AS doc_id,
+         |  CAST(enc % 1000000 AS INT) AS seg_id, seg_md5, n_copies
+         |FROM k ORDER BY doc_id, seg_id""".stripMargin,
+    "q67_source_cap" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS INT) AS rnk
+        |  FROM documents)
+        |SELECT source, doc_id, n_chars, rnk FROM r
+        |WHERE rnk <= 20 ORDER BY source, rnk""".stripMargin,
     "q53_domain_mix" ->
       """WITH docs AS (SELECT doc_id, source,
         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) AS h
