@@ -21,7 +21,7 @@ object SparkEntry {
     rel.Relational.queries ++ text.TextOps.queries ++ text.Tokenize.queries ++
       text.CorpusFilters.queries ++ ml.Vocab.queries ++
       ml.Similarity.queries ++ ml.Lda.queries ++ ml.Bloom.queries ++
-      ingest.Tickets.queries ++ multimodal.Media.queries
+      ml.Quantize.queries ++ ingest.Tickets.queries ++ multimodal.Media.queries
 
   def oracleSql: Map[String, String] =
     rel.Relational.oracle ++ text.TextOps.oracle ++ text.Tokenize.oracle ++

@@ -406,6 +406,13 @@ object Similarity {
     // Catalyst ANALYSIS of the tree becomes the bottleneck long before
     // execution does. Checkpointing truncates lineage to a constant-size
     // LogicalRDD per round (on a cluster: reliable checkpoint to the DFS).
+    // Every localCheckpoint below caches an RDD; without cleanup a bench
+    // loop leaks one per round per run, and the accumulated block-manager
+    // debt quintupled q55's time 70 queries into a bench sequence. The
+    // persisted RDDs are internal to Dataset plumbing, so track them by
+    // id through the context and drop them once the result is pinned.
+    val sc = pairs.sparkSession.sparkContext
+    val preexisting = sc.getPersistentRDDs.keySet
     val init = pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
@@ -414,17 +421,23 @@ object Similarity {
     var rounds = 0
     var converged = false
     while (!converged && rounds < MaxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
-      // set equality: both sides are distinct, so same-count + empty
-      // one-way difference suffices (two tiny driver scalars per round)
-      converged = next.count() == edges.count() &&
-        next.except(edges).isEmpty
+      // LAZY checkpoint: the convergence check below is the round's only
+      // job — it materializes next's cache as a side effect, instead of
+      // paying one checkpoint job + one comparison job per round
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
+      // set equality in ONE job (both sides are distinct): tag +1/-1,
+      // any group summing nonzero is a difference in either direction
+      converged = edges.select(col("u"), col("v"), lit(1).as("tag"))
+        .unionAll(next.select(col("u"), col("v"), lit(-1).as("tag")))
+        .groupBy(col("u"), col("v")).agg(sum(col("tag")).as("d"))
+        .filter(col("d") =!= 0).isEmpty
       edges = next
       rounds += 1
     }
     require(converged,
       s"large-star/small-star did not converge in $MaxRounds rounds — " +
         "impossible for any finite graph; investigate input")
+    val loopRddIds = sc.getPersistentRDDs.keySet.diff(preexisting)
     // at the fixpoint every edge is (member, component-min)
     val nodes = init
       .select(explode(array(col("u"), col("v"))).as("doc_id")).distinct()
@@ -435,6 +448,13 @@ object Similarity {
       .agg(coalesce(min(col("label")), first(col("doc_id"))).as("component"))
       .select(col("doc_id"), col("component"),
         (col("doc_id") === col("component")).as("is_canonical"))
+      // eagerly pin the (tiny, one-row-per-node) label table so every
+      // loop checkpoint can be dropped before this returns — callers see
+      // a plan with no reference to the fixpoint's intermediate state
+      .localCheckpoint()
+    sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (loopRddIds.contains(id)) rdd.unpersist(blocking = false)
+    }
     (labels, rounds)
   }
 

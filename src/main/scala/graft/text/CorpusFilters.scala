@@ -291,6 +291,86 @@ object CorpusFilters {
       .orderBy(col("source"), col("rnk"))
   }
 
+  // ------------------------------------------------- bigram LM scoring
+  /** Interpolated-bigram LM scoring — one rung up the n-gram ladder from
+    * q56's unigram filter, and the closest relational shape to the
+    * KenLM-perplexity filters CCNet/LLaMA actually run: each document is
+    * scored by the mean log of λ·P(w2|w1) + (1−λ)·P(w2) over its bigrams
+    * (λ = 0.7), so gibberish token ORDER now hurts a doc even when its
+    * unigram mix looks normal.
+    *
+    * Scale: the bigram-count table is vocabulary²-BOUNDED but corpus-
+    * independent in the limit; unlike q56's broadcastable unigram model it
+    * may not fit a broadcast, so the score join shuffles on the bigram key
+    * (both sides hash-partition; map-side combine shrinks the count side)
+    * while the small unigram table still broadcasts. */
+  def q68_bigram_lm(s: SparkSession, dir: String): DataFrame = {
+    // both weights written as literals (NOT 1-λ: double 1-0.7 is
+    // 0.30000000000000004, which would diverge from the SQL twin's 0.3)
+    val lambda = 0.7
+    val mu = 0.3
+    val bi = docToks(s, dir).filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t)-1), i -> struct(element_at(t,i) AS w1, element_at(t,i+1) AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val biCounts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val uni = docToks(s, dir)
+      .select(explode(col("t")).as("w"))
+    val uniCounts = uni.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val total = uni.agg(count(lit(1)).as("tot"))
+    bi
+      .join(biCounts, Seq("w1", "w2"))
+      .join(broadcast(uniCounts.withColumnRenamed("w", "w1")
+        .withColumnRenamed("c1", "c_w1")), Seq("w1"))
+      .join(broadcast(uniCounts.withColumnRenamed("w", "w2")
+        .withColumnRenamed("c1", "c_w2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(log(
+          lit(lambda) * col("c12").cast(DoubleType) / col("c_w1")
+            + lit(mu) * col("c_w2").cast(DoubleType) / col("tot")))
+          .as("lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("lp"), 6).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------- Zipf corpus profile
+  /** Zipf rank-frequency fit — the corpus-health diagnostic: natural text
+    * follows freq ∝ rank^(−s) with s ≈ 1; machine-generated or templated
+    * corpora bend the curve. Least-squares slope/intercept of ln(freq) on
+    * ln(rank) over the top-100 terms, plus R². One vocabulary-sized agg,
+    * a top-k (bounded heap under WindowGroupLimit), and a 100-row fold —
+    * corpus size only enters through the first hash agg. */
+  def q69_zipf_profile(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("term"))
+    val ranked = docToks(s, dir)
+      .select(explode(col("t")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 100)
+      .select(log(col("rank").cast(DoubleType)).as("x"),
+        log(col("freq").cast(DoubleType)).as("y"))
+    ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+      .select(col("n"),
+        round((col("sxy") - col("sx") * col("sy") / col("n"))
+          / (col("sxx") - col("sx") * col("sx") / col("n")), 6).as("slope_r"),
+        round((col("sy") - (col("sxy") - col("sx") * col("sy") / col("n"))
+          / (col("sxx") - col("sx") * col("sx") / col("n")) * col("sx"))
+          / col("n"), 6).as("intercept_r"),
+        round(pow(col("sxy") - col("sx") * col("sy") / col("n"), 2)
+          / ((col("sxx") - col("sx") * col("sx") / col("n"))
+            * (col("syy") - col("sy") * col("sy") / col("n"))), 6).as("r2_r"))
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_repetition"    -> (q51_repetition _),
@@ -301,7 +381,9 @@ object CorpusFilters {
     "q58_numeric_profile" -> (q58_numeric_profile _),
     "q63_lexical_diversity" -> (q63_lexical_diversity _),
     "q66_span_dedup"      -> (q66_span_dedup _),
-    "q67_source_cap"      -> (q67_source_cap _))
+    "q67_source_cap"      -> (q67_source_cap _),
+    "q68_bigram_lm"       -> (q68_bigram_lm _),
+    "q69_zipf_profile"    -> (q69_zipf_profile _))
 
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
@@ -408,6 +490,39 @@ object CorpusFilters {
          |SELECT CAST(enc // 1000000 AS BIGINT) AS doc_id,
          |  CAST(enc % 1000000 AS INT) AS seg_id, seg_md5, n_copies
          |FROM k ORDER BY doc_id, seg_id""".stripMargin,
+    "q68_bigram_lm" ->
+      s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
+         |bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+         |  FROM toks, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+         |bic AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+         |unic AS (SELECT w, COUNT(*) AS c1
+         |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+         |tot AS (SELECT COUNT(*) AS tot FROM (SELECT unnest(t) FROM toks)),
+         |scored AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+         |    AVG(ln(CAST(0.7 AS DOUBLE) * CAST(c12 AS DOUBLE) / u1.c1
+         |      + CAST(0.3 AS DOUBLE) * CAST(u2.c1 AS DOUBLE) / tot)) AS lp
+         |  FROM bi JOIN bic USING (w1, w2)
+         |  JOIN unic u1 ON bi.w1 = u1.w
+         |  JOIN unic u2 ON bi.w2 = u2.w, tot
+         |  GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, round(lp, 6) AS avg_logprob
+         |FROM scored ORDER BY doc_id""".stripMargin,
+    "q69_zipf_profile" ->
+      s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
+         |f AS (SELECT term, COUNT(*) AS freq
+         |  FROM (SELECT unnest(t) AS term FROM toks) GROUP BY term),
+         |rk AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, term) AS rank FROM f),
+         |r AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+         |  FROM rk WHERE rank <= 100),
+         |a AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         |    SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy FROM r)
+         |SELECT n,
+         |  round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope_r,
+         |  round((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n, 6)
+         |    AS intercept_r,
+         |  round(pow(sxy - sx * sy / n, 2)
+         |    / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r2_r
+         |FROM a""".stripMargin,
     "q67_source_cap" ->
       """WITH r AS (SELECT source, doc_id, n_chars,
         |    CAST(row_number() OVER (PARTITION BY source
