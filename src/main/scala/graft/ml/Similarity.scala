@@ -86,9 +86,16 @@ object Similarity {
     // shingle before the filter — fine for real shingle-frequency tails;
     // a pathological ultra-hot head would get a count-min/sample prefilter
     // in production, the documented guard.
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = sh.groupBy(col("shingle"))
+    val buckets = sh.groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+    // doc sizes re-derived from the bucket lists, NOT from a second pass
+    // over sh: every (doc, shingle) incidence survives in exactly one
+    // bucket row, so exploding ds and counting per doc gives the same n —
+    // but its input is the REUSED shingle exchange, so scan + tokenize +
+    // explode (the dominant cost here) run exactly once for the query
+    val sizes = buckets.select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = buckets
       .filter(size(col("ds")).between(2, 20))
       .select(explode(expr(
         """flatten(transform(ds, (x, i) ->
