@@ -72,4 +72,46 @@ class ScaleSpec extends AnyFunSuite {
     // partial + final pair = two HashAggregate nodes around the exchange
     assert("HashAggregate".r.findAllIn(plan).size >= 2)
   }
+
+  test("filters reach the parquet scan (PushedFilters non-empty)") {
+    val plan = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 45).select(col("l_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan(l_quantity"),
+      s"quantity filter must reach the scan; plan:\n$plan")
+    // column pruning: the scan's ReadSchema carries only the 2 used columns
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"scan must prune to the projected columns; plan:\n$plan")
+  }
+
+  test("per-domain cap plans a bounded WindowGroupLimit, and nothing joins") {
+    val plan = graft.text.CorpusFilters.q67_source_cap(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=N filter must become a bounded per-partition heap; plan:\n$plan")
+    assert(!plan.contains("Join"), s"no join belongs in this plan:\n$plan")
+  }
+
+  test("bloom decontamination scores the corpus without any join") {
+    val plan = graft.ml.Bloom.m_bloom_decontaminate(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"the probe must be a scalar against a plan constant, not a join:\n$plan")
+  }
+
+  test("span dedup is one aggregation shape: no joins, no window") {
+    val plan = graft.text.CorpusFilters.q66_span_dedup(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("WindowExec"),
+      s"first-occurrence argmin must live inside the digest agg:\n$plan")
+  }
+
+  test("quantized ANN broadcasts the query side, never sort-merges") {
+    val plan = graft.ml.Quantize.m_ann_quantized(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"tiny query set must broadcast against the streaming corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing here may shuffle-sort the corpus for a join:\n$plan")
+  }
 }
