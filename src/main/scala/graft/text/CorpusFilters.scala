@@ -371,6 +371,62 @@ object CorpusFilters {
             * (col("syy") - col("sy") * col("sy") / col("n"))), 6).as("r2_r"))
   }
 
+  // --------------------------------------------------- curation funnel
+  /** The whole curation pipeline as ONE funnel: documents flow through
+    * length bounds → repetition gate (q51) → LM-quality gate (q56) →
+    * exact first-occurrence dedup → benchmark decontamination (q52, zero
+    * overlapping 5-grams), and each stage reports its cumulative survivor
+    * count — the per-rule attrition table every corpus-curation run ships
+    * with (what fraction did each filter cost?). Composes the already-
+    * gated signal queries rather than re-deriving them, so the funnel's
+    * semantics are pinned wherever theirs are.
+    *
+    * Scale: each signal is its own linear plan (documented at its own
+    * query); the funnel adds doc_id equi-joins (co-partitioned after the
+    * first shuffle) and ONE global count row — no new corpus-shaped state.
+    * Stage booleans are computed once and summed with conditional
+    * aggregates, so adding a rule costs one column, not one pass. */
+  def q70_curation_funnel(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+        =!= "f") // the held-out benchmark bucket is not corpus
+      .select(col("doc_id"), size(Cleanse.tokens(col("text"))).as("n_tokens"),
+        md5(col("text").cast("binary")).as("text_md5"))
+    val firsts = base.groupBy(col("text_md5")).agg(min(col("doc_id")).as("first_id"))
+    val rep = q51_repetition(s, dir).select(col("doc_id"), col("flagged").as("rep_flag"))
+    val lm = q56_unigram_logprob(s, dir).select(col("doc_id"), col("flagged").as("lm_flag"))
+    val cont = q52_contamination(s, dir).select(col("doc_id"), col("n_hit"))
+    val flags = base
+      .join(firsts, "text_md5")
+      .join(rep, Seq("doc_id"), "left")
+      .join(lm, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .select(
+        col("n_tokens").between(20, 1000).as("f_len"),
+        coalesce(!col("rep_flag"), lit(false)).as("f_rep"),
+        coalesce(!col("lm_flag"), lit(false)).as("f_lm"),
+        (col("doc_id") === col("first_id")).as("f_dup"),
+        coalesce(col("n_hit") === 0, lit(false)).as("f_cont"))
+    def kept(c: Column) = sum(when(c, 1L).otherwise(0L))
+    flags.agg(
+      count(lit(1)).as("s0"),
+      kept(col("f_len")).as("s1"),
+      kept(col("f_len") && col("f_rep")).as("s2"),
+      kept(col("f_len") && col("f_rep") && col("f_lm")).as("s3"),
+      kept(col("f_len") && col("f_rep") && col("f_lm") && col("f_dup")).as("s4"),
+      kept(col("f_len") && col("f_rep") && col("f_lm") && col("f_dup")
+        && col("f_cont")).as("s5"))
+      .select(expr(
+        """stack(6,
+          | 0, 'corpus',         s0,
+          | 1, 'length',         s1,
+          | 2, 'repetition',     s2,
+          | 3, 'lm_quality',     s3,
+          | 4, 'exact_dedup',    s4,
+          | 5, 'decontaminated', s5) AS (stage, rule, n_kept)""".stripMargin))
+      .orderBy(col("stage"))
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_repetition"    -> (q51_repetition _),
@@ -383,7 +439,8 @@ object CorpusFilters {
     "q66_span_dedup"      -> (q66_span_dedup _),
     "q67_source_cap"      -> (q67_source_cap _),
     "q68_bigram_lm"       -> (q68_bigram_lm _),
-    "q69_zipf_profile"    -> (q69_zipf_profile _))
+    "q69_zipf_profile"    -> (q69_zipf_profile _),
+    "q70_curation_funnel" -> (q70_curation_funnel _))
 
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
@@ -523,6 +580,68 @@ object CorpusFilters {
          |  round(pow(sxy - sx * sy / n, 2)
          |    / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r2_r
          |FROM a""".stripMargin,
+    "q70_curation_funnel" ->
+      s"""WITH toksall AS (SELECT doc_id, text, $DToks AS t FROM documents),
+         |base AS (SELECT doc_id, len(t) AS n_tokens, md5(text) AS text_md5
+         |  FROM toksall
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> 'f'),
+         |firsts AS (SELECT text_md5, MIN(doc_id) AS first_id
+         |  FROM base GROUP BY 1),
+         |d2 AS (SELECT doc_id, t FROM toksall WHERE len(t) >= 2),
+         |uni AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS top_uni
+         |  FROM (SELECT doc_id, g, COUNT(*) AS c
+         |        FROM (SELECT doc_id, unnest(t) AS g FROM d2) GROUP BY 1, 2)
+         |  GROUP BY doc_id),
+         |bi AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS top_bi
+         |  FROM (SELECT doc_id, g, COUNT(*) AS c
+         |        FROM (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         |          i -> t[i] || ' ' || t[i+1])) AS g FROM d2) GROUP BY 1, 2)
+         |  GROUP BY doc_id),
+         |rep AS (SELECT uni.doc_id,
+         |    (round(CAST(top_uni AS DOUBLE) / uni.n_tokens, 6) > 0.30
+         |     OR round(CAST(top_bi AS DOUBLE) / n_bigrams, 6) > 0.18) AS rep_flag
+         |  FROM uni JOIN bi ON uni.doc_id = bi.doc_id),
+         |utoks AS (SELECT doc_id, unnest(t) AS term FROM toksall),
+         |freqs AS (SELECT term, COUNT(*) AS tf FROM utoks GROUP BY term),
+         |tot AS (SELECT COUNT(*) AS total FROM utoks),
+         |lm AS (SELECT doc_id,
+         |    (AVG(ln(CAST(tf AS DOUBLE) / total)) < -3.5) AS lm_flag
+         |  FROM utoks JOIN freqs USING (term), tot GROUP BY doc_id),
+         |grams AS (SELECT DISTINCT doc_id,
+         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+         |    unnest(list_transform(range(1, len(t) - 3),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+         |  FROM toksall WHERE len(t) >= 5),
+         |bench AS (SELECT DISTINCT g FROM grams WHERE bucket = 'f'),
+         |cont AS (SELECT doc_id,
+         |    CAST(SUM(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |  FROM (SELECT * FROM grams WHERE bucket <> 'f') c
+         |  LEFT JOIN bench ON c.g = bench.g GROUP BY doc_id),
+         |flags AS (SELECT
+         |    (b.n_tokens BETWEEN 20 AND 1000) AS f_len,
+         |    coalesce(NOT r.rep_flag, false) AS f_rep,
+         |    coalesce(NOT l.lm_flag, false) AS f_lm,
+         |    (b.doc_id = f.first_id) AS f_dup,
+         |    coalesce(c.n_hit = 0, false) AS f_cont
+         |  FROM base b JOIN firsts f USING (text_md5)
+         |  LEFT JOIN rep r ON b.doc_id = r.doc_id
+         |  LEFT JOIN lm l ON b.doc_id = l.doc_id
+         |  LEFT JOIN cont c ON b.doc_id = c.doc_id),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+         |  CAST(SUM(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         |  CAST(SUM(CASE WHEN f_len AND f_rep THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         |  CAST(SUM(CASE WHEN f_len AND f_rep AND f_lm THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+         |  CAST(SUM(CASE WHEN f_len AND f_rep AND f_lm AND f_dup THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+         |  CAST(SUM(CASE WHEN f_len AND f_rep AND f_lm AND f_dup AND f_cont THEN 1 ELSE 0 END) AS BIGINT) AS s5
+         | FROM flags)
+         |SELECT stage, rule, n_kept FROM (
+         |  SELECT 0 AS stage, 'corpus' AS rule, s0 AS n_kept FROM a
+         |  UNION ALL SELECT 1, 'length', s1 FROM a
+         |  UNION ALL SELECT 2, 'repetition', s2 FROM a
+         |  UNION ALL SELECT 3, 'lm_quality', s3 FROM a
+         |  UNION ALL SELECT 4, 'exact_dedup', s4 FROM a
+         |  UNION ALL SELECT 5, 'decontaminated', s5 FROM a)
+         |ORDER BY stage""".stripMargin,
     "q67_source_cap" ->
       """WITH r AS (SELECT source, doc_id, n_chars,
         |    CAST(row_number() OVER (PARTITION BY source
