@@ -377,36 +377,99 @@ object CorpusFilters {
     * exact first-occurrence dedup → benchmark decontamination (q52, zero
     * overlapping 5-grams), and each stage reports its cumulative survivor
     * count — the per-rule attrition table every corpus-curation run ships
-    * with (what fraction did each filter cost?). Composes the already-
-    * gated signal queries rather than re-deriving them, so the funnel's
-    * semantics are pinned wherever theirs are.
+    * with (what fraction did each filter cost?). The rule semantics are
+    * the gated signal queries' own (q51's rounded-frac thresholds, q56's
+    * −3.5 nats, q52's bench bucket), and the DuckDB twin recomputes each
+    * signal independently — drift in either encoding fails the gate.
     *
-    * Scale: each signal is its own linear plan (documented at its own
-    * query); the funnel adds doc_id equi-joins (co-partitioned after the
-    * first shuffle) and ONE global count row — no new corpus-shaped state.
-    * Stage booleans are computed once and summed with conditional
-    * aggregates, so adding a rule costs one column, not one pass. */
+    * Scale: deliberately NOT a composition of the signal queries — that
+    * plan scanned the corpus 18 times. Three specialized corpus passes,
+    * each computing only what it needs: (1) the corpus docs emit their
+    * unigrams, bigrams and distinct 5-grams in ONE tagged explode, one
+    * shuffle counts them all, one per-doc rollup computes every token-
+    * level flag; (2) a unigram-only pass builds the LM model (over ALL
+    * docs, matching q56 — vocabulary-sized, broadcast back); (3) a
+    * bench-bucket-only pass collects the protected 5-gram set (1/16 of
+    * docs tokenized, broadcast back). Plus column-pruned (doc_id, text)
+    * scans for the md5 dedup spine. Writing the passes specialized by
+    * hand (instead of filtering one shared gram stream) matters because
+    * filter pushdown specializes the branches anyway and defeats
+    * exchange reuse — this shape does strictly less work than either
+    * the shared-stream or the composed form. Adding a token-level rule
+    * costs one kind tag in pass (1), not a corpus pass. */
   def q70_curation_funnel(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir)
+    val emptyKG = "CAST(array() AS ARRAY<STRUCT<kind: STRING, gram: STRING>>)"
+    val fiveGrams =
+      "transform(array_distinct(transform(sequence(1, size(t)-4)," +
+        " i -> concat_ws(' ', element_at(t,i), element_at(t,i+1)," +
+        " element_at(t,i+2), element_at(t,i+3), element_at(t,i+4))))"
+    def docs(s: SparkSession) = Tables.documents(s, dir).select(col("doc_id"),
+      substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+        .as("bucket"),
+      Cleanse.tokens(col("text")).as("t"))
+    // pass 1: corpus docs only, every gram kind tagged in one explode —
+    // 'u' unigram, 'b' bigram, '5' distinct 5-gram (decontamination unit)
+    val tagged = docs(s).filter(col("bucket") =!= "f")
+      .select(col("doc_id"), explode(concat(
+        expr("transform(t, x -> struct('u' AS kind, x AS gram))"),
+        expr("CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t)-1)," +
+          " i -> struct('b' AS kind, concat(element_at(t,i), ' ', element_at(t,i+1)) AS gram))" +
+          s" ELSE $emptyKG END"),
+        expr(s"CASE WHEN size(t) >= 5 THEN $fiveGrams," +
+          s" g -> struct('5' AS kind, g AS gram)) ELSE $emptyKG END")))
+        .as("kg"))
+      .select(col("doc_id"), col("kg.kind").as("kind"), col("kg.gram").as("gram"))
+    val counts = tagged
+      .groupBy(col("doc_id"), col("kind"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    // pass 2: unigram-only, ALL docs — the q56 LM model (vocabulary-sized)
+    val freqs = docs(s).select(explode(col("t")).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("tf"))
+    // Σ tf without re-exploding: total token instances is a map-side size
+    // sum (aggregating freqs would re-run the unigram pass — its subtree
+    // has two consumers and no exchange to reuse)
+    val total = docs(s).agg(sum(size(col("t"))).cast("long").as("total"))
+    // pass 3: bench bucket only — the protected 5-gram set
+    val bench = docs(s).filter(col("bucket") === "f" && size(col("t")) >= 5)
+      .select(explode(expr(s"$fiveGrams, g -> g)")).as("gram"))
+      .distinct().withColumn("hit", lit(1L))
+    val rollup = counts
+      .join(broadcast(freqs.crossJoin(total)), Seq("gram"), "left")
+      .join(broadcast(bench), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("kind") === "u", col("c"))).as("n_tokens"),
+        max(when(col("kind") === "u", col("c"))).as("top_uni"),
+        sum(when(col("kind") === "b", col("c"))).as("n_bigrams"),
+        max(when(col("kind") === "b", col("c"))).as("top_bi"),
+        sum(when(col("kind") === "u",
+          col("c") * log(col("tf").cast(DoubleType) / col("total")))).as("lpsum"),
+        sum(when(col("kind") === "5", col("hit"))).as("n_hit"))
+    // the doc spine: every non-benchmark document (including zero-token
+    // ones the explode drops) with its exact-dup key — column-pruned
+    // (doc_id, text) scans, no tokenize
+    val spine = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"))
       .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
-        =!= "f") // the held-out benchmark bucket is not corpus
-      .select(col("doc_id"), size(Cleanse.tokens(col("text"))).as("n_tokens"),
-        md5(col("text").cast("binary")).as("text_md5"))
-    val firsts = base.groupBy(col("text_md5")).agg(min(col("doc_id")).as("first_id"))
-    val rep = q51_repetition(s, dir).select(col("doc_id"), col("flagged").as("rep_flag"))
-    val lm = q56_unigram_logprob(s, dir).select(col("doc_id"), col("flagged").as("lm_flag"))
-    val cont = q52_contamination(s, dir).select(col("doc_id"), col("n_hit"))
-    val flags = base
+        =!= "f")
+    val firsts = spine.groupBy(col("text_md5")).agg(min(col("doc_id")).as("first_id"))
+    val flags = spine
       .join(firsts, "text_md5")
-      .join(rep, Seq("doc_id"), "left")
-      .join(lm, Seq("doc_id"), "left")
-      .join(cont, Seq("doc_id"), "left")
+      .join(rollup, Seq("doc_id"), "left")
       .select(
-        col("n_tokens").between(20, 1000).as("f_len"),
-        coalesce(!col("rep_flag"), lit(false)).as("f_rep"),
-        coalesce(!col("lm_flag"), lit(false)).as("f_lm"),
+        coalesce(col("n_tokens").between(20, 1000), lit(false)).as("f_len"),
+        // q51's gate on the ROUNDED fractions, inverted; under-2-token
+        // docs (null bigram side) fall to false, masked by f_len
+        coalesce(
+          !(round(col("top_uni").cast(DoubleType) / col("n_tokens"), 6) > 0.30
+            || round(col("top_bi").cast(DoubleType) / col("n_bigrams"), 6) > 0.18),
+          lit(false)).as("f_rep"),
+        // mean token log-prob = Σ c·ln p / n (same instance-average q56 takes)
+        coalesce(col("lpsum") / col("n_tokens") >= -3.5, lit(false)).as("f_lm"),
         (col("doc_id") === col("first_id")).as("f_dup"),
-        coalesce(col("n_hit") === 0, lit(false)).as("f_cont"))
+        // null n_hit ⇔ zero bench-gram overlap for any doc long enough to
+        // matter: docs under 5 tokens are also null but f_len masks them
+        col("n_hit").isNull.as("f_cont"))
     def kept(c: Column) = sum(when(c, 1L).otherwise(0L))
     flags.agg(
       count(lit(1)).as("s0"),
