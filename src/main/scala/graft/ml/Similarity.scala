@@ -435,7 +435,7 @@ object Similarity {
       // set equality in ONE job (both sides are distinct): tag +1/-1,
       // any group summing nonzero is a difference in either direction
       converged = edges.select(col("u"), col("v"), lit(1).as("tag"))
-        .unionAll(next.select(col("u"), col("v"), lit(-1).as("tag")))
+        .union(next.select(col("u"), col("v"), lit(-1).as("tag")))
         .groupBy(col("u"), col("v")).agg(sum(col("tag")).as("d"))
         .filter(col("d") =!= 0).isEmpty
       edges = next

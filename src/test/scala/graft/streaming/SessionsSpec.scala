@@ -46,6 +46,49 @@ class SessionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming bloom decontamination gate matches the batch scorer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // the batch reference: per-doc bloom hit counts over the same filter
+    val batch = graft.ml.Bloom.m_bloom_decontaminate(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // rebuild the same protected-gram filter the batch query embeds
+    val grams = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.text.Cleanse.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+          .as("bucket"),
+        explode(expr("array_distinct(transform(sequence(1, size(t)-4)," +
+          " i -> concat_ws(' ', element_at(t,i), element_at(t,i+1)," +
+          " element_at(t,i+2), element_at(t,i+3), element_at(t,i+4))))")).as("g"))
+    val bytes = graft.ml.Bloom.buildFilter(
+      grams.filter(col("bucket") === "f").select(col("g")).distinct(),
+      col("g"), expectedItems = 1L << 20, fpp = 0.01)
+    // stream the corpus docs through the stateless gate
+    val corpus = graft.Tables.documents(spark, dir)
+      .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+        =!= "f")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q = Sessions.decontaminateStream(
+      input.toDF().toDF("doc_id", "text"), "text", bytes)
+      .writeStream.format("memory").queryName("decon_out")
+      .outputMode("append").start()
+    try {
+      input.addData(corpus.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("decon_out")
+        .filter(col("n_grams") >= 1)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit_bloom"))).toMap
+      assert(streamed == batch,
+        "stateless streaming gate must score identically to the batch query")
+    } finally q.stop()
+  }
+
   test("windowed counts run identically on a batch frame (unified plan)") {
     import spark.implicits._
     val batch = Seq(
