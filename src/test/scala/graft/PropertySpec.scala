@@ -27,6 +27,35 @@ object PureProperties extends Properties("graft.pure") {
         (bs.length < n || fs.flatten.sameElements(bs)) // exact cover when enough bytes
     }
 
+  private val vecGen: Gen[Array[Double]] =
+    Gen.nonEmptyContainerOf[Array, Double](Gen.chooseNum(-1e3, 1e3))
+
+  property("QuantUtil: per-element quantization error ≤ scale/2") =
+    Prop.forAll(vecGen) { v =>
+      val wrapped = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v)
+      val sc = ml.QuantUtil.scale(wrapped)
+      val q = ml.QuantUtil.quantize(wrapped, sc)
+      v.indices.forall { i =>
+        math.abs(q(i) * sc - v(i)) <= sc / 2 + 1e-12 * math.abs(v(i))
+      }
+    }
+
+  property("QuantUtil: dot of quantized vectors within the analytic bound") =
+    Prop.forAll(vecGen, vecGen) { (a0, b0) =>
+      val n = math.min(a0.length, b0.length)
+      val (a, b) = (a0.take(n), b0.take(n))
+      val (wa, wb) = (org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a),
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(b))
+      val (sa, sb) = (ml.QuantUtil.scale(wa), ml.QuantUtil.scale(wb))
+      val approx = ml.QuantUtil.dot(
+        ml.QuantUtil.quantize(wa, sa), ml.QuantUtil.quantize(wb, sb)) * sa * sb
+      val exact = a.zip(b).map { case (x, y) => x * y }.sum
+      // |Δ| ≤ Σ (|a_i|·sb/2 + |b_i|·sa/2 + sa·sb/4), plus float slack
+      val bound = a.zip(b).map { case (x, y) =>
+        math.abs(x) * sb / 2 + math.abs(y) * sa / 2 + sa * sb / 4 }.sum
+      math.abs(approx - exact) <= bound * (1 + 1e-9) + 1e-9
+    }
+
   property("Sessions.sessionsOf: gap-consistent partition of the input") =
     Prop.forAll(Gen.listOf(Gen.choose(0L, 10L * streaming.Sessions.GapMs))) { ts =>
       val sorted = ts.sorted
