@@ -36,6 +36,16 @@ class SinkSpec extends AnyFunSuite {
     assert(r.getString(0) == "file123")
     assert(r.getString(1) == "&x")
     assert(r.getDouble(2) == 11.0)
+    // aggregate registrations: one serialized Bloom filter cell whose
+    // members then probe true through the Column API
+    val bf = spark.sql(
+      "SELECT bloom_build(v, 100, CAST(0.01 AS DOUBLE)) AS f FROM VALUES ('a'), ('b') AS t(v)")
+      .head().getAs[Array[Byte]](0)
+    import spark.implicits._
+    val probed = Seq("a", "b", "zzz").toDF("v")
+      .select(col("v"), graft.ml.Bloom.bloom_contains(col("v"), bf).as("hit"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(probed("a") && probed("b"))
   }
 
   test("media resize: images re-encoded at target dims, other kinds untouched") {
