@@ -181,9 +181,16 @@ object Bloom {
         explode(array_distinct(expr(
           "transform(sequence(1, size(t)-4), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2), element_at(t,i+3), element_at(t,i+4)))")))
           .as("g"))
-    val filter = buildFilter(
-      grams.filter(col("bucket") === "f").select(col("g")).distinct(),
-      col("g"), expectedItems = 1L << 20, fpp = 0.01)
+    // size the filter from the OBSERVED protected-set cardinality (one
+    // tiny agg on the bench side): a fixed guess that undershoots would
+    // silently degrade fpp as the eval suite grows — saturation is the
+    // classic Bloom failure mode, and counting first costs almost nothing
+    // relative to the build
+    val benchGrams = grams.filter(col("bucket") === "f")
+      .select(col("g")).distinct()
+    val expected = math.max(benchGrams.count(), 1024L)
+    val filter = buildFilter(benchGrams, col("g"),
+      expectedItems = expected, fpp = 0.01)
     grams.filter(col("bucket") =!= "f")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),

@@ -63,9 +63,10 @@ class SessionsSpec extends AnyFunSuite {
         explode(expr("array_distinct(transform(sequence(1, size(t)-4)," +
           " i -> concat_ws(' ', element_at(t,i), element_at(t,i+1)," +
           " element_at(t,i+2), element_at(t,i+3), element_at(t,i+4))))")).as("g"))
-    val bytes = graft.ml.Bloom.buildFilter(
-      grams.filter(col("bucket") === "f").select(col("g")).distinct(),
-      col("g"), expectedItems = 1L << 20, fpp = 0.01)
+    val benchGrams = grams.filter(col("bucket") === "f")
+      .select(col("g")).distinct()
+    val bytes = graft.ml.Bloom.buildFilter(benchGrams, col("g"),
+      expectedItems = math.max(benchGrams.count(), 1024L), fpp = 0.01)
     // stream the corpus docs through the stateless gate
     val corpus = graft.Tables.documents(spark, dir)
       .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
