@@ -337,6 +337,46 @@ object CorpusFilters {
       .orderBy(col("doc_id"))
   }
 
+  // --------------------------------------------------- BM25 retrieval
+  /** BM25 document scoring for a fixed query-term set — the retrieval
+    * primitive behind quality-by-relevance selection (e.g. "keep docs
+    * resembling these seed queries", the DSIR-style targeted-corpus
+    * move). Standard Robertson/Sparck-Jones form: k1 = 1.2, b = 0.75,
+    * idf = ln(1 + (N − df + 0.5)/(df + 0.5)); top 20 docs by score with
+    * doc_id as the deterministic tiebreak.
+    *
+    * Scale: one (doc, term) tf agg over the filtered query-term stream —
+    * map-side combine, and only query-matching tokens survive the first
+    * filter; df and avgdl are vocabulary/constant-sized broadcasts; the
+    * final top-k is a TakeOrderedAndProject, not a global sort. */
+  def q71_bm25(s: SparkSession, dir: String): DataFrame = {
+    val qterms = Seq("spark", "query", "table")
+    val (k1, b) = (1.2, 0.75)
+    val toks = docToks(s, dir)
+      .select(col("doc_id"), size(col("t")).as("dl"), explode(col("t")).as("term"))
+    val stats = Tables.documents(s, dir)
+      .select(size(Cleanse.tokens(col("text"))).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        avg(col("dl").cast(DoubleType)).as("avgdl"))
+    val dfs = toks.filter(col("term").isin(qterms: _*))
+      .groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val tf = toks.filter(col("term").isin(qterms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // literal structure mirrors the SQL twin op-for-op so both engines
+    // evaluate the identical double expression tree
+    tf.join(broadcast(dfs.crossJoin(stats)), "term")
+      .select(col("doc_id"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * (col("tf") * (lit(k1) + lit(1.0)))
+          / (col("tf") + lit(k1) * (lit(1.0) - lit(b)
+            + lit(b) * col("dl") / col("avgdl")))).as("sc"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("sc")), 6).as("bm25_r"))
+      .orderBy(col("bm25_r").desc, col("doc_id"))
+      .limit(20)
+  }
+
   // ------------------------------------------------- Zipf corpus profile
   /** Zipf rank-frequency fit — the corpus-health diagnostic: natural text
     * follows freq ∝ rank^(−s) with s ≈ 1; machine-generated or templated
@@ -503,7 +543,8 @@ object CorpusFilters {
     "q67_source_cap"      -> (q67_source_cap _),
     "q68_bigram_lm"       -> (q68_bigram_lm _),
     "q69_zipf_profile"    -> (q69_zipf_profile _),
-    "q70_curation_funnel" -> (q70_curation_funnel _))
+    "q70_curation_funnel" -> (q70_curation_funnel _),
+    "q71_bm25"            -> (q71_bm25 _))
 
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
@@ -705,6 +746,23 @@ object CorpusFilters {
          |  UNION ALL SELECT 4, 'exact_dedup', s4 FROM a
          |  UNION ALL SELECT 5, 'decontaminated', s5 FROM a)
          |ORDER BY stage""".stripMargin,
+    "q71_bm25" ->
+      s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
+         |tk AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+         |stats AS (SELECT COUNT(*) AS n_docs,
+         |    AVG(CAST(len(t) AS DOUBLE)) AS avgdl FROM toks),
+         |dfs AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tk
+         |  WHERE term IN ('spark', 'query', 'table') GROUP BY term),
+         |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM tk
+         |  WHERE term IN ('spark', 'query', 'table') GROUP BY 1, 2, 3),
+         |sc AS (SELECT doc_id,
+         |    ln(CAST(1.0 AS DOUBLE) + (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+         |      * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+         |      / (tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+         |        + CAST(0.75 AS DOUBLE) * dl / avgdl)) AS sc
+         |  FROM tf JOIN dfs USING (term), stats)
+         |SELECT doc_id, round(SUM(sc), 6) AS bm25_r FROM sc
+         |GROUP BY doc_id ORDER BY bm25_r DESC, doc_id LIMIT 20""".stripMargin,
     "q67_source_cap" ->
       """WITH r AS (SELECT source, doc_id, n_chars,
         |    CAST(row_number() OVER (PARTITION BY source
