@@ -337,6 +337,35 @@ object CorpusFilters {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------- sequence packing
+  /** Concat-and-slice sequence assembly — the stage after chunking (q57)
+    * in a training pipeline: documents are laid end-to-end in a packed
+    * token stream and cut into fixed-length training sequences; this
+    * query emits each document's byte-of-the-stream accounting (start
+    * offset, first/last sequence index) so the actual slicing is a pure
+    * map over the assignments.
+    *
+    * Scale: one global stream would serialize the cumsum, so the corpus
+    * packs into 32 INDEPENDENT streams keyed by doc_id mod 32 — each
+    * bucket's running offset is a window cumsum over its own partition
+    * (sequences never cross buckets; 32 boundary sequences of waste per
+    * corpus is noise, and buckets scale with the cluster by raising the
+    * modulus). All-integer output, so the gate is exact. */
+  def q72_pack_offsets(s: SparkSession, dir: String): DataFrame = {
+    val seqLen = 64
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docToks(s, dir).filter(size(col("t")) >= 1)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(32)).as("bucket"),
+        size(col("t")).cast("long").as("n_tokens"))
+      .withColumn("off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("bucket"), col("n_tokens"), col("off"),
+        expr(s"off div $seqLen").as("seq_first"),
+        expr(s"(off + n_tokens - 1) div $seqLen").as("seq_last"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------- BM25 retrieval
   /** BM25 document scoring for a fixed query-term set — the retrieval
     * primitive behind quality-by-relevance selection (e.g. "keep docs
@@ -544,7 +573,8 @@ object CorpusFilters {
     "q68_bigram_lm"       -> (q68_bigram_lm _),
     "q69_zipf_profile"    -> (q69_zipf_profile _),
     "q70_curation_funnel" -> (q70_curation_funnel _),
-    "q71_bm25"            -> (q71_bm25 _))
+    "q71_bm25"            -> (q71_bm25 _),
+    "q72_pack_offsets"    -> (q72_pack_offsets _))
 
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
@@ -746,6 +776,19 @@ object CorpusFilters {
          |  UNION ALL SELECT 4, 'exact_dedup', s4 FROM a
          |  UNION ALL SELECT 5, 'decontaminated', s5 FROM a)
          |ORDER BY stage""".stripMargin,
+    "q72_pack_offsets" ->
+      s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
+         |c AS (SELECT doc_id, doc_id % 32 AS bucket,
+         |    CAST(len(t) AS BIGINT) AS n_tokens
+         |  FROM toks WHERE len(t) >= 1),
+         |o AS (SELECT doc_id, bucket, n_tokens,
+         |    CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         |  FROM c)
+         |SELECT doc_id, bucket, n_tokens, off,
+         |  off // 64 AS seq_first,
+         |  (off + n_tokens - 1) // 64 AS seq_last
+         |FROM o ORDER BY doc_id""".stripMargin,
     "q71_bm25" ->
       s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
          |tk AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
