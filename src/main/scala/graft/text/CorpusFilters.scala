@@ -257,10 +257,15 @@ object CorpusFilters {
           s" i -> array_join(slice(t, i * $seg + 1, $seg), ' '))"))
         .as(Seq("seg_id", "sg")))
       .groupBy(md5(col("sg").cast("binary")).as("seg_md5"))
-      // seg_id < 1e6 always (docs are KB-scale; even 100-TB corpora cap
-      // documents far below 8M tokens), so the packed long's min is the
-      // lexicographic min of (doc_id, seg_id)
-      .agg(min(col("doc_id") * 1000000L + col("seg_id")).as("enc"),
+      // seg_id < 1e6 so the packed long's min is the lexicographic min of
+      // (doc_id, seg_id). Docs are KB-scale — even 100-TB corpora cap
+      // documents far below 8M tokens — but a violation would corrupt the
+      // argmin SILENTLY, so it fails loudly instead (codegen'd branch,
+      // never taken in practice)
+      .agg(min(when(col("seg_id") >= 1000000,
+          raise_error(concat(lit("span_dedup: doc "), col("doc_id"),
+            lit(" exceeds the 8M-token packing bound"))).cast("long"))
+        .otherwise(col("doc_id") * 1000000L + col("seg_id"))).as("enc"),
         count(lit(1)).as("n_copies"))
       .select((col("enc") / 1000000L).cast("long").as("doc_id"),
         (col("enc") % 1000000L).cast("int").as("seg_id"),
