@@ -72,8 +72,14 @@ object Bench {
         try run(fn, sfDir) catch { case _: Throwable => return -1.0 }
         (System.nanoTime() - t0) / 1e9
       }
-      // measurement hygiene: drain garbage accumulated by earlier queries
-      // so each timing measures this plan, not a predecessor's heap debt
+      // measurement hygiene: drop every block a predecessor left pinned
+      // (eager localCheckpoints, lingering .cache()s) and then drain heap
+      // garbage, so each timing measures this plan, not accumulated
+      // block-manager debt — the round-5 verdict measured q55 at 2.7× its
+      // isolated cost 70 queries into the sequence from exactly this.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       System.gc()
       val a = once()
       val b = once()

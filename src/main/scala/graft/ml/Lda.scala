@@ -131,7 +131,10 @@ object Lda {
         col("doc_id"),
         (expr("array_position(td, array_max(td))") - 1).cast("int").as("top_topic"),
         round(array_max(col("td")), 6).as("top_weight"),
-        expr("transform(td, x -> round(x, 6))").as("dist"),
+        // JSON digest, not a raw array<double>: the driver's pandas
+        // comparator sorts result columns and cannot hash numpy arrays,
+        // so the distribution ships as a scalar string.
+        to_json(expr("transform(td, x -> round(x, 6))")).as("dist"),
         round(expr(
           "-aggregate(td, 0D, (a, x) -> a + if(x > 0D, x * ln(x), 0D))"), 6)
           .as("entropy"))

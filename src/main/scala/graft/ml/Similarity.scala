@@ -415,15 +415,24 @@ object Similarity {
     // LogicalRDD per round (on a cluster: reliable checkpoint to the DFS).
     // Every localCheckpoint below caches an RDD; without cleanup a bench
     // loop leaks one per round per run, and the accumulated block-manager
-    // debt quintupled q55's time 70 queries into a bench sequence. The
-    // persisted RDDs are internal to Dataset plumbing, so track them by
-    // id through the context and drop them once the result is pinned.
-    val sc = pairs.sparkSession.sparkContext
-    val preexisting = sc.getPersistentRDDs.keySet
-    val init = pairs
+    // debt quintupled q55's time 70 queries into a bench sequence. Track
+    // exactly the RDDs THIS loop checkpointed — each checkpointed Dataset's
+    // plan is a LogicalRDD wrapping the persisted RDD — and drop them once
+    // the result is pinned. (A global persistent-RDD set-diff would also
+    // unpersist RDDs a concurrent query on the shared session persisted
+    // in the meantime, which is fatal for its truncated lineage.)
+    val loopRdds = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    def tracked(df: DataFrame): DataFrame = {
+      df.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD => loopRdds += l.rdd
+        case _ => ()
+      }
+      df
+    }
+    val init = tracked(pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint())
     var edges = init
     var rounds = 0
     var converged = false
@@ -431,7 +440,7 @@ object Similarity {
       // LAZY checkpoint: the convergence check below is the round's only
       // job — it materializes next's cache as a side effect, instead of
       // paying one checkpoint job + one comparison job per round
-      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
+      val next = tracked(smallStar(largeStar(edges)).localCheckpoint(eager = false))
       // set equality in ONE job (both sides are distinct): tag +1/-1,
       // any group summing nonzero is a difference in either direction
       converged = edges.select(col("u"), col("v"), lit(1).as("tag"))
@@ -444,7 +453,6 @@ object Similarity {
     require(converged,
       s"large-star/small-star did not converge in $MaxRounds rounds — " +
         "impossible for any finite graph; investigate input")
-    val loopRddIds = sc.getPersistentRDDs.keySet.diff(preexisting)
     // at the fixpoint every edge is (member, component-min)
     val nodes = init
       .select(explode(array(col("u"), col("v"))).as("doc_id")).distinct()
@@ -459,9 +467,7 @@ object Similarity {
       // loop checkpoint can be dropped before this returns — callers see
       // a plan with no reference to the fixpoint's intermediate state
       .localCheckpoint()
-    sc.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (loopRddIds.contains(id)) rdd.unpersist(blocking = false)
-    }
+    loopRdds.foreach(_.unpersist(blocking = false))
     (labels, rounds)
   }
 

@@ -116,7 +116,9 @@ class MlSpec extends AnyFunSuite {
       assert(top >= 0 && top < 5, s"argmax topic in [0,5): $top")
       val w = r.getAs[Double]("top_weight")
       assert(w >= 1.0 / 5 - 1e-6 && w <= 1.0, s"argmax weight ≥ uniform: $w")
-      val dist = r.getSeq[Double](r.fieldIndex("dist"))
+      val distJson = r.getAs[String]("dist")
+      assert(distJson.startsWith("[") && distJson.endsWith("]"), s"dist is a JSON array digest: $distJson")
+      val dist = distJson.stripPrefix("[").stripSuffix("]").split(",").map(_.toDouble).toSeq
       assert(dist.length == 5)
       assert(math.abs(dist.sum - 1.0) < 1e-3, s"simplex sums to 1: ${dist.sum}")
       val h = r.getAs[Double]("entropy")
