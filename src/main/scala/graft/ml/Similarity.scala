@@ -334,7 +334,7 @@ object Similarity {
     * Hamming = bit_count(xor). Signature bits combine with bitwise OR of
     * per-bit signed literals (never `+`/`<<` at bit 63 — BIGINT sums
     * overflow-error in DuckDB where Spark wraps). */
-  private lazy val simhashOracle: String = {
+  private def simhashCtes(p: String): String = {
     // signed assembly: DuckDB errors on `hi << 32` once bit 31 is set
     // (BIGINT shift overflow), so bias hi into signed-32 range first —
     // (hi - 2^32·[hi ≥ 2^31]) · 2^32 + lo is two's-complement-identical to
@@ -347,28 +347,31 @@ object Similarity {
     val sig = (0 until 64).map { b =>
       s"(CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" | ")
-    s"""WITH toks AS (SELECT doc_id, unnest($DToks) AS term FROM documents),
-       |tf AS (SELECT doc_id, term, COUNT(*) AS freq FROM toks
+    s"""${p}toks AS (SELECT doc_id, unnest($DToks) AS term FROM documents),
+       |${p}tf AS (SELECT doc_id, term, COUNT(*) AS freq FROM ${p}toks
        |  GROUP BY doc_id, term),
-       |hs AS (SELECT doc_id, freq, $h64 AS h
+       |${p}hs AS (SELECT doc_id, freq, $h64 AS h
        |  FROM (SELECT doc_id, freq,
        |          CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) AS hi,
        |          CAST('0x' || substr(md5(term), 9, 8) AS BIGINT) AS lo
-       |        FROM tf)),
-       |votes AS (SELECT doc_id,
+       |        FROM ${p}tf)),
+       |${p}votes AS (SELECT doc_id,
        |  $votes
-       |  FROM hs GROUP BY doc_id),
-       |sig AS (SELECT doc_id, $sig AS simhash FROM votes),
-       |bands AS (SELECT doc_id, simhash, band,
+       |  FROM ${p}hs GROUP BY doc_id),
+       |${p}sig AS (SELECT doc_id, $sig AS simhash FROM ${p}votes),
+       |${p}bands AS (SELECT doc_id, simhash, band,
        |    ((simhash >> (band * 16)) & 65535) AS key
-       |  FROM sig, (VALUES (0),(1),(2),(3)) b(band)),
-       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  FROM ${p}sig, (VALUES (0),(1),(2),(3)) b(band)),
+       |${p}pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-       |    AND a.doc_id < b.doc_id)
+       |  FROM ${p}bands a JOIN ${p}bands b ON a.band = b.band AND a.key = b.key
+       |    AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private lazy val simhashOracle: String =
+    s"""WITH ${simhashCtes("")}
        |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 12
        |ORDER BY hamming, doc_a, doc_b""".stripMargin
-  }
 
   // --------------------------------------- dedup clusters (connected comps)
   /** Connected components over the near-dup pair graph (q33's Jaccard ≥
@@ -384,6 +387,50 @@ object Similarity {
   def q55_dedup_components(s: SparkSession, dir: String): DataFrame =
     components(q33_ngram_jaccard(s, dir).select(col("doc_a"), col("doc_b")))
       .orderBy(col("doc_id"))
+
+  /** MinHash band-collision candidate pairs: docs sharing any of the four
+    * (band = one md5-minhash) values pair up. Same bucketed shape as q33's
+    * shingle expansion — groupBy(band, value) buckets the colliding doc
+    * ids, a map-side transform expands C(n,2) ordered pairs, and buckets
+    * larger than 20 docs are dropped (an over-full bucket is a stop-bucket:
+    * O(n²) pairs, no near-dup signal — the q33 hot-shingle guard applied
+    * to minhash bands). Never an all-pairs join. */
+  private[graft] def minhashBandPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = graft.text.TextOps.minhashSignatures(s, dir)
+    val bands = sig.select(col("doc_id"), explode(array(
+      (1 to 4).map(i => struct(lit(i).as("band"), col(s"h$i").as("h"))): _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+    bands.groupBy(col("band"), col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, 20))
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), y ->
+          |    struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+  }
+
+  /** The dedup ENDGAME over the union of near-dup signals: a production
+    * dedup run does not cluster one detector's pairs — it unions every
+    * candidate source (exact n-gram Jaccard ≥ 0.5, SimHash Hamming ≤ 12,
+    * MinHash band collisions) into one graph and emits a single canonical
+    * keep-list. Each signal is itself bucketed candidate generation (no
+    * all-pairs anywhere), the union is a distinct on (doc_a, doc_b), and
+    * the clustering is the same O(log²)-round large-star/small-star
+    * fixpoint as q55. Output: every doc touched by any signal, its
+    * component label (= minimum reachable doc_id) and keep/drop flag.
+    * Oracle: recursive-CTE transitive closure over the identically-derived
+    * union of the three pair sets. */
+  def q73_dedup_union(s: SparkSession, dir: String): DataFrame = {
+    val jaccard = q33_ngram_jaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    val simhash = m_dedup_simhash(s, dir).select(col("doc_a"), col("doc_b"))
+    val minhash = minhashBandPairs(s, dir)
+    // no pre-distinct: components() canonically orients and dedups its
+    // input in one pass — a distinct here would just add a shuffle
+    components(jaccard.unionByName(simhash).unionByName(minhash))
+      .orderBy(col("doc_id"))
+  }
 
   /** Connected components over an undirected pair list (doc_a, doc_b) →
     * (doc_id, component, is_canonical) by ALTERNATING LARGE-STAR /
@@ -509,7 +556,8 @@ object Similarity {
     "m_dedup_embedding"   -> (m_dedup_embedding _),
     "m_dedup_minhash_lsh" -> (m_dedup_minhash_lsh _),
     "m_dedup_simhash"     -> (m_dedup_simhash _),
-    "q55_dedup_components"-> (q55_dedup_components _))
+    "q55_dedup_components"-> (q55_dedup_components _),
+    "q73_dedup_union"     -> (q73_dedup_union _))
 
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
@@ -619,22 +667,62 @@ object Similarity {
          |lab AS (SELECT src AS id, LEAST(src, MIN(dst)) AS component
          |  FROM reach GROUP BY src)
          |SELECT id AS doc_id, component, (id = component) AS is_canonical
-         |FROM lab ORDER BY doc_id""".stripMargin)
+         |FROM lab ORDER BY doc_id""".stripMargin,
+    // union of all three near-dup signals (n-gram Jaccard, SimHash,
+    // MinHash band collisions), then the same recursive-CTE closure
+    "q73_dedup_union" -> {
+      val minhashSig = graft.text.TextOps.MinhashSeeds.zipWithIndex
+        .map { case (seed, i) => s" min(md5('$seed' || term)) AS h${i + 1}" }
+        .mkString(",\n")
+      val minhashBands = (1 to 4)
+        .map(i => s"SELECT doc_id, $i AS band, h$i AS h FROM msig")
+        .mkString(" UNION ALL ")
+      s"""WITH RECURSIVE ${ngramCtes("j")},
+         |jpairs AS (SELECT doc_a, doc_b
+         |  FROM jinter JOIN jsizes x ON jinter.doc_a = x.doc_id
+         |              JOIN jsizes y ON jinter.doc_b = y.doc_id
+         |  WHERE round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) >= 0.5),
+         |${simhashCtes("s")},
+         |msig AS (SELECT doc_id,
+         |$minhashSig
+         | FROM stoks GROUP BY doc_id),
+         |mbands AS ($minhashBands),
+         |mok AS (SELECT band, h FROM mbands GROUP BY band, h
+         |  HAVING COUNT(*) BETWEEN 2 AND 20),
+         |mpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM mbands a JOIN mbands b ON a.band = b.band AND a.h = b.h
+         |    AND a.doc_id < b.doc_id
+         |  JOIN mok ON a.band = mok.band AND a.h = mok.h),
+         |upairs AS (SELECT doc_a, doc_b FROM jpairs
+         |  UNION SELECT doc_a, doc_b FROM spairs WHERE hamming <= 12
+         |  UNION SELECT doc_a, doc_b FROM mpairs),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM upairs
+         |  UNION SELECT doc_b, doc_a FROM upairs),
+         |reach AS (SELECT src, dst FROM edges
+         |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (SELECT src AS id, LEAST(src, MIN(dst)) AS component
+         |  FROM reach GROUP BY src)
+         |SELECT id AS doc_id, component, (id = component) AS is_canonical
+         |FROM lab ORDER BY doc_id""".stripMargin
+    })
 
   /** Shared CTE chain producing the near-dup candidate `inter` counts +
-    * `sizes` (the q33 kernel) — composed into q33's scoring and q55's
-    * closure. */
-  private lazy val NgramCtes: String =
-    s"""toks AS (SELECT doc_id, $DToks AS t FROM documents),
-       |sh AS (SELECT DISTINCT doc_id,
+    * `sizes` (the q33 kernel) — composed into q33's scoring and q55's /
+    * q73's closures. `p` prefixes every CTE name so multiple signal
+    * chains can coexist in one WITH block without name collisions. */
+  private def ngramCtes(p: String): String =
+    s"""${p}toks AS (SELECT doc_id, $DToks AS t FROM documents),
+       |${p}sh AS (SELECT DISTINCT doc_id,
        |  unnest(list_transform(range(1, len(t) - 1),
        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
-       |  FROM toks WHERE len(t) >= 3),
-       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-       |rare AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM sh
+       |  FROM ${p}toks WHERE len(t) >= 3),
+       |${p}sizes AS (SELECT doc_id, COUNT(*) AS n FROM ${p}sh GROUP BY doc_id),
+       |${p}rare AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM ${p}sh
        |  GROUP BY 1) WHERE df <= 20),
-       |shj AS (SELECT doc_id, sh.shingle FROM sh JOIN rare ON sh.shingle = rare.shingle),
-       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-       |  FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |${p}shj AS (SELECT doc_id, ${p}sh.shingle FROM ${p}sh JOIN ${p}rare ON ${p}sh.shingle = ${p}rare.shingle),
+       |${p}inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM ${p}shj a JOIN ${p}shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)""".stripMargin
+
+  private lazy val NgramCtes: String = ngramCtes("")
 }

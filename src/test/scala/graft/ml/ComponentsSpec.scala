@@ -39,6 +39,28 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got(1L)._2 && !got(9L)._2, "only the minimum is canonical")
   }
 
+  test("q73 union keep-list: every signal pair lands in one component") {
+    val dir = "/root/testdata/sf0.001"
+    val labels = Similarity.q73_dedup_union(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val signalPairs =
+      Similarity.q33_ngram_jaccard(spark, dir)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))) ++
+      Similarity.m_dedup_simhash(spark, dir)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))) ++
+      Similarity.minhashBandPairs(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(signalPairs.nonEmpty, "fixture produces near-dup signals")
+    signalPairs.foreach { case (a, b) =>
+      assert(labels.contains(a) && labels.contains(b),
+        s"pair ($a,$b) endpoints labeled")
+      assert(labels(a) == labels(b), s"pair ($a,$b) clustered together")
+      assert(labels(a) <= a && labels(a) <= b, "label is a component minimum")
+    }
+    assert(labels.keySet == signalPairs.flatMap(p => Seq(p._1, p._2)).toSet,
+      "keep-list covers exactly the docs touched by some signal")
+  }
+
   test("disjoint components keep separate labels; triangles and pairs") {
     val got = comps(Seq(
       (10L, 20L), (20L, 30L), (10L, 30L), // triangle -> 10
