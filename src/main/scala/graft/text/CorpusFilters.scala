@@ -249,28 +249,80 @@ object CorpusFilters {
     * (doc_id, seg_id) pair packs into one long, so min() is the argmin —
     * no join-back, no window over the corpus). Map-side partial aggs
     * shrink the shuffle to ~distinct-span cardinality. */
-  def q66_span_dedup(s: SparkSession, dir: String): DataFrame = {
-    val seg = 8
-    docToks(s, dir).filter(size(col("t")) >= seg)
+  private val Seg = 8
+
+  /** (doc_id, seg_id, sg) tumbling-span stream shared by q66/q66b. */
+  private def spanStream(s: SparkSession, dir: String): DataFrame =
+    docToks(s, dir).filter(size(col("t")) >= Seg)
       .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, CAST(floor(size(t) / $seg.0) AS INT) - 1)," +
-          s" i -> array_join(slice(t, i * $seg + 1, $seg), ' '))"))
+        s"transform(sequence(0, CAST(floor(size(t) / $Seg.0) AS INT) - 1)," +
+          s" i -> array_join(slice(t, i * $Seg + 1, $Seg), ' '))"))
         .as(Seq("seg_id", "sg")))
+
+  /** seg_id < 1e6 AND doc_id ≤ (2^63−1−999999)/1e6, so the packed long's
+    * min is the lexicographic min of (doc_id, seg_id). Docs are KB-scale —
+    * even 100-TB corpora cap documents far below 8M tokens — and ids fit
+    * 9.2e12 with margin, but a violation of EITHER bound would corrupt the
+    * argmin SILENTLY, so both fail loudly instead (codegen'd branches,
+    * never taken in practice). */
+  private def spanEnc: Column =
+    when(col("seg_id") >= 1000000,
+      raise_error(concat(lit("span_dedup: doc "), col("doc_id"),
+        lit(" exceeds the 8M-token packing bound"))).cast("long"))
+    .when(col("doc_id") > 9223372036853L,
+      raise_error(concat(lit("span_dedup: doc_id "), col("doc_id"),
+        lit(" exceeds the long packing bound"))).cast("long"))
+    .otherwise(col("doc_id") * 1000000L + col("seg_id"))
+
+  def q66_span_dedup(s: SparkSession, dir: String): DataFrame =
+    spanStream(s, dir)
       .groupBy(md5(col("sg").cast("binary")).as("seg_md5"))
-      // seg_id < 1e6 so the packed long's min is the lexicographic min of
-      // (doc_id, seg_id). Docs are KB-scale — even 100-TB corpora cap
-      // documents far below 8M tokens — but a violation would corrupt the
-      // argmin SILENTLY, so it fails loudly instead (codegen'd branch,
-      // never taken in practice)
-      .agg(min(when(col("seg_id") >= 1000000,
-          raise_error(concat(lit("span_dedup: doc "), col("doc_id"),
-            lit(" exceeds the 8M-token packing bound"))).cast("long"))
-        .otherwise(col("doc_id") * 1000000L + col("seg_id"))).as("enc"),
-        count(lit(1)).as("n_copies"))
-      .select((col("enc") / 1000000L).cast("long").as("doc_id"),
+      .agg(min(spanEnc).as("enc"), count(lit(1)).as("n_copies"))
+      // `div`, not `/`: SQL / is double division, exact only below 2^53 —
+      // large doc ids would decode differently from the oracle's integer //
+      .select(expr("enc div 1000000").as("doc_id"),
         (col("enc") % 1000000L).cast("int").as("seg_id"),
         col("seg_md5"), col("n_copies"))
       .orderBy(col("doc_id"), col("seg_id"))
+
+  /** C4's ACTUAL operator on top of q66's span table: rewrite the corpus
+    * with every non-first span occurrence deleted and the text re-joined
+    * (q66 only *reports* surviving spans; Raffel et al. 2020 §2.2 removes
+    * the duplicates from the documents). A doc's cleaned text is its
+    * surviving spans in original order plus the sub-span tail (the
+    * trailing < 8 tokens that never entered a span — deleting content the
+    * spans never covered would be over-filtering). Emitted as an md5
+    * digest plus kept/dropped counts; short docs (< 8 tokens) pass through
+    * untouched.
+    *
+    * Scale: the winner table is distinct-span cardinality (same agg as
+    * q66), survivors come from ONE equi-join of the span stream against it
+    * on seg_md5 (hash shuffle, no window, no all-pairs), and reassembly is
+    * a per-doc sort_array over that doc's own ≤1e6 spans. */
+  def q66b_span_rewrite(s: SparkSession, dir: String): DataFrame = {
+    val spans = spanStream(s, dir).withColumn("seg_md5", md5(col("sg").cast("binary")))
+    val winners = spans.groupBy(col("seg_md5")).agg(min(spanEnc).as("enc"))
+    val kept = spans.join(winners, "seg_md5")
+      .filter(col("doc_id") * 1000000L + col("seg_id") === col("enc"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(seg_id, sg))), x -> x.sg)"),
+          " ").as("kept_txt"))
+    docToks(s, dir)
+      .select(col("doc_id"), size(col("t")).as("n_tokens"),
+        expr(s"CAST(floor(size(t) / $Seg.0) AS INT)").as("n_spans"),
+        expr(s"array_join(slice(t, CAST(floor(size(t) / $Seg.0) AS INT) * $Seg + 1, size(t)), ' ')")
+          .as("tail_txt"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).cast("int").as("n_kept"),
+        (col("n_spans") - coalesce(col("n_kept"), lit(0L))).cast("int").as("n_dropped"),
+        (coalesce(col("n_kept"), lit(0L)) * Seg
+          + (col("n_tokens") - col("n_spans") * Seg)).cast("int").as("n_clean_tokens"),
+        md5(array_join(filter(array(col("kept_txt"), col("tail_txt")),
+          x => x.isNotNull && x =!= ""), " ").cast("binary")).as("clean_md5"))
+      .orderBy(col("doc_id"))
   }
 
   // ----------------------------------------------------- per-source caps
@@ -574,6 +626,7 @@ object CorpusFilters {
     "q58_numeric_profile" -> (q58_numeric_profile _),
     "q63_lexical_diversity" -> (q63_lexical_diversity _),
     "q66_span_dedup"      -> (q66_span_dedup _),
+    "q66b_span_rewrite"   -> (q66b_span_rewrite _),
     "q67_source_cap"      -> (q67_source_cap _),
     "q68_bigram_lm"       -> (q68_bigram_lm _),
     "q69_zipf_profile"    -> (q69_zipf_profile _),
@@ -686,6 +739,32 @@ object CorpusFilters {
          |SELECT CAST(enc // 1000000 AS BIGINT) AS doc_id,
          |  CAST(enc % 1000000 AS INT) AS seg_id, seg_md5, n_copies
          |FROM k ORDER BY doc_id, seg_id""".stripMargin,
+    "q66b_span_rewrite" ->
+      s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
+         |seg AS (SELECT doc_id, CAST(i AS INT) AS seg_id,
+         |    array_to_string(t[i*8+1 : i*8+8], ' ') AS sg
+         |  FROM toks, unnest(range(0, CAST(floor(len(t) / 8.0) AS INT))) AS u(i)
+         |  WHERE len(t) >= 8),
+         |k AS (SELECT md5(sg) AS seg_md5, MIN(doc_id * 1000000 + seg_id) AS enc
+         |  FROM seg GROUP BY md5(sg)),
+         |kept AS (SELECT s.doc_id, s.seg_id, s.sg
+         |  FROM seg s JOIN k ON md5(s.sg) = k.seg_md5
+         |  WHERE s.doc_id * 1000000 + s.seg_id = k.enc),
+         |ka AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |    string_agg(sg, ' ' ORDER BY seg_id) AS kept_txt
+         |  FROM kept GROUP BY doc_id),
+         |base AS (SELECT doc_id, len(t) AS n_tokens,
+         |    CAST(floor(len(t) / 8.0) AS INT) AS n_spans,
+         |    array_to_string(t[CAST(floor(len(t) / 8.0) AS INT) * 8 + 1 : len(t)], ' ') AS tail_txt
+         |  FROM toks)
+         |SELECT b.doc_id,
+         |  CAST(COALESCE(ka.n_kept, 0) AS INT) AS n_kept,
+         |  CAST(b.n_spans - COALESCE(ka.n_kept, 0) AS INT) AS n_dropped,
+         |  CAST(COALESCE(ka.n_kept, 0) * 8 + (b.n_tokens - b.n_spans * 8) AS INT) AS n_clean_tokens,
+         |  md5(COALESCE(array_to_string(list_filter([ka.kept_txt, b.tail_txt],
+         |    x -> x IS NOT NULL AND x <> ''), ' '), '')) AS clean_md5
+         |FROM base b LEFT JOIN ka ON b.doc_id = ka.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
     "q68_bigram_lm" ->
       s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
          |bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2

@@ -37,6 +37,23 @@ class CorpusFiltersSpec extends AnyFunSuite {
     }
   }
 
+  test("q66b rewrite: kept spans across the corpus = q66's distinct spans") {
+    val dir = "/root/testdata/sf0.001"
+    val distinctSpans = CorpusFilters.q66_span_dedup(spark, dir).count()
+    val rows = CorpusFilters.q66b_span_rewrite(spark, dir).collect()
+    val totalKept = rows.map(_.getAs[Int]("n_kept").toLong).sum
+    assert(totalKept == distinctSpans,
+      "every distinct span survives in exactly one document")
+    rows.foreach { r =>
+      val kept = r.getAs[Int]("n_kept"); val dropped = r.getAs[Int]("n_dropped")
+      val clean = r.getAs[Int]("n_clean_tokens")
+      assert(kept >= 0 && dropped >= 0)
+      val tail = clean - kept * 8
+      assert(tail >= 0 && tail < 8, s"tail fragment in [0,8): $tail")
+      assert(r.getAs[String]("clean_md5") != null)
+    }
+  }
+
   test("repetition scores: degenerate doc flagged, diverse doc not") {
     import spark.implicits._
     val docs = Seq(
