@@ -58,9 +58,16 @@ object Similarity {
     * inverted-index self-join — no cross product: pairs only materialize
     * for docs sharing a shingle. The standard exact-dedup shape at scale
     * (explode → equi-join on shingle → agg). */
-  def q33_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(s, dir)
-      .select(col("doc_id"), Cleanse.tokens(col("text")).as("t"))
+  def q33_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(Tables.documents(s, dir)
+      .select(col("doc_id"), Cleanse.tokens(col("text")).as("t")))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The q33 kernel over any (doc_id, t) token frame — also the near-dup
+    * stage of the q70 curation funnel, which feeds it the corpus-bucket
+    * docs only. */
+  private[graft] def ngramJaccardPairs(toks: DataFrame): DataFrame = {
+    val sh = toks
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(1, size(t)-2), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))")))
@@ -111,7 +118,6 @@ object Similarity {
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   // ---------------------------------------------------- engine-only: ANN

@@ -251,13 +251,17 @@ object CorpusFilters {
     * shrink the shuffle to ~distinct-span cardinality. */
   private val Seg = 8
 
-  /** (doc_id, seg_id, sg) tumbling-span stream shared by q66/q66b. */
-  private def spanStream(s: SparkSession, dir: String): DataFrame =
-    docToks(s, dir).filter(size(col("t")) >= Seg)
+  /** (doc_id, seg_id, sg) tumbling-span stream shared by q66/q66b and the
+    * q70 span stage (which feeds corpus-bucket toks only). */
+  private def spanStreamOf(toks: DataFrame): DataFrame =
+    toks.filter(size(col("t")) >= Seg)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, CAST(floor(size(t) / $Seg.0) AS INT) - 1)," +
           s" i -> array_join(slice(t, i * $Seg + 1, $Seg), ' '))"))
         .as(Seq("seg_id", "sg")))
+
+  private def spanStream(s: SparkSession, dir: String): DataFrame =
+    spanStreamOf(docToks(s, dir))
 
   /** seg_id < 1e6 AND doc_id ≤ (2^63−1−999999)/1e6, so the packed long's
     * min is the lexicographic min of (doc_id, seg_id). Docs are KB-scale —
@@ -500,29 +504,38 @@ object CorpusFilters {
   // --------------------------------------------------- curation funnel
   /** The whole curation pipeline as ONE funnel: documents flow through
     * length bounds → repetition gate (q51) → LM-quality gate (q56) →
-    * exact first-occurrence dedup → benchmark decontamination (q52, zero
-    * overlapping 5-grams), and each stage reports its cumulative survivor
-    * count — the per-rule attrition table every corpus-curation run ships
-    * with (what fraction did each filter cost?). The rule semantics are
-    * the gated signal queries' own (q51's rounded-frac thresholds, q56's
-    * −3.5 nats, q52's bench bucket), and the DuckDB twin recomputes each
-    * signal independently — drift in either encoding fails the gate.
+    * exact first-occurrence dedup → NEAR dedup (the q33/q55 keep-list) →
+    * span dedup (q66b's rewrite must leave ≥ the length floor) →
+    * benchmark decontamination (q52, zero overlapping 5-grams), and each
+    * stage reports its cumulative survivor count — the per-rule attrition
+    * table every corpus-curation run ships with (what fraction did each
+    * filter cost?). The rule semantics are the gated signal queries' own
+    * (q51's rounded-frac thresholds, q56's −3.5 nats, q33's Jaccard ≥ 0.5
+    * → non-canonical drop, q66's first-occurrence spans, q52's bench
+    * bucket), and the DuckDB twin recomputes each signal independently —
+    * drift in either encoding fails the gate.
     *
     * Scale: deliberately NOT a composition of the signal queries — that
-    * plan scanned the corpus 18 times. Three specialized corpus passes,
+    * plan scanned the corpus 18 times. FIVE specialized corpus passes,
     * each computing only what it needs: (1) the corpus docs emit their
     * unigrams, bigrams and distinct 5-grams in ONE tagged explode, one
     * shuffle counts them all, one per-doc rollup computes every token-
     * level flag; (2) a unigram-only pass builds the LM model (over ALL
     * docs, matching q56 — vocabulary-sized, broadcast back); (3) a
     * bench-bucket-only pass collects the protected 5-gram set (1/16 of
-    * docs tokenized, broadcast back). Plus column-pruned (doc_id, text)
-    * scans for the md5 dedup spine. Writing the passes specialized by
-    * hand (instead of filtering one shared gram stream) matters because
-    * filter pushdown specializes the branches anyway and defeats
-    * exchange reuse — this shape does strictly less work than either
-    * the shared-stream or the composed form. Adding a token-level rule
-    * costs one kind tag in pass (1), not a corpus pass. */
+    * docs tokenized, broadcast back); (4) a corpus shingle pass feeds the
+    * q33 inverted-index kernel + component fixpoint for the near-dup
+    * keep-list; (5) a corpus span pass feeds q66's winner argmin for the
+    * span-survival counts. Plus column-pruned (doc_id, text) scans for
+    * the md5 dedup spine. Passes (4) and (5) are NOT folded into the
+    * tagged explode of pass (1): their downstream aggregations key on the
+    * gram (global winner / inverted index), not (doc, gram), and filter
+    * pushdown through a shared tagged stream specializes the branches and
+    * defeats exchange reuse — the exact round-5 lesson that turned 5
+    * "shared" scans into 18 real ones. Writing the passes specialized by
+    * hand means each is consumed the way its shuffle key wants. Adding a
+    * token-level rule still costs one kind tag in pass (1), not a corpus
+    * pass. */
   def q70_curation_funnel(s: SparkSession, dir: String): DataFrame = {
     val emptyKG = "CAST(array() AS ARRAY<STRUCT<kind: STRING, gram: STRING>>)"
     val fiveGrams =
@@ -559,6 +572,24 @@ object CorpusFilters {
     val bench = docs(s).filter(col("bucket") === "f" && size(col("t")) >= 5)
       .select(explode(expr(s"$fiveGrams, g -> g)")).as("gram"))
       .distinct().withColumn("hit", lit(1L))
+    val corpusToks = docs(s).filter(col("bucket") =!= "f")
+      .select(col("doc_id"), col("t"))
+    // pass 4: near-dup keep-list — the q33 shingle kernel + the q55
+    // component fixpoint, corpus-scoped; a doc is dropped iff it is the
+    // non-canonical member of a Jaccard ≥ 0.5 cluster
+    val nearLabels = graft.ml.Similarity.components(
+      graft.ml.Similarity.ngramJaccardPairs(corpusToks)
+        .select(col("doc_a"), col("doc_b")))
+      .select(col("doc_id"), col("is_canonical"))
+    // pass 5: span survival — q66's winner argmin, corpus-scoped; a doc
+    // survives iff its q66b rewrite keeps at least the length floor. The
+    // winner's doc decodes straight out of the packed argmin, so kept
+    // counts need NO join-back to the span stream (which would re-execute
+    // its explode for the probe side) — one explode, two aggs
+    val spanKept = spanStreamOf(corpusToks)
+      .groupBy(col("sg")).agg(min(spanEnc).as("enc"))
+      .groupBy(expr("enc div 1000000").as("doc_id"))
+      .agg(count(lit(1)).as("n_kept"))
     val rollup = counts
       .join(broadcast(freqs.crossJoin(total)), Seq("gram"), "left")
       .join(broadcast(bench), Seq("gram"), "left")
@@ -582,6 +613,8 @@ object CorpusFilters {
     val flags = spine
       .join(firsts, "text_md5")
       .join(rollup, Seq("doc_id"), "left")
+      .join(nearLabels, Seq("doc_id"), "left")
+      .join(spanKept, Seq("doc_id"), "left")
       .select(
         coalesce(col("n_tokens").between(20, 1000), lit(false)).as("f_len"),
         // q51's gate on the ROUNDED fractions, inverted; under-2-token
@@ -593,9 +626,18 @@ object CorpusFilters {
         // mean token log-prob = Σ c·ln p / n (same instance-average q56 takes)
         coalesce(col("lpsum") / col("n_tokens") >= -3.5, lit(false)).as("f_lm"),
         (col("doc_id") === col("first_id")).as("f_dup"),
-        // null n_hit ⇔ zero bench-gram overlap for any doc long enough to
-        // matter: docs under 5 tokens are also null but f_len masks them
-        col("n_hit").isNull.as("f_cont"))
+        // docs outside every near-dup cluster carry no label — they pass
+        coalesce(col("is_canonical"), lit(true)).as("f_near"),
+        // the q66b rewrite keeps n_kept spans + the n%8 tail; survival
+        // means the cleaned doc still meets the length floor
+        coalesce(coalesce(col("n_kept"), lit(0L)) * 8
+          + (col("n_tokens") % 8) >= 20, lit(false)).as("f_span"),
+        // engine-identical encoding regardless of masks (round-5 advice):
+        // clean ⇔ a ≥5-token doc with zero bench-gram hits — n_hit is null
+        // for both no-overlap and under-5-token docs, so gate on length
+        // explicitly (DuckDB's n_hit=0 rows exist only for ≥5-token docs)
+        coalesce(col("n_hit").isNull && col("n_tokens") >= 5, lit(false))
+          .as("f_cont"))
     def kept(c: Column) = sum(when(c, 1L).otherwise(0L))
     flags.agg(
       count(lit(1)).as("s0"),
@@ -604,15 +646,21 @@ object CorpusFilters {
       kept(col("f_len") && col("f_rep") && col("f_lm")).as("s3"),
       kept(col("f_len") && col("f_rep") && col("f_lm") && col("f_dup")).as("s4"),
       kept(col("f_len") && col("f_rep") && col("f_lm") && col("f_dup")
-        && col("f_cont")).as("s5"))
+        && col("f_near")).as("s5"),
+      kept(col("f_len") && col("f_rep") && col("f_lm") && col("f_dup")
+        && col("f_near") && col("f_span")).as("s6"),
+      kept(col("f_len") && col("f_rep") && col("f_lm") && col("f_dup")
+        && col("f_near") && col("f_span") && col("f_cont")).as("s7"))
       .select(expr(
-        """stack(6,
+        """stack(8,
           | 0, 'corpus',         s0,
           | 1, 'length',         s1,
           | 2, 'repetition',     s2,
           | 3, 'lm_quality',     s3,
           | 4, 'exact_dedup',    s4,
-          | 5, 'decontaminated', s5) AS (stage, rule, n_kept)""".stripMargin))
+          | 5, 'near_dedup',     s5,
+          | 6, 'span_dedup',     s6,
+          | 7, 'decontaminated', s7) AS (stage, rule, n_kept)""".stripMargin))
       .orderBy(col("stage"))
   }
 
@@ -799,7 +847,7 @@ object CorpusFilters {
          |    / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r2_r
          |FROM a""".stripMargin,
     "q70_curation_funnel" ->
-      s"""WITH toksall AS (SELECT doc_id, text, $DToks AS t FROM documents),
+      s"""WITH RECURSIVE toksall AS (SELECT doc_id, text, $DToks AS t FROM documents),
          |base AS (SELECT doc_id, len(t) AS n_tokens, md5(text) AS text_md5
          |  FROM toksall
          |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> 'f'),
@@ -835,22 +883,62 @@ object CorpusFilters {
          |    CAST(SUM(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
          |  FROM (SELECT * FROM grams WHERE bucket <> 'f') c
          |  LEFT JOIN bench ON c.g = bench.g GROUP BY doc_id),
+         |ctoks AS (SELECT doc_id, t FROM toksall
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> 'f'),
+         |csh AS (SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(t) - 1),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+         |  FROM ctoks WHERE len(t) >= 3),
+         |csizes AS (SELECT doc_id, COUNT(*) AS n FROM csh GROUP BY doc_id),
+         |crare AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS df
+         |  FROM csh GROUP BY 1) WHERE df BETWEEN 2 AND 20),
+         |cshj AS (SELECT doc_id, csh.shingle FROM csh
+         |  JOIN crare ON csh.shingle = crare.shingle),
+         |cinter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM cshj a JOIN cshj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |cpairs AS (SELECT doc_a, doc_b
+         |  FROM cinter JOIN csizes x ON cinter.doc_a = x.doc_id
+         |              JOIN csizes y ON cinter.doc_b = y.doc_id
+         |  WHERE round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) >= 0.5),
+         |cedges AS (SELECT doc_a AS src, doc_b AS dst FROM cpairs
+         |  UNION SELECT doc_b, doc_a FROM cpairs),
+         |creach AS (SELECT src, dst FROM cedges
+         |  UNION SELECT r.src, e.dst FROM creach r JOIN cedges e ON r.dst = e.src),
+         |clab AS (SELECT src AS id, LEAST(src, MIN(dst)) AS component
+         |  FROM creach GROUP BY src),
+         |cseg AS (SELECT doc_id, CAST(i AS INT) AS seg_id,
+         |    array_to_string(t[i*8+1 : i*8+8], ' ') AS sg
+         |  FROM ctoks, unnest(range(0, CAST(floor(len(t) / 8.0) AS INT))) AS u(i)
+         |  WHERE len(t) >= 8),
+         |ck AS (SELECT sg, MIN(doc_id * 1000000 + seg_id) AS enc
+         |  FROM cseg GROUP BY sg),
+         |ckept AS (SELECT CAST(enc // 1000000 AS BIGINT) AS doc_id,
+         |    COUNT(*) AS n_kept
+         |  FROM ck GROUP BY 1),
          |flags AS (SELECT
          |    (b.n_tokens BETWEEN 20 AND 1000) AS f_len,
          |    coalesce(NOT r.rep_flag, false) AS f_rep,
          |    coalesce(NOT l.lm_flag, false) AS f_lm,
          |    (b.doc_id = f.first_id) AS f_dup,
+         |    coalesce(nn.id = nn.component, true) AS f_near,
+         |    coalesce(COALESCE(kp.n_kept, 0) * 8 + (b.n_tokens % 8) >= 20,
+         |      false) AS f_span,
          |    coalesce(c.n_hit = 0, false) AS f_cont
          |  FROM base b JOIN firsts f USING (text_md5)
          |  LEFT JOIN rep r ON b.doc_id = r.doc_id
          |  LEFT JOIN lm l ON b.doc_id = l.doc_id
+         |  LEFT JOIN clab nn ON b.doc_id = nn.id
+         |  LEFT JOIN ckept kp ON b.doc_id = kp.doc_id
          |  LEFT JOIN cont c ON b.doc_id = c.doc_id),
          |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS s0,
          |  CAST(SUM(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS s1,
          |  CAST(SUM(CASE WHEN f_len AND f_rep THEN 1 ELSE 0 END) AS BIGINT) AS s2,
          |  CAST(SUM(CASE WHEN f_len AND f_rep AND f_lm THEN 1 ELSE 0 END) AS BIGINT) AS s3,
          |  CAST(SUM(CASE WHEN f_len AND f_rep AND f_lm AND f_dup THEN 1 ELSE 0 END) AS BIGINT) AS s4,
-         |  CAST(SUM(CASE WHEN f_len AND f_rep AND f_lm AND f_dup AND f_cont THEN 1 ELSE 0 END) AS BIGINT) AS s5
+         |  CAST(SUM(CASE WHEN f_len AND f_rep AND f_lm AND f_dup AND f_near THEN 1 ELSE 0 END) AS BIGINT) AS s5,
+         |  CAST(SUM(CASE WHEN f_len AND f_rep AND f_lm AND f_dup AND f_near AND f_span THEN 1 ELSE 0 END) AS BIGINT) AS s6,
+         |  CAST(SUM(CASE WHEN f_len AND f_rep AND f_lm AND f_dup AND f_near AND f_span AND f_cont THEN 1 ELSE 0 END) AS BIGINT) AS s7
          | FROM flags)
          |SELECT stage, rule, n_kept FROM (
          |  SELECT 0 AS stage, 'corpus' AS rule, s0 AS n_kept FROM a
@@ -858,7 +946,9 @@ object CorpusFilters {
          |  UNION ALL SELECT 2, 'repetition', s2 FROM a
          |  UNION ALL SELECT 3, 'lm_quality', s3 FROM a
          |  UNION ALL SELECT 4, 'exact_dedup', s4 FROM a
-         |  UNION ALL SELECT 5, 'decontaminated', s5 FROM a)
+         |  UNION ALL SELECT 5, 'near_dedup', s5 FROM a
+         |  UNION ALL SELECT 6, 'span_dedup', s6 FROM a
+         |  UNION ALL SELECT 7, 'decontaminated', s7 FROM a)
          |ORDER BY stage""".stripMargin,
     "q72_pack_offsets" ->
       s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
