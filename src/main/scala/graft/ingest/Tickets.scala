@@ -110,10 +110,13 @@ object Tickets {
   }
 
   /** P3: the description-seeded first comment (wrangler.py:431-438),
-    * deterministic id. */
+    * deterministic id. md5-derived (60 bits of the hex digest), not
+    * xxhash64: the id participates in the nested-shape digest q74 gates,
+    * and md5 is the one hash both engines compute identically. */
   def seededComments(tickets: DataFrame): DataFrame =
     tickets.select(col("ticket_id"),
-      xxhash64(col("ticket_id")).as("comment_id"),
+      conv(substring(md5(col("ticket_id").cast("string").cast("binary")), 1, 15),
+        16, 10).cast(LongType).as("comment_id"),
       col("created_at"), col("description").as("body"))
 
   /** J1 flat form: seeded ∪ bound comments, one row per (ticket, comment).
@@ -218,11 +221,36 @@ object Tickets {
       .orderBy(col("ticket_id"))
   }
 
+  /** The nested Ticket shape, oracle-gated (round-5 advice: every
+    * rows-only entry is a place a wrong answer could hide): the full
+    * ARRAY<STRUCT> of comments — ids, timestamps, bodies, and their
+    * (created_at, comment_id, body) sort — collapses to one canonical
+    * per-comment line digest. Unlike m_ingest_nested's to_json (whose
+    * serialization is engine-specific), epoch:id:md5(body) lines are
+    * engine-neutral, so the digest is exact across Spark and DuckDB.
+    * The cleanse-chain doc columns stay in m_ingest_nested (NFKC and the
+    * entity table are not DuckDB-expressible). */
+  def q74_ingest_nested(s: SparkSession, dir: String): DataFrame = {
+    val t = reshapeTickets(scanTickets(s))
+    bindComments(s, t)
+      .select(col("ticket_id"), col("status"), col("status_ord"),
+        size(col("tags")).as("n_tags"),
+        size(col("comments")).as("n_comments"),
+        md5(array_join(transform(col("comments"),
+          x => concat_ws(":",
+            x.getField("created_at").cast(LongType),
+            x.getField("comment_id"),
+            md5(coalesce(x.getField("body"), lit("")).cast("binary")))),
+          "\n").cast("binary")).as("comments_md5"))
+      .orderBy(col("ticket_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_ingest_tickets" -> (q34_ingest_tickets _),
     "q35_ingest_comments" -> (q35_ingest_comments _),
     "q36_bind_comments"  -> (q36_bind_comments _),
     "q37_ticket_corpus"  -> (q37_ticket_corpus _),
+    "q74_ingest_nested"  -> (q74_ingest_nested _),
     "m_ingest_nested"    -> (m_ingest_nested _))
 
   // DuckDB twins read the same fixture files (read_json ships in-box).
@@ -267,6 +295,15 @@ object Tickets {
     s"""SELECT ticket_id, created_at, description AS body FROM ($DReshaped)
        |UNION ALL
        |SELECT ticket_id, created_at, body FROM ($DFlatComments)""".stripMargin
+  // the id-carrying twin (q74): seeded ids are the same 60-bit md5 prefix
+  // the engine derives in seededComments
+  private val DAllCommentsId =
+    s"""SELECT ticket_id,
+       | CAST('0x' || substr(md5(CAST(ticket_id AS VARCHAR)), 1, 15) AS BIGINT)
+       |   AS comment_id,
+       | created_at, description AS body FROM ($DReshaped)
+       |UNION ALL
+       |SELECT ticket_id, comment_id, created_at, body FROM ($DFlatComments)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q34_ingest_tickets" ->
@@ -282,6 +319,19 @@ object Tickets {
          | MIN(created_at) AS first_at, MAX(created_at) AS last_at,
          | md5(string_agg(body, ' ' ORDER BY created_at, body)) AS bodies_md5
          |FROM ($DAllComments) GROUP BY ticket_id ORDER BY ticket_id""".stripMargin,
+    "q74_ingest_nested" ->
+      s"""SELECT t.ticket_id, t.status, CAST(t.status_ord AS INTEGER) AS status_ord,
+         | CAST(len(t.tags) AS INTEGER) AS n_tags,
+         | CAST(c.n_comments AS INTEGER) AS n_comments,
+         | c.comments_md5
+         |FROM ($DReshaped) t JOIN (
+         |  SELECT ticket_id, COUNT(*) AS n_comments,
+         |    md5(string_agg(
+         |      CAST(epoch(created_at) AS BIGINT) || ':' || comment_id || ':'
+         |        || md5(coalesce(body, '')),
+         |      chr(10) ORDER BY created_at, comment_id)) AS comments_md5
+         |  FROM ($DAllCommentsId) GROUP BY ticket_id) c USING (ticket_id)
+         |ORDER BY t.ticket_id""".stripMargin,
     "q37_ticket_corpus" ->
       s"""WITH docs AS (
          |  SELECT t.ticket_id,
