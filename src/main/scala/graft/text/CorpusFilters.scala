@@ -427,6 +427,34 @@ object CorpusFilters {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokenizer-aware packing: q72's accounting becomes meaningful for
+    * training only if lengths are measured in TOKENIZER tokens, not
+    * whitespace words (a 20-char identifier is ~5 BPE pieces, not 1).
+    * Shipping a full BPE is out of scope, so lengths use a deterministic
+    * subword proxy: split into word/digit/punctuation pieces (q28's
+    * BPE-ish lexer) and charge ceil(len/4) tokens per piece — the
+    * familiar ~4-characters-per-token rule applied piecewise, exact and
+    * oracle-expressible. Same 32-independent-bucket stream layout as q72
+    * (no global serial cumsum); swapping in real tokenizer counts is a
+    * one-column change. */
+  def q72b_pack_tokenized(s: SparkSession, dir: String): DataFrame = {
+    val seqLen = 64
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(32)).as("bucket"),
+        expr("aggregate(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)," +
+          " CAST(0 AS BIGINT), (a, p) -> a + CAST(ceil(length(p) / 4.0) AS BIGINT))")
+          .as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+      .withColumn("off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("bucket"), col("n_tokens"), col("off"),
+        expr(s"off div $seqLen").as("seq_first"),
+        expr(s"(off + n_tokens - 1) div $seqLen").as("seq_last"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------- BM25 retrieval
   /** BM25 document scoring for a fixed query-term set — the retrieval
     * primitive behind quality-by-relevance selection (e.g. "keep docs
@@ -680,7 +708,8 @@ object CorpusFilters {
     "q69_zipf_profile"    -> (q69_zipf_profile _),
     "q70_curation_funnel" -> (q70_curation_funnel _),
     "q71_bm25"            -> (q71_bm25 _),
-    "q72_pack_offsets"    -> (q72_pack_offsets _))
+    "q72_pack_offsets"    -> (q72_pack_offsets _),
+    "q72b_pack_tokenized" -> (q72b_pack_tokenized _))
 
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
@@ -963,6 +992,21 @@ object CorpusFilters {
          |  off // 64 AS seq_first,
          |  (off + n_tokens - 1) // 64 AS seq_last
          |FROM o ORDER BY doc_id""".stripMargin,
+    "q72b_pack_tokenized" ->
+      """WITH c AS (SELECT doc_id, doc_id % 32 AS bucket,
+        |    CAST(list_sum(list_transform(
+        |      regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'),
+        |      p -> CAST(ceil(len(p) / 4.0) AS BIGINT))) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |f AS (SELECT * FROM c WHERE n_tokens >= 1),
+        |o AS (SELECT doc_id, bucket, n_tokens,
+        |    CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM f)
+        |SELECT doc_id, bucket, n_tokens, off,
+        |  off // 64 AS seq_first,
+        |  (off + n_tokens - 1) // 64 AS seq_last
+        |FROM o ORDER BY doc_id""".stripMargin,
     "q71_bm25" ->
       s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
          |tk AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
