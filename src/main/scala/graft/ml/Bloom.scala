@@ -5,12 +5,12 @@ import java.io.ByteArrayOutputStream
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, DoubleType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Distributed Bloom-filter build + membership — the sketch that makes
@@ -90,11 +90,19 @@ case class BloomBuildAgg(
 /** Membership probe against a FINISHED serialized filter (a plan-time
   * constant, like a broadcast variable — not a per-row column, which would
   * deserialize the bitset per row). False positives ≤ fpp; never false
-  * negative. */
-case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
+  * negative.
+  *
+  * The bytes ride as an ArraySeq, not Array: case-class equality over a
+  * raw Array is reference equality, so two semantically identical probes
+  * would never canonicalize equal — defeating subexpression elimination
+  * and plan/exchange reuse (round-5 advice). ArraySeq compares and hashes
+  * by contents. */
+case class BloomMightContain(child: Expression,
+    filterBytes: scala.collection.immutable.ArraySeq[Byte])
   extends UnaryExpression {
 
-  @transient private lazy val bf: BloomFilter = BloomFilter.readFrom(filterBytes)
+  @transient private lazy val bf: BloomFilter =
+    BloomFilter.readFrom(filterBytes.toArray)
 
   override def prettyName: String = "bloom_contains"
   override def dataType: DataType = BooleanType
@@ -130,7 +138,8 @@ object Bloom {
   /** Probe a value against a finished filter's serialized bytes. */
   def bloom_contains(c: Column, filterBytes: Array[Byte]): Column =
     GraftSqlBridge.column(
-      BloomMightContain(GraftSqlBridge.expression(c), filterBytes))
+      BloomMightContain(GraftSqlBridge.expression(c),
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(filterBytes)))
 
   /** Run a dataframe down to its single serialized-filter cell. The driver
     * holds only the finished sketch (broadcast-side footprint contract). */
@@ -140,21 +149,46 @@ object Bloom {
 
   /** SQL registration: bloom_build(col, expectedItems, fpp). The probe side
     * is Column-API-only — its filter argument is a plan constant produced
-    * by a prior job, not something SQL text can carry. */
+    * by a prior job, not something SQL text can carry.
+    *
+    * Argument decoding accepts any FOLDABLE numeric (a SQL `0.25` parses
+    * as a Decimal literal, `1024*1024` as a foldable expression) and
+    * REFUSES anything else loudly: silently defaulting an unmatched shape
+    * (the round-5 advice finding) would hand back a badly-undersized
+    * filter whose real false-positive rate quietly blows past the
+    * configured bound once it saturates. */
   val sqlFunction: (String, ExpressionInfo, Seq[Expression] => Expression) = (
     "bloom_build",
     new ExpressionInfo("graft", null, "bloom_build",
       "_FUNC_(col, n, fpp) - Serialized Bloom filter over xxhash64(col).", ""),
     (args: Seq[Expression]) => {
-      val n = args.lift(1) match {
-        case Some(Literal(v: Long, LongType)) => v
-        case Some(Literal(v: Int, _)) => v.toLong
-        case _ => 1L << 20
+      def numArg(name: String, e: Expression): Any = {
+        if (!e.foldable)
+          throw new IllegalArgumentException(
+            s"bloom_build: $name must be a foldable numeric, got ${e.sql}")
+        val v = e.eval()
+        if (v == null) throw new IllegalArgumentException(
+          s"bloom_build: $name must not be null")
+        v
       }
-      val fpp = args.lift(2) match {
-        case Some(Literal(v: Double, DoubleType)) => v
-        case _ => 0.01
-      }
+      val n = args.lift(1).map(e => numArg("expectedItems", e) match {
+        case v: Long => v
+        case v: Int => v.toLong
+        case v: Short => v.toLong
+        case v: Byte => v.toLong
+        case v: org.apache.spark.sql.types.Decimal => v.toLong
+        case v => throw new IllegalArgumentException(
+          s"bloom_build: expectedItems must be integral, got $v (${e.sql})")
+      }).getOrElse(1L << 20)
+      val fpp = args.lift(2).map(e => numArg("fpp", e) match {
+        case v: Double => v
+        case v: Float => v.toDouble
+        case v: org.apache.spark.sql.types.Decimal => v.toDouble
+        case v: Long => v.toDouble
+        case v: Int => v.toDouble
+        case v => throw new IllegalArgumentException(
+          s"bloom_build: fpp must be numeric, got $v (${e.sql})")
+      }).getOrElse(0.01)
       BloomBuildAgg(args.head, n, fpp).toAggregateExpression()
     })
 

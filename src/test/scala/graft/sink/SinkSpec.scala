@@ -37,15 +37,24 @@ class SinkSpec extends AnyFunSuite {
     assert(r.getString(1) == "&x")
     assert(r.getDouble(2) == 11.0)
     // aggregate registrations: one serialized Bloom filter cell whose
-    // members then probe true through the Column API
+    // members then probe true through the Column API. The bare 0.01
+    // parses as a DECIMAL literal — the argument decoder must accept it
+    // (it used to silently substitute the default fpp)
     val bf = spark.sql(
-      "SELECT bloom_build(v, 100, CAST(0.01 AS DOUBLE)) AS f FROM VALUES ('a'), ('b') AS t(v)")
+      "SELECT bloom_build(v, 100, 0.01) AS f FROM VALUES ('a'), ('b') AS t(v)")
       .head().getAs[Array[Byte]](0)
     import spark.implicits._
     val probed = Seq("a", "b", "zzz").toDF("v")
       .select(col("v"), graft.ml.Bloom.bloom_contains(col("v"), bf).as("hit"))
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
     assert(probed("a") && probed("b"))
+    // non-foldable sizing args must fail loudly, never default silently
+    val err = intercept[Exception] {
+      spark.sql("SELECT bloom_build(v, length(v), 0.01) FROM VALUES ('a') AS t(v)")
+        .collect()
+    }
+    assert(err.getMessage.contains("foldable"),
+      s"expected a loud bloom_build arg error, got: ${err.getMessage}")
   }
 
   test("media resize: images re-encoded at target dims, other kinds untouched") {
