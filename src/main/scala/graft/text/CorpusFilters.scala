@@ -299,15 +299,18 @@ object CorpusFilters {
     * digest plus kept/dropped counts; short docs (< 8 tokens) pass through
     * untouched.
     *
-    * Scale: the winner table is distinct-span cardinality (same agg as
-    * q66), survivors come from ONE equi-join of the span stream against it
-    * on seg_md5 (hash shuffle, no window, no all-pairs), and reassembly is
-    * a per-doc sort_array over that doc's own ≤1e6 spans. */
+    * Scale: the winner agg (grouped on the span content, carrying the
+    * packed (doc, seg) argmin) IS the survivor set — the winning instance
+    * decodes straight out of the argmin and the group key is its text, so
+    * there is NO join-back to the span stream (which would re-execute its
+    * scan+explode for the probe side; the first cut did exactly that).
+    * One span scan, one content shuffle, then a per-doc sort_array over
+    * that doc's own ≤1e6 spans. */
   def q66b_span_rewrite(s: SparkSession, dir: String): DataFrame = {
-    val spans = spanStream(s, dir).withColumn("seg_md5", md5(col("sg").cast("binary")))
-    val winners = spans.groupBy(col("seg_md5")).agg(min(spanEnc).as("enc"))
-    val kept = spans.join(winners, "seg_md5")
-      .filter(col("doc_id") * 1000000L + col("seg_id") === col("enc"))
+    val kept = spanStream(s, dir)
+      .groupBy(col("sg")).agg(min(spanEnc).as("enc"))
+      .select(expr("enc div 1000000").as("doc_id"),
+        (col("enc") % 1000000L).cast("int").as("seg_id"), col("sg"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         array_join(expr(
