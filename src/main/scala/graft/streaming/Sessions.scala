@@ -181,6 +181,38 @@ object Sessions {
       .drop("__t", "__g")
   }
 
+  /** Streaming near-dup candidate gate: the continuous-ingest twin of the
+    * batch keep-list (q73). Each arriving document computes its 4 MinHash
+    * band keys MAP-SIDE — `array_min` over the md5'd token array is the
+    * same minimum q30's explode→groupBy takes, but needs no aggregation,
+    * so the stream side stays stateless — then probes a static corpus
+    * band index (`text.TextOps.minhashBands`) with a stream-static
+    * equi-join on (band, h). Output is one row per (arriving doc ×
+    * colliding corpus doc) candidate: the downstream sink re-scores
+    * exactly (Jaccard) and routes. No watermark, no state store; the
+    * index is re-planned per micro-batch, so an externally refreshed
+    * band table is picked up — at 100 TB/day the index join shuffles on
+    * (band, h) while the per-doc signature work stays on the map side. */
+  def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
+      bandIndex: DataFrame): DataFrame = {
+    val sig = graft.text.TextOps.MinhashSeeds.zipWithIndex.map { case (seed, i) =>
+      array_min(transform(col("__t"),
+        x => md5(concat(lit(seed), x).cast("binary")))).as(s"h${i + 1}")
+    }
+    docs
+      .withColumn("__t", graft.text.Cleanse.tokens(col(textCol)))
+      .filter(size(col("__t")) > 0)
+      .select(col(idCol) +: sig: _*)
+      .select(col(idCol), explode(array(
+        (1 to 4).map(i => struct(lit(i).as("band"), col(s"h$i").as("h"))): _*))
+        .as("bh"))
+      .select(col(idCol), col("bh.band").as("band"), col("bh.h").as("h"))
+      .join(bandIndex.withColumnRenamed("doc_id", "corpus_doc"),
+        Seq("band", "h"))
+      .filter(col(idCol) =!= col("corpus_doc"))
+      .select(col(idCol), col("band"), col("h"), col("corpus_doc"))
+  }
+
   def sinkForeachBatch(events: DataFrame,
       handler: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.outputMode("append")

@@ -176,20 +176,25 @@ object TextOps {
   def q30_minhash_signature(s: SparkSession, dir: String): DataFrame =
     minhashSignatures(s, dir).orderBy(col("doc_id"))
 
+  /** (doc_id, band, h) band table from the 4-permutation signatures — the
+    * corpus-side LSH index. Shared by q31's buckets and the streaming
+    * near-dup gate's static side (`streaming.Sessions.nearDupCandidates`).
+    * At scale this IS the index a continuous-ingest pipeline maintains:
+    * partitioned on (band, h), appended as the corpus grows. */
+  def minhashBands(s: SparkSession, dir: String): DataFrame =
+    minhashSignatures(s, dir).select(col("doc_id"), explode(array(
+      (1 to 4).map(i => struct(lit(i).as("band"), col(s"h$i").as("h"))): _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+
   /** LSH banding: docs sharing any minhash band land in one bucket; buckets
     * with >1 doc are near-dup candidates. Pair generation happens per
     * bucket (engine-only MLlib variant covers the full join). */
-  def q31_minhash_buckets(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(s, dir)
-    val bands = sig.select(col("doc_id"), explode(array(
-      (1 to 4).map(i => struct(lit(i).as("band"), col(s"h$i").as("h"))): _*)).as("bh"))
-      .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
-    bands.groupBy(col("band"), col("h"))
+  def q31_minhash_buckets(s: SparkSession, dir: String): DataFrame =
+    minhashBands(s, dir).groupBy(col("band"), col("h"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"))
       .filter(col("n_docs") > 1)
       .orderBy(col("band"), col("h"))
-  }
 
   // ------------------------------------------- rolling-hash fingerprint
   /** Rabin-Karp-style positional document fingerprint: fold

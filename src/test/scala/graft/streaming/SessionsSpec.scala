@@ -90,6 +90,42 @@ class SessionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup gate emits the corpus band collisions, batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val index = graft.text.TextOps.minhashBands(spark, dir)
+    index.cache()
+    try {
+      val docs = graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+      // batch reference: the same gate applied to the batch frame
+      val batch = Sessions.nearDupCandidates(docs, "doc_id", "text", index)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+        .toSet
+      // every doc collides with itself in the index; the gate filters
+      // self-matches, so a doc with a true near-dup appears, others don't
+      assert(batch.nonEmpty, "fixture corpus has near-dup band collisions")
+      assert(batch.forall { case (id, _, _, c) => id != c }, "no self matches")
+      val input = MemoryStream[(Long, String)]
+      val q = Sessions.nearDupCandidates(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", index)
+        .writeStream.format("memory").queryName("neardup_out")
+        .outputMode("append").start()
+      try {
+        input.addData(docs.collect().map(r => (r.getLong(0), r.getString(1)))
+          .toIndexedSeq: _*)
+        q.processAllAvailable()
+        val streamed = spark.table("neardup_out").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+          .toSet
+        assert(streamed == batch,
+          "stateless stream-static gate must match the batch plan")
+      } finally q.stop()
+    } finally index.unpersist()
+  }
+
   test("windowed counts run identically on a batch frame (unified plan)") {
     import spark.implicits._
     val batch = Seq(
