@@ -669,7 +669,13 @@ object CorpusFilters {
         // explicitly (DuckDB's n_hit=0 rows exist only for ≥5-token docs)
         coalesce(col("n_hit").isNull && col("n_tokens") >= 5, lit(false))
           .as("f_cont"))
+    // cumulative survivors (the funnel) AND independent per-rule passes
+    // (which filter is expensive REGARDLESS of stage order — only safe to
+    // report because every flag encoding is engine-identical unmasked;
+    // the corpus/"all rules" rows carry the total as their solo count)
     def kept(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val allRules = col("f_len") && col("f_rep") && col("f_lm") &&
+      col("f_dup") && col("f_near") && col("f_span") && col("f_cont")
     flags.agg(
       count(lit(1)).as("s0"),
       kept(col("f_len")).as("s1"),
@@ -680,18 +686,23 @@ object CorpusFilters {
         && col("f_near")).as("s5"),
       kept(col("f_len") && col("f_rep") && col("f_lm") && col("f_dup")
         && col("f_near") && col("f_span")).as("s6"),
-      kept(col("f_len") && col("f_rep") && col("f_lm") && col("f_dup")
-        && col("f_near") && col("f_span") && col("f_cont")).as("s7"))
+      kept(allRules).as("s7"),
+      kept(col("f_rep")).as("a2"),
+      kept(col("f_lm")).as("a3"),
+      kept(col("f_dup")).as("a4"),
+      kept(col("f_near")).as("a5"),
+      kept(col("f_span")).as("a6"),
+      kept(col("f_cont")).as("a7"))
       .select(expr(
         """stack(8,
-          | 0, 'corpus',         s0,
-          | 1, 'length',         s1,
-          | 2, 'repetition',     s2,
-          | 3, 'lm_quality',     s3,
-          | 4, 'exact_dedup',    s4,
-          | 5, 'near_dedup',     s5,
-          | 6, 'span_dedup',     s6,
-          | 7, 'decontaminated', s7) AS (stage, rule, n_kept)""".stripMargin))
+          | 0, 'corpus',         s0, s0,
+          | 1, 'length',         s1, s1,
+          | 2, 'repetition',     s2, a2,
+          | 3, 'lm_quality',     s3, a3,
+          | 4, 'exact_dedup',    s4, a4,
+          | 5, 'near_dedup',     s5, a5,
+          | 6, 'span_dedup',     s6, a6,
+          | 7, 'decontaminated', s7, a7) AS (stage, rule, n_kept, n_pass_alone)""".stripMargin))
       .orderBy(col("stage"))
   }
 
@@ -970,17 +981,23 @@ object CorpusFilters {
          |  CAST(SUM(CASE WHEN f_len AND f_rep AND f_lm AND f_dup THEN 1 ELSE 0 END) AS BIGINT) AS s4,
          |  CAST(SUM(CASE WHEN f_len AND f_rep AND f_lm AND f_dup AND f_near THEN 1 ELSE 0 END) AS BIGINT) AS s5,
          |  CAST(SUM(CASE WHEN f_len AND f_rep AND f_lm AND f_dup AND f_near AND f_span THEN 1 ELSE 0 END) AS BIGINT) AS s6,
-         |  CAST(SUM(CASE WHEN f_len AND f_rep AND f_lm AND f_dup AND f_near AND f_span AND f_cont THEN 1 ELSE 0 END) AS BIGINT) AS s7
+         |  CAST(SUM(CASE WHEN f_len AND f_rep AND f_lm AND f_dup AND f_near AND f_span AND f_cont THEN 1 ELSE 0 END) AS BIGINT) AS s7,
+         |  CAST(SUM(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+         |  CAST(SUM(CASE WHEN f_lm THEN 1 ELSE 0 END) AS BIGINT) AS a3,
+         |  CAST(SUM(CASE WHEN f_dup THEN 1 ELSE 0 END) AS BIGINT) AS a4,
+         |  CAST(SUM(CASE WHEN f_near THEN 1 ELSE 0 END) AS BIGINT) AS a5,
+         |  CAST(SUM(CASE WHEN f_span THEN 1 ELSE 0 END) AS BIGINT) AS a6,
+         |  CAST(SUM(CASE WHEN f_cont THEN 1 ELSE 0 END) AS BIGINT) AS a7
          | FROM flags)
-         |SELECT stage, rule, n_kept FROM (
-         |  SELECT 0 AS stage, 'corpus' AS rule, s0 AS n_kept FROM a
-         |  UNION ALL SELECT 1, 'length', s1 FROM a
-         |  UNION ALL SELECT 2, 'repetition', s2 FROM a
-         |  UNION ALL SELECT 3, 'lm_quality', s3 FROM a
-         |  UNION ALL SELECT 4, 'exact_dedup', s4 FROM a
-         |  UNION ALL SELECT 5, 'near_dedup', s5 FROM a
-         |  UNION ALL SELECT 6, 'span_dedup', s6 FROM a
-         |  UNION ALL SELECT 7, 'decontaminated', s7 FROM a)
+         |SELECT stage, rule, n_kept, n_pass_alone FROM (
+         |  SELECT 0 AS stage, 'corpus' AS rule, s0 AS n_kept, s0 AS n_pass_alone FROM a
+         |  UNION ALL SELECT 1, 'length', s1, s1 FROM a
+         |  UNION ALL SELECT 2, 'repetition', s2, a2 FROM a
+         |  UNION ALL SELECT 3, 'lm_quality', s3, a3 FROM a
+         |  UNION ALL SELECT 4, 'exact_dedup', s4, a4 FROM a
+         |  UNION ALL SELECT 5, 'near_dedup', s5, a5 FROM a
+         |  UNION ALL SELECT 6, 'span_dedup', s6, a6 FROM a
+         |  UNION ALL SELECT 7, 'decontaminated', s7, a7 FROM a)
          |ORDER BY stage""".stripMargin,
     "q72_pack_offsets" ->
       s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),

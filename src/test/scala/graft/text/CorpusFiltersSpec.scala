@@ -84,6 +84,14 @@ class CorpusFiltersSpec extends AnyFunSuite {
     }
     assert(rows.head._3 > 0 && rows.last._3 > 0,
       "fixture corpus survives the default thresholds")
+    // independent per-rule counts: a conjunction can only shrink a set,
+    // so each stage's cumulative survivors ≤ its rule's solo passes
+    val solo = CorpusFilters.q70_curation_funnel(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+    solo.foreach { case (stage, nKept, nAlone) =>
+      assert(nKept <= nAlone,
+        s"stage $stage cumulative $nKept exceeds its solo pass count $nAlone")
+    }
   }
 
   test("span dedup keeps exactly one instance per content, the earliest") {
