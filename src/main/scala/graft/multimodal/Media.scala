@@ -178,6 +178,47 @@ object Media {
       .orderBy(col("kind"))
   }
 
+  /** Perceptual-hash near-dup over ANY media frame: 64-bit pHash = the
+    * sign bits of the decoded feature vector (aHash over the embedding —
+    * Charikar simhash with axis-aligned hyperplanes; the LAION-style
+    * CLIP-embedding dedup shape), then the same 16-bit band bucketing the
+    * text SimHash path uses: candidates only materialize for band
+    * collisions (equi-join on (band, key), never all-pairs), exact
+    * Hamming re-score within buckets. */
+  def phashDedup(media: DataFrame, maxHamming: Int = 12): DataFrame = {
+    val sig = extractFeatures(media)
+      .select(col("media_id"), col("kind"),
+        expr("aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) -> " +
+          "acc | IF(element_at(features, i + 1) > 0.0D, " +
+          "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))").as("phash"))
+    val bands = sig.select(col("media_id"), col("phash"), explode(array(
+      (0 until 4).map(i => struct(lit(i).as("band"),
+        shiftright(col("phash"), i * 16).bitwiseAND(0xFFFFL).as("key"))): _*))
+      .as("bk"))
+      .select(col("media_id"), col("phash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
+        && col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Engine-only: the re-crawl dedup scenario — the corpus unioned with a
+    * re-ingested copy of itself under fresh ids (what a second crawl of
+    * the same pages produces). Every original must pair with its twin at
+    * Hamming 0; random feature vectors collide in a 16-bit band ~2^-16
+    * per band and survive Hamming ≤ 12 essentially never, so the output
+    * is exactly the true duplicate set (MediaSpec asserts both sides). */
+  def m_media_dedup(s: SparkSession, dir: String): DataFrame = {
+    val media = mediaTable(s, dir)
+    val reingested = media.withColumn("media_id", col("media_id") + lit(1000000L))
+    phashDedup(media.unionByName(reingested))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
   /** Engine-only: frame sampling + per-media frame size stats. */
   def m_media_frames(s: SparkSession, dir: String): DataFrame =
     sampleFrames(mediaTable(s, dir), n = 4)
@@ -189,5 +230,6 @@ object Media {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_media_features" -> (m_media_features _),
-    "m_media_frames"   -> (m_media_frames _))
+    "m_media_frames"   -> (m_media_frames _),
+    "m_media_dedup"    -> (m_media_dedup _))
 }

@@ -42,6 +42,18 @@ class MediaSpec extends AnyFunSuite {
     assert(frames.filter(length(col("frame")) < 1).count() == 0)
   }
 
+  test("perceptual-hash dedup: re-ingested twins found exactly, no false pairs") {
+    val n = Media.mediaTable(spark, dir).count()
+    val pairs = Media.m_media_dedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.length == n,
+      s"every original pairs with exactly its re-ingested twin: ${pairs.length} vs $n")
+    pairs.foreach { case (a, b, h) =>
+      assert(b == a + 1000000L, s"pair ($a,$b) is not an ingest twin")
+      assert(h == 0, s"identical content must hash identically (hamming $h)")
+    }
+  }
+
   test("metadata filters never deserialize content (column pruning)") {
     val plan = Media.mediaTable(spark, dir)
       .filter(col("meta.width") >= 64)
