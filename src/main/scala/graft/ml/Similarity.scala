@@ -492,7 +492,12 @@ object Similarity {
     while (!converged && rounds < MaxRounds) {
       // LAZY checkpoint: the convergence check below is the round's only
       // job — it materializes next's cache as a side effect, instead of
-      // paying one checkpoint job + one comparison job per round
+      // paying one checkpoint job + one comparison job per round.
+      // (Measured dead end, recorded so it isn't retried: TWO star
+      // contractions per materialization — halving checkpoint/check
+      // overhead — benched consistently SLOWER at sf0.1 (fixpoint trio
+      // 19.8s → 22.8/23.7s): the doubled per-job plan depth costs more
+      // than the fixed costs it saves.)
       val next = tracked(smallStar(largeStar(edges)).localCheckpoint(eager = false))
       // set equality in ONE job (both sides are distinct): tag +1/-1,
       // any group summing nonzero is a difference in either direction
