@@ -248,6 +248,61 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Centroids for the hash-gated IVF twin: seeded Gaussians, same
+    * embed-the-constants contract as the LSH hyperplanes. */
+  private def seededCentroids(k: Int, dim: Int): IndexedSeq[IndexedSeq[Double]] = {
+    val rnd = new scala.util.Random(7)
+    IndexedSeq.fill(k)(IndexedSeq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** IVF with SEEDED random centroids — the oracle-gated twin of
+    * m_ann_ivf: same plan shape (one-list assignment, broadcast centroid
+    * dim, nProbe probe lists, exact re-rank inside lists), but the coarse
+    * quantizer is a fixed seeded draw instead of a KMeans fit, so the
+    * whole path is DuckDB-reproducible (the k-means variant is
+    * legitimately un-oracleable — optimizer-dependent centroids). Random
+    * centroids are the honest baseline coarse quantizer (FAISS's IVF on
+    * random samples degrades gracefully to this); recall tunes with
+    * nProbe exactly as in the fitted variant. Assignment ranks
+    * −2⟨x,c⟩+|c|² (|x|² is common to the argmin) via the codegen dot
+    * kernel — k dots per row, same hot-path form as the LSH sign bits. */
+  def m_ann_ivf_seeded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 16
+    val nProbe = 4
+    val cents = seededCentroids(k, 64)
+    val ss = cents.map(_.map(x => x * x).sum)
+    val e = emb(s, dir)
+    val scoreArr = array((0 until k).map(i =>
+      lit(-2.0) * dot(col("emb"), typedlit(cents(i))) + lit(ss(i))): _*)
+    val assigned = e.withColumn("sc", scoreArr)
+      .withColumn("list_id",
+        (expr("array_position(sc, array_min(sc))") - 1).cast("int"))
+      .select(col("vec_id"), col("emb"), col("list_id"))
+    val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c, ss(i)) }
+      .toDF("list_id", "cent", "css")
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist"), col("list_id"))
+    val probes = assigned.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      .crossJoin(broadcast(centsDf))
+      .select(col("query_id"), col("qemb"), col("list_id"),
+        (lit(-2.0) * dot(col("qemb"), col("cent")) + col("css")).as("cdist"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qemb"), col("list_id"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    probes.join(assigned, "list_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qemb"), col("emb")), 6).as("sim"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ------------------------------------------------ engine-only: MinHashLSH
   /** G18: MLlib MinHashLSH near-dup join over binary token vectors
     * (Jaccard distance ≤ 0.3). */
@@ -567,6 +622,7 @@ object Similarity {
     "m_dedup_embedding"   -> (m_dedup_embedding _),
     "m_dedup_minhash_lsh" -> (m_dedup_minhash_lsh _),
     "m_dedup_simhash"     -> (m_dedup_simhash _),
+    "m_ann_ivf_seeded"    -> (m_ann_ivf_seeded _),
     "q55_dedup_components"-> (q55_dedup_components _),
     "q73_dedup_union"     -> (q73_dedup_union _))
 
@@ -639,8 +695,52 @@ object Similarity {
        |ORDER BY sim DESC, id_a, id_b LIMIT 20""".stripMargin
   }
 
+  /** Generated twin of m_ann_ivf_seeded: the same seeded centroids (and
+    * their squared norms) embedded as SQL literals; assignment, probe
+    * ranking and re-scoring mirror the Spark expressions op-for-op so the
+    * doubles — and hence the argmin/rank decisions — agree exactly. */
+  private lazy val annIvfSeededOracle: String = {
+    val k = 16
+    val nProbe = 4
+    val cents = seededCentroids(k, 64)
+    val ss = cents.map(_.map(x => x * x).sum)
+    val centLits = cents.map(_.mkString("[", ", ", "]"))
+    val scoreExprs = (0 until k).map(i =>
+      s"(-2.0 * list_dot_product(emb, ${centLits(i)}) + ${ss(i)})")
+      .mkString("[", ",\n  ", "]")
+    val centRows = (0 until k).map(i =>
+      s"($i, ${centLits(i)}, ${ss(i)})").mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |sc AS (SELECT vec_id, emb,
+       |  $scoreExprs AS sc FROM e),
+       |a AS (SELECT vec_id, emb,
+       |    CAST(list_position(sc, list_min(sc)) - 1 AS INT) AS list_id
+       |  FROM sc),
+       |cents(list_id, cent, css) AS (VALUES
+       |  $centRows),
+       |probes AS (SELECT query_id, qemb, list_id FROM (
+       |  SELECT q.vec_id AS query_id, q.emb AS qemb, c.list_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |      (-2.0 * list_dot_product(q.emb, c.cent) + c.css), c.list_id) AS pr
+       |  FROM (SELECT vec_id, emb FROM a WHERE vec_id < 50) q, cents c)
+       |  WHERE pr <= $nProbe),
+       |cand AS (SELECT p.query_id, p.qemb, x.vec_id AS neighbor_id, x.emb
+       |  FROM probes p JOIN a x ON p.list_id = x.list_id
+       |  WHERE x.vec_id <> p.query_id),
+       |scored AS (SELECT query_id, neighbor_id,
+       |  round(list_dot_product(qemb, emb) /
+       |    (sqrt(list_dot_product(qemb, qemb)) * sqrt(list_dot_product(emb, emb))), 6) AS sim
+       |  FROM cand),
+       |ranked AS (SELECT query_id, neighbor_id, sim,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, sim
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "m_ann_lsh"         -> annLshOracle,
+    "m_ann_ivf_seeded"  -> annIvfSeededOracle,
     "m_dedup_embedding" -> dedupEmbeddingOracle,
     "m_dedup_simhash"   -> simhashOracle,
     "q19_similarity_topk" ->
