@@ -289,6 +289,52 @@ object CorpusFilters {
         col("seg_md5"), col("n_copies"))
       .orderBy(col("doc_id"), col("seg_id"))
 
+  /** Content-defined-chunking span dedup — q66's fixed 8-token stride
+    * re-cut with CDC boundaries (LBFS/FastCDC lineage, token-level): a
+    * boundary falls wherever the local 4-gram's hash ≡ 0 (mod 8), so an
+    * insertion near the top of a page shifts only the segment it lands
+    * in — fixed-stride spans after the edit ALL change and the dedup
+    * misses every one of them; CDC re-synchronizes at the next boundary.
+    * Expected segment length is the modulus (8 tokens), matching q66's
+    * stride for comparability. The per-doc boundary pass is pure array
+    * HOFs (no explode until segments exist); winner-argmin and decode are
+    * exactly q66's machinery, same packing guards.
+    *
+    * Scale: identical to q66 — one content shuffle at ~distinct-segment
+    * cardinality; the boundary computation is map-side. */
+  /** (doc_id, seg_id = 1-based token position, sg) CDC segment stream over
+    * a (doc_id, t) token frame — exposed for the shift-robustness spec. */
+  private[graft] def cdcSegments(toks: DataFrame): DataFrame = {
+    // hash of the 4-gram starting at i (1-based), as a small bucket id
+    val h4 = "pmod(conv(substring(md5(concat_ws(' ', element_at(t,CAST(i AS INT)), " +
+      "element_at(t,CAST(i AS INT)+1), element_at(t,CAST(i AS INT)+2), " +
+      "element_at(t,CAST(i AS INT)+3))), 1, 8), 16, 10), 8)"
+    toks.filter(size(col("t")) >= 1)
+      // internal boundaries: positions 2..n-3 whose 4-gram hash bucket is 0
+      .withColumn("bp", expr(
+        s"""filter(transform(sequence(1, greatest(size(t) - 3, 0)),
+           |  i -> IF(i > 1 AND $h4 = 0, CAST(i AS INT), CAST(NULL AS INT))),
+           |  x -> x IS NOT NULL)""".stripMargin))
+      .withColumn("starts", expr("concat(array(1), bp)"))
+      .withColumn("ends", expr("concat(bp, array(size(t) + 1))"))
+      .select(col("doc_id"), col("t"), explode(expr(
+        """transform(sequence(1, size(starts)), j -> struct(
+          |  element_at(starts, j) AS pos,
+          |  array_join(slice(t, element_at(starts, j),
+          |    element_at(ends, j) - element_at(starts, j)), ' ') AS sg))""".stripMargin))
+        .as("s"))
+      .select(col("doc_id"), col("s.pos").as("seg_id"), col("s.sg").as("sg"))
+  }
+
+  def q75_cdc_span_dedup(s: SparkSession, dir: String): DataFrame =
+    cdcSegments(docToks(s, dir))
+      .groupBy(md5(col("sg").cast("binary")).as("seg_md5"))
+      .agg(min(spanEnc).as("enc"), count(lit(1)).as("n_copies"))
+      .select(expr("enc div 1000000").as("doc_id"),
+        (col("enc") % 1000000L).cast("int").as("pos"),
+        col("seg_md5"), col("n_copies"))
+      .orderBy(col("doc_id"), col("pos"))
+
   /** C4's ACTUAL operator on top of q66's span table: rewrite the corpus
     * with every non-first span occurrence deleted and the text re-joined
     * (q66 only *reports* surviving spans; Raffel et al. 2020 §2.2 removes
@@ -717,6 +763,7 @@ object CorpusFilters {
     "q63_lexical_diversity" -> (q63_lexical_diversity _),
     "q66_span_dedup"      -> (q66_span_dedup _),
     "q66b_span_rewrite"   -> (q66b_span_rewrite _),
+    "q75_cdc_span_dedup"  -> (q75_cdc_span_dedup _),
     "q67_source_cap"      -> (q67_source_cap _),
     "q68_bigram_lm"       -> (q68_bigram_lm _),
     "q69_zipf_profile"    -> (q69_zipf_profile _),
@@ -856,6 +903,26 @@ object CorpusFilters {
          |    x -> x IS NOT NULL AND x <> ''), ' '), '')) AS clean_md5
          |FROM base b LEFT JOIN ka ON b.doc_id = ka.doc_id
          |ORDER BY b.doc_id""".stripMargin,
+    "q75_cdc_span_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
+         |b AS (SELECT doc_id, t, len(t) AS n,
+         |    list_filter(list_transform(range(1, greatest(len(t) - 3, 0) + 1),
+         |      i -> CASE WHEN i > 1 AND
+         |          (CAST('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]), 1, 8) AS BIGINT) % 8) = 0
+         |        THEN CAST(i AS INT) END), x -> x IS NOT NULL) AS bp
+         |  FROM toks WHERE len(t) >= 1),
+         |s AS (SELECT doc_id, t, [CAST(1 AS INT)] || bp AS starts,
+         |    bp || [CAST(n + 1 AS INT)] AS ends FROM b),
+         |seg AS (SELECT doc_id, CAST(starts[CAST(j AS INT)] AS INT) AS pos,
+         |    array_to_string(t[starts[CAST(j AS INT)] : ends[CAST(j AS INT)] - 1], ' ') AS sg
+         |  FROM s, unnest(range(1, len(starts) + 1)) AS u(j)),
+         |k AS (SELECT md5(sg) AS seg_md5,
+         |    MIN(doc_id * 1000000 + pos) AS enc,
+         |    COUNT(*) AS n_copies
+         |  FROM seg GROUP BY md5(sg))
+         |SELECT CAST(enc // 1000000 AS BIGINT) AS doc_id,
+         |  CAST(enc % 1000000 AS INT) AS pos, seg_md5, n_copies
+         |FROM k ORDER BY doc_id, pos""".stripMargin,
     "q68_bigram_lm" ->
       s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
          |bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2

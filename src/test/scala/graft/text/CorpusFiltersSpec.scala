@@ -54,6 +54,30 @@ class CorpusFiltersSpec extends AnyFunSuite {
     }
   }
 
+  test("CDC segments: lossless reassembly; boundaries survive a prefix shift") {
+    import spark.implicits._
+    val base = (1 to 200).map(i => s"w${i % 37}x$i").mkString(" ")
+    val toks = Seq(
+      (1L, base),
+      (2L, "inserted prefix tokens here " + base)) // the fixed-stride killer
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Cleanse.tokens(col("text")).as("t"))
+    val segs = CorpusFilters.cdcSegments(toks).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // reassembly: segments in position order concatenate back to the doc
+    val byDoc = segs.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).map(_._3).mkString(" ")).toMap
+    assert(byDoc(1L) == base)
+    assert(byDoc(2L) == "inserted prefix tokens here " + base)
+    // shift robustness: past the first re-synchronizing boundary the two
+    // docs share segment CONTENT (fixed-stride spans would share none —
+    // every 8-token window is offset by the 4-token prefix)
+    val shared = segs.filter(_._1 == 1L).map(_._3).toSet
+      .intersect(segs.filter(_._1 == 2L).map(_._3).toSet)
+    assert(shared.nonEmpty,
+      "CDC must re-synchronize after an insertion; no shared segments found")
+  }
+
   test("repetition scores: degenerate doc flagged, diverse doc not") {
     import spark.implicits._
     val docs = Seq(
