@@ -504,6 +504,30 @@ object CorpusFilters {
       .orderBy(col("doc_id"))
   }
 
+  /** The last mile of the curation pipeline COMPOSED: sequence-packing
+    * accounting over the span-DEDUPED corpus — q66b's cleaned lengths
+    * (which need no text reassembly: n_clean = 8·kept + n mod 8) flow
+    * into q72's 32-independent-bucket layout. This is the table a
+    * training run actually consumes: offsets into the packed stream of
+    * the corpus as it will be after dedup, not as it was ingested.
+    * Zero-length rewrites (every span deleted, no tail) drop out — there
+    * is nothing to pack. */
+  def q76_pack_clean(s: SparkSession, dir: String): DataFrame = {
+    val seqLen = 64
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    q66b_span_rewrite(s, dir)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(32)).as("bucket"),
+        col("n_clean_tokens").cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+      .withColumn("off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("bucket"), col("n_tokens"), col("off"),
+        expr(s"off div $seqLen").as("seq_first"),
+        expr(s"(off + n_tokens - 1) div $seqLen").as("seq_last"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------- BM25 retrieval
   /** BM25 document scoring for a fixed query-term set — the retrieval
     * primitive behind quality-by-relevance selection (e.g. "keep docs
@@ -764,6 +788,7 @@ object CorpusFilters {
     "q66_span_dedup"      -> (q66_span_dedup _),
     "q66b_span_rewrite"   -> (q66b_span_rewrite _),
     "q75_cdc_span_dedup"  -> (q75_cdc_span_dedup _),
+    "q76_pack_clean"      -> (q76_pack_clean _),
     "q67_source_cap"      -> (q67_source_cap _),
     "q68_bigram_lm"       -> (q68_bigram_lm _),
     "q69_zipf_profile"    -> (q69_zipf_profile _),
@@ -774,6 +799,27 @@ object CorpusFilters {
 
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
+
+  /** q66b's CTE chain (span winners → per-doc kept text/counts + base),
+    * shared with q76's packing of the cleaned lengths. */
+  private lazy val SpanRewriteCtes: String =
+    s"""toks AS (SELECT doc_id, $DToks AS t FROM documents),
+       |seg AS (SELECT doc_id, CAST(i AS INT) AS seg_id,
+       |    array_to_string(t[i*8+1 : i*8+8], ' ') AS sg
+       |  FROM toks, unnest(range(0, CAST(floor(len(t) / 8.0) AS INT))) AS u(i)
+       |  WHERE len(t) >= 8),
+       |k AS (SELECT md5(sg) AS seg_md5, MIN(doc_id * 1000000 + seg_id) AS enc
+       |  FROM seg GROUP BY md5(sg)),
+       |kept AS (SELECT s.doc_id, s.seg_id, s.sg
+       |  FROM seg s JOIN k ON md5(s.sg) = k.seg_md5
+       |  WHERE s.doc_id * 1000000 + s.seg_id = k.enc),
+       |ka AS (SELECT doc_id, COUNT(*) AS n_kept,
+       |    string_agg(sg, ' ' ORDER BY seg_id) AS kept_txt
+       |  FROM kept GROUP BY doc_id),
+       |base AS (SELECT doc_id, len(t) AS n_tokens,
+       |    CAST(floor(len(t) / 8.0) AS INT) AS n_spans,
+       |    array_to_string(t[CAST(floor(len(t) / 8.0) AS INT) * 8 + 1 : len(t)], ' ') AS tail_txt
+       |  FROM toks)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q51_repetition" ->
@@ -878,23 +924,7 @@ object CorpusFilters {
          |  CAST(enc % 1000000 AS INT) AS seg_id, seg_md5, n_copies
          |FROM k ORDER BY doc_id, seg_id""".stripMargin,
     "q66b_span_rewrite" ->
-      s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
-         |seg AS (SELECT doc_id, CAST(i AS INT) AS seg_id,
-         |    array_to_string(t[i*8+1 : i*8+8], ' ') AS sg
-         |  FROM toks, unnest(range(0, CAST(floor(len(t) / 8.0) AS INT))) AS u(i)
-         |  WHERE len(t) >= 8),
-         |k AS (SELECT md5(sg) AS seg_md5, MIN(doc_id * 1000000 + seg_id) AS enc
-         |  FROM seg GROUP BY md5(sg)),
-         |kept AS (SELECT s.doc_id, s.seg_id, s.sg
-         |  FROM seg s JOIN k ON md5(s.sg) = k.seg_md5
-         |  WHERE s.doc_id * 1000000 + s.seg_id = k.enc),
-         |ka AS (SELECT doc_id, COUNT(*) AS n_kept,
-         |    string_agg(sg, ' ' ORDER BY seg_id) AS kept_txt
-         |  FROM kept GROUP BY doc_id),
-         |base AS (SELECT doc_id, len(t) AS n_tokens,
-         |    CAST(floor(len(t) / 8.0) AS INT) AS n_spans,
-         |    array_to_string(t[CAST(floor(len(t) / 8.0) AS INT) * 8 + 1 : len(t)], ' ') AS tail_txt
-         |  FROM toks)
+      s"""WITH $SpanRewriteCtes
          |SELECT b.doc_id,
          |  CAST(COALESCE(ka.n_kept, 0) AS INT) AS n_kept,
          |  CAST(b.n_spans - COALESCE(ka.n_kept, 0) AS INT) AS n_dropped,
@@ -903,6 +933,20 @@ object CorpusFilters {
          |    x -> x IS NOT NULL AND x <> ''), ' '), '')) AS clean_md5
          |FROM base b LEFT JOIN ka ON b.doc_id = ka.doc_id
          |ORDER BY b.doc_id""".stripMargin,
+    "q76_pack_clean" ->
+      s"""WITH $SpanRewriteCtes,
+         |lens AS (SELECT b.doc_id, b.doc_id % 32 AS bucket,
+         |    CAST(COALESCE(ka.n_kept, 0) * 8 + (b.n_tokens - b.n_spans * 8) AS BIGINT) AS n_tokens
+         |  FROM base b LEFT JOIN ka ON b.doc_id = ka.doc_id),
+         |f AS (SELECT * FROM lens WHERE n_tokens >= 1),
+         |o AS (SELECT doc_id, bucket, n_tokens,
+         |    CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         |  FROM f)
+         |SELECT doc_id, bucket, n_tokens, off,
+         |  off // 64 AS seq_first,
+         |  (off + n_tokens - 1) // 64 AS seq_last
+         |FROM o ORDER BY doc_id""".stripMargin,
     "q75_cdc_span_dedup" ->
       s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
          |b AS (SELECT doc_id, t, len(t) AS n,
