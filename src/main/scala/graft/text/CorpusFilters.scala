@@ -401,6 +401,25 @@ object CorpusFilters {
       .orderBy(col("source"), col("rnk"))
   }
 
+  /** Stratified uniform sample: exactly N documents per source, chosen by
+    * HASH order (md5 of the id), not by a quality key — the unbiased
+    * training-mix sampler next to q67's quality-ranked cap. Hash order
+    * makes the sample deterministic, reshardable and engine-portable
+    * (same contract as q49's hash-threshold sampling, but exact-N per
+    * stratum rather than a fixed rate). Same WindowGroupLimit
+    * bounded-heap shape as q67: rank ≤ N never sorts a whole domain. */
+  def q77_stratified_sample(s: SparkSession, dir: String): DataFrame = {
+    val n = 25
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= n)
+      .orderBy(col("source"), col("rnk"))
+  }
+
   // ------------------------------------------------- bigram LM scoring
   /** Interpolated-bigram LM scoring — one rung up the n-gram ladder from
     * q56's unigram filter, and the closest relational shape to the
@@ -789,6 +808,7 @@ object CorpusFilters {
     "q66b_span_rewrite"   -> (q66b_span_rewrite _),
     "q75_cdc_span_dedup"  -> (q75_cdc_span_dedup _),
     "q76_pack_clean"      -> (q76_pack_clean _),
+    "q77_stratified_sample" -> (q77_stratified_sample _),
     "q67_source_cap"      -> (q67_source_cap _),
     "q68_bigram_lm"       -> (q68_bigram_lm _),
     "q69_zipf_profile"    -> (q69_zipf_profile _),
@@ -947,6 +967,14 @@ object CorpusFilters {
          |  off // 64 AS seq_first,
          |  (off + n_tokens - 1) // 64 AS seq_last
          |FROM o ORDER BY doc_id""".stripMargin,
+    "q77_stratified_sample" ->
+      """SELECT source, doc_id, n_chars,
+        |  CAST(rnk AS INTEGER) AS rnk
+        |FROM (SELECT source, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 25 ORDER BY source, rnk""".stripMargin,
     "q75_cdc_span_dedup" ->
       s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
          |b AS (SELECT doc_id, t, len(t) AS n,
