@@ -373,7 +373,13 @@ object Similarity {
     * md5-derived token hash above makes the whole pipeline
     * DuckDB-expressible; the generated 64-conditional-sum oracle is
     * `simhashOracle` below). */
-  def m_dedup_simhash(s: SparkSession, dir: String): DataFrame = {
+  def m_dedup_simhash(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(s, dir).orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+
+  /** Unsorted simhash pair kernel — q73 consumes this directly (its
+    * fixpoint does not care about pair order; the dump query's global
+    * sort would be pure waste there). */
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sig = simhash(s, dir)
     val bands = sig.select(col("doc_id"), col("simhash"), explode(array(
       (0 until 4).map(i => struct(lit(i).as("band"),
@@ -386,7 +392,6 @@ object Similarity {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 12)
-      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
   }
 
   /** Generated DuckDB twin of m_dedup_simhash: token hash = two md5 hex
@@ -446,7 +451,11 @@ object Similarity {
     * scalar. Oracle: DuckDB recursive-CTE transitive closure over the
     * same pairs. */
   def q55_dedup_components(s: SparkSession, dir: String): DataFrame =
-    components(q33_ngram_jaccard(s, dir).select(col("doc_a"), col("doc_b")))
+    // the unsorted kernel: q33's dump-facing global sort is wasted work
+    // under a fixpoint that re-shuffles the pairs immediately
+    components(ngramJaccardPairs(Tables.documents(s, dir)
+        .select(col("doc_id"), Cleanse.tokens(col("text")).as("t")))
+      .select(col("doc_a"), col("doc_b")))
       .orderBy(col("doc_id"))
 
   /** MinHash band-collision candidate pairs: docs sharing any of the four
@@ -484,8 +493,12 @@ object Similarity {
     * Oracle: recursive-CTE transitive closure over the identically-derived
     * union of the three pair sets. */
   def q73_dedup_union(s: SparkSession, dir: String): DataFrame = {
-    val jaccard = q33_ngram_jaccard(s, dir).select(col("doc_a"), col("doc_b"))
-    val simhash = m_dedup_simhash(s, dir).select(col("doc_a"), col("doc_b"))
+    // unsorted kernels: the dump queries' global sorts are wasted work
+    // under a union that re-shuffles into the fixpoint immediately
+    val jaccard = ngramJaccardPairs(Tables.documents(s, dir)
+        .select(col("doc_id"), Cleanse.tokens(col("text")).as("t")))
+      .select(col("doc_a"), col("doc_b"))
+    val simhash = simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
     val minhash = minhashBandPairs(s, dir)
     // no pre-distinct: components() canonically orients and dedups its
     // input in one pass — a distinct here would just add a shuffle
