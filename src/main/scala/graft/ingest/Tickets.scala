@@ -245,7 +245,34 @@ object Tickets {
       .orderBy(col("ticket_id"))
   }
 
+  /** S-family breadth: CSV scan with an EXPLICIT schema and FAILFAST mode
+    * — the production posture (inferSchema double-scans the data, and
+    * PERMISSIVE silently nulls malformed rows; at 100 TB both are wrong
+    * defaults). Quoted fields with embedded commas exercise the parser.
+    * Per-team rollup over the agent roster dim. */
+  def q78_scan_csv(s: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("agent_id", LongType),
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("team",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("hired",
+        org.apache.spark.sql.types.DateType),
+      org.apache.spark.sql.types.StructField("tickets_closed", LongType)))
+    s.read.schema(schema)
+      .option("header", "true").option("mode", "FAILFAST")
+      .csv(s"$FixturesDir/agents.csv")
+      .groupBy(col("team"))
+      .agg(count(lit(1)).as("n_agents"),
+        sum(col("tickets_closed")).as("closed"),
+        min(col("hired")).as("first_hire"),
+        max(col("name")).as("last_name_alpha"))
+      .orderBy(col("team"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_scan_csv"       -> (q78_scan_csv _),
     "q34_ingest_tickets" -> (q34_ingest_tickets _),
     "q35_ingest_comments" -> (q35_ingest_comments _),
     "q36_bind_comments"  -> (q36_bind_comments _),
@@ -306,6 +333,15 @@ object Tickets {
        |SELECT ticket_id, comment_id, created_at, body FROM ($DFlatComments)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q78_scan_csv" ->
+      s"""SELECT team, CAST(COUNT(*) AS BIGINT) AS n_agents,
+         | CAST(SUM(tickets_closed) AS BIGINT) AS closed,
+         | MIN(hired) AS first_hire,
+         | MAX(name) AS last_name_alpha
+         |FROM read_csv('$FixturesDir/agents.csv', header = true, columns = {
+         |  'agent_id': 'BIGINT', 'name': 'VARCHAR', 'team': 'VARCHAR',
+         |  'hired': 'DATE', 'tickets_closed': 'BIGINT'})
+         |GROUP BY team ORDER BY team""".stripMargin,
     "q34_ingest_tickets" ->
       s"""SELECT ticket_id, created_at, last_updated, status,
          | CAST(status_ord AS INTEGER) AS status_ord, subject,
