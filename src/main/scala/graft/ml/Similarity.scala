@@ -120,6 +120,83 @@ object Similarity {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** LOSSLESS exact Jaccard ≥ 0.5 pairs via PREFIX FILTERING (Chaudhuri
+    * et al. SSJoin / Bayardo et al. "Scaling up all pairs" — public
+    * algorithms): q33's hot-shingle cap (df ≤ 20) keeps pair volume
+    * linear but is LOSSY — a pair sharing only hot shingles is missed.
+    * Prefix filtering removes the cap without the blowup: order every
+    * doc's shingles by ascending global frequency and index only the
+    * first n − ceil(t·n) + 1 of them; any two sets with J ≥ t MUST share
+    * a prefix element under a common total order, so candidate
+    * generation over the prefix index alone is complete. Buckets stay
+    * small because prefixes hold each doc's RAREST shingles. Candidates
+    * verify exactly in-task via array_intersect on the two docs' full
+    * shingle arrays — no second inverted-index pass.
+    *
+    * Scale: one shingle shuffle for df, one for the per-doc sort, one
+    * prefix-bucket shuffle, then a candidate join against doc-sized
+    * arrays. Oracle: the UNCAPPED brute inverted-index join — the truth
+    * q33's cap approximates. */
+  def q79_jaccard_prefix(s: SparkSession, dir: String): DataFrame = {
+    val t = 0.5
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), Cleanse.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(t)-2), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))")))
+        .as("shingle"))
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // docsets has THREE consumers (prefix explode + both verification
+    // joins); without pinning, the whole shingle+df+sort chain re-executes
+    // per consumer (measured 15.6s at sf0.1 vs 5.9s pinned). localCheckpoint
+    // materializes it once — same pattern as the components fixpoint; on a
+    // cluster this is a reliable checkpoint of a corpus-sized table.
+    val docsets = sh.join(df, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(df, shingle))), x -> x.shingle)")
+        .as("ordered"))
+      .select(col("doc_id"), col("ordered"), size(col("ordered")).as("n"),
+        expr(s"slice(ordered, 1, size(ordered) - CAST(ceil($t * size(ordered)) AS INT) + 1)")
+          .as("prefix"))
+      .localCheckpoint()
+    // PPJoin's POSITIONAL filter prunes inside the bucket expansion, before
+    // candidates materialize: a pair sharing the element at (0-based)
+    // prefix positions (px, py) can overlap at most ub = min(nx−px, ny−py),
+    // so it can reach J ≥ t only if ub/(nx+ny−ub) ≥ t. Lossless: the pair's
+    // FIRST common element in the global order satisfies the bound whenever
+    // J ≥ t (PPJoin Lemma 1), and that occurrence always survives — later
+    // buckets may over-prune the same pair harmlessly. Subsumes the length
+    // filter (the px=py=0 case). Measured at sf0.1: candidates 310k with
+    // prefix+length filters alone → 125k with the positional filter.
+    val cands = docsets
+      .select(col("doc_id"), col("n"), posexplode(col("prefix")).as(Seq("pos", "shingle")))
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n"), col("pos")))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        s"""flatten(transform(ds, (x, i) ->
+           |  filter(transform(slice(ds, i + 2, size(ds)), y ->
+           |    struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+           |      least(x.n - x.pos, y.n - y.pos) /
+           |        (x.n + y.n - least(x.n - x.pos, y.n - y.pos)) >= $t AS ok)),
+           |    p -> p.ok)))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+    cands
+      .join(docsets.select(col("doc_id").as("doc_a"), col("ordered").as("ta"),
+        col("n").as("na")), "doc_a")
+      .join(docsets.select(col("doc_id").as("doc_b"), col("ordered").as("tb"),
+        col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ta"), col("tb"))).as("inter"),
+        col("na"), col("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= t)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // ---------------------------------------------------- engine-only: ANN
   /** Banded random-hyperplane (SimHash-for-cosine) signatures: `bands`
     * independent hash tables of `planes` sign bits each. Two vectors
@@ -637,7 +714,8 @@ object Similarity {
     "m_dedup_simhash"     -> (m_dedup_simhash _),
     "m_ann_ivf_seeded"    -> (m_ann_ivf_seeded _),
     "q55_dedup_components"-> (q55_dedup_components _),
-    "q73_dedup_union"     -> (q73_dedup_union _))
+    "q73_dedup_union"     -> (q73_dedup_union _),
+    "q79_jaccard_prefix"  -> (q79_jaccard_prefix _))
 
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
@@ -767,6 +845,24 @@ object Similarity {
         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rank FROM pairs)
         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, sim_r
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // the UNCAPPED truth — no stop-shingle guard; prefix filtering on the
+    // Spark side must reproduce it exactly or the gate fails
+    "q79_jaccard_prefix" ->
+      s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |  unnest(list_transform(range(1, len(t) - 1),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+         |  FROM toks WHERE len(t) >= 3),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jaccard
+         |FROM inter JOIN sizes x ON inter.doc_a = x.doc_id
+         |           JOIN sizes y ON inter.doc_b = y.doc_id
+         |WHERE round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q33_ngram_jaccard" ->
       s"""WITH $NgramCtes
          |SELECT doc_a, doc_b,

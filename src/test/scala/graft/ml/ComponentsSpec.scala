@@ -61,6 +61,19 @@ class ComponentsSpec extends AnyFunSuite {
       "keep-list covers exactly the docs touched by some signal")
   }
 
+  test("prefix-filtered Jaccard is a superset of the capped q33 pairs") {
+    val dir = "/root/testdata/sf0.001"
+    val capped = Similarity.q33_ngram_jaccard(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lossless = Similarity.q79_jaccard_prefix(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lossless.nonEmpty)
+    assert(capped.subsetOf(lossless),
+      s"the stop-shingle cap may only LOSE pairs: ${capped.diff(lossless)}")
+  }
+
   test("disjoint components keep separate labels; triangles and pairs") {
     val got = comps(Seq(
       (10L, 20L), (20L, 30L), (10L, 30L), // triangle -> 10
