@@ -33,6 +33,19 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ui.enabled=false does NOT stop the app-status listeners: they
+      // retain up to 1000 executions / 1000 jobs of state, and a
+      // 90-query bench emits thousands (the component fixpoints alone
+      // are ~50 jobs each). The growing store throttles the listener
+      // bus, which many-small-job queries feel hardest — q70 measured
+      // 7.4s isolated vs 24.6s at the end of a full sequence. Keep the
+      // retained state tiny; the bench needs none of it.
+      .config("spark.sql.ui.retainedExecutions", "4")
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
+      .config("spark.worker.ui.retainedExecutors", "10")
+      .config("spark.appStateStore.asyncTracking.enable", "false")
     // Shuffle spill on the container's overlay rootfs intermittently stalls
     // tasks for 10-100s; tmpfs sidesteps it (local-mode only — a real
     // cluster would use fast local SSDs for spark.local.dir).
