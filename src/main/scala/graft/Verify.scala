@@ -13,6 +13,13 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bounded app-status retention (see Bench): the listeners run even
+      // with the UI off, and ~90 queries incl. multi-job fixpoints
+      // otherwise throttle the listener bus late in the sequence
+      .config("spark.sql.ui.retainedExecutions", "4")
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
     // tmpfs scratch: overlay-rootfs shuffle writes intermittently stall (see Bench)
     if (new java.io.File("/dev/shm").isDirectory)
       builder.config("spark.local.dir", "/dev/shm/spark-local")
