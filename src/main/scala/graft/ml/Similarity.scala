@@ -136,7 +136,16 @@ object Similarity {
     * Scale: one shingle shuffle for df, one for the per-doc sort, one
     * prefix-bucket shuffle, then a candidate join against doc-sized
     * arrays. Oracle: the UNCAPPED brute inverted-index join — the truth
-    * q33's cap approximates. */
+    * q33's cap approximates.
+    *
+    * The verify join intersects arrays of dense LONG shingle ids, not the
+    * shingle strings: ids are assigned off the df table (vocabulary-sized)
+    * and docs carry `ordered: array<long>` — 8 bytes per element vs ~20+
+    * char strings, and array_intersect compares longs instead of strings.
+    * The global prefix order is still (df asc, shingle asc): ids ride along
+    * in the per-doc struct sort, they never decide it, so candidate
+    * generation stays deterministic and exactly lossless. Measured at
+    * sf0.1: 15.7 s with string-array verify → 3.7 s with long ids. */
   def q79_jaccard_prefix(s: SparkSession, dir: String): DataFrame = {
     val t = 0.5
     val sh = Tables.documents(s, dir)
@@ -146,14 +155,24 @@ object Similarity {
         "transform(sequence(1, size(t)-2), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))")))
         .as("shingle"))
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // Unique (not order-carrying) long id per shingle, shuffle-free:
+    // monotonically_increasing_id packs (partition, row) bits. ids has
+    // exactly ONE consumer — the docsets build below, materialized once by
+    // its localCheckpoint — so the nondeterminism across re-evaluations
+    // that normally makes this id dangerous cannot be observed.
+    val ids = df.select(col("shingle"), col("df"),
+      monotonically_increasing_id().as("sid"))
     // docsets has THREE consumers (prefix explode + both verification
     // joins); without pinning, the whole shingle+df+sort chain re-executes
-    // per consumer (measured 15.6s at sf0.1 vs 5.9s pinned). localCheckpoint
-    // materializes it once — same pattern as the components fixpoint; on a
-    // cluster this is a reliable checkpoint of a corpus-sized table.
-    val docsets = sh.join(df, "shingle")
+    // per consumer. localCheckpoint materializes it once — same pattern as
+    // the components fixpoint; on a cluster this is a reliable checkpoint
+    // of a corpus-sized table. (Pinned blocks are dropped below once the
+    // pair result — bounded by the true near-dup count, ≪ corpus — is
+    // itself pinned, so a long-lived session does not accumulate a corpus
+    // of shingle arrays per q79 call.)
+    val docsets = sh.join(ids, "shingle")
       .groupBy(col("doc_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(df, shingle))), x -> x.shingle)")
+      .agg(expr("transform(array_sort(collect_list(struct(df, shingle, sid))), x -> x.sid)")
         .as("ordered"))
       .select(col("doc_id"), col("ordered"), size(col("ordered")).as("n"),
         expr(s"slice(ordered, 1, size(ordered) - CAST(ceil($t * size(ordered)) AS INT) + 1)")
@@ -169,8 +188,8 @@ object Similarity {
     // filter (the px=py=0 case). Measured at sf0.1: candidates 310k with
     // prefix+length filters alone → 125k with the positional filter.
     val cands = docsets
-      .select(col("doc_id"), col("n"), posexplode(col("prefix")).as(Seq("pos", "shingle")))
-      .groupBy(col("shingle"))
+      .select(col("doc_id"), col("n"), posexplode(col("prefix")).as(Seq("pos", "sid")))
+      .groupBy(col("sid"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n"), col("pos")))).as("ds"))
       .filter(size(col("ds")) >= 2)
       .select(explode(expr(
@@ -182,7 +201,7 @@ object Similarity {
            |    p -> p.ok)))""".stripMargin)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
-    cands
+    val scored = cands
       .join(docsets.select(col("doc_id").as("doc_a"), col("ordered").as("ta"),
         col("n").as("na")), "doc_a")
       .join(docsets.select(col("doc_id").as("doc_b"), col("ordered").as("tb"),
@@ -194,7 +213,12 @@ object Similarity {
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= t)
-      .orderBy(col("doc_a"), col("doc_b"))
+    // Eagerly pin the (pair-count-sized) result, then drop docsets' corpus
+    // of pinned shingle arrays — the caller sees a plan over the small
+    // pinned pairs only (same release discipline as componentsWithRounds).
+    val out = scored.localCheckpoint()
+    pinnedRdds(docsets).foreach(_.unpersist(blocking = false))
+    out.orderBy(col("doc_a"), col("doc_b"))
   }
 
   // ---------------------------------------------------- engine-only: ANN
@@ -413,8 +437,14 @@ object Similarity {
     * equivalent for simhash voting; the two 32-bit hex parses stay inside
     * signed-long range on both engines. */
   private def simhashToks(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), explode(Cleanse.tokens(col("text"))).as("term"))
+    simhashToksOf(Tables.documents(s, dir)
+      .select(col("doc_id"), Cleanse.tokens(col("text")).as("t")))
+
+  /** The (doc_id, term, freq, h) kernel over any (doc_id, t) token frame —
+    * q73 feeds it the shared checkpointed frame so the corpus is tokenized
+    * once for all three of its near-dup signals. */
+  private def simhashToksOf(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"), explode(col("t")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("freq"))
       .withColumn("m", md5(col("term").cast("binary")))
       .withColumn("h",
@@ -426,7 +456,12 @@ object Similarity {
     * aggregate (one long[64] vote buffer per doc — single shuffle on
     * doc_id), then 16-bit band bucketing for near-dup candidates. */
   def simhash(s: SparkSession, dir: String): DataFrame =
-    simhashToks(s, dir)
+    simhashOf(Tables.documents(s, dir)
+      .select(col("doc_id"), Cleanse.tokens(col("text")).as("t")))
+
+  /** Signature kernel over any (doc_id, t) token frame. */
+  private def simhashOf(toks: DataFrame): DataFrame =
+    simhashToksOf(toks)
       .groupBy(col("doc_id"))
       .agg(SimhashFunctions.simhash_agg(col("h"), col("freq")).as("simhash"))
 
@@ -456,8 +491,12 @@ object Similarity {
   /** Unsorted simhash pair kernel — q73 consumes this directly (its
     * fixpoint does not care about pair order; the dump query's global
     * sort would be pure waste there). */
-  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = simhash(s, dir)
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    simhashPairsOf(simhash(s, dir))
+
+  /** Band-bucketed SimHash pair kernel over a precomputed (doc_id, simhash)
+    * signature frame. */
+  private def simhashPairsOf(sig: DataFrame): DataFrame = {
     val bands = sig.select(col("doc_id"), col("simhash"), explode(array(
       (0 until 4).map(i => struct(lit(i).as("band"),
         shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
@@ -542,8 +581,12 @@ object Similarity {
     * larger than 20 docs are dropped (an over-full bucket is a stop-bucket:
     * O(n²) pairs, no near-dup signal — the q33 hot-shingle guard applied
     * to minhash bands). Never an all-pairs join. */
-  private[graft] def minhashBandPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = graft.text.TextOps.minhashSignatures(s, dir)
+  private[graft] def minhashBandPairs(s: SparkSession, dir: String): DataFrame =
+    minhashBandPairsOf(graft.text.TextOps.minhashSignatures(s, dir))
+
+  /** The band-collision pair kernel over a precomputed 4-permutation
+    * signature frame (columns doc_id, h1..h4). */
+  private def minhashBandPairsOf(sig: DataFrame): DataFrame = {
     val bands = sig.select(col("doc_id"), explode(array(
       (1 to 4).map(i => struct(lit(i).as("band"), col(s"h$i").as("h"))): _*)).as("bh"))
       .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
@@ -570,17 +613,26 @@ object Similarity {
     * Oracle: recursive-CTE transitive closure over the identically-derived
     * union of the three pair sets. */
   def q73_dedup_union(s: SparkSession, dir: String): DataFrame = {
+    // ONE tokenized frame for all three signals: each kernel accepts a
+    // (doc_id, t) frame, so the corpus is scanned + tokenized exactly once
+    // (round-6 verdict: the previous version tokenized three times — one
+    // scan per signal). localCheckpoint materializes it; released below
+    // once the fixpoint's labels are pinned.
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), Cleanse.tokens(col("text")).as("t"))
+      .localCheckpoint()
     // unsorted kernels: the dump queries' global sorts are wasted work
     // under a union that re-shuffles into the fixpoint immediately
-    val jaccard = ngramJaccardPairs(Tables.documents(s, dir)
-        .select(col("doc_id"), Cleanse.tokens(col("text")).as("t")))
+    val jaccard = ngramJaccardPairs(toks).select(col("doc_a"), col("doc_b"))
+    val simhash = simhashPairsOf(simhashOf(toks))
       .select(col("doc_a"), col("doc_b"))
-    val simhash = simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
-    val minhash = minhashBandPairs(s, dir)
+    val minhash = minhashBandPairsOf(graft.text.TextOps.minhashSignaturesOf(toks))
     // no pre-distinct: components() canonically orients and dedups its
     // input in one pass — a distinct here would just add a shuffle
-    components(jaccard.unionByName(simhash).unionByName(minhash))
-      .orderBy(col("doc_id"))
+    val labels = components(jaccard.unionByName(simhash).unionByName(minhash))
+    // components() returns eagerly-pinned labels with no reference to toks
+    pinnedRdds(toks).foreach(_.unpersist(blocking = false))
+    labels.orderBy(col("doc_id"))
   }
 
   /** Connected components over an undirected pair list (doc_a, doc_b) →
@@ -599,6 +651,21 @@ object Similarity {
     * truncated: MaxRounds = 64 covers graphs past 2^64 nodes with margin,
     * so hitting it means a bug, not big data. */
   def components(pairs: DataFrame): DataFrame = componentsWithRounds(pairs)._1
+
+  /** The RDDs a localCheckpoint'd Dataset pinned — each checkpointed
+    * Dataset's plan is a LogicalRDD wrapping the persisted RDD. Used to
+    * release corpus-sized intermediates once a query's (small) result is
+    * itself pinned, so long-lived sessions don't accumulate block-manager
+    * debt per call. (A global persistent-RDD sweep would also unpersist
+    * RDDs a concurrent query persisted — fatal for its truncated lineage.) */
+  private[graft] def pinnedRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => buf += l.rdd
+      case _ => ()
+    }
+    buf.toSeq
+  }
 
   val MaxRounds = 64
 
@@ -620,13 +687,7 @@ object Similarity {
     // unpersist RDDs a concurrent query on the shared session persisted
     // in the meantime, which is fatal for its truncated lineage.)
     val loopRdds = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
-    def tracked(df: DataFrame): DataFrame = {
-      df.queryExecution.analyzed.foreach {
-        case l: org.apache.spark.sql.execution.LogicalRDD => loopRdds += l.rdd
-        case _ => ()
-      }
-      df
-    }
+    def tracked(df: DataFrame): DataFrame = { loopRdds ++= pinnedRdds(df); df }
     val init = tracked(pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))

@@ -163,12 +163,18 @@ object TextOps {
   /** 4-permutation MinHash signature via md5 under distinct seeds — the
     * SQL-expressible twin of MinHashLSH (G18). One explode + one groupBy:
     * at scale this is the standard shingle→minhash map-reduce. */
-  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    minhashSignaturesOf(Tables.documents(s, dir)
+      .select(col("doc_id"), Cleanse.tokens(col("text")).as("t")))
+
+  /** The signature kernel over any (doc_id, t) token frame — q73 feeds it
+    * the shared checkpointed frame so its three near-dup signals tokenize
+    * the corpus once. */
+  def minhashSignaturesOf(toks: DataFrame): DataFrame = {
     val hashes = MinhashSeeds.zipWithIndex.map { case (seed, i) =>
       min(md5(concat(lit(seed), col("term")).cast("binary"))).as(s"h${i + 1}")
     }
-    Tables.documents(s, dir)
-      .select(col("doc_id"), explode(Cleanse.tokens(col("text"))).as("term"))
+    toks.select(col("doc_id"), explode(col("t")).as("term"))
       .groupBy(col("doc_id"))
       .agg(hashes.head, hashes.tail: _*)
   }

@@ -107,7 +107,10 @@ class ScaleSpec extends AnyFunSuite {
   }
 
   test("curation funnel stays at its declared specialized gram passes") {
-    val df = graft.text.CorpusFilters.q70_curation_funnel(spark, dir)
+    // the public query pins its 8-row result (plan = LogicalRDD scan), so
+    // assert pass shape on the lazy inner plan over the shared token frame
+    val df = graft.text.CorpusFilters.q70FunnelOver(spark,
+      graft.text.CorpusFilters.q70TokenFrame(spark, dir).localCheckpoint())
     df.collect() // finalize AQE so the executed plan is the real one
     // AQE's toString appends the pre-adaptive plan under "== Initial
     // Plan ==" — count nodes in the final section only
