@@ -26,5 +26,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     rel.Relational.oracle ++ text.TextOps.oracle ++ text.Tokenize.oracle ++
       text.CorpusFilters.oracle ++ ml.Vocab.oracle ++
-      ml.Similarity.oracle ++ ingest.Tickets.oracle
+      ml.Similarity.oracle ++ ml.Bloom.oracle ++ ml.Quantize.oracle ++
+      ingest.Tickets.oracle
 }

@@ -235,6 +235,84 @@ object Bloom {
       .orderBy(col("doc_id"))
   }
 
+  /** The ACCURACY-CONTRACT gate for Bloom decontamination (the
+    * q_approx_distinct pattern): m_bloom_decontaminate stays engine-only
+    * because DuckDB cannot reproduce the sketch's bit layout — so this
+    * q-numbered twin runs BOTH paths (the exact broadcast join, i.e.
+    * q52's plan, and the join-free Bloom probe) and emits only
+    * DuckDB-recomputable columns plus contract booleans the oracle
+    * asserts as literal TRUE:
+    *  - bloom_superset: per doc, bloom hits ≥ exact hits — a Bloom filter
+    *    can never false-negative, so a violation means the build/probe
+    *    hash contract broke;
+    *  - corpus_fpp_ok: the observed corpus-level false-positive rate
+    *    (Σ overcount / Σ true negatives) stays ≤ 5× the configured
+    *    fpp = 0.01 (variance margin).
+    * A wrong answer anywhere in the sketch path flips a boolean and fails
+    * the driver's hash gate. The exact join exists here FOR the gate;
+    * production scale runs the join-free m_bloom path. */
+  def q80_bloom_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Cleanse
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), Cleanse.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+          .as("bucket"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, size(t)-4), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2), element_at(t,i+3), element_at(t,i+4)))")))
+          .as("g"))
+    val benchGrams = grams.filter(col("bucket") === "f")
+      .select(col("g")).distinct()
+    val expected = math.max(benchGrams.count(), 1024L)
+    val filter = buildFilter(benchGrams, col("g"),
+      expectedItems = expected, fpp = 0.01)
+    // ONE corpus-gram pass computes both sides; pinned because the
+    // aggregate contract below is a second consumer
+    val perDoc = grams.filter(col("bucket") =!= "f")
+      .join(broadcast(benchGrams.withColumn("hit", lit(1L))), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit_exact"),
+        sum(bloom_contains(col("g"), filter).cast("long")).as("nb"))
+      .localCheckpoint()
+    val fppOk = perDoc.agg(
+      coalesce(
+        sum(col("nb") - col("n_hit_exact")).cast(DoubleType)
+          / sum(col("n_grams") - col("n_hit_exact")) <= 0.05,
+        lit(true)) // zero true negatives → contract trivially satisfied
+        .as("corpus_fpp_ok"))
+    val out = perDoc.crossJoin(broadcast(fppOk))
+      .select(col("doc_id"), col("n_grams"), col("n_hit_exact"),
+        (col("nb") >= col("n_hit_exact")).as("bloom_superset"),
+        col("corpus_fpp_ok"))
+      .localCheckpoint()
+    Similarity.pinnedRdds(perDoc).foreach(_.unpersist(blocking = false))
+    out.orderBy(col("doc_id"))
+  }
+
+  private val DToks =
+    "list_filter(string_split(trim(text), ' '), t -> t <> '')"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m_bloom_decontaminate" -> (m_bloom_decontaminate _))
+    "m_bloom_decontaminate" -> (m_bloom_decontaminate _),
+    "q80_bloom_decontaminate" -> (q80_bloom_decontaminate _))
+
+  /** The exact side recomputed relationally; the sketch-path booleans are
+    * asserted as literals — see q80's scaladoc for the contract. */
+  val oracle: Map[String, String] = Map(
+    "q80_bloom_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
+         |grams AS (SELECT DISTINCT doc_id,
+         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+         |    unnest(list_transform(range(1, len(t) - 3),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+         |  FROM toks WHERE len(t) >= 5),
+         |bench AS (SELECT DISTINCT g FROM grams WHERE bucket = 'f')
+         |SELECT doc_id, COUNT(*) AS n_grams,
+         |  CAST(SUM(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_exact,
+         |  TRUE AS bloom_superset, TRUE AS corpus_fpp_ok
+         |FROM (SELECT * FROM grams WHERE bucket <> 'f') c
+         |LEFT JOIN bench ON c.g = bench.g
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }
