@@ -27,5 +27,5 @@ object SparkEntry {
     rel.Relational.oracle ++ text.TextOps.oracle ++ text.Tokenize.oracle ++
       text.CorpusFilters.oracle ++ ml.Vocab.oracle ++
       ml.Similarity.oracle ++ ml.Bloom.oracle ++ ml.Quantize.oracle ++
-      ingest.Tickets.oracle
+      ingest.Tickets.oracle ++ multimodal.Media.oracle
 }

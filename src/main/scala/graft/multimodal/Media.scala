@@ -214,9 +214,82 @@ object Media {
     * is exactly the true duplicate set (MediaSpec asserts both sides). */
   def m_media_dedup(s: SparkSession, dir: String): DataFrame = {
     val media = mediaTable(s, dir)
-    val reingested = media.withColumn("media_id", col("media_id") + lit(1000000L))
+    // offset = row count = max(media_id) + 1 by construction (ids are
+    // 0..n-1), so synthetic twin ids can NEVER collide with or interleave
+    // into the original id space — a fixed constant offset silently
+    // corrupts the twin-pair invariant once real ids outgrow it (round-6
+    // advice item 2)
+    val n = Tables.documents(s, dir).count()
+    val reingested = media.withColumn("media_id", col("media_id") + lit(n))
     phashDedup(media.unionByName(reingested))
       .orderBy(col("media_a"), col("media_b"))
+  }
+
+  /** IMAGE-TEXT PAIR ASSEMBLY — the training-pair table every multimodal
+    * run consumes (the LAION shape: caption + image, one row per pair;
+    * the multimodal analogue of the reference's comment→ticket nested
+    * bind, /root/reference/src/wrangler.py:343-394, one modality up).
+    *
+    * The media side first passes the re-crawl pHash dedup (the
+    * m_media_dedup scenario: corpus ∪ re-ingested copy under fresh ids):
+    * non-canonical members of every perceptual-dup cluster drop, then the
+    * surviving images join their caption documents on the pairing key.
+    * The pairing key is media_id mod n (n = corpus size) — DELIBERATELY,
+    * so a duplicate image that escaped the dedup still joins its caption
+    * and surfaces as a duplicate pair row: the dedup's correctness is
+    * structurally inside the oracle gate, not asserted off to the side.
+    *
+    * Fully hash-gated: the generator's splitmix64 id→metadata derivation
+    * is pure 64-bit arithmetic, which the DuckDB twin reproduces exactly
+    * (HUGEINT with explicit two's-complement wraparound), so kind
+    * selection, width/height metadata, the dedup survivor set AND the
+    * caption stats are all verified cross-engine. Feature vectors stay in
+    * the rows-only twin m_image_text_pairs (float codec output has no
+    * SQL twin).
+    *
+    * Scale: pHash dedup is band-bucketed candidate generation (never
+    * all-pairs); the doc join is an equi-join on the pairing key — one
+    * hash shuffle of the (already image-only, deduped) media side against
+    * the caption table. */
+  def q83_image_text_pairs(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Cleanse
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val media = mediaTable(s, dir)
+    val union = media.unionByName(
+      media.withColumn("media_id", col("media_id") + lit(n)))
+    val dropped = phashDedup(union)
+      .select(col("media_b").as("media_id")).distinct()
+    val kept = union.join(dropped, Seq("media_id"), "left_anti")
+    kept.filter(col("kind") === "image")
+      .select(col("media_id"), (col("media_id") % n).as("doc_id"),
+        col("meta.format").as("format"), col("meta.width").as("width"),
+        col("meta.height").as("height"))
+      .join(docs.select(col("doc_id"), col("lang"),
+        col("n_chars").as("caption_chars"),
+        size(Cleanse.tokens(col("text"))).as("caption_tokens")), Seq("doc_id"))
+      .select(col("doc_id"), col("media_id"), col("format"),
+        col("width"), col("height"), col("lang"),
+        col("caption_chars"), col("caption_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Rows-only companion of q83 carrying the modality payload the SQL twin
+    * cannot reproduce: the image's 64-bit perceptual hash and a digest of
+    * its feature vector — the columns a trainer would embed/rerank on.
+    * Pair structure and metadata are gated by q83; determinism of the
+    * features themselves by MediaSpec's partitioning-invariance test. */
+  def m_image_text_pairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val feats = extractFeatures(mediaTable(s, dir).filter(col("kind") === "image"))
+      .select(col("media_id").as("doc_id"),
+        expr("aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) -> " +
+          "acc | IF(element_at(features, i + 1) > 0.0D, " +
+          "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))").as("phash"),
+        md5(to_json(col("features")).cast("binary")).as("features_md5"))
+    feats.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("phash"), col("features_md5"), col("lang"))
+      .orderBy(col("doc_id"))
   }
 
   /** Engine-only: frame sampling + per-media frame size stats. */
@@ -231,5 +304,70 @@ object Media {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_media_features" -> (m_media_features _),
     "m_media_frames"   -> (m_media_frames _),
-    "m_media_dedup"    -> (m_media_dedup _))
+    "m_media_dedup"    -> (m_media_dedup _),
+    "q83_image_text_pairs" -> (q83_image_text_pairs _),
+    "m_image_text_pairs"   -> (m_image_text_pairs _))
+
+  /** 64-bit unsigned multiply-mod-2^64 in DuckDB HUGEINT via 32-bit limb
+    * split (a full 64×64 product overflows even signed 128-bit):
+    * a·b mod 2^64 = (al·bl + ((al·bh + ah·bl) mod 2^32)·2^32) mod 2^64,
+    * every partial product < 2^65. `x` must be a simple column reference. */
+  private def mulmodSql(x: String, c: BigInt): String = {
+    val base = BigInt(4294967296L)
+    val lo = c % base
+    val hi = c / base
+    s"((($x % 4294967296) * $lo + " +
+      s"((($x % 4294967296) * $hi + ($x // 4294967296) * $lo) % 4294967296)" +
+      s" * 4294967296) % 18446744073709551616)"
+  }
+
+  private val DToks =
+    "list_filter(string_split(trim(text), ' '), t -> t <> '')"
+
+  /** Generated twin of q83: MediaGen's splitmix64 (Steele et al., public
+    * domain) reproduced step-for-step in HUGEINT arithmetic — add/multiply
+    * wrap explicitly mod 2^64, shifts are floor-division, xor operates on
+    * the nonnegative 64-bit representatives, and the final value converts
+    * to two's-complement signed before the generator's pmod, so kind
+    * selection and width/height agree with the JVM bit-for-bit. The dedup
+    * survivor set falls out structurally: survivors are exactly the
+    * original ids, so the twin enumerates documents' ids directly — a
+    * Spark-side dedup miss would emit an extra pair row and fail the
+    * row/hash gate. */
+  private lazy val imageTextPairsOracle: String = {
+    val z1 = "(z + 11400714819323198485) % 18446744073709551616"
+    val m2 = mulmodSql("x1", BigInt("13787848793156543929")) // 0xbf58476d1ce4e5b9
+    val m3 = mulmodSql("x2", BigInt("10723151780598845931")) // 0x94d049bb133111eb
+    s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+       |zs AS (SELECT id, v,
+       |    CASE v WHEN 0 THEN CAST(id AS HUGEINT)
+       |           WHEN 1 THEN xor(CAST(id AS HUGEINT), 1)
+       |           ELSE xor(CAST(id AS HUGEINT), 2) END AS z
+       |  FROM ids, (VALUES (0),(1),(2)) t(v)),
+       |s1 AS (SELECT id, v, $z1 AS z1 FROM zs),
+       |s2 AS (SELECT id, v, xor(z1, z1 // 1073741824) AS x1 FROM s1),
+       |s3 AS (SELECT id, v, $m2 AS z2 FROM s2),
+       |s4 AS (SELECT id, v, xor(z2, z2 // 134217728) AS x2 FROM s3),
+       |s5 AS (SELECT id, v, $m3 AS z3 FROM s4),
+       |s6 AS (SELECT id, v, xor(z3, z3 // 2147483648) AS m FROM s5),
+       |sg AS (SELECT id, v,
+       |    CASE WHEN m >= 9223372036854775808 THEN m - 18446744073709551616
+       |         ELSE m END AS x
+       |  FROM s6),
+       |attrs AS (SELECT id,
+       |    MAX(CASE WHEN v = 0 THEN ((x % 3) + 3) % 3 END) AS kidx,
+       |    MAX(CASE WHEN v = 1 THEN ((x % 1920) + 1920) % 1920 + 16 END) AS w,
+       |    MAX(CASE WHEN v = 2 THEN ((x % 1080) + 1080) % 1080 + 16 END) AS h
+       |  FROM sg GROUP BY id)
+       |SELECT d.doc_id, a.id AS media_id, 'jpeg' AS format,
+       |  CAST(a.w AS INTEGER) AS width, CAST(a.h AS INTEGER) AS height,
+       |  d.lang, d.n_chars AS caption_chars,
+       |  CAST(len($DToks) AS INTEGER) AS caption_tokens
+       |FROM attrs a JOIN documents d ON d.doc_id = a.id
+       |WHERE a.kidx = 0
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q83_image_text_pairs" -> imageTextPairsOracle)
 }

@@ -49,9 +49,29 @@ class MediaSpec extends AnyFunSuite {
     assert(pairs.length == n,
       s"every original pairs with exactly its re-ingested twin: ${pairs.length} vs $n")
     pairs.foreach { case (a, b, h) =>
-      assert(b == a + 1000000L, s"pair ($a,$b) is not an ingest twin")
+      assert(b == a + n, s"pair ($a,$b) is not an ingest twin")
       assert(h == 0, s"identical content must hash identically (hamming $h)")
     }
+  }
+
+  test("image-text pairs: one pair per image doc, only dedup survivors pair") {
+    val n = Media.mediaTable(spark, dir).count()
+    val pairs = Media.q83_image_text_pairs(spark, dir).collect()
+    // survivors of the re-crawl dedup are exactly the originals — any
+    // re-ingested twin leaking through would carry media_id >= n
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("media_id") < n,
+        s"re-ingested twin ${r.getAs[Long]("media_id")} escaped the pHash dedup")
+      assert(r.getAs[Long]("media_id") == r.getAs[Long]("doc_id"),
+        "pairing key must bind each image to its own caption document")
+      assert(r.getAs[String]("format") == "jpeg")
+    }
+    // exactly one pair per image medium, none duplicated or dropped
+    val nImages = Media.mediaTable(spark, dir)
+      .filter(col("kind") === "image").count()
+    assert(pairs.length == nImages,
+      s"${pairs.length} pairs vs $nImages image media")
+    assert(pairs.map(_.getAs[Long]("doc_id")).distinct.length == pairs.length)
   }
 
   test("metadata filters never deserialize content (column pruning)") {
