@@ -126,6 +126,53 @@ class SessionsSpec extends AnyFunSuite {
     } finally index.unpersist()
   }
 
+  test("incremental band index: a batch-N doc is a candidate source in batch N+1") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // initial corpus: one doc, tokens disjoint from everything arriving
+    val corpus = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val index = new Sessions.BandIndex(
+      Sessions.streamBandRows(corpus, "doc_id", "text"))
+    val perBatch = scala.collection.mutable.Map.empty[Long, Set[(Long, Long)]]
+    val input = MemoryStream[(Long, String)]
+    val q = Sessions.incrementalNearDupGate(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", index,
+        (cands, id) => perBatch.synchronized {
+          perBatch(id) = cands.collect()
+            .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("corpus_doc")))
+            .toSet
+        })
+      .start()
+    try {
+      // batch 0: doc 10 shares no tokens with the corpus -> no candidates
+      input.addData((10L, "delta epsilon zeta"))
+      q.processAllAvailable()
+      // batch 1: doc 20 is a near-dup of doc 10 ONLY — it can surface as a
+      // candidate only if batch 0's doc was folded into the index
+      input.addData((20L, "delta epsilon zeta"))
+      q.processAllAvailable()
+      val batches = perBatch.toSeq.sortBy(_._1).map(_._2)
+      assert(batches.head.isEmpty,
+        s"doc 10 must not collide with the disjoint corpus: ${batches.head}")
+      assert(batches(1).contains((20L, 10L)),
+        s"doc 20 must pair with batch-0's doc 10 via the upserted index: ${batches(1)}")
+      assert(!batches(1).exists(_._2 == 1L),
+        "doc 20 shares nothing with corpus doc 1")
+      // batch parity: the same probe against the post-hoc full static
+      // index yields exactly the pairs the incremental run emitted
+      val staticIndex = Sessions.streamBandRows(
+        corpus.unionByName(Seq((10L, "delta epsilon zeta")).toDF("doc_id", "text")),
+        "doc_id", "text")
+      val parity = Sessions.nearDupCandidates(
+          Seq((20L, "delta epsilon zeta")).toDF("doc_id", "text"),
+          "doc_id", "text", staticIndex)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("corpus_doc")))
+        .toSet
+      assert(parity == batches(1),
+        s"incremental gate must match the static gate over the same index: $parity vs ${batches(1)}")
+    } finally { q.stop(); index.close() }
+  }
+
   test("windowed counts run identically on a batch frame (unified plan)") {
     import spark.implicits._
     val batch = Seq(
