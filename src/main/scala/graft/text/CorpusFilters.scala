@@ -498,13 +498,15 @@ object CorpusFilters {
   /** Tokenizer-aware packing: q72's accounting becomes meaningful for
     * training only if lengths are measured in TOKENIZER tokens, not
     * whitespace words (a 20-char identifier is ~5 BPE pieces, not 1).
-    * Shipping a full BPE is out of scope, so lengths use a deterministic
-    * subword proxy: split into word/digit/punctuation pieces (q28's
-    * BPE-ish lexer) and charge ceil(len/4) tokens per piece — the
-    * familiar ~4-characters-per-token rule applied piecewise, exact and
-    * oracle-expressible. Same 32-independent-bucket stream layout as q72
-    * (no global serial cumsum); swapping in real tokenizer counts is a
-    * one-column change. */
+    * Lengths are REAL subword counts (round-6 verdict item 7, replacing
+    * the ceil(len/4) proxy): q28's BPE-ish lexer splits text into
+    * word/digit/punctuation pieces, and each piece is segmented by the
+    * WordPiece-style greedy longest-match tokenizer (`Subword` — a native
+    * codegen expression over a fixed vocab; the DuckDB twin replays the
+    * identical greedy walk as a recursive CTE over DISTINCT pieces, so
+    * the gate is exact). Same 32-independent-bucket stream layout as q72
+    * (no global serial cumsum); swapping in a production tokenizer's
+    * vocab is a table change, not a plan change. */
   def q72b_pack_tokenized(s: SparkSession, dir: String): DataFrame = {
     val seqLen = 64
     val w = org.apache.spark.sql.expressions.Window
@@ -512,8 +514,10 @@ object CorpusFilters {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     Tables.documents(s, dir)
       .select(col("doc_id"), pmod(col("doc_id"), lit(32)).as("bucket"),
-        expr("aggregate(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)," +
-          " CAST(0 AS BIGINT), (a, p) -> a + CAST(ceil(length(p) / 4.0) AS BIGINT))")
+        aggregate(
+          regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)),
+          lit(0L),
+          (a, p) => a + Subword.subword_count(p).cast("long"))
           .as("n_tokens"))
       .filter(col("n_tokens") >= 1)
       .withColumn("off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
@@ -1174,21 +1178,33 @@ object CorpusFilters {
          |  off // 64 AS seq_first,
          |  (off + n_tokens - 1) // 64 AS seq_last
          |FROM o ORDER BY doc_id""".stripMargin,
+    // the greedy longest-match walk replayed as a recursive CTE over the
+    // DISTINCT lexer pieces (vocabulary-sized recursion, depth = longest
+    // piece), generated from the same Subword.Vocab the engine matches
     "q72b_pack_tokenized" ->
-      """WITH c AS (SELECT doc_id, doc_id % 32 AS bucket,
-        |    CAST(list_sum(list_transform(
-        |      regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'),
-        |      p -> CAST(ceil(len(p) / 4.0) AS BIGINT))) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |f AS (SELECT * FROM c WHERE n_tokens >= 1),
-        |o AS (SELECT doc_id, bucket, n_tokens,
-        |    CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
-        |  FROM f)
-        |SELECT doc_id, bucket, n_tokens, off,
-        |  off // 64 AS seq_first,
-        |  (off + n_tokens - 1) // 64 AS seq_last
-        |FROM o ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE lex AS (SELECT doc_id,
+         |    regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS ps
+         |  FROM documents),
+         |words AS (SELECT DISTINCT unnest(ps) AS w FROM lex),
+         |rec AS (
+         |  SELECT w, 1 AS pos, 0 AS cnt FROM words
+         |  UNION ALL
+         |  SELECT w, pos + ${Subword.matchLenSql("w", "pos")}, cnt + 1
+         |  FROM rec WHERE pos <= len(w)),
+         |wc AS (SELECT w, cnt FROM rec WHERE pos > len(w)),
+         |dw AS (SELECT doc_id, unnest(ps) AS w FROM lex),
+         |c AS (SELECT doc_id, doc_id % 32 AS bucket,
+         |    CAST(SUM(cnt) AS BIGINT) AS n_tokens
+         |  FROM dw JOIN wc USING (w) GROUP BY doc_id),
+         |f AS (SELECT * FROM c WHERE n_tokens >= 1),
+         |o AS (SELECT doc_id, bucket, n_tokens,
+         |    CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         |  FROM f)
+         |SELECT doc_id, bucket, n_tokens, off,
+         |  off // 64 AS seq_first,
+         |  (off + n_tokens - 1) // 64 AS seq_last
+         |FROM o ORDER BY doc_id""".stripMargin,
     "q71_bm25" ->
       s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
          |tk AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),

@@ -1,0 +1,62 @@
+package graft.text
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+class SubwordSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def c(s: String): Int = SubwordUtil.count(UTF8String.fromString(s))
+
+  private val rnd = new scala.util.Random(42)
+  private def randWords(n: Int): Seq[String] =
+    Seq.fill(n)((0 until (1 + rnd.nextInt(14)))
+      .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+
+  test("greedy longest-match segmentation on known words") {
+    assert(c("the") == 1)        // whole-word vocab piece
+    assert(c("ation") == 1)      // longest (5-char) piece
+    assert(c("testing") == 3)    // te|st|ing — greedy at each position
+    assert(c("12345") == 5)      // no digit pieces: one token per digit
+    assert(c("a") == 1)          // single-char fallback
+    assert(c("xqzw") == 4)       // nothing matches: all fallback
+    assert(c("") == 0)
+  }
+
+  test("piece count is bounded: ceil(len/maxLen) <= count <= len") {
+    randWords(500).foreach { w =>
+      val n = c(w)
+      assert(n <= w.length, s"'$w' -> $n")
+      assert(n >= (w.length + SubwordUtil.MaxLen - 1) / SubwordUtil.MaxLen,
+        s"'$w' -> $n")
+    }
+  }
+
+  test("segmentation matches an independent reference walk") {
+    val vocab = SubwordUtil.Vocab.toSet
+    def ref(w: String): Int = {
+      var pos = 0; var n = 0
+      while (pos < w.length) {
+        val l = (math.min(SubwordUtil.MaxLen, w.length - pos) to 2 by -1)
+          .find(k => vocab.contains(w.substring(pos, pos + k))).getOrElse(1)
+        pos += l; n += 1
+      }
+      n
+    }
+    (randWords(500) ++ SubwordUtil.Vocab).foreach { w =>
+      assert(c(w) == ref(w), s"'$w'")
+    }
+  }
+
+  test("codegen column path matches the direct eval") {
+    import spark.implicits._
+    val words = Seq("the", "testing", "overestimation", "x1y2", "...", "q") ++
+      randWords(100)
+    val got = words.distinct.toDF("w")
+      .select(col("w"), Subword.subword_count(col("w")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    words.foreach(w => assert(got(w) == c(w), s"codegen mismatch for '$w'"))
+  }
+}
