@@ -23,7 +23,8 @@ object Bench {
   val heavyModelFits: Set[String] =
     Set("m_lda_topics", "m_lda_sweep", "m_lda_coherence", "m_lda_doc_topics",
       "m_lda_relevance", "m_dedup_minhash_lsh", "m_ann_ivf",
-      "q82_ann_ivf_recall") // runs the m_ann_ivf KMeans fit inside
+      // run model fits inside (m_ann_ivf KMeans / MinHashLSH+CountVectorizer)
+      "q82_ann_ivf_recall", "q84_minhash_lsh_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
