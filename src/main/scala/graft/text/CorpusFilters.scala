@@ -527,6 +527,36 @@ object CorpusFilters {
       .orderBy(col("doc_id"))
   }
 
+  /** The packed sequences THEMSELVES — q72 promises "the actual slicing
+    * is a pure map over the assignments"; this query keeps that promise.
+    * Every token takes its bucket-local stream position (doc offset from
+    * the q72 cumsum + position in doc), sequences are pos div 64, and
+    * each sequence row carries its token count plus an engine-neutral
+    * digest of the space-joined token stream — the exact payload a
+    * trainer's data loader reads, digested so the oracle gate is content-
+    * exact without shipping token arrays through the dump.
+    *
+    * Scale: one corpus explode shuffled once on (bucket, seq_id) — the
+    * same key the downstream loader partitions by; the offsets side is a
+    * doc-count-sized join (co-keyed on doc_id). Tail sequences carry
+    * n_tokens < 64 only at each bucket's end (32 partial sequences per
+    * corpus — noise). */
+  def q85_pack_sequences(s: SparkSession, dir: String): DataFrame = {
+    val seqLen = 64
+    val offs = q72_pack_offsets(s, dir)
+      .select(col("doc_id"), col("bucket"), col("off"))
+    docToks(s, dir).filter(size(col("t")) >= 1)
+      .join(offs, "doc_id")
+      .select(col("bucket"), col("off"), posexplode(col("t")).as(Seq("i", "tok")))
+      .select(col("bucket"), (col("off") + col("i")).as("pos"), col("tok"))
+      .groupBy(col("bucket"), expr(s"pos div $seqLen").as("seq_id"))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        md5(concat_ws(" ",
+          expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"))
+          .cast("binary")).as("toks_md5"))
+      .orderBy(col("bucket"), col("seq_id"))
+  }
+
   /** The last mile of the curation pipeline COMPOSED: sequence-packing
     * accounting over the span-DEDUPED corpus — q66b's cleaned lengths
     * (which need no text reassembly: n_clean = 8·kept + n mod 8) flow
@@ -842,7 +872,8 @@ object CorpusFilters {
     "q70_curation_funnel" -> (q70_curation_funnel _),
     "q71_bm25"            -> (q71_bm25 _),
     "q72_pack_offsets"    -> (q72_pack_offsets _),
-    "q72b_pack_tokenized" -> (q72b_pack_tokenized _))
+    "q72b_pack_tokenized" -> (q72b_pack_tokenized _),
+    "q85_pack_sequences"  -> (q85_pack_sequences _))
 
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
@@ -1178,6 +1209,24 @@ object CorpusFilters {
          |  off // 64 AS seq_first,
          |  (off + n_tokens - 1) // 64 AS seq_last
          |FROM o ORDER BY doc_id""".stripMargin,
+    // q72's bucket-local cumsum re-derived, every token positioned, the
+    // sequence stream digested content-exact (space-joined, pos order)
+    "q85_pack_sequences" ->
+      s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
+         |c AS (SELECT doc_id, doc_id % 32 AS bucket, t,
+         |    CAST(len(t) AS BIGINT) AS n_tokens
+         |  FROM toks WHERE len(t) >= 1),
+         |o AS (SELECT doc_id, bucket, t,
+         |    CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         |  FROM c),
+         |tok AS (SELECT bucket, off + i - 1 AS pos, t[i] AS tok
+         |  FROM o, unnest(range(1, len(t) + 1)) AS u(i))
+         |SELECT bucket, pos // 64 AS seq_id,
+         |  CAST(COUNT(*) AS INTEGER) AS n_tokens,
+         |  md5(string_agg(tok, ' ' ORDER BY pos)) AS toks_md5
+         |FROM tok GROUP BY bucket, pos // 64
+         |ORDER BY bucket, seq_id""".stripMargin,
     // the greedy longest-match walk replayed as a recursive CTE over the
     // DISTINCT lexer pieces (vocabulary-sized recursion, depth = longest
     // piece), generated from the same Subword.Vocab the engine matches
