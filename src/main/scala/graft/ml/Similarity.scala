@@ -452,6 +452,72 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // --------------------------------------------------- PQ (product quant)
+  /** Seeded centroids for one PQ subspace — same embed-the-constants
+    * contract as the LSH hyperplanes / IVF centroids. */
+  private def pqCentroids(m: Int, k: Int, sub: Int): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    val rnd = new scala.util.Random(11)
+    IndexedSeq.fill(m)(IndexedSeq.fill(k)(IndexedSeq.fill(sub)(rnd.nextGaussian())))
+  }
+
+  /** PRODUCT QUANTIZATION ANN with ADC scoring (Jégou, Douze, Schmid,
+    * "Product quantization for nearest neighbor search", TPAMI 2011 —
+    * public algorithm; FAISS's IVF+PQ storage side): the 64-dim vector
+    * splits into M = 8 subspaces of 8 dims; each subspace quantizes to
+    * one of K = 16 seeded centroids, so a vector stores as 8 nibbles —
+    * 16× smaller than int8 SQ, 64× smaller than float64. Queries never
+    * touch codes with dot products: each query precomputes an 8×16
+    * DISTANCE TABLE (‖q_m‖² − 2⟨q_m,c_mj⟩ + ‖c_mj‖², the asymmetric
+    * distance), and every corpus row's approximate distance is 8 table
+    * lookups + 7 adds — the ADC inner loop that makes PQ the 100 TB
+    * scoring path (the table broadcasts with the 50-query dim; the
+    * corpus side is one map-side pass over the code columns).
+    *
+    * Seeded (not fitted) codebooks keep the whole path DuckDB-exact —
+    * the oracle re-derives codes, tables and ranks from the same
+    * embedded constants, so this is hash-gated like the seeded IVF; a
+    * KMeans-fitted codebook would drop the gate for ~identical plan
+    * shape. Sum order over subspaces is fixed (m = 0..7, left fold) so
+    * both engines produce bit-identical doubles. */
+  def m_ann_pq_seeded(s: SparkSession, dir: String): DataFrame = {
+    val (mSub, k, sub) = (8, 16, 8)
+    val cents = pqCentroids(mSub, k, sub)
+    val ss = cents.map(_.map(_.map(x => x * x).sum))
+    val e = emb(s, dir)
+    // encode: per-subspace argmin over −2⟨x_m,c⟩+‖c‖² (‖x_m‖² common)
+    var coded = e
+    for (m <- 0 until mSub) {
+      val xs = expr(s"slice(emb, ${m * sub + 1}, $sub)")
+      val sc = array((0 until k).map(j =>
+        lit(-2.0) * dot(xs, typedlit(cents(m)(j))) + lit(ss(m)(j))): _*)
+      coded = coded.withColumn(s"__sc", sc)
+        .withColumn(s"c$m",
+          (expr("array_position(__sc, array_min(__sc))") - 1).cast("int"))
+        .drop("__sc")
+    }
+    coded = coded.select(col("vec_id") +: (0 until mSub).map(m => col(s"c$m")): _*)
+    // per-query ADC tables: t_m[j] = ‖q_m‖² − 2⟨q_m,c_mj⟩ + ‖c_mj‖²
+    var q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    for (m <- 0 until mSub) {
+      val qs = expr(s"slice(qemb, ${m * sub + 1}, $sub)")
+      q = q.withColumn(s"t$m", array((0 until k).map(j =>
+        dot(qs, qs) + lit(-2.0) * dot(qs, typedlit(cents(m)(j))) + lit(ss(m)(j))): _*))
+    }
+    q = q.drop("qemb")
+    val adist = (0 until mSub).map(m => expr(s"t$m[c$m]")).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    coded.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), adist.as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("adist"), 6).as("adist_r"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ------------------------------------------------ engine-only: MinHashLSH
   /** G18: MLlib MinHashLSH near-dup join over binary token vectors
     * (Jaccard distance ≤ 0.3). */
@@ -867,7 +933,8 @@ object Similarity {
     "q73_dedup_union"     -> (q73_dedup_union _),
     "q79_jaccard_prefix"  -> (q79_jaccard_prefix _),
     "q82_ann_ivf_recall"  -> (q82_ann_ivf_recall _),
-    "q84_minhash_lsh_recall" -> (q84_minhash_lsh_recall _))
+    "q84_minhash_lsh_recall" -> (q84_minhash_lsh_recall _),
+    "m_ann_pq_seeded"     -> (m_ann_pq_seeded _))
 
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
@@ -981,7 +1048,54 @@ object Similarity {
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Generated twin of m_ann_pq_seeded: codes, ADC tables and ranks all
+    * re-derived from the same embedded centroid constants; expression
+    * composition order mirrors the Spark side term-for-term so the
+    * doubles — and hence the argmin / rank decisions — agree exactly. */
+  private lazy val annPqSeededOracle: String = {
+    val (mSub, k, sub) = (8, 16, 8)
+    val cents = pqCentroids(mSub, k, sub)
+    val ss = cents.map(_.map(_.map(x => x * x).sum))
+    def centLit(m: Int, j: Int) = cents(m)(j).mkString("[", ", ", "]")
+    def slice(e: String, m: Int) = s"$e[${m * sub + 1}:${m * sub + sub}]"
+    val scCols = (0 until mSub).map { m =>
+      (0 until k).map(j =>
+        s"(-2.0 * list_dot_product(${slice("emb", m)}, ${centLit(m, j)}) + ${ss(m)(j)})")
+        .mkString("[", ",\n    ", s"] AS sc$m")
+    }.mkString(",\n  ")
+    val codeCols = (0 until mSub).map(m =>
+      s"CAST(list_position(sc$m, list_min(sc$m)) - 1 AS INT) AS c$m").mkString(",\n  ")
+    val tabCols = (0 until mSub).map { m =>
+      val qs = slice("qemb", m)
+      (0 until k).map(j =>
+        s"(list_dot_product($qs, $qs) + -2.0 * list_dot_product($qs, ${centLit(m, j)}) + ${ss(m)(j)})")
+        .mkString("[", ",\n    ", s"] AS t$m")
+    }.mkString(",\n  ")
+    val adist = (0 until mSub).map(m => s"t$m[c$m + 1]").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |scs AS (SELECT vec_id, emb,
+       |  $scCols
+       |  FROM e),
+       |codes AS (SELECT vec_id,
+       |  $codeCols
+       |  FROM scs),
+       |q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 50),
+       |qt AS (SELECT query_id,
+       |  $tabCols
+       |  FROM q),
+       |scored AS (SELECT qt.query_id, c.vec_id AS neighbor_id,
+       |    $adist AS adist
+       |  FROM codes c, qt WHERE c.vec_id <> qt.query_id),
+       |ranked AS (SELECT query_id, neighbor_id, adist,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       |  round(adist, 6) AS adist_r
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "m_ann_pq_seeded" -> annPqSeededOracle,
     // brute inverted-index truth over distinct token sets; the engine's
     // probabilistic columns are contract booleans / literal zero
     "q84_minhash_lsh_recall" ->

@@ -614,6 +614,37 @@ object Relational {
           .cast("binary")).as("line_numbers_md5"))
       .orderBy(col("o_orderkey"))
 
+  // ------------------------------------------------------ CDC: apply log
+  /** Changelog compaction — the lake-upsert primitive (Debezium-style CDC
+    * stream → Delta/Hudi-style MERGE snapshot, public semantics): the
+    * event stream is read as a per-key changelog ordered by (ts,
+    * event_id); the snapshot keeps each key's LATEST record, and a key
+    * whose latest record is a delete marker ('error' here stands in for
+    * the tombstone) is absent from the snapshot — so delete semantics are
+    * verified by row absence, inside the hash gate.
+    *
+    * Scale: deliberately an aggregation, not a window — `max_by` over the
+    * (ts, event_id) struct carries O(1) state per key through map-side
+    * partial aggregation, so the shuffle moves one candidate row per
+    * (partition, key) instead of sort-buffering each key's full history
+    * the way row_number would. At 100 TB of changelog this is the
+    * difference between a merge and a sort. */
+  def q86_apply_changelog(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_changes"),
+        max(col("ts")).as("last_ts"),
+        max_by(
+          struct(col("event_id"), col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("last"))
+      .filter(col("last.event_type") =!= "error")
+      .select(col("user_id"), col("last_ts"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_type"),
+        round(col("last.value"), 6).as("last_value"),
+        col("n_changes"))
+      .orderBy(col("user_id"))
+
   // ----------------------------------------------------- skew: salted agg
   /** Two-phase salted aggregation — THE skew pattern at 100 TB: a hot
     * group key (one event_type = 20 % of a 100 TB stream) would pin its
@@ -770,6 +801,7 @@ object Relational {
     "q62_hopping_windows"    -> (q62_hopping_windows _),
     "q64_table_checksum"     -> (q64_table_checksum _),
     "q65_zscore_outliers"    -> (q65_zscore_outliers _),
+    "q86_apply_changelog"    -> (q86_apply_changelog _),
     "q17_dedup_exact"        -> (q17_dedup_exact _),
     "q18_bind_children"      -> (q18_bind_children _),
     "q46_skew_salted_agg"    -> (q46_skew_salted_agg _),
@@ -968,6 +1000,21 @@ object Relational {
         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM events e JOIN st USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    // changelog compaction: latest record per key by (ts, event_id),
+    // delete-marker keys absent — DuckDB takes the window form of the
+    // same semantics (arg_max tie-breaking across two columns is clearer
+    // as ROW_NUMBER there; both engines agree row-for-row)
+    "q86_apply_changelog" ->
+      """WITH ranked AS (SELECT user_id, ts, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+        |  FROM events)
+        |SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+        |  event_type AS last_type, round(value, 6) AS last_value,
+        |  CAST(n_changes AS BIGINT) AS n_changes
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
     "q64_table_checksum" ->
       """SELECT COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(CAST('0x' || substr(md5(
