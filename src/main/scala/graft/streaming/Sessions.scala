@@ -193,6 +193,31 @@ object Sessions {
     * index is re-planned per micro-batch, so an externally refreshed
     * band table is picked up — at 100 TB/day the index join shuffles on
     * (band, h) while the per-doc signature work stays on the map side. */
+  /** The continuous-ingest curation gate COMPOSED — the streaming twin of
+    * q70's batch funnel for the stages that are stream-legal without
+    * state: every arriving document gets its Bloom decontamination
+    * verdict (stateless plan-constant probe) AND its quality-classifier
+    * logit (the q87 model, evaluated as an `aggregate` HOF over the
+    * token array — map-side, no explode, no aggregation state), plus the
+    * composite keep flag a router acts on. Near-dup candidate pairs stay
+    * a separate output stream ([[nearDupCandidates]] /
+    * [[incrementalNearDupGate]]) — candidates are per-PAIR rows, verdicts
+    * are per-DOC rows; a production gate fans one input into both.
+    * Identical plan on batch frames; SessionsSpec asserts logit parity
+    * with the batch q87 scorer. */
+  def curationGateStream(docs: DataFrame, textCol: String,
+      filterBytes: Array[Byte]): DataFrame = {
+    import graft.text.CorpusFilters
+    val toks = graft.text.Cleanse.tokens(col(textCol))
+    val logit = when(size(toks) >= 1,
+      aggregate(toks, lit(0.0), (a, x) => a + CorpusFilters.tokenWeight(x))
+        / size(toks))
+    decontaminateStream(docs, textCol, filterBytes)
+      .withColumn("quality_logit", round(logit, 6))
+      .withColumn("keep",
+        !col("contaminated") && coalesce(col("quality_logit") >= 0, lit(false)))
+  }
+
   /** Map-side MinHash band rows (idCol, band, h) for a batch OR streaming
     * doc frame — `array_min` over the md5'd token array is the same
     * minimum q30's explode→groupBy takes, but needs no aggregation, so a

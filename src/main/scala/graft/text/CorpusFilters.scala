@@ -581,6 +581,73 @@ object CorpusFilters {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------- model-based quality classifier
+  /** Linear quality-classifier INFERENCE at corpus scale — the GPT-3-style
+    * "quality filter" stage (Brown et al. 2020 appendix A documents a
+    * linear classifier over hashed features; fastText's
+    * hashed-bag-of-words architecture, Joulin et al. 2016, is the public
+    * template): each token hashes to one of 256 feature buckets
+    * (md5-derived, so both engines agree), the per-doc logit is
+    * bias + mean bucket weight (bias 0 here so the flag splits the corpus), and docs keep iff logit ≥ 0 (≡ sigmoid ≥
+    * 0.5 — the comparison stays on the PURE-ARITHMETIC logit; running
+    * exp() through two engines invites last-ulp divergence the gate
+    * doesn't need). Weights are a seeded draw standing in for trained
+    * parameters — swapping in a real model is a literal-table change.
+    *
+    * Scale: the model is a 256-double literal (broadcast-by-constant);
+    * inference is explode → map-side weight lookup → one per-doc agg with
+    * partial sums. No joins, no shuffle beyond the doc rollup — classifier
+    * scoring at 100 TB is exactly as parallel as word count. */
+  private[graft] val ClassifierBuckets = 256
+  /** Seeded stand-in for trained weights — shared by the batch query and
+    * the streaming gate so both score identically. */
+  private[graft] lazy val ClassifierWeights: IndexedSeq[Double] = {
+    val rnd = new scala.util.Random(17)
+    IndexedSeq.fill(ClassifierBuckets)(rnd.nextGaussian() * 0.1)
+  }
+  /** Weight lookup for one token: md5-derived feature bucket → literal
+    * weight table (broadcast-by-constant). */
+  private[graft] def tokenWeight(t: Column): Column =
+    element_at(typedlit(ClassifierWeights),
+      (conv(substring(md5(t.cast("binary")), 1, 4), 16, 10)
+        .cast("long") % ClassifierBuckets).cast("int") + 1)
+
+  def q87_quality_classifier(s: SparkSession, dir: String): DataFrame = {
+    // bias 0: the seeded mean-weight signal has per-doc std ~0.1/sqrt(n);
+    // a large bias would saturate the flag one way and leave the keep
+    // decision untested in the gate
+    val bias = 0.0
+    docToks(s, dir).filter(size(col("t")) >= 1)
+      .select(col("doc_id"), explode(col("t")).as("term"))
+      .withColumn("w", tokenWeight(col("term")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (lit(bias) + sum(col("w")) / count(lit(1))).as("z"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("z"), 6).as("logit_r"), (col("z") >= 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Generated twin of q87: same seeded weight table as a SQL literal,
+    * same md5-bucket derivation, same composition order. */
+  private lazy val qualityClassifierOracle: String = {
+    val buckets = ClassifierBuckets
+    val w = ClassifierWeights
+    s"""WITH toks AS (SELECT doc_id, unnest($DToks) AS term FROM documents),
+       |b AS (SELECT doc_id,
+       |    CAST(CAST('0x' || substr(md5(term), 1, 4) AS INT) % $buckets AS INT) AS b
+       |  FROM toks),
+       |wt AS (SELECT doc_id,
+       |    (${w.mkString("[", ", ", "]")})[b + 1] AS w
+       |  FROM b),
+       |z AS (SELECT doc_id, COUNT(*) AS n_tokens,
+       |    0.0 + SUM(w) / COUNT(*) AS z
+       |  FROM wt GROUP BY doc_id)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  round(z, 6) AS logit_r, (z >= 0) AS keep
+       |FROM z ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------- BM25 retrieval
   /** BM25 document scoring for a fixed query-term set — the retrieval
     * primitive behind quality-by-relevance selection (e.g. "keep docs
@@ -873,7 +940,8 @@ object CorpusFilters {
     "q71_bm25"            -> (q71_bm25 _),
     "q72_pack_offsets"    -> (q72_pack_offsets _),
     "q72b_pack_tokenized" -> (q72b_pack_tokenized _),
-    "q85_pack_sequences"  -> (q85_pack_sequences _))
+    "q85_pack_sequences"  -> (q85_pack_sequences _),
+    "q87_quality_classifier" -> (q87_quality_classifier _))
 
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
@@ -1209,6 +1277,7 @@ object CorpusFilters {
          |  off // 64 AS seq_first,
          |  (off + n_tokens - 1) // 64 AS seq_last
          |FROM o ORDER BY doc_id""".stripMargin,
+    "q87_quality_classifier" -> qualityClassifierOracle,
     // q72's bucket-local cumsum re-derived, every token positioned, the
     // sequence stream digested content-exact (space-joined, pos order)
     "q85_pack_sequences" ->

@@ -126,6 +126,57 @@ class SessionsSpec extends AnyFunSuite {
     } finally index.unpersist()
   }
 
+  test("composed streaming curation gate: decon + quality parity with batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // batch references on the same corpus: q87 logits + bloom verdicts
+    val q87 = graft.text.CorpusFilters.q87_quality_classifier(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("logit_r"), r.getAs[Boolean]("keep"))).toMap
+    val grams = graft.Tables.documents(spark, dir)
+      .select(graft.text.Cleanse.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(explode(expr("array_distinct(transform(sequence(1, size(t)-4)," +
+        " i -> concat_ws(' ', element_at(t,i), element_at(t,i+1)," +
+        " element_at(t,i+2), element_at(t,i+3), element_at(t,i+4))))")).as("g"))
+      .distinct()
+    val bytes = graft.ml.Bloom.buildFilter(grams, col("g"),
+      expectedItems = math.max(grams.count(), 1024L), fpp = 0.01)
+    val corpus = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q = Sessions.curationGateStream(
+        input.toDF().toDF("doc_id", "text"), "text", bytes)
+      .writeStream.format("memory").queryName("curation_out")
+      .outputMode("append").start()
+    try {
+      input.addData(corpus.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("curation_out").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (Option(r.getAs[Any]("quality_logit")),
+            r.getAs[Boolean]("contaminated"), r.getAs[Boolean]("keep"))).toMap
+      // every doc the protected set covers is contaminated (the filter was
+      // built over ALL corpus 5-grams here), so keep must be all-false...
+      assert(streamed.values.forall { case (_, contaminated, keep) =>
+        !keep || !contaminated })
+      // ...and the quality logits must equal the batch q87 scorer's
+      q87.foreach { case (id, (logit, _)) =>
+        val (sLogit, _, _) = streamed(id)
+        assert(sLogit.contains(logit),
+          s"doc $id: stream logit $sLogit != batch $logit")
+      }
+      // keep ⇔ clean AND logit ≥ 0, doc-for-doc
+      streamed.foreach { case (id, (sLogit, contaminated, keep)) =>
+        val expected = !contaminated &&
+          sLogit.exists(_.asInstanceOf[Double] >= 0)
+        assert(keep == expected, s"doc $id keep=$keep expected=$expected")
+      }
+    } finally q.stop()
+  }
+
   test("incremental band index: a batch-N doc is a candidate source in batch N+1") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
