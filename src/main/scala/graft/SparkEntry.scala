@@ -21,11 +21,12 @@ object SparkEntry {
     rel.Relational.queries ++ text.TextOps.queries ++ text.Tokenize.queries ++
       text.CorpusFilters.queries ++ ml.Vocab.queries ++
       ml.Similarity.queries ++ ml.Lda.queries ++ ml.Bloom.queries ++
-      ml.Quantize.queries ++ ingest.Tickets.queries ++ multimodal.Media.queries
+      ml.Quantize.queries ++ ingest.Tickets.queries ++
+      multimodal.Media.queries ++ sink.Orc.queries
 
   def oracleSql: Map[String, String] =
     rel.Relational.oracle ++ text.TextOps.oracle ++ text.Tokenize.oracle ++
       text.CorpusFilters.oracle ++ ml.Vocab.oracle ++
       ml.Similarity.oracle ++ ml.Bloom.oracle ++ ml.Quantize.oracle ++
-      ingest.Tickets.oracle ++ multimodal.Media.oracle
+      ingest.Tickets.oracle ++ multimodal.Media.oracle ++ sink.Orc.oracle
 }

@@ -57,3 +57,43 @@ object Parquet {
       .partitionBy(partitionCols: _*)
       .parquet(outDir)
 }
+
+/** ORC source/sink breadth (S-family): the other columnar lake format a
+  * production engine must speak — same pushdown/pruning machinery as
+  * parquet (Spark's OrcFileFormat supports predicate pushdown via ORC
+  * search arguments and Hive-style partition pruning).
+  *
+  * The gated query is a ROUND-TRIP: documents (minus the text blob —
+  * metadata columns exercise every scalar type the table carries) write
+  * as lang-partitioned ORC, read back through a partition-pruning filter,
+  * and aggregate per source. The oracle recomputes the same aggregate
+  * straight from the parquet table — any loss, truncation or type
+  * mangling in the ORC write/read path breaks the hash gate, which is the
+  * strongest cross-format check available given DuckDB reads no ORC. */
+object Orc {
+  def q88_orc_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip"
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").partitionBy("lang").orc(out)
+    s.read.orc(out)
+      .filter(col("lang").isin("en", "de")) // partition-pruned scan
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("source"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_orc_roundtrip" -> (q88_orc_roundtrip _))
+
+  val oracle: Map[String, String] = Map(
+    "q88_orc_roundtrip" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        | MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM documents WHERE lang IN ('en', 'de')
+        |GROUP BY source ORDER BY source""".stripMargin)
+}

@@ -27,6 +27,29 @@ class SinkSpec extends AnyFunSuite {
       Tables.documents(spark, dir).filter(col("lang") === "en").count())
   }
 
+  test("ORC round-trip: lossless, partition-pruned on read") {
+    val q88 = Orc.q88_orc_roundtrip(spark, dir)
+    // pruning: the read inside q88 filters on the partition column — the
+    // scan must carry a PartitionFilters entry, not a post-scan filter
+    val plan = q88.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [lang") ||
+      plan.contains("PartitionFilters: [isnotnull(lang") ||
+      plan.contains("lang#") && plan.contains("PartitionFilters"),
+      s"expected partition filters on the ORC scan:\n$plan")
+    // losslessness: aggregate equals the same aggregate off parquet
+    val got = q88.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val want = Tables.documents(spark, dir)
+      .filter(col("lang").isin("en", "de"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("s"),
+        min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .orderBy(col("source"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want, s"ORC round-trip drifted: $got vs $want")
+  }
+
   test("SQL registration: native expressions callable from spark.sql") {
     graft.GraftExtensions.register(spark)
     val r = spark.sql(
