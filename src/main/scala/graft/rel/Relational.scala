@@ -630,7 +630,13 @@ object Relational {
     * the way row_number would. At 100 TB of changelog this is the
     * difference between a merge and a sort. */
   def q86_apply_changelog(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+    applyChangelog(Tables.events(s, dir)).orderBy(col("user_id"))
+
+  /** The compaction kernel over any changelog frame with columns
+    * (user_id, ts, event_id, event_type, value) — ChangelogSpec feeds it
+    * synthetic tie/tombstone cases the corpus may not contain. */
+  private[graft] def applyChangelog(events: DataFrame): DataFrame =
+    events
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_changes"),
         max(col("ts")).as("last_ts"),
@@ -643,7 +649,6 @@ object Relational {
         col("last.event_type").as("last_type"),
         round(col("last.value"), 6).as("last_value"),
         col("n_changes"))
-      .orderBy(col("user_id"))
 
   // ----------------------------------------------------- skew: salted agg
   /** Two-phase salted aggregation — THE skew pattern at 100 TB: a hot
