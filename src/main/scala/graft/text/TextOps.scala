@@ -159,6 +159,31 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // ----------------------------------------------------- PII incidence
+  /** PII incidence report — the compliance-audit twin of the T5 scrub:
+    * per source, how many tokens match each PII class (email / URL /
+    * UUID / MD5 hex / IPv4 — the same anchored regexes `scrubPii`
+    * removes, shared verbatim with the oracle) plus the any-class total.
+    * A scrub you can't audit is a scrub you can't trust: this is the
+    * table a data-governance review reads before a corpus ships.
+    * Map-side regex evaluation + one small-key aggregation — scales like
+    * word count. */
+  def q89_pii_report(s: SparkSession, dir: String): DataFrame = {
+    val classes = Seq(
+      "email" -> Cleanse.EmailRe, "url" -> Cleanse.UrlRe,
+      "uuid" -> Cleanse.UuidRe, "md5" -> Cleanse.Md5Re,
+      "ipv4" -> Cleanse.Ipv4Re)
+    val aggs = count(lit(1)).as("n_tokens") +:
+      classes.map { case (n, re) =>
+        sum(col("t").rlike(re).cast("long")).as(s"n_$n")
+      } :+ sum(col("t").rlike(Cleanse.PiiRe).cast("long")).as("n_pii_any")
+    Tables.documents(s, dir)
+      .select(col("source"), explode(Cleanse.tokens(col("text"))).as("t"))
+      .groupBy(col("source"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("source"))
+  }
+
   // ------------------------------------------------- fingerprint / minhash
   /** 4-permutation MinHash signature via md5 under distinct seeds — the
     * SQL-expressible twin of MinHashLSH (G18). One explode + one groupBy:
@@ -292,9 +317,25 @@ object TextOps {
     "q30_minhash_signature"-> (q30_minhash_signature _),
     "q31_minhash_buckets"  -> (q31_minhash_buckets _),
     "q39_fingerprint"      -> (q39_fingerprint _),
-    "q32_corpus_pipeline"  -> (q32_corpus_pipeline _))
+    "q32_corpus_pipeline"  -> (q32_corpus_pipeline _),
+    "q89_pii_report"       -> (q89_pii_report _))
 
   val oracle: Map[String, String] = Map(
+    // same anchored regexes as the Spark side, verbatim (Java ∩ RE2 subset)
+    "q89_pii_report" -> {
+      val classes = Seq(
+        "email" -> Cleanse.EmailRe, "url" -> Cleanse.UrlRe,
+        "uuid" -> Cleanse.UuidRe, "md5" -> Cleanse.Md5Re,
+        "ipv4" -> Cleanse.Ipv4Re)
+      val cols = classes.map { case (n, re) =>
+        s"CAST(SUM(CASE WHEN regexp_matches(t, '$re') THEN 1 ELSE 0 END) AS BIGINT) AS n_$n"
+      }.mkString(",\n ")
+      s"""WITH toks AS (SELECT source, unnest($DToks) AS t FROM documents)
+         |SELECT source, COUNT(*) AS n_tokens,
+         | $cols,
+         | CAST(SUM(CASE WHEN regexp_matches(t, '${Cleanse.PiiRe}') THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_any
+         |FROM toks GROUP BY source ORDER BY source""".stripMargin
+    },
     "q48_tfidf" ->
       s"""WITH toks AS (SELECT doc_id, unnest($DToks) AS term FROM documents),
          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
