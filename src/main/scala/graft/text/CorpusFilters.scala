@@ -727,7 +727,10 @@ object CorpusFilters {
     * length bounds → repetition gate (q51) → LM-quality gate (q56) →
     * exact first-occurrence dedup → NEAR dedup (the q33/q55 keep-list) →
     * span dedup (q66b's rewrite must leave ≥ the length floor) →
-    * benchmark decontamination (q52, zero overlapping 5-grams), and each
+    * benchmark decontamination (q52, zero overlapping 5-grams) →
+    * model-based quality (q87's classifier logit ≥ 0 — its weight lookup
+    * rides the pass-1 unigram rollup, so the 8th rule costs one agg
+    * column, not a corpus pass), and each
     * stage reports its cumulative survivor count — the per-rule attrition
     * table every corpus-curation run ships with (what fraction did each
     * filter cost?). The rule semantics are the gated signal queries' own
@@ -847,6 +850,12 @@ object CorpusFilters {
         max(when(col("kind") === "b", col("c"))).as("top_bi"),
         sum(when(col("kind") === "u",
           col("c") * log(col("tf").cast(DoubleType) / col("total")))).as("lpsum"),
+        // q87's classifier logit numerator rides the SAME rollup: weight
+        // lookup is a literal element_at on the gram — an 8th rule costs
+        // one agg column here, not a corpus pass (the extensibility claim
+        // in the scaladoc, now load-bearing)
+        sum(when(col("kind") === "u", col("c") * tokenWeight(col("gram"))))
+          .as("wsum"),
         sum(when(col("kind") === "5", col("hit"))).as("n_hit"))
     // the doc spine: every non-benchmark document (including zero-token
     // ones the explode drops) with its exact-dup key — read off the shared
@@ -881,7 +890,10 @@ object CorpusFilters {
         // for both no-overlap and under-5-token docs, so gate on length
         // explicitly (DuckDB's n_hit=0 rows exist only for ≥5-token docs)
         coalesce(col("n_hit").isNull && col("n_tokens") >= 5, lit(false))
-          .as("f_cont"))
+          .as("f_cont"),
+        // q87's keep decision (mean hashed-bucket weight ≥ 0, bias 0);
+        // zero-token docs carry null wsum → false, masked by f_len
+        coalesce(col("wsum") / col("n_tokens") >= 0, lit(false)).as("f_qual"))
     // cumulative survivors (the funnel) AND independent per-rule passes
     // (which filter is expensive REGARDLESS of stage order — only safe to
     // report because every flag encoding is engine-identical unmasked;
@@ -900,14 +912,16 @@ object CorpusFilters {
       kept(col("f_len") && col("f_rep") && col("f_lm") && col("f_dup")
         && col("f_near") && col("f_span")).as("s6"),
       kept(allRules).as("s7"),
+      kept(allRules && col("f_qual")).as("s8"),
       kept(col("f_rep")).as("a2"),
       kept(col("f_lm")).as("a3"),
       kept(col("f_dup")).as("a4"),
       kept(col("f_near")).as("a5"),
       kept(col("f_span")).as("a6"),
-      kept(col("f_cont")).as("a7"))
+      kept(col("f_cont")).as("a7"),
+      kept(col("f_qual")).as("a8"))
       .select(expr(
-        """stack(8,
+        """stack(9,
           | 0, 'corpus',         s0, s0,
           | 1, 'length',         s1, s1,
           | 2, 'repetition',     s2, a2,
@@ -915,7 +929,8 @@ object CorpusFilters {
           | 4, 'exact_dedup',    s4, a4,
           | 5, 'near_dedup',     s5, a5,
           | 6, 'span_dedup',     s6, a6,
-          | 7, 'decontaminated', s7, a7) AS (stage, rule, n_kept, n_pass_alone)""".stripMargin))
+          | 7, 'decontaminated', s7, a7,
+          | 8, 'quality',        s8, a8) AS (stage, rule, n_kept, n_pass_alone)""".stripMargin))
       .orderBy(col("stage"))
   }
 
@@ -1181,6 +1196,11 @@ object CorpusFilters {
          |lm AS (SELECT doc_id,
          |    (AVG(ln(CAST(tf AS DOUBLE) / total)) < -3.5) AS lm_flag
          |  FROM utoks JOIN freqs USING (term), tot GROUP BY doc_id),
+         |qual AS (SELECT doc_id,
+         |    (SUM((${ClassifierWeights.mkString("[", ", ", "]")})[
+         |       CAST(CAST('0x' || substr(md5(term), 1, 4) AS INT) % $ClassifierBuckets AS INT) + 1])
+         |     / COUNT(*) >= 0) AS qual_ok
+         |  FROM utoks GROUP BY doc_id),
          |grams AS (SELECT DISTINCT doc_id,
          |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
          |    unnest(list_transform(range(1, len(t) - 3),
@@ -1232,13 +1252,15 @@ object CorpusFilters {
          |    coalesce(nn.id = nn.component, true) AS f_near,
          |    coalesce(COALESCE(kp.n_kept, 0) * 8 + (b.n_tokens % 8) >= 20,
          |      false) AS f_span,
-         |    coalesce(c.n_hit = 0, false) AS f_cont
+         |    coalesce(c.n_hit = 0, false) AS f_cont,
+         |    coalesce(q.qual_ok, false) AS f_qual
          |  FROM base b JOIN firsts f USING (text_md5)
          |  LEFT JOIN rep r ON b.doc_id = r.doc_id
          |  LEFT JOIN lm l ON b.doc_id = l.doc_id
          |  LEFT JOIN clab nn ON b.doc_id = nn.id
          |  LEFT JOIN ckept kp ON b.doc_id = kp.doc_id
-         |  LEFT JOIN cont c ON b.doc_id = c.doc_id),
+         |  LEFT JOIN cont c ON b.doc_id = c.doc_id
+         |  LEFT JOIN qual q ON b.doc_id = q.doc_id),
          |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS s0,
          |  CAST(SUM(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS s1,
          |  CAST(SUM(CASE WHEN f_len AND f_rep THEN 1 ELSE 0 END) AS BIGINT) AS s2,
@@ -1247,12 +1269,14 @@ object CorpusFilters {
          |  CAST(SUM(CASE WHEN f_len AND f_rep AND f_lm AND f_dup AND f_near THEN 1 ELSE 0 END) AS BIGINT) AS s5,
          |  CAST(SUM(CASE WHEN f_len AND f_rep AND f_lm AND f_dup AND f_near AND f_span THEN 1 ELSE 0 END) AS BIGINT) AS s6,
          |  CAST(SUM(CASE WHEN f_len AND f_rep AND f_lm AND f_dup AND f_near AND f_span AND f_cont THEN 1 ELSE 0 END) AS BIGINT) AS s7,
+         |  CAST(SUM(CASE WHEN f_len AND f_rep AND f_lm AND f_dup AND f_near AND f_span AND f_cont AND f_qual THEN 1 ELSE 0 END) AS BIGINT) AS s8,
          |  CAST(SUM(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT) AS a2,
          |  CAST(SUM(CASE WHEN f_lm THEN 1 ELSE 0 END) AS BIGINT) AS a3,
          |  CAST(SUM(CASE WHEN f_dup THEN 1 ELSE 0 END) AS BIGINT) AS a4,
          |  CAST(SUM(CASE WHEN f_near THEN 1 ELSE 0 END) AS BIGINT) AS a5,
          |  CAST(SUM(CASE WHEN f_span THEN 1 ELSE 0 END) AS BIGINT) AS a6,
-         |  CAST(SUM(CASE WHEN f_cont THEN 1 ELSE 0 END) AS BIGINT) AS a7
+         |  CAST(SUM(CASE WHEN f_cont THEN 1 ELSE 0 END) AS BIGINT) AS a7,
+         |  CAST(SUM(CASE WHEN f_qual THEN 1 ELSE 0 END) AS BIGINT) AS a8
          | FROM flags)
          |SELECT stage, rule, n_kept, n_pass_alone FROM (
          |  SELECT 0 AS stage, 'corpus' AS rule, s0 AS n_kept, s0 AS n_pass_alone FROM a
@@ -1262,7 +1286,8 @@ object CorpusFilters {
          |  UNION ALL SELECT 4, 'exact_dedup', s4, a4 FROM a
          |  UNION ALL SELECT 5, 'near_dedup', s5, a5 FROM a
          |  UNION ALL SELECT 6, 'span_dedup', s6, a6 FROM a
-         |  UNION ALL SELECT 7, 'decontaminated', s7, a7 FROM a)
+         |  UNION ALL SELECT 7, 'decontaminated', s7, a7 FROM a
+         |  UNION ALL SELECT 8, 'quality', s8, a8 FROM a)
          |ORDER BY stage""".stripMargin,
     "q72_pack_offsets" ->
       s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),

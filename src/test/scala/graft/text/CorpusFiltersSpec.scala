@@ -100,8 +100,8 @@ class CorpusFiltersSpec extends AnyFunSuite {
   test("curation funnel stages are monotone and anchored at the corpus count") {
     val rows = CorpusFilters.q70_curation_funnel(spark, dir).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
-    assert(rows.map(_._1).toSeq == (0 to 7), "stages 0..7 in order")
-    assert(rows.head._2 == "corpus" && rows.last._2 == "decontaminated")
+    assert(rows.map(_._1).toSeq == (0 to 8), "stages 0..8 in order")
+    assert(rows.head._2 == "corpus" && rows.last._2 == "quality")
     // cumulative AND of keep-flags can only shrink the survivor set
     rows.sliding(2).foreach { case Array((_, a, na), (_, b, nb)) =>
       assert(nb <= na, s"funnel grew from $a ($na) to $b ($nb)")
