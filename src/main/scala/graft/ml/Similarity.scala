@@ -529,8 +529,15 @@ object Similarity {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), array_distinct(Cleanse.tokens(col("text"))).as("tokens"))
       .filter(size(col("tokens")) > 0)
+    // vocabSize must cover EVERY distinct token: CountVectorizer's default
+    // 2^18 cap would silently truncate the vocabulary on a larger corpus,
+    // making the engine's Jaccard (and q84's dists_ok / n_false_pairs
+    // contract) diverge from the exact-token truth for a non-bug reason.
+    val nVocab = docs.select(explode(col("tokens")).as("t"))
+      .agg(approx_count_distinct(col("t"), 0.01)).head().getLong(0)
     val cv = new CountVectorizer()
       .setInputCol("tokens").setOutputCol("features").setBinary(true)
+      .setVocabSize(math.max(nVocab * 2, 1 << 18).toInt)
       .fit(docs)
     val vecs = cv.transform(docs)
     val mh = new MinHashLSH()

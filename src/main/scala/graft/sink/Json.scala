@@ -72,11 +72,16 @@ object Parquet {
   * strongest cross-format check available given DuckDB reads no ORC. */
 object Orc {
   def q88_orc_roundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip"
+    // Per-session scratch dir (app id is unique per SparkContext): two JVMs
+    // running concurrently (bench + verify) must not overwrite each other's
+    // round-trip directory mid-read. The result is materialized BEFORE the
+    // directory is deleted, so nothing is left behind after the run.
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip_" +
+      s.sparkContext.applicationId
     graft.Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").partitionBy("lang").orc(out)
-    s.read.orc(out)
+    val agg = s.read.orc(out)
       .filter(col("lang").isin("en", "de")) // partition-pruned scan
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -84,6 +89,9 @@ object Orc {
         min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"))
       .orderBy(col("source"))
+    val pinned = agg.localCheckpoint() // tiny (one row per source)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    pinned
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -212,10 +212,16 @@ object Sessions {
     val logit = when(size(toks) >= 1,
       aggregate(toks, lit(0.0), (a, x) => a + CorpusFilters.tokenWeight(x))
         / size(toks))
+    // keep is computed from the UNROUNDED logit (same comparison the batch
+    // q87 scorer and q70's f_qual rule make); quality_logit is rounded only
+    // for emission. Rounding first would flip keep on logits in
+    // (-5e-7, 0) — they round to -0.0 and -0.0 >= 0 is true.
     decontaminateStream(docs, textCol, filterBytes)
-      .withColumn("quality_logit", round(logit, 6))
+      .withColumn("__logit_raw", logit)
+      .withColumn("quality_logit", round(col("__logit_raw"), 6))
       .withColumn("keep",
-        !col("contaminated") && coalesce(col("quality_logit") >= 0, lit(false)))
+        !col("contaminated") && coalesce(col("__logit_raw") >= 0, lit(false)))
+      .drop("__logit_raw")
   }
 
   /** Map-side MinHash band rows (idCol, band, h) for a batch OR streaming
@@ -261,15 +267,28 @@ object Sessions {
     * identical read path (the probe re-plans `current` per micro-batch). */
   final class BandIndex(initial: DataFrame) {
     @volatile private var cur: DataFrame = initial.localCheckpoint()
+    // Superseded pin whose release is DEFERRED one batch: the candidates
+    // frame handed to batch N's handler references batch N-1's checkpoint
+    // blocks (checkpoint lineage is truncated, so unpersisting them while a
+    // consumer still holds the frame means missing-block errors). Releasing
+    // the old pin only at batch N+1's append — after batch N+1's probe has
+    // re-planned against the new `current` — lets a handler defer
+    // materialization up to one full micro-batch past its return. Handlers
+    // that hold candidate frames LONGER than one batch must copy
+    // (e.g. collect or write) before returning.
+    private var prevPinned: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     def current: DataFrame = cur
     private[streaming] def append(bands: DataFrame): Unit = synchronized {
       val old = cur
       cur = old.unionByName(bands)
         .dropDuplicates("doc_id", "band", "h").localCheckpoint()
-      graft.ml.Similarity.pinnedRdds(old).foreach(_.unpersist(blocking = false))
+      prevPinned.foreach(_.unpersist(blocking = false))
+      prevPinned = graft.ml.Similarity.pinnedRdds(old)
     }
-    /** Release the current pin (call once the stream is stopped). */
+    /** Release every live pin (call once the stream is stopped). */
     def close(): Unit = synchronized {
+      prevPinned.foreach(_.unpersist(blocking = false))
+      prevPinned = Nil
       graft.ml.Similarity.pinnedRdds(cur).foreach(_.unpersist(blocking = false))
     }
   }

@@ -158,10 +158,22 @@ class SessionsSpec extends AnyFunSuite {
         .map(r => r.getAs[Long]("doc_id") ->
           (Option(r.getAs[Any]("quality_logit")),
             r.getAs[Boolean]("contaminated"), r.getAs[Boolean]("keep"))).toMap
-      // every doc the protected set covers is contaminated (the filter was
-      // built over ALL corpus 5-grams here), so keep must be all-false...
-      assert(streamed.values.forall { case (_, contaminated, keep) =>
-        !keep || !contaminated })
+      // every doc with >= 5 tokens is contaminated (the filter was built
+      // over ALL corpus 5-grams and Bloom has no false negatives), so its
+      // keep must be false regardless of quality
+      val nToks = graft.Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          size(graft.text.Cleanse.tokens(col("text"))).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      streamed.foreach { case (id, (_, contaminated, keep)) =>
+        if (nToks(id) >= 5) {
+          assert(contaminated, s"doc $id has ${nToks(id)} tokens but was " +
+            "not flagged by a filter built over all corpus 5-grams")
+          assert(!keep, s"doc $id is contaminated but kept")
+        }
+      }
+      assert(nToks.values.count(_ >= 5) > 0,
+        "fixture must exercise the contaminated path")
       // ...and the quality logits must equal the batch q87 scorer's
       q87.foreach { case (id, (logit, _)) =>
         val (sLogit, _, _) = streamed(id)
