@@ -26,6 +26,16 @@ object Bench {
       // run model fits inside (m_ann_ivf KMeans / MinHashLSH+CountVectorizer)
       "q82_ann_ivf_recall", "q84_minhash_lsh_recall")
 
+  /** Queries that launch MANY driver jobs (convergence fixpoints, the
+    * multi-pass funnel): their per-job scheduling noise compounds, so
+    * best-of-2 swings 2-3× across JVMs (round-7 verdict item 1 measured
+    * official 21.9s vs isolated 8.3s on q73). Timed three times, median
+    * reported — the median of three is robust to one bad draw in either
+    * direction, which best-of-N is not (best-of underreports systematically
+    * and still inherits one lucky draw's variance). */
+  val multiJobQueries: Set[String] =
+    Set("q55_dedup_components", "q70_curation_funnel", "q73_dedup_union")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -100,19 +110,24 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       System.gc()
-      val a = once()
-      val b = once()
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val times = Seq.fill(if (multiJobQueries(name)) 3 else 2)(once())
+      name -> (if (times.exists(_ < 0)) -1.0
+        else if (multiJobQueries(name)) times.sorted.apply(times.size / 2)
+        else times.min)
     }
     // 3-decimal rounding (1 ms resolution — below run-to-run noise): the
     // full-precision doubles doubled the line length and the driver's tail
     // capture truncated the cheap half of the suite out of BENCH_r{5,6}
     def r3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    // total first, then queries by DESCENDING cost: if anything downstream
+    // truncates the line, it only ever loses the cheap tail (round-7
+    // verdict item 8 — BENCH_r7's sorted-by-name order cut mid-alphabet)
+    val qs = results.sortBy { case (k, v) => (-v, k) }
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","queries":$qs}""")
     spark.stop()
   }
 }

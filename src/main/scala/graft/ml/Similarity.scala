@@ -858,11 +858,27 @@ object Similarity {
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint())
+    // Commutative set fingerprint (cardinality, XOR of row hashes): equal
+    // fingerprints on consecutive rounds almost certainly mean equal edge
+    // sets (both are distinct; a false match needs a 64-bit XOR collision
+    // at equal cardinality). The per-round convergence probe is then a
+    // map-side-partial aggregate over NEXT alone — no union, no groupBy
+    // re-shuffle of both edge sets (the round-7 verdict's bench-variance
+    // item: each fixpoint round's driver-job weight compounds scheduling
+    // noise). Convergence is still EXACTLY asserted: a fingerprint match
+    // triggers the one-shot set-equality check below, so a collision can
+    // only cost one extra round, never a wrong exit.
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
     var edges = init
+    var prevFp = fingerprint(init)
     var rounds = 0
     var converged = false
     while (!converged && rounds < MaxRounds) {
-      // LAZY checkpoint: the convergence check below is the round's only
+      // LAZY checkpoint: the fingerprint probe below is the round's only
       // job — it materializes next's cache as a side effect, instead of
       // paying one checkpoint job + one comparison job per round.
       // (Measured dead end, recorded so it isn't retried: TWO star
@@ -871,12 +887,16 @@ object Similarity {
       // 19.8s → 22.8/23.7s): the doubled per-job plan depth costs more
       // than the fixed costs it saves.)
       val next = tracked(smallStar(largeStar(edges)).localCheckpoint(eager = false))
-      // set equality in ONE job (both sides are distinct): tag +1/-1,
-      // any group summing nonzero is a difference in either direction
-      converged = edges.select(col("u"), col("v"), lit(1).as("tag"))
-        .union(next.select(col("u"), col("v"), lit(-1).as("tag")))
-        .groupBy(col("u"), col("v")).agg(sum(col("tag")).as("d"))
-        .filter(col("d") =!= 0).isEmpty
+      val fp = fingerprint(next)
+      if (fp == prevFp) {
+        // exact set equality in ONE job (both sides are distinct): tag
+        // +1/-1, any group summing nonzero is a difference either way
+        converged = edges.select(col("u"), col("v"), lit(1).as("tag"))
+          .union(next.select(col("u"), col("v"), lit(-1).as("tag")))
+          .groupBy(col("u"), col("v")).agg(sum(col("tag")).as("d"))
+          .filter(col("d") =!= 0).isEmpty
+      }
+      prevFp = fp
       edges = next
       rounds += 1
     }
