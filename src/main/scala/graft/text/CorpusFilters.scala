@@ -557,6 +557,51 @@ object CorpusFilters {
       .orderBy(col("bucket"), col("seq_id"))
   }
 
+  /** Packed sequences in TRAINER UNITS — the round-7 verdict's top gap:
+    * q85 packs whitespace words, but a data loader reads SUBWORD ids, so
+    * its table was denominated in the wrong units. Here every document is
+    * lexed (q28's word/digit/punct pieces) and each piece segmented by the
+    * WordPiece greedy longest-match tokenizer ([[SubwordPieces]] — the
+    * piece-ARRAY twin of q72b's count), the flattened subword stream takes
+    * bucket-local positions off the q72b cumsum, and each fixed-length
+    * sequence row carries its piece count plus a content-exact digest of
+    * the space-joined pieces. n_tokens here sums to q72b's accounting by
+    * construction (pieces.length == subword_count — SubwordSpec asserts
+    * it), so the offsets table and the sequence table finally agree on
+    * units.
+    *
+    * Oracle: the identical greedy walk replayed as a recursive CTE over
+    * DISTINCT lexer pieces, accumulating the segmentation STRING this
+    * time (vocabulary-sized recursion, depth = longest word), then
+    * word-level cumsums position every piece without a corpus-sized
+    * recursion.
+    *
+    * Scale: same shape as q85 — one corpus explode shuffled once on
+    * (bucket, seq_id); the subword segmentation is map-side codegen over
+    * the lexer pieces (no join against a piece table; the vocab is a plan
+    * constant). */
+  def q85b_pack_subword(s: SparkSession, dir: String): DataFrame = {
+    val seqLen = 64
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val lex = regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(32)).as("bucket"),
+        flatten(transform(lex, p => Subword.subword_pieces(p))).as("sw"))
+      .withColumn("n_tokens", size(col("sw")).cast("long"))
+      .filter(col("n_tokens") >= 1)
+      .withColumn("off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("bucket"), col("off"), posexplode(col("sw")).as(Seq("i", "tok")))
+      .select(col("bucket"), (col("off") + col("i")).as("pos"), col("tok"))
+      .groupBy(col("bucket"), expr(s"pos div $seqLen").as("seq_id"))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        md5(concat_ws(" ",
+          expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"))
+          .cast("binary")).as("toks_md5"))
+      .orderBy(col("bucket"), col("seq_id"))
+  }
+
   /** The last mile of the curation pipeline COMPOSED: sequence-packing
     * accounting over the span-DEDUPED corpus — q66b's cleaned lengths
     * (which need no text reassembly: n_clean = 8·kept + n mod 8) flow
@@ -956,6 +1001,7 @@ object CorpusFilters {
     "q72_pack_offsets"    -> (q72_pack_offsets _),
     "q72b_pack_tokenized" -> (q72b_pack_tokenized _),
     "q85_pack_sequences"  -> (q85_pack_sequences _),
+    "q85b_pack_subword"   -> (q85b_pack_subword _),
     "q87_quality_classifier" -> (q87_quality_classifier _))
 
   private val DToks =
@@ -1320,6 +1366,47 @@ object CorpusFilters {
          |  CAST(COUNT(*) AS INTEGER) AS n_tokens,
          |  md5(string_agg(tok, ' ' ORDER BY pos)) AS toks_md5
          |FROM tok GROUP BY bucket, pos // 64
+         |ORDER BY bucket, seq_id""".stripMargin,
+    // q72b's greedy walk accumulating the segmentation STRING: DISTINCT
+    // lexer words segment once (vocabulary-sized recursion), word-level
+    // cumsums position every piece, the stream digests content-exact
+    "q85b_pack_subword" ->
+      s"""WITH RECURSIVE lex AS (SELECT doc_id,
+         |    regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS ps
+         |  FROM documents),
+         |words AS (SELECT DISTINCT unnest(ps) AS w FROM lex),
+         |rec AS (
+         |  SELECT w, 1 AS pos, CAST('' AS VARCHAR) AS seg FROM words
+         |  UNION ALL
+         |  SELECT w, pos + ${Subword.matchLenSql("w", "pos")},
+         |    seg || (CASE WHEN seg = '' THEN '' ELSE ' ' END)
+         |      || substr(w, pos, ${Subword.matchLenSql("w", "pos")})
+         |  FROM rec WHERE pos <= len(w)),
+         |wseg AS (SELECT w, string_split(seg, ' ') AS sl
+         |  FROM rec WHERE pos > len(w)),
+         |dw AS (SELECT doc_id, wi, ps[wi] AS w
+         |  FROM lex, unnest(range(1, len(ps) + 1)) AS u(wi)),
+         |j AS (SELECT doc_id, wi, sl, CAST(len(sl) AS BIGINT) AS cnt
+         |  FROM dw JOIN wseg USING (w)),
+         |wo AS (SELECT doc_id, wi, sl,
+         |    CAST(coalesce(SUM(cnt) OVER (PARTITION BY doc_id ORDER BY wi
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS woff
+         |  FROM j),
+         |c AS (SELECT doc_id, doc_id % 32 AS bucket,
+         |    CAST(SUM(cnt) AS BIGINT) AS n_tokens
+         |  FROM j GROUP BY doc_id),
+         |f AS (SELECT * FROM c WHERE n_tokens >= 1),
+         |o AS (SELECT doc_id, bucket,
+         |    CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         |  FROM f),
+         |p AS (SELECT o.bucket, o.off + wo.woff + pi - 1 AS pos, wo.sl[pi] AS tok
+         |  FROM wo JOIN o USING (doc_id),
+         |    unnest(range(1, len(wo.sl) + 1)) AS v(pi))
+         |SELECT bucket, pos // 64 AS seq_id,
+         |  CAST(COUNT(*) AS INTEGER) AS n_tokens,
+         |  md5(string_agg(tok, ' ' ORDER BY pos)) AS toks_md5
+         |FROM p GROUP BY bucket, pos // 64
          |ORDER BY bucket, seq_id""".stripMargin,
     // the greedy longest-match walk replayed as a recursive CTE over the
     // DISTINCT lexer pieces (vocabulary-sized recursion, depth = longest

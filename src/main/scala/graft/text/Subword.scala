@@ -73,16 +73,38 @@ object SubwordUtil {
     var pos = 0
     var c = 0
     while (pos < n) {
-      var adv = 1
-      var l = math.min(MaxLen, n - pos)
-      while (l >= 2 && adv == 1) {
-        if (vocabSet.contains(str.substring(pos, pos + l))) adv = l
-        l -= 1
-      }
-      pos += adv
+      pos += matchLen(str, pos)
       c += 1
     }
     c
+  }
+
+  /** The pieces THEMSELVES under the identical greedy walk — the trainer
+    * units (subword ids are a vocab-lookup away); `count` is its length
+    * by construction (SubwordSpec asserts the equivalence). */
+  def pieces(w: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = w.toString
+    val n = str.length
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var pos = 0
+    while (pos < n) {
+      val adv = matchLen(str, pos)
+      buf += UTF8String.fromString(str.substring(pos, pos + adv))
+      pos += adv
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
+  }
+
+  /** Longest vocab piece starting at `pos`, else 1 (single-char fallback). */
+  private def matchLen(str: String, pos: Int): Int = {
+    val n = str.length
+    var adv = 1
+    var l = math.min(MaxLen, n - pos)
+    while (l >= 2 && adv == 1) {
+      if (vocabSet.contains(str.substring(pos, pos + l))) adv = l
+      l -= 1
+    }
+    adv
   }
 }
 
@@ -102,9 +124,32 @@ case class SubwordCount(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd scalar: the subword piece ARRAY of a string under the same
+  * fixed vocab — the trainer-unit emitter the round-7 verdict ranked first
+  * ("the one table a data loader actually reads [q85] is denominated in
+  * the wrong units"): q85b packs THESE instead of whitespace words. */
+case class SubwordPieces(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "subword_pieces"
+
+  override protected def nullSafeEval(w: Any): Any =
+    SubwordUtil.pieces(w.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, w => s"graft.text.SubwordUtil.pieces($w)")
+
+  override protected def withNewChildInternal(newChild: Expression): SubwordPieces =
+    copy(child = newChild)
+}
+
 object Subword {
   def subword_count(c: Column): Column =
     GraftSqlBridge.column(SubwordCount(GraftSqlBridge.expression(c)))
+
+  def subword_pieces(c: Column): Column =
+    GraftSqlBridge.column(SubwordPieces(GraftSqlBridge.expression(c)))
 
   /** The greedy-match step as DuckDB SQL: longest vocab piece at 1-based
     * position `pos` of word `w`, else 1 — substr past the end yields a

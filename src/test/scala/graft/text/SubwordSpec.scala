@@ -50,6 +50,24 @@ class SubwordSpec extends AnyFunSuite {
     }
   }
 
+  test("pieces: concat reassembles the word, length equals subword_count") {
+    import spark.implicits._
+    val words = (Seq("the", "testing", "overestimation", "12345", "x1y2",
+      "...", "q", "") ++ randWords(300)).distinct
+    val got = words.toDF("w")
+      .select(col("w"), Subword.subword_pieces(col("w")).as("ps"),
+        Subword.subword_count(col("w")).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getSeq[String](1), r.getInt(2))))
+      .toMap
+    words.foreach { w =>
+      val (ps, n) = got(w)
+      assert(ps.mkString("") == w, s"pieces of '$w' don't reassemble: $ps")
+      assert(ps.length == n, s"'$w': ${ps.length} pieces vs count $n")
+      assert(ps.forall(_.nonEmpty), s"'$w' emitted an empty piece")
+    }
+  }
+
   test("codegen column path matches the direct eval") {
     import spark.implicits._
     val words = Seq("the", "testing", "overestimation", "x1y2", "...", "q") ++
