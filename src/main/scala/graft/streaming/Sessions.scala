@@ -206,12 +206,18 @@ object Sessions {
     * Identical plan on batch frames; SessionsSpec asserts logit parity
     * with the batch q87 scorer. */
   def curationGateStream(docs: DataFrame, textCol: String,
-      filterBytes: Array[Byte]): DataFrame = {
+      filterBytes: Array[Byte],
+      weights: IndexedSeq[Double] = graft.text.CorpusFilters.ClassifierWeights,
+      bias: Double = 0.0): DataFrame = {
     import graft.text.CorpusFilters
     val toks = graft.text.Cleanse.tokens(col(textCol))
+    // weights default to q87's seeded stand-in; a production gate passes
+    // the TRAINED (coefficients, intercept) from CorpusFilters
+    // .trainQualityWeights — same literal-table scorer either way
+    // (SessionsSpec asserts trained-weight parity with the batch scorer)
     val logit = when(size(toks) >= 1,
-      aggregate(toks, lit(0.0), (a, x) => a + CorpusFilters.tokenWeight(x))
-        / size(toks))
+      lit(bias) + aggregate(toks, lit(0.0),
+        (a, x) => a + CorpusFilters.tokenWeightOf(x, weights)) / size(toks))
     // keep is computed from the UNROUNDED logit (same comparison the batch
     // q87 scorer and q70's f_qual rule make); quality_logit is rounded only
     // for emission. Rounding first would flip keep on logits in

