@@ -35,7 +35,8 @@ object Bench {
     * direction, which best-of-N is not (best-of underreports systematically
     * and still inherits one lucky draw's variance). */
   val multiJobQueries: Set[String] =
-    Set("q55_dedup_components", "q70_curation_funnel", "q73_dedup_union")
+    Set("q55_dedup_components", "q70_curation_funnel", "q73_dedup_union",
+      "q92_semdedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
