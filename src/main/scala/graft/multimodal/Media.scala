@@ -274,6 +274,66 @@ object Media {
       .orderBy(col("doc_id"))
   }
 
+  /** INTERLEAVED multimodal documents — the MMC4/OBELICS layout (Zhu et
+    * al. 2023; Laurençon et al. 2023: a document is an ORDERED sequence of
+    * text spans and image references), one modality up from q83's strict
+    * one-image-one-caption rows and the multimodal twin of the nested
+    * comment bind (`ingest.Tickets.bindComments` — reference
+    * `wrangler.py:343-394`): children collect into a sorted array per
+    * parent, except the children are images anchored at token positions.
+    *
+    * Derivation (all DuckDB-recomputable): each image lands in doc
+    * `media_id % (n/8)` (several images per doc — the multi-image shape),
+    * anchored at token position `width % (n_tokens+1)` (width is
+    * splitmix64-derived metadata the twin replays in HUGEINT). Per doc the
+    * anchors sort by (pos, media_id) and every anchor carries the digest
+    * of the TEXT SPAN since the previous anchor — so span content,
+    * ordering, and the trailing span all gate: the emitted items_md5 is
+    * md5 of newline-joined "pos:media_id:md5(span)" lines plus a
+    * "tail:md5(span)" line (the q74 engine-neutral-lines trick; raw
+    * nested arrays crash the dump and to_json never hash-matches).
+    *
+    * Scale: one equi-join of the image side against the token table on
+    * doc_id, one groupBy(doc_id) collect — identical shape to
+    * bindComments; span digestion happens INSIDE the per-doc transform
+    * (no explode of spans). */
+  def q90_interleaved_docs(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Cleanse
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val m = math.max(n / 8, 1L)
+    val images = mediaTable(s, dir).filter(col("kind") === "image")
+      .select(col("media_id"), (col("media_id") % m).as("doc_id"),
+        col("meta.width").as("width"))
+    val toks = docs.select(col("doc_id"), Cleanse.tokens(col("text")).as("t"))
+    val anchored = images.join(toks, "doc_id")
+      .select(col("doc_id"), col("media_id"),
+        (col("width").cast("long") % (size(col("t")) + 1)).as("pos"))
+    anchored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_images"),
+        array_sort(collect_list(struct(col("pos"), col("media_id"))))
+          .as("anchors"))
+      .join(toks, "doc_id")
+      .select(col("doc_id"), col("n_images"),
+        expr("element_at(anchors, 1).pos").as("first_pos"),
+        expr("element_at(anchors, -1).pos").as("last_pos"),
+        md5(concat(concat_ws("\n", expr(
+          """transform(anchors, (a, i) -> concat(
+            |  CAST(a.pos AS STRING), ':', CAST(a.media_id AS STRING), ':',
+            |  md5(CAST(array_join(slice(t,
+            |    CAST(CASE WHEN i = 0 THEN 0
+            |         ELSE element_at(anchors, i).pos END + 1 AS INT),
+            |    CAST(a.pos - CASE WHEN i = 0 THEN 0
+            |         ELSE element_at(anchors, i).pos END AS INT)), ' ')
+            |    AS BINARY))))""".stripMargin)),
+          lit("\ntail:"),
+          md5(expr(
+            "array_join(slice(t, CAST(element_at(anchors, -1).pos + 1 AS INT), " +
+              "CAST(size(t) - element_at(anchors, -1).pos AS INT)), ' ')")
+            .cast("binary"))).cast("binary")).as("items_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Rows-only companion of q83 carrying the modality payload the SQL twin
     * cannot reproduce: the image's 64-bit perceptual hash and a digest of
     * its feature vector — the columns a trainer would embed/rerank on.
@@ -306,6 +366,7 @@ object Media {
     "m_media_frames"   -> (m_media_frames _),
     "m_media_dedup"    -> (m_media_dedup _),
     "q83_image_text_pairs" -> (q83_image_text_pairs _),
+    "q90_interleaved_docs" -> (q90_interleaved_docs _),
     "m_image_text_pairs"   -> (m_image_text_pairs _))
 
   /** 64-bit unsigned multiply-mod-2^64 in DuckDB HUGEINT via 32-bit limb
@@ -368,6 +429,62 @@ object Media {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Generated twin of q90: the same splitmix64 HUGEINT replay derives
+    * kind + width, anchors re-sort by (pos, media_id), spans re-slice via
+    * a LAG window, and the per-doc line digest reassembles byte-for-byte. */
+  private lazy val interleavedDocsOracle: String = {
+    val z1 = "(z + 11400714819323198485) % 18446744073709551616"
+    val m2 = mulmodSql("x1", BigInt("13787848793156543929"))
+    val m3 = mulmodSql("x2", BigInt("10723151780598845931"))
+    s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+       |zs AS (SELECT id, v,
+       |    CASE v WHEN 0 THEN CAST(id AS HUGEINT)
+       |           ELSE xor(CAST(id AS HUGEINT), 1) END AS z
+       |  FROM ids, (VALUES (0),(1)) t(v)),
+       |s1 AS (SELECT id, v, $z1 AS z1 FROM zs),
+       |s2 AS (SELECT id, v, xor(z1, z1 // 1073741824) AS x1 FROM s1),
+       |s3 AS (SELECT id, v, $m2 AS z2 FROM s2),
+       |s4 AS (SELECT id, v, xor(z2, z2 // 134217728) AS x2 FROM s3),
+       |s5 AS (SELECT id, v, $m3 AS z3 FROM s4),
+       |s6 AS (SELECT id, v, xor(z3, z3 // 2147483648) AS m FROM s5),
+       |sg AS (SELECT id, v,
+       |    CASE WHEN m >= 9223372036854775808 THEN m - 18446744073709551616
+       |         ELSE m END AS x
+       |  FROM s6),
+       |attrs AS (SELECT id,
+       |    MAX(CASE WHEN v = 0 THEN ((x % 3) + 3) % 3 END) AS kidx,
+       |    MAX(CASE WHEN v = 1 THEN ((x % 1920) + 1920) % 1920 + 16 END) AS w
+       |  FROM sg GROUP BY id),
+       |nn AS (SELECT greatest(COUNT(*) // 8, 1) AS m FROM documents),
+       |imgs AS (SELECT a.id AS media_id, a.id % nn.m AS doc_id, a.w
+       |  FROM attrs a, nn WHERE a.kidx = 0),
+       |toks AS (SELECT doc_id, $DToks AS t FROM documents),
+       |anch AS (SELECT i.doc_id, i.media_id,
+       |    CAST(i.w % (len(t) + 1) AS BIGINT) AS pos, t
+       |  FROM imgs i JOIN toks USING (doc_id)),
+       |prevs AS (SELECT doc_id, media_id, pos, t,
+       |    COALESCE(LAG(pos) OVER (PARTITION BY doc_id
+       |      ORDER BY pos, media_id), 0) AS prev
+       |  FROM anch),
+       |lines AS (SELECT doc_id, pos, media_id, t,
+       |    CAST(pos AS VARCHAR) || ':' || CAST(media_id AS VARCHAR) || ':' ||
+       |    md5(COALESCE(array_to_string(
+       |      t[CAST(prev + 1 AS INT):CAST(pos AS INT)], ' '), '')) AS line
+       |  FROM prevs),
+       |agg AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_images,
+       |    MIN(pos) AS first_pos, MAX(pos) AS last_pos,
+       |    string_agg(line, chr(10) ORDER BY pos, media_id) AS body,
+       |    any_value(t) AS t
+       |  FROM lines GROUP BY doc_id)
+       |SELECT doc_id, n_images, first_pos, last_pos,
+       |  md5(body || chr(10) || 'tail:' ||
+       |    md5(COALESCE(array_to_string(
+       |      t[CAST(last_pos + 1 AS INT):CAST(len(t) AS INT)], ' '), '')))
+       |    AS items_md5
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
-    "q83_image_text_pairs" -> imageTextPairsOracle)
+    "q83_image_text_pairs" -> imageTextPairsOracle,
+    "q90_interleaved_docs" -> interleavedDocsOracle)
 }

@@ -81,4 +81,27 @@ class MediaSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("content"), "blob column should be pruned")
   }
+
+  test("interleaved docs: per-doc image counts match the id arithmetic, anchors ordered") {
+    val n = graft.Tables.documents(spark, dir).count()
+    val m = math.max(n / 8, 1L)
+    // expected per-doc image counts straight from the generator arithmetic
+    val expected = Media.mediaTable(spark, dir)
+      .filter(col("kind") === "image")
+      .groupBy((col("media_id") % m).as("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Media.q90_interleaved_docs(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == expected.keySet)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("n_images") == expected(id),
+        s"doc $id image count")
+      assert(r.getAs[Long]("first_pos") <= r.getAs[Long]("last_pos"),
+        s"doc $id anchor order")
+    }
+    // the multi-image shape is actually exercised
+    assert(expected.values.max >= 2, "fixture must produce multi-image docs")
+    assert(rows.map(_.getAs[String]("items_md5")).distinct.length > 1)
+  }
 }
