@@ -326,11 +326,16 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val k = 16
-    // 4 of 16 lists (was 2): these synthetic embeddings cluster weakly, so
-    // nProbe=2 sat at ~0.45-0.50 recall@3 — below a gateable bound. 4 lists
-    // probe 1/4 of the corpus for ~0.75 recall (q82's gate asserts ≥ 0.55
-    // against a 0.25 random-probe floor); matches the seeded twin's nProbe.
-    val nProbe = 4
+    // 6 of 16 lists (was 4, was 2): these synthetic embeddings cluster
+    // weakly — nProbe=2 sat at ~0.45-0.50 recall@3, nProbe=4 at 0.68-0.71,
+    // only ~0.13 above q82's 0.55 floor (round-7 verdict item 6: a floor
+    // within ~0.1 of measurement is one fixture regeneration from
+    // flaking). 6 lists probe 3/8 of the corpus for measured 0.787 @
+    // sf0.01 / 0.807 @ sf0.1 — ≥ 0.23 headroom over the floor, against a
+    // 6/16 = 0.375 random-probe baseline that the floor still clears.
+    // The seeded twin keeps nProbe=4: its gate is exact (hash), not a
+    // recall bound, so margin pressure doesn't apply.
+    val nProbe = 6
     val e = emb(s, dir).withColumn("v", array_to_vector(col("emb")))
     val km = new KMeans().setK(k).setSeed(42).setMaxIter(10)
       .setFeaturesCol("v").fit(e)
@@ -369,8 +374,10 @@ object Similarity {
     * mean recall@3 ≥ the bound. Aggregate, not per-query, deliberately:
     * the centroids are optimizer output, so individual queries' recall
     * jitters with the fit, while the 50-query mean sits well above the
-    * bound (measured 0.71 at sf0.01, 0.68 at sf0.1 with nProbe=4 of k=16;
-    * random probing would score nProbe/k = 0.25). The oracle
+    * bound (measured 0.787 at sf0.01, 0.807 at sf0.1 with nProbe=6 of
+    * k=16 — raised from nProbe=4's 0.68-0.71 for ≥ 0.23 floor headroom,
+    * round-7 verdict item 6; random probing would score
+    * nProbe/k = 0.375, still below the 0.55 floor). The oracle
     * recomputes the truth side and asserts the flag as literal TRUE — a
     * probe/assignment bug that degrades recall corpus-wide fails the hash
     * gate, retiring the last un-gated accuracy claim of the IVF family. */
