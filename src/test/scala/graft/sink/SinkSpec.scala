@@ -28,10 +28,13 @@ class SinkSpec extends AnyFunSuite {
   }
 
   test("ORC round-trip: lossless, partition-pruned on read") {
+    // the pre-checkpoint plan: q88 itself returns a pinned frame (scratch
+    // dir deleted), which would hide the scan behind a Scan ExistingRDD
+    val inner = Orc.orcRoundTripAgg(spark, dir, Orc.scratchDir(spark))
     val q88 = Orc.q88_orc_roundtrip(spark, dir)
     // pruning: the read inside q88 filters on the partition column — the
     // scan must carry a PartitionFilters entry, not a post-scan filter
-    val plan = q88.queryExecution.executedPlan.toString
+    val plan = inner.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [lang") ||
       plan.contains("PartitionFilters: [isnotnull(lang") ||
       plan.contains("lang#") && plan.contains("PartitionFilters"),
