@@ -114,14 +114,61 @@ object Orc {
     pinned
   }
 
+  /** JSON-LINES round-trip (the unblocked half of the round-7 "Avro /
+    * JSON-lines source-sink breadth" item): documents INCLUDING the text
+    * blob write as lang-partitioned JSONL and read back through an
+    * EXPLICIT schema (the q78 rule — inference is a wasted full pass and
+    * silently widens types) with a partition-pruning filter. The
+    * aggregate carries a 48-bit md5-prefix SUM over the text column, so
+    * string fidelity through the escape/unescape cycle gates
+    * content-exact, not just count-exact — the whole point of testing a
+    * TEXT format is that quotes/control characters survive. 48 bits keeps
+    * the ANSI-mode long sum safe (5000 docs × 2^48 ≪ 2^63); DuckDB's
+    * HUGEINT sum casts back to BIGINT. */
+  private[graft] def jsonlRoundTripAgg(s: SparkSession, dir: String,
+      out: String): DataFrame = {
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      .write.mode("overwrite").partitionBy("lang").json(out)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING, source STRING, n_chars LONG, lang STRING")
+    s.read.schema(schema).json(out)
+      .filter(col("lang").isin("en", "de")) // partition-pruned scan
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        sum(conv(substring(md5(col("text").cast("binary")), 1, 12), 16, 10)
+          .cast("long")).cast("long").as("text_sig"))
+      .orderBy(col("source"))
+  }
+
+  def q91_jsonl_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = scratchDir(s) + "_jsonl"
+    val pinned = jsonlRoundTripAgg(s, dir, out).localCheckpoint() // tiny
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    pinned
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q88_orc_roundtrip" -> (q88_orc_roundtrip _))
+    "q88_orc_roundtrip" -> (q88_orc_roundtrip _),
+    "q91_jsonl_roundtrip" -> (q91_jsonl_roundtrip _))
 
   val oracle: Map[String, String] = Map(
     "q88_orc_roundtrip" ->
       """SELECT source, COUNT(*) AS n_docs,
         | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         | MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM documents WHERE lang IN ('en', 'de')
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q91_jsonl_roundtrip" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        | MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+        | CAST(SUM(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT)) AS BIGINT)
+        |   AS text_sig
         |FROM documents WHERE lang IN ('en', 'de')
         |GROUP BY source ORDER BY source""".stripMargin)
 }

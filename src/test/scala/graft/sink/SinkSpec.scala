@@ -53,6 +53,26 @@ class SinkSpec extends AnyFunSuite {
     assert(got == want, s"ORC round-trip drifted: $got vs $want")
   }
 
+  test("JSONL round-trip: text content survives escaping, partition-pruned") {
+    val specOut = Orc.scratchDir(spark) + "_jsonl_spec"
+    val inner = Orc.jsonlRoundTripAgg(spark, dir, specOut)
+    val plan = inner.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"expected partition filters on the JSONL scan:\n$plan")
+    // the text signature must equal the same md5-prefix sum off parquet —
+    // any escape/unescape corruption in the JSON cycle breaks it
+    val got = Orc.q91_jsonl_roundtrip(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(5)).toMap
+    val want = Tables.documents(spark, dir)
+      .filter(col("lang").isin("en", "de"))
+      .groupBy(col("source"))
+      .agg(sum(conv(substring(md5(col("text").cast("binary")), 1, 12), 16, 10)
+        .cast("long")).cast("long").as("sig"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, "JSONL text signature drifted")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(specOut))
+  }
+
   test("SQL registration: native expressions callable from spark.sql") {
     graft.GraftExtensions.register(spark)
     val r = spark.sql(
