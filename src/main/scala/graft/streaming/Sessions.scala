@@ -145,6 +145,31 @@ object Sessions {
       .drop("__dim_key", "__valid_until")
   }
 
+  /** Watermarked STREAM-STREAM interval join — the correlation join of
+    * continuous ingest (attribution: every left event pairs with the
+    * right-side events for the same key within [l.ts, l.ts + window]).
+    * Unlike stream-static enrichment, BOTH sides are unbounded, so this
+    * is only runnable because the watermarks + the time-interval
+    * predicate bound the state: each side buffers rows in the state store
+    * keyed by user_id until the other side's watermark passes the end of
+    * their join window, then evicts. Without the interval condition the
+    * state would grow with the stream — the classic stream-join OOM; with
+    * it, state is O(active keys × window), independent of stream length.
+    * At 100 TB/day both sides shuffle on user_id once and the join is
+    * local to each state partition. Identical plan on batch frames
+    * (SessionsSpec asserts stream/batch parity on the same events). */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      windowSpec: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", "10 minutes").alias("l")
+    val r = right.withWatermark("ts", "10 minutes").alias("r")
+    l.join(r, expr(
+        s"""l.user_id = r.user_id AND
+           |r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $windowSpec""".stripMargin))
+      .select(col("l.user_id").as("user_id"),
+        col("l.ts").as("ts_a"), col("l.event_type").as("type_a"),
+        col("r.ts").as("ts_b"), col("r.event_type").as("type_b"))
+  }
+
   /** foreachBatch lake sink: per-micro-batch handler receiving a BATCH
     * frame + monotonic batch id, the standard exit to sinks without a
     * native streaming writer. Exactly-once comes from idempotent

@@ -189,6 +189,39 @@ class SessionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch join on the same events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    // user 1: click at +5 and +40 after a view at 0 — only +5 joins the
+    // 30-minute window; user 2: click before the view — never joins;
+    // user 3: exact window edge (+30) — inclusive
+    val views = Seq((1L, ts(0), "view"), (2L, ts(10), "view"), (3L, ts(0), "view"))
+    val clicks = Seq((1L, ts(5), "click"), (1L, ts(40), "click"),
+      (2L, ts(5), "click"), (3L, ts(30), "click"))
+    val cols = Seq("user_id", "ts", "event_type")
+    val batch = Sessions.intervalJoinStream(
+        views.toDF(cols: _*), clicks.toDF(cols: _*))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(3))).toSet
+    assert(batch == Set((1L, ts(0), ts(5)), (3L, ts(0), ts(30))),
+      s"batch interval-join semantics: $batch")
+    val lIn = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val rIn = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = Sessions.intervalJoinStream(
+        lIn.toDF().toDF(cols: _*), rIn.toDF().toDF(cols: _*))
+      .writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode("append").start()
+    try {
+      lIn.addData(views.toIndexedSeq: _*)
+      rIn.addData(clicks.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ssjoin_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(3))).toSet
+      assert(streamed == batch,
+        s"stream-stream join must match the batch plan: $streamed vs $batch")
+    } finally q.stop()
+  }
+
   test("streaming gate scores with TRAINED weights, batch parity") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
