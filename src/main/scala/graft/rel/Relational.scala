@@ -650,6 +650,46 @@ object Relational {
         round(col("last.value"), 6).as("last_value"),
         col("n_changes"))
 
+  /** SNAPSHOT DIFF → changelog — the inverse half of CDC (q86 APPLIES a
+    * changelog; this GENERATES one): two table versions full-outer-join on
+    * the key and each row classifies as Insert / Update / Delete by
+    * null-side and content-digest comparison; unchanged rows drop. The
+    * "next crawl" snapshot is derived deterministically from the corpus so
+    * both engines build the identical pair of versions: docs whose doc_id
+    * md5 bucket is 'a' disappear (deletes), bucket 'b' docs carry revised
+    * text (updates), bucket 'c' docs re-enter under fresh ids shifted by
+    * the corpus size (inserts — same collision-free offset rule as
+    * m_media_dedup).
+    *
+    * Scale: ONE full-outer hash join on the key (both sides shuffle once)
+    * + map-side digest comparison — the standard lake table-diff; no
+    * window, no sort, no driver state. Emitting digests rather than
+    * payloads keeps the changelog narrow; a production diff would carry
+    * the changed columns. */
+  def q93_snapshot_diff(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.documents(s, dir).count()
+    val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), bucket.as("b"))
+    val oldSnap = base
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("old_md5"))
+    val newSnap = base.filter(col("b") =!= "a")
+      .select(col("doc_id"),
+        when(col("b") === "b", concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(base.filter(col("b") === "c")
+        .select((col("doc_id") + n).as("doc_id"), col("text")))
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("new_md5"))
+    oldSnap.join(newSnap, Seq("doc_id"), "full_outer")
+      .withColumn("op",
+        when(col("new_md5").isNull, "D")
+          .when(col("old_md5").isNull, "I")
+          .when(col("old_md5") =!= col("new_md5"), "U"))
+      .filter(col("op").isNotNull)
+      .select(col("op"), col("doc_id"), col("old_md5"), col("new_md5"))
+      .orderBy(col("doc_id"), col("op"))
+  }
+
   // ----------------------------------------------------- skew: salted agg
   /** Two-phase salted aggregation — THE skew pattern at 100 TB: a hot
     * group key (one event_type = 20 % of a 100 TB stream) would pin its
@@ -810,6 +850,7 @@ object Relational {
     "q17_dedup_exact"        -> (q17_dedup_exact _),
     "q18_bind_children"      -> (q18_bind_children _),
     "q46_skew_salted_agg"    -> (q46_skew_salted_agg _),
+    "q93_snapshot_diff"      -> (q93_snapshot_diff _),
     "q47_asof_join"          -> (q47_asof_join _),
     "q47b_asof_native"       -> (q47b_asof_native _),
     "q50_unpivot"            -> (q50_unpivot _),
@@ -1106,6 +1147,27 @@ object Relational {
         | MIN(value) AS min_value, MAX(value) AS max_value,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q93_snapshot_diff" ->
+      """WITH base AS (SELECT doc_id, text,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS b
+        |  FROM documents),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |olds AS (SELECT doc_id, md5(text) AS old_md5 FROM base),
+        |news AS (SELECT doc_id,
+        |    md5(CASE WHEN b = 'b' THEN text || ' v2' ELSE text END) AS new_md5
+        |  FROM base WHERE b <> 'a'
+        |  UNION ALL
+        |  SELECT doc_id + n.n AS doc_id, md5(text) AS new_md5
+        |  FROM base, n WHERE b = 'c'),
+        |j AS (SELECT COALESCE(o.doc_id, w.doc_id) AS doc_id, old_md5, new_md5
+        |  FROM olds o FULL OUTER JOIN news w ON o.doc_id = w.doc_id)
+        |SELECT CASE WHEN new_md5 IS NULL THEN 'D'
+        |            WHEN old_md5 IS NULL THEN 'I'
+        |            WHEN old_md5 <> new_md5 THEN 'U' END AS op,
+        |  doc_id, old_md5, new_md5
+        |FROM j
+        |WHERE new_md5 IS NULL OR old_md5 IS NULL OR old_md5 <> new_md5
+        |ORDER BY doc_id, op""".stripMargin,
     "q47_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |             event_type, value FROM events),

@@ -40,4 +40,38 @@ class ChangelogSpec extends AnyFunSuite {
       (3L, 31L, "purchase", 9.5, 2L), // revived after tombstone
       (4L, 40L, "view", 7.25, 1L)))  // user 2 deleted
   }
+
+  test("snapshot diff: op partition matches the bucket arithmetic") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val bucketOf = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+          .as("b"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val n = bucketOf.size
+    val ops = Relational.q93_snapshot_diff(spark, dir).collect()
+      .groupBy(_.getAs[String]("op"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSet).toMap
+    // deletes = bucket 'a'; updates = bucket 'b' (the ' v2' suffix always
+    // changes the digest); inserts = bucket 'c' docs under shifted ids
+    assert(ops.getOrElse("D", Set.empty) ==
+      bucketOf.collect { case (id, "a") => id }.toSet)
+    assert(ops.getOrElse("U", Set.empty) ==
+      bucketOf.collect { case (id, "b") => id }.toSet)
+    assert(ops.getOrElse("I", Set.empty) ==
+      bucketOf.collect { case (id, "c") => id + n }.toSet)
+    // every op row carries exactly the digests its kind implies
+    Relational.q93_snapshot_diff(spark, dir).collect().foreach { r =>
+      (r.getAs[String]("op"): @unchecked) match {
+        case "D" => assert(r.getAs[String]("new_md5") == null
+          && r.getAs[String]("old_md5") != null)
+        case "I" => assert(r.getAs[String]("old_md5") == null
+          && r.getAs[String]("new_md5") != null)
+        case "U" => assert(r.getAs[String]("old_md5") != null
+          && r.getAs[String]("new_md5") != null
+          && r.getAs[String]("old_md5") != r.getAs[String]("new_md5"))
+      }
+    }
+  }
 }
