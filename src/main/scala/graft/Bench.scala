@@ -24,8 +24,9 @@ object Bench {
     Set("m_lda_topics", "m_lda_sweep", "m_lda_coherence", "m_lda_doc_topics",
       "m_lda_relevance", "m_dedup_minhash_lsh", "m_ann_ivf",
       // run model fits inside (m_ann_ivf KMeans / MinHashLSH+CountVectorizer /
-      // q87b LogisticRegression)
-      "q82_ann_ivf_recall", "q84_minhash_lsh_recall", "q87b_quality_trained")
+      // q87b LogisticRegression / q94's 10-round BPE merge loop)
+      "q82_ann_ivf_recall", "q84_minhash_lsh_recall", "q87b_quality_trained",
+      "q94_bpe_learn")
 
   /** Queries that launch MANY driver jobs (convergence fixpoints, the
     * multi-pass funnel): their per-job scheduling noise compounds, so

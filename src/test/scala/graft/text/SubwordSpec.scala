@@ -68,6 +68,28 @@ class SubwordSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE learning: merges unique, pair counts non-increasing, symbols real") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = CorpusFilters.q94_bpe_learn(spark, dir).collect()
+    assert(rows.length == CorpusFilters.BpeRounds)
+    assert(rows.map(_.getAs[Int]("round")).toSeq == (1 to CorpusFilters.BpeRounds))
+    val merges = rows.map(r => (r.getAs[String]("merge_left"),
+      r.getAs[String]("merge_right"), r.getAs[Long]("pair_count")))
+    assert(merges.map(m => (m._1, m._2)).distinct.length == merges.length,
+      "the same pair must never be the argmax twice (its occurrences are gone)")
+    // every occurrence of a post-merge pair (x, ab) needs an occurrence of
+    // ab, so the winning count can never rise across rounds
+    merges.map(_._3).sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, s"pair count rose $a -> $b")
+    }
+    // merged symbols decompose into characters of the corpus alphabet
+    rows.foreach { r =>
+      assert(r.getAs[String]("merged") ==
+        r.getAs[String]("merge_left") + r.getAs[String]("merge_right"))
+      assert(r.getAs[String]("merged").matches("[a-z0-9]+"))
+    }
+  }
+
   test("codegen column path matches the direct eval") {
     import spark.implicits._
     val words = Seq("the", "testing", "overestimation", "x1y2", "...", "q") ++
