@@ -696,10 +696,12 @@ object CorpusFilters {
       .orderBy(col("round"))
   }
 
-  /** Generated twin of q94: K unrolled CTE stages, each re-deriving the
-    * weighted pair counts, the deterministic argmax, and the sentinel
-    * replace — identical merge semantics via identical string surgery. */
-  private lazy val bpeLearnOracle: String = {
+  /** The shared learn chain as SQL CTEs: word frequencies, char-split
+    * symbols, then K (pairs → argmax → replace) stages — composed by both
+    * the q94 merge-table oracle and q94b's tokenize-with-learned-vocab
+    * oracle (which re-LEARNS the merges so a data-dependent fit stays
+    * fully gateable, the same move as q94 itself). */
+  private lazy val bpeStagesSql: String = {
     val stages = (1 to BpeRounds).map { i =>
       val prev = s"s${i - 1}"
       s"""p$i AS (SELECT l, r, SUM(cnt) AS c FROM (
@@ -713,20 +715,73 @@ object CorpusFilters {
          |      '|' || b$i.l || b$i.r || '|') AS sym
          |  FROM $prev, b$i)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to BpeRounds).map(i =>
-      s"SELECT $i AS round, l AS merge_left, r AS merge_right, " +
-        s"l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM b$i")
-      .mkString("\nUNION ALL\n")
-    s"""WITH w AS (SELECT word, COUNT(*) AS cnt
+    s"""w AS (SELECT word, COUNT(*) AS cnt
        |  FROM (SELECT unnest($DToks) AS word FROM documents) GROUP BY word),
        |s0 AS (SELECT word, cnt,
        |    '|' || array_to_string(list_transform(range(1, len(word) + 1),
        |      i -> word[i:i]), '||') || '|' AS sym
        |  FROM w),
-       |$stages
+       |$stages""".stripMargin
+  }
+
+  /** Generated twin of q94: K unrolled CTE stages, each re-deriving the
+    * weighted pair counts, the deterministic argmax, and the sentinel
+    * replace — identical merge semantics via identical string surgery. */
+  private lazy val bpeLearnOracle: String = {
+    val out = (1 to BpeRounds).map(i =>
+      s"SELECT $i AS round, l AS merge_left, r AS merge_right, " +
+        s"l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $bpeStagesSql
        |$out
        |ORDER BY round""".stripMargin
   }
+
+  /** Tokenize the corpus with the LEARNED vocabulary — the learn→apply
+    * loop closed for the tokenizer family (q94 learns the merges; this
+    * spends them): per word the K merges apply in learned order via the
+    * same sentinel replace chain, the per-word piece count is
+    * vocabulary-sized metadata (computed once over DISTINCT words,
+    * broadcast to the exploded corpus — at 100 TB the piece table is a
+    * dim, never a corpus recompute), and each document reports its
+    * length in learned-BPE units next to its word count. Oracle:
+    * re-learn the identical merges (the q94 CTE chain), re-apply, and
+    * re-aggregate — data-dependent vocab, still hash-gated exactly. */
+  def q94b_bpe_tokenize(s: SparkSession, dir: String): DataFrame = {
+    val merges = q94_bpe_learn(s, dir)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getAs[String]("merge_left"), r.getAs[String]("merge_right")))
+    val symInit = "concat('|', array_join(transform(sequence(1, length(word))," +
+      " i -> substring(word, i, 1)), '||'), '|')"
+    val chain = merges.foldLeft(symInit) { case (acc, (l, r)) =>
+      s"replace($acc, '|$l||$r|', '|$l$r|')"
+    }
+    val wordPieces = docToks(s, dir)
+      .select(explode(col("t")).as("word")).distinct()
+      .withColumn("sym", expr(chain))
+      .withColumn("n_pieces", expr(
+        "size(split(substring(sym, 2, length(sym) - 2), '\\\\|\\\\|'))").cast("long"))
+      .select(col("word"), col("n_pieces"))
+    docToks(s, dir).filter(size(col("t")) >= 1)
+      .select(col("doc_id"), explode(col("t")).as("word"))
+      .join(broadcast(wordPieces), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val bpeTokenizeOracle: String =
+    s"""WITH $bpeStagesSql,
+       |wp AS (SELECT word,
+       |    CAST(len(string_split(sym[2:len(sym) - 1], '||')) AS BIGINT)
+       |      AS n_pieces
+       |  FROM s$BpeRounds),
+       |toks AS (SELECT doc_id, unnest($DToks) AS word FROM documents)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_pieces) AS BIGINT) AS n_bpe_tokens
+       |FROM toks JOIN wp USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------- model-based quality classifier
   /** Linear quality-classifier INFERENCE at corpus scale — the GPT-3-style
@@ -1226,7 +1281,8 @@ object CorpusFilters {
     "q85b_pack_subword"   -> (q85b_pack_subword _),
     "q87_quality_classifier" -> (q87_quality_classifier _),
     "q87b_quality_trained" -> (q87b_quality_trained _),
-    "q94_bpe_learn"       -> (q94_bpe_learn _))
+    "q94_bpe_learn"       -> (q94_bpe_learn _),
+    "q94b_bpe_tokenize"   -> (q94b_bpe_tokenize _))
 
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
@@ -1574,6 +1630,7 @@ object CorpusFilters {
          |FROM o ORDER BY doc_id""".stripMargin,
     "q87_quality_classifier" -> qualityClassifierOracle,
     "q94_bpe_learn" -> bpeLearnOracle,
+    "q94b_bpe_tokenize" -> bpeTokenizeOracle,
     // label + split counts recomputed exactly (integer filler-ratio label,
     // md5 split); the trained model's held-out accuracy/lift are contract
     // booleans (coefficients are data-dependent, static SQL can't hold them)
