@@ -389,6 +389,37 @@ object CorpusFilters {
     * optimization turns into a per-partition bounded heap (no full sort of
     * a giant domain's partition) — the window form IS the scale-safe form
     * on Spark ≥ 3.5. One shuffle on source. */
+  /** ADAPTIVE per-source threshold — the dynamic twin of q67's fixed cap:
+    * every source keeps only docs at or above its own median length, so
+    * the cutoff tracks each domain's distribution instead of a global
+    * constant (real curation pipelines threshold per-domain because a
+    * "short" forum post and a "short" paper differ by 10×). The median is
+    * EXACT (`percentile`) so the gate hash-matches DuckDB's
+    * `quantile_cont` — identical linear-interpolation definition, and the
+    * filter compares the identically-derived double, so there is no
+    * knife-edge. At 100 TB swap in `approx_percentile` exactly as the
+    * q41 → q41b pair documents (exact per-group percentile buffers each
+    * group's values; the sketch doesn't) — the threshold table stays a
+    * source-cardinality dim that broadcasts.
+    *
+    * Scale: one per-source agg (source cardinality ≪ corpus), broadcast
+    * threshold dim, map-side filter, one rollup. */
+  def q95_adaptive_threshold(s: SparkSession, dir: String): DataFrame = {
+    val med = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(expr("percentile(n_chars, 0.5)").as("med"))
+    Tables.documents(s, dir)
+      .select(col("source"), col("n_chars"))
+      .join(broadcast(med), "source")
+      .filter(col("n_chars") >= col("med"))
+      .groupBy(col("source"), col("med"))
+      .agg(count(lit(1)).as("n_kept"),
+        min(col("n_chars")).as("min_kept_chars"))
+      .select(col("source"), round(col("med"), 6).as("med_r"),
+        col("n_kept"), col("min_kept_chars"))
+      .orderBy(col("source"))
+  }
+
   def q67_source_cap(s: SparkSession, dir: String): DataFrame = {
     val cap = 20
     val w = org.apache.spark.sql.expressions.Window
@@ -1282,7 +1313,8 @@ object CorpusFilters {
     "q87_quality_classifier" -> (q87_quality_classifier _),
     "q87b_quality_trained" -> (q87b_quality_trained _),
     "q94_bpe_learn"       -> (q94_bpe_learn _),
-    "q94b_bpe_tokenize"   -> (q94b_bpe_tokenize _))
+    "q94b_bpe_tokenize"   -> (q94b_bpe_tokenize _),
+    "q95_adaptive_threshold" -> (q95_adaptive_threshold _))
 
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
@@ -1631,6 +1663,14 @@ object CorpusFilters {
     "q87_quality_classifier" -> qualityClassifierOracle,
     "q94_bpe_learn" -> bpeLearnOracle,
     "q94b_bpe_tokenize" -> bpeTokenizeOracle,
+    "q95_adaptive_threshold" ->
+      """WITH m AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
+        |  FROM documents GROUP BY source)
+        |SELECT d.source, round(m.med, 6) AS med_r,
+        |  COUNT(*) AS n_kept, MIN(d.n_chars) AS min_kept_chars
+        |FROM documents d JOIN m USING (source)
+        |WHERE d.n_chars >= m.med
+        |GROUP BY d.source, m.med ORDER BY d.source""".stripMargin,
     // label + split counts recomputed exactly (integer filler-ratio label,
     // md5 split); the trained model's held-out accuracy/lift are contract
     // booleans (coefficients are data-dependent, static SQL can't hold them)
