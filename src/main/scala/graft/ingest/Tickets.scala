@@ -271,8 +271,56 @@ object Tickets {
       .orderBy(col("team"))
   }
 
+  /** CORRUPT-RECORD QUARANTINE — the PERMISSIVE counterpart of q78's
+    * FAILFAST: at 100 TB of third-party JSON you cannot abort on the
+    * first bad line, you capture it. Deterministically corrupted input
+    * (docs whose doc_id md5 bucket is 'd' write TRUNCATED JSON — closing
+    * brace dropped; the rest write well-formed lines) reads back under
+    * PERMISSIVE with `_corrupt_record` in the schema, and the query emits
+    * the quarantine ledger: valid/corrupt counts, the valid-side sum, and
+    * an md5 over the sorted captured raw lines — so the reader must
+    * capture EXACTLY the bytes of every bad record, not just count them.
+    * The oracle re-derives the same lines from `documents` (the writer's
+    * line format is plain concat, reproducible in SQL) without touching
+    * files. Scratch dir is per-app-id and cleaned up after the ledger is
+    * pinned (the q88 discipline).
+    *
+    * Scale: the quarantine read is one pass; corrupt capture is row-local;
+    * the ledger aggregate is a scalar rollup. */
+  def q96_corrupt_quarantine(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_quarantine_" +
+      s.sparkContext.applicationId
+    val line = concat(lit("{\"doc_id\":"), col("doc_id"),
+      lit(",\"n_chars\":"), col("n_chars"), lit("}"))
+    val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+    graft.Tables.documents(s, dir)
+      .select(line.as("l"), bucket.as("b"))
+      .select(when(col("b") === "d",
+        expr("substring(l, 1, length(l) - 1)")).otherwise(col("l")).as("value"))
+      .write.mode("overwrite").text(out)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", LongType),
+      org.apache.spark.sql.types.StructField("n_chars", LongType),
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType)))
+    val read = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(out)
+    val ledger = read.agg(
+        sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_valid"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+        sum(when(col("_corrupt_record").isNull, col("n_chars"))).as("sum_chars_valid"),
+        md5(concat_ws("\n", sort_array(collect_list(col("_corrupt_record"))))
+          .cast("binary")).as("corrupt_md5"))
+      .localCheckpoint()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    ledger
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q78_scan_csv"       -> (q78_scan_csv _),
+    "q96_corrupt_quarantine" -> (q96_corrupt_quarantine _),
     "q34_ingest_tickets" -> (q34_ingest_tickets _),
     "q35_ingest_comments" -> (q35_ingest_comments _),
     "q36_bind_comments"  -> (q36_bind_comments _),
@@ -342,6 +390,21 @@ object Tickets {
          |  'agent_id': 'BIGINT', 'name': 'VARCHAR', 'team': 'VARCHAR',
          |  'hired': 'DATE', 'tickets_closed': 'BIGINT'})
          |GROUP BY team ORDER BY team""".stripMargin,
+    // the writer's line format is plain concat, so the oracle re-derives
+    // every valid and corrupt line from `documents` without touching files
+    "q96_corrupt_quarantine" ->
+      """WITH l AS (SELECT doc_id, n_chars,
+        |    '{"doc_id":' || doc_id || ',"n_chars":' || n_chars || '}' AS line,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS b
+        |  FROM documents),
+        |c AS (SELECT substr(line, 1, len(line) - 1) AS cl FROM l WHERE b = 'd')
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM l WHERE b <> 'd') AS BIGINT) AS n_valid,
+        |  CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_corrupt,
+        |  CAST((SELECT SUM(n_chars) FROM l WHERE b <> 'd') AS BIGINT)
+        |    AS sum_chars_valid,
+        |  md5(COALESCE((SELECT string_agg(cl, chr(10) ORDER BY cl) FROM c), ''))
+        |    AS corrupt_md5""".stripMargin,
     "q34_ingest_tickets" ->
       s"""SELECT ticket_id, created_at, last_updated, status,
          | CAST(status_ord AS INTEGER) AS status_ord, subject,
