@@ -657,6 +657,60 @@ object CorpusFilters {
       .orderBy(col("doc_id"))
   }
 
+  // --------------------------------------------- repeated-substring report
+  /** EXACT-SUBSTRING repetition report (Lee et al. 2022, "Deduplicating
+    * training data makes language models better" — public algorithm
+    * family): find every maximal corpus region built from 8-token
+    * substrings that occur ≥ 2 times ANYWHERE in the corpus (including
+    * within the same document — the self-repetition case Gopher's
+    * top-fraction scores miss). The suffix-array construction of the
+    * paper is single-machine; the Spark-first equivalent is SLIDING
+    * 8-grams (q66's spans are tumbling — they miss repeats straddling
+    * span boundaries; sliding windows cannot): one explode with start
+    * positions, a global occurrence count, and per-doc gaps-and-islands
+    * merging of the surviving starts (new island when the next start
+    * clears the previous covered range). Output per affected doc: span
+    * count and repeated-token coverage — the table a dedup-rewrite pass
+    * consumes.
+    *
+    * Scale: one corpus-sized gram explode; the count and the hit join key
+    * on a 60-bit md5 prefix of the gram, not the ~50-char string — the
+    * q79 verify-key lesson (8-byte compares and ~6× less shuffle); both
+    * engines derive the SAME key, so the astronomically-unlikely
+    * collision would at worst merge the same two grams in both, never
+    * diverge the gate. Island merging windows per doc_id over
+    * per-doc-bounded rows. All-integer arithmetic — the gate is exact. */
+  def q97_repeated_substrings(s: SparkSession, dir: String): DataFrame = {
+    val L = 8
+    val grams = docToks(s, dir).filter(size(col("t")) >= L)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(t) - ${L - 1}),
+           |  i -> conv(substring(md5(CAST(concat_ws(' ', slice(t, i, $L)) AS BINARY)),
+           |    1, 15), 16, 10))""".stripMargin))
+        .as(Seq("i0", "gh")))
+      .select(col("doc_id"), (col("i0") + 1).as("i"),
+        col("gh").cast("long").as("gh"))
+    val repeated = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("gh"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    val islands = grams.join(repeated, "gh")
+      .select(col("doc_id"), col("i"))
+      .withColumn("new_island",
+        when(col("i") - lag(col("i"), 1).over(w) > L, 1L).otherwise(
+          when(lag(col("i"), 1).over(w).isNull, 1L).otherwise(0L)))
+      .withColumn("island",
+        sum(col("new_island")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    islands.groupBy(col("doc_id"), col("island"))
+      .agg((max(col("i")) - min(col("i")) + L).as("covered"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+        sum(col("covered")).cast("long").as("n_repeated_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------- BPE merge learning
   /** BPE VOCABULARY TRAINING (Sennrich, Haddow, Birch 2016, "Neural
     * machine translation of rare words with subword units" — public
@@ -1314,7 +1368,8 @@ object CorpusFilters {
     "q87b_quality_trained" -> (q87b_quality_trained _),
     "q94_bpe_learn"       -> (q94_bpe_learn _),
     "q94b_bpe_tokenize"   -> (q94b_bpe_tokenize _),
-    "q95_adaptive_threshold" -> (q95_adaptive_threshold _))
+    "q95_adaptive_threshold" -> (q95_adaptive_threshold _),
+    "q97_repeated_substrings" -> (q97_repeated_substrings _))
 
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
@@ -1662,6 +1717,30 @@ object CorpusFilters {
          |FROM o ORDER BY doc_id""".stripMargin,
     "q87_quality_classifier" -> qualityClassifierOracle,
     "q94_bpe_learn" -> bpeLearnOracle,
+    // sliding 8-grams, occurrence count >= 2, gaps-and-islands merge —
+    // the LAG/SUM island detection mirrored column-for-column
+    "q97_repeated_substrings" ->
+      s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
+         |g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+         |    CAST('0x' || substr(md5(array_to_string(t[i:i + 7], ' ')), 1, 15)
+         |      AS BIGINT) AS gh
+         |  FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+         |  WHERE len(t) >= 8),
+         |rep AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+         |h AS (SELECT doc_id, i FROM g JOIN rep USING (gh)),
+         |isl AS (SELECT doc_id, i,
+         |    CASE WHEN LAG(i) OVER w IS NULL THEN 1
+         |         WHEN i - LAG(i) OVER w > 8 THEN 1 ELSE 0 END AS new_island
+         |  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+         |lab AS (SELECT doc_id, i,
+         |    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM isl),
+         |sp AS (SELECT doc_id, island, MAX(i) - MIN(i) + 8 AS covered
+         |  FROM lab GROUP BY doc_id, island)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |  CAST(SUM(covered) AS BIGINT) AS n_repeated_tokens
+         |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q94b_bpe_tokenize" -> bpeTokenizeOracle,
     "q95_adaptive_threshold" ->
       """WITH m AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
