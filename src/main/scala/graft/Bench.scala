@@ -123,14 +123,21 @@ object Bench {
     // capture truncated the cheap half of the suite out of BENCH_r{5,6}
     def r3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    // total first, then queries by DESCENDING cost: if anything downstream
-    // truncates the line, it only ever loses the cheap tail (round-7
-    // verdict item 8 — BENCH_r7's sorted-by-name order cut mid-alphabet)
-    val qs = results.sortBy { case (k, v) => (-v, k) }
+    // Failures (-1) FIRST so a truncated capture can never silently hide
+    // them, then queries by DESCENDING cost so a tail cut only loses the
+    // cheap half (round-8 verdict: the driver keeps the END of the output,
+    // so round 7's total-first ordering protected the wrong end).
+    val qs = results.sortBy { case (k, v) => (v >= 0, -v, k) }
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","queries":$qs}""")
+    val nFailed = results.count(_._2 < 0)
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"queries":$qs}""")
+    // Second, SHORT line with the headline numbers alone: short enough to
+    // survive truncation from EITHER direction, so the official artifact
+    // always records the total even if the per-query line is cut
+    // (round-8 verdict item 2).
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed}""")
     spark.stop()
   }
 }

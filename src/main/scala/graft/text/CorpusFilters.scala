@@ -269,14 +269,16 @@ object CorpusFilters {
     * 9.2e12 with margin, but a violation of EITHER bound would corrupt the
     * argmin SILENTLY, so both fail loudly instead (codegen'd branches,
     * never taken in practice). */
-  private def spanEnc: Column =
-    when(col("seg_id") >= 1000000,
+  private def posEnc(pos: Column): Column =
+    when(pos >= 1000000,
       raise_error(concat(lit("span_dedup: doc "), col("doc_id"),
         lit(" exceeds the 8M-token packing bound"))).cast("long"))
     .when(col("doc_id") > 9223372036853L,
       raise_error(concat(lit("span_dedup: doc_id "), col("doc_id"),
         lit(" exceeds the long packing bound"))).cast("long"))
-    .otherwise(col("doc_id") * 1000000L + col("seg_id"))
+    .otherwise(col("doc_id") * 1000000L + pos)
+
+  private def spanEnc: Column = posEnc(col("seg_id"))
 
   def q66_span_dedup(s: SparkSession, dir: String): DataFrame =
     spanStream(s, dir)
@@ -708,6 +710,80 @@ object CorpusFilters {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_spans"),
         sum(col("covered")).cast("long").as("n_repeated_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** EXACT-SUBSTRING dedup REWRITE — the operator Lee et al. 2022 actually
+    * run (q97 only *reports* repeated regions; the paper deletes the
+    * non-first occurrences and keeps the rest of the corpus intact). A
+    * sliding 8-gram occurrence is the WINNER of its content iff it is the
+    * corpus-globally first instance — min packed (doc_id, start), the q66
+    * argmin, so the tiebreak is deterministic in both engines. Every
+    * non-winner occurrence marks its 8 covered token positions for
+    * deletion; a token survives iff no non-winner occurrence covers it.
+    * The winner occurrence itself always survives this rule directly (its
+    * own gram keeps it), so the first-occurrence-keeps invariant holds by
+    * construction — CorpusFiltersSpec pins it on a planted duplicate.
+    * Output per doc: token counts before/after, deleted-region count, and
+    * the content-exact md5 of the surviving text; docs with no repeats
+    * (or < 8 tokens) pass through untouched.
+    *
+    * Scale: q97's machinery end-to-end — one corpus gram explode, the
+    * occurrence count AND winner argmin in the SAME hash agg keyed on the
+    * 60-bit gram prefix, per-doc-bounded island windows. The rewrite
+    * itself never re-shuffles the corpus: deletion islands collapse to a
+    * per-doc interval list (bounded by doc length / gram span), join back
+    * to the token frame on doc_id once, and the position filter is a
+    * map-side array HOF — no corpus-position explode, no range join. */
+  def q97b_substring_rewrite(s: SparkSession, dir: String): DataFrame =
+    substringRewriteOf(docToks(s, dir))
+
+  /** q97b's core over a (doc_id, t) token frame — exposed for the
+    * first-occurrence-keeps spec, which plants cross-doc and same-doc
+    * duplicates on constructed docs (the cdcSegments pattern). */
+  private[graft] def substringRewriteOf(toks: DataFrame): DataFrame = {
+    val L = 8
+    val grams = toks.filter(size(col("t")) >= L)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(t) - ${L - 1}),
+           |  i -> conv(substring(md5(CAST(concat_ws(' ', slice(t, i, $L)) AS BINARY)),
+           |    1, 15), 16, 10))""".stripMargin))
+        .as(Seq("i0", "gh")))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("i"),
+        col("gh").cast("long").as("gh"))
+    val winners = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("c"), min(posEnc(col("i"))).as("wenc"))
+      .filter(col("c") >= 2).select(col("gh"), col("wenc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    val del = grams.join(winners, "gh")
+      .filter(posEnc(col("i")) =!= col("wenc"))
+      .select(col("doc_id"), col("i"))
+      .withColumn("new_island",
+        when(col("i") - lag(col("i"), 1).over(w) > L, 1L).otherwise(
+          when(lag(col("i"), 1).over(w).isNull, 1L).otherwise(0L)))
+      .withColumn("island",
+        sum(col("new_island")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val ivd = del.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("i")).as("s"), (max(col("i")) + (L - 1)).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_del_spans"),
+        sum(col("e") - col("s") + 1).cast("long").as("n_del_tokens"),
+        collect_list(struct(col("s"), col("e"))).as("iv"))
+    toks
+      .join(ivd, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        coalesce(col("n_del_spans"), lit(0L)).as("n_del_spans"),
+        coalesce(col("n_del_tokens"), lit(0L)).as("n_del_tokens"),
+        (size(col("t")).cast("long")
+          - coalesce(col("n_del_tokens"), lit(0L))).as("n_clean_tokens"),
+        md5(expr(
+          """array_join(filter(transform(sequence(1, size(t)),
+            |  p -> IF(exists(coalesce(iv, CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>)),
+            |          x -> p >= x.s AND p <= x.e),
+            |        CAST(NULL AS STRING), element_at(t, CAST(p AS INT)))),
+            |  x -> x IS NOT NULL), ' ')""".stripMargin).cast("binary")).as("clean_md5"))
       .orderBy(col("doc_id"))
   }
 
@@ -1369,7 +1445,8 @@ object CorpusFilters {
     "q94_bpe_learn"       -> (q94_bpe_learn _),
     "q94b_bpe_tokenize"   -> (q94b_bpe_tokenize _),
     "q95_adaptive_threshold" -> (q95_adaptive_threshold _),
-    "q97_repeated_substrings" -> (q97_repeated_substrings _))
+    "q97_repeated_substrings" -> (q97_repeated_substrings _),
+    "q97b_substring_rewrite" -> (q97b_substring_rewrite _))
 
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
@@ -1742,6 +1819,49 @@ object CorpusFilters {
          |  CAST(SUM(covered) AS BIGINT) AS n_repeated_tokens
          |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q94b_bpe_tokenize" -> bpeTokenizeOracle,
+    // q97's machinery + the rewrite: winner = MIN packed (doc_id, start)
+    // per repeated gram; non-winner occurrences become deletion islands;
+    // kept text replayed relationally (position anti-join — DuckDB lambdas
+    // can't hold subqueries, so the oracle expands islands to positions
+    // instead of the engine's per-doc interval HOF; same surviving set)
+    "q97b_substring_rewrite" ->
+      s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
+         |g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+         |    CAST('0x' || substr(md5(array_to_string(t[i:i + 7], ' ')), 1, 15)
+         |      AS BIGINT) AS gh
+         |  FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+         |  WHERE len(t) >= 8),
+         |rep AS (SELECT gh, MIN(doc_id * 1000000 + i) AS wenc
+         |  FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+         |del AS (SELECT doc_id, i FROM g JOIN rep USING (gh)
+         |  WHERE doc_id * 1000000 + i <> wenc),
+         |isl AS (SELECT doc_id, i,
+         |    CASE WHEN LAG(i) OVER w IS NULL THEN 1
+         |         WHEN i - LAG(i) OVER w > 8 THEN 1 ELSE 0 END AS new_island
+         |  FROM del WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+         |lab AS (SELECT doc_id, i,
+         |    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM isl),
+         |iv AS (SELECT doc_id, island, MIN(i) AS s, MAX(i) + 7 AS e
+         |  FROM lab GROUP BY doc_id, island),
+         |ivd AS (SELECT doc_id, COUNT(*) AS n_del_spans,
+         |    SUM(e - s + 1) AS n_del_tokens FROM iv GROUP BY doc_id),
+         |dp AS (SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS p
+         |  FROM del, unnest(range(i, i + 8)) AS u(p)),
+         |tp AS (SELECT doc_id, CAST(p AS BIGINT) AS p, t[CAST(p AS INT)] AS tok
+         |  FROM toks, unnest(range(1, len(t) + 1)) AS u(p)),
+         |kept AS (SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.p) AS ktxt
+         |  FROM tp LEFT JOIN dp ON tp.doc_id = dp.doc_id AND tp.p = dp.p
+         |  WHERE dp.p IS NULL GROUP BY tp.doc_id)
+         |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(ivd.n_del_spans, 0) AS BIGINT) AS n_del_spans,
+         |  CAST(COALESCE(ivd.n_del_tokens, 0) AS BIGINT) AS n_del_tokens,
+         |  CAST(len(t.t) - COALESCE(ivd.n_del_tokens, 0) AS BIGINT) AS n_clean_tokens,
+         |  md5(COALESCE(kept.ktxt, '')) AS clean_md5
+         |FROM toks t LEFT JOIN ivd ON t.doc_id = ivd.doc_id
+         |LEFT JOIN kept ON t.doc_id = kept.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     "q95_adaptive_threshold" ->
       """WITH m AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
         |  FROM documents GROUP BY source)

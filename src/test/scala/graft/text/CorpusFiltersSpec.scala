@@ -154,6 +154,65 @@ class CorpusFiltersSpec extends AnyFunSuite {
     }
   }
 
+  test("q97b rewrite: first occurrence keeps, later cross-doc and same-doc copies deleted") {
+    import spark.implicits._
+    // A = a 10-token block planted in doc 1 (first) and doc 2 (later);
+    // B = a block repeated TWICE INSIDE doc 3 — the self-repetition case.
+    // All other tokens are corpus-unique so no accidental 8-gram repeats.
+    val blockA = (1 to 10).map(i => s"dupa$i").mkString(" ")
+    val blockB = (1 to 10).map(i => s"dupb$i").mkString(" ")
+    def uniq(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val toks = Seq(
+      (1L, blockA + " " + uniq("u1x", 20)),
+      (2L, uniq("u2x", 20) + " " + blockA),
+      (3L, blockB + " " + uniq("u3x", 20) + " " + blockB))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Cleanse.tokens(col("text")).as("t"))
+    val rows = CorpusFilters.substringRewriteOf(toks).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1 holds every repeated gram's corpus-global first occurrence →
+    // nothing deleted, clean text = original text
+    assert(rows(1L).getAs[Long]("n_del_tokens") == 0L, "first occurrence must keep")
+    assert(rows(1L).getAs[Long]("n_clean_tokens") == 30L)
+    // doc 2's copy of A is a non-winner: exactly the 10 planted tokens go
+    assert(rows(2L).getAs[Long]("n_del_spans") == 1L)
+    assert(rows(2L).getAs[Long]("n_del_tokens") == 10L)
+    assert(rows(2L).getAs[Long]("n_clean_tokens") == 20L)
+    // doc 3: the SECOND in-doc copy of B deletes, the first survives
+    assert(rows(3L).getAs[Long]("n_del_spans") == 1L)
+    assert(rows(3L).getAs[Long]("n_del_tokens") == 10L)
+    assert(rows(3L).getAs[Long]("n_clean_tokens") == 30L)
+    // content check: surviving text is the original minus the planted copy
+    def md5of(txt: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(txt.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows(2L).getAs[String]("clean_md5") == md5of(uniq("u2x", 20)))
+    assert(rows(3L).getAs[String]("clean_md5") ==
+      md5of(blockB + " " + uniq("u3x", 20)))
+  }
+
+  test("q97b over the fixture: deletions are a strict subset of q97's repeated regions") {
+    val rep = CorpusFilters.q97_repeated_substrings(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_repeated_tokens")).toMap
+    val rw = CorpusFilters.q97b_substring_rewrite(spark, dir).collect()
+    assert(rw.nonEmpty)
+    var deletedSomething = false
+    rw.foreach { r =>
+      val id = r.getLong(0)
+      val del = r.getAs[Long]("n_del_tokens")
+      assert(r.getAs[Long]("n_clean_tokens") == r.getAs[Long]("n_tokens") - del)
+      // deleted positions ⊆ repeated-region positions (the winner's own
+      // tokens stay, so deletion can never exceed the q97 report)
+      assert(del <= rep.getOrElse(id, 0L),
+        s"doc $id deletes $del > reported repeated ${rep.getOrElse(id, 0L)}")
+      if (del > 0) deletedSomething = true
+    }
+    assert(deletedSomething, "fixture corpus has non-first duplicate substrings")
+    // corpus-level: every repeated gram content keeps its winner, so the
+    // corpus cannot lose ALL copies of anything — total kept > 0 per doc
+    // with < 8 tokens or unique content
+    assert(rw.forall(_.getAs[Long]("n_clean_tokens") >= 0))
+  }
+
   test("q87b trained classifier: contract holds at both SFs with margin") {
     // the oracle gate runs at sf0.01; asserting the same contract on BOTH
     // fixture corpora (different data, same floors) is the knife-edge
