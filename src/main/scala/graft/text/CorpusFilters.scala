@@ -842,6 +842,12 @@ object CorpusFilters {
         .limit(1).collect()
       assert(best.nonEmpty, s"BPE round $round found no pairs — vocabulary exhausted")
       val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      // the learned symbols interpolate into SQL string literals and the
+      // |-sentinel encoding — a symbol containing a quote or '|' (possible
+      // with whitespace-split tokens on non-synthetic text) would break the
+      // literal or silently corrupt the merge in BOTH engines; fail loudly
+      require(l.matches("[a-z0-9]+") && r.matches("[a-z0-9]+"),
+        s"BPE merge symbols must be [a-z0-9]+: '$l', '$r'")
       merges += ((round, l, r, c))
       val next = syms.withColumn("sym",
         expr(s"replace(sym, '|$l||$r|', '|$l$r|')")).localCheckpoint()
@@ -912,6 +918,10 @@ object CorpusFilters {
     val merges = q94_bpe_learn(s, dir)
       .orderBy(col("round")).collect()
       .map(r => (r.getAs[String]("merge_left"), r.getAs[String]("merge_right")))
+    merges.foreach { case (l, r) => // same literal-safety guard as q94
+      require(l.matches("[a-z0-9]+") && r.matches("[a-z0-9]+"),
+        s"BPE merge symbols must be [a-z0-9]+: '$l', '$r'")
+    }
     val symInit = "concat('|', array_join(transform(sequence(1, length(word))," +
       " i -> substring(word, i, 1)), '||'), '|')"
     val chain = merges.foldLeft(symInit) { case (acc, (l, r)) =>

@@ -30,15 +30,20 @@ class SinkSpec extends AnyFunSuite {
   test("ORC round-trip: lossless, partition-pruned on read") {
     // the pre-checkpoint plan: q88 itself returns a pinned frame (scratch
     // dir deleted), which would hide the scan behind a Scan ExistingRDD
-    val inner = Orc.orcRoundTripAgg(spark, dir, Orc.scratchDir(spark))
-    val q88 = Orc.q88_orc_roundtrip(spark, dir)
+    // own scratch path (like the JSONL test): q88 below overwrites AND
+    // deletes the shared scratch dir, so inner's plan must never depend on
+    // files q88 already removed (the old ordering worked only because the
+    // InMemoryFileIndex listing was cached — fragile)
+    val inner = Orc.orcRoundTripAgg(spark, dir, Orc.scratchDir(spark) + "_orc_spec")
     // pruning: the read inside q88 filters on the partition column — the
-    // scan must carry a PartitionFilters entry, not a post-scan filter
+    // scan must carry a PartitionFilters entry, not a post-scan filter;
+    // assert BEFORE invoking q88 so the two never share filesystem state
     val plan = inner.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [lang") ||
       plan.contains("PartitionFilters: [isnotnull(lang") ||
       plan.contains("lang#") && plan.contains("PartitionFilters"),
       s"expected partition filters on the ORC scan:\n$plan")
+    val q88 = Orc.q88_orc_roundtrip(spark, dir)
     // losslessness: aggregate equals the same aggregate off parquet
     val got = q88.collect().map(r => (r.getString(0), r.getLong(1),
       r.getLong(2), r.getLong(3), r.getLong(4))).toSeq

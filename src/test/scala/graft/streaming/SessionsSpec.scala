@@ -228,8 +228,12 @@ class SessionsSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     val (ws, bias) = graft.text.CorpusFilters.trainQualityWeights(spark, dir)
     assert(ws.exists(_ != 0.0), "fit produced all-zero coefficients")
+    // UNROUNDED batch logits: the stream emits round(raw, 6), so parity is
+    // |streamed - batch| ≤ half-ulp-of-rounding + fp noise — exact == on
+    // two differently-shaped float reductions both rounded to 6 decimals
+    // could flake on a logit landing exactly on a rounding boundary
     val batch = graft.text.CorpusFilters.scoreQualityTrained(spark, dir, ws, bias)
-      .select(col("doc_id"), round(col("z"), 6).as("z_r"))
+      .select(col("doc_id"), col("z"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     // bloom over a gram absent from the corpus: decon stays inert so the
     // parity under test is purely the trained-weight scorer
@@ -251,7 +255,7 @@ class SessionsSpec extends AnyFunSuite {
           r.getAs[Double]("quality_logit")).toMap
       assert(streamed.keySet == batch.keySet)
       batch.foreach { case (id, z) =>
-        assert(streamed(id) == z,
+        assert(math.abs(streamed(id) - z) <= 5.01e-7,
           s"doc $id: stream trained logit ${streamed(id)} != batch $z")
       }
     } finally q.stop()
