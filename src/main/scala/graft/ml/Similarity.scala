@@ -503,10 +503,7 @@ object Similarity {
       .withColumn("list_id",
         (expr("array_position(sc, array_min(sc))") - 1).cast("int"))
       .select(col("vec_id"), col("list_id"))
-    val ivfPairs = assigned.as("a").join(assigned.as("b"),
-        col("a.list_id") === col("b.list_id") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    val ivfPairs = cappedListPairs(assigned, IvfListCap)
     val pairs = lshPairs.unionByName(ivfPairs).distinct()
       .join(e.select(col("vec_id").as("id_a"), col("emb").as("emb_a")), "id_a")
       .join(e.select(col("vec_id").as("id_b"), col("emb").as("emb_b")), "id_b")
@@ -515,6 +512,37 @@ object Similarity {
     components(pairs)
       .select(col("doc_id").as("vec_id"), col("component"), col("is_canonical"))
       .orderBy(col("vec_id"))
+  }
+
+  /** q92's IVF-list pair ceiling. Pair expansion is C(|list|, 2): with k
+    * scaled so lists average ~125 vecs (sf0.1) the expansion is bounded,
+    * but a degenerate embedding cluster (all-near-identical vectors — the
+    * skew q46 salts for on the relational side) could blow up ONE list at
+    * 100 TB. 512 is ~4× the expected list size, so no healthy list ever
+    * hits it; the guard exists for the pathological cluster, where the
+    * hash-sampled 512 still seed the component (LSH bands supply the rest
+    * of the edges, and τ-closure reconnects through sampled members) —
+    * the q33 df ≤ 20 stop-shingle posture, enforced in code not comment
+    * (round-8 verdict item 4). Identical guard in the oracle twin. */
+  private[graft] val IvfListCap = 512
+
+  /** Same-list candidate pairs with the list-size guard applied: lists
+    * over `cap` contribute pairs only among a deterministic hash-ordered
+    * sample of `cap` members (md5 of the id — engine-portable, unbiased
+    * w.r.t. insertion order; id tiebreak). row_number ≤ cap is the
+    * WindowGroupLimit bounded-heap shape (q67), so the guard itself never
+    * sorts a giant list's partition. Exposed for the skew-fixture spec. */
+  private[graft] def cappedListPairs(assigned: DataFrame, cap: Int): DataFrame = {
+    val wList = Window.partitionBy(col("list_id"))
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+    val capped = assigned
+      .withColumn("lr", row_number().over(wList))
+      .filter(col("lr") <= cap)
+      .select(col("vec_id"), col("list_id"))
+    capped.as("a").join(capped.as("b"),
+        col("a.list_id") === col("b.list_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
   }
 
   // --------------------------------------------------- PQ (product quant)
@@ -1217,8 +1245,12 @@ object Similarity {
        |asg AS (SELECT vec_id,
        |    CAST(list_position(sc, list_min(sc)) - 1 AS INT) AS list_id
        |  FROM sc),
+       |asgc AS (SELECT vec_id, list_id FROM (
+       |  SELECT vec_id, list_id, ROW_NUMBER() OVER (PARTITION BY list_id
+       |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS lr FROM asg)
+       |  WHERE lr <= $IvfListCap),
        |ipairs AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
-       |  FROM asg x JOIN asg y
+       |  FROM asgc x JOIN asgc y
        |  ON x.list_id = y.list_id AND x.vec_id < y.vec_id),
        |cand AS (SELECT id_a, id_b FROM lpairs
        |  UNION SELECT id_a, id_b FROM ipairs),

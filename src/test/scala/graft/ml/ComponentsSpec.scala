@@ -16,6 +16,29 @@ class ComponentsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
   }
 
+  test("q92 IVF list cap: skewed list sub-samples deterministically, healthy list untouched") {
+    import spark.implicits._
+    // one pathological list (0) with 40 members, one healthy list (1)
+    // with 5 — cap 10 must leave list 1 complete and bound list 0's
+    // expansion to C(10,2), picking the md5-hash-order prefix
+    val assigned = ((1L to 40L).map(v => (v, 0)) ++
+      (100L to 104L).map(v => (v, 1))).toDF("vec_id", "list_id")
+    val pairs = Similarity.cappedListPairs(assigned, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def h(v: Long) = md5.digest(v.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expectedSample = (1L to 40L).sortBy(v => (h(v), v)).take(10).toSet
+    val fromSkewed = pairs.filter(_._1 < 100L)
+    assert(fromSkewed.size == 10 * 9 / 2, "capped list expands to C(cap,2)")
+    assert(fromSkewed.flatMap(p => Set(p._1, p._2)) == expectedSample,
+      "sample is the deterministic md5-order prefix")
+    val fromHealthy = pairs.filter(_._1 >= 100L)
+    assert(fromHealthy.size == 5 * 4 / 2, "under-cap list keeps every pair")
+    // no cross-list pairs ever
+    assert(pairs.forall(p => (p._1 < 100L) == (p._2 < 100L)))
+  }
+
   test("80-node chain converges in O(log) rounds, not O(diameter)") {
     import spark.implicits._
     // the adversarial shape for min-label propagation: diameter 79, which
