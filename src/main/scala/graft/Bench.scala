@@ -37,7 +37,7 @@ object Bench {
     * and still inherits one lucky draw's variance). */
   val multiJobQueries: Set[String] =
     Set("q55_dedup_components", "q70_curation_funnel", "q73_dedup_union",
-      "q92_semdedup")
+      "q73b_dedup_survivorship", "q92_semdedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -894,6 +894,33 @@ object Similarity {
     labels.orderBy(col("doc_id"))
   }
 
+  /** Per-source SURVIVORSHIP of the q73 dedup stage — the audit table
+    * every curation run publishes next to its keep-list (q89's
+    * per-source-accounting shape applied to dedup): how many of each
+    * source's documents were flagged by any near-dup signal, how many
+    * drop (flagged non-canonical), and the survival rate. A doc survives
+    * iff it was never flagged or is its component's canonical.
+    *
+    * Scale: the labels frame is the q73 output (already bounded by docs
+    * touched by a signal), the join keys on doc_id, and the rollup is
+    * source-cardinality — nothing beyond q73's own cost. Oracle reuses
+    * the q73 recursive-CTE closure verbatim. */
+  def q73b_dedup_survivorship(s: SparkSession, dir: String): DataFrame = {
+    val labels = q73_dedup_union(s, dir)
+      .select(col("doc_id"), col("is_canonical"))
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(labels, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_canonical").isNotNull, 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("is_canonical") === false, 1L).otherwise(0L)).as("n_dropped"))
+      .select(col("source"), col("n_docs"), col("n_flagged"), col("n_dropped"),
+        (col("n_docs") - col("n_dropped")).as("n_kept"),
+        round((col("n_docs") - col("n_dropped")).cast("double") / col("n_docs"), 6)
+          .as("survival_rate"))
+      .orderBy(col("source"))
+  }
+
   /** Connected components over an undirected pair list (doc_a, doc_b) →
     * (doc_id, component, is_canonical) by ALTERNATING LARGE-STAR /
     * SMALL-STAR (Kiveris et al. 2014, "Connected components in MapReduce
@@ -1055,6 +1082,7 @@ object Similarity {
     "m_ann_ivf_seeded"    -> (m_ann_ivf_seeded _),
     "q55_dedup_components"-> (q55_dedup_components _),
     "q73_dedup_union"     -> (q73_dedup_union _),
+    "q73b_dedup_survivorship" -> (q73b_dedup_survivorship _),
     "q79_jaccard_prefix"  -> (q79_jaccard_prefix _),
     "q82_ann_ivf_recall"  -> (q82_ann_ivf_recall _),
     "q84_minhash_lsh_recall" -> (q84_minhash_lsh_recall _),
@@ -1356,41 +1384,61 @@ object Similarity {
          |FROM lab ORDER BY doc_id""".stripMargin,
     // union of all three near-dup signals (n-gram Jaccard, SimHash,
     // MinHash band collisions), then the same recursive-CTE closure
-    "q73_dedup_union" -> {
-      val minhashSig = graft.text.TextOps.MinhashSeeds.zipWithIndex
-        .map { case (seed, i) => s" min(md5('$seed' || term)) AS h${i + 1}" }
-        .mkString(",\n")
-      val minhashBands = (1 to 4)
-        .map(i => s"SELECT doc_id, $i AS band, h$i AS h FROM msig")
-        .mkString(" UNION ALL ")
-      s"""WITH RECURSIVE ${ngramCtes("j")},
-         |jpairs AS (SELECT doc_a, doc_b
-         |  FROM jinter JOIN jsizes x ON jinter.doc_a = x.doc_id
-         |              JOIN jsizes y ON jinter.doc_b = y.doc_id
-         |  WHERE round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) >= 0.5),
-         |${simhashCtes("s")},
-         |msig AS (SELECT doc_id,
-         |$minhashSig
-         | FROM stoks GROUP BY doc_id),
-         |mbands AS ($minhashBands),
-         |mok AS (SELECT band, h FROM mbands GROUP BY band, h
-         |  HAVING COUNT(*) BETWEEN 2 AND 20),
-         |mpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM mbands a JOIN mbands b ON a.band = b.band AND a.h = b.h
-         |    AND a.doc_id < b.doc_id
-         |  JOIN mok ON a.band = mok.band AND a.h = mok.h),
-         |upairs AS (SELECT doc_a, doc_b FROM jpairs
-         |  UNION SELECT doc_a, doc_b FROM spairs WHERE hamming <= 12
-         |  UNION SELECT doc_a, doc_b FROM mpairs),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM upairs
-         |  UNION SELECT doc_b, doc_a FROM upairs),
-         |reach AS (SELECT src, dst FROM edges
-         |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         |lab AS (SELECT src AS id, LEAST(src, MIN(dst)) AS component
-         |  FROM reach GROUP BY src)
+    "q73_dedup_union" ->
+      s"""WITH RECURSIVE $dedupUnionCtes
          |SELECT id AS doc_id, component, (id = component) AS is_canonical
-         |FROM lab ORDER BY doc_id""".stripMargin
-    })
+         |FROM lab ORDER BY doc_id""".stripMargin,
+    // the q73 closure verbatim + the per-source audit rollup
+    "q73b_dedup_survivorship" ->
+      s"""WITH RECURSIVE $dedupUnionCtes,
+         |surv AS (SELECT d.source, COUNT(*) AS n_docs,
+         |    CAST(SUM(CASE WHEN lab.id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_flagged,
+         |    CAST(SUM(CASE WHEN lab.id IS NOT NULL AND lab.id <> lab.component
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.id
+         |  GROUP BY d.source)
+         |SELECT source, n_docs, n_flagged, n_dropped,
+         |  n_docs - n_dropped AS n_kept,
+         |  round(CAST(n_docs - n_dropped AS DOUBLE) / n_docs, 6) AS survival_rate
+         |FROM surv ORDER BY source""".stripMargin)
+
+  /** q73's full closure chain (three signal families → union → recursive
+    * transitive closure → `lab(id, component)`), shared by the q73 gate
+    * and q73b's survivorship rollup. */
+  private lazy val dedupUnionCtes: String = {
+    val minhashSig = graft.text.TextOps.MinhashSeeds.zipWithIndex
+      .map { case (seed, i) => s" min(md5('$seed' || term)) AS h${i + 1}" }
+      .mkString(",\n")
+    val minhashBands = (1 to 4)
+      .map(i => s"SELECT doc_id, $i AS band, h$i AS h FROM msig")
+      .mkString(" UNION ALL ")
+    s"""${ngramCtes("j")},
+       |jpairs AS (SELECT doc_a, doc_b
+       |  FROM jinter JOIN jsizes x ON jinter.doc_a = x.doc_id
+       |              JOIN jsizes y ON jinter.doc_b = y.doc_id
+       |  WHERE round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) >= 0.5),
+       |${simhashCtes("s")},
+       |msig AS (SELECT doc_id,
+       |$minhashSig
+       | FROM stoks GROUP BY doc_id),
+       |mbands AS ($minhashBands),
+       |mok AS (SELECT band, h FROM mbands GROUP BY band, h
+       |  HAVING COUNT(*) BETWEEN 2 AND 20),
+       |mpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM mbands a JOIN mbands b ON a.band = b.band AND a.h = b.h
+       |    AND a.doc_id < b.doc_id
+       |  JOIN mok ON a.band = mok.band AND a.h = mok.h),
+       |upairs AS (SELECT doc_a, doc_b FROM jpairs
+       |  UNION SELECT doc_a, doc_b FROM spairs WHERE hamming <= 12
+       |  UNION SELECT doc_a, doc_b FROM mpairs),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM upairs
+       |  UNION SELECT doc_b, doc_a FROM upairs),
+       |reach AS (SELECT src, dst FROM edges
+       |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |lab AS (SELECT src AS id, LEAST(src, MIN(dst)) AS component
+       |  FROM reach GROUP BY src)""".stripMargin
+  }
 
   /** Shared CTE chain producing the near-dup candidate `inter` counts +
     * `sizes` (the q33 kernel) — composed into q33's scoring and q55's /
