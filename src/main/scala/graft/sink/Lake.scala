@@ -1,0 +1,150 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MERGE-INTO-style lake upsert writer — the operator every production CDC
+  * pipeline ends in (Delta/Hudi/Iceberg MERGE semantics over a plain
+  * hive-partitioned parquet layout): diff an incoming snapshot against the
+  * stored table, then rewrite ONLY the partitions the diff touches.
+  * Untouched partition directories keep their original files byte-for-byte
+  * (no rewrite amplification — SinkSpec pins this), which at 100 TB is the
+  * difference between rewriting a few changed days and rewriting the lake.
+  *
+  * q86 APPLIES a changelog as an aggregation and q93 GENERATES one as a
+  * full-outer diff; this composes the diff with `Parquet.writePartitioned`'s
+  * layout into the writer both of them feed (round-8 verdict item 3).
+  */
+object Lake {
+
+  /** MERGE `incoming` into the lang-partitioned parquet table at `lakeDir`
+    * (schema: doc_id, text, lang, source — doc_id is the merge key).
+    * Returns the changed partition values, already rewritten:
+    *
+    *  1. Diff the READ-BACK lake against `incoming` — one full-outer hash
+    *     join on the key + map-side digest compare (exactly q93's plan);
+    *     rows classify I/U/D, unchanged rows drop.
+    *  2. Changed partitions = every lang an I/U/D row touches — BOTH sides
+    *     for an update that moves a doc across partitions. This set is
+    *     partition-cardinality (days/langs, never rows), so collecting it
+    *     to the driver is a metadata operation, like a lake manifest.
+    *  3. Rewrite only those partitions with DYNAMIC partition overwrite
+    *     (`partitionOverwriteMode=dynamic` as a per-write option — only
+    *     partitions present in the written frame are replaced; static
+    *     mode would truncate the whole table, the classic footgun).
+    *  4. A changed partition with NO incoming rows (every doc deleted)
+    *     gets no file from the writer — its directory is dropped
+    *     explicitly, the metadata delete a table format would commit.
+    *
+    * `incoming` MUST NOT derive lazily from `lakeDir` itself (the write
+    * would consume its own input); both callers here derive it from the
+    * source table. The diff is collected before any write starts. */
+  private[graft] def mergeInto(s: SparkSession, lakeDir: String,
+      incoming: DataFrame): Seq[String] = {
+    val stored = s.read.parquet(lakeDir)
+      .select(col("doc_id"), col("lang").as("l_old"),
+        md5(col("text").cast("binary")).as("old_md5"))
+    val incomingKeyed = incoming
+      .select(col("doc_id"), col("lang").as("l_new"),
+        md5(col("text").cast("binary")).as("new_md5"))
+    val changed = stored.join(incomingKeyed, Seq("doc_id"), "full_outer")
+      .withColumn("op",
+        when(col("new_md5").isNull, "D")
+          .when(col("old_md5").isNull, "I")
+          .when(col("old_md5") =!= col("new_md5")
+            || col("l_old") =!= col("l_new"), "U"))
+      .filter(col("op").isNotNull)
+      .select(explode(array_distinct(filter(
+        array(col("l_old"), col("l_new")), x => x.isNotNull))).as("lang"))
+      .distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (changed.nonEmpty) {
+      val rows = incoming.filter(col("lang").isin(changed: _*))
+      rows.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang").parquet(lakeDir)
+      val stillPresent = rows.select(col("lang")).distinct()
+        .collect().map(_.getString(0)).toSet
+      (changed.toSet -- stillPresent).foreach { l =>
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(s"$lakeDir/lang=$l"))
+      }
+    }
+    changed
+  }
+
+  /** The q93 "next crawl" snapshot with payload columns carried (q93 emits
+    * only digests — the writer needs the rows): md5-bucket 'a' docs
+    * disappear, 'b' docs carry revised text, 'c' docs re-enter under
+    * fresh ids offset by the corpus size. Deterministic in both engines. */
+  private def nextSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val n = graft.Tables.documents(s, dir).count()
+    val b = docs.withColumn("bk",
+      substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1))
+    b.filter(col("bk") =!= "a")
+      .select(col("doc_id"),
+        when(col("bk") === "b", concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"),
+        col("lang"), col("source"))
+      .unionByName(b.filter(col("bk") === "c")
+        .select((col("doc_id") + n).as("doc_id"), col("text"),
+          col("lang"), col("source")))
+  }
+
+  /** Read-back aggregate over the merged lake, PRE-checkpoint — exposed so
+    * SinkSpec can assert PartitionFilters on a live pruned scan of the
+    * merged layout (the q98 wrapper pins and deletes, hiding the scan). */
+  private[graft] def mergedLakeAgg(s: SparkSession, lakeDir: String): DataFrame =
+    s.read.parquet(lakeDir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        // 48-bit md5-prefix sum: content-exact text fidelity through the
+        // write→merge→read cycle, ANSI-safe (5e3 docs × 2^48 ≪ 2^63)
+        sum(conv(substring(md5(col("text").cast("binary")), 1, 12), 16, 10)
+          .cast("long")).cast("long").as("text_sig"))
+      .orderBy(col("lang"), col("source"))
+
+  /** End-to-end gated MERGE: write the base snapshot lang-partitioned,
+    * merge the derived next snapshot in (only changed partitions rewrite),
+    * and aggregate the read-back merged table per (lang, source). The
+    * oracle recomputes the merged snapshot straight from `documents` — any
+    * row lost, duplicated, misplaced or corrupted by the writer breaks the
+    * hash gate. Scratch layout is per-app-id (q88 discipline); the result
+    * is pinned before cleanup. */
+  def q98_merge_into_lake(s: SparkSession, dir: String): DataFrame = {
+    val lake = Orc.scratchDir(s) + "_lake"
+    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    Parquet.writePartitioned(docs, lake, Seq("lang"))
+    mergeInto(s, lake, nextSnapshot(s, dir))
+    val pinned = mergedLakeAgg(s, lake).localCheckpoint() // tiny
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(lake))
+    pinned
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_merge_into_lake" -> (q98_merge_into_lake _))
+
+  val oracle: Map[String, String] = Map(
+    // the merged table == the next snapshot, recomputed from documents
+    "q98_merge_into_lake" ->
+      """WITH b AS (SELECT doc_id, text, lang, source,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bk FROM documents),
+        |n AS (SELECT COUNT(*) AS cnt FROM documents),
+        |merged AS (
+        |  SELECT doc_id,
+        |    CASE WHEN bk = 'b' THEN text || ' v2' ELSE text END AS text,
+        |    lang, source
+        |  FROM b WHERE bk <> 'a'
+        |  UNION ALL
+        |  SELECT doc_id + cnt, text, lang, source FROM b, n WHERE bk = 'c')
+        |SELECT lang, source, COUNT(*) AS n_docs,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+        |  CAST(SUM(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT)) AS BIGINT)
+        |    AS text_sig
+        |FROM merged GROUP BY lang, source ORDER BY lang, source""".stripMargin)
+}

@@ -108,6 +108,72 @@ class SinkSpec extends AnyFunSuite {
       s"expected a loud bloom_build arg error, got: ${err.getMessage}")
   }
 
+  test("q98 merge: untouched partitions byte-identical, emptied partition dropped") {
+    import spark.implicits._
+    def fileState(root: String): Map[String, String] = {
+      // every data file under the lake keyed by relative path → md5 bytes
+      val base = java.nio.file.Paths.get(root)
+      val buf = scala.collection.mutable.Map.empty[String, String]
+      java.nio.file.Files.walk(base).forEach { p =>
+        val rel = base.relativize(p).toString
+        if (rel.endsWith(".parquet") && java.nio.file.Files.isRegularFile(p)) {
+          val bytes = java.nio.file.Files.readAllBytes(p)
+          buf(rel) = java.security.MessageDigest.getInstance("MD5")
+            .digest(bytes).map("%02x".format(_)).mkString
+        }
+      }
+      buf.toMap
+    }
+    val lake = java.nio.file.Files.createTempDirectory("graft-lake").toString
+    val cols = Seq("doc_id", "text", "lang", "source")
+    val base = Seq(
+      (1L, "alpha one", "p", "s1"), (2L, "beta two", "p", "s1"),
+      (3L, "gamma three", "q", "s1"), (4L, "delta four", "r", "s2"))
+      .toDF(cols: _*)
+    Parquet.writePartitioned(base, lake, Seq("lang"))
+    val before = fileState(lake)
+    assert(before.keys.exists(_.startsWith("lang=q/")) &&
+      before.keys.exists(_.startsWith("lang=r/")))
+    // incoming: update doc 1 (lang p), leave q and r untouched
+    val incoming = Seq(
+      (1L, "alpha one v2", "p", "s1"), (2L, "beta two", "p", "s1"),
+      (3L, "gamma three", "q", "s1"), (4L, "delta four", "r", "s2"))
+      .toDF(cols: _*)
+    val changed = Lake.mergeInto(spark, lake, incoming)
+    assert(changed == Seq("p"), s"only partition p changed: $changed")
+    val after = fileState(lake)
+    // no rewrite amplification: q and r files byte-identical, same paths
+    def part(m: Map[String, String], l: String) =
+      m.view.filterKeys(_.startsWith(s"lang=$l/")).toMap
+    assert(part(after, "q") == part(before, "q"), "lang=q rewritten")
+    assert(part(after, "r") == part(before, "r"), "lang=r rewritten")
+    assert(part(after, "p") != part(before, "p"), "lang=p must be rewritten")
+    // merged content == incoming
+    val got = spark.read.parquet(lake).select(cols.map(col): _*)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(got == Set((1L, "alpha one v2", "p", "s1"), (2L, "beta two", "p", "s1"),
+      (3L, "gamma three", "q", "s1"), (4L, "delta four", "r", "s2")))
+    // second merge: every q doc deleted → its changed partition has no
+    // incoming rows and the directory drops (the metadata delete)
+    val incoming2 = incoming.filter(col("lang") =!= "q")
+    val changed2 = Lake.mergeInto(spark, lake, incoming2)
+    assert(changed2 == Seq("q"))
+    assert(!new java.io.File(s"$lake/lang=q").exists, "emptied partition must drop")
+    assert(part(fileState(lake), "r") == part(before, "r"),
+      "r survives both merges byte-identical")
+    // pruned read-back: a lang predicate on the merged lake prunes at
+    // plan time (the layout stays a partition-pruning lake after merges)
+    val scanPlan = Lake.mergedLakeAgg(spark, lake).queryExecution.executedPlan.toString
+    val pruned = spark.read.parquet(lake).filter(col("lang") === "p")
+    val prunedPlan = pruned.queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("PartitionFilters") && prunedPlan.contains("lang"),
+      s"expected partition filters on the merged-lake scan:\n$prunedPlan")
+    assert(pruned.count() == 2)
+    assert(scanPlan.nonEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(lake))
+  }
+
   test("media resize: images re-encoded at target dims, other kinds untouched") {
     val media = graft.multimodal.Media.mediaTable(spark, dir).limit(60)
     val resized = graft.multimodal.Media.resizeImages(media, 128, 128)
