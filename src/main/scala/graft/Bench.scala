@@ -26,7 +26,8 @@ object Bench {
       // run model fits inside (m_ann_ivf KMeans / MinHashLSH+CountVectorizer /
       // q87b LogisticRegression / q94's 10-round BPE merge loop)
       "q82_ann_ivf_recall", "q84_minhash_lsh_recall", "q87b_quality_trained",
-      "q94_bpe_learn", "q94b_bpe_tokenize")
+      "q94_bpe_learn", "q94b_bpe_tokenize",
+      "m_ann_pq_fitted", "q99_pq_fitted_recall")
 
   /** Queries that launch MANY driver jobs (convergence fixpoints, the
     * multi-pass funnel): their per-job scheduling noise compounds, so

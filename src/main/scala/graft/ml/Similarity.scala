@@ -576,11 +576,17 @@ object Similarity {
     * 256 embedded codebook dot expressions — a constant that amortizes
     * to nothing at real data scale (the 2000-vector sf0.1 table
     * executes in milliseconds once compiled). */
-  def m_ann_pq_seeded(s: SparkSession, dir: String): DataFrame = {
-    val (mSub, k, sub) = (8, 16, 8)
-    val cents = pqCentroids(mSub, k, sub)
+  def m_ann_pq_seeded(s: SparkSession, dir: String): DataFrame =
+    pqAdcTopK(emb(s, dir), pqCentroids(8, 16, 8), 8, 16, 8)
+
+  /** The PQ encode + ADC scoring plan over ANY codebook — byte-identical
+    * for the seeded (hash-gated) and KMeans-fitted (recall-gated q99)
+    * variants, so the fitted path exercises exactly the plan the oracle
+    * already pins on seeded constants. */
+  private def pqAdcTopK(e: DataFrame,
+      cents: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+      mSub: Int, k: Int, sub: Int, topN: Int = 3): DataFrame = {
     val ss = cents.map(_.map(_.map(x => x * x).sum))
-    val e = emb(s, dir)
     // encode: per-subspace argmin over −2⟨x_m,c⟩+‖c‖² (‖x_m‖² common)
     var coded = e
     for (m <- 0 until mSub) {
@@ -609,10 +615,102 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), adist.as("adist"))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+      .filter(col("rank") <= topN)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("adist"), 6).as("adist_r"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** FITTED-codebook PQ — the variant production FAISS actually ships
+    * (per-subspace KMeans codebooks; Jégou-Douze-Schmid §III trains each
+    * subquantizer on the corpus' subvectors): 8 independent KMeans fits
+    * of k = 16 over the 8-dim slices, then the SAME encode + ADC scoring
+    * plan as m_ann_pq_seeded ([[pqAdcTopK]]). The fits are model training
+    * — excluded from the timed bench with the other fits; at 100 TB the
+    * codebook trains on a sample and broadcasts as 8×16×8 doubles, and
+    * scoring stays 8 table lookups + 7 adds per row. */
+  def m_ann_pq_fitted(s: SparkSession, dir: String): DataFrame =
+    pqAdcTopK(emb(s, dir), fittedPqCentroids(s, dir, 8, 16, 8), 8, 16, 8)
+
+  // scratch hook for the floor measurement (removed with RecallScratch)
+  private[graft] def pqAdcShortlistScratch(s: SparkSession, dir: String,
+      kShort: Int): DataFrame =
+    pqAdcTopK(emb(s, dir), fittedPqCentroids(s, dir, 8, 16, 8), 8, 16, 8, kShort)
+
+  private def fittedPqCentroids(s: SparkSession, dir: String,
+      mSub: Int, k: Int, sub: Int): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = emb(s, dir)
+    (0 until mSub).map { m =>
+      val sliced = e.select(
+        array_to_vector(expr(s"slice(emb, ${m * sub + 1}, $sub)")).as("v"))
+      new KMeans().setK(k).setSeed(42 + m).setMaxIter(10)
+        .setFeaturesCol("v").fit(sliced)
+        .clusterCenters.map(_.toArray.toIndexedSeq).toIndexedSeq
+    }
+  }
+
+  /** RECALL ACCURACY-CONTRACT gate for the fitted-PQ path (round-8
+    * verdict item 5 — q82's pattern on the PQ family), gating the shape
+    * production FAISS actually runs: ADC SHORTLIST + EXACT REFINE. Raw
+    * 128-bit ADC top-3 cannot carry a recall contract on these
+    * near-equidistant synthetic embeddings — measured mean recall@3 is
+    * 0.187 @ sf0.01 / 0.127 @ sf0.1 for the fitted codebooks (0.02 for
+    * seeded; RecallScratch, 2026-08-13): quantization distortion swamps
+    * the tiny neighbor gaps, which is exactly why FAISS pairs IndexPQ
+    * with a refine stage (the k-factor re-rank). So the gated pipeline
+    * is: fitted-ADC shortlist of corpus/10 (min 50), exact squared-L2
+    * re-rank of the shortlist, top-3. A true top-3 member inside the
+    * shortlist always survives an exact re-rank, so recall equals
+    * shortlist containment — measured 0.807 @ sf0.01 (k=50/500) and
+    * 0.853 @ sf0.1 (k=200/2000), vs 0.58/0.50 at half the shortlist.
+    * Floor 0.60: ≥ 0.21 headroom at both SFs, yet unreachable by a
+    * broken encode/table/rank path (raw-ADC-grade 0.13-0.19) or by the
+    * unfitted codebook at the same shortlist. The truth side is exact
+    * squared L2 (what ADC approximates — the embeddings are unnormalized,
+    * so cosine truth would gate the wrong metric). Oracle recomputes the
+    * truth and asserts the flag as literal TRUE (q82's shape).
+    *
+    * Scale: the shortlist fraction is the tunable — at 100 TB the ADC
+    * pass stays 8 lookups + 7 adds per row and the refine touches only
+    * shortlist × queries rows; the corpus/10 fraction here is sized for
+    * a 64-dim 16-cell codebook's distortion, not a law. */
+  def q99_pq_fitted_recall(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val nCorpus = e.count() // metadata-scale job (q93's count discipline)
+    val kShort = math.max(50L, nCorpus / 10).toInt
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val l2 = dot(col("qemb"), col("qemb")) -
+      lit(2.0) * dot(col("qemb"), col("emb")) + dot(col("emb"), col("emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2"), col("neighbor_id"))
+    val truth = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), l2.as("l2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    // ADC shortlist with the FITTED codebook, then the exact refine:
+    // shortlist rows re-fetch their embedding (equi-join on id), score
+    // exact L2 against the broadcast query set, keep top-3
+    val shortlist = pqAdcTopK(e, fittedPqCentroids(s, dir, 8, 16, 8),
+        8, 16, 8, kShort)
+      .select(col("query_id"), col("neighbor_id"))
+    val refined = shortlist
+      .join(e.select(col("vec_id").as("neighbor_id"), col("emb")), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"), l2.as("l2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    truth.join(refined, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("nt"),
+        sum(coalesce(col("hit"), lit(0L))).as("nh"))
+      .agg(count(lit(1)).as("n_queries"),
+        (avg(col("nh").cast("double") / col("nt")) >= 0.60).as("recall_ok"))
   }
 
   // ------------------------------------------------ engine-only: MinHashLSH
@@ -1085,6 +1183,8 @@ object Similarity {
     "q73b_dedup_survivorship" -> (q73b_dedup_survivorship _),
     "q79_jaccard_prefix"  -> (q79_jaccard_prefix _),
     "q82_ann_ivf_recall"  -> (q82_ann_ivf_recall _),
+    "m_ann_pq_fitted"     -> (m_ann_pq_fitted _),
+    "q99_pq_fitted_recall" -> (q99_pq_fitted_recall _),
     "q84_minhash_lsh_recall" -> (q84_minhash_lsh_recall _),
     "m_ann_pq_seeded"     -> (m_ann_pq_seeded _),
     "q92_semdedup"        -> (q92_semdedup _))
@@ -1322,6 +1422,19 @@ object Similarity {
         |  FROM q, e WHERE vec_id <> query_id),
         |ranked AS (SELECT query_id, neighbor_id,
         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM pairs)
+        |SELECT COUNT(DISTINCT query_id) AS n_queries, TRUE AS recall_ok
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+    // truth = exact squared L2 (what ADC approximates — embeddings are
+    // unnormalized); recall_ok asserted as literal TRUE, q82's shape
+    "q99_pq_fitted_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 50),
+        |pairs AS (SELECT query_id, vec_id AS neighbor_id,
+        |  list_dot_product(qemb, qemb) - 2.0 * list_dot_product(qemb, emb)
+        |    + list_dot_product(emb, emb) AS l2
+        |  FROM q, e WHERE vec_id <> query_id),
+        |ranked AS (SELECT query_id, neighbor_id,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY l2, neighbor_id) AS rank FROM pairs)
         |SELECT COUNT(DISTINCT query_id) AS n_queries, TRUE AS recall_ok
         |FROM ranked WHERE rank <= 3""".stripMargin,
     "m_ann_lsh"         -> annLshOracle,
