@@ -41,18 +41,22 @@ object Lake {
     * source table. The diff is collected before any write starts. */
   private[graft] def mergeInto(s: SparkSession, lakeDir: String,
       incoming: DataFrame): Seq[String] = {
+    // Digest EVERY non-key payload column (text, lang, source) — comparing
+    // only md5(text)+lang would classify a row whose only change is the
+    // `source` payload as unchanged and silently keep the stale value.
+    //  separator: concat_ws("", "ab","c") == ("a","bc") would alias.
+    val rowDigest =
+      md5(concat_ws("", col("text"), col("lang"), col("source"))
+        .cast("binary"))
     val stored = s.read.parquet(lakeDir)
-      .select(col("doc_id"), col("lang").as("l_old"),
-        md5(col("text").cast("binary")).as("old_md5"))
+      .select(col("doc_id"), col("lang").as("l_old"), rowDigest.as("old_md5"))
     val incomingKeyed = incoming
-      .select(col("doc_id"), col("lang").as("l_new"),
-        md5(col("text").cast("binary")).as("new_md5"))
+      .select(col("doc_id"), col("lang").as("l_new"), rowDigest.as("new_md5"))
     val changed = stored.join(incomingKeyed, Seq("doc_id"), "full_outer")
       .withColumn("op",
         when(col("new_md5").isNull, "D")
           .when(col("old_md5").isNull, "I")
-          .when(col("old_md5") =!= col("new_md5")
-            || col("l_old") =!= col("l_new"), "U"))
+          .when(col("old_md5") =!= col("new_md5"), "U"))
       .filter(col("op").isNotNull)
       .select(explode(array_distinct(filter(
         array(col("l_old"), col("l_new")), x => x.isNotNull))).as("lang"))
