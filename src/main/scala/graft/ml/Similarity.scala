@@ -632,11 +632,6 @@ object Similarity {
   def m_ann_pq_fitted(s: SparkSession, dir: String): DataFrame =
     pqAdcTopK(emb(s, dir), fittedPqCentroids(s, dir, 8, 16, 8), 8, 16, 8)
 
-  // scratch hook for the floor measurement (removed with RecallScratch)
-  private[graft] def pqAdcShortlistScratch(s: SparkSession, dir: String,
-      kShort: Int): DataFrame =
-    pqAdcTopK(emb(s, dir), fittedPqCentroids(s, dir, 8, 16, 8), 8, 16, 8, kShort)
-
   private def fittedPqCentroids(s: SparkSession, dir: String,
       mSub: Int, k: Int, sub: Int): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
     import org.apache.spark.ml.clustering.KMeans
@@ -657,7 +652,7 @@ object Similarity {
     * 128-bit ADC top-3 cannot carry a recall contract on these
     * near-equidistant synthetic embeddings — measured mean recall@3 is
     * 0.187 @ sf0.01 / 0.127 @ sf0.1 for the fitted codebooks (0.02 for
-    * seeded; RecallScratch, 2026-08-13): quantization distortion swamps
+    * seeded; one-off scratch main, measured 2026-08-13, since deleted): quantization distortion swamps
     * the tiny neighbor gaps, which is exactly why FAISS pairs IndexPQ
     * with a refine stage (the k-factor re-rank). So the gated pipeline
     * is: fitted-ADC shortlist of corpus/10 (min 50), exact squared-L2
@@ -1019,6 +1014,42 @@ object Similarity {
       .orderBy(col("source"))
   }
 
+  /** DEDUP-AWARE train/val/test split — leakage-proof split assignment.
+    * Splitting per DOCUMENT lets near-duplicates straddle train and test
+    * (a test doc's near-dup twin trains the model — the classic eval-
+    * leakage bug; the Lee et al. 2022 dedup paper's motivating failure).
+    * The assignment unit must be the near-dup COMPONENT: every doc
+    * inherits its q73 component label (docs no signal touched are their
+    * own singleton group) and the split is a pure hash of the GROUP id —
+    * 80/10/10 train/val/test. Output: per-split doc/group counts plus a
+    * corpus-level leak_free flag (no component straddles splits — true by
+    * construction since split = f(group), but ASSERTED through the gate:
+    * a bug that split by doc_id would flip it false).
+    *
+    * Scale: q73's own cost + one left join on doc_id; the split hash is
+    * map-side; the leak probe and rollup are group-cardinality aggs. */
+  def q100_component_split(s: SparkSession, dir: String): DataFrame = {
+    val labels = q73_dedup_union(s, dir).select(col("doc_id"), col("component"))
+    val assigned = Tables.documents(s, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("grp"))
+      .withColumn("bk", pmod(
+        conv(substring(md5(col("grp").cast("string").cast("binary")), 1, 4),
+          16, 10).cast("long"), lit(100L)))
+      .withColumn("split",
+        when(col("bk") < 80, "train").when(col("bk") < 90, "val")
+          .otherwise("test"))
+    val leak = assigned.groupBy(col("grp"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .agg(max(col("ns")).as("max_ns"))
+    assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("grp")).as("n_groups"))
+      .crossJoin(broadcast(leak))
+      .select(col("split"), col("n_docs"), col("n_groups"),
+        (col("max_ns") === 1L).as("leak_free"))
+      .orderBy(col("split"))
+  }
+
   /** Connected components over an undirected pair list (doc_a, doc_b) →
     * (doc_id, component, is_canonical) by ALTERNATING LARGE-STAR /
     * SMALL-STAR (Kiveris et al. 2014, "Connected components in MapReduce
@@ -1181,6 +1212,7 @@ object Similarity {
     "q55_dedup_components"-> (q55_dedup_components _),
     "q73_dedup_union"     -> (q73_dedup_union _),
     "q73b_dedup_survivorship" -> (q73b_dedup_survivorship _),
+    "q100_component_split" -> (q100_component_split _),
     "q79_jaccard_prefix"  -> (q79_jaccard_prefix _),
     "q82_ann_ivf_recall"  -> (q82_ann_ivf_recall _),
     "m_ann_pq_fitted"     -> (m_ann_pq_fitted _),
@@ -1514,7 +1546,28 @@ object Similarity {
          |SELECT source, n_docs, n_flagged, n_dropped,
          |  n_docs - n_dropped AS n_kept,
          |  round(CAST(n_docs - n_dropped AS DOUBLE) / n_docs, 6) AS survival_rate
-         |FROM surv ORDER BY source""".stripMargin)
+         |FROM surv ORDER BY source""".stripMargin,
+    // the q73 closure verbatim, then split assignment per COMPONENT:
+    // bucket = md5(group id) % 100 → 80/10/10, and the leak probe
+    // (max distinct splits per group) re-derived rather than assumed
+    "q100_component_split" ->
+      s"""WITH RECURSIVE $dedupUnionCtes,
+         |grouped AS (SELECT d.doc_id,
+         |    COALESCE(lab.component, d.doc_id) AS grp
+         |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.id),
+         |asg AS (SELECT doc_id, grp,
+         |  CASE WHEN CAST('0x' || substr(md5(CAST(grp AS VARCHAR)), 1, 4)
+         |      AS BIGINT) % 100 < 80 THEN 'train'
+         |    WHEN CAST('0x' || substr(md5(CAST(grp AS VARCHAR)), 1, 4)
+         |      AS BIGINT) % 100 < 90 THEN 'val'
+         |    ELSE 'test' END AS split
+         |  FROM grouped),
+         |leak AS (SELECT MAX(ns) AS max_ns FROM (
+         |  SELECT grp, COUNT(DISTINCT split) AS ns FROM asg GROUP BY grp))
+         |SELECT split, COUNT(*) AS n_docs,
+         |  CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups,
+         |  (max_ns = 1) AS leak_free
+         |FROM asg, leak GROUP BY split, max_ns ORDER BY split""".stripMargin)
 
   /** q73's full closure chain (three signal families → union → recursive
     * transitive closure → `lab(id, component)`), shared by the q73 gate

@@ -182,6 +182,36 @@ object CorpusFilters {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Sliding-window token chunking with OVERLAP — the RAG/context-window
+    * chunker (length 32, stride 24 → 8-token overlap between adjacent
+    * chunks). Starts run 1, 1+stride, …; a start past the first is
+    * emitted only while the PREVIOUS chunk did not already reach the
+    * document end, so the trailing fragment that would be a pure suffix
+    * of its predecessor is never emitted (the duplicate-tail rule every
+    * production chunker applies). q57 is the tumbling special case
+    * (stride = length). Every chunk digests content-exact.
+    *
+    * Scale: pure per-doc array HOFs — one transform over a doc-length-
+    * bounded start list, no corpus-position explode, no shuffle beyond
+    * the dump sort. */
+  def q102_chunk_sliding(s: SparkSession, dir: String): DataFrame = {
+    val len = 32; val stride = 24
+    docToks(s, dir).filter(size(col("t")) >= 1)
+      .select(col("doc_id"), expr(
+        s"""transform(
+           |  filter(sequence(1, size(t), $stride),
+           |         st -> st = 1 OR st + $len - $stride - 1 < size(t)),
+           |  st -> struct(st AS st, slice(t, st, $len) AS c))""".stripMargin)
+        .as("chunks"))
+      .select(col("doc_id"),
+        posexplode(col("chunks")).as(Seq("chunk_id", "sc")))
+      .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        col("sc.st").cast("int").as("start"),
+        size(col("sc.c")).as("n_tokens"),
+        md5(array_join(col("sc.c"), " ").cast("binary")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   // ------------------------------------------------------ numeric profiling
   /** describe()-style numeric profile with DETERMINISTIC parallel floats:
     * mean and stddev come from DECIMAL sums (exact, association-free) cast
@@ -453,6 +483,39 @@ object CorpusFilters {
       .orderBy(col("source"), col("rnk"))
   }
 
+  /** WEIGHTED sampling without replacement, exact-k per stratum —
+    * Efraimidis & Spirakis 2006 ("Weighted random sampling with a
+    * reservoir", public algorithm): each item draws key = u^(1/w) and the
+    * k largest keys win; ordering by ln(u)/w is monotone-equivalent and
+    * avoids the fractional power. Here w = the document's token count
+    * (longer docs proportionally likelier — the shape a token-budget
+    * sampler wants) and u is the q49 deterministic hash-uniform
+    * ((md5-prefix + 1) / 2^48 — +1 keeps u > 0 so ln is finite), so the
+    * draw is reproducible across engines, partitionings and cluster
+    * sizes. q77 is the unweighted special case (uniform hash order).
+    *
+    * Scale: one corpus scan, map-side key computation, and the same
+    * WindowGroupLimit bounded-heap top-k per stratum as q67/q77 — no
+    * global sort, no per-source shuffle beyond the rank. */
+  def q103_weighted_sample(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val keyed = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(Cleanse.tokens(col("text"))).cast("long").as("w"))
+      .filter(col("w") >= 1)
+      .withColumn("key",
+        log((conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+          1, 12), 16, 10).cast("double") + 1.0) / lit(281474976710656.0))
+          / col("w"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("key").desc, col("doc_id"))
+    keyed.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank"), col("doc_id"), col("w"),
+        round(col("key"), 6).as("key_r"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   // ------------------------------------------------- bigram LM scoring
   /** Interpolated-bigram LM scoring — one rung up the n-gram ladder from
     * q56's unigram filter, and the closest relational shape to the
@@ -721,9 +784,13 @@ object CorpusFilters {
     * argmin, so the tiebreak is deterministic in both engines. Every
     * non-winner occurrence marks its 8 covered token positions for
     * deletion; a token survives iff no non-winner occurrence covers it.
-    * The winner occurrence itself always survives this rule directly (its
-    * own gram keeps it), so the first-occurrence-keeps invariant holds by
-    * construction — CorpusFiltersSpec pins it on a planted duplicate.
+    * The winner survives its OWN gram's deletion rule (its gram never
+    * marks it) — but a different, overlapping repeated gram whose
+    * non-winner occurrence covers the winner's tokens can still delete
+    * them, so "first occurrence always survives" is NOT guaranteed
+    * corpus-wide under overlap; engine and oracle apply the identical
+    * rule, so the gate is exact either way. CorpusFiltersSpec pins the
+    * non-overlapping planted-duplicate case.
     * Output per doc: token counts before/after, deleted-region count, and
     * the content-exact md5 of the surviving text; docs with no repeats
     * (or < 8 tokens) pass through untouched.
@@ -1181,6 +1248,51 @@ object CorpusFilters {
       .limit(20)
   }
 
+  /** COUNT-MIN SKETCH heavy hitters (Cormode & Muthukrishnan 2005, "An
+    * improved data stream summary: the count-min sketch" — public
+    * algorithm): a d=4 × w=1024 counter matrix summarizes the token
+    * stream in fixed memory; est(x) = min over rows of the x-hashed
+    * cell, and est ≥ exact ALWAYS (counters only ever overcount on
+    * collision — the deterministic half of the CMS guarantee, emitted as
+    * the never_under contract column). Unlike Misra-Gries, CMS is
+    * ORDER-INDEPENDENT (cells are sums), so the whole sketch is exactly
+    * reproducible from SQL and the gate is hash-exact, not a tolerance
+    * contract — the q54 KMV trick applied to frequency sketching. The
+    * probe set is the exact top-20 (the gate needs the truth anyway);
+    * production keeps only the 4096-cell sketch and probes ad hoc.
+    *
+    * Scale: the sketch build is word-count × d with map-side combine —
+    * the aggregated frame is ≤ d·w rows no matter the corpus; the exact
+    * side is one vocabulary-bounded agg + a global top-k over the vocab
+    * (WindowGroupLimit bounded heap). At 100 TB the sketch is THE way to
+    * answer "how often does this token appear" without materializing the
+    * vocab table. */
+  def q104_countmin_hh(s: SparkSession, dir: String): DataFrame = {
+    val d = 4; val wdt = 1024; val topK = 20
+    val toks = docToks(s, dir).select(explode(col("t")).as("tok"))
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("exact").desc, col("tok"))
+    val top = exact.withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= topK)
+    val cellOf = (j: Column, tok: Column) =>
+      conv(substring(md5(concat(j.cast("string"), lit(" "), tok)
+        .cast("binary")), 1, 12), 16, 10).cast("long") % wdt
+    val sketch = toks
+      .select(explode(expr(s"sequence(0, ${d - 1})")).as("j"), col("tok"))
+      .select(col("j"), cellOf(col("j"), col("tok")).as("cell"))
+      .groupBy(col("j"), col("cell")).agg(count(lit(1)).as("cnt"))
+    val probes = top.select(col("rnk"), col("tok"), col("exact"),
+        explode(expr(s"sequence(0, ${d - 1})")).as("j"))
+      .withColumn("cell", cellOf(col("j"), col("tok")))
+    probes.join(sketch, Seq("j", "cell"))
+      .groupBy(col("rnk"), col("tok"), col("exact"))
+      .agg(min(col("cnt")).as("est"))
+      .select(col("rnk"), col("tok"), col("exact"), col("est"),
+        (col("est") >= col("exact")).as("never_under"))
+      .orderBy(col("rnk"))
+  }
+
   // ------------------------------------------------- Zipf corpus profile
   /** Zipf rank-frequency fit — the corpus-health diagnostic: natural text
     * follows freq ∝ rank^(−s) with s ≈ 1; machine-generated or templated
@@ -1456,7 +1568,10 @@ object CorpusFilters {
     "q94b_bpe_tokenize"   -> (q94b_bpe_tokenize _),
     "q95_adaptive_threshold" -> (q95_adaptive_threshold _),
     "q97_repeated_substrings" -> (q97_repeated_substrings _),
-    "q97b_substring_rewrite" -> (q97b_substring_rewrite _))
+    "q97b_substring_rewrite" -> (q97b_substring_rewrite _),
+    "q102_chunk_sliding"  -> (q102_chunk_sliding _),
+    "q103_weighted_sample" -> (q103_weighted_sample _),
+    "q104_countmin_hh"    -> (q104_countmin_hh _))
 
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
@@ -1539,6 +1654,61 @@ object CorpusFilters {
          |  CAST(len(c) AS INTEGER) AS n_tokens,
          |  md5(array_to_string(c, ' ')) AS chunk_md5
          |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+    // same start-list filter, same slice bounds; DuckDB list slicing is
+    // 1-based inclusive, so the chunk end clamps with least()
+    "q102_chunk_sliding" ->
+      s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
+         |d AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 1),
+         |st AS (SELECT doc_id, t, n,
+         |    list_filter(range(1, n + 1, 24),
+         |      st -> st = 1 OR st + 32 - 24 - 1 < n) AS starts
+         |  FROM d),
+         |ch AS (SELECT doc_id, i - 1 AS chunk_id, starts[i] AS start,
+         |    t[starts[i] : least(starts[i] + 31, n)] AS c
+         |  FROM st, unnest(range(1, len(starts) + 1)) AS u(i))
+         |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+         |  CAST(start AS INTEGER) AS start,
+         |  CAST(len(c) AS INTEGER) AS n_tokens,
+         |  md5(array_to_string(c, ' ')) AS chunk_md5
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+    // the ENTIRE count-min sketch rebuilt in SQL (cells are sums — order-
+    // independent), same md5 cell hash, same d=4 w=1024; est = min over
+    // the 4 probed cells, and never_under re-derived, not assumed
+    "q104_countmin_hh" ->
+      s"""WITH toks AS (SELECT unnest($DToks) AS tok FROM documents),
+         |exact AS (SELECT tok, COUNT(*) AS exact FROM toks GROUP BY tok),
+         |top AS (SELECT tok, exact,
+         |    ROW_NUMBER() OVER (ORDER BY exact DESC, tok) AS rnk
+         |  FROM exact QUALIFY rnk <= 20),
+         |cells AS (SELECT j,
+         |    CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ' ' || tok), 1, 12)
+         |      AS BIGINT) % 1024 AS cell,
+         |    COUNT(*) AS cnt
+         |  FROM toks, unnest(range(0, 4)) AS u(j) GROUP BY 1, 2),
+         |ph AS (SELECT t.rnk, t.tok, t.exact, j,
+         |    CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ' ' || t.tok), 1, 12)
+         |      AS BIGINT) % 1024 AS cell
+         |  FROM top t, unnest(range(0, 4)) AS u(j)),
+         |probe AS (SELECT rnk, tok, exact, MIN(cnt) AS est
+         |  FROM ph JOIN cells USING (j, cell) GROUP BY 1, 2, 3)
+         |SELECT CAST(rnk AS INTEGER) AS rnk, tok, exact, est,
+         |  (est >= exact) AS never_under
+         |FROM probe ORDER BY rnk""".stripMargin,
+    // identical A-ES key: ln((md5-prefix + 1) / 2^48) / w, same literal
+    // 2^48, same +1 guard; ROW_NUMBER with the same (key DESC, doc_id)
+    // tiebreak — mirrored op-for-op so the rounded doubles hash-match
+    "q103_weighted_sample" ->
+      s"""WITH w AS (SELECT doc_id, source,
+         |    CAST(len($DToks) AS BIGINT) AS w FROM documents),
+         |k AS (SELECT doc_id, source, w,
+         |    ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+         |      AS BIGINT) + 1.0) / 281474976710656.0) / w AS key
+         |  FROM w WHERE w >= 1),
+         |r AS (SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY source ORDER BY key DESC, doc_id) AS rank FROM k)
+         |SELECT source, CAST(rank AS INTEGER) AS rank, doc_id, w,
+         |  round(key, 6) AS key_r
+         |FROM r WHERE rank <= 10 ORDER BY source, rank""".stripMargin,
     "q58_numeric_profile" ->
       """WITH a AS (SELECT COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,

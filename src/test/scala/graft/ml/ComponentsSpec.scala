@@ -107,4 +107,39 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got(60L)._1 == 60L && got(61L)._1 == 60L && got(62L)._1 == 60L)
     assert(got.count(_._2._2) == 3, "one canonical per component")
   }
+
+  test("q100 split partitions the corpus; components never straddle splits") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Similarity.q100_component_split(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    // all three splits materialize, docs partition exactly, flag is true
+    assert(rows.keySet == Set("train", "val", "test"))
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    assert(rows.values.map(_._1).sum == nDocs, "every doc in exactly one split")
+    assert(rows.values.forall(_._3), "leak_free must hold")
+    // doc counts can skew arbitrarily (sf0.001 has a ~390-doc near-dup
+    // component that lands whole in one split — exactly the leakage-proof
+    // behavior the operator exists for), but GROUP counts follow 80/10/10
+    assert(rows("train")._2 > rows("val")._2 && rows("train")._2 > rows("test")._2,
+      "80/10/10 hash split assigns train the most groups")
+    // the REAL leakage probe, independent of the query's own flag: every
+    // near-dup pair of the union graph lands in one split
+    val labels = Similarity.q73_dedup_union(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val comp = labels.toMap
+    def splitOf(grp: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(grp.toString.getBytes("UTF-8"))
+      val bucket = java.lang.Long.parseLong(
+        h.take(2).map("%02x".format(_)).mkString, 16) % 100
+      if (bucket < 80) "train" else if (bucket < 90) "val" else "test"
+    }
+    val byComp = labels.groupBy(_._2)
+    assert(byComp.nonEmpty)
+    byComp.foreach { case (c, members) =>
+      val splits = members.map(m => splitOf(comp(m._1))).distinct
+      assert(splits.size == 1, s"component $c straddles splits $splits")
+    }
+  }
 }

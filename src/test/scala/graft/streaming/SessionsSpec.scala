@@ -469,4 +469,56 @@ class SessionsSpec extends AnyFunSuite {
       assert(byId.map(_._1) == byId.map(_._1).sorted, "batch ids monotonic")
     } finally q.stop()
   }
+
+  test("windowed agg output modes: update emits revisions, append emits once " +
+      "finalized, too-late rows drop in both") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the SAME watermarked aggregation under both output modes, fed the
+    // same batches — the semantics contrast Structured Streaming's docs
+    // promise: update = provisional rows per refinement, append = exactly
+    // one immutable row per window once the watermark passes window end,
+    // and beyond-watermark rows drop in BOTH (round-8 verdict item 7)
+    val inU = MemoryStream[(Timestamp, String)]
+    val inA = MemoryStream[(Timestamp, String)]
+    val qU = Sessions.windowedCounts(inU.toDF().toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName("wc_update")
+      .outputMode("update").start()
+    val qA = Sessions.windowedCounts(inA.toDF().toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName("wc_append")
+      .outputMode("append").start()
+    def both(rows: (Timestamp, String)*): Unit = {
+      inU.addData(rows: _*); inA.addData(rows: _*)
+      qU.processAllAvailable(); qA.processAllAvailable()
+    }
+    def w1Counts(table: String): Seq[Long] = spark.table(table)
+      .filter(col("window_start") === Timestamp.valueOf("2024-03-01 10:00:00")
+        && col("event_type") === "click")
+      .collect().map(_.getAs[Long]("n_events")).toSeq.sorted
+    try {
+      // batch 1: two on-time W1=[10:00,11:00) events
+      both((ts(0), "click"), (ts(5), "click"))
+      assert(w1Counts("wc_update") == Seq(2L),
+        "update emits the provisional row immediately")
+      assert(spark.table("wc_append").count() == 0,
+        "append withholds until the watermark passes window end")
+      // batch 2: a LATE event (10:02) still within the 10-min watermark
+      // (wm = 10:05 - 10min = 09:55) — must refine, not drop
+      both((ts(2), "click"))
+      assert(w1Counts("wc_update") == Seq(2L, 3L),
+        "update emits one revision per refinement")
+      assert(spark.table("wc_append").count() == 0)
+      // batch 3: far-future sentinel pushes the watermark past 11:00 —
+      // append finalizes W1 (in the trailing no-data micro-batch)
+      both((ts(600), "other"))
+      assert(w1Counts("wc_append") == Seq(3L),
+        "append emits exactly one FINAL row per window")
+      // batch 4: a TOO-LATE W1 event (wm now 19:50) drops in BOTH modes
+      both((ts(7), "click"))
+      assert(w1Counts("wc_update") == Seq(2L, 3L),
+        "beyond-watermark row must not produce another update")
+      assert(w1Counts("wc_append") == Seq(3L),
+        "append output is immutable once finalized")
+    } finally { qU.stop(); qA.stop() }
+  }
 }

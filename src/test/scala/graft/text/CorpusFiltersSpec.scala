@@ -216,6 +216,73 @@ class CorpusFiltersSpec extends AnyFunSuite {
       s"deleted $totDel of $totRep repeated tokens — winners must survive")
   }
 
+  test("q102 sliding chunks: stride arithmetic, overlap, full coverage, no duplicate tail") {
+    val chunks = CorpusFilters.q102_chunk_sliding(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .groupBy(_._1)
+    val nTok = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), size(Cleanse.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(chunks.nonEmpty)
+    chunks.foreach { case (doc, cs) =>
+      val ordered = cs.sortBy(_._2)
+      val n = nTok(doc)
+      ordered.foreach { case (_, cid, start, len) =>
+        assert(start == 1 + cid * 24, s"doc $doc chunk $cid start arithmetic")
+        assert(len == math.min(32, n - start + 1), s"doc $doc chunk $cid length")
+      }
+      // coverage: the last chunk reaches the document end...
+      val (_, _, lastStart, lastLen) = ordered.last
+      assert(lastStart + lastLen - 1 == n, s"doc $doc last chunk must reach end")
+      // ...and no chunk is a pure suffix of its predecessor (duplicate tail)
+      ordered.sliding(2).foreach {
+        case Array((_, _, s1, l1), (_, _, s2, l2)) =>
+          assert(s2 + l2 - 1 > s1 + l1 - 1, s"doc $doc: chunk at $s2 adds no new tokens")
+        case _ => ()
+      }
+    }
+  }
+
+  test("q103 A-ES weighted sample: exact-k per stratum, keys ordered, long docs favored") {
+    val rows = CorpusFilters.q103_weighted_sample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val bySrc = rows.groupBy(_._1)
+    assert(bySrc.nonEmpty)
+    bySrc.foreach { case (src, sel) =>
+      val ordered = sel.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq == (1 to ordered.length),
+        s"$src ranks contiguous from 1")
+      assert(ordered.length <= 10)
+      // keys non-increasing down the ranks (the A-ES selection order)
+      ordered.sliding(2).foreach {
+        case Array((_, _, _, _, k1), (_, _, _, _, k2)) => assert(k1 >= k2)
+        case _ => ()
+      }
+      assert(ordered.forall(_._4 >= 1))
+    }
+    // the point of WEIGHTED sampling: token-weighted draws favor long docs
+    val meanAll = graft.Tables.documents(spark, dir)
+      .select(avg(size(Cleanse.tokens(col("text"))))).head().getDouble(0)
+    val meanSel = rows.map(_._4.toDouble).sum / rows.length
+    assert(meanSel > meanAll,
+      f"selected mean tokens $meanSel%.1f must exceed corpus mean $meanAll%.1f")
+  }
+
+  test("q104 count-min: estimates never undercount, top ranking exact-ordered") {
+    val rows = CorpusFilters.q104_countmin_hh(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.map(_._1).toSeq == (1 to 20))
+    assert(rows.forall(_._5), "CMS may only overcount")
+    assert(rows.forall(r => r._4 >= r._3))
+    rows.sliding(2).foreach {
+      case Array((_, t1, e1, _, _), (_, t2, e2, _, _)) =>
+        assert(e1 > e2 || (e1 == e2 && t1 < t2), "exact counts rank the probes")
+      case _ => ()
+    }
+  }
+
   test("q87b trained classifier: contract holds at both SFs with margin") {
     // the oracle gate runs at sf0.01; asserting the same contract on BOTH
     // fixture corpora (different data, same floors) is the knife-edge
