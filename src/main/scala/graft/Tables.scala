@@ -27,19 +27,30 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = p(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = p(s, d, "embeddings")
 
-  /** `events.parquet` stores TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects outright. We read the nanos as a raw long (legacy conf) and
-    * expose:
-    *   - `ts_ns` — the raw epoch nanoseconds
-    *   - `ts_us` — epoch microseconds (floor division, matching DuckDB's
-    *               ns→us truncation so oracle queries agree)
+  /** `events.parquet`'s `ts` encoding has varied across driver-generated
+    * datasets: TIMESTAMP(NANOS) (which Spark's parquet reader only accepts
+    * as a raw long via the legacy conf) and plain microsecond
+    * TIMESTAMP_NTZ. Normalize both to the same three columns so every
+    * downstream operator and every DuckDB oracle (`epoch_us(ts)`) agrees:
+    *   - `ts_ns` — epoch nanoseconds
+    *   - `ts_us` — epoch microseconds (floor division for the nanos case,
+    *               matching DuckDB's ns→us truncation)
     *   - `ts`    — TimestampType at microsecond precision
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    p(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_us", expr("ts_ns div 1000"))
-      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+    val raw = p(s, d, "events")
+    val tsType = raw.schema("ts").dataType
+    val withUs = tsType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as long
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+      case _ => // TIMESTAMP / TIMESTAMP_NTZ; session tz is UTC so the
+        // NTZ→LTZ cast is the identity on the stored micros
+        raw.withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+          .withColumn("ts_ns", col("ts_us") * lit(1000L))
+          .drop("ts")
+    }
+    withUs.withColumn("ts", expr("timestamp_micros(ts_us)"))
   }
 }
