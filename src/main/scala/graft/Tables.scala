@@ -39,18 +39,33 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→LTZ cast below is the identity on the stored micros ONLY
+    // under a UTC session; every graft entry point sets it, but enforce it
+    // here too so a non-UTC caller can't silently shift ts_us.
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = p(s, d, "events")
-    val tsType = raw.schema("ts").dataType
-    val withUs = tsType match {
-      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as long
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    val withUs = raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) surfaced as raw long via the conf
         raw.withColumnRenamed("ts", "ts_ns")
           .withColumn("ts_us", expr("ts_ns div 1000"))
-      case _ => // TIMESTAMP / TIMESTAMP_NTZ; session tz is UTC so the
-        // NTZ→LTZ cast is the identity on the stored micros
+      case TimestampType | TimestampNTZType =>
         raw.withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
           .withColumn("ts_ns", col("ts_us") * lit(1000L))
           .drop("ts")
+      case other =>
+        // Fail loudly on a new driver-side encoding (e.g. plain micros
+        // long without the nanos logical type, or a string) instead of
+        // producing silently wrong ts_us — this class of silent change
+        // cost round 10 twelve bench queries.
+        throw new IllegalStateException(
+          s"events.ts has unsupported encoding $other; expected " +
+            "TIMESTAMP(NANOS)-as-long, TIMESTAMP or TIMESTAMP_NTZ")
     }
+    // Fixed column order regardless of which branch ran, so select-* and
+    // cross-dataset unions see one schema.
+    val rest = withUs.columns.filterNot(Set("ts_ns", "ts_us")).map(col).toSeq
     withUs.withColumn("ts", expr("timestamp_micros(ts_us)"))
+      .select(rest ++ Seq(col("ts_ns"), col("ts_us"), col("ts")): _*)
   }
 }

