@@ -987,32 +987,81 @@ object Similarity {
     labels.orderBy(col("doc_id"))
   }
 
-  /** Per-source SURVIVORSHIP of the q73 dedup stage — the audit table
-    * every curation run publishes next to its keep-list (q89's
-    * per-source-accounting shape applied to dedup): how many of each
-    * source's documents were flagged by any near-dup signal, how many
-    * drop (flagged non-canonical), and the survival rate. A doc survives
-    * iff it was never flagged or is its component's canonical.
+  /** Scratch path for the materialized dedup stage, keyed by
+    * (applicationId, input dir) so a sf0.001 warmup stage never serves a
+    * sf0.1 read. Lives for the session like a curation DAG's intermediate
+    * table lives for the pipeline run. */
+  private[graft] def dedupStageDir(s: SparkSession, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${System.getProperty("java.io.tmpdir")}/graft_dedup_stage_" +
+      s"${s.sparkContext.applicationId}_$key"
+  }
+
+  /** MATERIALIZED dedup stage — the production curation-DAG shape
+    * (round-11 verdict item 4): the q73 union-fixpoint runs ONCE per
+    * (session, input dir) and its per-document output persists as a
+    * split-partitioned parquet stage table; every downstream audit /
+    * split / report derives by SCANNING the stage, never by re-running
+    * the fixpoint. At 100 TB the component fixpoint is hours of cluster
+    * time — nobody runs it three times to publish an audit, a split
+    * assignment and a curation report. q73 itself stays self-contained so
+    * the fixpoint's cost remains bench-visible as its own line.
     *
-    * Scale: the labels frame is the q73 output (already bounded by docs
-    * touched by a signal), the join keys on doc_id, and the rollup is
-    * source-cardinality — nothing beyond q73's own cost. Oracle reuses
-    * the q73 recursive-CTE closure verbatim. */
-  def q73b_dedup_survivorship(s: SparkSession, dir: String): DataFrame = {
-    val labels = q73_dedup_union(s, dir)
-      .select(col("doc_id"), col("is_canonical"))
-    Tables.documents(s, dir).select(col("doc_id"), col("source"))
-      .join(labels, Seq("doc_id"), "left")
+    * Stage schema, one row per document:
+    *   doc_id, source,
+    *   component   — q73 label; NULL for docs no near-dup signal touched
+    *   grp         — component coalesced to the doc's own id (singletons)
+    *   flagged     — touched by any signal
+    *   is_canonical— survivor flag (untouched singletons survive)
+    *   split       — 'train'/'val'/'test', 80/10/10 hash of grp (the
+    *                 leakage-proof q100 assignment), partition column */
+  private[graft] def dedupStage(s: SparkSession, dir: String): DataFrame = {
+    val out = dedupStageDir(s, dir)
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      val labels = q73_dedup_union(s, dir)
+        .select(col("doc_id"), col("component"), col("is_canonical"))
+      val stage = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("component"),
+          coalesce(col("component"), col("doc_id")).as("grp"),
+          col("is_canonical").isNotNull.as("flagged"),
+          coalesce(col("is_canonical"), lit(true)).as("is_canonical"))
+        .withColumn("bk", pmod(
+          conv(substring(md5(col("grp").cast("string").cast("binary")), 1, 4),
+            16, 10).cast("long"), lit(100L)))
+        .withColumn("split",
+          when(col("bk") < 80, "train").when(col("bk") < 90, "val")
+            .otherwise("test"))
+        .drop("bk")
+      graft.sink.Parquet.writePartitioned(stage, out, Seq("split"))
+    }
+    s.read.parquet(out)
+  }
+
+  /** Per-source SURVIVORSHIP of the dedup stage — the audit table every
+    * curation run publishes next to its keep-list (q89's per-source-
+    * accounting shape applied to dedup): how many of each source's
+    * documents were flagged by any near-dup signal, how many drop
+    * (flagged non-canonical), and the survival rate.
+    *
+    * Since r12 this DERIVES FROM the materialized stage: the plan is a
+    * stage-table scan + source-cardinality rollup (the fixpoint ran once,
+    * in `dedupStage`). Oracle reuses the q73 recursive-CTE closure
+    * verbatim — the stage is pure bookkeeping over the same labels, so
+    * the rollup hash-matches the self-contained derivation. */
+  def q73b_dedup_survivorship(s: SparkSession, dir: String): DataFrame =
+    dedupStage(s, dir)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("is_canonical").isNotNull, 1L).otherwise(0L)).as("n_flagged"),
-        sum(when(col("is_canonical") === false, 1L).otherwise(0L)).as("n_dropped"))
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("flagged") && !col("is_canonical"), 1L).otherwise(0L))
+          .as("n_dropped"))
       .select(col("source"), col("n_docs"), col("n_flagged"), col("n_dropped"),
         (col("n_docs") - col("n_dropped")).as("n_kept"),
         round((col("n_docs") - col("n_dropped")).cast("double") / col("n_docs"), 6)
           .as("survival_rate"))
       .orderBy(col("source"))
-  }
 
   /** DEDUP-AWARE train/val/test split — leakage-proof split assignment.
     * Splitting per DOCUMENT lets near-duplicates straddle train and test
@@ -1026,29 +1075,43 @@ object Similarity {
     * construction since split = f(group), but ASSERTED through the gate:
     * a bug that split by doc_id would flip it false).
     *
-    * Scale: q73's own cost + one left join on doc_id; the split hash is
-    * map-side; the leak probe and rollup are group-cardinality aggs. */
+    * Since r12 the assignment lives IN the materialized stage (`split` is
+    * its partition column); this query is a stage scan + two group-
+    * cardinality aggs. The leak probe is re-derived from the stored
+    * table rather than assumed — a stage written with a per-doc split
+    * would flip `leak_free` false through the gate. */
   def q100_component_split(s: SparkSession, dir: String): DataFrame = {
-    val labels = q73_dedup_union(s, dir).select(col("doc_id"), col("component"))
-    val assigned = Tables.documents(s, dir).select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("grp"))
-      .withColumn("bk", pmod(
-        conv(substring(md5(col("grp").cast("string").cast("binary")), 1, 4),
-          16, 10).cast("long"), lit(100L)))
-      .withColumn("split",
-        when(col("bk") < 80, "train").when(col("bk") < 90, "val")
-          .otherwise("test"))
-    val leak = assigned.groupBy(col("grp"))
+    val stage = dedupStage(s, dir)
+    val leak = stage.groupBy(col("grp"))
       .agg(countDistinct(col("split")).as("ns"))
       .agg(max(col("ns")).as("max_ns"))
-    assigned.groupBy(col("split"))
+    stage.groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"), countDistinct(col("grp")).as("n_groups"))
       .crossJoin(broadcast(leak))
       .select(col("split"), col("n_docs"), col("n_groups"),
         (col("max_ns") === 1L).as("leak_free"))
       .orderBy(col("split"))
   }
+
+  /** Curation REPORT off the materialized stage: the (split × source)
+    * matrix a training run reads before mixing data — per cell, document
+    * count, survivor count (post-dedup kept docs) and the number of
+    * near-dup groups represented (a group spanning sources counts in
+    * each source it touches; split never splits a group — that is q100's
+    * gated `leak_free` invariant). Third consumer of the stage table:
+    * with q73b and q100 it demonstrates the materialize-once /
+    * derive-many DAG — three published tables, ONE fixpoint.
+    *
+    * Scale: a partition-pruned stage scan + one rollup; cell cardinality
+    * is |splits| × |sources|. Oracle re-derives the closure and the
+    * identical rollup in DuckDB. */
+  def q101_curation_report(s: SparkSession, dir: String): DataFrame =
+    dedupStage(s, dir)
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_canonical"), 1L).otherwise(0L)).as("n_kept"),
+        countDistinct(col("grp")).as("n_groups"))
+      .orderBy(col("split"), col("source"))
 
   /** Connected components over an undirected pair list (doc_a, doc_b) →
     * (doc_id, component, is_canonical) by ALTERNATING LARGE-STAR /
@@ -1213,6 +1276,7 @@ object Similarity {
     "q73_dedup_union"     -> (q73_dedup_union _),
     "q73b_dedup_survivorship" -> (q73b_dedup_survivorship _),
     "q100_component_split" -> (q100_component_split _),
+    "q101_curation_report" -> (q101_curation_report _),
     "q79_jaccard_prefix"  -> (q79_jaccard_prefix _),
     "q82_ann_ivf_recall"  -> (q82_ann_ivf_recall _),
     "m_ann_pq_fitted"     -> (m_ann_pq_fitted _),
@@ -1567,7 +1631,27 @@ object Similarity {
          |SELECT split, COUNT(*) AS n_docs,
          |  CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups,
          |  (max_ns = 1) AS leak_free
-         |FROM asg, leak GROUP BY split, max_ns ORDER BY split""".stripMargin)
+         |FROM asg, leak GROUP BY split, max_ns ORDER BY split""".stripMargin,
+    // the q73 closure, then the (split × source) stage matrix: kept =
+    // never flagged OR component canonical; groups counted per cell
+    "q101_curation_report" ->
+      s"""WITH RECURSIVE $dedupUnionCtes,
+         |stage AS (SELECT d.doc_id, d.source,
+         |    COALESCE(lab.component, d.doc_id) AS grp,
+         |    (lab.id IS NULL OR lab.id = lab.component) AS is_canonical
+         |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.id),
+         |asg AS (SELECT doc_id, source, grp, is_canonical,
+         |  CASE WHEN CAST('0x' || substr(md5(CAST(grp AS VARCHAR)), 1, 4)
+         |      AS BIGINT) % 100 < 80 THEN 'train'
+         |    WHEN CAST('0x' || substr(md5(CAST(grp AS VARCHAR)), 1, 4)
+         |      AS BIGINT) % 100 < 90 THEN 'val'
+         |    ELSE 'test' END AS split
+         |  FROM stage)
+         |SELECT split, source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups
+         |FROM asg GROUP BY split, source ORDER BY split, source""".stripMargin)
 
   /** q73's full closure chain (three signal families → union → recursive
     * transitive closure → `lab(id, component)`), shared by the q73 gate

@@ -142,4 +142,50 @@ class ComponentsSpec extends AnyFunSuite {
       assert(splits.size == 1, s"component $c straddles splits $splits")
     }
   }
+
+  test("dedup stage materializes once; audits derive from the stage scan") {
+    val dir = "/root/testdata/sf0.001"
+    val stageDir = new java.io.File(Similarity.dedupStageDir(spark, dir))
+    org.apache.commons.io.FileUtils.deleteQuietly(stageDir) // isolate
+    // first derived query pays fixpoint + write; its PLAN is a stage scan
+    val audit = Similarity.q73b_dedup_survivorship(spark, dir)
+    val plan = audit.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_dedup_stage"),
+      s"q73b must scan the materialized stage, not re-run the fixpoint:\n$plan")
+    assert(new java.io.File(stageDir, "_SUCCESS").exists(), "stage persisted")
+    val auditRows = audit.collect()
+    // subsequent consumers REUSE the stage: no file under it changes
+    def state(): Map[String, Long] = {
+      val base = stageDir.toPath
+      val buf = scala.collection.mutable.Map.empty[String, Long]
+      java.nio.file.Files.walk(base).forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p))
+          buf(base.relativize(p).toString) =
+            java.nio.file.Files.getLastModifiedTime(p).toMillis
+      }
+      buf.toMap
+    }
+    val before = state()
+    val split = Similarity.q100_component_split(spark, dir).collect()
+    val report = Similarity.q101_curation_report(spark, dir).collect()
+    assert(state() == before, "q100/q101 must not rewrite the stage")
+    // cross-consistency: the three derived tables agree with each other
+    // and with the self-contained fixpoint output
+    val labels = Similarity.q73_dedup_union(spark, dir)
+    assert(auditRows.map(_.getLong(2)).sum == labels.count(),
+      "total flagged == docs the fixpoint touched")
+    assert(auditRows.map(_.getLong(1)).sum == split.map(_.getLong(1)).sum,
+      "audit and split account for the same corpus")
+    assert(report.map(_.getLong(2)).sum == auditRows.map(_.getLong(1)).sum,
+      "report cells partition the corpus")
+    assert(report.map(_.getLong(3)).sum ==
+      auditRows.map(r => r.getLong(1) - r.getLong(3)).sum,
+      "report kept == audit kept, summed")
+    // split is the stage's partition column → a split predicate prunes
+    val pruned = Similarity.dedupStage(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("split") === "train")
+    val prunedPlan = pruned.queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("PartitionFilters") && prunedPlan.contains("split"),
+      s"expected partition pruning on the stage scan:\n$prunedPlan")
+  }
 }
