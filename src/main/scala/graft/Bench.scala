@@ -27,7 +27,8 @@ object Bench {
       // q87b LogisticRegression / q94's 10-round BPE merge loop)
       "q82_ann_ivf_recall", "q84_minhash_lsh_recall", "q87b_quality_trained",
       "q94_bpe_learn", "q94b_bpe_tokenize",
-      "m_ann_pq_fitted", "q99_pq_fitted_recall")
+      "m_ann_pq_fitted", "q99_pq_fitted_recall",
+      "q105_unigram_learn") // 4-round Viterbi-EM fit, like the BPE loop
 
   /** Queries that launch MANY driver jobs (convergence fixpoints, the
     * multi-pass funnel): their per-job scheduling noise compounds, so

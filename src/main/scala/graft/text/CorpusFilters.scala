@@ -1021,6 +1021,197 @@ object CorpusFilters {
        |FROM toks JOIN wp USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------- unigram-LM tokenizer training
+  /** Unigram-LM (SentencePiece-style) tokenizer TRAINING — the third
+    * tokenizer family next to BPE merge LEARNING (q94) and WordPiece
+    * INFERENCE (q72b/q85b). Kudo 2018 ("Subword regularization", public
+    * algorithm): seed a candidate vocabulary from frequent substrings,
+    * alternate (E) segmenting the corpus under the current model with (M)
+    * re-estimating piece scores from the segmentations, and prune the
+    * least-useful pieces each round until the vocabulary reaches size.
+    *
+    * This implementation is the deterministic hard-EM (Viterbi-EM)
+    * variant, integer-exact so the whole trajectory hash-gates cross-
+    * engine (the q87 lesson: no transcendentals through a gate — float
+    * log-likelihoods would differ in final ulps between libm's):
+    *  - segmentation objective: fewest pieces, tie-broken by highest
+    *    total piece score, then lexicographically smallest piece
+    *    sequence. Encoded as one sortable string key
+    *    (zeropad(n_pieces) ++ zeropad(1e12 - score_sum) ++ path) so the
+    *    DP argmin is MIN(key) in both engines — no float compares, no
+    *    ordering ambiguity anywhere.
+    *  - M-step: piece score := Viterbi usage count (frequency-weighted).
+    *  - prune: the `UniPrunePerRound` multi-char pieces with the lowest
+    *    usage (ties by piece) drop each round; single chars never drop,
+    *    so every word stays segmentable.
+    *
+    * Production shape, exactly SentencePiece's trainer: the corpus is
+    * touched ONCE (word-frequency agg); every EM round runs on the
+    * DISTINCT WORD table (Heaps-bounded) with the model broadcast. The
+    * E-step is map-side per word (a compiled UDF doing the O(len ×
+    * maxPiece) DP with the broadcast vocab — the hot loop is per-row
+    * imperative, the one place a UDF beats any expression tree), the
+    * M-step is one vocabulary-sized agg, and the driver holds only the
+    * pruned-piece rows per round (q94's one-scalar-per-round
+    * discipline). Output: the full prune trajectory + final vocabulary,
+    * hash-gated; the oracle re-runs ALL rounds as generated CTE stages
+    * with the DP unrolled per position (bpeStagesSql discipline). */
+  private[graft] val UniMaxPiece = 6
+  private[graft] val UniSeedMulti = 32
+  private[graft] val UniRounds = 4
+  private[graft] val UniPrunePerRound = 6
+  private[graft] val UniMaxWordLen = 12
+
+  /** Viterbi key for one word under a (piece → score) model: the encoded
+    * best-segmentation key (see q105 scaladoc); `null` never occurs while
+    * every char stays in the vocabulary. Shared by the trainer UDF and
+    * SubwordSpec's brute-force oracle. */
+  private[graft] def uniSegmentKey(word: String,
+      vocab: scala.collection.Map[String, Long]): String = {
+    val L = word.length
+    val dp = new Array[String](L + 1)
+    dp(0) = "00" + "1000000000000"
+    var p = 1
+    while (p <= L) {
+      var j = math.max(0, p - UniMaxPiece)
+      while (j < p) {
+        if (dp(j) != null) {
+          val piece = word.substring(j, p)
+          vocab.get(piece) match {
+            case Some(score) =>
+              val np = dp(j).substring(0, 2).toInt + 1
+              val inv = dp(j).substring(2, 15).toLong - score
+              val cand = f"$np%02d" + f"$inv%013d" + dp(j).substring(15) + "|" + piece
+              if (dp(p) == null || cand < dp(p)) dp(p) = cand
+            case None => ()
+          }
+        }
+        j += 1
+      }
+      p += 1
+    }
+    dp(L)
+  }
+
+  def q105_unigram_learn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = docToks(s, dir)
+      .select(explode(col("t")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // distinct-word table: Heaps-bounded metadata
+    val maxLen = words.agg(max(length(col("word")))).collect()(0).getInt(0)
+    require(maxLen <= UniMaxWordLen,
+      s"word length $maxLen exceeds the unrolled DP bound $UniMaxWordLen")
+    // seed candidates: every substring up to UniMaxPiece chars, scored by
+    // frequency-weighted occurrence count (each occurrence counts)
+    val subs = words.select(col("cnt"), explode(expr(
+      s"""flatten(transform(sequence(1, length(word)), i ->
+         |  transform(sequence(i, least(length(word), i + ${UniMaxPiece - 1})),
+         |    j -> substring(word, i, j - i + 1))))""".stripMargin)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("score"))
+    val seed = subs.filter(length(col("piece")) === 1).unionByName(
+      subs.filter(length(col("piece")) > 1)
+        .orderBy(col("score").desc, col("piece")).limit(UniSeedMulti))
+    // the model is vocabulary-sized (chars + UniSeedMulti) — collect and
+    // broadcast, exactly how a real trainer ships its piece table
+    var vocab = seed.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val trajectory = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (round <- 1 to UniRounds) {
+      val bc = s.sparkContext.broadcast(vocab)
+      val segKey = udf((w: String) => uniSegmentKey(w, bc.value))
+      val usage = words.withColumn("key", segKey(col("word")))
+        .select(col("cnt"),
+          explode(expr("filter(split(substring(key, 16), '\\\\|'), x -> x <> '')"))
+            .as("piece"))
+        .groupBy(col("piece")).agg(sum(col("cnt")).as("usage"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // prune: lowest-usage multi-char pieces (usage asc, piece asc)
+      val dropped = vocab.keysIterator.filter(_.length > 1).toSeq
+        .map(p => (p, usage.getOrElse(p, 0L)))
+        .sortBy { case (p, u) => (u, p) }
+        .take(UniPrunePerRound)
+      dropped.foreach { case (p, u) => trajectory += ((round, "drop", p, u)) }
+      // M-step: score := usage; survivors only
+      val droppedSet = dropped.map(_._1).toSet
+      vocab = vocab.keysIterator.filterNot(droppedSet)
+        .map(p => p -> usage.getOrElse(p, 0L)).toMap
+      bc.destroy()
+    }
+    vocab.toSeq.sortBy(_._1).foreach { case (p, u) =>
+      trajectory += ((UniRounds + 1, "keep", p, u))
+    }
+    trajectory.toSeq.toDF("stage", "action", "piece", "usage")
+      .select(col("stage"), col("action"), col("piece"),
+        col("usage").cast("long").as("usage"),
+        (length(col("piece")) === 1).as("is_char"))
+      .orderBy(col("stage"), col("piece"))
+  }
+
+  /** Generated twin of q105: seed CTEs + per-round DP unrolled by
+    * position (d{r}_{p}), usage, prune and M-step stages — the oracle
+    * re-RUNS the whole training, so the data-dependent trajectory stays
+    * hash-gated exactly (q94's oracle-replays-training discipline).
+    * Every stage is AS MATERIALIZED: each DP stage references up to
+    * UniMaxPiece prior stages, and DuckDB inlines plain CTEs per
+    * reference — Fibonacci-style expansion that re-opened documents
+    * .parquet thousands of times ("Too many open files") before the
+    * explicit materialization. */
+  private lazy val unigramLearnOracle: String = {
+    val rounds = (1 to UniRounds).map { r =>
+      val v = s"v${r - 1}"
+      val dpStages = (1 to UniMaxWordLen).map { p =>
+        val prior = (math.max(0, p - UniMaxPiece) until p)
+          .map(j => s"SELECT word, cnt, pos, key FROM d${r}_$j")
+          .mkString(" UNION ALL ")
+        s"""d${r}_$p AS MATERIALIZED (SELECT word, cnt, $p AS pos, MIN(
+           |    lpad(CAST(CAST(key[1:2] AS INT) + 1 AS VARCHAR), 2, '0') ||
+           |    lpad(CAST(CAST(key[3:15] AS BIGINT) - vv.score AS VARCHAR), 13, '0') ||
+           |    key[16:] || '|' || vv.piece) AS key
+           |  FROM ($prior) b JOIN $v vv
+           |    ON vv.piece = substr(b.word, b.pos + 1, $p - b.pos)
+           |  WHERE len(b.word) >= $p
+           |  GROUP BY word, cnt)""".stripMargin
+      }.mkString(",\n")
+      val allPos = (0 to UniMaxWordLen)
+        .map(p => s"SELECT word, cnt, pos, key FROM d${r}_$p")
+        .mkString(" UNION ALL ")
+      s"""d${r}_0 AS MATERIALIZED (SELECT word, cnt, 0 AS pos, '001000000000000' AS key FROM w),
+         |$dpStages,
+         |seg$r AS MATERIALIZED (SELECT word, cnt, key FROM ($allPos) WHERE pos = len(word)),
+         |u$r AS MATERIALIZED (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS usage FROM (
+         |    SELECT cnt, unnest(string_split(key[16:], '|')) AS piece FROM seg$r)
+         |  WHERE piece <> '' GROUP BY piece),
+         |drop$r AS MATERIALIZED (SELECT vv.piece, COALESCE(u$r.usage, 0) AS usage
+         |  FROM $v vv LEFT JOIN u$r ON vv.piece = u$r.piece
+         |  WHERE len(vv.piece) > 1
+         |  ORDER BY usage, vv.piece LIMIT $UniPrunePerRound),
+         |v$r AS MATERIALIZED (SELECT vv.piece, COALESCE(u$r.usage, 0) AS score
+         |  FROM $v vv LEFT JOIN u$r ON vv.piece = u$r.piece
+         |  WHERE vv.piece NOT IN (SELECT piece FROM drop$r))""".stripMargin
+    }.mkString(",\n")
+    val dropOut = (1 to UniRounds).map(r =>
+      s"SELECT $r AS stage, 'drop' AS action, piece, usage FROM drop$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w AS MATERIALIZED (SELECT word, COUNT(*) AS cnt
+       |  FROM (SELECT unnest($DToks) AS word FROM documents) GROUP BY word),
+       |sub AS MATERIALIZED (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS score FROM (
+       |    SELECT cnt, unnest(flatten(list_transform(range(1, len(word) + 1),
+       |      i -> list_transform(range(i, least(len(word), i + ${UniMaxPiece - 1}) + 1),
+       |        j -> word[i:j])))) AS piece
+       |    FROM w) GROUP BY piece),
+       |v0 AS MATERIALIZED (SELECT piece, score FROM sub WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, score FROM (SELECT piece, score FROM sub
+       |    WHERE len(piece) > 1 ORDER BY score DESC, piece LIMIT $UniSeedMulti)),
+       |$rounds
+       |SELECT stage, action, piece, usage, (len(piece) = 1) AS is_char FROM (
+       |$dropOut
+       |UNION ALL
+       |SELECT ${UniRounds + 1} AS stage, 'keep' AS action, piece, score AS usage
+       |FROM v$UniRounds)
+       |ORDER BY stage, piece""".stripMargin
+  }
+
   // ---------------------------------------- model-based quality classifier
   /** Linear quality-classifier INFERENCE at corpus scale — the GPT-3-style
     * "quality filter" stage (Brown et al. 2020 appendix A documents a
@@ -1571,7 +1762,8 @@ object CorpusFilters {
     "q97b_substring_rewrite" -> (q97b_substring_rewrite _),
     "q102_chunk_sliding"  -> (q102_chunk_sliding _),
     "q103_weighted_sample" -> (q103_weighted_sample _),
-    "q104_countmin_hh"    -> (q104_countmin_hh _))
+    "q104_countmin_hh"    -> (q104_countmin_hh _),
+    "q105_unigram_learn"  -> (q105_unigram_learn _))
 
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
@@ -1999,6 +2191,7 @@ object CorpusFilters {
          |  CAST(SUM(covered) AS BIGINT) AS n_repeated_tokens
          |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q94b_bpe_tokenize" -> bpeTokenizeOracle,
+    "q105_unigram_learn" -> unigramLearnOracle,
     // q97's machinery + the rewrite: winner = MIN packed (doc_id, start)
     // per repeated gram; non-winner occurrences become deletion islands;
     // kept text replayed relationally (position anti-join — DuckDB lambdas

@@ -99,4 +99,54 @@ class SubwordSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     words.foreach(w => assert(got(w) == c(w), s"codegen mismatch for '$w'"))
   }
+
+  test("unigram Viterbi DP matches brute-force segmentation enumeration") {
+    // hand-built model with real ambiguity: 'abc' can split many ways
+    val vocab = Map("a" -> 10L, "b" -> 5L, "c" -> 5L, "d" -> 1L,
+      "ab" -> 20L, "bc" -> 30L, "abc" -> 8L, "cd" -> 2L, "abcd" -> 1L)
+    // brute force: every composition of the word into vocab pieces,
+    // scored exactly like the DP key (fewest pieces, highest sum, lex path)
+    def enumerate(w: String): Seq[List[String]] =
+      if (w.isEmpty) Seq(Nil)
+      else (1 to math.min(w.length, CorpusFilters.UniMaxPiece)).flatMap { k =>
+        val (h, t) = (w.take(k), w.drop(k))
+        if (vocab.contains(h)) enumerate(t).map(h :: _) else Nil
+      }
+    def keyOf(pieces: List[String]): String =
+      f"${pieces.length}%02d" +
+        f"${1000000000000L - pieces.map(vocab).sum}%013d" +
+        pieces.map("|" + _).mkString
+    for (w <- Seq("abc", "abcd", "abcabc", "dcba", "aabbcc", "abcdabcd",
+        "dddd", "cab")) {
+      val all = enumerate(w)
+      val got = CorpusFilters.uniSegmentKey(w, vocab)
+      if (all.isEmpty) assert(got == null, s"'$w' has no segmentation")
+      else assert(got == all.map(keyOf).min,
+        s"DP diverged from brute force on '$w': $got vs ${all.map(keyOf).min}")
+    }
+    // objective sanity on the ambiguous case: 'abc' → ['abc'] (1 piece
+    // beats any 2-piece split regardless of scores)
+    assert(CorpusFilters.uniSegmentKey("abc", vocab).endsWith("|abc"))
+    // among 2-piece splits of 'abcd': ab|cd (sum 22) beats abc|d (sum 9)
+    assert(CorpusFilters.uniSegmentKey("abcd", vocab).endsWith("|abcd"),
+      "whole-word piece wins at 1 piece")
+    val noWhole = vocab - "abcd"
+    assert(CorpusFilters.uniSegmentKey("abcd", noWhole).endsWith("|ab|cd"))
+  }
+
+  test("q105 trajectory invariants: chars never drop, vocab shrinks to size") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = CorpusFilters.q105_unigram_learn(spark, dir).collect()
+    val drops = rows.filter(_.getString(1) == "drop")
+    val keeps = rows.filter(_.getString(1) == "keep")
+    assert(drops.length == CorpusFilters.UniRounds * CorpusFilters.UniPrunePerRound)
+    assert(drops.forall(!_.getBoolean(4)), "single chars must never drop")
+    val keptMulti = keeps.count(!_.getBoolean(4))
+    assert(keptMulti ==
+      CorpusFilters.UniSeedMulti - CorpusFilters.UniRounds * CorpusFilters.UniPrunePerRound,
+      s"final multi-char vocab size wrong: $keptMulti")
+    // every kept multi-char piece is actually used (survived 4 usage prunes)
+    assert(keeps.filter(!_.getBoolean(4)).forall(_.getLong(3) > 0),
+      "surviving multi-char pieces must have nonzero usage")
+  }
 }
