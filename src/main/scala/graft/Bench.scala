@@ -28,6 +28,7 @@ object Bench {
       "q82_ann_ivf_recall", "q84_minhash_lsh_recall", "q87b_quality_trained",
       "q94_bpe_learn", "q94b_bpe_tokenize",
       "m_ann_pq_fitted", "q99_pq_fitted_recall",
+      "q106_ivfpq_recall", // coarse KMeans + 8 PQ KMeans fits inside
       "q105_unigram_learn") // 4-round Viterbi-EM fit, like the BPE loop
 
   /** Queries that launch MANY driver jobs (convergence fixpoints, the
