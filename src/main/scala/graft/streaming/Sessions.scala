@@ -345,6 +345,87 @@ object Sessions {
         index.append(streamBandRows(batch.toDF(), idCol, textCol))
       }
 
+  /** The streaming curation DAG END-TO-END (round-11 verdict item 8): the
+    * composed per-doc gate (Bloom contamination verdict + quality logit)
+    * PLUS the near-dup signal against the incrementally-maintained band
+    * index, in one foreachBatch pipeline that emits, per micro-batch:
+    *   - a PER-DOC frame (idCol, sourceCol, contaminated, quality_logit,
+    *     keep_quality, dup, keep) — what a router writes onward;
+    *   - a SURVIVORSHIP frame with exactly q73b's columns (source,
+    *     n_docs, n_flagged, n_dropped, n_kept, survival_rate) rolled up
+    *     over the batch — the audit a continuous pipeline publishes.
+    *
+    * Near-dup semantics — the streaming FIRST-OCCURRENCE rule: a doc is
+    * `dup` iff it band-collides with any SMALLER-id doc, whether that doc
+    * arrived in an earlier batch (probe of `index.current`) or earlier in
+    * the SAME batch (a batch-local band self-join — without it, within-
+    * batch twins would silently pass on replay, and parity with the batch
+    * rule would depend on batch boundaries). With ingest ids monotone in
+    * arrival order this is exactly the batch "collides with any earlier
+    * doc" keep-list, independent of how the stream is chopped into
+    * batches — SessionsSpec asserts keep-list equality against the
+    * batch-computed twin on a replayed corpus. Note the scope: this is
+    * the DIRECT-collision rule (each arrival judged against concrete
+    * earlier docs), not q73's transitive component closure — a stream
+    * cannot retro-drop an already-emitted doc when a later arrival links
+    * two existing clusters; the retrospective component audit stays
+    * q73b's batch job. `n_flagged` here equals `n_dropped` for the same
+    * reason (the kept earlier twin was already emitted in ITS batch).
+    *
+    * ALL batch docs' band rows fold into the index (dropped ones too —
+    * dropping only kept docs' rows would let doc C pass when its only
+    * collisions were with the dropped B of an A-B-C chain). At 100 TB the
+    * index is a (band, h)-partitioned lake table (see [[BandIndex]]) and
+    * every per-batch step here is a map-side signature + one (band, h)
+    * equi-join + a source-cardinality rollup. */
+  def curationDagStream(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, filterBytes: Array[Byte], index: BandIndex,
+      weights: IndexedSeq[Double] = graft.text.CorpusFilters.ClassifierWeights,
+      bias: Double = 0.0,
+      handler: (DataFrame, DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // batch N's perDoc pin is released at batch N+1 (same deferred-release
+    // contract as BandIndex: a handler may hold its frames one batch; the
+    // final batch's pin is released with the session)
+    var prevPinned: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val b = batch.toDF()
+        val verdicts = curationGateStream(b, textCol, filterBytes, weights, bias)
+          .withColumnRenamed("keep", "keep_quality")
+        val bandRows = streamBandRows(b, idCol, textCol)
+        // earlier-batch collisions: probe the index, earlier id wins
+        val fromIndex = nearDupCandidates(b, idCol, textCol, index.current)
+          .filter(col("corpus_doc") < col(idCol))
+          .select(col(idCol))
+        // same-batch collisions: band self-join, smaller id wins
+        val local = bandRows.as("x").join(bandRows.as("y"),
+            col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
+              col(s"y.$idCol") < col(s"x.$idCol"))
+          .select(col(s"x.$idCol").as(idCol))
+        val dupIds = fromIndex.unionByName(local).distinct()
+          .withColumn("dup", lit(true))
+        val perDoc = verdicts.join(dupIds, Seq(idCol), "left")
+          .withColumn("dup", coalesce(col("dup"), lit(false)))
+          .withColumn("keep", col("keep_quality") && !col("dup"))
+          // pin: both outputs derive from it, and the handler may hold the
+          // frames past this batch while the index pin rotates
+          .localCheckpoint()
+        val survivorship = perDoc.groupBy(col(sourceCol).as("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("dup"), 1L).otherwise(0L)).as("n_flagged"),
+            sum(when(col("dup"), 1L).otherwise(0L)).as("n_dropped"))
+          .select(col("source"), col("n_docs"), col("n_flagged"),
+            col("n_dropped"), (col("n_docs") - col("n_dropped")).as("n_kept"),
+            round((col("n_docs") - col("n_dropped")).cast("double")
+              / col("n_docs"), 6).as("survival_rate"))
+        handler(perDoc, survivorship, id)
+        index.append(bandRows)
+        prevPinned.foreach(_.unpersist(blocking = false))
+        prevPinned = graft.ml.Similarity.pinnedRdds(perDoc)
+      }
+  }
+
   def sinkForeachBatch(events: DataFrame,
       handler: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.outputMode("append")

@@ -308,6 +308,77 @@ class SessionsSpec extends AnyFunSuite {
     } finally { q.stop(); index.close() }
   }
 
+  test("curation DAG stream: keep-list matches the batch rule on a replayed corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val bytes = graft.ml.Bloom.buildFilter(
+      Seq("zqx wvk jjj pqm nnb").toDF("g"), col("g"), 1024L, 0.01)
+    val corpus = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // batch twin of the streaming first-occurrence rule: dup iff the doc
+    // band-collides with ANY smaller-id doc (direct collisions, uncapped)
+    val allBands = Sessions.streamBandRows(
+      corpus.toSeq.toDF("doc_id", "text", "source"), "doc_id", "text")
+    val dupBatch = allBands.as("x").join(allBands.as("y"),
+        col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
+          col("y.doc_id") < col("x.doc_id"))
+      .select(col("x.doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(dupBatch.nonEmpty, "fixture must contain near-dup docs")
+
+    def replay(nChunks: Int): (Set[Long], Seq[Map[String, (Long, Long, Long)]], Map[Long, (Boolean, Boolean, Boolean)]) = {
+      val index = new Sessions.BandIndex(Sessions.streamBandRows(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text"))
+      val dupStream = scala.collection.mutable.Set.empty[Long]
+      val surv = scala.collection.mutable.ArrayBuffer.empty[Map[String, (Long, Long, Long)]]
+      val flags = scala.collection.mutable.Map.empty[Long, (Boolean, Boolean, Boolean)]
+      val input = MemoryStream[(Long, String, String)]
+      val q = Sessions.curationDagStream(
+          input.toDF().toDF("doc_id", "text", "source"), "doc_id", "text",
+          "source", bytes, index,
+          handler = (perDoc, survivorship, _) => {
+            perDoc.collect().foreach { r =>
+              val id = r.getAs[Long]("doc_id")
+              if (r.getAs[Boolean]("dup")) dupStream += id
+              flags(id) = (r.getAs[Boolean]("keep"),
+                r.getAs[Boolean]("keep_quality"), r.getAs[Boolean]("dup"))
+            }
+            surv += survivorship.collect().map(r =>
+              r.getAs[String]("source") -> ((r.getAs[Long]("n_docs"),
+                r.getAs[Long]("n_dropped"), r.getAs[Long]("n_kept")))).toMap
+          })
+        .start()
+      try {
+        val chunks = corpus.grouped(math.ceil(corpus.length.toDouble / nChunks).toInt).toSeq
+        chunks.foreach { c => input.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      } finally { q.stop(); index.close() }
+      (dupStream.toSet, surv.toSeq, flags.toMap)
+    }
+
+    // multi-batch replay: earlier-batch collisions via the index, same-
+    // batch collisions via the local self-join — both paths exercised
+    val (dup3, surv3, flags3) = replay(3)
+    assert(flags3.keySet == corpus.map(_._1).toSet, "every doc judged once")
+    assert(dup3 == dupBatch,
+      s"streaming keep-list diverged from the batch rule: " +
+        s"extra=${dup3 -- dupBatch} missing=${dupBatch -- dup3}")
+    // batch-boundary independence: one giant batch gives the same answer
+    val (dup1, _, _) = replay(1)
+    assert(dup1 == dupBatch, "single-batch replay must agree too")
+    // keep composes quality and dedup; survivorship rolls up exactly
+    flags3.foreach { case (id, (keep, kq, dup)) =>
+      assert(keep == (kq && !dup), s"doc $id keep flag inconsistent") }
+    assert(surv3.map(_.values.map(_._1).sum).sum == corpus.length,
+      "survivorship n_docs must cover the corpus")
+    assert(surv3.map(_.values.map(_._2).sum).sum == dupBatch.size.toLong,
+      "survivorship n_dropped must sum to the dup count")
+    surv3.flatMap(_.values).foreach { case (n, d, k) =>
+      assert(k == n - d, "n_kept arithmetic") }
+  }
+
   test("windowed counts run identically on a batch frame (unified plan)") {
     import spark.implicits._
     val batch = Seq(
