@@ -1093,8 +1093,11 @@ object CorpusFilters {
     dp(L)
   }
 
-  def q105_unigram_learn(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** The training loop shared by q105 (emits the trajectory) and q105b
+    * (spends the final vocabulary): returns (prune trajectory rows,
+    * final piece → score model). */
+  private[graft] def uniTrain(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], Map[String, Long]) = {
     val words = docToks(s, dir)
       .select(explode(col("t")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
@@ -1137,10 +1140,16 @@ object CorpusFilters {
         .map(p => p -> usage.getOrElse(p, 0L)).toMap
       bc.destroy()
     }
-    vocab.toSeq.sortBy(_._1).foreach { case (p, u) =>
-      trajectory += ((UniRounds + 1, "keep", p, u))
-    }
-    trajectory.toSeq.toDF("stage", "action", "piece", "usage")
+    graft.ml.Similarity.pinnedRdds(words).foreach(_.unpersist(blocking = false))
+    (trajectory.toSeq, vocab)
+  }
+
+  def q105_unigram_learn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (trained, vocab) = uniTrain(s, dir)
+    val trajectory = trained ++ vocab.toSeq.sortBy(_._1)
+      .map { case (p, u) => (UniRounds + 1, "keep", p, u) }
+    trajectory.toDF("stage", "action", "piece", "usage")
       .select(col("stage"), col("action"), col("piece"),
         col("usage").cast("long").as("usage"),
         (length(col("piece")) === 1).as("is_char"))
@@ -1156,28 +1165,37 @@ object CorpusFilters {
     * reference — Fibonacci-style expansion that re-opened documents
     * .parquet thousands of times ("Too many open files") before the
     * explicit materialization. */
-  private lazy val unigramLearnOracle: String = {
+  /** One unrolled Viterbi DP pass (round r against vocabulary CTE v) +
+    * its per-word best-key CTE seg$r — shared by the training rounds and
+    * q105b's apply round. */
+  private def uniDpCtes(r: Int, v: String): String = {
+    val dpStages = (1 to UniMaxWordLen).map { p =>
+      val prior = (math.max(0, p - UniMaxPiece) until p)
+        .map(j => s"SELECT word, cnt, pos, key FROM d${r}_$j")
+        .mkString(" UNION ALL ")
+      s"""d${r}_$p AS MATERIALIZED (SELECT word, cnt, $p AS pos, MIN(
+         |    lpad(CAST(CAST(key[1:2] AS INT) + 1 AS VARCHAR), 2, '0') ||
+         |    lpad(CAST(CAST(key[3:15] AS BIGINT) - vv.score AS VARCHAR), 13, '0') ||
+         |    key[16:] || '|' || vv.piece) AS key
+         |  FROM ($prior) b JOIN $v vv
+         |    ON vv.piece = substr(b.word, b.pos + 1, $p - b.pos)
+         |  WHERE len(b.word) >= $p
+         |  GROUP BY word, cnt)""".stripMargin
+    }.mkString(",\n")
+    val allPos = (0 to UniMaxWordLen)
+      .map(p => s"SELECT word, cnt, pos, key FROM d${r}_$p")
+      .mkString(" UNION ALL ")
+    s"""d${r}_0 AS MATERIALIZED (SELECT word, cnt, 0 AS pos, '001000000000000' AS key FROM w),
+       |$dpStages,
+       |seg$r AS MATERIALIZED (SELECT word, cnt, key FROM ($allPos) WHERE pos = len(word))""".stripMargin
+  }
+
+  /** Seed + all training rounds: the shared CTE chain ending at the
+    * final vocabulary v$UniRounds and the per-round drop tables. */
+  private lazy val unigramTrainCtes: String = {
     val rounds = (1 to UniRounds).map { r =>
       val v = s"v${r - 1}"
-      val dpStages = (1 to UniMaxWordLen).map { p =>
-        val prior = (math.max(0, p - UniMaxPiece) until p)
-          .map(j => s"SELECT word, cnt, pos, key FROM d${r}_$j")
-          .mkString(" UNION ALL ")
-        s"""d${r}_$p AS MATERIALIZED (SELECT word, cnt, $p AS pos, MIN(
-           |    lpad(CAST(CAST(key[1:2] AS INT) + 1 AS VARCHAR), 2, '0') ||
-           |    lpad(CAST(CAST(key[3:15] AS BIGINT) - vv.score AS VARCHAR), 13, '0') ||
-           |    key[16:] || '|' || vv.piece) AS key
-           |  FROM ($prior) b JOIN $v vv
-           |    ON vv.piece = substr(b.word, b.pos + 1, $p - b.pos)
-           |  WHERE len(b.word) >= $p
-           |  GROUP BY word, cnt)""".stripMargin
-      }.mkString(",\n")
-      val allPos = (0 to UniMaxWordLen)
-        .map(p => s"SELECT word, cnt, pos, key FROM d${r}_$p")
-        .mkString(" UNION ALL ")
-      s"""d${r}_0 AS MATERIALIZED (SELECT word, cnt, 0 AS pos, '001000000000000' AS key FROM w),
-         |$dpStages,
-         |seg$r AS MATERIALIZED (SELECT word, cnt, key FROM ($allPos) WHERE pos = len(word)),
+      s"""${uniDpCtes(r, v)},
          |u$r AS MATERIALIZED (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS usage FROM (
          |    SELECT cnt, unnest(string_split(key[16:], '|')) AS piece FROM seg$r)
          |  WHERE piece <> '' GROUP BY piece),
@@ -1189,10 +1207,7 @@ object CorpusFilters {
          |  FROM $v vv LEFT JOIN u$r ON vv.piece = u$r.piece
          |  WHERE vv.piece NOT IN (SELECT piece FROM drop$r))""".stripMargin
     }.mkString(",\n")
-    val dropOut = (1 to UniRounds).map(r =>
-      s"SELECT $r AS stage, 'drop' AS action, piece, usage FROM drop$r")
-      .mkString("\nUNION ALL\n")
-    s"""WITH w AS MATERIALIZED (SELECT word, COUNT(*) AS cnt
+    s"""w AS MATERIALIZED (SELECT word, COUNT(*) AS cnt
        |  FROM (SELECT unnest($DToks) AS word FROM documents) GROUP BY word),
        |sub AS MATERIALIZED (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS score FROM (
        |    SELECT cnt, unnest(flatten(list_transform(range(1, len(word) + 1),
@@ -1203,13 +1218,60 @@ object CorpusFilters {
        |  UNION ALL
        |  SELECT piece, score FROM (SELECT piece, score FROM sub
        |    WHERE len(piece) > 1 ORDER BY score DESC, piece LIMIT $UniSeedMulti)),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private lazy val unigramLearnOracle: String = {
+    val dropOut = (1 to UniRounds).map(r =>
+      s"SELECT $r AS stage, 'drop' AS action, piece, usage FROM drop$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $unigramTrainCtes
        |SELECT stage, action, piece, usage, (len(piece) = 1) AS is_char FROM (
        |$dropOut
        |UNION ALL
        |SELECT ${UniRounds + 1} AS stage, 'keep' AS action, piece, score AS usage
        |FROM v$UniRounds)
        |ORDER BY stage, piece""".stripMargin
+  }
+
+  /** Tokenize the corpus with the LEARNED unigram vocabulary — the
+    * learn→apply loop closed for the third tokenizer family (q94b's move
+    * on q94): one more Viterbi pass over the DISTINCT words with the
+    * final model, per-word piece counts broadcast to the exploded
+    * corpus, per-doc length in learned-unigram units next to the word
+    * count. n_pieces decodes straight off the DP key's first two digits.
+    * Oracle: re-TRAIN the identical model (the shared CTE chain), re-run
+    * the apply DP round against the final vocabulary, re-aggregate —
+    * the data-dependent vocabulary stays hash-gated exactly. */
+  def q105b_unigram_tokenize(s: SparkSession, dir: String): DataFrame = {
+    val vocab = uniTrain(s, dir)._2
+    val bc = s.sparkContext.broadcast(vocab)
+    val segKey = udf((w: String) => uniSegmentKey(w, bc.value))
+    val wordPieces = docToks(s, dir)
+      .select(explode(col("t")).as("word")).distinct()
+      .withColumn("key", segKey(col("word")))
+      .select(col("word"),
+        expr("CAST(substring(key, 1, 2) AS BIGINT)").as("n_pieces"))
+    docToks(s, dir).filter(size(col("t")) >= 1)
+      .select(col("doc_id"), explode(col("t")).as("word"))
+      .join(broadcast(wordPieces), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_unigram_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val unigramTokenizeOracle: String = {
+    val applyRound = UniRounds + 1
+    s"""WITH $unigramTrainCtes,
+       |${uniDpCtes(applyRound, s"v$UniRounds")},
+       |wp AS MATERIALIZED (SELECT word, CAST(key[1:2] AS BIGINT) AS n_pieces
+       |  FROM seg$applyRound),
+       |toks AS (SELECT doc_id, unnest($DToks) AS word FROM documents)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_pieces) AS BIGINT) AS n_unigram_tokens
+       |FROM toks JOIN wp USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   // ---------------------------------------- model-based quality classifier
@@ -1763,7 +1825,8 @@ object CorpusFilters {
     "q102_chunk_sliding"  -> (q102_chunk_sliding _),
     "q103_weighted_sample" -> (q103_weighted_sample _),
     "q104_countmin_hh"    -> (q104_countmin_hh _),
-    "q105_unigram_learn"  -> (q105_unigram_learn _))
+    "q105_unigram_learn"  -> (q105_unigram_learn _),
+    "q105b_unigram_tokenize" -> (q105b_unigram_tokenize _))
 
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
@@ -2192,6 +2255,7 @@ object CorpusFilters {
          |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q94b_bpe_tokenize" -> bpeTokenizeOracle,
     "q105_unigram_learn" -> unigramLearnOracle,
+    "q105b_unigram_tokenize" -> unigramTokenizeOracle,
     // q97's machinery + the rewrite: winner = MIN packed (doc_id, start)
     // per repeated gram; non-winner occurrences become deletion islands;
     // kept text replayed relationally (position anti-join — DuckDB lambdas

@@ -134,6 +134,28 @@ class SubwordSpec extends AnyFunSuite {
     assert(CorpusFilters.uniSegmentKey("abcd", noWhole).endsWith("|ab|cd"))
   }
 
+  test("q105b tokenize: per-doc counts match a driver-side re-segmentation") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val vocab = CorpusFilters.uniTrain(spark, dir)._2
+    val rows = CorpusFilters.q105b_unigram_tokenize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // independent recomputation: tokenize each doc's words through the
+    // shared DP with the same trained model, summing key-decoded counts
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    rows.foreach { case (id, nWords, nPieces) =>
+      val words = docs(id).trim.split(" ").filter(_.nonEmpty)
+      assert(nWords == words.length, s"doc $id word count")
+      val want = words.map(w =>
+        CorpusFilters.uniSegmentKey(w, vocab).substring(0, 2).toLong).sum
+      assert(nPieces == want, s"doc $id: $nPieces unigram tokens, expected $want")
+      assert(nPieces >= nWords, "every word is at least one piece")
+    }
+  }
+
   test("q105 trajectory invariants: chars never drop, vocab shrinks to size") {
     val dir = "/root/testdata/sf0.001"
     val rows = CorpusFilters.q105_unigram_learn(spark, dir).collect()
