@@ -81,6 +81,56 @@ object Lake {
     changed
   }
 
+  /** INCREMENTAL merge: apply a CHANGELOG batch (op 'U' upsert / 'D'
+    * delete, keyed by doc_id) to the stored lang-partitioned table —
+    * the per-micro-batch half of the MERGE family ([[mergeInto]] diffs
+    * full snapshots; this applies q86-shaped deltas as they arrive, the
+    * sink a `Sessions.cdcMergeStream` drives). Returns the rewritten
+    * partition values.
+    *
+    *  1. Changed partitions = old lang of every touched key (semi-join
+    *     against the stored table) ∪ new lang of every upsert — both
+    *     sides, so a doc moving across partitions rewrites source and
+    *     destination. Partition-cardinality metadata, like mergeInto's.
+    *  2. New content of a changed partition = its stored rows minus the
+    *     touched keys, plus the batch's upserts for that lang. The frame
+    *     READS the lake it is about to overwrite, so it is PINNED
+    *     (eager localCheckpoint) before the write starts — without the
+    *     pin the dynamic overwrite would consume its own input.
+    *  3. Dynamic partition overwrite rewrites only the changed set;
+    *     a changed partition left with no rows drops explicitly
+    *     (delete-only batches emit no file for it). */
+  private[graft] def applyChangesInto(s: SparkSession, lakeDir: String,
+      changes: DataFrame): Seq[String] = {
+    val keys = changes.select(col("doc_id")).distinct()
+    val stored = s.read.parquet(lakeDir)
+    val oldLangs = stored.join(keys, Seq("doc_id"), "left_semi")
+      .select(col("lang")).distinct()
+    val newLangs = changes.filter(col("op") === "U")
+      .select(col("lang")).distinct()
+    val changed = oldLangs.unionByName(newLangs).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted // partition-cardinality
+    if (changed.nonEmpty) {
+      val rows = stored.filter(col("lang").isin(changed: _*))
+        .join(keys, Seq("doc_id"), "left_anti")
+        .unionByName(changes.filter(col("op") === "U")
+          .filter(col("lang").isin(changed: _*))
+          .select(col("doc_id"), col("text"), col("lang"), col("source")))
+        .localCheckpoint() // pin BEFORE overwriting what it reads
+      rows.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang").parquet(lakeDir)
+      val stillPresent = rows.select(col("lang")).distinct()
+        .collect().map(_.getString(0)).toSet
+      graft.ml.Similarity.pinnedRdds(rows).foreach(_.unpersist(blocking = false))
+      (changed.toSet -- stillPresent).foreach { l =>
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(s"$lakeDir/lang=$l"))
+      }
+    }
+    changed
+  }
+
   /** The q93 "next crawl" snapshot with payload columns carried (q93 emits
     * only digests — the writer needs the rows): md5-bucket 'a' docs
     * disappear, 'b' docs carry revised text, 'c' docs re-enter under

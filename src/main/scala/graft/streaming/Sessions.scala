@@ -426,6 +426,24 @@ object Sessions {
       }
   }
 
+  /** Continuous CDC → lake: every micro-batch of changelog rows
+    * (doc_id, text, lang, source, op 'U'/'D') merges into the stored
+    * lang-partitioned table via [[graft.sink.Lake.applyChangesInto]] —
+    * only the touched partitions rewrite, delete-emptied partitions
+    * drop. foreachBatch's sequential contract serializes the merges, so
+    * the lake always reflects the changelog prefix applied in order
+    * (the streaming member of the q86-apply / q93-diff / q98-merge CDC
+    * family). `onBatch` receives the rewritten partition values per
+    * batch for audit sinks. */
+  def cdcMergeStream(changelog: DataFrame, lakeDir: String,
+      onBatch: (Seq[String], Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changelog.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        onBatch(graft.sink.Lake.applyChangesInto(
+          batch.sparkSession, lakeDir, batch.toDF()), id)
+      }
+
   def sinkForeachBatch(events: DataFrame,
       handler: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.outputMode("append")

@@ -197,6 +197,81 @@ class SinkSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(lake))
   }
 
+  test("streaming CDC merge: per-batch changelog applies in order, minimal rewrites") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def fileState(root: String): Map[String, String] = {
+      val base = java.nio.file.Paths.get(root)
+      val buf = scala.collection.mutable.Map.empty[String, String]
+      java.nio.file.Files.walk(base).forEach { p =>
+        val rel = base.relativize(p).toString
+        if (rel.endsWith(".parquet") && java.nio.file.Files.isRegularFile(p)) {
+          buf(rel) = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(p)).map("%02x".format(_)).mkString
+        }
+      }
+      buf.toMap
+    }
+    def part(m: Map[String, String], l: String) =
+      m.view.filterKeys(_.startsWith(s"lang=$l/")).toMap
+    def content(lake: String): Set[(Long, String, String, String)] =
+      spark.read.parquet(lake)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3))).toSet
+    val lake = java.nio.file.Files.createTempDirectory("graft-cdc-lake").toString
+    val base = Seq(
+      (1L, "alpha", "p", "s1"), (2L, "beta", "p", "s1"),
+      (3L, "gamma", "q", "s1"), (4L, "delta", "r", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    Parquet.writePartitioned(base, lake, Seq("lang"))
+    val state0 = fileState(lake)
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String, String, String)]
+    val q = graft.streaming.Sessions.cdcMergeStream(
+        input.toDF().toDF("doc_id", "text", "lang", "source", "op"), lake,
+        (changed, _) => perBatch.synchronized { perBatch += changed })
+      .start()
+    try {
+      // batch 0: update doc 1 in place, insert doc 5 into NEW lang s
+      input.addData((1L, "alpha v2", "p", "s1", "U"), (5L, "eps", "s", "s3", "U"))
+      q.processAllAvailable()
+      val state1 = fileState(lake)
+      assert(perBatch.head.sorted == Seq("p", "s"), s"batch0: ${perBatch.head}")
+      assert(content(lake) == Set(
+        (1L, "alpha v2", "p", "s1"), (2L, "beta", "p", "s1"),
+        (3L, "gamma", "q", "s1"), (4L, "delta", "r", "s2"),
+        (5L, "eps", "s", "s3")))
+      assert(part(state1, "q") == part(state0, "q") &&
+        part(state1, "r") == part(state0, "r"),
+        "untouched partitions must stay byte-identical")
+      // batch 1: delete the only q doc (partition drops) and MOVE doc 4
+      // from r to p (both partitions rewrite; r empties and drops)
+      input.addData((3L, "", "", "", "D"), (4L, "delta", "p", "s2", "U"))
+      q.processAllAvailable()
+      assert(perBatch(1).sorted == Seq("p", "q", "r"), s"batch1: ${perBatch(1)}")
+      assert(!new java.io.File(s"$lake/lang=q").exists, "emptied q must drop")
+      assert(!new java.io.File(s"$lake/lang=r").exists, "emptied r must drop")
+      assert(content(lake) == Set(
+        (1L, "alpha v2", "p", "s1"), (2L, "beta", "p", "s1"),
+        (4L, "delta", "p", "s2"), (5L, "eps", "s", "s3")))
+      val state2 = fileState(lake)
+      assert(part(state2, "s") == part(fileState(lake), "s"))
+      // batch 2: re-insert a doc under a previously-dropped partition
+      input.addData((6L, "zeta", "q", "s1", "U"))
+      q.processAllAvailable()
+      assert(perBatch(2) == Seq("q"))
+      assert(content(lake).contains((6L, "zeta", "q", "s1")))
+      // the final lake equals the changelog prefix applied in order
+      assert(content(lake) == Set(
+        (1L, "alpha v2", "p", "s1"), (2L, "beta", "p", "s1"),
+        (4L, "delta", "p", "s2"), (5L, "eps", "s", "s3"),
+        (6L, "zeta", "q", "s1")))
+    } finally q.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(lake))
+  }
+
   test("media resize: images re-encoded at target dims, other kinds untouched") {
     val media = graft.multimodal.Media.mediaTable(spark, dir).limit(60)
     val resized = graft.multimodal.Media.resizeImages(media, 128, 128)
