@@ -483,6 +483,68 @@ object CorpusFilters {
       .orderBy(col("source"), col("rnk"))
   }
 
+  /** TEMPERATURE-based mixture sampling — the multilingual/multi-source
+    * rebalancing step every large multi-corpus training run applies
+    * (Conneau et al. 2020, XLM-R §3.1; mT5 uses the same p_i ∝ p_i^α
+    * law): raw source shares are exponentiated with temperature α < 1 so
+    * high-resource sources are down-weighted and low-resource sources
+    * up-weighted, then each source contributes its rebalanced quota of a
+    * fixed token budget. α is FIXED AT 0.5 here deliberately: pow(x, α)
+    * is not correctly rounded and differs across libm's (the q87
+    * transcendental lesson), but sqrt IS IEEE-754 correctly rounded in
+    * every engine — so with α = 0.5 the whole quota computation stays
+    * bit-deterministic cross-engine. The remaining float work is scaled
+    * to integers immediately (w_i = floor(1000·√n_i), one deterministic
+    * double op per source), and quotas are pure integer arithmetic:
+    * k_i = (B · w_i) div Σw_j with budget B = N div 2 — no double SUM
+    * whose addition order could differ between engines.
+    *
+    * Within a source the quota fills in deterministic md5-hash order
+    * (q77's unbiased sampler). Output per source: size, weight, quota,
+    * sampled count and a 48-bit-md5-prefix id signature over the sampled
+    * set — the gate fails if even one sampled doc differs.
+    *
+    * Scale: one source-cardinality agg (broadcast back), one corpus scan
+    * with a WindowGroupLimit bounded-heap top-k_i per source — the q67/
+    * q77 shape with a per-source quota instead of a constant. */
+  def q107_temperature_mix(s: SparkSession, dir: String): DataFrame =
+    temperatureMixOf(Tables.documents(s, dir).select(col("source"), col("doc_id")))
+
+  /** The by-frame kernel (any (source, doc_id) frame) — the gated query
+    * runs it on `documents`, whose fixture sources are uniform (25 docs
+    * each, so quotas come out uniform too — correct but vacuous as a
+    * demonstration); CorpusFiltersSpec exercises the rebalancing
+    * property on a skewed synthetic mix. */
+  private[graft] def temperatureMixOf(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .withColumn("w", floor(sqrt(col("n").cast("double")) * lit(1000.0)).cast("long"))
+    val totals = counts.agg(sum(col("n")).as("n_total"), sum(col("w")).as("w_total"))
+    // least(·, n): a heavily up-weighted tiny source's raw quota can
+    // exceed its size — without-replacement sampling caps there (XLM-R
+    // oversamples WITH replacement instead; a doc-unique corpus can't)
+    val quotas = counts.crossJoin(broadcast(totals))
+      .select(col("source"), col("n"), col("w"),
+        least(expr("(n_total div 2) * w div w_total"), col("n")).as("quota"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    docs
+      .select(col("source"), col("doc_id"))
+      .withColumn("rnk", row_number().over(wRank))
+      .join(broadcast(quotas), "source")
+      .filter(col("rnk") <= col("quota"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 12),
+          16, 10).cast("long")).cast("long").as("sample_sig"))
+      .join(quotas, Seq("source"), "right")
+      .select(col("source"), col("n").as("n_docs"), col("w").as("weight"),
+        col("quota"), coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("sample_sig"), lit(0L)).as("sample_sig"))
+      .orderBy(col("source"))
+  }
+
   /** WEIGHTED sampling without replacement, exact-k per stratum —
     * Efraimidis & Spirakis 2006 ("Weighted random sampling with a
     * reservoir", public algorithm): each item draws key = u^(1/w) and the
@@ -1826,7 +1888,8 @@ object CorpusFilters {
     "q103_weighted_sample" -> (q103_weighted_sample _),
     "q104_countmin_hh"    -> (q104_countmin_hh _),
     "q105_unigram_learn"  -> (q105_unigram_learn _),
-    "q105b_unigram_tokenize" -> (q105b_unigram_tokenize _))
+    "q105b_unigram_tokenize" -> (q105b_unigram_tokenize _),
+    "q107_temperature_mix" -> (q107_temperature_mix _))
 
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
@@ -2256,6 +2319,32 @@ object CorpusFilters {
     "q94b_bpe_tokenize" -> bpeTokenizeOracle,
     "q105_unigram_learn" -> unigramLearnOracle,
     "q105b_unigram_tokenize" -> unigramTokenizeOracle,
+    // integer quota arithmetic mirrored op-for-op; sqrt is correctly
+    // rounded in both engines, SUMs are over BIGINTs only
+    "q107_temperature_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        |cw AS (SELECT source, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000.0) AS BIGINT) AS w
+        |  FROM c),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+        |    CAST(SUM(w) AS BIGINT) AS w_total FROM cw),
+        |quo AS (SELECT source, n, w,
+        |    least((n_total // 2) * w // w_total, n) AS quota
+        |  FROM cw, t),
+        |ranked AS (SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |  FROM documents),
+        |sampled AS (SELECT r.source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+        |    CAST(SUM(CAST('0x' || substr(md5(CAST(r.doc_id AS VARCHAR)), 1, 12)
+        |      AS BIGINT)) AS BIGINT) AS sample_sig
+        |  FROM ranked r JOIN quo ON r.source = quo.source
+        |  WHERE r.rnk <= quo.quota GROUP BY r.source)
+        |SELECT quo.source, quo.n AS n_docs, quo.w AS weight, quo.quota,
+        |  COALESCE(sampled.n_sampled, 0) AS n_sampled,
+        |  COALESCE(sampled.sample_sig, 0) AS sample_sig
+        |FROM quo LEFT JOIN sampled ON quo.source = sampled.source
+        |ORDER BY quo.source""".stripMargin,
     // q97's machinery + the rewrite: winner = MIN packed (doc_id, start)
     // per repeated gram; non-winner occurrences become deletion islands;
     // kept text replayed relationally (position anti-join — DuckDB lambdas

@@ -305,4 +305,49 @@ class CorpusFiltersSpec extends AnyFunSuite {
         f"$d: margin over AccFloor eroded: $acc%.3f")
     }
   }
+
+  test("q107 temperature mix: quotas rebalance toward small sources, fill exactly") {
+    import spark.implicits._
+    // the documents fixture has UNIFORM sources (25 docs each), so the
+    // rebalancing property is exercised on a skewed synthetic mix; the
+    // gated q107 covers the uniform corpus path
+    val docs = ((1 to 100).map(i => ("big", i.toLong)) ++
+      (1 to 25).map(i => ("mid", 1000L + i)) ++
+      (1 to 4).map(i => ("tiny", 2000L + i)))
+      .toDF("source", "doc_id")
+    val rows = CorpusFilters.temperatureMixOf(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val totalDocs = rows.map(_._2).sum
+    rows.foreach { case (src, n, _, quota, sampled) =>
+      assert(sampled == quota, s"$src quota unfilled: $sampled of $quota")
+      assert(quota <= n, s"$src quota exceeds the source")
+    }
+    // expected quotas: mirror the integer arithmetic exactly
+    val ws = rows.map(r => r._1 -> (math.sqrt(r._2.toDouble) * 1000.0).toLong).toMap
+    val (wTotal, budget) = (ws.values.sum, totalDocs / 2)
+    rows.foreach { case (src, n, _, quota, _) =>
+      assert(quota == math.min(budget * ws(src) / wTotal, n),
+        s"$src quota arithmetic")
+    }
+    // the temperature property: small sources' sampled share exceeds
+    // their raw share, the largest's falls below it (tiny saturates at
+    // its full size — the without-replacement cap)
+    val byName = rows.map(r => r._1 -> r).toMap
+    val sampleTotal = rows.map(_._5).sum.toDouble
+    assert(byName("tiny")._4 == 4L, "tiny source caps at its size")
+    for (src <- Seq("tiny", "mid")) {
+      val r = byName(src)
+      assert(r._5 / sampleTotal > r._2.toDouble / totalDocs,
+        s"alpha=0.5 must up-weight $src")
+    }
+    val big = byName("big")
+    assert(big._5 / sampleTotal < big._2.toDouble / totalDocs,
+      "alpha=0.5 must down-weight the largest source")
+    // and the gated corpus query: uniform sources -> uniform quotas
+    val corpus = CorpusFilters.q107_temperature_mix(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(3), r.getLong(4)))
+    assert(corpus.map(_._1).distinct.length == 1, "uniform mix, uniform quotas")
+    assert(corpus.forall { case (q, s) => q == s })
+  }
 }
