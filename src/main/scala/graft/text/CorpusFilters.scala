@@ -529,9 +529,17 @@ object CorpusFilters {
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
       .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    // LITERAL rank bound first: `rnk <= quota` compares against a column,
+    // which InferWindowGroupLimit cannot bound — the window would sort
+    // every source fully. The max quota is source-cardinality metadata
+    // (one tiny collect, the q93/q98 discipline); as a literal conjunct
+    // it turns the window into a bounded-heap WindowGroupLimit, and the
+    // exact per-source quota filter runs after the broadcast join.
+    val maxQuota = quotas.agg(max(col("quota"))).collect()(0).getLong(0)
     docs
       .select(col("source"), col("doc_id"))
       .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= lit(maxQuota))
       .join(broadcast(quotas), "source")
       .filter(col("rnk") <= col("quota"))
       .groupBy(col("source"))
