@@ -831,6 +831,76 @@ object Similarity {
     ivfpqRecallMean(s, dir)
       .select(col("n_queries"), (col("mean_recall") >= 0.55).as("recall_ok"))
 
+  /** MMR DIVERSITY RE-RANK — the retrieval-side diversifier every RAG
+    * pipeline runs after its ANN shortlist (Carbonell & Goldstein 1998,
+    * "maximal marginal relevance", public algorithm): greedily select R
+    * results where each pick maximizes λ·rel(q,d) − (1−λ)·max_{s∈S}
+    * sim(d,s) — relevance traded against redundancy with what's already
+    * selected. λ = 0.7, R = 5 picks from the exact cosine top-K = 20
+    * candidate set per query.
+    *
+    * Cross-engine exactness without rounding anywhere inside the greedy
+    * loop: cosine is dot/(√(aa)·√(bb)) with a fixed left-to-right dot
+    * fold — bit-identical in both engines (the q92 unrounded-compare
+    * discipline) — the score is the literal expression 0.7·rel − 0.3·
+    * maxsim mirrored op-for-op, argmax ties break on candidate id, and
+    * the running `maxsim` updates via greatest(). Scores round to 6 dp
+    * only at emission.
+    *
+    * Scale: candidate generation is the ANN shortlist (here the exact
+    * top-20 so the oracle can re-derive it); the greedy loop is R
+    * query-cardinality rounds over a (queries × K) frame — per-query
+    * work, never corpus-scale; each round is one bounded window argmax +
+    * one equi-join on query_id. The oracle unrolls all R rounds as
+    * MATERIALIZED CTE stages. */
+  def q108_mmr_rerank(s: SparkSession, dir: String): DataFrame = {
+    val (kCand, rPicks) = (20, 5)
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("cid"))
+    var st = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cid"),
+        cosine(col("qemb"), col("emb")).as("rel"), col("emb"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= kCand).drop("rk")
+      .withColumn("maxsim", lit(0.0))
+      .localCheckpoint() // queries × K rows
+    val mmr = lit(0.7) * col("rel") - lit(0.3) * col("maxsim")
+    val wPick = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cid"))
+    val picks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val selPins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to rPicks) {
+      val sel = st.withColumn("score", mmr)
+        .withColumn("rk", row_number().over(wPick))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("cid").as("sel_cid"),
+          col("emb").as("sel_emb"), col("score"))
+        .localCheckpoint() // query-cardinality
+      selPins += sel
+      picks += sel.select(col("query_id"), lit(r).as("rank"),
+        col("sel_cid").as("neighbor_id"), round(col("score"), 6).as("score_r"))
+      val next = st.join(sel.select(col("query_id"), col("sel_cid"), col("sel_emb")),
+          "query_id")
+        .filter(col("cid") =!= col("sel_cid"))
+        .withColumn("maxsim",
+          greatest(col("maxsim"), cosine(col("sel_emb"), col("emb"))))
+        .drop("sel_cid", "sel_emb")
+        .localCheckpoint()
+      pinnedRdds(st).foreach(_.unpersist(blocking = false))
+      st = next
+    }
+    val out = picks.reduce(_.unionByName(_))
+      .orderBy(col("query_id"), col("rank"))
+      .localCheckpoint() // tiny (queries × R); pin before releasing inputs
+    (selPins :+ st).foreach(f =>
+      pinnedRdds(f).foreach(_.unpersist(blocking = false)))
+    out
+  }
+
   // ------------------------------------------------ engine-only: MinHashLSH
   /** G18: MLlib MinHashLSH near-dup join over binary token vectors
     * (Jaccard distance ≤ 0.3). */
@@ -1405,6 +1475,7 @@ object Similarity {
     "m_ann_pq_fitted"     -> (m_ann_pq_fitted _),
     "q99_pq_fitted_recall" -> (q99_pq_fitted_recall _),
     "q106_ivfpq_recall"   -> (q106_ivfpq_recall _),
+    "q108_mmr_rerank"     -> (q108_mmr_rerank _),
     "q84_minhash_lsh_recall" -> (q84_minhash_lsh_recall _),
     "m_ann_pq_seeded"     -> (m_ann_pq_seeded _),
     "q92_semdedup"        -> (q92_semdedup _))
@@ -1670,6 +1741,7 @@ object Similarity {
         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY l2, neighbor_id) AS rank FROM pairs)
         |SELECT COUNT(DISTINCT query_id) AS n_queries, TRUE AS recall_ok
         |FROM ranked WHERE rank <= 3""".stripMargin,
+    "q108_mmr_rerank" -> mmrOracle,
     "m_ann_lsh"         -> annLshOracle,
     "m_ann_ivf_seeded"  -> annIvfSeededOracle,
     "m_dedup_embedding" -> dedupEmbeddingOracle,
@@ -1789,6 +1861,48 @@ object Similarity {
          |    AS n_kept,
          |  CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups
          |FROM asg GROUP BY split, source ORDER BY split, source""".stripMargin)
+
+  /** Generated twin of q108: exact top-20 candidates, then the R greedy
+    * MMR rounds unrolled as MATERIALIZED stages — per stage the argmax
+    * (same 0.7·rel − 0.3·maxsim expression, ties on cid) and the
+    * running-maxsim update via greatest(); cosine mirrored op-for-op
+    * (dot / (√aa·√bb), left-to-right folds), literals CAST to DOUBLE so
+    * DuckDB's decimal parse can't perturb the score doubles. */
+  private lazy val mmrOracle: String = {
+    val cos = (a: String, b: String) =>
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    val score = "CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * maxsim"
+    val rounds = (1 to 5).map { r =>
+      s"""sel$r AS MATERIALIZED (SELECT query_id, cid AS sel_cid, score FROM (
+         |  SELECT query_id, cid, $score AS score,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY $score DESC, cid) AS rk
+         |  FROM st${r - 1}) WHERE rk = 1),
+         |st$r AS MATERIALIZED (SELECT s.query_id, s.cid, s.rel,
+         |    greatest(s.maxsim, ${cos("a.emb", "b.emb")}) AS maxsim
+         |  FROM st${r - 1} s
+         |  JOIN sel$r x ON s.query_id = x.query_id AND s.cid <> x.sel_cid
+         |  JOIN e a ON a.vec_id = x.sel_cid
+         |  JOIN e b ON b.vec_id = s.cid)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 5).map(r =>
+      s"SELECT query_id, $r AS rank, sel_cid AS neighbor_id, " +
+        s"round(score, 6) AS score_r FROM sel$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |q AS MATERIALIZED (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 50),
+       |rel AS MATERIALIZED (SELECT query_id, vec_id AS cid,
+       |    ${cos("qemb", "emb")} AS rel
+       |  FROM q, e WHERE vec_id <> query_id),
+       |cand AS MATERIALIZED (SELECT query_id, cid, rel FROM (
+       |  SELECT query_id, cid, rel, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY rel DESC, cid) AS rk FROM rel) WHERE rk <= 20),
+       |st0 AS MATERIALIZED (SELECT query_id, cid, rel, CAST(0.0 AS DOUBLE) AS maxsim FROM cand),
+       |$rounds
+       |SELECT query_id, rank, neighbor_id, score_r FROM (
+       |$out)
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   /** q73's full closure chain (three signal families → union → recursive
     * transitive closure → `lab(id, component)`), shared by the q73 gate

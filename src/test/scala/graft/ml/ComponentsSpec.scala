@@ -143,6 +143,41 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("q108 MMR: first pick is the relevance top-1, later picks diversify") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val picks = Similarity.q108_mmr_rerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byQuery = picks.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(byQuery.nonEmpty && byQuery.values.forall(_.length == 5))
+    assert(byQuery.values.forall(p => p.distinct.length == 5),
+      "picks must be 5 distinct docs")
+    // pure-relevance truth via the exact brute ranking
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val dotE = (a: String, b: String) =>
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    val rel = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cid"),
+        (dotE("qemb", "emb") / (sqrt(dotE("qemb", "qemb")) * sqrt(dotE("emb", "emb"))))
+          .as("rel"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rel").desc, col("cid"))
+    val top = rel.withColumn("rk", row_number().over(w)).filter(col("rk") <= 20)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    byQuery.foreach { case (qid, p) =>
+      assert(p.head == top(qid).head, s"query $qid: first pick must be top-1")
+      assert(p.toSet.subsetOf(top(qid).toSet),
+        s"query $qid: picks must come from the top-20 candidates")
+    }
+    // the diversity penalty must actually bite somewhere on this corpus
+    assert(byQuery.exists { case (qid, p) => p.toSet != top(qid).take(5).toSet },
+      "MMR must diverge from pure top-5 for at least one query")
+  }
+
   test("dedup stage materializes once; audits derive from the stage scan") {
     val dir = "/root/testdata/sf0.001"
     val stageDir = new java.io.File(Similarity.dedupStageDir(spark, dir))
