@@ -486,10 +486,11 @@ object CorpusFilters {
   /** TEMPERATURE-based mixture sampling — the multilingual/multi-source
     * rebalancing step every large multi-corpus training run applies
     * (Conneau et al. 2020, XLM-R §3.1; mT5 uses the same p_i ∝ p_i^α
-    * law): raw source shares are exponentiated with temperature α < 1 so
-    * high-resource sources are down-weighted and low-resource sources
-    * up-weighted, then each source contributes its rebalanced quota of a
-    * fixed token budget. α is FIXED AT 0.5 here deliberately: pow(x, α)
+    * law): raw source shares — measured in TOKENS, the quantity those
+    * samplers actually balance — are exponentiated with temperature
+    * α < 1 so high-resource sources are down-weighted and low-resource
+    * sources up-weighted, then each source contributes its rebalanced
+    * document quota of a fixed budget. α is FIXED AT 0.5 here deliberately: pow(x, α)
     * is not correctly rounded and differs across libm's (the q87
     * transcendental lesson), but sqrt IS IEEE-754 correctly rounded in
     * every engine — so with α = 0.5 the whole quota computation stays
@@ -508,17 +509,22 @@ object CorpusFilters {
     * with a WindowGroupLimit bounded-heap top-k_i per source — the q67/
     * q77 shape with a per-source quota instead of a constant. */
   def q107_temperature_mix(s: SparkSession, dir: String): DataFrame =
-    temperatureMixOf(Tables.documents(s, dir).select(col("source"), col("doc_id")))
+    temperatureMixOf(Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(Cleanse.tokens(col("text"))).cast("long").as("wt")))
 
-  /** The by-frame kernel (any (source, doc_id) frame) — the gated query
-    * runs it on `documents`, whose fixture sources are uniform (25 docs
-    * each, so quotas come out uniform too — correct but vacuous as a
-    * demonstration); CorpusFiltersSpec exercises the rebalancing
-    * property on a skewed synthetic mix. */
+  /** The by-frame kernel (any (source, doc_id, wt) frame; wt is the
+    * per-doc size measure the shares balance over). The gated query
+    * weights by TOKEN counts — the quantity XLM-R's sampler actually
+    * balances, and the one that varies across the fixture's sources
+    * (doc counts are uniform 25/source, token totals are not, so the
+    * gate exercises real rebalancing); CorpusFiltersSpec drives the
+    * kernel with wt = 1 (pure doc-count shares) on a skewed synthetic
+    * mix to pin the rebalance and saturation properties. */
   private[graft] def temperatureMixOf(docs: DataFrame): DataFrame = {
     val counts = docs
-      .groupBy(col("source")).agg(count(lit(1)).as("n"))
-      .withColumn("w", floor(sqrt(col("n").cast("double")) * lit(1000.0)).cast("long"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"), sum(col("wt")).as("t"))
+      .withColumn("w", floor(sqrt(col("t").cast("double")) * lit(1000.0)).cast("long"))
     val totals = counts.agg(sum(col("n")).as("n_total"), sum(col("w")).as("w_total"))
     // least(·, n): a heavily up-weighted tiny source's raw quota can
     // exceed its size — without-replacement sampling caps there (XLM-R
@@ -2330,9 +2336,11 @@ object CorpusFilters {
     // integer quota arithmetic mirrored op-for-op; sqrt is correctly
     // rounded in both engines, SUMs are over BIGINTs only
     "q107_temperature_mix" ->
-      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+      s"""WITH c AS (SELECT source, COUNT(*) AS n,
+        |    SUM(CAST(len($DToks) AS BIGINT)) AS t
+        |  FROM documents GROUP BY source),
         |cw AS (SELECT source, n,
-        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000.0) AS BIGINT) AS w
+        |    CAST(floor(sqrt(CAST(t AS DOUBLE)) * 1000.0) AS BIGINT) AS w
         |  FROM c),
         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total,
         |    CAST(SUM(w) AS BIGINT) AS w_total FROM cw),

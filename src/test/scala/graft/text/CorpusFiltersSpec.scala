@@ -311,10 +311,10 @@ class CorpusFiltersSpec extends AnyFunSuite {
     // the documents fixture has UNIFORM sources (25 docs each), so the
     // rebalancing property is exercised on a skewed synthetic mix; the
     // gated q107 covers the uniform corpus path
-    val docs = ((1 to 100).map(i => ("big", i.toLong)) ++
-      (1 to 25).map(i => ("mid", 1000L + i)) ++
-      (1 to 4).map(i => ("tiny", 2000L + i)))
-      .toDF("source", "doc_id")
+    val docs = ((1 to 100).map(i => ("big", i.toLong, 1L)) ++
+      (1 to 25).map(i => ("mid", 1000L + i, 1L)) ++
+      (1 to 4).map(i => ("tiny", 2000L + i, 1L)))
+      .toDF("source", "doc_id", "wt") // wt=1: pure doc-count shares
     val rows = CorpusFilters.temperatureMixOf(docs)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).toSeq
@@ -344,10 +344,12 @@ class CorpusFiltersSpec extends AnyFunSuite {
     val big = byName("big")
     assert(big._5 / sampleTotal < big._2.toDouble / totalDocs,
       "alpha=0.5 must down-weight the largest source")
-    // and the gated corpus query: uniform sources -> uniform quotas
+    // and the gated corpus query: token-weighted shares differ across
+    // the fixture's equal-doc-count sources, so quotas genuinely vary
     val corpus = CorpusFilters.q107_temperature_mix(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(3), r.getLong(4)))
-    assert(corpus.map(_._1).distinct.length == 1, "uniform mix, uniform quotas")
+    assert(corpus.map(_._1).distinct.length > 1,
+      "token weighting must produce non-uniform quotas on this fixture")
     assert(corpus.forall { case (q, s) => q == s })
   }
 }
