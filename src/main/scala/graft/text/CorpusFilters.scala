@@ -542,17 +542,20 @@ object CorpusFilters {
     // it turns the window into a bounded-heap WindowGroupLimit, and the
     // exact per-source quota filter runs after the broadcast join.
     val maxQuota = quotas.agg(max(col("quota"))).collect()(0).getLong(0)
-    docs
+    val sampled = docs
       .select(col("source"), col("doc_id"))
       .withColumn("rnk", row_number().over(wRank))
       .filter(col("rnk") <= lit(maxQuota))
-      .join(broadcast(quotas), "source")
+      .join(broadcast(quotas.select(col("source"), col("quota"))), "source")
       .filter(col("rnk") <= col("quota"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_sampled"),
         sum(conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 12),
           16, 10).cast("long")).cast("long").as("sample_sig"))
-      .join(quotas, Seq("source"), "right")
+    // quotas drives the output (sources with quota 0 still report);
+    // the sampled rollup is source-cardinality → broadcast, never a
+    // sort-merge on the final stitch
+    quotas.join(broadcast(sampled), Seq("source"), "left")
       .select(col("source"), col("n").as("n_docs"), col("w").as("weight"),
         col("quota"), coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
         coalesce(col("sample_sig"), lit(0L)).as("sample_sig"))

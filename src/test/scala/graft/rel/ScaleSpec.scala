@@ -92,6 +92,17 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"no join belongs in this plan:\n$plan")
   }
 
+  test("temperature mix plans a bounded WindowGroupLimit and broadcasts quotas") {
+    val plan = graft.text.CorpusFilters.q107_temperature_mix(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"the literal max-quota bound must become a bounded heap; plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the source-cardinality quota dim must broadcast; plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing in this plan should sort-merge; plan:\n$plan")
+  }
+
   test("bloom decontamination scores the corpus without any join") {
     val plan = graft.ml.Bloom.m_bloom_decontaminate(spark, dir)
       .queryExecution.executedPlan.toString

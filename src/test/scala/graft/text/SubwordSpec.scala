@@ -134,6 +134,36 @@ class SubwordSpec extends AnyFunSuite {
     assert(CorpusFilters.uniSegmentKey("abcd", noWhole).endsWith("|ab|cd"))
   }
 
+  test("unigram DP vs brute force on randomized vocabularies") {
+    val rnd = new scala.util.Random(1234)
+    val alphabet = "abc" // dense alphabet → heavy segmentation ambiguity
+    for (trial <- 1 to 25) {
+      val word = Seq.fill(3 + rnd.nextInt(6))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      // chars always present; random multi-char substrings with random scores
+      val subs = (for {
+        i <- 0 until word.length
+        j <- (i + 2) to math.min(word.length, i + CorpusFilters.UniMaxPiece)
+      } yield word.substring(i, j)).distinct.filter(_ => rnd.nextBoolean())
+      val vocab: Map[String, Long] =
+        (alphabet.map(c => c.toString -> (1L + rnd.nextInt(50))) ++
+          subs.map(p => p -> (1L + rnd.nextInt(50)).toLong)).toMap
+      def enumerate(w: String): Seq[List[String]] =
+        if (w.isEmpty) Seq(Nil)
+        else (1 to math.min(w.length, CorpusFilters.UniMaxPiece)).flatMap { k =>
+          if (vocab.contains(w.take(k))) enumerate(w.drop(k)).map(w.take(k) :: _)
+          else Nil
+        }
+      def keyOf(pieces: List[String]): String =
+        f"${pieces.length}%02d" +
+          f"${1000000000000L - pieces.map(vocab).sum}%013d" +
+          pieces.map("|" + _).mkString
+      val want = enumerate(word).map(keyOf).min // chars present → non-empty
+      val got = CorpusFilters.uniSegmentKey(word, vocab)
+      assert(got == want, s"trial $trial '$word': DP $got vs brute $want")
+    }
+  }
+
   test("q105b tokenize: per-doc counts match a driver-side re-segmentation") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
