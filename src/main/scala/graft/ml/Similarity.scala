@@ -1306,6 +1306,21 @@ object Similarity {
         countDistinct(col("grp")).as("n_groups"))
       .orderBy(col("split"), col("source"))
 
+  /** Component-SIZE histogram off the materialized stage — the cluster-
+    * size audit a dedup run publishes (how much of the corpus sits in
+    * big near-dup clusters vs singletons; a sudden mass shift toward
+    * large components is the canary for a broken signal or a crawler
+    * loop). Fourth consumer of the stage table: group sizes from one
+    * grp rollup, histogram from a second — both group-cardinality.
+    * Singletons (docs no signal touched) are size-1 groups. */
+  def q109_component_sizes(s: SparkSession, dir: String): DataFrame =
+    dedupStage(s, dir)
+      .groupBy(col("grp")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("group_size"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("sz")).cast("long").as("n_docs"))
+      .orderBy(col("group_size"))
+
   /** Connected components over an undirected pair list (doc_a, doc_b) →
     * (doc_id, component, is_canonical) by ALTERNATING LARGE-STAR /
     * SMALL-STAR (Kiveris et al. 2014, "Connected components in MapReduce
@@ -1470,6 +1485,7 @@ object Similarity {
     "q73b_dedup_survivorship" -> (q73b_dedup_survivorship _),
     "q100_component_split" -> (q100_component_split _),
     "q101_curation_report" -> (q101_curation_report _),
+    "q109_component_sizes" -> (q109_component_sizes _),
     "q79_jaccard_prefix"  -> (q79_jaccard_prefix _),
     "q82_ann_ivf_recall"  -> (q82_ann_ivf_recall _),
     "m_ann_pq_fitted"     -> (m_ann_pq_fitted _),
@@ -1841,6 +1857,17 @@ object Similarity {
          |  CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups,
          |  (max_ns = 1) AS leak_free
          |FROM asg, leak GROUP BY split, max_ns ORDER BY split""".stripMargin,
+    // the q73 closure, then group sizes (component coalesced to the doc
+    // id for untouched singletons) and the size histogram
+    "q109_component_sizes" ->
+      s"""WITH RECURSIVE $dedupUnionCtes,
+         |grouped AS (SELECT d.doc_id,
+         |    COALESCE(lab.component, d.doc_id) AS grp
+         |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.id),
+         |sizes AS (SELECT grp, COUNT(*) AS sz FROM grouped GROUP BY grp)
+         |SELECT sz AS group_size, CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |  CAST(SUM(sz) AS BIGINT) AS n_docs
+         |FROM sizes GROUP BY sz ORDER BY group_size""".stripMargin,
     // the q73 closure, then the (split × source) stage matrix: kept =
     // never flagged OR component canonical; groups counted per cell
     "q101_curation_report" ->
