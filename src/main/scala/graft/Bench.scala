@@ -29,6 +29,7 @@ object Bench {
       "q94_bpe_learn", "q94b_bpe_tokenize",
       "m_ann_pq_fitted", "q99_pq_fitted_recall",
       "q106_ivfpq_recall", // coarse KMeans + 8 PQ KMeans fits inside
+      "q110_ivfpq_residual_recall", // same fits on residuals
       "q105_unigram_learn", "q105b_unigram_tokenize") // Viterbi-EM fits
 
   /** Queries that launch MANY driver jobs (convergence fixpoints, the
