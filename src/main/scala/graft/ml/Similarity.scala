@@ -1332,7 +1332,7 @@ object Similarity {
   private[graft] def dedupStage(s: SparkSession, dir: String): DataFrame = {
     val out = dedupStageDir(s, dir)
     if (!new java.io.File(out, "_SUCCESS").exists()) {
-      val labels = q73_dedup_union(s, dir)
+      val labels = q73_dedup_union(s, dir) // eagerly pinned by components()
         .select(col("doc_id"), col("component"), col("is_canonical"))
       val stage = Tables.documents(s, dir).select(col("doc_id"), col("source"))
         .join(labels, Seq("doc_id"), "left")
@@ -1348,6 +1348,10 @@ object Similarity {
             .otherwise("test"))
         .drop("bk")
       graft.sink.Parquet.writePartitioned(stage, out, Seq("split"))
+      // the stage now lives on disk; release the fixpoint's pinned label
+      // blocks (docs-cardinality — a real leak at 100 TB if left to the
+      // session sweep)
+      pinnedRdds(labels).foreach(_.unpersist(blocking = false))
     }
     s.read.parquet(out)
   }
