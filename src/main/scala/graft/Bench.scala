@@ -30,7 +30,8 @@ object Bench {
       "m_ann_pq_fitted", "q99_pq_fitted_recall",
       "q106_ivfpq_recall", // coarse KMeans + 8 PQ KMeans fits inside
       "q110_ivfpq_residual_recall", // same fits on residuals
-      "q105_unigram_learn", "q105b_unigram_tokenize") // Viterbi-EM fits
+      "q105_unigram_learn", "q105b_unigram_tokenize", // Viterbi-EM fits
+      "q111_tokenizer_report") // replays the BPE + unigram trainings
 
   /** Queries that launch MANY driver jobs (convergence fixpoints, the
     * multi-pass funnel): their per-job scheduling noise compounds, so

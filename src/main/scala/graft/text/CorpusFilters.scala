@@ -1264,7 +1264,7 @@ object CorpusFilters {
     val allPos = (0 to UniMaxWordLen)
       .map(p => s"SELECT word, cnt, pos, key FROM d${r}_$p")
       .mkString(" UNION ALL ")
-    s"""d${r}_0 AS MATERIALIZED (SELECT word, cnt, 0 AS pos, '001000000000000' AS key FROM w),
+    s"""d${r}_0 AS MATERIALIZED (SELECT word, cnt, 0 AS pos, '001000000000000' AS key FROM uw),
        |$dpStages,
        |seg$r AS MATERIALIZED (SELECT word, cnt, key FROM ($allPos) WHERE pos = len(word))""".stripMargin
   }
@@ -1286,13 +1286,13 @@ object CorpusFilters {
          |  FROM $v vv LEFT JOIN u$r ON vv.piece = u$r.piece
          |  WHERE vv.piece NOT IN (SELECT piece FROM drop$r))""".stripMargin
     }.mkString(",\n")
-    s"""w AS MATERIALIZED (SELECT word, COUNT(*) AS cnt
+    s"""uw AS MATERIALIZED (SELECT word, COUNT(*) AS cnt
        |  FROM (SELECT unnest($DToks) AS word FROM documents) GROUP BY word),
        |sub AS MATERIALIZED (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS score FROM (
        |    SELECT cnt, unnest(flatten(list_transform(range(1, len(word) + 1),
        |      i -> list_transform(range(i, least(len(word), i + ${UniMaxPiece - 1}) + 1),
        |        j -> word[i:j])))) AS piece
-       |    FROM w) GROUP BY piece),
+       |    FROM uw) GROUP BY piece),
        |v0 AS MATERIALIZED (SELECT piece, score FROM sub WHERE len(piece) = 1
        |  UNION ALL
        |  SELECT piece, score FROM (SELECT piece, score FROM sub
@@ -1351,6 +1351,111 @@ object CorpusFilters {
        |  CAST(SUM(n_pieces) AS BIGINT) AS n_unigram_tokens
        |FROM toks JOIN wp USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------ tokenizer comparison report
+  /** TOKENIZER COMPARISON REPORT — the table a team looks at when picking
+    * a tokenizer for a corpus: for each of the three implemented families
+    * (fixed-vocab WordPiece inference, learned BPE, learned unigram-LM),
+    * the corpus' total subword-token count, the total characters the
+    * tokenizer consumed, and the compression ratio in integer form
+    * (chars per 1000 tokens). All-integer, so one hash-exact gate covers
+    * the three families end to end — the oracle REPLAYS both trainings
+    * (the shared BPE and unigram CTE chains) plus the WordPiece
+    * recursive greedy walk in a single composed WITH block.
+    *
+    * Denominators are each family's own established input convention
+    * (the one its gated queries use): WordPiece consumes the q28 lexer's
+    * word/digit/punct pieces; BPE and unigram consume whitespace words.
+    * The chars column records exactly what each consumed, so the ratios
+    * are per-family honest rather than force-normalized.
+    *
+    * Scale: each family's per-unit piece count is computed once over the
+    * DISTINCT unit table (Heaps-bounded) and broadcast to the exploded
+    * corpus — three dim joins, no corpus recompute; the trainings
+    * themselves are the q94/q105 loops. */
+  def q111_tokenizer_report(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // WordPiece over lexer pieces: distinct piece dim -> broadcast join
+    val lexed = Tables.documents(s, dir)
+      .select(explode(regexp_extract_all(col("text"),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("u"))
+    val wpDim = lexed.distinct()
+      .select(col("u"), graft.text.Subword.subword_count(col("u")).cast("long").as("np"),
+        length(col("u")).cast("long").as("len"))
+    val wp = lexed.join(broadcast(wpDim), "u")
+      .agg(sum(col("np")).as("n_tokens"), sum(col("len")).as("n_chars"))
+      .select(lit("wordpiece").as("tokenizer"), col("n_tokens"), col("n_chars"))
+    // BPE and unigram over whitespace words: (word, cnt) table + per-word
+    // piece counts from each trained model
+    val words = docToks(s, dir).select(explode(col("t")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val merges = q94_bpe_learn(s, dir).orderBy(col("round")).collect()
+      .map(r => (r.getAs[String]("merge_left"), r.getAs[String]("merge_right")))
+    val symInit = "concat('|', array_join(transform(sequence(1, length(word))," +
+      " i -> substring(word, i, 1)), '||'), '|')"
+    val bpeChain = merges.foldLeft(symInit) { case (acc, (l, r)) =>
+      s"replace($acc, '|$l||$r|', '|$l$r|')"
+    }
+    val bpe = words
+      .withColumn("np", expr(
+        s"size(split(substring($bpeChain, 2, length($bpeChain) - 2), '\\\\|\\\\|'))")
+        .cast("long"))
+      .agg(sum(col("cnt") * col("np")).as("n_tokens"),
+        sum(col("cnt") * length(col("word"))).cast("long").as("n_chars"))
+      .select(lit("bpe").as("tokenizer"), col("n_tokens"), col("n_chars"))
+    val uniVocab = s.sparkContext.broadcast(uniTrain(s, dir)._2)
+    val uniSeg = udf((w: String) =>
+      uniSegmentKey(w, uniVocab.value).substring(0, 2).toLong)
+    val uni = words
+      .withColumn("np", uniSeg(col("word")))
+      .agg(sum(col("cnt") * col("np")).as("n_tokens"),
+        sum(col("cnt") * length(col("word"))).cast("long").as("n_chars"))
+      .select(lit("unigram").as("tokenizer"), col("n_tokens"), col("n_chars"))
+    wp.unionByName(bpe).unionByName(uni)
+      .select(col("tokenizer"), col("n_tokens"), col("n_chars"),
+        expr("n_chars * 1000 div n_tokens").as("chars_per_1k_tokens"))
+      .orderBy(col("tokenizer"))
+  }
+
+  /** Composed twin: WordPiece recursive walk + the BPE stage chain + the
+    * unigram training chain (word CTE renamed `uw` precisely so the two
+    * trainings coexist in one WITH block) + the unigram apply round. */
+  private lazy val tokenizerReportOracle: String = {
+    val applyRound = UniRounds + 1
+    s"""WITH RECURSIVE lex AS (SELECT doc_id,
+       |    regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS ps
+       |  FROM documents),
+       |wpwords AS (SELECT DISTINCT unnest(ps) AS u FROM lex),
+       |wprec AS (
+       |  SELECT u AS w, 1 AS pos, 0 AS cnt FROM wpwords
+       |  UNION ALL
+       |  SELECT w, pos + ${graft.text.Subword.matchLenSql("w", "pos")}, cnt + 1
+       |  FROM wprec WHERE pos <= len(w)),
+       |wpc AS (SELECT w, cnt FROM wprec WHERE pos > len(w)),
+       |wpstream AS (SELECT unnest(ps) AS u FROM lex),
+       |wpt AS (SELECT CAST(SUM(wpc.cnt) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(len(wpstream.u)) AS BIGINT) AS n_chars
+       |  FROM wpstream JOIN wpc ON wpstream.u = wpc.w),
+       |$bpeStagesSql,
+       |bpet AS (SELECT
+       |    CAST(SUM(cnt * len(string_split(sym[2:len(sym) - 1], '||'))) AS BIGINT)
+       |      AS n_tokens,
+       |    CAST(SUM(cnt * len(word)) AS BIGINT) AS n_chars
+       |  FROM s$BpeRounds),
+       |$unigramTrainCtes,
+       |${uniDpCtes(applyRound, s"v$UniRounds")},
+       |unit AS (SELECT
+       |    CAST(SUM(cnt * CAST(key[1:2] AS BIGINT)) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(cnt * len(word)) AS BIGINT) AS n_chars
+       |  FROM seg$applyRound)
+       |SELECT tokenizer, n_tokens, n_chars,
+       |  n_chars * 1000 // n_tokens AS chars_per_1k_tokens
+       |FROM (
+       |  SELECT 'bpe' AS tokenizer, n_tokens, n_chars FROM bpet
+       |  UNION ALL SELECT 'unigram', n_tokens, n_chars FROM unit
+       |  UNION ALL SELECT 'wordpiece', n_tokens, n_chars FROM wpt)
+       |ORDER BY tokenizer""".stripMargin
   }
 
   // ---------------------------------------- model-based quality classifier
@@ -1906,7 +2011,8 @@ object CorpusFilters {
     "q104_countmin_hh"    -> (q104_countmin_hh _),
     "q105_unigram_learn"  -> (q105_unigram_learn _),
     "q105b_unigram_tokenize" -> (q105b_unigram_tokenize _),
-    "q107_temperature_mix" -> (q107_temperature_mix _))
+    "q107_temperature_mix" -> (q107_temperature_mix _),
+    "q111_tokenizer_report" -> (q111_tokenizer_report _))
 
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
@@ -2336,6 +2442,7 @@ object CorpusFilters {
     "q94b_bpe_tokenize" -> bpeTokenizeOracle,
     "q105_unigram_learn" -> unigramLearnOracle,
     "q105b_unigram_tokenize" -> unigramTokenizeOracle,
+    "q111_tokenizer_report" -> tokenizerReportOracle,
     // integer quota arithmetic mirrored op-for-op; sqrt is correctly
     // rounded in both engines, SUMs are over BIGINTs only
     "q107_temperature_mix" ->
