@@ -426,6 +426,32 @@ object Sessions {
       }
   }
 
+  /** Event-time QUALITY DRIFT monitor — the dashboard frame a continuous
+    * curation pipeline emits: per event-time window, arrival count,
+    * contamination count, keep count and the mean quality logit. A
+    * collapsing mean logit or a contamination spike in a window is the
+    * canary for a poisoned crawl or an upstream format change. Built on
+    * the stateless per-doc gate ([[curationGateStream]]) + a watermarked
+    * tumbling-window aggregate, so state is O(open windows), late rows
+    * beyond the watermark drop, and the SAME plan runs on a batch frame
+    * (SessionsSpec asserts batch parity). The mean logit is emitted
+    * rounded; keep derives from the unrounded value upstream. */
+  def qualityDriftStream(docs: DataFrame, textCol: String, tsCol: String,
+      filterBytes: Array[Byte],
+      weights: IndexedSeq[Double] = graft.text.CorpusFilters.ClassifierWeights,
+      bias: Double = 0.0,
+      windowLen: String = "1 minute",
+      watermark: String = "1 minute"): DataFrame =
+    curationGateStream(docs, textCol, filterBytes, weights, bias)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        round(avg(col("quality_logit")), 6).as("mean_logit"))
+      .select(col("window.start").as("window_start"), col("n_docs"),
+        col("n_contaminated"), col("n_keep"), col("mean_logit"))
+
   /** Continuous CDC → lake: every micro-batch of changelog rows
     * (doc_id, text, lang, source, op 'U'/'D') merges into the stored
     * lang-partitioned table via [[graft.sink.Lake.applyChangesInto]] —

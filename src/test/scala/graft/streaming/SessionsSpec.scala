@@ -379,6 +379,63 @@ class SessionsSpec extends AnyFunSuite {
       assert(k == n - d, "n_kept arithmetic") }
   }
 
+  test("quality drift monitor: windowed stats match batch, late rows drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // seconds-based, minute-aligned event times (the suite's ts() is in
+    // minutes); tumbling 1-minute windows start exactly at tss(0), tss(60)...
+    def tss(sec: Int) = new Timestamp(1700000040000L + sec * 1000L)
+    val bytes = graft.ml.Bloom.buildFilter(
+      Seq("alpha beta gamma delta epsilon").toDF("g"), col("g"), 1024L, 0.01)
+    // window 1 (tss 0-59): two clean docs + one contaminated; window 2: one
+    val onTime = Seq(
+      (1L, "join hash row batch scan filter", tss(5)),
+      (2L, "alpha beta gamma delta epsilon zeta", tss(20)), // contaminated
+      (3L, "small slow column customer", tss(40)),
+      (4L, "batch scan filter join", tss(70)),
+      (99L, "join hash row", tss(700)),
+      (6L, "flush", tss(1400)))
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = Sessions.qualityDriftStream(
+        input.toDF().toDF("doc_id", "text", "ts"), "text", "ts", bytes)
+      .writeStream.format("memory").queryName("drift").outputMode("append")
+      .start()
+    try {
+      input.addData(onTime(0), onTime(1), onTime(2))
+      q.processAllAvailable()
+      // advance the watermark far past window 1, then replay a LATE row
+      // into it — appended output must never revise window 1
+      input.addData(onTime(3), onTime(4))
+      q.processAllAvailable()
+      input.addData((5L, "late arrival into window one", tss(10)))
+      q.processAllAvailable()
+      input.addData(onTime(5))
+      q.processAllAvailable()
+      val got = spark.table("drift").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).sortBy(_._1.getTime)
+      // batch parity: identical plan over the on-time frame (the late row
+      // dropped in the stream, so the batch twin excludes it too)
+      val batch = Sessions.qualityDriftStream(
+          onTime.toDF("doc_id", "text", "ts"), "text", "ts", bytes)
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).sortBy(_._1.getTime)
+      // append emits only finalized windows: everything emitted matches
+      // the batch computation exactly, and window 1 is present + correct
+      assert(got.nonEmpty && got.toSet.subsetOf(batch.toSet),
+        s"stream windows must match batch:\n${got.toSeq}\nvs\n${batch.toSeq}")
+      val w1 = got.filter(_._1 == tss(0))
+      assert(w1.length == 1, s"window 1 must be emitted exactly once: ${got.toSeq}")
+      // 3 on-time docs, 1 contaminated; keep/mean pinned via the batch row
+      // (keep also requires a non-negative quality logit, so it is the
+      // model's call, not the test's)
+      assert(w1.head._2 == 3 && w1.head._3 == 1,
+        s"window 1 stats wrong (late row must not count): ${w1.head}")
+      assert(w1.head == batch.find(_._1 == tss(0)).get,
+        "window 1 must equal the batch-computed row exactly")
+    } finally q.stop()
+  }
+
   test("windowed counts run identically on a batch frame (unified plan)") {
     import spark.implicits._
     val batch = Seq(
