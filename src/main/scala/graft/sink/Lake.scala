@@ -102,6 +102,18 @@ object Lake {
     *     (delete-only batches emit no file for it). */
   private[graft] def applyChangesInto(s: SparkSession, lakeDir: String,
       changes: DataFrame): Seq[String] = {
+    // PRECONDITION: one row per key. A batch with two rows for a doc_id
+    // (two updates, or delete + re-insert) has no defined order here, and
+    // the upsert union would write BOTH rows into the lake. Compaction is
+    // the changelog producer's job — q86's latest-record-per-key is
+    // exactly that operator — so fail loudly instead of silently
+    // duplicating. The probe is one metadata-scale aggregate per batch.
+    val dup = changes.groupBy(col("doc_id")).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"changelog batch carries ${dup.headOption.map(_.getLong(1)).getOrElse(0L)} " +
+        s"rows for doc_id ${dup.headOption.map(_.getLong(0)).getOrElse(-1L)}; " +
+        "compact to one row per key first (q86 latest-record-per-key)")
     val keys = changes.select(col("doc_id")).distinct()
     val stored = s.read.parquet(lakeDir)
     val oldLangs = stored.join(keys, Seq("doc_id"), "left_semi")

@@ -269,6 +269,14 @@ class SinkSpec extends AnyFunSuite {
         (4L, "delta", "p", "s2"), (5L, "eps", "s", "s3"),
         (6L, "zeta", "q", "s1")))
     } finally q.stop()
+    // an uncompacted batch (two rows for one key) must fail loudly, not
+    // silently write both rows — compaction is q86's job upstream
+    val bad = Seq((7L, "x", "p", "s1", "U"), (7L, "y", "p", "s1", "U"))
+      .toDF("doc_id", "text", "lang", "source", "op")
+    val e = intercept[IllegalArgumentException](
+      Lake.applyChangesInto(spark, lake, bad))
+    assert(e.getMessage.contains("compact"))
+    assert(!content(lake).exists(_._1 == 7L), "failed batch must write nothing")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(lake))
   }
 
