@@ -131,13 +131,15 @@ object Bench {
     // capture truncated the cheap half of the suite out of BENCH_r{5,6}
     def r3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    // Failures (-1) FIRST so a truncated capture can never silently hide
-    // them, then queries by ASCENDING cost: the driver's capture keeps the
-    // END of the output, so ascending order puts the expensive half — the
-    // queries whose regressions matter — adjacent to the end where it
-    // survives truncation (round-11 verdict: round 8's descending order
-    // preserved the 72 cheapest queries and dropped the ~48 expensive ones).
-    val qs = results.sortBy { case (k, v) => (v >= 0, v, k) }
+    // Queries by ASCENDING cost with failures (-1) LAST: the driver's
+    // capture keeps the END of the output, so the tail must hold what
+    // matters most — failing query names first of all, then the expensive
+    // half whose regressions matter (round-11 verdict: round 8's
+    // descending order preserved the 72 cheapest queries and dropped the
+    // ~48 expensive ones; round-12 advice: failures sorted FIRST were the
+    // first content truncated, inverting the intent). The short trailing
+    // summary line still carries n_failed even if every name is cut.
+    val qs = results.sortBy { case (k, v) => (v < 0, v, k) }
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val nFailed = results.count(_._2 < 0)

@@ -40,9 +40,17 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The NTZ→LTZ cast below is the identity on the stored micros ONLY
-    // under a UTC session; every graft entry point sets it, but enforce it
-    // here too so a non-UTC caller can't silently shift ts_us.
-    s.conf.set("spark.sql.session.timeZone", "UTC")
+    // under a UTC session. Every graft entry point (Bench, Verify, the
+    // test harness) sets it; FAIL LOUDLY for anyone else rather than
+    // silently overwriting the caller's timezone — a reader that mutates
+    // session state changes the behavior of unrelated timestamp parsing
+    // in the same session (round-12 advice).
+    val tz = s.conf.get("spark.sql.session.timeZone")
+    if (tz != "UTC")
+      throw new IllegalStateException(
+        s"Tables.events requires spark.sql.session.timeZone=UTC (got '$tz'): " +
+          "the NTZ->LTZ ts normalization is timezone-sensitive; set UTC on " +
+          "the session builder")
     val raw = p(s, d, "events")
     import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
     val withUs = raw.schema("ts").dataType match {

@@ -1300,15 +1300,44 @@ object Similarity {
     labels.orderBy(col("doc_id"))
   }
 
+  /** Metadata-only SNAPSHOT FINGERPRINT of the documents table under
+    * `dir`: md5 over the sorted (file path, length, mtime) listing — the
+    * same information a table format's snapshot id summarizes. Listing a
+    * directory is a metadata operation (no data read), so the probe costs
+    * what a lake manifest read costs at any scale. Any in-place mutation
+    * (a CDC merge into the corpus, a partition rewrite, a driver
+    * regenerating the dir) changes file names/sizes/mtimes and therefore
+    * the fingerprint. In production on Iceberg/Delta this is the
+    * table's current snapshot/version id. */
+  private[graft] def corpusFingerprint(s: SparkSession, dir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val f = it.next()
+      entries += s"${f.getPath.toUri.getPath}|${f.getLen}|${f.getModificationTime}"
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.sorted.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+  }
+
   /** Scratch path for the materialized dedup stage, keyed by
-    * (applicationId, input dir) so a sf0.001 warmup stage never serves a
-    * sf0.1 read. Lives for the session like a curation DAG's intermediate
-    * table lives for the pipeline run. */
+    * (applicationId, input dir, CONTENT fingerprint): the app id scopes
+    * the stage to the session, the dir md5 keeps a sf0.001 warmup stage
+    * from serving a sf0.1 read (two dirs with identical content still get
+    * distinct stages), and the snapshot fingerprint invalidates the stage
+    * when the corpus mutates IN PLACE mid-session — exactly what
+    * `sink.Lake.applyChangesInto` does to a lake; the round-12 path-only
+    * key silently served stale labels after such a merge. Lives for the
+    * session like a curation DAG's intermediate table lives for the
+    * pipeline run. */
   private[graft] def dedupStageDir(s: SparkSession, dir: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     s"${System.getProperty("java.io.tmpdir")}/graft_dedup_stage_" +
-      s"${s.sparkContext.applicationId}_$key"
+      s"${s.sparkContext.applicationId}_${key}_${corpusFingerprint(s, dir)}"
   }
 
   /** MATERIALIZED dedup stage — the production curation-DAG shape
@@ -1331,6 +1360,12 @@ object Similarity {
     *                 leakage-proof q100 assignment), partition column */
   private[graft] def dedupStage(s: SparkSession, dir: String): DataFrame = {
     val out = dedupStageDir(s, dir)
+    // INVARIANT: the _SUCCESS probe-then-write is NOT concurrency-safe
+    // (two sessions racing here would both compute and one overwrite the
+    // other — benign but wasteful); safe under Bench/Verify's strictly
+    // sequential single-session contract (the same assumption Bench's
+    // global unpersist hygiene documents). A multi-writer deployment
+    // replaces this with the table format's atomic snapshot commit.
     if (!new java.io.File(out, "_SUCCESS").exists()) {
       val labels = q73_dedup_union(s, dir) // eagerly pinned by components()
         .select(col("doc_id"), col("component"), col("is_canonical"))

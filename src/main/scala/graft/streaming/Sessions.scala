@@ -351,9 +351,12 @@ object Sessions {
     * index, in one foreachBatch pipeline that emits, per micro-batch:
     *   - a PER-DOC frame (idCol, sourceCol, contaminated, quality_logit,
     *     keep_quality, dup, keep) — what a router writes onward;
-    *   - a SURVIVORSHIP frame with exactly q73b's columns (source,
-    *     n_docs, n_flagged, n_dropped, n_kept, survival_rate) rolled up
-    *     over the batch — the audit a continuous pipeline publishes.
+    *   - a SURVIVORSHIP frame with q73b's columns (source, n_docs,
+    *     n_flagged, n_dropped, n_kept, survival_rate — dedup-scoped, so
+    *     it stays comparable with the batch audit) PLUS the quality side
+    *     (n_quality_dropped, n_kept_final, final_survival_rate) so the
+    *     rollup agrees with the per-doc `keep` flag on what "kept" means
+    *     — the audit a continuous pipeline publishes.
     *
     * Near-dup semantics — the streaming FIRST-OCCURRENCE rule: a doc is
     * `dup` iff it band-collides with any SMALLER-id doc, whether that doc
@@ -411,14 +414,28 @@ object Sessions {
           // pin: both outputs derive from it, and the handler may hold the
           // frames past this batch while the index pin rotates
           .localCheckpoint()
+        // q73b's six columns keep their DEDUP-scoped semantics (n_dropped
+        // counts dup drops only, so the frame is comparable with the batch
+        // survivorship audit), and two explicit quality columns make the
+        // frame agree with the per-doc `keep` emitted alongside: a doc
+        // rejected by the quality gate is NOT hidden inside n_kept
+        // (round-12 advice — audit consumers read n_kept as "kept").
+        // n_docs = n_dropped + n_quality_dropped + n_kept_final holds
+        // per row (dup wins the attribution when both gates reject).
         val survivorship = perDoc.groupBy(col(sourceCol).as("source"))
           .agg(count(lit(1)).as("n_docs"),
             sum(when(col("dup"), 1L).otherwise(0L)).as("n_flagged"),
-            sum(when(col("dup"), 1L).otherwise(0L)).as("n_dropped"))
+            sum(when(col("dup"), 1L).otherwise(0L)).as("n_dropped"),
+            sum(when(!col("dup") && !col("keep_quality"), 1L).otherwise(0L))
+              .as("n_quality_dropped"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept_final"))
           .select(col("source"), col("n_docs"), col("n_flagged"),
             col("n_dropped"), (col("n_docs") - col("n_dropped")).as("n_kept"),
             round((col("n_docs") - col("n_dropped")).cast("double")
-              / col("n_docs"), 6).as("survival_rate"))
+              / col("n_docs"), 6).as("survival_rate"),
+            col("n_quality_dropped"), col("n_kept_final"),
+            round(col("n_kept_final").cast("double") / col("n_docs"), 6)
+              .as("final_survival_rate"))
         handler(perDoc, survivorship, id)
         index.append(bandRows)
         prevPinned.foreach(_.unpersist(blocking = false))

@@ -1197,6 +1197,23 @@ object CorpusFilters {
     // the model is vocabulary-sized (chars + UniSeedMulti) — collect and
     // broadcast, exactly how a real trainer ships its piece table
     var vocab = seed.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // The DP key's inverted-score field is `1e12 - score_sum` zero-padded
+    // to 13 digits (uniSegmentKey / the oracle's lpad(...,13,'0')): a
+    // cumulative score above 1e12 goes NEGATIVE, the lexicographic
+    // ordering inverts, and Scala's %013d diverges from DuckDB's lpad —
+    // a silent cross-engine drift at corpus scales where char-frequency
+    // scores are corpus-cardinality (round-12 advice). Guard the worst
+    // case (max piece score × max pieces per word) like the maxLen guard;
+    // a production trainer at 100 TB rescales scores (they are relative
+    // weights — dividing all by a constant preserves every argmin).
+    def requireScoreBound(m: Map[String, Long]): Unit = {
+      val worst = m.values.max * UniMaxWordLen.toLong
+      require(worst < 1000000000000L,
+        s"unigram piece score bound exceeded: max score ${m.values.max} x " +
+          s"$UniMaxWordLen pieces = $worst >= 1e12 breaks the inverted-key " +
+          "encoding; rescale corpus frequencies before training")
+    }
+    requireScoreBound(vocab)
     val trajectory = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     for (round <- 1 to UniRounds) {
       val bc = s.sparkContext.broadcast(vocab)
@@ -1217,6 +1234,7 @@ object CorpusFilters {
       val droppedSet = dropped.map(_._1).toSet
       vocab = vocab.keysIterator.filterNot(droppedSet)
         .map(p => p -> usage.getOrElse(p, 0L)).toMap
+      requireScoreBound(vocab) // M-step scores are usage counts — re-check
       bc.destroy()
     }
     graft.ml.Similarity.pinnedRdds(words).foreach(_.unpersist(blocking = false))

@@ -223,4 +223,41 @@ class ComponentsSpec extends AnyFunSuite {
     assert(prunedPlan.contains("PartitionFilters") && prunedPlan.contains("split"),
       s"expected partition pruning on the stage scan:\n$prunedPlan")
   }
+
+  test("dedup stage key is a content fingerprint: in-place corpus mutation recomputes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage-fp").toString
+    def writeCorpus(docs: Seq[(Long, String, String)]): Unit =
+      docs.toDF("doc_id", "text", "source")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val dupText = "the quick brown fox jumps over the lazy dog tonight"
+    writeCorpus(Seq(
+      (1L, dupText, "web"), (2L, dupText, "web"),
+      (3L, "completely different words about spark query planning", "web"),
+      (4L, "yet another unrelated document mentioning parquet files", "wiki")))
+    val key1 = Similarity.dedupStageDir(spark, dir)
+    val s1 = Similarity.dedupStage(spark, dir).collect()
+    assert(s1.length == 4, "stage covers the v1 corpus")
+    assert(s1.count(_.getAs[Boolean]("flagged")) == 2, "the twin pair is flagged")
+    // stable corpus, same session → same key, stage served from disk
+    assert(Similarity.dedupStageDir(spark, dir) == key1, "key stable while corpus is")
+    // MUTATE IN PLACE (what a CDC merge does to a lake): add a third twin
+    // and a fresh doc — the round-12 path-md5 key would serve the stale
+    // 4-row stage here; the content fingerprint must recompute
+    writeCorpus(Seq(
+      (1L, dupText, "web"), (2L, dupText, "web"), (5L, dupText, "web"),
+      (3L, "completely different words about spark query planning", "web"),
+      (4L, "yet another unrelated document mentioning parquet files", "wiki")))
+    val key2 = Similarity.dedupStageDir(spark, dir)
+    assert(key2 != key1, "fingerprint must change when corpus files change")
+    val s2 = Similarity.dedupStage(spark, dir).collect()
+    assert(s2.length == 5, "stage recomputed over the mutated corpus")
+    assert(s2.count(_.getAs[Boolean]("flagged")) == 3, "new twin joins the cluster")
+    assert(s2.count(r => r.getAs[Boolean]("flagged")
+      && !r.getAs[Boolean]("is_canonical")) == 2, "two of three twins drop")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(key1))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(key2))
+  }
 }

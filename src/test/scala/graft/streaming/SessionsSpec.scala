@@ -346,9 +346,16 @@ class SessionsSpec extends AnyFunSuite {
               flags(id) = (r.getAs[Boolean]("keep"),
                 r.getAs[Boolean]("keep_quality"), r.getAs[Boolean]("dup"))
             }
-            surv += survivorship.collect().map(r =>
+            surv += survivorship.collect().map { r =>
+              // the dedup/quality attribution must partition the batch:
+              // every doc is dup-dropped, quality-dropped, or finally kept
+              assert(r.getAs[Long]("n_docs") == r.getAs[Long]("n_dropped")
+                + r.getAs[Long]("n_quality_dropped")
+                + r.getAs[Long]("n_kept_final"),
+                s"survivorship attribution must partition n_docs: $r")
               r.getAs[String]("source") -> ((r.getAs[Long]("n_docs"),
-                r.getAs[Long]("n_dropped"), r.getAs[Long]("n_kept")))).toMap
+                r.getAs[Long]("n_dropped"), r.getAs[Long]("n_kept")))
+            }.toMap
           })
         .start()
       try {
