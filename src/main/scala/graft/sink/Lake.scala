@@ -17,6 +17,22 @@ import org.apache.spark.sql.functions._
   */
 object Lake {
 
+  /** Drop one emptied partition directory from the lake — the metadata
+    * delete a table format commits (`ALTER TABLE ... DROP PARTITION`; in
+    * Iceberg/Delta the delete-file/manifest entry lands in the SAME
+    * transactional snapshot as the rewrite, so readers never observe the
+    * in-between state). Over plain hive-partitioned parquet there is no
+    * such transaction: the dynamic overwrite and this delete are two
+    * steps, and a crash between them leaves a stale emptied partition
+    * visible until the merge re-runs — the documented non-atomicity
+    * window of the file-lake stand-in (round-12 advice / verdict item 6).
+    * Uses the Hadoop FileSystem API so the lake path scheme (local, HDFS,
+    * s3a) decides the implementation, not java.io. */
+  private def dropPartition(s: SparkSession, lakeDir: String, value: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$lakeDir/lang=$value")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   /** MERGE `incoming` into the lang-partitioned parquet table at `lakeDir`
     * (schema: doc_id, text, lang, source — doc_id is the merge key).
     * Returns the changed partition values, already rewritten:
@@ -73,10 +89,7 @@ object Lake {
         .partitionBy("lang").parquet(lakeDir)
       val stillPresent = rows.select(col("lang")).distinct()
         .collect().map(_.getString(0)).toSet
-      (changed.toSet -- stillPresent).foreach { l =>
-        org.apache.commons.io.FileUtils.deleteDirectory(
-          new java.io.File(s"$lakeDir/lang=$l"))
-      }
+      (changed.toSet -- stillPresent).foreach(dropPartition(s, lakeDir, _))
     }
     changed
   }
@@ -135,10 +148,7 @@ object Lake {
       val stillPresent = rows.select(col("lang")).distinct()
         .collect().map(_.getString(0)).toSet
       graft.ml.Similarity.pinnedRdds(rows).foreach(_.unpersist(blocking = false))
-      (changed.toSet -- stillPresent).foreach { l =>
-        org.apache.commons.io.FileUtils.deleteDirectory(
-          new java.io.File(s"$lakeDir/lang=$l"))
-      }
+      (changed.toSet -- stillPresent).foreach(dropPartition(s, lakeDir, _))
     }
     changed
   }

@@ -293,4 +293,45 @@ class SinkSpec extends AnyFunSuite {
       .filter(col("content") =!= col("orig")).count()
     assert(audioUnchanged == 0)
   }
+
+  test("CDC merge into the corpus lake refreshes the dedup stage downstream") {
+    import spark.implicits._
+    import graft.ml.Similarity
+    // the corpus IS a lake: documents.parquet is a lang-partitioned table
+    // that applyChangesInto mutates in place — exactly the scenario the
+    // round-12 path-md5 stage key served stale labels for
+    val root = java.nio.file.Files.createTempDirectory("graft-cdc-stage").toString
+    val lake = s"$root/documents.parquet"
+    val dupText = "the quick brown fox jumps over the lazy dog tonight"
+    Parquet.writePartitioned(Seq(
+        (1L, dupText, "en", "web"), (2L, dupText, "en", "web"),
+        (3L, "completely different words about spark query planning", "en", "web"),
+        (4L, "yet another unrelated document mentioning parquet files", "fr", "wiki"))
+      .toDF("doc_id", "text", "lang", "source"), lake, Seq("lang"))
+    val key1 = Similarity.dedupStageDir(spark, root)
+    val audit1 = Similarity.q73b_dedup_survivorship(spark, root).collect()
+    assert(audit1.map(_.getAs[Long]("n_docs")).sum == 4)
+    assert(audit1.map(_.getAs[Long]("n_dropped")).sum == 1, "one of two twins drops")
+    // CDC batch lands: a third twin arrives, the wiki doc is deleted
+    Lake.applyChangesInto(spark, lake, Seq(
+        (5L, dupText, "en", "web", "U"), (4L, "", "", "", "D"))
+      .toDF("doc_id", "text", "lang", "source", "op"))
+    val key2 = Similarity.dedupStageDir(spark, root)
+    assert(key2 != key1, "CDC merge must change the stage fingerprint")
+    // all three stage consumers recompute over the merged corpus and
+    // their internal gates (leak_free, kept arithmetic) still hold
+    val audit2 = Similarity.q73b_dedup_survivorship(spark, root).collect()
+    assert(audit2.map(_.getAs[Long]("n_docs")).sum == 4, "5 docs - 1 delete")
+    assert(audit2.map(_.getAs[Long]("n_dropped")).sum == 2, "three twins -> two drop")
+    val split = Similarity.q100_component_split(spark, root).collect()
+    assert(split.map(_.getAs[Long]("n_docs")).sum == 4)
+    assert(split.forall(_.getAs[Boolean]("leak_free")))
+    val report = Similarity.q101_curation_report(spark, root).collect()
+    assert(report.map(_.getAs[Long]("n_docs")).sum == 4)
+    assert(report.map(_.getAs[Long]("n_kept")).sum ==
+      audit2.map(r => r.getAs[Long]("n_docs") - r.getAs[Long]("n_dropped")).sum)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(key1))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(key2))
+  }
 }
