@@ -1251,10 +1251,18 @@ object Similarity {
 
   /** The band-collision pair kernel over a precomputed 4-permutation
     * signature frame (columns doc_id, h1..h4). */
-  private def minhashBandPairsOf(sig: DataFrame): DataFrame = {
-    val bands = sig.select(col("doc_id"), explode(array(
+  private def minhashBandPairsOf(sig: DataFrame): DataFrame =
+    bandRowPairsOf(sig.select(col("doc_id"), explode(array(
       (1 to 4).map(i => struct(lit(i).as("band"), col(s"h$i").as("h"))): _*)).as("bh"))
-      .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+      .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h")))
+
+  /** Same kernel over an already-exploded (doc_id, band, h) band table —
+    * the shape the streaming `Sessions.BandIndex` maintains incrementally
+    * (`streamBandRows` derives h with the same seeds + md5 min as
+    * `TextOps.minhashSignaturesOf`, so index-sourced pairs are exactly
+    * the batch minhash signal). Stop-bucket cap (≤ 20) and distinct match
+    * the signature-frame path above. */
+  private[graft] def bandRowPairsOf(bands: DataFrame): DataFrame = {
     bands.groupBy(col("band"), col("h"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")).between(2, 20))
@@ -1366,28 +1374,83 @@ object Similarity {
     // sequential single-session contract (the same assumption Bench's
     // global unpersist hygiene documents). A multi-writer deployment
     // replaces this with the table format's atomic snapshot commit.
-    if (!new java.io.File(out, "_SUCCESS").exists()) {
-      val labels = q73_dedup_union(s, dir) // eagerly pinned by components()
-        .select(col("doc_id"), col("component"), col("is_canonical"))
-      val stage = Tables.documents(s, dir).select(col("doc_id"), col("source"))
-        .join(labels, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("source"), col("component"),
-          coalesce(col("component"), col("doc_id")).as("grp"),
-          col("is_canonical").isNotNull.as("flagged"),
-          coalesce(col("is_canonical"), lit(true)).as("is_canonical"))
-        .withColumn("bk", pmod(
-          conv(substring(md5(col("grp").cast("string").cast("binary")), 1, 4),
-            16, 10).cast("long"), lit(100L)))
-        .withColumn("split",
-          when(col("bk") < 80, "train").when(col("bk") < 90, "val")
-            .otherwise("test"))
-        .drop("bk")
-      graft.sink.Parquet.writePartitioned(stage, out, Seq("split"))
-      // the stage now lives on disk; release the fixpoint's pinned label
-      // blocks (docs-cardinality — a real leak at 100 TB if left to the
-      // session sweep)
-      pinnedRdds(labels).foreach(_.unpersist(blocking = false))
-    }
+    if (!new java.io.File(out, "_SUCCESS").exists())
+      writeStage(s, dir, q73_dedup_union(s, dir), out)
+    s.read.parquet(out)
+  }
+
+  /** Derive the stage table from per-doc closure labels and persist it
+    * split-partitioned at `out` — shared by the cold-start path above and
+    * the streaming reconcile ([[republishDedupStage]]). `labels0` must be
+    * eagerly pinned (components() output is); its blocks are released
+    * once the stage is on disk. */
+  private def writeStage(s: SparkSession, dir: String, labels0: DataFrame,
+      out: String): Unit = {
+    val labels = labels0
+      .select(col("doc_id"), col("component"), col("is_canonical"))
+    val stage = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("component"),
+        coalesce(col("component"), col("doc_id")).as("grp"),
+        col("is_canonical").isNotNull.as("flagged"),
+        coalesce(col("is_canonical"), lit(true)).as("is_canonical"))
+      .withColumn("bk", pmod(
+        conv(substring(md5(col("grp").cast("string").cast("binary")), 1, 4),
+          16, 10).cast("long"), lit(100L)))
+      .withColumn("split",
+        when(col("bk") < 80, "train").when(col("bk") < 90, "val")
+          .otherwise("test"))
+      .drop("bk")
+    graft.sink.Parquet.writePartitioned(stage, out, Seq("split"))
+    // the stage now lives on disk; release the fixpoint's pinned label
+    // blocks (docs-cardinality — a real leak at 100 TB if left to the
+    // session sweep)
+    pinnedRdds(labels).foreach(_.unpersist(blocking = false))
+  }
+
+  /** STREAMING→BATCH DEDUP RECONCILIATION (round-12 verdict item 1): the
+    * periodic compaction step that makes streaming near-dup verdicts
+    * converge to batch truth. The streaming DAG's first-occurrence rule
+    * is DIRECT-collision only — it cannot retro-drop an already-emitted
+    * doc when a later arrival links two existing clusters, and it sees
+    * only the minhash signal. This operator recomputes the full q73
+    * THREE-SIGNAL transitive closure over the accumulated corpus at
+    * `dir`, sourcing the minhash band pairs from the stream's
+    * incrementally maintained index (no signature recompute — the index
+    * IS that work, already done per-batch) while re-deriving the jaccard
+    * and simhash signals from the corpus, then REPUBLISHES the
+    * materialized stage for the corpus' current snapshot — the table
+    * q73b/q100/q101 and the stream's verdict checks read.
+    *
+    * PRECONDITION: `bandIndex` covers every document in the corpus
+    * (the streaming DAG folds every batch's band rows in, dropped docs
+    * included, so a continuously-maintained index satisfies this by
+    * construction).
+    *
+    * 100 TB shape: jaccard/simhash are the bucketed kernels q73 uses, the
+    * index read replaces the minhash signature pass (at scale the index
+    * is a (band, h)-partitioned lake table, so its pair kernel is a
+    * partition-local group), and the republish is one partitioned write —
+    * the same nightly-compaction cost profile as the cold stage build,
+    * minus one corpus pass. */
+  private[graft] def republishDedupStage(s: SparkSession, dir: String,
+      bandIndex: DataFrame): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), Cleanse.tokens(col("text")).as("t"))
+      .localCheckpoint()
+    val jaccard = ngramJaccardPairs(toks).select(col("doc_a"), col("doc_b"))
+    val simhash = simhashPairsOf(simhashOf(toks))
+      .select(col("doc_a"), col("doc_b"))
+    val minhash = bandRowPairsOf(bandIndex)
+    val labels = components(
+      jaccard.unionByName(simhash).unionByName(minhash))
+    pinnedRdds(toks).foreach(_.unpersist(blocking = false))
+    val out = dedupStageDir(s, dir)
+    // republish = overwrite: a stage for this snapshot may already exist
+    // (e.g. a consumer cold-built it mid-stream); the reconcile's closure
+    // is the fresher truth for the same fingerprint
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    writeStage(s, dir, labels, out)
     s.read.parquet(out)
   }
 

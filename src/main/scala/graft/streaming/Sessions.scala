@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -442,6 +442,23 @@ object Sessions {
         prevPinned = graft.ml.Similarity.pinnedRdds(perDoc)
       }
   }
+
+  /** The streaming→batch dedup RECONCILIATION step — run after N
+    * micro-batches (or on demand, like a nightly compaction): re-derives
+    * the full three-signal transitive closure over the accumulated corpus
+    * at `dir`, sourcing the minhash signal from this stream's
+    * incrementally maintained [[BandIndex]], and republishes the
+    * materialized dedup stage the batch consumers (q73b/q100/q101) and
+    * the stream's verdict checks read. Closes the documented gap between
+    * the streaming first-occurrence rule (direct collisions only — it
+    * can never retro-drop an emitted doc when a later arrival links two
+    * existing clusters) and q73's batch component truth: after
+    * reconciliation the stage equals a cold batch `dedupStage` on the
+    * same corpus, transitive chains included (SessionsSpec asserts
+    * exactly that equality). */
+  def reconcileDedupStage(s: SparkSession, corpusDir: String,
+      index: BandIndex): DataFrame =
+    graft.ml.Similarity.republishDedupStage(s, corpusDir, index.current)
 
   /** Event-time QUALITY DRIFT monitor — the dashboard frame a continuous
     * curation pipeline emits: per event-time window, arrival count,

@@ -656,4 +656,109 @@ class SessionsSpec extends AnyFunSuite {
         "append output is immutable once finalized")
     } finally { qU.stop(); qA.stop() }
   }
+
+  test("reconciliation: republished stage equals the cold batch stage, closes the direct-rule gap") {
+    import spark.implicits._
+    import graft.ml.Similarity
+    // A JACCARD-ONLY near-dup pair, constructed so the two docs share a
+    // 20-token core (3-gram shingle Jaccard 18/26 ≈ 0.69 ≥ 0.5) but can
+    // NEVER minhash-band-collide: doc A's tail holds, per seed, a token
+    // hashing BELOW every core hash (so A's band minima live in its
+    // tail), while doc B's tail tokens all hash above the core minima
+    // (so B's minima are the core's) — all four band keys differ by
+    // construction. This is exactly the transitive/multi-signal case the
+    // streaming direct-collision rule cannot see and reconciliation
+    // exists to close.
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val core = (1 to 20).map(i => f"corew$i%02d")
+    val seeds = graft.text.TextOps.MinhashSeeds
+    val coreMin = seeds.map(sd => core.map(t => md5hex(sd + t)).min)
+    val tailA = seeds.zipWithIndex.map { case (sd, i) =>
+      Iterator.from(0).map(n => s"qa$n")
+        .find(t => md5hex(sd + t) < coreMin(i)).get
+    }.distinct
+    val tailB = Iterator.from(0).map(n => s"qb$n")
+      .filter(t => seeds.zipWithIndex.forall { case (sd, i) =>
+        md5hex(sd + t) > coreMin(i) })
+      .take(4).toSeq
+    val textA = (core ++ tailA).mkString(" ")
+    val textB = (core ++ tailB).mkString(" ")
+    // the accumulated corpus: sf0.001 documents + the synthetic pair,
+    // "ingested" in 3 chunks, the band index maintained incrementally
+    // exactly as the curation DAG maintains it (every batch folds in)
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .unionByName(Seq(
+        (1000001L, textA, "en", "synth", textA.length.toLong),
+        (1000002L, textB, "en", "synth", textB.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .coalesce(1).localCheckpoint()
+    def writeCorpus(): String = {
+      val root = java.nio.file.Files.createTempDirectory("graft-reconcile").toString
+      corpus.write.parquet(s"$root/documents.parquet")
+      root
+    }
+    val root = writeCorpus()
+    val docs = graft.Tables.documents(spark, root)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val index = new Sessions.BandIndex(Sessions.streamBandRows(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text"))
+    try {
+      docs.grouped(math.ceil(docs.length / 3.0).toInt).foreach { chunk =>
+        index.append(Sessions.streamBandRows(
+          chunk.toSeq.toDF("doc_id", "text"), "doc_id", "text"))
+      }
+      def stageSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getAs[Long]("doc_id"),
+          Option(r.getAs[java.lang.Long]("component")).map(_.toLong),
+          r.getAs[Long]("grp"), r.getAs[Boolean]("flagged"),
+          r.getAs[Boolean]("is_canonical"), r.getAs[String]("split"))).toSet
+      val reconciled = stageSet(
+        Sessions.reconcileDedupStage(spark, root, index))
+      // cold batch truth on a pristine copy of the same corpus
+      val root2 = writeCorpus()
+      val cold = stageSet(Similarity.dedupStage(spark, root2))
+      assert(reconciled == cold,
+        s"reconciled stage must equal the cold batch stage: " +
+          s"only_reconciled=${(reconciled -- cold).take(5)} " +
+          s"only_cold=${(cold -- reconciled).take(5)}")
+      // the batch consumers now read the republished stage without any
+      // recompute: no file under the stage dir changes
+      val stageDir = java.nio.file.Paths.get(Similarity.dedupStageDir(spark, root))
+      def state(): Map[String, Long] = {
+        val buf = scala.collection.mutable.Map.empty[String, Long]
+        java.nio.file.Files.walk(stageDir).forEach { p =>
+          if (java.nio.file.Files.isRegularFile(p))
+            buf(stageDir.relativize(p).toString) =
+              java.nio.file.Files.getLastModifiedTime(p).toMillis
+        }
+        buf.toMap
+      }
+      val before = state()
+      val audit = Similarity.q73b_dedup_survivorship(spark, root).collect()
+      assert(state() == before, "q73b must serve the republished stage")
+      assert(audit.map(_.getAs[Long]("n_docs")).sum == docs.length.toLong)
+      // the closure carries information the streaming direct-collision
+      // rule cannot: some doc the minhash-first-occurrence rule KEEPS is
+      // non-canonical in a multi-signal component (a retro-drop the
+      // stream could never emit) — the gap reconciliation exists to close
+      val bands = index.current
+      val directDropped = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
+            col("y.doc_id") < col("x.doc_id"))
+        .select(col("x.doc_id")).distinct().collect().map(_.getLong(0)).toSet
+      val closureDropped = reconciled.collect {
+        case (id, _, _, flagged, canonical, _) if flagged && !canonical => id }
+      assert((closureDropped -- directDropped).contains(1000002L),
+        "the jaccard-only twin must be dropped by the closure yet " +
+          s"invisible to the direct band rule (closure-only drops: " +
+          s"${closureDropped -- directDropped})")
+      val stageDir2 = Similarity.dedupStageDir(spark, root2) // before delete
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root2))
+      org.apache.commons.io.FileUtils.deleteQuietly(stageDir.toFile)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stageDir2))
+    } finally index.close()
+  }
 }
