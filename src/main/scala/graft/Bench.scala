@@ -27,6 +27,8 @@ object Bench {
       // q87b LogisticRegression / q94's 10-round BPE merge loop)
       "q82_ann_ivf_recall", "q84_minhash_lsh_recall", "q87b_quality_trained",
       "q94_bpe_learn", "q94b_bpe_tokenize",
+      "q112_bytebpe_learn", "q112b_bytebpe_tokenize", // same 10-round loop
+
       "m_ann_pq_fitted", "q99_pq_fitted_recall",
       "q106_ivfpq_recall", // coarse KMeans + 8 PQ KMeans fits inside
       "q110_ivfpq_residual_recall", // same fits on residuals

@@ -963,15 +963,17 @@ object CorpusFilters {
     * vocabulary-sized work per stage, zero corpus recursion. */
   private[graft] val BpeRounds = 10
 
-  def q94_bpe_learn(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val words = docToks(s, dir)
-      .select(explode(col("t")).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-    var syms = words.select(col("word"), col("cnt"),
-      expr("concat('|', array_join(transform(sequence(1, length(word))," +
-        " i -> substring(word, i, 1)), '||'), '|')").as("sym"))
-      .localCheckpoint() // vocabulary-sized (31 rows at any SF)
+  /** The (pairs → argmax → replace) merge-learning loop over a seeded
+    * symbol table (word, cnt, sym) — shared by the char-level (q94) and
+    * byte-level (q112) trainers; only the seed alphabet differs. `guard`
+    * is the symbol charset: the learned symbols interpolate into SQL
+    * string literals and the |-sentinel encoding — a symbol containing a
+    * quote or '|' (possible with whitespace-split tokens on
+    * non-synthetic text) would break the literal or silently corrupt the
+    * merge in BOTH engines; fail loudly. */
+  private def bpeMergeLoopOver(syms0: DataFrame, guard: String)
+      : Seq[(Int, String, String, Long)] = {
+    var syms = syms0.localCheckpoint() // vocabulary-sized (31 words at any SF)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     for (round <- 1 to BpeRounds) {
       val best = syms
@@ -988,12 +990,8 @@ object CorpusFilters {
         .limit(1).collect()
       assert(best.nonEmpty, s"BPE round $round found no pairs — vocabulary exhausted")
       val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-      // the learned symbols interpolate into SQL string literals and the
-      // |-sentinel encoding — a symbol containing a quote or '|' (possible
-      // with whitespace-split tokens on non-synthetic text) would break the
-      // literal or silently corrupt the merge in BOTH engines; fail loudly
-      require(l.matches("[a-z0-9]+") && r.matches("[a-z0-9]+"),
-        s"BPE merge symbols must be [a-z0-9]+: '$l', '$r'")
+      require(l.matches(guard) && r.matches(guard),
+        s"BPE merge symbols must match $guard: '$l', '$r'")
       merges += ((round, l, r, c))
       val next = syms.withColumn("sym",
         expr(s"replace(sym, '|$l||$r|', '|$l$r|')")).localCheckpoint()
@@ -1002,6 +1000,19 @@ object CorpusFilters {
     }
     graft.ml.Similarity.pinnedRdds(syms).foreach(_.unpersist(blocking = false))
     merges.toSeq
+  }
+
+  private def bpeWordFreqs(s: SparkSession, dir: String): DataFrame =
+    docToks(s, dir)
+      .select(explode(col("t")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  def q94_bpe_learn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val syms0 = bpeWordFreqs(s, dir).select(col("word"), col("cnt"),
+      expr("concat('|', array_join(transform(sequence(1, length(word))," +
+        " i -> substring(word, i, 1)), '||'), '|')").as("sym"))
+    bpeMergeLoopOver(syms0, "[a-z0-9]+")
       .toDF("round", "merge_left", "merge_right", "pair_count")
       .select(col("round"), col("merge_left"), col("merge_right"),
         concat(col("merge_left"), col("merge_right")).as("merged"),
@@ -1014,28 +1025,31 @@ object CorpusFilters {
     * the q94 merge-table oracle and q94b's tokenize-with-learned-vocab
     * oracle (which re-LEARNS the merges so a data-dependent fit stays
     * fully gateable, the same move as q94 itself). */
-  private lazy val bpeStagesSql: String = {
+  private def bpeStagesSqlGen(px: String, s0Sql: String): String = {
     val stages = (1 to BpeRounds).map { i =>
-      val prev = s"s${i - 1}"
-      s"""p$i AS (SELECT l, r, SUM(cnt) AS c FROM (
+      val prev = s"${px}s${i - 1}"
+      s"""${px}p$i AS (SELECT l, r, SUM(cnt) AS c FROM (
          |  SELECT cnt, ss[i] AS l, ss[i + 1] AS r FROM (
          |    SELECT cnt, string_split(sym[2:len(sym) - 1], '||') AS ss
          |    FROM $prev) q, unnest(range(1, len(ss))) u(i)
          |  WHERE len(ss) >= 2) GROUP BY l, r),
-         |b$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
-         |s$i AS (SELECT word, cnt,
-         |    replace(sym, '|' || b$i.l || '||' || b$i.r || '|',
-         |      '|' || b$i.l || b$i.r || '|') AS sym
-         |  FROM $prev, b$i)""".stripMargin
+         |${px}b$i AS (SELECT l, r, c FROM ${px}p$i ORDER BY c DESC, l, r LIMIT 1),
+         |${px}s$i AS (SELECT word, cnt,
+         |    replace(sym, '|' || ${px}b$i.l || '||' || ${px}b$i.r || '|',
+         |      '|' || ${px}b$i.l || ${px}b$i.r || '|') AS sym
+         |  FROM $prev, ${px}b$i)""".stripMargin
     }.mkString(",\n")
-    s"""w AS (SELECT word, COUNT(*) AS cnt
+    s"""${px}w AS (SELECT word, COUNT(*) AS cnt
        |  FROM (SELECT unnest($DToks) AS word FROM documents) GROUP BY word),
-       |s0 AS (SELECT word, cnt,
-       |    '|' || array_to_string(list_transform(range(1, len(word) + 1),
-       |      i -> word[i:i]), '||') || '|' AS sym
-       |  FROM w),
+       |${px}s0 AS (SELECT word, cnt,
+       |    $s0Sql AS sym
+       |  FROM ${px}w),
        |$stages""".stripMargin
   }
+
+  private lazy val bpeStagesSql: String = bpeStagesSqlGen("",
+    """'|' || array_to_string(list_transform(range(1, len(word) + 1),
+      |      i -> word[i:i]), '||') || '|'""".stripMargin)
 
   /** Generated twin of q94: K unrolled CTE stages, each re-deriving the
     * weighted pair counts, the deterministic argmax, and the sentinel
@@ -1098,6 +1112,121 @@ object CorpusFilters {
        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
        |  CAST(SUM(n_pieces) AS BIGINT) AS n_bpe_tokens
        |FROM toks JOIN wp USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------- byte-level BPE (byte fallback)
+  /** BYTE-LEVEL BPE — the fourth tokenizer family (GPT-2's public scheme:
+    * Radford et al. 2019 run Sennrich merge learning over the UTF-8 BYTE
+    * sequence, so ANY input tokenizes with zero unk — no alphabet
+    * assumption; the practical tokenizer a training-data pipeline meets
+    * in GPT-2/RoBERTa/Llama vocabularies). Symbols here are uppercase hex
+    * byte pairs ("68", "65"; merged "6865") — always [0-9A-F]+, so the
+    * |-sentinel encoding and SQL literals stay collision-free, and the
+    * byte split derives identically in both engines: Spark `hex()` and
+    * DuckDB `hex()` both hex the UTF-8 encoding uppercase. The trainer is
+    * the SAME Heaps-bounded distinct-word loop as q94
+    * ([[bpeMergeLoopOver]]); only the seed alphabet differs (byte-level's
+    * whole point: a 256-symbol closed alphabet). Round-trip totality —
+    * any UTF-8 string re-assembles from its pieces with zero unk under
+    * ANY merge table — is SubwordSpec's property over
+    * [[byteBpeSegments]]/[[byteBpeDecode]]. */
+  private[graft] val byteSymInitSpark =
+    "concat('|', array_join(transform(sequence(1, length(hex(word)) div 2)," +
+      " i -> substring(hex(word), 2 * i - 1, 2)), '||'), '|')"
+
+  def q112_bytebpe_learn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val syms0 = bpeWordFreqs(s, dir)
+      .select(col("word"), col("cnt"), expr(byteSymInitSpark).as("sym"))
+    bpeMergeLoopOver(syms0, "[0-9A-F]+")
+      .toDF("round", "merge_left", "merge_right", "pair_count")
+      .select(col("round"), col("merge_left"), col("merge_right"),
+        concat(col("merge_left"), col("merge_right")).as("merged"),
+        col("pair_count"))
+      .orderBy(col("round"))
+  }
+
+  /** Apply chain for the learned byte merges (shared by q112b and the
+    * q111 report row). */
+  private def byteBpeChain(s: SparkSession, dir: String): String = {
+    val merges = q112_bytebpe_learn(s, dir).orderBy(col("round")).collect()
+      .map(r => (r.getAs[String]("merge_left"), r.getAs[String]("merge_right")))
+    merges.foreach { case (l, r) =>
+      require(l.matches("[0-9A-F]+") && r.matches("[0-9A-F]+"),
+        s"byte-BPE merge symbols must be hex: '$l', '$r'")
+    }
+    merges.foldLeft(byteSymInitSpark) { case (acc, (l, r)) =>
+      s"replace($acc, '|$l||$r|', '|$l$r|')"
+    }
+  }
+
+  /** Tokenize the corpus with the learned byte-level vocabulary — q94b's
+    * learn→apply loop for the byte family: per-word piece counts are a
+    * broadcast dim over DISTINCT words; each document reports its length
+    * in byte-BPE units next to its word count. Oracle re-learns the
+    * merges (bb-prefixed CTE chain) and re-applies. */
+  def q112b_bytebpe_tokenize(s: SparkSession, dir: String): DataFrame = {
+    val chain = byteBpeChain(s, dir)
+    val wordPieces = docToks(s, dir)
+      .select(explode(col("t")).as("word")).distinct()
+      .withColumn("sym", expr(chain))
+      .withColumn("n_pieces", expr(
+        "size(split(substring(sym, 2, length(sym) - 2), '\\\\|\\\\|'))").cast("long"))
+      .select(col("word"), col("n_pieces"))
+    docToks(s, dir).filter(size(col("t")) >= 1)
+      .select(col("doc_id"), explode(col("t")).as("word"))
+      .join(broadcast(wordPieces), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_byte_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Scala twins of the engine's sentinel surgery, for the totality
+    * property (SubwordSpec): `String.replace` is left-to-right
+    * non-overlapping exactly like Spark/DuckDB `replace`. */
+  private[graft] def byteBpeSym(word: String): String =
+    word.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").mkString("|", "||", "|")
+
+  private[graft] def byteBpeSegments(word: String,
+      merges: Seq[(String, String)]): Seq[String] = {
+    require(word.nonEmpty, "byte-BPE segments of the empty string")
+    var sym = byteBpeSym(word)
+    merges.foreach { case (l, r) => sym = sym.replace(s"|$l||$r|", s"|$l$r|") }
+    sym.substring(1, sym.length - 1).split("\\|\\|").toSeq
+  }
+
+  private[graft] def byteBpeDecode(pieces: Seq[String]): String =
+    new String(pieces.mkString.grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray, "UTF-8")
+
+  private lazy val byteBpeStagesSql: String = bpeStagesSqlGen("bb",
+    """'|' || array_to_string(list_transform(range(1, len(hex(word)) // 2 + 1),
+      |      i -> substr(hex(word), 2 * i - 1, 2)), '||') || '|'""".stripMargin)
+
+  /** Generated twin of q112: the same K-stage replay as q94's oracle over
+    * the byte-mapped alphabet (bb-prefixed CTEs so char and byte
+    * trainings can coexist in one WITH block for q111). */
+  private lazy val byteBpeLearnOracle: String = {
+    val out = (1 to BpeRounds).map(i =>
+      s"SELECT $i AS round, l AS merge_left, r AS merge_right, " +
+        s"l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM bbb$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $byteBpeStagesSql
+       |$out
+       |ORDER BY round""".stripMargin
+  }
+
+  private lazy val byteBpeTokenizeOracle: String =
+    s"""WITH $byteBpeStagesSql,
+       |bwp AS (SELECT word,
+       |    CAST(len(string_split(sym[2:len(sym) - 1], '||')) AS BIGINT)
+       |      AS n_pieces
+       |  FROM bbs$BpeRounds),
+       |btoks AS (SELECT doc_id, unnest($DToks) AS word FROM documents)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_pieces) AS BIGINT) AS n_byte_tokens
+       |FROM btoks JOIN bwp USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ------------------------------------- unigram-LM tokenizer training
@@ -1430,7 +1559,17 @@ object CorpusFilters {
       .agg(sum(col("cnt") * col("np")).as("n_tokens"),
         sum(col("cnt") * length(col("word"))).cast("long").as("n_chars"))
       .select(lit("unigram").as("tokenizer"), col("n_tokens"), col("n_chars"))
-    wp.unionByName(bpe).unionByName(uni)
+    // fourth family (r13): byte-level BPE — n_chars stays CHAR count so
+    // chars_per_1k_tokens compares across families on one scale
+    val byteChain = byteBpeChain(s, dir)
+    val bbpe = words
+      .withColumn("np", expr(
+        s"size(split(substring($byteChain, 2, length($byteChain) - 2), '\\\\|\\\\|'))")
+        .cast("long"))
+      .agg(sum(col("cnt") * col("np")).as("n_tokens"),
+        sum(col("cnt") * length(col("word"))).cast("long").as("n_chars"))
+      .select(lit("byte_bpe").as("tokenizer"), col("n_tokens"), col("n_chars"))
+    wp.unionByName(bpe).unionByName(uni).unionByName(bbpe)
       .select(col("tokenizer"), col("n_tokens"), col("n_chars"),
         expr("n_chars * 1000 div n_tokens").as("chars_per_1k_tokens"))
       .orderBy(col("tokenizer"))
@@ -1461,6 +1600,12 @@ object CorpusFilters {
        |      AS n_tokens,
        |    CAST(SUM(cnt * len(word)) AS BIGINT) AS n_chars
        |  FROM s$BpeRounds),
+       |$byteBpeStagesSql,
+       |bbt AS (SELECT
+       |    CAST(SUM(cnt * len(string_split(sym[2:len(sym) - 1], '||'))) AS BIGINT)
+       |      AS n_tokens,
+       |    CAST(SUM(cnt * len(word)) AS BIGINT) AS n_chars
+       |  FROM bbs$BpeRounds),
        |$unigramTrainCtes,
        |${uniDpCtes(applyRound, s"v$UniRounds")},
        |unit AS (SELECT
@@ -1471,6 +1616,7 @@ object CorpusFilters {
        |  n_chars * 1000 // n_tokens AS chars_per_1k_tokens
        |FROM (
        |  SELECT 'bpe' AS tokenizer, n_tokens, n_chars FROM bpet
+       |  UNION ALL SELECT 'byte_bpe', n_tokens, n_chars FROM bbt
        |  UNION ALL SELECT 'unigram', n_tokens, n_chars FROM unit
        |  UNION ALL SELECT 'wordpiece', n_tokens, n_chars FROM wpt)
        |ORDER BY tokenizer""".stripMargin
@@ -2021,6 +2167,8 @@ object CorpusFilters {
     "q87b_quality_trained" -> (q87b_quality_trained _),
     "q94_bpe_learn"       -> (q94_bpe_learn _),
     "q94b_bpe_tokenize"   -> (q94b_bpe_tokenize _),
+    "q112_bytebpe_learn"  -> (q112_bytebpe_learn _),
+    "q112b_bytebpe_tokenize" -> (q112b_bytebpe_tokenize _),
     "q95_adaptive_threshold" -> (q95_adaptive_threshold _),
     "q97_repeated_substrings" -> (q97_repeated_substrings _),
     "q97b_substring_rewrite" -> (q97b_substring_rewrite _),
@@ -2458,6 +2606,8 @@ object CorpusFilters {
          |  CAST(SUM(covered) AS BIGINT) AS n_repeated_tokens
          |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q94b_bpe_tokenize" -> bpeTokenizeOracle,
+    "q112_bytebpe_learn" -> byteBpeLearnOracle,
+    "q112b_bytebpe_tokenize" -> byteBpeTokenizeOracle,
     "q105_unigram_learn" -> unigramLearnOracle,
     "q105b_unigram_tokenize" -> unigramTokenizeOracle,
     "q111_tokenizer_report" -> tokenizerReportOracle,

@@ -201,4 +201,71 @@ class SubwordSpec extends AnyFunSuite {
     assert(keeps.filter(!_.getBoolean(4)).forall(_.getLong(3) > 0),
       "surviving multi-char pieces must have nonzero usage")
   }
+
+  test("byte-level BPE: any UTF-8 round-trips with zero unk under any merge table") {
+    // totality is byte-level BPE's defining property (GPT-2's byte
+    // fallback): every byte is in the closed 256-symbol alphabet, merges
+    // only CONCATENATE symbols, so decode(segments(s)) == s for every
+    // string and EVERY merge table — including merges that never fire
+    // and chained merges over merged symbols
+    val samples = Seq(
+      "hello", "hello world", "héllo wörld", "naïve café résumé",
+      "日本語のテキスト", "🎉 emoji ✨ test 🚀", "ñ", "mixed03num x1",
+      "tabs\tand\nnewlines", "quote'and\"pipe|chars", "é́",
+      "ασδφ ελληνικά", "русский текст", "한국어")
+    val mergeTables = Seq(
+      Seq.empty[(String, String)],
+      // plausible learned merges: 'he', then 'hel', then 'lo'
+      Seq("68" -> "65", "6865" -> "6C", "6C" -> "6F"),
+      // merges over multi-byte UTF-8 prefixes (C3 is é/ö's lead byte)
+      Seq("C3" -> "A9", "C3" -> "B6", "E6" -> "97"),
+      // adversarial: self-merge (aa), then merge of the merged symbol
+      Seq("61" -> "61", "6161" -> "6161", "20" -> "20"))
+    for (s <- samples; m <- mergeTables) {
+      val pieces = CorpusFilters.byteBpeSegments(s, m)
+      assert(pieces.nonEmpty && pieces.forall(_.matches("([0-9A-F][0-9A-F])+")),
+        s"pieces must be whole hex bytes: $pieces")
+      assert(CorpusFilters.byteBpeDecode(pieces) == s,
+        s"round-trip failed for '$s' under $m: $pieces")
+    }
+    // with no merges, segmentation IS the byte sequence (the closed
+    // alphabet): piece count == UTF-8 byte length
+    for (s <- samples)
+      assert(CorpusFilters.byteBpeSegments(s, Nil).size == s.getBytes("UTF-8").length)
+    // left-to-right non-overlap: 'aaa' under (a,a) -> [aa, a], engine rule
+    assert(CorpusFilters.byteBpeSegments("aaa", Seq("61" -> "61")) ==
+      Seq("6161", "61"))
+  }
+
+  test("byte-BPE Spark apply chain matches the driver-side surgery on learned merges") {
+    // learn the real sf0.001 merges, then re-segment every distinct word
+    // driver-side with the Scala twin and compare piece counts with the
+    // engine's replace-chain column (same surgery, two implementations)
+    val dir = "/root/testdata/sf0.001"
+    val merges = CorpusFilters.q112_bytebpe_learn(spark, dir)
+      .orderBy(org.apache.spark.sql.functions.col("round")).collect()
+      .map(r => (r.getAs[String]("merge_left"), r.getAs[String]("merge_right"))).toSeq
+    assert(merges.size == CorpusFilters.BpeRounds)
+    assert(merges.distinct.size == merges.size, "merges must be unique")
+    val perDoc = CorpusFilters.q112b_bytebpe_tokenize(spark, dir).collect()
+    val docs = graft.Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    perDoc.take(50).foreach { r =>
+      val words = docs(r.getAs[Long]("doc_id")).trim.split(" ").filter(_.nonEmpty)
+      val expected = words.map(w =>
+        CorpusFilters.byteBpeSegments(w, merges).size.toLong).sum
+      assert(r.getAs[Long]("n_byte_tokens") == expected,
+        s"doc ${r.getAs[Long]("doc_id")}: engine ${r.getAs[Long]("n_byte_tokens")} vs driver $expected")
+      assert(r.getAs[Long]("n_words") == words.length.toLong)
+    }
+    // byte segmentation never needs unk: decode restores every word
+    docs.values.take(20).foreach { t =>
+      t.trim.split(" ").filter(_.nonEmpty).foreach { w =>
+        assert(CorpusFilters.byteBpeDecode(
+          CorpusFilters.byteBpeSegments(w, merges)) == w)
+      }
+    }
+  }
 }
