@@ -22,12 +22,13 @@ object SparkEntry {
       text.CorpusFilters.queries ++ ml.Vocab.queries ++
       ml.Similarity.queries ++ ml.Lda.queries ++ ml.Bloom.queries ++
       ml.Quantize.queries ++ ingest.Tickets.queries ++
-      multimodal.Media.queries ++ sink.Orc.queries ++ sink.Lake.queries
+      multimodal.Media.queries ++ sink.Orc.queries ++ sink.Avro.queries ++
+      sink.Lake.queries
 
   def oracleSql: Map[String, String] =
     rel.Relational.oracle ++ text.TextOps.oracle ++ text.Tokenize.oracle ++
       text.CorpusFilters.oracle ++ ml.Vocab.oracle ++
       ml.Similarity.oracle ++ ml.Bloom.oracle ++ ml.Quantize.oracle ++
       ingest.Tickets.oracle ++ multimodal.Media.oracle ++ sink.Orc.oracle ++
-      sink.Lake.oracle
+      sink.Avro.oracle ++ sink.Lake.oracle
 }

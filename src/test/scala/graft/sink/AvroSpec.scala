@@ -1,0 +1,127 @@
+package graft.sink
+
+import java.sql.Timestamp
+
+import graft.Tables
+import graft.text.SparkTestSession
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AvroSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-avro-$tag").toString
+
+  test("avro round-trip: every supported type survives, nulls included") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("part", StringType, false),
+      StructField("i", IntegerType, true),
+      StructField("d", DoubleType, true),
+      StructField("f", FloatType, true),
+      StructField("b", BooleanType, true),
+      StructField("s", StringType, true),
+      StructField("bin", BinaryType, true),
+      StructField("ts", TimestampType, true),
+      StructField("af", ArrayType(FloatType, false), true),
+      StructField("al", ArrayType(LongType, false), true)))
+    val rows = Seq(
+      Row(1L, "a", 7, 2.5d, 1.5f, true, "plain", Array[Byte](1, 2, -3),
+        Timestamp.valueOf("2026-01-02 03:04:05.123456"),
+        Seq(0.25f, -1.0f), Seq(10L, 20L)),
+      Row(2L, "a", null, null, null, null, "quotes\"and\nnewline\tµ€",
+        null, null, null, null),
+      Row(3L, "b", -1, -0.0d, Float.NaN, false, "", Array.empty[Byte],
+        Timestamp.valueOf("1969-12-31 23:59:59.999999"),
+        Seq.empty[Float], Seq(-5L)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val out = tmp("types")
+    Avro.writePartitioned(df, out, "part")
+    val back = spark.read.format("graft.sink.AvroSource").load(out)
+    // same column set (partition col re-appended), same rows
+    assert(back.columns.sorted.toSeq == df.columns.sorted.toSeq)
+    val key = (r: Row) => r.getLong(r.fieldIndex("id"))
+    val a = df.collect().map(r => key(r) -> r).toMap
+    val b = back.collect().map(r => key(r) -> r).toMap
+    assert(a.keySet == b.keySet)
+    for (id <- a.keySet; c <- schema.fieldNames) {
+      val (x, y) = (a(id).get(a(id).fieldIndex(c)), b(id).get(b(id).fieldIndex(c)))
+      (x, y) match {
+        case (xb: Array[Byte], yb: Array[Byte]) => assert(xb.sameElements(yb), s"$id.$c")
+        case (xf: Float, yf: Float) if xf.isNaN => assert(yf.isNaN, s"$id.$c")
+        case _ => assert(x == y, s"$id.$c: wrote $x read $y")
+      }
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
+  test("avro partition pruning: a lang filter opens ONLY matching files") {
+    val out = tmp("prune")
+    Avro.writePartitioned(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      out, "lang")
+    val enFiles = new java.io.File(s"$out/lang=en").listFiles()
+      .count(_.getName.endsWith(".avro"))
+    val allFiles = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".avro"))
+    assert(enFiles > 0 && allFiles > enFiles, "need >1 partition to prove pruning")
+    val scan = spark.read.format("graft.sink.AvroSource").load(out)
+      .filter(col("lang") === "en")
+    // the filter is consumed at plan time: scan description records it
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftAvroScan") && plan.contains("lang"),
+      s"expected pushed lang filter in scan description:\n$plan")
+    AvroCounters.filesOpened.set(0)
+    val n = scan.count()
+    assert(AvroCounters.filesOpened.get() == enFiles,
+      s"pruned scan opened ${AvroCounters.filesOpened.get()} files, " +
+        s"expected only the $enFiles en files")
+    assert(n == Tables.documents(spark, dir).filter(col("lang") === "en").count())
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
+  test("avro splittable read: byte-range splits partition records exactly") {
+    val out = tmp("split")
+    // one task -> one file holding every row, so splitting must come from
+    // the sync-marker byte ranges, not the file count
+    Avro.writePartitioned(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .withColumn("p", lit("all")).repartition(1),
+      out, "p")
+    val files = new java.io.File(s"$out/p=all").listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(files.length == 1)
+    val whole = spark.read.format("graft.sink.AvroSource").load(out)
+    val split = spark.read.format("graft.sink.AvroSource")
+      .option("splitBytes", 4096).load(out)
+    assert(split.rdd.getNumPartitions > 4,
+      s"expected many byte-range splits, got ${split.rdd.getNumPartitions}")
+    // no loss, no double-read at the range boundaries
+    assert(split.count() == whole.count())
+    assert(split.agg(sum(col("doc_id"))).head().getLong(0) ==
+      whole.agg(sum(col("doc_id"))).head().getLong(0))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
+  test("q113 avro round-trip agg equals the parquet truth") {
+    val got = Avro.avroRoundTripAgg(spark, dir, tmp("q113")).collect()
+    val want = Tables.documents(spark, dir)
+      .filter(col("lang").isin("en", "de"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        sum(conv(substring(md5(col("text").cast("binary")), 1, 12), 16, 10)
+          .cast("long")).cast("long").as("text_sig"))
+      .orderBy(col("source")).collect()
+    assert(got.toSeq == want.toSeq)
+  }
+}
