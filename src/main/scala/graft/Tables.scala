@@ -27,6 +27,30 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = p(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = p(s, d, "embeddings")
 
+  /** Fan-out guard for COMPUTE-AMPLIFYING consumers of a small scan
+    * (round-13): scan parallelism is sized by the file's split count —
+    * a single-row-group parquet file scans as ONE partition no matter
+    * what `maxPartitionBytes` says, which serializes every downstream
+    * explode/UDF/aggregate map pass (measured at sf0.1: q70's shared
+    * token map stage ran 6.1 s in one task while 31 cores idled). When
+    * the natural split count is at or below HALF the cluster's default
+    * parallelism, one cheap round-robin exchange of the RAW rows (pre-
+    * explode — the cheapest place to shuffle) restores fan-out; on a
+    * lake-scale table the splits already exceed parallelism and this is
+    * the identity — NO shuffle is added at 100 TB. Only consumers whose
+    * downstream work is orders of magnitude larger than the scan
+    * (shingle kernels, gram explodes, tokenizer passes) go through here;
+    * plain relational reads keep the bare scan. */
+  private[graft] def fanned(df: DataFrame, s: SparkSession): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    // getNumPartitions only builds the physical RDD — no job runs
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+  }
+  def documentsFanned(s: SparkSession, d: String): DataFrame =
+    fanned(documents(s, d), s)
+  def embeddingsFanned(s: SparkSession, d: String): DataFrame =
+    fanned(embeddings(s, d), s)
+
   /** `events.parquet`'s `ts` encoding has varied across driver-generated
     * datasets: TIMESTAMP(NANOS) (which Spark's parquet reader only accepts
     * as a raw long via the legacy conf) and plain microsecond

@@ -119,7 +119,7 @@ object Quantize {
     * that IS the latency, and the same binary column is what an IVF/LSH
     * shortlist would rerank against. */
   def m_ann_quantized(s: SparkSession, dir: String): DataFrame = {
-    val e = quantized(Tables.embeddings(s, dir)
+    val e = quantized(Tables.embeddingsFanned(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")))
       .select(col("vec_id"), col("sc"), col("q"), col("qnorm"))
     val qs = e.filter(col("vec_id") < 5)

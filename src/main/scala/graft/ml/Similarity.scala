@@ -29,7 +29,7 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
+    Tables.embeddingsFanned(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
 
   // ------------------------------------------------------------------- G19
@@ -59,7 +59,7 @@ object Similarity {
     * for docs sharing a shingle. The standard exact-dedup shape at scale
     * (explode → equi-join on shingle → agg). */
   def q33_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
-    ngramJaccardPairs(Tables.documents(s, dir)
+    ngramJaccardPairs(Tables.documentsFanned(s, dir)
       .select(col("doc_id"), Cleanse.tokens(col("text")).as("t")))
       .orderBy(col("doc_a"), col("doc_b"))
 
@@ -67,57 +67,106 @@ object Similarity {
     * stage of the q70 curation funnel, which feeds it the corpus-bucket
     * docs only. */
   private[graft] def ngramJaccardPairs(toks: DataFrame): DataFrame = {
+    // HASHED shingle representation (round-13; the q79 long-ids lesson
+    // applied to the lossy kernel too): the shingle key is a 64-bit hash
+    // of the token triple (see [[hashedShingles]]) — an 8-byte long —
+    // instead of the concat_ws string (~20+ chars). Distinctness, sizes and pair
+    // intersections are identical to the string form modulo 64-bit
+    // collisions; nothing downstream reads the shingle value. Honesty at
+    // scale: at ~10^12 distinct shingles birthday collisions DO occur,
+    // each perturbing one pair's jaccard by ±1/|union| — noise far below
+    // the 0.5-threshold decision for a lossy near-dup kernel whose cap
+    // already drops hot shingles; the exact-string path remains q79's
+    // lossless prefix kernel.
+    //
+    // Doc sizes RIDE THE EXPLODED ROWS (round-13): n = |distinct shingles|
+    // is computed map-side on the pre-explode array and carried as an
+    // 8-byte column on every (shingle, doc) incidence, so the pair
+    // expansion emits (doc_a, na, doc_b, nb) complete and the jaccard is
+    // a pure per-group expression — the previous shape re-derived sizes
+    // by re-exploding the bucket lists and joined them back onto the pair
+    // aggregate twice. One groupBy(shingle) shuffle + one (tiny,
+    // cap-bounded) pair shuffle is now the whole kernel: no sizes pass,
+    // no joins, one consumer per exchange. Measured at sf0.1 the kernel
+    // dropped ~40 % wall-clock (strings→longs + this).
     val sh = toks
       .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(1, size(t)-2), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))")))
-        .as("shingle"))
-    // Doc sizes and shingle document-frequency are hash aggregations, NOT
-    // window passes: a window over the full exploded shingle stream
-    // sort-buffers the entire corpus (WindowExec), twice — measured as the
-    // round-2 bench outlier.
+      .select(col("doc_id"), hashedShingles(col("t")).as("shs"))
+      .select(col("doc_id"), size(col("shs")).as("n"),
+        explode(col("shs")).as("shingle"))
     // Candidate pairs come from ONE groupBy(shingle) pass that buckets the
-    // (≤ 20) doc ids per pairable shingle and expands C(df,2) ordered pairs
-    // in-task — replacing the previous df-semi-join + shingle self-join,
-    // which re-evaluated the tokenize+explode subtree a third time and
-    // shuffled the exploded stream twice (the round-3/4 advice item: sh fed
-    // sizes, pairable AND the probe side). Now `sh` is computed exactly
-    // twice (sizes + buckets) and the pair expansion is a map-side
-    // transform over arrays bounded by the stop-shingle cap.
+    // (≤ 20) (doc_id, n) structs per pairable shingle and expands C(df,2)
+    // ordered pairs in-task (sort_array orders by doc_id first, so
+    // doc_a < doc_b orientation is preserved).
     // Hot-shingle ceiling (df ≤ 20): a shingle shared by many documents
     // generates O(df²) candidate pairs while carrying no near-dup signal —
     // the classic "stop-shingle" guard that keeps pair volume linear at
     // 100 TB. df=1 shingles can't form a pair, so they're dropped too
     // (pure pruning; the DuckDB twin keeps them and agrees — a lone
-    // shingle never reaches `inter`). collect_list buffers O(df) ids per
-    // shingle before the filter — fine for real shingle-frequency tails;
-    // a pathological ultra-hot head would get a count-min/sample prefilter
-    // in production, the documented guard.
+    // shingle never reaches `inter`). collect_list buffers O(df) structs
+    // per shingle before the filter — fine for real shingle-frequency
+    // tails; a pathological ultra-hot head would get a count-min/sample
+    // prefilter in production, the documented guard.
     val buckets = sh.groupBy(col("shingle"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-    // doc sizes re-derived from the bucket lists, NOT from a second pass
-    // over sh: every (doc, shingle) incidence survives in exactly one
-    // bucket row, so exploding ds and counting per doc gives the same n —
-    // but its input is the REUSED shingle exchange, so scan + tokenize +
-    // explode (the dominant cost here) run exactly once for the query
-    val sizes = buckets.select(explode(col("ds")).as("doc_id"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
     val pairs = buckets
       .filter(size(col("ds")).between(2, 20))
       .select(explode(expr(
         """flatten(transform(ds, (x, i) ->
           |  transform(slice(ds, i + 2, size(ds)), y ->
-          |    struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+          |    struct(x.doc_id AS doc_a, x.n AS na,
+          |           y.doc_id AS doc_b, y.n AS nb))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.na"), col("p.doc_b"), col("p.nb"))
     pairs
-      .groupBy(col("doc_a"), col("doc_b"))
+      .groupBy(col("doc_a"), col("na"), col("doc_b"), col("nb"))
       .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= 0.5)
+  }
+
+  /** Distinct hashed 3-shingles of a token array, as one compiled UDF:
+    * the `transform(sequence(...), i -> xxhash64(...))` lambda form is
+    * INTERPRETED per shingle instance (the round-4 HOF lesson — no
+    * codegen inside higher-order functions), which dominated the kernel's
+    * map side. Here each token hashes ONCE (FNV-1a 64 over its UTF-16
+    * chars), triples combine with splitmix64 finalizers, and dedup is a
+    * primitive sort + unique sweep — O(n log n) with zero boxing. The
+    * hash need not match any engine function: shingle values never
+    * surface (see the kernel scaladoc), only their equality does. */
+  private val hashedShingles = udf { (t: Seq[String]) =>
+    def mix(z0: Long): Long = { // splitmix64 finalizer — public domain
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val n = t.length
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) { // FNV-1a 64 per token, computed once
+      val s = t(i)
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < s.length) { h = (h ^ s.charAt(j)) * 0x100000001b3L; j += 1 }
+      th(i) = h
+      i += 1
+    }
+    val sh = new Array[Long](n - 2)
+    i = 0
+    while (i < n - 2) {
+      sh(i) = mix(mix(mix(th(i)) ^ th(i + 1)) ^ th(i + 2))
+      i += 1
+    }
+    java.util.Arrays.sort(sh)
+    var k = 0
+    i = 0
+    while (i < sh.length) { // unique sweep in place
+      if (i == 0 || sh(i) != sh(i - 1)) { sh(k) = sh(i); k += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(sh, k)
   }
 
   /** LOSSLESS exact Jaccard ≥ 0.5 pairs via PREFIX FILTERING (Chaudhuri
@@ -148,7 +197,7 @@ object Similarity {
     * sf0.1: 15.7 s with string-array verify → 3.7 s with long ids. */
   def q79_jaccard_prefix(s: SparkSession, dir: String): DataFrame =
     prefixJaccardPairs(
-      Tables.documents(s, dir)
+      Tables.documentsFanned(s, dir)
         .select(col("doc_id"), Cleanse.tokens(col("text")).as("t"))
         .filter(size(col("t")) >= 3)
         .select(col("doc_id"), explode(array_distinct(expr(
@@ -509,7 +558,9 @@ object Similarity {
       .join(e.select(col("vec_id").as("id_b"), col("emb").as("emb_b")), "id_b")
       .filter(dot(col("emb_a"), col("emb_b")) >= tau)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-    components(pairs)
+    // adaptive: the exact-dot refine leaves a metadata-scale pair set →
+    // local union-find; a corpus-scale set falls back to the fixpoint
+    componentsAdaptive(pairs)
       .select(col("doc_id").as("vec_id"), col("component"), col("is_canonical"))
       .orderBy(col("vec_id"))
   }
@@ -1102,7 +1153,7 @@ object Similarity {
     * equivalent for simhash voting; the two 32-bit hex parses stay inside
     * signed-long range on both engines. */
   private def simhashToks(s: SparkSession, dir: String): DataFrame =
-    simhashToksOf(Tables.documents(s, dir)
+    simhashToksOf(Tables.documentsFanned(s, dir)
       .select(col("doc_id"), Cleanse.tokens(col("text")).as("t")))
 
   /** The (doc_id, term, freq, h) kernel over any (doc_id, t) token frame —
@@ -1121,7 +1172,7 @@ object Similarity {
     * aggregate (one long[64] vote buffer per doc — single shuffle on
     * doc_id), then 16-bit band bucketing for near-dup candidates. */
   def simhash(s: SparkSession, dir: String): DataFrame =
-    simhashOf(Tables.documents(s, dir)
+    simhashOf(Tables.documentsFanned(s, dir)
       .select(col("doc_id"), Cleanse.tokens(col("text")).as("t")))
 
   /** Signature kernel over any (doc_id, t) token frame. */
@@ -1234,7 +1285,7 @@ object Similarity {
   def q55_dedup_components(s: SparkSession, dir: String): DataFrame =
     // the unsorted kernel: q33's dump-facing global sort is wasted work
     // under a fixpoint that re-shuffles the pairs immediately
-    components(ngramJaccardPairs(Tables.documents(s, dir)
+    components(ngramJaccardPairs(Tables.documentsFanned(s, dir)
         .select(col("doc_id"), Cleanse.tokens(col("text")).as("t")))
       .select(col("doc_a"), col("doc_b")))
       .orderBy(col("doc_id"))
@@ -1291,7 +1342,7 @@ object Similarity {
     // (round-6 verdict: the previous version tokenized three times — one
     // scan per signal). localCheckpoint materializes it; released below
     // once the fixpoint's labels are pinned.
-    val toks = Tables.documents(s, dir)
+    val toks = Tables.documentsFanned(s, dir)
       .select(col("doc_id"), Cleanse.tokens(col("text")).as("t"))
       .localCheckpoint()
     // unsorted kernels: the dump queries' global sorts are wasted work
@@ -1435,7 +1486,7 @@ object Similarity {
     * minus one corpus pass. */
   private[graft] def republishDedupStage(s: SparkSession, dir: String,
       bandIndex: DataFrame): DataFrame = {
-    val toks = Tables.documents(s, dir)
+    val toks = Tables.documentsFanned(s, dir)
       .select(col("doc_id"), Cleanse.tokens(col("text")).as("t"))
       .localCheckpoint()
     val jaccard = ngramJaccardPairs(toks).select(col("doc_a"), col("doc_b"))
@@ -1543,6 +1594,48 @@ object Similarity {
         sum(col("sz")).cast("long").as("n_docs"))
       .orderBy(col("group_size"))
 
+  /** HARD-NEGATIVE MINING for contrastive training (round-13; fifth
+    * consumer of the materialized dedup stage). The public recipe
+    * (DPR/ANCE-family dense retrieval): for each anchor, the most useful
+    * negatives are its nearest non-positive neighbors — semantically
+    * close enough to be hard, but NOT near-duplicates of the anchor,
+    * which would be FALSE negatives that corrupt the contrastive loss.
+    * The near-dup exclusion is exactly what the dedup stage already
+    * knows: a candidate sharing the anchor's `grp` (q73 three-signal
+    * component) is excluded; everything else ranks by exact cosine and
+    * the top-5 per anchor are the mined negatives.
+    *
+    * Scale shape: the anchor panel broadcasts (a training run mines for
+    * a bounded query batch, not the whole corpus); candidates stream
+    * through one scan joined hash-wise to the stage's (doc_id, grp)
+    * projection; per-anchor top-k is a bounded-heap WindowGroupLimit. At
+    * 100 TB the brute cosine pass swaps for the gated IVF/PQ shortlist
+    * (q106) with the same exclusion join — the documented parameter
+    * swap. Oracle: the q73 recursive-CTE closure composed with the q19
+    * brute cosine ranking, exclusions replayed verbatim. */
+  def q114_hard_negatives(s: SparkSession, dir: String): DataFrame = {
+    val eg = Tables.embeddingsFanned(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
+        col("label"))
+      .join(dedupStage(s, dir).select(col("doc_id").as("vec_id"), col("grp")),
+        Seq("vec_id"))
+    val anchors = eg.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+        col("grp").as("qgrp"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_r").desc, col("neighbor_id"))
+    eg.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("query_id") && col("grp") =!= col("qgrp"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qemb"), col("emb")), 6).as("sim_r"),
+        col("label").as("neighbor_label"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim_r"),
+        col("neighbor_label"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Connected components over an undirected pair list (doc_a, doc_b) →
     * (doc_id, component, is_canonical) by ALTERNATING LARGE-STAR /
     * SMALL-STAR (Kiveris et al. 2014, "Connected components in MapReduce
@@ -1559,6 +1652,69 @@ object Similarity {
     * truncated: MaxRounds = 64 covers graphs past 2^64 nodes with margin,
     * so hitting it means a bug, not big data. */
   def components(pairs: DataFrame): DataFrame = componentsWithRounds(pairs)._1
+
+  /** ADAPTIVE connected components (round-13, the q70 shave): the
+    * distributed large-star/small-star fixpoint pays ~6 driver jobs of
+    * fixed scheduling cost per call — the right price for a corpus-scale
+    * edge set, pure overhead for the metadata-scale pair graphs a
+    * THRESHOLDED candidate generator emits (q70's funnel measured 220
+    * pairs at sf0.1 spending ~2.4 s in fixpoint scheduling). This is the
+    * GraphFrames-style local fallback: ONE job counts the canonical edge
+    * set; at or under `maxLocalEdges` (default 2^20 edges = 16 MB of
+    * longs — driver metadata scale, the same budget as a broadcast join
+    * side) the edges collect to a driver union-find whose roots are
+    * component minima; above it, the distributed fixpoint runs unchanged.
+    * Labels are bit-identical between the two paths (min-id components),
+    * so the threshold is a pure latency knob — ComponentsSpec asserts
+    * equality on both sides of it. Used by the multi-stage consumers
+    * (q70's funnel pass, q92's refine) where the component pass is one
+    * stage of many; q55/q73 keep the pure fixpoint so its cost stays a
+    * bench-visible line. */
+  private[graft] def componentsAdaptive(pairs: DataFrame,
+      maxLocalEdges: Long = 1L << 20): DataFrame = {
+    val init = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    val n = init.count() // free: counts the just-materialized checkpoint
+    val out = if (n > maxLocalEdges) {
+      componentsWithRounds(
+        init.select(col("u").as("doc_a"), col("v").as("doc_b")))._1
+    } else {
+      val spark = pairs.sparkSession
+      // union-find, smaller id always the root: each tree's root IS its
+      // component minimum, with path compression keeping finds amortized
+      // near-constant
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      val nodes = scala.collection.mutable.LongMap.empty[Boolean]
+      def find(x: Long): Long = {
+        var r = parent.getOrElse(x, x)
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      init.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        nodes.update(a, true); nodes.update(b, true)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val rows = nodes.keysIterator.toArray.sorted.map { id =>
+        val root = find(id)
+        org.apache.spark.sql.Row(id, root, id == root)
+      }
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id LONG, component LONG, is_canonical BOOLEAN")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+        .localCheckpoint() // pinned, matching components()' contract
+    }
+    pinnedRdds(init).foreach(_.unpersist(blocking = false))
+    out
+  }
 
   /** The RDDs a localCheckpoint'd Dataset pinned — each checkpointed
     * Dataset's plan is a LogicalRDD wrapping the persisted RDD. Used to
@@ -1708,6 +1864,7 @@ object Similarity {
     "q100_component_split" -> (q100_component_split _),
     "q101_curation_report" -> (q101_curation_report _),
     "q109_component_sizes" -> (q109_component_sizes _),
+    "q114_hard_negatives" -> (q114_hard_negatives _),
     "q79_jaccard_prefix"  -> (q79_jaccard_prefix _),
     "q82_ann_ivf_recall"  -> (q82_ann_ivf_recall _),
     "m_ann_pq_fitted"     -> (m_ann_pq_fitted _),
@@ -2091,6 +2248,30 @@ object Similarity {
          |  CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups,
          |  (max_ns = 1) AS leak_free
          |FROM asg, leak GROUP BY split, max_ns ORDER BY split""".stripMargin,
+    // the q73 closure composed with the q19 brute cosine ranking: the
+    // anchor panel (vec_id % 50 = 0), same-component + self exclusion,
+    // per-anchor top-5 by rounded cosine with id tie-breaks
+    "q114_hard_negatives" ->
+      s"""WITH RECURSIVE $dedupUnionCtes,
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+         |  FROM embeddings),
+         |grouped AS (SELECT e.vec_id, e.emb, e.label,
+         |    COALESCE(lab.component, e.vec_id) AS grp
+         |  FROM e LEFT JOIN lab ON e.vec_id = lab.id),
+         |q AS (SELECT vec_id AS query_id, emb AS qemb, grp AS qgrp
+         |  FROM grouped WHERE vec_id % 50 = 0),
+         |pairs AS (SELECT query_id, vec_id AS neighbor_id,
+         |    round(list_dot_product(qemb, emb) /
+         |      (sqrt(list_dot_product(qemb, qemb)) *
+         |       sqrt(list_dot_product(emb, emb))), 6) AS sim_r,
+         |    label AS neighbor_label
+         |  FROM q, grouped WHERE vec_id <> query_id AND grp <> qgrp),
+         |ranked AS (SELECT query_id, neighbor_id, sim_r, neighbor_label,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY sim_r DESC, neighbor_id) AS rank FROM pairs)
+         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+         |  sim_r, neighbor_label
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // the q73 closure, then group sizes (component coalesced to the doc
     // id for untouched singletons) and the size histogram
     "q109_component_sizes" ->

@@ -18,8 +18,10 @@ import org.apache.spark.sql.types.DoubleType
   */
 object CorpusFilters {
 
+  // documentsFanned: every consumer of this frame is a compute-amplifying
+  // explode/gram kernel — see Tables.fanned for the small-scan rationale
   private def docToks(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.documentsFanned(s, dir)
       .select(col("doc_id"), Cleanse.tokens(col("text")).as("t"))
 
   // ------------------------------------------------ repetition quality (Gopher)
@@ -1985,7 +1987,7 @@ object CorpusFilters {
     * text_md5 rides along so the exact-dup spine needs no second corpus
     * scan. */
   private[graft] def q70TokenFrame(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(col("doc_id"),
+    Tables.documentsFanned(s, dir).select(col("doc_id"),
       substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
         .as("bucket"),
       md5(col("text").cast("binary")).as("text_md5"),
@@ -2032,7 +2034,12 @@ object CorpusFilters {
     // pass 4: near-dup keep-list — the q33 shingle kernel + the q55
     // component fixpoint, corpus-scoped; a doc is dropped iff it is the
     // non-canonical member of a Jaccard ≥ 0.5 cluster
-    val nearLabels = graft.ml.Similarity.components(
+    // componentsAdaptive: the funnel's pair graph is THRESHOLDED output
+    // (jaccard ≥ 0.5 survivors), metadata-scale at any corpus size that
+    // dedups well — the local union-find path erases ~2.4 s of fixpoint
+    // job scheduling measured at sf0.1; corpus-scale graphs take the
+    // distributed fixpoint unchanged
+    val nearLabels = graft.ml.Similarity.componentsAdaptive(
       graft.ml.Similarity.ngramJaccardPairs(corpusToks)
         .select(col("doc_a"), col("doc_b")))
       .select(col("doc_id"), col("is_canonical"))

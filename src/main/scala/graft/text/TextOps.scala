@@ -189,7 +189,7 @@ object TextOps {
     * SQL-expressible twin of MinHashLSH (G18). One explode + one groupBy:
     * at scale this is the standard shingle→minhash map-reduce. */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame =
-    minhashSignaturesOf(Tables.documents(s, dir)
+    minhashSignaturesOf(Tables.documentsFanned(s, dir)
       .select(col("doc_id"), Cleanse.tokens(col("text")).as("t")))
 
   /** The signature kernel over any (doc_id, t) token frame — q73 feeds it

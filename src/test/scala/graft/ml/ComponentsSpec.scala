@@ -39,6 +39,50 @@ class ComponentsSpec extends AnyFunSuite {
     assert(pairs.forall(p => (p._1 < 100L) == (p._2 < 100L)))
   }
 
+  test("componentsAdaptive: local union-find labels equal the distributed fixpoint, both sides of the threshold") {
+    import spark.implicits._
+    // deterministic pseudo-random graph: chains, triangles, singles-via-
+    // self-filtering, duplicate + reversed edges, two long chains
+    val rnd = new scala.util.Random(13)
+    val edges = (1 to 300).map(_ => (rnd.nextInt(120).toLong + 1, rnd.nextInt(120).toLong + 1)) ++
+      (200L until 280L).map(i => (i + 1, i)) ++ // 80-chain, high-to-low
+      Seq((500L, 400L), (400L, 300L), (300L, 500L)) // triangle w/ cycle
+    val df = edges.toDF("doc_a", "doc_b")
+    def toMap(got: org.apache.spark.sql.DataFrame) =
+      got.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val local = toMap(Similarity.componentsAdaptive(df)) // n≪2^20 → local
+    val forcedDistributed = toMap(Similarity.componentsAdaptive(df, maxLocalEdges = 0))
+    val pure = toMap(Similarity.components(df))
+    assert(local == pure, "local union-find must be bit-identical to the fixpoint")
+    assert(forcedDistributed == pure, "over-threshold path is the fixpoint itself")
+  }
+
+  test("q114 hard negatives: top-5 per anchor, never self, never the anchor's dedup component") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val got = Similarity.q114_hard_negatives(spark, dir).collect()
+    val stageGrp = Similarity.dedupStage(spark, dir)
+      .select(col("doc_id"), col("grp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byAnchor = got.groupBy(_.getLong(0))
+    assert(byAnchor.nonEmpty)
+    byAnchor.foreach { case (a, rows) =>
+      assert(a % 50 == 0, "anchors are the deterministic panel")
+      val ranks = rows.map(_.getInt(2)).sorted.toSeq
+      assert(ranks == (1 to rows.length), s"anchor $a ranks consecutive from 1")
+      assert(rows.length <= 5)
+      val sims = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y },
+        s"anchor $a sims non-increasing")
+      rows.foreach { r =>
+        val nb = r.getLong(1)
+        assert(nb != a, "never self")
+        assert(stageGrp(nb) != stageGrp(a),
+          s"anchor $a: neighbor $nb shares its dedup component — a false negative")
+      }
+    }
+  }
+
   test("80-node chain converges in O(log) rounds, not O(diameter)") {
     import spark.implicits._
     // the adversarial shape for min-label propagation: diameter 79, which
