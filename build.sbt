@@ -29,6 +29,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // A 126-query bench generates thousands of unique whole-stage-codegen
+  // classes; the default 240 MB code cache fills mid-sequence and the
+  // JVM's silent flush→re-JIT churn inflated EXECUTOR CPU 8x on identical
+  // stages late in the run (q55 taskTime 25s -> 208s, gc ~0 — the diag
+  // listener's signature). 1 GiB keeps every hot compilation resident.
+  "-XX:ReservedCodeCacheSize=1g",
   // 16g default: the 8g heap let old-gen pressure from earlier queries in
   // a long run distort later per-query timings (observed 2.5s -> 79s on a
   // percentile-buffer agg mid-bench); the host has 128 GiB

@@ -104,11 +104,43 @@ object Bench {
       try run(fn, warmDir) catch { case _: Throwable => () }
     }
 
+    // SPARK_GRAFT_DIAG=1: per-run [diag] lines attributing wall to stage
+    // wall / executor task time / GC — the tool for chasing long-sequence
+    // degradation (tail queries inflating 2-3x over their isolated times)
+    val diag = sys.env.contains("SPARK_GRAFT_DIAG")
+    val stageWall = new java.util.concurrent.atomic.AtomicLong(0)
+    val taskTime = new java.util.concurrent.atomic.AtomicLong(0)
+    val stageCount = new java.util.concurrent.atomic.AtomicLong(0)
+    if (diag) {
+      import org.apache.spark.scheduler._
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          stageWall.addAndGet(
+            si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L))
+          taskTime.addAndGet(si.taskMetrics.executorRunTime)
+          stageCount.incrementAndGet()
+        }
+      })
+    }
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+
     val results = benchSet.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
+        val (g0, sw0, tt0, sc0) =
+          (if (diag) gcMs else 0L, stageWall.get, taskTime.get, stageCount.get)
         val t0 = System.nanoTime()
         try run(fn, sfDir) catch { case _: Throwable => return -1.0 }
-        (System.nanoTime() - t0) / 1e9
+        val w = (System.nanoTime() - t0) / 1e9
+        if (diag)
+          println(f"[diag] $name wall=$w%.2f stageWall=${(stageWall.get - sw0) / 1e3}%.2f " +
+            f"taskTime=${(taskTime.get - tt0) / 1e3}%.2f gc=${(gcMs - g0) / 1e3}%.2f " +
+            f"stages=${stageCount.get - sc0}")
+        w
       }
       // measurement hygiene: drop every block a predecessor left pinned
       // (eager localCheckpoints, lingering .cache()s) and then drain heap

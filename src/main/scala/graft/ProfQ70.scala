@@ -40,13 +40,20 @@ object ProfQ70 {
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       noop(fn(spark, "/root/testdata/sf0.001")) // warmup
+      def gcMs: Long = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(_.getCollectionTime).sum
+      }
       val times = (1 to 5).map { _ =>
         clear()
+        val g0 = gcMs
         val t0 = System.nanoTime()
         noop(fn(spark, sfDir))
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, (gcMs - g0) / 1000.0)
       }
-      println(s"[prof] $name " + times.map(t => f"$t%.2f").mkString(" "))
+      println(s"[prof] $name " +
+        times.map { case (t, g) => f"$t%.2f(gc $g%.1f)" }.mkString(" "))
     }
 
     if (sys.env.contains("PROF_STAGES")) {

@@ -50,6 +50,13 @@ object Tables {
     fanned(documents(s, d), s)
   def embeddingsFanned(s: SparkSession, d: String): DataFrame =
     fanned(embeddings(s, d), s)
+  /** For FULL-SCAN aggregates only (percentile buffers, sketches, cube,
+    * checksum, window resample): a filtered consumer must keep the bare
+    * scan — the exchange would block predicate pushdown to parquet. */
+  def lineitemFanned(s: SparkSession, d: String): DataFrame =
+    fanned(lineitem(s, d), s)
+  def eventsFanned(s: SparkSession, d: String): DataFrame =
+    fanned(events(s, d), s)
 
   /** `events.parquet`'s `ts` encoding has varied across driver-generated
     * datasets: TIMESTAMP(NANOS) (which Spark's parquet reader only accepts

@@ -142,7 +142,7 @@ object Relational {
   /** CUBE over (returnflag, linestatus) with the grouping_id bit vector —
     * all four grouping sets in one shuffle (G7's other half). */
   def q40_cube_grouping(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    Tables.lineitemFanned(s, dir)
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(grouping_id().cast("int").as("gid"),
         count(lit(1)).as("n_lines"), money(col("l_quantity")).as("sum_qty"))
@@ -230,7 +230,7 @@ object Relational {
     * `approx_percentile` — exact percentile needs a per-group sort; the
     * t-digest sketch is the scale path (same trade as G8's HLL). */
   def q41_percentiles(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    Tables.lineitemFanned(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         // one percentile buffer for both quantile points (array form),
@@ -250,7 +250,7 @@ object Relational {
     * 10000 the rank error is n/10000, well inside the value tolerances
     * asserted here (same contract pattern as q54/q_approx_distinct). */
   def q41b_percentiles_approx(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    Tables.lineitemFanned(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         expr("percentile(l_quantity, array(0.5, 0.9))").as("pq"),
@@ -330,7 +330,7 @@ object Relational {
     * to Expand (each input row emits one row per measure in the same
     * task) — a map-side reshape, no shuffle beyond the feeding agg. */
   def q50_unpivot(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    Tables.lineitemFanned(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         money(col("l_quantity")).as("qty"),
@@ -461,7 +461,7 @@ object Relational {
     * both engines (lexicographic struct max). */
   def q59_resample_ffill(s: SparkSession, dir: String): DataFrame = {
     val hourUs = 3600L * 1000 * 1000
-    val ev = Tables.events(s, dir)
+    val ev = Tables.eventsFanned(s, dir)
       .select(col("user_id"), col("ts_us"), col("value"),
         expr(s"ts_us div $hourUs").as("hb")) // integer division, like DuckDB //
     val hourly = ev.groupBy(col("user_id"), col("hb"))
@@ -526,7 +526,7 @@ object Relational {
     * derives the same bucket set arithmetically. Same operator drives
     * the streaming windowedCounts. */
   def q62_hopping_windows(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+    Tables.eventsFanned(s, dir)
       .groupBy(window(col("ts"), "6 hours", "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), money(col("value")).as("sum_value"))
       .select(unix_micros(col("window.start")).as("window_start_us"),
@@ -548,7 +548,7 @@ object Relational {
     * orders of magnitude past 100 TB of lineitem; checksum IS NOT NULL
     * for any real table size. */
   def q64_table_checksum(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    Tables.lineitemFanned(s, dir)
       .select(conv(substring(md5(concat_ws("|",
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"), col("l_returnflag"), col("l_linestatus"))
@@ -787,7 +787,7 @@ object Relational {
     * 5% band deterministically — turning a rows-only check into an exact
     * gate without pretending the sketches are bit-identical. */
   def q_approx_distinct(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    Tables.lineitemFanned(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
@@ -804,7 +804,7 @@ object Relational {
     * q_approx_distinct but through OUR aggregate, not Spark's HLL —
     * exercising partial aggregation + buffer merge across shuffles. */
   def q54_kmv_distinct(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    Tables.lineitemFanned(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         graft.ml.KmvFunctions.kmv_distinct(col("l_partkey")).as("kmv"),
