@@ -259,6 +259,11 @@ object Similarity {
            |    p -> p.ok)))""".stripMargin)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
+      // AQE coalesces this shuffle to one partition (the pair list is
+      // tiny in BYTES) — but the verify join below costs a full long-array
+      // intersection PER ROW, so fan it out explicitly (measured: the
+      // verify stage ran 2.0 s in 1 task at sf0.1)
+      .repartition(sh.sparkSession.sparkContext.defaultParallelism)
     val scored = cands
       .join(docsets.select(col("doc_id").as("doc_a"), col("ordered").as("ta"),
         col("n").as("na")), "doc_a")
@@ -1353,7 +1358,13 @@ object Similarity {
     val minhash = minhashBandPairsOf(graft.text.TextOps.minhashSignaturesOf(toks))
     // no pre-distinct: components() canonically orients and dedups its
     // input in one pass — a distinct here would just add a shuffle
-    val labels = components(jaccard.unionByName(simhash).unionByName(minhash))
+    // adaptive since round 13: the union's pair graph is thresholded-
+    // candidate output (metadata-scale on a well-dedup'd corpus; the
+    // local path saves ~6 fixpoint jobs of scheduling), with the
+    // distributed fixpoint automatic above 2^20 edges. q55 keeps the
+    // PURE fixpoint so its cost stays a bench-visible line.
+    val labels = componentsAdaptive(
+      jaccard.unionByName(simhash).unionByName(minhash))
     // components() returns eagerly-pinned labels with no reference to toks
     pinnedRdds(toks).foreach(_.unpersist(blocking = false))
     labels.orderBy(col("doc_id"))
@@ -1493,7 +1504,7 @@ object Similarity {
     val simhash = simhashPairsOf(simhashOf(toks))
       .select(col("doc_a"), col("doc_b"))
     val minhash = bandRowPairsOf(bandIndex)
-    val labels = components(
+    val labels = componentsAdaptive( // matches q73's path — parity with the cold stage
       jaccard.unionByName(simhash).unionByName(minhash))
     pinnedRdds(toks).foreach(_.unpersist(blocking = false))
     val out = dedupStageDir(s, dir)
