@@ -1647,6 +1647,49 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** TRAINING MANIFEST (round-13; sixth consumer of the materialized
+    * dedup stage) — the table a training run reads before launching:
+    * per (split, source), how many canonical documents survive curation,
+    * how many TOKENIZER tokens they carry (real subword counts via the
+    * q72b lexer + greedy WordPiece walk, not whitespace words), how many
+    * fixed-length training sequences they pack into (q72's 32-independent-
+    * bucket concat-and-slice layout, seqLen 64 — per-bucket ceil-div, no
+    * global serial cumsum), and each cell's share of the total token
+    * budget. Composes four subsystems in one gated frame: the dedup
+    * stage (keep + leakage-proof split), the subword tokenizer, the
+    * packing accounting, and the source mix. All-integer except the
+    * rounded share, so the gate is exact; the oracle replays the q73
+    * closure, the recursive tokenizer walk, and the packing arithmetic
+    * in one WITH block. */
+  def q115_training_manifest(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Subword
+    val kept = Tables.documentsFanned(s, dir)
+      .select(col("doc_id"),
+        aggregate(
+          regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)),
+          lit(0L),
+          (a, p) => a + Subword.subword_count(p).cast("long"))
+          .as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+      .join(dedupStage(s, dir).filter(col("is_canonical"))
+        .select(col("doc_id"), col("source"), col("split")), "doc_id")
+      .withColumn("bucket", pmod(col("doc_id"), lit(32)))
+    val cells = kept.groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"))
+    val seqs = kept.groupBy(col("split"), col("source"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("bt"))
+      .groupBy(col("split"), col("source"))
+      .agg(sum(expr("(bt + 63) div 64")).cast("long").as("n_sequences"))
+    val total = kept.agg(sum(col("n_tokens")).cast("long").as("tt"))
+    cells.join(seqs, Seq("split", "source"))
+      .crossJoin(broadcast(total))
+      .select(col("split"), col("source"), col("n_docs"), col("n_tokens"),
+        col("n_sequences"),
+        round(col("n_tokens").cast("double") / col("tt"), 6).as("token_share"))
+      .orderBy(col("split"), col("source"))
+  }
+
   /** Connected components over an undirected pair list (doc_a, doc_b) →
     * (doc_id, component, is_canonical) by ALTERNATING LARGE-STAR /
     * SMALL-STAR (Kiveris et al. 2014, "Connected components in MapReduce
@@ -1876,6 +1919,7 @@ object Similarity {
     "q101_curation_report" -> (q101_curation_report _),
     "q109_component_sizes" -> (q109_component_sizes _),
     "q114_hard_negatives" -> (q114_hard_negatives _),
+    "q115_training_manifest" -> (q115_training_manifest _),
     "q79_jaccard_prefix"  -> (q79_jaccard_prefix _),
     "q82_ann_ivf_recall"  -> (q82_ann_ivf_recall _),
     "m_ann_pq_fitted"     -> (m_ann_pq_fitted _),
@@ -2259,6 +2303,53 @@ object Similarity {
          |  CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups,
          |  (max_ns = 1) AS leak_free
          |FROM asg, leak GROUP BY split, max_ns ORDER BY split""".stripMargin,
+    // the q73 closure + the q72b recursive tokenizer walk + the split
+    // assignment + the per-bucket packing ceil-div, in one WITH block:
+    // the full curation manifest replayed end-to-end
+    "q115_training_manifest" ->
+      s"""WITH RECURSIVE $dedupUnionCtes,
+         |lex AS (SELECT doc_id,
+         |    regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS ps
+         |  FROM documents),
+         |words AS (SELECT DISTINCT unnest(ps) AS w FROM lex),
+         |rec AS (
+         |  SELECT w, 1 AS pos, 0 AS cnt FROM words
+         |  UNION ALL
+         |  SELECT w, pos + ${graft.text.Subword.matchLenSql("w", "pos")}, cnt + 1
+         |  FROM rec WHERE pos <= len(w)),
+         |wc AS (SELECT w, cnt FROM rec WHERE pos > len(w)),
+         |dw AS (SELECT doc_id, unnest(ps) AS w FROM lex),
+         |c AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens
+         |  FROM dw JOIN wc USING (w) GROUP BY doc_id),
+         |stage AS (SELECT d.doc_id, d.source,
+         |    COALESCE(lab.component, d.doc_id) AS grp,
+         |    (lab.id IS NULL OR lab.id = lab.component) AS is_canonical
+         |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.id),
+         |asg AS (SELECT doc_id, source, is_canonical,
+         |  CASE WHEN CAST('0x' || substr(md5(CAST(grp AS VARCHAR)), 1, 4)
+         |      AS BIGINT) % 100 < 80 THEN 'train'
+         |    WHEN CAST('0x' || substr(md5(CAST(grp AS VARCHAR)), 1, 4)
+         |      AS BIGINT) % 100 < 90 THEN 'val'
+         |    ELSE 'test' END AS split
+         |  FROM stage),
+         |kept AS (SELECT a.doc_id, a.source, a.split, c.n_tokens,
+         |    a.doc_id % 32 AS bucket
+         |  FROM asg a JOIN c USING (doc_id)
+         |  WHERE a.is_canonical AND c.n_tokens >= 1),
+         |cells AS (SELECT split, source, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |  FROM kept GROUP BY split, source),
+         |b AS (SELECT split, source, bucket,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS bt
+         |  FROM kept GROUP BY split, source, bucket),
+         |seqs AS (SELECT split, source,
+         |    CAST(SUM((bt + 63) // 64) AS BIGINT) AS n_sequences
+         |  FROM b GROUP BY split, source),
+         |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM kept)
+         |SELECT c2.split, c2.source, c2.n_docs, c2.n_tokens, s.n_sequences,
+         |  round(CAST(c2.n_tokens AS DOUBLE) / tt, 6) AS token_share
+         |FROM cells c2 JOIN seqs s USING (split, source), tot
+         |ORDER BY c2.split, c2.source""".stripMargin,
     // the q73 closure composed with the q19 brute cosine ranking: the
     // anchor panel (vec_id % 50 = 0), same-component + self exclusion,
     // per-anchor top-5 by rounded cosine with id tie-breaks

@@ -83,6 +83,21 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("q115 training manifest: shares sum to 1, packing bounded by bucket waste") {
+    val rows = Similarity.q115_training_manifest(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val share = rows.map(_.getDouble(5)).sum
+    assert(math.abs(share - 1.0) < 1e-4, s"token shares sum to 1, got $share")
+    rows.foreach { r =>
+      val (tokens, seqs) = (r.getLong(3), r.getLong(4))
+      val dense = (tokens + 63) / 64
+      assert(seqs >= dense, s"${r.getString(0)}/${r.getString(1)}: " +
+        "can't pack below the dense bound")
+      assert(seqs <= dense + 32, "per-bucket waste is at most one sequence per bucket")
+    }
+    assert(rows.map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
   test("80-node chain converges in O(log) rounds, not O(diameter)") {
     import spark.implicits._
     // the adversarial shape for min-label propagation: diameter 79, which
