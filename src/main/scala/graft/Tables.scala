@@ -50,9 +50,14 @@ object Tables {
     fanned(documents(s, d), s)
   def embeddingsFanned(s: SparkSession, d: String): DataFrame =
     fanned(embeddings(s, d), s)
-  /** For FULL-SCAN aggregates only (percentile buffers, sketches, cube,
-    * checksum, window resample): a filtered consumer must keep the bare
-    * scan — the exchange would block predicate pushdown to parquet. */
+  /** For full-scan consumers whose MAP SIDE amplifies compute (cube's
+    * grouping-set expansion, per-row md5 digests, sketch inserts,
+    * multi-column decimal sums) — measured A/B at sf0.1: q40 2.07→1.31,
+    * q54 1.74→1.43, q64 1.33→1.15, q50 1.32→1.02 fanned. Holistic or
+    * cheap-map aggregates (exact percentile buffers, HLL partials, the
+    * resample grid) measured SLOWER fanned — the exchange is never paid
+    * back (q41b 2.1→2.8, q_approx 1.9→2.5) — and keep the bare scan, as
+    * must any filtered consumer (the exchange blocks predicate pushdown). */
   def lineitemFanned(s: SparkSession, d: String): DataFrame =
     fanned(lineitem(s, d), s)
   def eventsFanned(s: SparkSession, d: String): DataFrame =

@@ -230,7 +230,7 @@ object Relational {
     * `approx_percentile` — exact percentile needs a per-group sort; the
     * t-digest sketch is the scale path (same trade as G8's HLL). */
   def q41_percentiles(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitemFanned(s, dir)
+    Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         // one percentile buffer for both quantile points (array form),
@@ -250,7 +250,7 @@ object Relational {
     * 10000 the rank error is n/10000, well inside the value tolerances
     * asserted here (same contract pattern as q54/q_approx_distinct). */
   def q41b_percentiles_approx(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitemFanned(s, dir)
+    Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         expr("percentile(l_quantity, array(0.5, 0.9))").as("pq"),
@@ -461,7 +461,7 @@ object Relational {
     * both engines (lexicographic struct max). */
   def q59_resample_ffill(s: SparkSession, dir: String): DataFrame = {
     val hourUs = 3600L * 1000 * 1000
-    val ev = Tables.eventsFanned(s, dir)
+    val ev = Tables.events(s, dir)
       .select(col("user_id"), col("ts_us"), col("value"),
         expr(s"ts_us div $hourUs").as("hb")) // integer division, like DuckDB //
     val hourly = ev.groupBy(col("user_id"), col("hb"))
@@ -526,7 +526,7 @@ object Relational {
     * derives the same bucket set arithmetically. Same operator drives
     * the streaming windowedCounts. */
   def q62_hopping_windows(s: SparkSession, dir: String): DataFrame =
-    Tables.eventsFanned(s, dir)
+    Tables.events(s, dir)
       .groupBy(window(col("ts"), "6 hours", "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), money(col("value")).as("sum_value"))
       .select(unix_micros(col("window.start")).as("window_start_us"),
@@ -787,7 +787,7 @@ object Relational {
     * 5% band deterministically — turning a rows-only check into an exact
     * gate without pretending the sketches are bit-identical. */
   def q_approx_distinct(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitemFanned(s, dir)
+    Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
