@@ -1004,6 +1004,27 @@ object CorpusFilters {
     merges.toSeq
   }
 
+  /** Session-scoped memo for deterministic tokenizer trainings — the
+    * `ml.Similarity.dedupStage` materialize-once pattern applied to the
+    * trainer family: keyed on (applicationId, family, CONTENT fingerprint
+    * of the corpus dir), so an in-place corpus mutation re-trains instead
+    * of serving a stale model. The LEARN queries (q94/q105/q112/q116)
+    * stay self-contained — training cost remains bench-visible on its own
+    * line — while apply/report consumers (q94b/q105b/q112b/q116b/q111)
+    * read the memo; the first consumer to run pays the training if no
+    * learn query preceded it. Values are vocabulary-sized driver tables
+    * (merge lists, piece→score maps) — metadata, never corpus data.
+    * Same sequential-session INVARIANT as dedupStage's _SUCCESS probe:
+    * Bench/Verify run queries one at a time. */
+  private val trainerMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]
+  private def memoTrained[T <: AnyRef](s: SparkSession, dir: String,
+      family: String)(train: => T): T =
+    trainerMemo.computeIfAbsent(
+      s"${s.sparkContext.applicationId}|$family|" +
+        graft.ml.Similarity.corpusFingerprint(s, dir),
+      _ => train).asInstanceOf[T]
+
   private def bpeWordFreqs(s: SparkSession, dir: String): DataFrame =
     docToks(s, dir)
       .select(explode(col("t")).as("word"))
@@ -1076,10 +1097,16 @@ object CorpusFilters {
     * length in learned-BPE units next to its word count. Oracle:
     * re-learn the identical merges (the q94 CTE chain), re-apply, and
     * re-aggregate — data-dependent vocab, still hash-gated exactly. */
+  /** Memoized learned BPE merges (consumer-side; q94 itself re-trains). */
+  private def bpeMergesLearned(s: SparkSession, dir: String): Seq[(String, String)] =
+    memoTrained(s, dir, "bpe") {
+      q94_bpe_learn(s, dir).orderBy(col("round")).collect()
+        .map(r => (r.getAs[String]("merge_left"), r.getAs[String]("merge_right")))
+        .toSeq
+    }
+
   def q94b_bpe_tokenize(s: SparkSession, dir: String): DataFrame = {
-    val merges = q94_bpe_learn(s, dir)
-      .orderBy(col("round")).collect()
-      .map(r => (r.getAs[String]("merge_left"), r.getAs[String]("merge_right")))
+    val merges = bpeMergesLearned(s, dir)
     merges.foreach { case (l, r) => // same literal-safety guard as q94
       require(l.matches("[a-z0-9]+") && r.matches("[a-z0-9]+"),
         s"BPE merge symbols must be [a-z0-9]+: '$l', '$r'")
@@ -1151,8 +1178,11 @@ object CorpusFilters {
   /** Apply chain for the learned byte merges (shared by q112b and the
     * q111 report row). */
   private def byteBpeChain(s: SparkSession, dir: String): String = {
-    val merges = q112_bytebpe_learn(s, dir).orderBy(col("round")).collect()
-      .map(r => (r.getAs[String]("merge_left"), r.getAs[String]("merge_right")))
+    val merges = memoTrained(s, dir, "bytebpe") {
+      q112_bytebpe_learn(s, dir).orderBy(col("round")).collect()
+        .map(r => (r.getAs[String]("merge_left"), r.getAs[String]("merge_right")))
+        .toSeq
+    }
     merges.foreach { case (l, r) =>
       require(l.matches("[0-9A-F]+") && r.matches("[0-9A-F]+"),
         s"byte-BPE merge symbols must be hex: '$l', '$r'")
@@ -1230,6 +1260,365 @@ object CorpusFilters {
        |  CAST(SUM(n_pieces) AS BIGINT) AS n_byte_tokens
        |FROM btoks JOIN bwp USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------- WordPiece vocabulary TRAINING (q116)
+  /** WORDPIECE vocabulary TRAINING — the fifth tokenizer family, and the
+    * training-side completion of q72b/q85b's fixed-vocab WordPiece
+    * INFERENCE (reference `LDA_logic.py` tokenizes with a frozen spaCy
+    * vocab; a pipeline that ships its own tokenizer trains one). Schuster
+    * & Nakajima 2012 ("Japanese and Korean voice search"), as implemented
+    * by the public HF `tokenizers` WordPiece trainer: identical merge
+    * loop to BPE (q94) except the argmax rule — merge the adjacent pair
+    * maximizing the LIKELIHOOD score count(l,r) / (count(l) · count(r)),
+    * not the raw pair count — and non-initial symbols carry the `##`
+    * continuation prefix, so `a ##b` merges to `ab` while `##a ##b`
+    * merges to `##ab` (position-dependent vocabulary, WordPiece's
+    * signature).
+    *
+    * Exactness: the score is a rational; both engines materialize it as
+    * the EXACT integer floor(count(l,r) · 10^18 / (count(l) ·
+    * count(r))) — DuckDB in HUGEINT, the driver in BigInt (the engine's
+    * per-round pair/symbol stats are vocabulary-sized, the same
+    * Heaps-bounded trainer state as q105's unigram EM) — with a
+    * deterministic (score desc, l, r) tiebreak, so any two rationals
+    * closer than 10^-18 resolve identically in both engines. Since
+    * count(l) ≥ count(l,r) and count(r) ≥ count(l,r), the scaled score
+    * is ≤ 10^18 and fits BIGINT.
+    *
+    * Scale: one corpus aggregation (word frequencies), then K rounds of
+    * vocabulary-sized work — the distinct-word symbol table explodes to
+    * (symbol, freq) and (pair, count) aggregates whose cardinality is
+    * Heaps-bounded; driver state per round is those two small tables,
+    * O(1) in corpus size. Merge application is the q94 sentinel-replace
+    * primitive (`#` never collides with the `|` delimiter or a quote). */
+  private[graft] val WpRounds = 10
+  private val WpScale = BigInt(10).pow(18)
+
+  private val wpSymInitSpark =
+    "concat('|', array_join(transform(sequence(1, length(word))," +
+      " i -> CASE WHEN i = 1 THEN substring(word, i, 1)" +
+      " ELSE concat('##', substring(word, i, 1)) END), '||'), '|')"
+
+  /** The learned merge table: (round, l, r, merged, pair_count,
+    * score_key). Driver-side exact argmax over collected vocab-sized
+    * round stats (BigInt cross-check of the HUGEINT oracle). */
+  private[graft] def wpLearnMerges(s: SparkSession, dir: String)
+      : Seq[(Int, String, String, String, Long, Long)] = {
+    var syms = bpeWordFreqs(s, dir).select(col("word"), col("cnt"),
+      expr(wpSymInitSpark).as("sym")).localCheckpoint()
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long, Long)]
+    for (round <- 1 to WpRounds) {
+      val ex = syms.select(col("cnt"),
+        expr("split(substring(sym, 2, length(sym) - 2), '\\\\|\\\\|')").as("ss"))
+      val f = ex.select(explode(col("ss")).as("s0"), col("cnt"))
+        .groupBy(col("s0")).agg(sum(col("cnt")).as("f")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val pairs = ex.filter(size(col("ss")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(ss) - 1)," +
+            " i -> struct(element_at(ss, i) AS l, element_at(ss, i + 1) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      assert(pairs.nonEmpty, s"WordPiece round $round: vocabulary exhausted")
+      val best = pairs.map { case (l, r, c) =>
+        val sk = (BigInt(c) * WpScale) / (BigInt(f(l)) * BigInt(f(r)))
+        ((-sk, l, r), (l, r, c, sk.toLong))
+      }.minBy(_._1)._2
+      val (l, r, c, sk) = best
+      require(l.matches("(##)?[a-z0-9]+") && r.matches("##[a-z0-9]+"),
+        s"WordPiece merge symbols out of charset: '$l', '$r'")
+      val merged = l + r.substring(2)
+      merges += ((round, l, r, merged, c, sk))
+      val next = syms.withColumn("sym",
+        expr(s"replace(sym, '|$l||$r|', '|$merged|')")).localCheckpoint()
+      graft.ml.Similarity.pinnedRdds(syms).foreach(_.unpersist(blocking = false))
+      syms = next
+    }
+    graft.ml.Similarity.pinnedRdds(syms).foreach(_.unpersist(blocking = false))
+    merges.toSeq
+  }
+
+  def q116_wordpiece_learn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    wpLearnMerges(s, dir)
+      .toDF("round", "merge_left", "merge_right", "merged", "pair_count",
+        "score_key")
+      .orderBy(col("round"))
+  }
+
+  /** The training replay as CTE stages: per round the exploded symbol
+    * table feeds BOTH the symbol-frequency and pair-count aggregates,
+    * the argmax key is the exact HUGEINT floor-scaled likelihood, and
+    * the merge drops r's `##` prefix. */
+  private lazy val wpStagesSql: String = {
+    val stages = (1 to WpRounds).map { i =>
+      val prev = s"wps${i - 1}"
+      s"""wpe$i AS MATERIALIZED (SELECT cnt,
+         |    string_split(sym[2:len(sym) - 1], '||') AS ss FROM $prev),
+         |wpf$i AS (SELECT s0, SUM(cnt) AS f FROM (
+         |    SELECT cnt, unnest(ss) AS s0 FROM wpe$i) GROUP BY s0),
+         |wpp$i AS (SELECT l, r, SUM(cnt) AS c FROM (
+         |    SELECT cnt, ss[i] AS l, ss[i + 1] AS r FROM wpe$i,
+         |      unnest(range(1, len(ss))) u(i)
+         |    WHERE len(ss) >= 2) GROUP BY l, r),
+         |wpb$i AS (SELECT l, r, c, CAST((CAST(c AS HUGEINT) *
+         |      1000000000000000000) // (CAST(fl.f AS HUGEINT) *
+         |      CAST(fr.f AS HUGEINT)) AS BIGINT) AS sk
+         |  FROM wpp$i JOIN wpf$i fl ON fl.s0 = wpp$i.l
+         |    JOIN wpf$i fr ON fr.s0 = wpp$i.r
+         |  ORDER BY sk DESC, l, r LIMIT 1),
+         |wps$i AS (SELECT word, cnt, replace(sym,
+         |    '|' || b.l || '||' || b.r || '|',
+         |    '|' || b.l || b.r[3:] || '|') AS sym
+         |  FROM $prev, wpb$i b)""".stripMargin
+    }.mkString(",\n")
+    s"""wpw AS (SELECT word, COUNT(*) AS cnt
+       |  FROM (SELECT unnest($DToks) AS word FROM documents) GROUP BY word),
+       |wps0 AS (SELECT word, cnt,
+       |    '|' || array_to_string(list_transform(range(1, len(word) + 1),
+       |      i -> CASE WHEN i = 1 THEN word[i:i]
+       |        ELSE '##' || word[i:i] END), '||') || '|' AS sym
+       |  FROM wpw),
+       |$stages""".stripMargin
+  }
+
+  private lazy val wpLearnOracle: String = {
+    val out = (1 to WpRounds).map(i =>
+      s"SELECT $i AS round, l AS merge_left, r AS merge_right, " +
+        s"l || r[3:] AS merged, CAST(c AS BIGINT) AS pair_count, " +
+        s"sk AS score_key FROM wpb$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $wpStagesSql
+       |$out
+       |ORDER BY round""".stripMargin
+  }
+
+  /** Tokenize with the LEARNED WordPiece vocabulary — unlike BPE, whose
+    * inference replays the merges, WordPiece INFERENCE is greedy
+    * longest-match (MaxMatch) against the final vocab: alphabet symbols
+    * as seeded (word-initial chars plain, non-initial chars `##`-marked)
+    * plus the K merged symbols. Zero unk over the training corpus by
+    * construction — every char of every word is in the alphabet in the
+    * form its position needs. Per-word piece counts are computed once
+    * over DISTINCT words (Heaps-bounded dim, broadcast to the exploded
+    * corpus); the oracle replays the training and walks each word with a
+    * recursive CTE whose step length is the MAX matching piece length —
+    * identical MaxMatch semantics. */
+  /** Broadcast-vocab MaxMatch piece counter over one word — shared by
+    * q116b and the q111 report's fifth row. */
+  private def wpTrainedNPiecesUdf(s: SparkSession, dir: String)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val (plain, cont, maxP, maxC) = memoTrained(s, dir, "wordpiece") {
+      val merged = wpLearnMerges(s, dir).map(_._4)
+      // alphabet in positional form, from the same distinct-word table the
+      // trainer seeds from (vocab-sized collect: ≤ 2 × charset)
+      val alpha = bpeWordFreqs(s, dir)
+        .select(explode(expr(
+          "transform(sequence(1, length(word))," +
+            " i -> CASE WHEN i = 1 THEN substring(word, i, 1)" +
+            " ELSE concat('##', substring(word, i, 1)) END)")).as("p"))
+        .distinct().collect().map(_.getString(0))
+      val vocab = (alpha ++ merged).toSet
+      val plain0 = vocab.filterNot(_.startsWith("##"))
+      val cont0 = vocab.filter(_.startsWith("##"))
+      (plain0, cont0,
+        if (plain0.isEmpty) 1 else plain0.map(_.length).max,
+        if (cont0.isEmpty) 3 else cont0.map(_.length - 2).max)
+    }
+    val bc = s.sparkContext.broadcast((plain, cont, maxP, maxC))
+    udf { (word: String) =>
+      val (pl, co, mp, mc) = bc.value
+      var pos = 0; var n = 0L
+      while (pos < word.length) {
+        val first = pos == 0
+        var len = math.min(if (first) mp else mc, word.length - pos)
+        var found = 0
+        while (len >= 1 && found == 0) {
+          val cand =
+            if (first) word.substring(pos, pos + len)
+            else "##" + word.substring(pos, pos + len)
+          if (if (first) pl(cand) else co(cand)) found = len
+          len -= 1
+        }
+        require(found > 0, s"WordPiece walk stuck on '$word' at $pos")
+        pos += found; n += 1
+      }
+      n
+    }
+  }
+
+  def q116b_wordpiece_tokenize(s: SparkSession, dir: String): DataFrame = {
+    val nPieces = wpTrainedNPiecesUdf(s, dir)
+    val wordPieces = docToks(s, dir)
+      .select(explode(col("t")).as("word")).distinct()
+      .select(col("word"), nPieces(col("word")).as("n_pieces"))
+    docToks(s, dir).filter(size(col("t")) >= 1)
+      .select(col("doc_id"), explode(col("t")).as("word"))
+      .join(broadcast(wordPieces), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_wp_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The learned vocab + MaxMatch walk as CTEs (shared by q116b's oracle
+    * and the q111 report's fifth row). `wpv` = alphabet-in-position-form
+    * ∪ merged symbols; the recursive step consumes the LONGEST matching
+    * piece (plain form at pos 0, `##` form after). */
+  private lazy val wpApplyCtes: String = {
+    val mergedRows = (1 to WpRounds)
+      .map(i => s"SELECT l || r[3:] AS piece FROM wpb$i")
+      .mkString(" UNION ALL ")
+    // wpv must NOT be MATERIALIZED: DuckDB 1.0 silently evaluates a
+    // correlated subquery against a materialized CTE inside a recursive
+    // term to NULL (observed; non-materialized correlates correctly)
+    s"""wpv AS (SELECT DISTINCT piece FROM (
+       |    SELECT CASE WHEN i = 1 THEN word[i:i]
+       |      ELSE '##' || word[i:i] END AS piece
+       |    FROM wpw, unnest(range(1, len(word) + 1)) u(i)
+       |  UNION ALL $mergedRows)),
+       |wtrec AS (
+       |  SELECT word AS w, 0 AS pos, 0 AS n FROM wpw
+       |  UNION ALL
+       |  SELECT w, pos + ml, n + 1 FROM (
+       |    SELECT b.w, b.pos, b.n, MAX(CASE WHEN b.pos = 0 THEN len(v.piece)
+       |        ELSE len(v.piece) - 2 END) AS ml
+       |    FROM wtrec b JOIN wpv v
+       |      ON (b.pos = 0 AND v.piece NOT LIKE '##%'
+       |          AND v.piece = b.w[1:len(v.piece)])
+       |        OR (b.pos > 0 AND v.piece LIKE '##%'
+       |          AND v.piece[3:] = b.w[b.pos + 1:b.pos + len(v.piece) - 2])
+       |    WHERE b.pos < len(b.w)
+       |    GROUP BY b.w, b.pos, b.n) q),
+       |wtc AS MATERIALIZED (SELECT w AS word, n FROM wtrec
+       |  WHERE pos = len(w))""".stripMargin
+  }
+
+  private lazy val wpTokenizeOracle: String =
+    s"""WITH RECURSIVE $wpStagesSql,
+       |$wpApplyCtes,
+       |wttoks AS (SELECT doc_id, unnest($DToks) AS word FROM documents)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n) AS BIGINT) AS n_wp_tokens
+       |FROM wttoks JOIN wtc USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------- n-gram-LM quality scoring (CCNet, q117)
+  /** N-GRAM-LM QUALITY SCORING — the CCNet stage (Wenzek et al. 2020:
+    * train an LM on trusted text, order the crawl by perplexity, keep the
+    * head/middle buckets; reference has no counterpart — its corpus is
+    * assumed clean). LM = stupid-backoff n-gram membership (Brants et al.
+    * 2007's backoff structure): trigram/bigram/unigram count tables
+    * trained on the md5-even doc half (q87b's split convention),
+    * min-count-2 pruned; each token position scores its backoff level —
+    * 3 if its trigram is in-model, else 2 for the bigram, else 1 for the
+    * unigram, else 0 — and a doc's mean level is its model-fit score
+    * (higher = better modeled = lower perplexity). Docs rank globally by
+    * (mean level desc, doc_id) into ntile(3) head/middle/tail buckets;
+    * keep = not tail, exactly CCNet's bucket rule.
+    *
+    * Exactness: levels and sums are integers; the only double is the
+    * ntile ordering key score_sum/n_tokens — one IEEE division, correctly
+    * rounded identically in both engines, with doc_id breaking ties.
+    * A REAL KenLM swaps the level for a log-prob sum; that stays an
+    * engine-only accuracy-contract (log() isn't correctly rounded across
+    * engines — the same reason q87 gates on the logit, not the sigmoid).
+    *
+    * Scale: the pruned gram tables are (key, count) dims co-partitioned
+    * with the exploded positions on the gram key — three hash joins, no
+    * driver state (Catalyst broadcasts them while small). The global
+    * perplexity order is CCNet's own single corpus sort; at 100 TB the
+    * ntile window becomes a range-partitioned sort, or the documented
+    * q41/q41b swap: approx_percentile cutoffs on the ratio instead of
+    * exact ranks. */
+  private[graft] val LmMinCount = 2
+
+  def q117_ngramlm_quality(s: SparkSession, dir: String): DataFrame = {
+    val toks = docToks(s, dir).filter(size(col("t")) >= 1)
+      .select(col("doc_id"), col("t"),
+        (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1),
+          16, 10).cast("int") % 2 === 0).as("is_train"))
+    // posexplode i is 0-based: w1 = token i; prev = element_at(t, i)
+    // (1-based), prev2 = element_at(t, i - 1)
+    val pos = toks
+      .select(col("doc_id"), col("is_train"), col("t"),
+        posexplode(col("t")).as(Seq("i", "w1")))
+      .select(col("doc_id"), col("is_train"), col("w1"),
+        when(col("i") >= 1,
+          concat_ws(" ", element_at(col("t"), col("i")), col("w1"))).as("g2"),
+        when(col("i") >= 2,
+          concat_ws(" ", element_at(col("t"), col("i") - 1),
+            element_at(col("t"), col("i")), col("w1"))).as("g3"))
+      .localCheckpoint(false) // one pass feeds the three gram dims + scoring
+    def lm(key: String, as: String): DataFrame = pos
+      .filter(col("is_train") && col(key).isNotNull)
+      .groupBy(col(key)).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= LmMinCount)
+      .select(col(key).as(as))
+    val scored = pos
+      .join(lm("g3", "t3"), col("g3") === col("t3"), "left")
+      .join(lm("g2", "b2"), col("g2") === col("b2"), "left")
+      .join(lm("w1", "u1"), col("w1") === col("u1"), "left")
+      .select(col("doc_id"),
+        when(col("t3").isNotNull, 3L).when(col("b2").isNotNull, 2L)
+          .when(col("u1").isNotNull, 1L).otherwise(0L).as("level"))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("level")).as("score_sum"),
+        count_if(col("level") === 3).as("n_l3"),
+        count_if(col("level") === 2).as("n_l2"),
+        count_if(col("level") === 1).as("n_l1"),
+        count_if(col("level") === 0).as("n_l0"))
+    perDoc
+      .withColumn("nt", expr(
+        "ntile(3) OVER (ORDER BY score_sum / n_tokens DESC, doc_id)"))
+      .select(col("doc_id"), col("n_tokens"), col("score_sum"),
+        col("n_l3"), col("n_l2"), col("n_l1"), col("n_l0"),
+        expr("element_at(array('head', 'middle', 'tail'), nt)")
+          .as("ppl_bucket"),
+        (col("nt") <= 2).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val ngramLmOracle: String =
+    s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
+       |base AS (SELECT doc_id, t,
+       |    (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS INT)
+       |      % 2 = 0) AS is_train
+       |  FROM toks WHERE len(t) >= 1),
+       |pos AS (SELECT doc_id, is_train, t[i] AS w1,
+       |    CASE WHEN i >= 2 THEN t[i - 1] || ' ' || t[i] END AS g2,
+       |    CASE WHEN i >= 3
+       |      THEN t[i - 2] || ' ' || t[i - 1] || ' ' || t[i] END AS g3
+       |  FROM base, unnest(range(1, len(t) + 1)) u(i)),
+       |tri AS (SELECT g3 FROM pos WHERE is_train AND g3 IS NOT NULL
+       |  GROUP BY g3 HAVING COUNT(*) >= $LmMinCount),
+       |bi AS (SELECT g2 FROM pos WHERE is_train AND g2 IS NOT NULL
+       |  GROUP BY g2 HAVING COUNT(*) >= $LmMinCount),
+       |uni AS (SELECT w1 FROM pos WHERE is_train
+       |  GROUP BY w1 HAVING COUNT(*) >= $LmMinCount),
+       |lv AS (SELECT p.doc_id,
+       |    CASE WHEN tri.g3 IS NOT NULL THEN 3
+       |      WHEN bi.g2 IS NOT NULL THEN 2
+       |      WHEN uni.w1 IS NOT NULL THEN 1 ELSE 0 END AS level
+       |  FROM pos p LEFT JOIN tri ON p.g3 = tri.g3
+       |    LEFT JOIN bi ON p.g2 = bi.g2
+       |    LEFT JOIN uni ON p.w1 = uni.w1),
+       |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(level) AS BIGINT) AS score_sum,
+       |    CAST(SUM(CASE WHEN level = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_l3,
+       |    CAST(SUM(CASE WHEN level = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_l2,
+       |    CAST(SUM(CASE WHEN level = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_l1,
+       |    CAST(SUM(CASE WHEN level = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_l0
+       |  FROM lv GROUP BY doc_id),
+       |r AS (SELECT *, ntile(3) OVER (ORDER BY score_sum / n_tokens DESC,
+       |    doc_id) AS nt FROM d)
+       |SELECT doc_id, n_tokens, score_sum, n_l3, n_l2, n_l1, n_l0,
+       |  (['head', 'middle', 'tail'])[nt] AS ppl_bucket,
+       |  (nt <= 2) AS keep
+       |FROM r ORDER BY doc_id""".stripMargin
 
   // ------------------------------------- unigram-LM tokenizer training
   /** Unigram-LM (SentencePiece-style) tokenizer TRAINING — the third
@@ -1471,8 +1860,12 @@ object CorpusFilters {
     * Oracle: re-TRAIN the identical model (the shared CTE chain), re-run
     * the apply DP round against the final vocabulary, re-aggregate —
     * the data-dependent vocabulary stays hash-gated exactly. */
+  /** Memoized unigram model (consumer-side; q105 itself re-trains). */
+  private def uniTrained(s: SparkSession, dir: String): Map[String, Long] =
+    memoTrained(s, dir, "unigram")(uniTrain(s, dir)._2)
+
   def q105b_unigram_tokenize(s: SparkSession, dir: String): DataFrame = {
-    val vocab = uniTrain(s, dir)._2
+    val vocab = uniTrained(s, dir)
     val bc = s.sparkContext.broadcast(vocab)
     val segKey = udf((w: String) => uniSegmentKey(w, bc.value))
     val wordPieces = docToks(s, dir)
@@ -1504,8 +1897,9 @@ object CorpusFilters {
 
   // ------------------------------------------ tokenizer comparison report
   /** TOKENIZER COMPARISON REPORT — the table a team looks at when picking
-    * a tokenizer for a corpus: for each of the three implemented families
-    * (fixed-vocab WordPiece inference, learned BPE, learned unigram-LM),
+    * a tokenizer for a corpus: for each implemented family (fixed-vocab
+    * WordPiece inference, learned BPE, learned byte-BPE, learned
+    * unigram-LM, and — r13 — likelihood-trained WordPiece),
     * the corpus' total subword-token count, the total characters the
     * tokenizer consumed, and the compression ratio in integer form
     * (chars per 1000 tokens). All-integer, so one hash-exact gate covers
@@ -1539,8 +1933,7 @@ object CorpusFilters {
     // piece counts from each trained model
     val words = docToks(s, dir).select(explode(col("t")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-    val merges = q94_bpe_learn(s, dir).orderBy(col("round")).collect()
-      .map(r => (r.getAs[String]("merge_left"), r.getAs[String]("merge_right")))
+    val merges = bpeMergesLearned(s, dir)
     val symInit = "concat('|', array_join(transform(sequence(1, length(word))," +
       " i -> substring(word, i, 1)), '||'), '|')"
     val bpeChain = merges.foldLeft(symInit) { case (acc, (l, r)) =>
@@ -1553,7 +1946,7 @@ object CorpusFilters {
       .agg(sum(col("cnt") * col("np")).as("n_tokens"),
         sum(col("cnt") * length(col("word"))).cast("long").as("n_chars"))
       .select(lit("bpe").as("tokenizer"), col("n_tokens"), col("n_chars"))
-    val uniVocab = s.sparkContext.broadcast(uniTrain(s, dir)._2)
+    val uniVocab = s.sparkContext.broadcast(uniTrained(s, dir))
     val uniSeg = udf((w: String) =>
       uniSegmentKey(w, uniVocab.value).substring(0, 2).toLong)
     val uni = words
@@ -1571,7 +1964,16 @@ object CorpusFilters {
       .agg(sum(col("cnt") * col("np")).as("n_tokens"),
         sum(col("cnt") * length(col("word"))).cast("long").as("n_chars"))
       .select(lit("byte_bpe").as("tokenizer"), col("n_tokens"), col("n_chars"))
-    wp.unionByName(bpe).unionByName(uni).unionByName(bbpe)
+    // fifth family (r13): TRAINED WordPiece — likelihood-merged vocab,
+    // MaxMatch inference, over the same whitespace words as BPE/unigram
+    val wpNp = wpTrainedNPiecesUdf(s, dir)
+    val wpt = words
+      .withColumn("np", wpNp(col("word")))
+      .agg(sum(col("cnt") * col("np")).as("n_tokens"),
+        sum(col("cnt") * length(col("word"))).cast("long").as("n_chars"))
+      .select(lit("wordpiece_trained").as("tokenizer"), col("n_tokens"),
+        col("n_chars"))
+    wp.unionByName(bpe).unionByName(uni).unionByName(bbpe).unionByName(wpt)
       .select(col("tokenizer"), col("n_tokens"), col("n_chars"),
         expr("n_chars * 1000 div n_tokens").as("chars_per_1k_tokens"))
       .orderBy(col("tokenizer"))
@@ -1613,14 +2015,21 @@ object CorpusFilters {
        |unit AS (SELECT
        |    CAST(SUM(cnt * CAST(key[1:2] AS BIGINT)) AS BIGINT) AS n_tokens,
        |    CAST(SUM(cnt * len(word)) AS BIGINT) AS n_chars
-       |  FROM seg$applyRound)
+       |  FROM seg$applyRound),
+       |$wpStagesSql,
+       |$wpApplyCtes,
+       |wtt AS (SELECT
+       |    CAST(SUM(cnt * n) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(cnt * len(word)) AS BIGINT) AS n_chars
+       |  FROM wpw JOIN wtc USING (word))
        |SELECT tokenizer, n_tokens, n_chars,
        |  n_chars * 1000 // n_tokens AS chars_per_1k_tokens
        |FROM (
        |  SELECT 'bpe' AS tokenizer, n_tokens, n_chars FROM bpet
        |  UNION ALL SELECT 'byte_bpe', n_tokens, n_chars FROM bbt
        |  UNION ALL SELECT 'unigram', n_tokens, n_chars FROM unit
-       |  UNION ALL SELECT 'wordpiece', n_tokens, n_chars FROM wpt)
+       |  UNION ALL SELECT 'wordpiece', n_tokens, n_chars FROM wpt
+       |  UNION ALL SELECT 'wordpiece_trained', n_tokens, n_chars FROM wtt)
        |ORDER BY tokenizer""".stripMargin
   }
 
@@ -2185,7 +2594,10 @@ object CorpusFilters {
     "q105_unigram_learn"  -> (q105_unigram_learn _),
     "q105b_unigram_tokenize" -> (q105b_unigram_tokenize _),
     "q107_temperature_mix" -> (q107_temperature_mix _),
-    "q111_tokenizer_report" -> (q111_tokenizer_report _))
+    "q111_tokenizer_report" -> (q111_tokenizer_report _),
+    "q116_wordpiece_learn" -> (q116_wordpiece_learn _),
+    "q116b_wordpiece_tokenize" -> (q116b_wordpiece_tokenize _),
+    "q117_ngramlm_quality" -> (q117_ngramlm_quality _))
 
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
@@ -2615,6 +3027,9 @@ object CorpusFilters {
     "q94b_bpe_tokenize" -> bpeTokenizeOracle,
     "q112_bytebpe_learn" -> byteBpeLearnOracle,
     "q112b_bytebpe_tokenize" -> byteBpeTokenizeOracle,
+    "q116_wordpiece_learn" -> wpLearnOracle,
+    "q116b_wordpiece_tokenize" -> wpTokenizeOracle,
+    "q117_ngramlm_quality" -> ngramLmOracle,
     "q105_unigram_learn" -> unigramLearnOracle,
     "q105b_unigram_tokenize" -> unigramTokenizeOracle,
     "q111_tokenizer_report" -> tokenizerReportOracle,

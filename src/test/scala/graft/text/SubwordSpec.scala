@@ -268,4 +268,96 @@ class SubwordSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("WordPiece training matches a brute-force likelihood-merge reference") {
+    // independent pure-Scala replay of the Schuster-Nakajima rule over the
+    // same corpus word frequencies: seed ##-marked chars, then K rounds of
+    // exact-BigInt floor(c*1e18/(f_l*f_r)) argmax with (score desc, l, r)
+    // tiebreak and prefix-stripping merge
+    val dir = "/root/testdata/sf0.001"
+    val freq = graft.Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.col("text")).collect()
+      .flatMap(_.getString(0).trim.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    var syms: Map[Vector[String], Long] = freq.toSeq
+      .map { case (w, c) =>
+        w.toVector.zipWithIndex
+          .map { case (ch, i) => if (i == 0) ch.toString else "##" + ch } -> c
+      }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val scale = BigInt(10).pow(18)
+    val expected = (1 to CorpusFilters.WpRounds).map { _ =>
+      val f = scala.collection.mutable.Map.empty[String, Long]
+      val p = scala.collection.mutable.Map.empty[(String, String), Long]
+      syms.foreach { case (ss, c) =>
+        ss.foreach(x => f(x) = f.getOrElse(x, 0L) + c)
+        ss.sliding(2).filter(_.size == 2)
+          .foreach(q => p((q(0), q(1))) = p.getOrElse((q(0), q(1)), 0L) + c)
+      }
+      val ((l, r), c) = p.toSeq.minBy { case ((l, r), c) =>
+        (-(BigInt(c) * scale) / (BigInt(f(l)) * BigInt(f(r))), l, r)
+      }
+      val sk = ((BigInt(c) * scale) / (BigInt(f(l)) * BigInt(f(r)))).toLong
+      val merged = l + r.substring(2)
+      syms = syms.map { case (ss, cc) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < ss.length) {
+          if (i + 1 < ss.length && ss(i) == l && ss(i + 1) == r) {
+            out += merged; i += 2
+          } else { out += ss(i); i += 1 }
+        }
+        out.result() -> cc
+      }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      (l, r, merged, c, sk)
+    }
+    val got = CorpusFilters.q116_wordpiece_learn(spark, dir).collect()
+      .map(r => (r.getAs[String]("merge_left"), r.getAs[String]("merge_right"),
+        r.getAs[String]("merged"), r.getAs[Long]("pair_count"),
+        r.getAs[Long]("score_key"))).toSeq
+    assert(got == expected, s"engine merges diverge from reference:\n$got\nvs\n$expected")
+    // structural invariants: right side always a continuation; score <= 1e18
+    got.foreach { case (l, r, m, _, sk) =>
+      assert(r.startsWith("##"))
+      assert(m == l + r.substring(2))
+      assert(sk >= 0 && sk <= 1000000000000000000L)
+    }
+  }
+
+  test("trained-WordPiece MaxMatch apply matches a driver reference walk") {
+    val dir = "/root/testdata/sf0.001"
+    val merged = CorpusFilters.q116_wordpiece_learn(spark, dir).collect()
+      .map(_.getAs[String]("merged")).toSet
+    val docs = graft.Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // vocab = positional alphabet of the corpus + merged symbols
+    val alpha = docs.values
+      .flatMap(_.trim.split(" ").filter(_.nonEmpty))
+      .flatMap(w => w.toVector.zipWithIndex
+        .map { case (ch, i) => if (i == 0) ch.toString else "##" + ch })
+      .toSet
+    val vocab = alpha ++ merged
+    def walk(w: String): Long = {
+      var pos = 0; var n = 0L
+      while (pos < w.length) {
+        val len = (math.min(w.length - pos,
+          vocab.map(p => if (p.startsWith("##")) p.length - 2 else p.length).max) to 1 by -1)
+          .find { k =>
+            val cand = if (pos == 0) w.substring(pos, pos + k)
+              else "##" + w.substring(pos, pos + k)
+            vocab(cand)
+          }.getOrElse(fail(s"stuck on '$w' at $pos"))
+        pos += len; n += 1
+      }
+      n
+    }
+    val perDoc = CorpusFilters.q116b_wordpiece_tokenize(spark, dir).collect()
+    perDoc.take(60).foreach { r =>
+      val words = docs(r.getAs[Long]("doc_id")).trim.split(" ").filter(_.nonEmpty)
+      assert(r.getAs[Long]("n_wp_tokens") == words.map(walk).sum,
+        s"doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Long]("n_words") == words.length.toLong)
+    }
+  }
 }
