@@ -1647,6 +1647,50 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** CONTRASTIVE TRAINING TRIPLES (round-13; seventh consumer of the
+    * materialized dedup stage) — the finished training table a dense-
+    * retrieval / SimCSE-style run consumes: per anchor, ONE positive and
+    * the mined hard negatives in a single row. The positive is the
+    * anchor's best same-component partner (max rounded cosine, id
+    * tiebreak) — near-duplicate pairs as positives is the public
+    * unsupervised recipe; the negatives are exactly q114's top-5
+    * non-component neighbors, serialized in rank order (engine-neutral
+    * comma-joined string — raw arrays don't survive the harness dump).
+    * Anchors whose component is a singleton drop out: a contrastive
+    * example without a positive isn't one.
+    *
+    * Scale: anchors broadcast twice (positive pick joins on the hash-
+    * partitioned grp, negatives on the q114 shape); both per-anchor
+    * picks are bounded-heap window limits. Oracle: the q73 closure +
+    * q114's ranking + an ordered string_agg. */
+  def q118_contrastive_triples(s: SparkSession, dir: String): DataFrame = {
+    val eg = Tables.embeddingsFanned(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .join(dedupStage(s, dir).select(col("doc_id").as("vec_id"), col("grp")),
+        Seq("vec_id"))
+    val anchors = eg.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+        col("grp").as("qgrp"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("pos_sim_r").desc, col("positive_id"))
+    val pos = eg.join(broadcast(anchors),
+        col("grp") === col("qgrp") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("positive_id"),
+        round(cosine(col("qemb"), col("emb")), 6).as("pos_sim_r"))
+      .withColumn("prn", row_number().over(pw)).filter(col("prn") === 1)
+      .drop("prn")
+    val negs = q114_hard_negatives(s, dir)
+      .groupBy(col("query_id"))
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(rank, neighbor_id))), x -> CAST(x.neighbor_id AS STRING))" +
+        ", ',')").as("negatives"),
+        count(lit(1)).as("n_negatives"))
+    pos.join(negs, Seq("query_id"))
+      .select(col("query_id"), col("positive_id"), col("pos_sim_r"),
+        col("negatives"), col("n_negatives"))
+      .orderBy(col("query_id"))
+  }
+
   /** TRAINING MANIFEST (round-13; sixth consumer of the materialized
     * dedup stage) — the table a training run reads before launching:
     * per (split, source), how many canonical documents survive curation,
@@ -1919,6 +1963,7 @@ object Similarity {
     "q101_curation_report" -> (q101_curation_report _),
     "q109_component_sizes" -> (q109_component_sizes _),
     "q114_hard_negatives" -> (q114_hard_negatives _),
+    "q118_contrastive_triples" -> (q118_contrastive_triples _),
     "q115_training_manifest" -> (q115_training_manifest _),
     "q79_jaccard_prefix"  -> (q79_jaccard_prefix _),
     "q82_ann_ivf_recall"  -> (q82_ann_ivf_recall _),
@@ -2374,6 +2419,41 @@ object Similarity {
          |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
          |  sim_r, neighbor_label
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // q114's chain + the best same-component partner + ordered string_agg
+    "q118_contrastive_triples" ->
+      s"""WITH RECURSIVE $dedupUnionCtes,
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings),
+         |grouped AS (SELECT e.vec_id, e.emb,
+         |    COALESCE(lab.component, e.vec_id) AS grp
+         |  FROM e LEFT JOIN lab ON e.vec_id = lab.id),
+         |q AS (SELECT vec_id AS query_id, emb AS qemb, grp AS qgrp
+         |  FROM grouped WHERE vec_id % 50 = 0),
+         |ptri AS (SELECT query_id, vec_id AS positive_id,
+         |    round(list_dot_product(qemb, emb) /
+         |      (sqrt(list_dot_product(qemb, qemb)) *
+         |       sqrt(list_dot_product(emb, emb))), 6) AS pos_sim_r
+         |  FROM q, grouped WHERE grp = qgrp AND vec_id <> query_id),
+         |p1 AS (SELECT query_id, positive_id, pos_sim_r FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY pos_sim_r DESC, positive_id) AS prn FROM ptri)
+         |  WHERE prn = 1),
+         |pairs AS (SELECT query_id, vec_id AS neighbor_id,
+         |    round(list_dot_product(qemb, emb) /
+         |      (sqrt(list_dot_product(qemb, qemb)) *
+         |       sqrt(list_dot_product(emb, emb))), 6) AS sim_r
+         |  FROM q, grouped WHERE vec_id <> query_id AND grp <> qgrp),
+         |ranked AS (SELECT query_id, neighbor_id,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY sim_r DESC, neighbor_id) AS rank FROM pairs),
+         |negagg AS (SELECT query_id,
+         |    string_agg(CAST(neighbor_id AS VARCHAR), ',' ORDER BY rank)
+         |      AS negatives,
+         |    CAST(COUNT(*) AS BIGINT) AS n_negatives
+         |  FROM ranked WHERE rank <= 5 GROUP BY query_id)
+         |SELECT p1.query_id, positive_id, pos_sim_r, negatives, n_negatives
+         |FROM p1 JOIN negagg USING (query_id)
+         |ORDER BY query_id""".stripMargin,
     // the q73 closure, then group sizes (component coalesced to the doc
     // id for untouched singletons) and the size histogram
     "q109_component_sizes" ->
