@@ -690,6 +690,43 @@ object Relational {
       .orderBy(col("doc_id"), col("op"))
   }
 
+  // ------------------------------------------------------- CDC: SCD2 build
+  /** SCD TYPE-2 HISTORY — the third leg of the CDC family (q93 GENERATES
+    * a changelog, q86 COMPACTS one to latest-wins; this builds the full
+    * slowly-changing-dimension history table, Kimball's public Type-2
+    * shape): every change event becomes a versioned row with a validity
+    * interval — valid_from = its ts, valid_to = the key's next change
+    * (NULL while current), is_current on the open row. Tombstones
+    * ('error') participate as versions, so a delete closes the prior
+    * interval and the tombstone row itself carries is_current until a
+    * re-insert supersedes it — interval algebra over the same changelog
+    * q86 compacts, gated row-for-row.
+    *
+    * Scale: ONE hash shuffle on the key feeding both window functions
+    * (row_number + lead share the (user_id, ts, event_id) sort — one
+    * exchange, one sort in the plan); the standard SCD2 batch build. In
+    * production the incremental variant merges each new changelog batch
+    * against only the OPEN intervals (valid_to IS NULL), not the full
+    * history. */
+  def q120_scd2_history(s: SparkSession, dir: String): DataFrame =
+    scd2History(Tables.events(s, dir)).orderBy(col("user_id"), col("version"))
+
+  /** The SCD2 kernel over any changelog frame with columns (user_id, ts,
+    * event_id, event_type, value) — ChangelogSpec feeds it synthetic
+    * tie/tombstone cases (the q86 `applyChangelog` pattern). */
+  private[graft] def scd2History(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        round(col("value"), 6).as("value_r"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"), col("ts").as("valid_from"),
+        col("valid_to"), col("event_id"), col("event_type"), col("value_r"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
   // ----------------------------------------------------- skew: salted agg
   /** Two-phase salted aggregation — THE skew pattern at 100 TB: a hot
     * group key (one event_type = 20 % of a 100 TB stream) would pin its
@@ -850,6 +887,7 @@ object Relational {
     "q17_dedup_exact"        -> (q17_dedup_exact _),
     "q18_bind_children"      -> (q18_bind_children _),
     "q46_skew_salted_agg"    -> (q46_skew_salted_agg _),
+    "q120_scd2_history"      -> (q120_scd2_history _),
     "q93_snapshot_diff"      -> (q93_snapshot_diff _),
     "q47_asof_join"          -> (q47_asof_join _),
     "q47b_asof_native"       -> (q47b_asof_native _),
@@ -1050,6 +1088,14 @@ object Relational {
     // delete-marker keys absent — DuckDB takes the window form of the
     // same semantics (arg_max tie-breaking across two columns is clearer
     // as ROW_NUMBER there; both engines agree row-for-row)
+    "q120_scd2_history" ->
+      """SELECT user_id, CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+        |  ts AS valid_from, LEAD(ts, 1) OVER w AS valid_to, event_id,
+        |  event_type, round(value, 6) AS value_r,
+        |  (LEAD(ts, 1) OVER w IS NULL) AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
     "q86_apply_changelog" ->
       """WITH ranked AS (SELECT user_id, ts, event_id, event_type, value,
         |    ROW_NUMBER() OVER (PARTITION BY user_id

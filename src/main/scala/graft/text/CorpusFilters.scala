@@ -1620,6 +1620,71 @@ object CorpusFilters {
        |  (nt <= 2) AS keep
        |FROM r ORDER BY doc_id""".stripMargin
 
+  // ----------------------------- source-divergence audit (q119)
+  /** SOURCE-DIVERGENCE AUDIT — which tokens distinguish each source from
+    * the corpus (Monroe-Colaresi-Quinn 2008 "Fightin' Words" family:
+    * Dirichlet-smoothed frequency-ratio ranking; the domain-mix audit a
+    * team reads before weighting sources). Per (source, token):
+    * score = ((c_src + 1) · (n_all + V)) / ((c_all + 1) · (n_src + V)),
+    * add-one smoothed over the vocab size V — a token's relative
+    * over-representation in the source vs the whole corpus; top-10 per
+    * source by (score desc, token).
+    *
+    * Exactness: counts are integers; both products stay below 2^53 at
+    * test SFs so the one division is the only rounding, identical in
+    * both engines (at 100 TB the products leave exact-integer range but
+    * remain correctly-rounded identically — the ordering stays
+    * cross-engine deterministic with the token tiebreak).
+    *
+    * Scale: three aggregates off one shared token frame (per-(source,
+    * token), per-token, per-source), the corpus-wide scalars broadcast;
+    * the per-source top-10 is a bounded-heap WindowGroupLimit (literal
+    * rank bound). Vocabulary-sized frames everywhere after the first
+    * aggregation — Heaps' law. */
+  def q119_source_divergence(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documentsFanned(s, dir)
+      .select(col("source"), explode(Cleanse.tokens(col("text"))).as("w"))
+      .localCheckpoint(false) // one pass feeds the three count aggregates
+    val bySrc = toks.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c_src"))
+    val byTok = toks.groupBy(col("w")).agg(count(lit(1)).as("c_all"))
+    val bySrcTot = toks.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val totals = byTok.agg(sum(col("c_all")).as("n_all"),
+      count(lit(1)).as("v"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("score_r").desc, col("w"))
+    bySrc.join(byTok, Seq("w")).join(bySrcTot, Seq("source"))
+      .crossJoin(broadcast(totals))
+      .select(col("source"), col("w"), col("c_src"), col("c_all"),
+        round((col("c_src") + 1) * (col("n_all") + col("v")) /
+          ((col("c_all") + 1) * (col("n_src") + col("v"))), 6).as("score_r"))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= 10)
+      .select(col("source"), col("rank"), col("w").as("token"),
+        col("c_src"), col("c_all"), col("score_r"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  private lazy val sourceDivergenceOracle: String =
+    s"""WITH toks AS (SELECT source, unnest($DToks) AS w FROM documents),
+       |bysrc AS (SELECT source, w, COUNT(*) AS c_src FROM toks
+       |  GROUP BY source, w),
+       |bytok AS (SELECT w, COUNT(*) AS c_all FROM toks GROUP BY w),
+       |bysrctot AS (SELECT source, COUNT(*) AS n_src FROM toks
+       |  GROUP BY source),
+       |tot AS (SELECT CAST(SUM(c_all) AS BIGINT) AS n_all,
+       |    CAST(COUNT(*) AS BIGINT) AS v FROM bytok),
+       |scored AS (SELECT source, w, c_src, c_all,
+       |    round((c_src + 1) * (n_all + v) /
+       |      ((c_all + 1) * (n_src + v)), 6) AS score_r
+       |  FROM bysrc JOIN bytok USING (w) JOIN bysrctot USING (source), tot),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+       |    ORDER BY score_r DESC, w) AS rank FROM scored)
+       |SELECT source, CAST(rank AS INTEGER) AS rank, w AS token,
+       |  CAST(c_src AS BIGINT) AS c_src, CAST(c_all AS BIGINT) AS c_all,
+       |  score_r
+       |FROM ranked WHERE rank <= 10 ORDER BY source, rank""".stripMargin
+
   // ------------------------------------- unigram-LM tokenizer training
   /** Unigram-LM (SentencePiece-style) tokenizer TRAINING — the third
     * tokenizer family next to BPE merge LEARNING (q94) and WordPiece
@@ -2597,7 +2662,8 @@ object CorpusFilters {
     "q111_tokenizer_report" -> (q111_tokenizer_report _),
     "q116_wordpiece_learn" -> (q116_wordpiece_learn _),
     "q116b_wordpiece_tokenize" -> (q116b_wordpiece_tokenize _),
-    "q117_ngramlm_quality" -> (q117_ngramlm_quality _))
+    "q117_ngramlm_quality" -> (q117_ngramlm_quality _),
+    "q119_source_divergence" -> (q119_source_divergence _))
 
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
@@ -3030,6 +3096,7 @@ object CorpusFilters {
     "q116_wordpiece_learn" -> wpLearnOracle,
     "q116b_wordpiece_tokenize" -> wpTokenizeOracle,
     "q117_ngramlm_quality" -> ngramLmOracle,
+    "q119_source_divergence" -> sourceDivergenceOracle,
     "q105_unigram_learn" -> unigramLearnOracle,
     "q105b_unigram_tokenize" -> unigramTokenizeOracle,
     "q111_tokenizer_report" -> tokenizerReportOracle,

@@ -74,4 +74,44 @@ class ChangelogSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("SCD2: intervals chain gaplessly, exactly one current row per key") {
+    import spark.implicits._
+    val log = Seq(
+      (10L, ts(0), 1L, "view", 1.0),    // user 1: v1, closed by the tie row
+      (11L, ts(0), 1L, "click", 2.0),   // same ts — event_id orders versions
+      (12L, ts(2), 1L, "purchase", 3.0),
+      (20L, ts(1), 2L, "view", 4.0),    // user 2: closed by a tombstone,
+      (21L, ts(2), 2L, "error", 0.0),   //   which stays current (no revive)
+      (30L, ts(3), 3L, "view", 5.0))    // user 3: single open version
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val hist = Relational.scd2History(log)
+      .orderBy("user_id", "version").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("version"),
+        r.getAs[Timestamp]("valid_from"), r.getAs[Timestamp]("valid_to"),
+        r.getAs[Long]("event_id"), r.getAs[Boolean]("is_current")))
+    assert(hist.length == 6, "every change event becomes a version row")
+    hist.groupBy(_._1).foreach { case (uid, rows) =>
+      assert(rows.map(_._2).toSeq == (1 to rows.length), s"user $uid versions")
+      assert(rows.count(_._6) == 1, s"user $uid: exactly one current row")
+      assert(rows.last._4 == null && rows.last._6, s"user $uid: open tail")
+      // interval chaining: each valid_to equals the next valid_from
+      rows.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(a._4 == b._3, s"user $uid: gap between v${a._2} and v${b._2}")
+      }
+    }
+    // the same-ts tie: versions 1,2 share valid_from; event_id ordered
+    val u1 = hist.filter(_._1 == 1L)
+    assert(u1.map(_._5).toSeq == Seq(10L, 11L, 12L))
+    assert(u1(0)._3 == u1(1)._3, "tie rows share valid_from")
+    // compaction consistency: q86's survivor is SCD2's current non-error row
+    val snapIds = Relational.applyChangelog(log).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("last_event_id")).toMap
+    hist.filter(_._6).foreach { case (uid, _, _, _, eid, _) =>
+      snapIds.get(uid) match {
+        case Some(sid) => assert(sid == eid, s"user $uid current mismatch")
+        case None => // tombstone-current: absent from the compacted snapshot
+      }
+    }
+  }
 }
