@@ -1620,6 +1620,98 @@ object CorpusFilters {
        |  (nt <= 2) AS keep
        |FROM r ORDER BY doc_id""".stripMargin
 
+  // ----------------------------- packing-efficiency report (q121)
+  /** PACKING-EFFICIENCY REPORT — the table a team reads before choosing a
+    * sequence-assembly strategy (the trade-off studied by the
+    * packing/truncation literature, e.g. Krell et al. 2021 and the
+    * "fewer truncations" line): for each strategy at seqLen 64, total
+    * training sequences, padding tokens burned, content tokens dropped,
+    * and utilization. Three strategies over the same REAL subword
+    * lengths (q72b's lexer + greedy WordPiece walk):
+    * `concat_packed` (q72's 32-bucket concat-and-slice — pads only each
+    * bucket's tail), `pad_per_doc` (doc-aligned sequences, each doc
+    * padded to its own ceiling — no cross-doc attention contamination,
+    * maximal padding), `truncate_one_seq` (one sequence per doc, BERT
+    * style — drops every token past seqLen).
+    *
+    * All-integer except the one rounded utilization division, so the
+    * gate is exact; the oracle replays the recursive tokenizer walk and
+    * the three strategy aggregations. Scale: one subword-length pass
+    * (the q115 expression) feeds three bounded aggregations —
+    * strategy-cardinality output. */
+  def q121_packing_efficiency(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Subword
+    val seqLen = 64L
+    val perDoc = Tables.documentsFanned(s, dir)
+      .select(col("doc_id"),
+        aggregate(
+          regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)),
+          lit(0L),
+          (a, p) => a + Subword.subword_count(p).cast("long")).as("n"))
+      .filter(col("n") >= 1)
+      .withColumn("bucket", pmod(col("doc_id"), lit(32)))
+      .localCheckpoint(false) // one tokenizer pass feeds three strategies
+    val concat = perDoc.groupBy(col("bucket")).agg(sum(col("n")).as("bt"))
+      .agg(sum(expr("(bt + 63) div 64")).cast("long").as("n_sequences"),
+        sum(col("bt")).cast("long").as("used"))
+      .select(lit("concat_packed").as("strategy"), col("n_sequences"),
+        lit(0L).as("n_dropped_tokens"), col("used"))
+    val padded = perDoc
+      .agg(sum(expr("(n + 63) div 64")).cast("long").as("n_sequences"),
+        sum(col("n")).cast("long").as("used"))
+      .select(lit("pad_per_doc").as("strategy"), col("n_sequences"),
+        lit(0L).as("n_dropped_tokens"), col("used"))
+    val trunc = perDoc
+      .agg(count(lit(1)).as("n_sequences"),
+        sum(least(col("n"), lit(seqLen))).cast("long").as("used"),
+        sum(greatest(col("n") - seqLen, lit(0L))).cast("long")
+          .as("n_dropped_tokens"))
+      .select(lit("truncate_one_seq").as("strategy"), col("n_sequences"),
+        col("n_dropped_tokens"), col("used"))
+    concat.unionByName(padded).unionByName(trunc)
+      .select(col("strategy"), col("n_sequences"),
+        (col("n_sequences") * seqLen - col("used")).as("n_pad_tokens"),
+        col("n_dropped_tokens"),
+        round(col("used").cast("double") / (col("n_sequences") * seqLen), 6)
+          .as("utilization_r"))
+      .orderBy(col("strategy"))
+  }
+
+  private lazy val packingEfficiencyOracle: String =
+    s"""WITH RECURSIVE lex AS (SELECT doc_id,
+       |    regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS ps
+       |  FROM documents),
+       |pwords AS (SELECT DISTINCT unnest(ps) AS w FROM lex),
+       |prec AS (
+       |  SELECT w, 1 AS pos, 0 AS cnt FROM pwords
+       |  UNION ALL
+       |  SELECT w, pos + ${graft.text.Subword.matchLenSql("w", "pos")}, cnt + 1
+       |  FROM prec WHERE pos <= len(w)),
+       |pwc AS (SELECT w, cnt FROM prec WHERE pos > len(w)),
+       |pdw AS (SELECT doc_id, unnest(ps) AS w FROM lex),
+       |pc AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n
+       |  FROM pdw JOIN pwc USING (w) GROUP BY doc_id),
+       |pd AS (SELECT doc_id, n, doc_id % 32 AS bucket FROM pc WHERE n >= 1),
+       |pb AS (SELECT bucket, CAST(SUM(n) AS BIGINT) AS bt FROM pd
+       |  GROUP BY bucket),
+       |u AS (
+       |  SELECT 'concat_packed' AS strategy,
+       |    CAST(SUM((bt + 63) // 64) AS BIGINT) AS n_sequences,
+       |    CAST(0 AS BIGINT) AS n_dropped_tokens,
+       |    CAST(SUM(bt) AS BIGINT) AS used
+       |  FROM pb
+       |  UNION ALL
+       |  SELECT 'pad_per_doc', CAST(SUM((n + 63) // 64) AS BIGINT),
+       |    CAST(0 AS BIGINT), CAST(SUM(n) AS BIGINT) FROM pd
+       |  UNION ALL
+       |  SELECT 'truncate_one_seq', CAST(COUNT(*) AS BIGINT),
+       |    CAST(SUM(GREATEST(n - 64, 0)) AS BIGINT),
+       |    CAST(SUM(LEAST(n, 64)) AS BIGINT) FROM pd)
+       |SELECT strategy, n_sequences,
+       |  n_sequences * 64 - used AS n_pad_tokens, n_dropped_tokens,
+       |  round(CAST(used AS DOUBLE) / (n_sequences * 64), 6) AS utilization_r
+       |FROM u ORDER BY strategy""".stripMargin
+
   // ----------------------------- source-divergence audit (q119)
   /** SOURCE-DIVERGENCE AUDIT — which tokens distinguish each source from
     * the corpus (Monroe-Colaresi-Quinn 2008 "Fightin' Words" family:
@@ -2663,7 +2755,8 @@ object CorpusFilters {
     "q116_wordpiece_learn" -> (q116_wordpiece_learn _),
     "q116b_wordpiece_tokenize" -> (q116b_wordpiece_tokenize _),
     "q117_ngramlm_quality" -> (q117_ngramlm_quality _),
-    "q119_source_divergence" -> (q119_source_divergence _))
+    "q119_source_divergence" -> (q119_source_divergence _),
+    "q121_packing_efficiency" -> (q121_packing_efficiency _))
 
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
@@ -3097,6 +3190,7 @@ object CorpusFilters {
     "q116b_wordpiece_tokenize" -> wpTokenizeOracle,
     "q117_ngramlm_quality" -> ngramLmOracle,
     "q119_source_divergence" -> sourceDivergenceOracle,
+    "q121_packing_efficiency" -> packingEfficiencyOracle,
     "q105_unigram_learn" -> unigramLearnOracle,
     "q105b_unigram_tokenize" -> unigramTokenizeOracle,
     "q111_tokenizer_report" -> tokenizerReportOracle,
