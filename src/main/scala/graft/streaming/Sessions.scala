@@ -486,6 +486,58 @@ object Sessions {
       .select(col("window.start").as("window_start"), col("n_docs"),
         col("n_contaminated"), col("n_keep"), col("mean_logit"))
 
+  /** Streaming n-gram-LM quality gate — the continuous twin of q117's
+    * CCNet scoring: each arriving document scores its per-token backoff
+    * levels (3/2/1/0 for trigram/bigram/unigram membership/unk) against
+    * the BROADCAST trained model sets
+    * ([[graft.text.CorpusFilters.lmModelSets]]) entirely map-side — no
+    * state store, no watermark, batch-boundary independent by
+    * construction. A stream cannot rank the corpus globally, so q117's
+    * ntile(3) bucket rule becomes the production pattern: the BATCH run
+    * calibrates a cutoff (e.g. its tail-bucket boundary) and the stream
+    * applies it as a fixed integer-permille threshold —
+    * keep ⇔ 1000·score_sum ≥ keepPermille·n_tokens, integer-exact.
+    * At 100 TB the closure sets swap for a stream-static gram join or a
+    * constant-size Bloom per level (documented on lmModelSets). */
+  def lmQualityStream(docs: DataFrame, textCol: String,
+      tri: Set[String], bi: Set[String], uni: Set[String],
+      keepPermille: Int): DataFrame = {
+    val sc = docs.sparkSession.sparkContext
+    val (bt, bb, bu) = (sc.broadcast(tri), sc.broadcast(bi), sc.broadcast(uni))
+    val score = udf { (toks: Seq[String]) =>
+      val (t, b, u) = (bt.value, bb.value, bu.value)
+      var s = 0L; var n3 = 0L; var n2 = 0L; var n1 = 0L; var n0 = 0L
+      var i = 0
+      while (i < toks.length) {
+        val lvl =
+          if (i >= 2 && t(toks(i - 2) + " " + toks(i - 1) + " " + toks(i))) 3
+          else if (i >= 1 && b(toks(i - 1) + " " + toks(i))) 2
+          else if (u(toks(i))) 1
+          else 0
+        s += lvl
+        lvl match {
+          case 3 => n3 += 1; case 2 => n2 += 1
+          case 1 => n1 += 1; case _ => n0 += 1
+        }
+        i += 1
+      }
+      (toks.length.toLong, s, n3, n2, n1, n0)
+    }
+    docs
+      .withColumn("__t", graft.text.Cleanse.tokens(col(textCol)))
+      .filter(size(col("__t")) >= 1)
+      .withColumn("__s", score(col("__t")))
+      .withColumn("n_tokens", col("__s._1"))
+      .withColumn("score_sum", col("__s._2"))
+      .withColumn("n_l3", col("__s._3"))
+      .withColumn("n_l2", col("__s._4"))
+      .withColumn("n_l1", col("__s._5"))
+      .withColumn("n_l0", col("__s._6"))
+      .withColumn("keep",
+        lit(1000L) * col("score_sum") >= lit(keepPermille.toLong) * col("n_tokens"))
+      .drop("__t", "__s")
+  }
+
   /** Continuous CDC → lake: every micro-batch of changelog rows
     * (doc_id, text, lang, source, op 'U'/'D') merges into the stored
     * lang-partitioned table via [[graft.sink.Lake.applyChangesInto]] —

@@ -1536,14 +1536,14 @@ object CorpusFilters {
     * exact ranks. */
   private[graft] val LmMinCount = 2
 
-  def q117_ngramlm_quality(s: SparkSession, dir: String): DataFrame = {
-    val toks = docToks(s, dir).filter(size(col("t")) >= 1)
+  /** (doc_id, is_train, w1, g2, g3) position frame shared by q117 and the
+    * streaming model export: posexplode i is 0-based, so w1 = token i,
+    * prev = element_at(t, i) (1-based), prev2 = element_at(t, i - 1). */
+  private def lmPositions(s: SparkSession, dir: String): DataFrame =
+    docToks(s, dir).filter(size(col("t")) >= 1)
       .select(col("doc_id"), col("t"),
         (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1),
           16, 10).cast("int") % 2 === 0).as("is_train"))
-    // posexplode i is 0-based: w1 = token i; prev = element_at(t, i)
-    // (1-based), prev2 = element_at(t, i - 1)
-    val pos = toks
       .select(col("doc_id"), col("is_train"), col("t"),
         posexplode(col("t")).as(Seq("i", "w1")))
       .select(col("doc_id"), col("is_train"), col("w1"),
@@ -1553,11 +1553,32 @@ object CorpusFilters {
           concat_ws(" ", element_at(col("t"), col("i") - 1),
             element_at(col("t"), col("i")), col("w1"))).as("g3"))
       .localCheckpoint(false) // one pass feeds the three gram dims + scoring
-    def lm(key: String, as: String): DataFrame = pos
-      .filter(col("is_train") && col(key).isNotNull)
+
+  private def lmTable(pos: DataFrame, key: String, as: String): DataFrame =
+    pos.filter(col("is_train") && col(key).isNotNull)
       .groupBy(col(key)).agg(count(lit(1)).as("c"))
       .filter(col("c") >= LmMinCount)
       .select(col(key).as(as))
+
+  /** The trained LM as driver sets (tri, bi, uni) for the streaming gate
+    * — memoized like any other training. Metadata-sized here; at 100 TB
+    * a pruned trigram table outgrows a closure, and the documented swaps
+    * are the stream-static gram join (the [[graft.streaming.Sessions
+    * .decontaminateStream]] shape) or a constant-size Bloom of each gram
+    * table (no false negatives on the keep side matters less than scale:
+    * a Bloom false positive only inflates a token's level). */
+  private[graft] def lmModelSets(s: SparkSession, dir: String)
+      : (Set[String], Set[String], Set[String]) =
+    memoTrained(s, dir, "ngramlm") {
+      val pos = lmPositions(s, dir)
+      def setOf(k: String): Set[String] =
+        lmTable(pos, k, "x").collect().map(_.getString(0)).toSet
+      (setOf("g3"), setOf("g2"), setOf("w1"))
+    }
+
+  def q117_ngramlm_quality(s: SparkSession, dir: String): DataFrame = {
+    val pos = lmPositions(s, dir)
+    def lm(key: String, as: String): DataFrame = lmTable(pos, key, as)
     val scored = pos
       .join(lm("g3", "t3"), col("g3") === col("t3"), "left")
       .join(lm("g2", "b2"), col("g2") === col("b2"), "left")

@@ -189,6 +189,51 @@ class SessionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LM quality gate matches batch q117 scores across batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val (tri, bi, uni) = graft.text.CorpusFilters.lmModelSets(spark, dir)
+    assert(tri.nonEmpty && bi.nonEmpty && uni.nonEmpty, "trained sets non-empty")
+    val batch = graft.text.CorpusFilters.q117_ngramlm_quality(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("score_sum"),
+          r.getAs[Long]("n_l3"), r.getAs[Long]("n_l2"),
+          r.getAs[Long]("n_l1"), r.getAs[Long]("n_l0")))).toMap
+    val corpus = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val cut = 2000 // fixed permille cutoff the batch run would calibrate
+    val input = MemoryStream[(Long, String)]
+    val q = Sessions.lmQualityStream(
+        input.toDF().toDF("doc_id", "text"), "text", tri, bi, uni, cut)
+      .writeStream.format("memory").queryName("lm_out")
+      .outputMode("append").start()
+    try {
+      // three micro-batches: the gate is stateless, so the split is inert
+      corpus.grouped(math.max(1, corpus.length / 3 + 1)).foreach { p =>
+        input.addData(p.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("lm_out").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("score_sum"),
+            r.getAs[Long]("n_l3"), r.getAs[Long]("n_l2"),
+            r.getAs[Long]("n_l1"), r.getAs[Long]("n_l0")),
+            r.getAs[Boolean]("keep"))).toMap
+      assert(streamed.keySet == batch.keySet, "same doc set as batch q117")
+      batch.foreach { case (id, scores) =>
+        val (got, keep) = streamed(id)
+        assert(got == scores, s"doc $id: stream $got != batch $scores")
+        assert(keep == (1000L * scores._2 >= cut.toLong * scores._1),
+          s"doc $id keep flag vs the integer cutoff rule")
+      }
+      // the cutoff must actually split the fixture (no vacuous gate)
+      val keeps = streamed.values.map(_._2).toSeq
+      assert(keeps.contains(true) && keeps.contains(false),
+        "fixture must exercise both sides of the cutoff")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch join on the same events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
