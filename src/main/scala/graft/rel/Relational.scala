@@ -727,6 +727,58 @@ object Relational {
         col("valid_to").isNull.as("is_current"))
   }
 
+  // ----------------------------------------------- CDC: incremental SCD2
+  /** INCREMENTAL SCD2 MERGE — the production variant q120's scaladoc
+    * promises: a new changelog batch merges against only the OPEN
+    * intervals of the existing history, never rewriting closed rows. The
+    * engine splits the changelog temporally (cutoff = the midpoint of
+    * the ts range — any deterministic split point), builds the prefix
+    * history, then merges the second batch: each key's open row closes
+    * at the batch's first (ts, event_id) for that key, and the batch's
+    * own SCD2 rows append with versions offset by the key's existing
+    * count. The GATE is the strongest statement available: the oracle
+    * recomputes the FULL history directly (q120's SQL), so incremental
+    * must equal recompute row-for-row — the invariant that makes
+    * incremental maintenance trustworthy at all.
+    *
+    * Scale: the merge touches closed history only as a pass-through
+    * union (at rest in the lake, never shuffled); the working set is
+    * open rows (≤ one per key) + the new batch — both hash-partitioned
+    * on the key. This is the nightly-SCD2 shape on a 100 TB history:
+    * cost proportional to the DELTA, not the dimension. */
+  def q122_scd2_incremental(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+    val mm = events.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+      .collect()(0)
+    val cutoff = new java.sql.Timestamp(
+      (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2)
+    val h1 = scd2History(events.filter(col("ts") <= lit(cutoff)))
+      .localCheckpoint(false) // the existing history (prefix build)
+    val batch2 = events.filter(col("ts") > lit(cutoff))
+    // per key: where the new batch starts, and how many versions exist
+    val firstNew = batch2.groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("f"))
+      .select(col("user_id"), col("f.ts").as("first_new_ts"))
+    val prevCount = h1.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_prev"))
+    val closedPrefix = h1.filter(col("valid_to").isNotNull)
+    val openMerged = h1.filter(col("valid_to").isNull)
+      .join(firstNew, Seq("user_id"), "left")
+      .select(col("user_id"), col("version"), col("valid_from"),
+        col("first_new_ts").as("valid_to"), col("event_id"),
+        col("event_type"), col("value_r"),
+        col("first_new_ts").isNull.as("is_current"))
+    val appended = scd2History(batch2)
+      .join(prevCount, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (col("version") + coalesce(col("n_prev"), lit(0L)).cast("int"))
+          .as("version"),
+        col("valid_from"), col("valid_to"), col("event_id"),
+        col("event_type"), col("value_r"), col("is_current"))
+    closedPrefix.unionByName(openMerged).unionByName(appended)
+      .orderBy(col("user_id"), col("version"))
+  }
+
   // ----------------------------------------------------- skew: salted agg
   /** Two-phase salted aggregation — THE skew pattern at 100 TB: a hot
     * group key (one event_type = 20 % of a 100 TB stream) would pin its
@@ -888,6 +940,7 @@ object Relational {
     "q18_bind_children"      -> (q18_bind_children _),
     "q46_skew_salted_agg"    -> (q46_skew_salted_agg _),
     "q120_scd2_history"      -> (q120_scd2_history _),
+    "q122_scd2_incremental"  -> (q122_scd2_incremental _),
     "q93_snapshot_diff"      -> (q93_snapshot_diff _),
     "q47_asof_join"          -> (q47_asof_join _),
     "q47b_asof_native"       -> (q47b_asof_native _),
@@ -1089,6 +1142,15 @@ object Relational {
     // same semantics (arg_max tie-breaking across two columns is clearer
     // as ROW_NUMBER there; both engines agree row-for-row)
     "q120_scd2_history" ->
+      """SELECT user_id, CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+        |  ts AS valid_from, LEAD(ts, 1) OVER w AS valid_to, event_id,
+        |  event_type, round(value, 6) AS value_r,
+        |  (LEAD(ts, 1) OVER w IS NULL) AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+    // incremental == recompute: the oracle IS q120's direct full build
+    "q122_scd2_incremental" ->
       """SELECT user_id, CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
         |  ts AS valid_from, LEAD(ts, 1) OVER w AS valid_to, event_id,
         |  event_type, round(value, 6) AS value_r,
