@@ -779,6 +779,66 @@ object Relational {
       .orderBy(col("user_id"), col("version"))
   }
 
+  // ------------------------------------------------- Z-order data skipping
+  /** Z-ORDER LAYOUT AUDIT — the space-filling-curve clustering behind
+    * Delta/Iceberg `ZORDER BY` (Morton 1966; public lakehouse practice):
+    * rows sort by the bit-interleave of two bucketized dimensions, files
+    * cut along that order, and per-file min/max stats then prune point
+    * queries on EITHER dimension. This query builds both layouts over
+    * lineitem — z-ordered on (l_partkey%256, l_suppkey%256) vs the
+    * natural (l_orderkey, l_linenumber) order — simulates 32 file cuts
+    * (ntile over the layout order), and probes 16 point queries per
+    * dimension against each file's min/max: `files_scanned_*` counts
+    * file×query pairs whose range cannot be pruned. The z-order layout
+    * must scan a fraction of what the natural layout scans on both
+    * dimensions at once — the whole point of interleaving.
+    *
+    * The interleave is pure integer arithmetic (((x div 2^i) mod 2) ·
+    * 2^(2i+1) summed over 8 bits — no engine bitwise ops), so the gate
+    * is exact. Scale: the real write is `repartitionByRange(zkey) +
+    * sortWithinPartitions(zkey)` and stats come free from parquet
+    * footers; this query is the layout's AUDIT — two global sorts here,
+    * range-partitioned sorts on a cluster. */
+  /** Identical interleave text in both engines (div spelled per dialect):
+    * x bits at odd positions, y bits at even. */
+  private def zInterleave(x: String, y: String, div: String): String =
+    (0 until 8).map { i =>
+      val p = BigInt(2).pow(i)
+      s"(($x $div $p) % 2) * ${BigInt(2).pow(2 * i + 1)}" +
+        s" + (($y $div $p) % 2) * ${BigInt(2).pow(2 * i)}"
+    }.mkString(" + ")
+
+  def q123_zorder_layout(s: SparkSession, dir: String): DataFrame = {
+    def interleave(x: String, y: String): String = zInterleave(x, y, "div")
+    val base = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        pmod(col("l_partkey"), lit(256)).as("x"),
+        pmod(col("l_suppkey"), lit(256)).as("y"))
+      .withColumn("zkey", expr(interleave("x", "y")))
+    def audit(layout: String, fileCol: Column): DataFrame = {
+      val stats = base.withColumn("file_id", fileCol)
+        .groupBy(col("file_id"))
+        .agg(min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      // 16 point queries per dimension: q = 8, 24, ... 248
+      val probes = (0 until 16).map(k => 8 + 16 * k)
+      stats.agg(count(lit(1)).as("n_files"),
+        probes.map(q => sum(when(lit(q) >= col("min_x")
+          && lit(q) <= col("max_x"), 1L).otherwise(0L)))
+          .reduce(_ + _).as("files_scanned_x"),
+        probes.map(q => sum(when(lit(q) >= col("min_y")
+          && lit(q) <= col("max_y"), 1L).otherwise(0L)))
+          .reduce(_ + _).as("files_scanned_y"))
+        .select(lit(layout).as("layout"), col("n_files"),
+          col("files_scanned_x"), col("files_scanned_y"))
+    }
+    val zw = Window.orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+    val nw = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
+    audit("natural", ntile(32).over(nw))
+      .unionByName(audit("zorder", ntile(32).over(zw)))
+      .orderBy(col("layout"))
+  }
+
   // ----------------------------------------------------- skew: salted agg
   /** Two-phase salted aggregation — THE skew pattern at 100 TB: a hot
     * group key (one event_type = 20 % of a 100 TB stream) would pin its
@@ -941,6 +1001,7 @@ object Relational {
     "q46_skew_salted_agg"    -> (q46_skew_salted_agg _),
     "q120_scd2_history"      -> (q120_scd2_history _),
     "q122_scd2_incremental"  -> (q122_scd2_incremental _),
+    "q123_zorder_layout"     -> (q123_zorder_layout _),
     "q93_snapshot_diff"      -> (q93_snapshot_diff _),
     "q47_asof_join"          -> (q47_asof_join _),
     "q47b_asof_native"       -> (q47b_asof_native _),
@@ -1149,6 +1210,33 @@ object Relational {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, version""".stripMargin,
+    "q123_zorder_layout" -> {
+      val probesX = (0 until 16).map(k => 8 + 16 * k)
+        .map(q => s"(CASE WHEN $q >= min_x AND $q <= max_x THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val probesY = (0 until 16).map(k => 8 + 16 * k)
+        .map(q => s"(CASE WHEN $q >= min_y AND $q <= max_y THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH base AS (SELECT l_orderkey, l_linenumber,
+         |    l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem),
+         |z AS (SELECT *, ${zInterleave("x", "y", "//")} AS zkey FROM base),
+         |fz AS (SELECT x, y, ntile(32) OVER (ORDER BY zkey, l_orderkey,
+         |    l_linenumber) AS file_id FROM z),
+         |fn AS (SELECT x, y, ntile(32) OVER (ORDER BY l_orderkey,
+         |    l_linenumber) AS file_id FROM z),
+         |sz AS (SELECT file_id, MIN(x) AS min_x, MAX(x) AS max_x,
+         |    MIN(y) AS min_y, MAX(y) AS max_y FROM fz GROUP BY file_id),
+         |sn AS (SELECT file_id, MIN(x) AS min_x, MAX(x) AS max_x,
+         |    MIN(y) AS min_y, MAX(y) AS max_y FROM fn GROUP BY file_id)
+         |SELECT 'natural' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+         |  CAST(SUM($probesX) AS BIGINT) AS files_scanned_x,
+         |  CAST(SUM($probesY) AS BIGINT) AS files_scanned_y FROM sn
+         |UNION ALL
+         |SELECT 'zorder', CAST(COUNT(*) AS BIGINT),
+         |  CAST(SUM($probesX) AS BIGINT), CAST(SUM($probesY) AS BIGINT)
+         |FROM sz
+         |ORDER BY layout""".stripMargin
+    },
     // incremental == recompute: the oracle IS q120's direct full build
     "q122_scd2_incremental" ->
       """SELECT user_id, CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
