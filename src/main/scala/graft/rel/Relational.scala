@@ -779,6 +779,54 @@ object Relational {
       .orderBy(col("user_id"), col("version"))
   }
 
+  // ---------------------------------------------- bucketed co-located join
+  /** BUCKETED CO-LOCATED JOIN — Spark's native pre-shuffled layout
+    * (`bucketBy` + `sortBy`, the Hive-bucketing lineage): both fact
+    * tables write hash-bucketed AND sorted on the join key, so the join
+    * runs with ZERO exchange and ZERO sort — each task zips bucket i of
+    * both tables. At 100 TB this converts the nightly orders⋈lineitem
+    * from the cluster's largest shuffle into a local merge per bucket —
+    * THE co-location story SCALING.md's join section promises, made
+    * concrete. The layout is a physical property, so the oracle (the
+    * same join+aggregate over the raw parquet) gates result equality,
+    * and RelationalPlanSpec asserts the plan shape: no
+    * ShuffleExchange/Sort under the SortMergeJoin.
+    *
+    * Scratch tables are EXTERNAL (path under /tmp) with deterministic
+    * names + overwrite, so the query is rerunnable and the repo tree
+    * stays clean; `inner` exposes the pre-aggregate join for the plan
+    * spec (the q88 pre-checkpoint-helper pattern). */
+  private[graft] def bucketedJoinInner(s: SparkSession, dir: String): DataFrame = {
+    val scratch = "/tmp/graft_bucketed"
+    // repartition on the key with numBuckets partitions: bucketBy and
+    // repartition share the murmur3 hash, so every bucket lands in ONE
+    // file — the condition under which the scan reports its sort order
+    // and the merge join drops its runtime Sorts too
+    def writeBucketed(df: DataFrame, name: String, key: String): Unit =
+      df.repartition(8, col(key))
+        .write.mode("overwrite").format("parquet")
+        .option("path", s"$scratch/$name")
+        .bucketBy(8, key).sortBy(key)
+        .saveAsTable(name)
+    writeBucketed(Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority")),
+      "graft_orders_bkt", "o_orderkey")
+    writeBucketed(Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_quantity")),
+      "graft_lineitem_bkt", "l_orderkey")
+    s.table("graft_orders_bkt")
+      .join(s.table("graft_lineitem_bkt"),
+        col("o_orderkey") === col("l_orderkey"))
+  }
+
+  def q124_bucketed_join(s: SparkSession, dir: String): DataFrame =
+    bucketedJoinInner(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        money(col("l_extendedprice")).as("revenue"),
+        money(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+
   // ------------------------------------------------- Z-order data skipping
   /** Z-ORDER LAYOUT AUDIT — the space-filling-curve clustering behind
     * Delta/Iceberg `ZORDER BY` (Morton 1966; public lakehouse practice):
@@ -1002,6 +1050,7 @@ object Relational {
     "q120_scd2_history"      -> (q120_scd2_history _),
     "q122_scd2_incremental"  -> (q122_scd2_incremental _),
     "q123_zorder_layout"     -> (q123_zorder_layout _),
+    "q124_bucketed_join"     -> (q124_bucketed_join _),
     "q93_snapshot_diff"      -> (q93_snapshot_diff _),
     "q47_asof_join"          -> (q47_asof_join _),
     "q47b_asof_native"       -> (q47b_asof_native _),
@@ -1210,6 +1259,15 @@ object Relational {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, version""".stripMargin,
+    // the layout is physical: the oracle joins the raw parquet directly;
+    // RelationalPlanSpec asserts the exchange-free plan shape
+    "q124_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q123_zorder_layout" -> {
       val probesX = (0 until 16).map(k => 8 + 16 * k)
         .map(q => s"(CASE WHEN $q >= min_x AND $q <= max_x THEN 1 ELSE 0 END)")

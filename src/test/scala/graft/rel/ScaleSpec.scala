@@ -43,6 +43,36 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("q124's bucketed join subtree plans no Exchange and no extra Sort") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val inner = Relational.bucketedJoinInner(spark, dir)
+      val plan = inner.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ; plan:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"q124's join must read co-located buckets; plan:\n$plan")
+      assert(inner.count() > 0)
+      // Spark 3 stopped propagating the written per-bucket sort order by
+      // default; the documented knob restores it and, with one file per
+      // bucket (the repartition-before-write in writeBucketed), the merge
+      // join then drops its runtime Sorts too
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      try {
+        val sorted = spark.table("graft_orders_bkt")
+          .join(spark.table("graft_lineitem_bkt"),
+            col("o_orderkey") === col("l_orderkey"))
+        val p2 = sorted.queryExecution.executedPlan.toString
+        assert(!p2.contains("Exchange") && !p2.contains("Sort "),
+          s"sorted-bucket scan must need neither exchange nor sort; plan:\n$p2")
+      } finally spark.conf
+        .set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS graft_orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS graft_lineitem_bkt")
+    }
+  }
+
   test("salted two-stage aggregation equals direct aggregation (skew recipe)") {
     val salts = 8
     val base = Tables.lineitem(spark, dir)
