@@ -2734,8 +2734,125 @@ object CorpusFilters {
       .orderBy(col("stage"))
   }
 
+  // --------------------------------------- DSIR importance resampling
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): select raw-corpus documents that look like a
+    * TARGET domain by importance weights under two hashed bag-of-ngrams
+    * language models. Here the target is the `lang = 'en'` slice (the
+    * "looks like the high-quality domain" stand-in on this corpus);
+    * features are unigram tokens hashed into [[DsirBuckets]] md5 buckets
+    * (the q87 classifier's derivation). Per-bucket log-odds
+    * λ_b = ln( ((c_t+1)/(N_t+B)) / ((c_r+1)/(N_r+B)) ) — Laplace-smoothed
+    * target vs raw — are INTEGERIZED to micro-nats
+    * (CAST(round(1e6·λ) AS BIGINT)) so the per-document score
+    * Σ_tokens λ_{b(token)} is an exact BIGINT dot product: summation
+    * order cannot perturb it in either engine (the q116 integer-score
+    * discipline; the only knife-edge is a bucket whose 1e6·λ lands
+    * within one ulp of a .5 boundary — data-dependent, absent here, and
+    * the same risk class every ln-using oracle in this file carries).
+    * Resampling is the paper's Gumbel-top-k: key = score + g_i with
+    * g_i = −ln(−ln(u_i)) in micro-nats and u_i the q103 hash-uniform
+    * (deterministic md5 of doc_id — no rand()), global top
+    * [[DsirK]] by key with doc_id tiebreak.
+    *
+    * Scale: bucket stats are one map-side-combined agg to B rows; λ and
+    * the totals are broadcast joins; the top-k is a
+    * TakeOrderedAndProject. Nothing corpus-global but the final k-row
+    * heap — the 100 TB shape. */
+  private val DsirBuckets = 512
+  private val DsirK = 20
+
+  /** Full per-document DSIR frame (every doc scored, pre-top-k) — the
+    * kernel behind [[q125_dsir_resample]], exposed for the spec's
+    * target-uplift invariant. */
+  private[graft] def dsirScores(s: SparkSession, dir: String): DataFrame = {
+    val b = DsirBuckets
+    // lang rides the scan (no join against the exploded token frame)
+    val tb = Tables.documentsFanned(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(Cleanse.tokens(col("text"))).as("term"))
+      .withColumn("b",
+        (conv(substring(md5(col("term").cast("binary")), 1, 4), 16, 10)
+          .cast("long") % b).cast("int"))
+      .select(col("doc_id"), col("lang"), col("b"))
+    val bucketCounts = tb.groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    // corpus totals are the bucket table's own marginals — no third pass
+    val totals = bucketCounts.agg(
+      sum(col("cr")).cast("double").as("nr"),
+      sum(col("ct")).cast("double").as("nt"))
+    val lam = bucketCounts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(lit(1e6) * log(
+          ((col("ct") + lit(1.0)) / (col("nt") + lit(b.toDouble))) /
+            ((col("cr") + lit(1.0)) / (col("nr") + lit(b.toDouble)))))
+          .cast("long").as("lam"))
+    tb.join(broadcast(lam), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lam")).as("score_unat"))
+  }
+
+  def q125_dsir_resample(s: SparkSession, dir: String): DataFrame = {
+    val gum = round(lit(1e6) *
+      -log(-log((conv(substring(md5(col("doc_id").cast("string")
+        .cast("binary")), 1, 12), 16, 10).cast("double") + 1.0) /
+        lit(281474976710656.0)))).cast("long")
+    val keyed = dsirScores(s, dir)
+      .withColumn("gumbel_unat", gum)
+      .withColumn("key_unat", col("score_unat") + col("gumbel_unat"))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("key_unat").desc, col("doc_id"))
+    keyed.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= DsirK)
+      .join(Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
+      .select(col("rank").cast("int").as("rank"), col("doc_id"),
+        col("lang"), col("source"), col("n_tokens"),
+        col("score_unat"), col("gumbel_unat"), col("key_unat"))
+      .orderBy(col("rank"))
+  }
+
+  /** Oracle: the λ table, dot product, and Gumbel key mirrored op-for-op;
+    * every cross-row SUM is over BIGINTs. */
+  private lazy val dsirOracle: String = {
+    val b = DsirBuckets
+    s"""WITH toks AS (SELECT doc_id, unnest($DToks) AS term FROM documents),
+       |tb AS (SELECT t.doc_id,
+       |    CAST(CAST('0x' || substr(md5(term), 1, 4) AS INT) % $b AS INT) AS b,
+       |    lang
+       |  FROM toks t JOIN documents d ON t.doc_id = d.doc_id),
+       |bc AS (SELECT b, COUNT(*) AS cr,
+       |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+       |  FROM tb GROUP BY b),
+       |tot AS (SELECT 0.0 + COUNT(*) AS nr,
+       |    0.0 + SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt FROM tb),
+       |lam AS (SELECT b, CAST(round(1000000.0 * ln(
+       |      ((ct + 1.0) / (nt + $b.0)) / ((cr + 1.0) / (nr + $b.0))))
+       |    AS BIGINT) AS lam
+       |  FROM bc, tot),
+       |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(lam) AS BIGINT) AS score_unat
+       |  FROM tb JOIN lam USING (b) GROUP BY doc_id),
+       |k AS (SELECT doc_id, n_tokens, score_unat,
+       |    CAST(round(1000000.0 * -ln(-ln(
+       |      (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+       |        AS BIGINT) + 1.0) / 281474976710656.0))) AS BIGINT)
+       |      AS gumbel_unat
+       |  FROM sc),
+       |r AS (SELECT *, score_unat + gumbel_unat AS key_unat,
+       |    ROW_NUMBER() OVER (ORDER BY score_unat + gumbel_unat DESC,
+       |      doc_id) AS rank
+       |  FROM k)
+       |SELECT CAST(rank AS INTEGER) AS rank, r.doc_id, lang, source,
+       |  n_tokens, score_unat, gumbel_unat, key_unat
+       |FROM r JOIN documents d ON r.doc_id = d.doc_id
+       |WHERE rank <= $DsirK ORDER BY rank""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_dsir_resample" -> (q125_dsir_resample _),
     "q51_repetition"    -> (q51_repetition _),
     "q52_contamination" -> (q52_contamination _),
     "q53_domain_mix"    -> (q53_domain_mix _),
@@ -3212,6 +3329,7 @@ object CorpusFilters {
     "q117_ngramlm_quality" -> ngramLmOracle,
     "q119_source_divergence" -> sourceDivergenceOracle,
     "q121_packing_efficiency" -> packingEfficiencyOracle,
+    "q125_dsir_resample" -> dsirOracle,
     "q105_unigram_learn" -> unigramLearnOracle,
     "q105b_unigram_tokenize" -> unigramTokenizeOracle,
     "q111_tokenizer_report" -> tokenizerReportOracle,

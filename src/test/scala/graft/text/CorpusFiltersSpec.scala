@@ -352,4 +352,29 @@ class CorpusFiltersSpec extends AnyFunSuite {
       "token weighting must produce non-uniform quotas on this fixture")
     assert(corpus.forall { case (q, s) => q == s })
   }
+
+  test("DSIR: target-language docs score higher per token; top-k is k and key-sorted") {
+    val dir = "/root/testdata/sf0.001"
+    // the importance model's whole point: docs from the target slice
+    // (lang='en') carry higher mean per-token log-odds than the rest
+    val scored = CorpusFilters.dsirScores(spark, dir)
+      .join(graft.Tables.documents(spark, dir).select("doc_id", "lang"), Seq("doc_id"))
+      .select(col("lang") === "en", col("score_unat").cast("double") / col("n_tokens"))
+      .collect().map(r => (r.getBoolean(0), r.getDouble(1)))
+    val en = scored.filter(_._1).map(_._2)
+    val rest = scored.filterNot(_._1).map(_._2)
+    assert(en.nonEmpty && rest.nonEmpty)
+    assert(en.sum / en.length > rest.sum / rest.length,
+      "mean per-token importance must be higher for the target slice")
+    val top = CorpusFilters.q125_dsir_resample(spark, dir).collect()
+    assert(top.length == 20)
+    val keys = top.map(_.getAs[Long]("key_unat"))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b },
+      "rank order must follow the Gumbel key descending")
+    // score + gumbel composes the key exactly (integer arithmetic)
+    top.foreach { r =>
+      assert(r.getAs[Long]("key_unat") ==
+        r.getAs[Long]("score_unat") + r.getAs[Long]("gumbel_unat"))
+    }
+  }
 }
