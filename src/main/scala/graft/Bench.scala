@@ -47,7 +47,9 @@ object Bench {
   // suffices; the fixpoint cost stays visible as q73's own line.
   val multiJobQueries: Set[String] =
     Set("q55_dedup_components", "q70_curation_funnel", "q73_dedup_union",
-      "q92_semdedup")
+      "q92_semdedup",
+      // 16 fixture appends + the rewrite: ~20 sequential driver jobs
+      "q126_compact_small_files")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -206,8 +206,95 @@ object Lake {
     pinned
   }
 
+  // ------------------------------------------- small-file compaction
+  /** SMALL-FILE COMPACTION — the lake-maintenance operator every
+    * streaming sink eventually needs (Delta `OPTIMIZE` / Iceberg
+    * `rewrite_data_files` / Hudi clustering): micro-batch appends leave
+    * partitions fragmented into many tiny files, and at 100 TB the
+    * file-open + footer-read overhead dominates scans long before the
+    * bytes do. The compactor rewrites each partition's fragments into
+    * `maxRecords`-bounded files.
+    *
+    * The fragmented layout is built DETERMINISTICALLY so the physical
+    * file counts themselves are oracle-predictable: 16 sequential
+    * bucket appends (doc_id % 16 — a stand-in for 16 micro-batch
+    * triggers), each hash-repartitioned by `lang` so every append lands
+    * exactly ONE file in each partition directory it touches. Hence
+    * files_before(lang) = COUNT(DISTINCT doc_id % 16) of that lang, and
+    * after compaction (one task per partition via repartition(lang),
+    * split by maxRecordsPerFile) files_after(lang) = ceil(n_docs/N) —
+    * both measured off the real directory listings via the Hadoop FS
+    * API and hash-gated against the SQL-computed expectations, alongside
+    * a content signature proving the rewrite lost nothing.
+    *
+    * Scale: production compaction bin-packs by BYTES (target file size);
+    * rows stand in here because they are engine-exact. One task per
+    * partition is the test-scale shape — at lake scale the rewrite is
+    * repartitionByRange over (partition, cluster key) with AQE sizing
+    * the tasks and maxRecordsPerFile still bounding the splits, and only
+    * partitions whose small-file count exceeds a threshold rewrite at
+    * all (the q98 changed-partitions discipline). */
+  private val CompactMaxRecords = 100
+  private val CompactBuckets = 16
+
+  private def partitionFileCounts(s: SparkSession, lakeDir: String): Map[String, Long] = {
+    val root = new org.apache.hadoop.fs.Path(lakeDir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("lang="))
+      .map { st =>
+        val files = fs.listStatus(st.getPath)
+          .count(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        st.getPath.getName.stripPrefix("lang=") -> files.toLong
+      }.toMap
+  }
+
+  private[graft] def compactLake(s: SparkSession, lakeDir: String,
+      maxRecords: Int): Unit = {
+    val rows = s.read.parquet(lakeDir)
+      .repartition(col("lang")) // one task per partition dir
+      .localCheckpoint() // pin BEFORE overwriting what it reads
+    rows.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", maxRecords)
+      .partitionBy("lang").parquet(lakeDir)
+    graft.ml.Similarity.pinnedRdds(rows).foreach(_.unpersist(blocking = false))
+  }
+
+  def q126_compact_small_files(s: SparkSession, dir: String): DataFrame = {
+    val lake = Orc.scratchDir(s) + "_frag"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(lake))
+    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    (0 until CompactBuckets).foreach { b =>
+      docs.filter(col("doc_id") % CompactBuckets === b)
+        .repartition(col("lang"))
+        .write.mode("append").partitionBy("lang").parquet(lake)
+    }
+    val before = partitionFileCounts(s, lake)
+    compactLake(s, lake, CompactMaxRecords)
+    val after = partitionFileCounts(s, lake)
+    import s.implicits._
+    val counts = before.keys.toSeq.sorted
+      .map(l => (l, before(l), after.getOrElse(l, 0L)))
+      .toDF("lang", "files_before", "files_after")
+    val agg = s.read.parquet(lake)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(conv(substring(md5(col("text").cast("binary")), 1, 12), 16, 10)
+          .cast("long")).cast("long").as("text_sig"))
+      .join(broadcast(counts), Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("files_before"),
+        col("files_after"), col("text_sig"))
+      .orderBy(col("lang"))
+    val pinned = agg.localCheckpoint() // tiny
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(lake))
+    pinned
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q98_merge_into_lake" -> (q98_merge_into_lake _))
+    "q98_merge_into_lake" -> (q98_merge_into_lake _),
+    "q126_compact_small_files" -> (q126_compact_small_files _))
 
   val oracle: Map[String, String] = Map(
     // the merged table == the next snapshot, recomputed from documents
@@ -226,5 +313,16 @@ object Lake {
         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
         |  CAST(SUM(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT)) AS BIGINT)
         |    AS text_sig
-        |FROM merged GROUP BY lang, source ORDER BY lang, source""".stripMargin)
+        |FROM merged GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // physical file counts predicted from the deterministic fragmentation
+    // (16 bucket appends, one file per touched partition each) and the
+    // row-bounded rewrite (one task per partition, ceil(n/100) splits);
+    // the content signature proves the compaction rewrote losslessly
+    "q126_compact_small_files" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(COUNT(DISTINCT doc_id % 16) AS BIGINT) AS files_before,
+        |  CAST((COUNT(*) + 99) // 100 AS BIGINT) AS files_after,
+        |  CAST(SUM(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT)) AS BIGINT)
+        |    AS text_sig
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
 }
