@@ -538,6 +538,87 @@ object Sessions {
       .drop("__t", "__s")
   }
 
+  case class HHIn(w: Long, term: String, ts: Timestamp)
+  /** SpaceSaving counter state per open window: est counts + max
+    * overcounts share the key set; total rides along for the guarantee
+    * flag. */
+  case class HHState(counts: Map[String, Long], errs: Map[String, Long],
+      total: Long)
+  case class HHOut(window_start: Timestamp, term: String, est_count: Long,
+      max_err: Long, n_total: Long, guaranteed: Boolean)
+
+  /** Streaming heavy hitters per event-time tumbling window under BOUNDED
+    * state — the SpaceSaving sketch (Metwally, Agrawal, El Abbadi 2005,
+    * "Efficient Computation of Frequent and Top-k Elements in Data
+    * Streams"): m counters per open window, an unseen term evicts the
+    * minimum counter and inherits its count as its error bound. Published
+    * guarantees, asserted by SessionsSpec against exact counts:
+    * est − err ≤ true ≤ est for every kept term, and ANY term with true
+    * count > n/m is in the sketch. The exact windowed-count twin
+    * ([[windowedCounts]] + top-k) keys state by VOCABULARY — unbounded on
+    * an open token stream; this is the operator that survives that.
+    *
+    * Determinism: SpaceSaving is arrival-order-dependent. Each
+    * micro-batch's terms fold in sorted order and the eviction victim
+    * tie-breaks lexicographically, so a fixed replay (same batches, same
+    * boundaries) reproduces bit-identically; the guarantees above hold
+    * under ANY order, which is what the spec pins. Windows emit once the
+    * watermark passes window end (event-time timeout) and their state is
+    * evicted — O(open windows × m), never O(stream).
+    *
+    * Scale: one shuffle on the window key. At 100 TB/day with one global
+    * window key this serializes into one task — shard the key
+    * (w, hash(term) % P) and merge the P sketches downstream (SpaceSaving
+    * sketches merge with additive error; Metwally §6), the same
+    * shard-then-merge the q104 CMS documents. */
+  def heavyHittersStream(events: DataFrame, termCol: String, tsCol: String,
+      m: Int, windowMs: Long = 60000L,
+      watermark: String = "1 minute"): Dataset[HHOut] = {
+    import events.sparkSession.implicits._
+    require(m >= 1, "SpaceSaving needs at least one counter")
+    events
+      .withWatermark(tsCol, watermark)
+      .select(
+        expr(s"(unix_millis($tsCol) div ${windowMs}L) * ${windowMs}L").as("w"),
+        col(termCol).as("term"), col(tsCol).as("ts"))
+      .as[HHIn]
+      .groupByKey(_.w)
+      .flatMapGroupsWithState[HHState, HHOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (w: Long, rows: Iterator[HHIn], state: GroupState[HHState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            st.counts.toSeq.sortBy { case (t, c) => (-c, t) }.iterator
+              .map { case (t, c) =>
+                val e = st.errs(t)
+                HHOut(new Timestamp(w), t, c, e, st.total,
+                  m.toLong * (c - e) > st.total)
+              }
+          } else {
+            var st = state.getOption.getOrElse(HHState(Map.empty, Map.empty, 0L))
+            rows.map(_.term).toArray.sorted.foreach { t =>
+              st =
+                if (st.counts.contains(t))
+                  st.copy(counts = st.counts.updated(t, st.counts(t) + 1),
+                    total = st.total + 1)
+                else if (st.counts.size < m)
+                  HHState(st.counts.updated(t, 1L), st.errs.updated(t, 0L),
+                    st.total + 1)
+                else {
+                  val (vt, vc) = st.counts.minBy { case (ct, cc) => (cc, ct) }
+                  HHState(st.counts - vt + (t -> (vc + 1)),
+                    st.errs - vt + (t -> vc), st.total + 1)
+                }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(w + windowMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Continuous CDC → lake: every micro-batch of changelog rows
     * (doc_id, text, lang, source, op 'U'/'D') merges into the stored
     * lang-partitioned table via [[graft.sink.Lake.applyChangesInto]] —

@@ -806,4 +806,58 @@ class SessionsSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stageDir2))
     } finally index.close()
   }
+
+  test("SpaceSaving heavy hitters: guarantees vs exact counts, bounded state, window eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val m = 10
+    val w0 = 600000L // window [600000, 660000)
+    def ts(ms: Long) = new Timestamp(ms)
+    // skewed window-0 stream: 2 heavies + a 100-term tail, all distinct
+    val heavy = Seq.fill(50)("hh_a") ++ Seq.fill(30)("hh_b")
+    val tail = (1 to 100).map(i => f"t$i%03d")
+    val win0 = (heavy ++ tail).zipWithIndex.map { case (t, i) =>
+      (ts(w0 + (i % 50) * 1000L), t)
+    }
+    val win1 = Seq.fill(5)("hh_c").map(t => (ts(w0 + 70000L), t))
+    // sentinel far ahead: advances the watermark past both window ends
+    val sentinel = Seq((ts(w0 + 10 * 60000L), "zz_sentinel"))
+    val input = MemoryStream[(Timestamp, String)]
+    val q = Sessions.heavyHittersStream(
+      input.toDF().toDF("ts", "term"), "term", "ts", m)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("append").start()
+    try {
+      input.addData(win0 ++ win1: _*)
+      q.processAllAvailable()
+      input.addData(sentinel: _*)
+      q.processAllAvailable()
+      val out = spark.table("hh_out").collect().map(r =>
+        (r.getAs[Timestamp]("window_start").getTime, r.getAs[String]("term"),
+          r.getAs[Long]("est_count"), r.getAs[Long]("max_err"),
+          r.getAs[Long]("n_total"), r.getAs[Boolean]("guaranteed")))
+      val sketch0 = out.filter(_._1 == w0)
+      val sketch1 = out.filter(_._1 == w0 + 60000L)
+      // bounded state: never more than m counters per window
+      assert(sketch0.length == m && sketch0.map(_._2).distinct.length == m)
+      assert(sketch0.forall(_._5 == (heavy ++ tail).length.toLong))
+      val exact = (heavy ++ tail).groupBy(identity).map { case (t, xs) =>
+        t -> xs.length.toLong }
+      // SpaceSaving bracket: est - err <= true <= est for every kept term
+      sketch0.foreach { case (_, t, est, err, _, _) =>
+        val tr = exact.getOrElse(t, 0L)
+        assert(est - err <= tr && tr <= est, s"$t: est=$est err=$err true=$tr")
+      }
+      // any term with true count > n/m must be in the sketch, guaranteed
+      val n = (heavy ++ tail).length
+      val kept = sketch0.map(_._2).toSet
+      exact.filter { case (_, c) => c * m > n }.keys.foreach { t =>
+        assert(kept(t), s"true heavy hitter $t missing from the sketch")
+        assert(sketch0.find(_._2 == t).get._6, s"$t must be guaranteed")
+      }
+      // window 1 closed independently with its own tiny sketch
+      assert(sketch1.map(_._2).toSeq == Seq("hh_c"))
+      assert(sketch1.head._3 == 5L && sketch1.head._4 == 0L)
+    } finally q.stop()
+  }
 }
