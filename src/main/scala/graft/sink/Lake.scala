@@ -292,9 +292,149 @@ object Lake {
     pinned
   }
 
+  // --------------------------------------- versioned lake / time travel
+  /** VERSIONED LAKE — the snapshot model behind Delta/Iceberg time
+    * travel, over plain parquet + a manifest log: data files are
+    * IMMUTABLE and live in ordinary hive partition dirs
+    * (`data/lang=x/v{n}-part-*.parquet`); each version is a manifest
+    * (`_versions/v%05d.list`, the sorted relative paths visible in that
+    * snapshot) committed by atomic rename. A new version REWRITES only
+    * the partitions its delta touches — every other partition's files
+    * are carried over by manifest reference, never copied — and old
+    * versions stay readable forever (until a retention VACUUM, which
+    * here is simply "delete files referenced by no kept manifest").
+    * Rollback is a commit whose manifest equals an old one.
+    *
+    * Atomic rename holds on HDFS/local; on S3 a rename is
+    * copy+delete, which is why Delta needs a LogStore/DynamoDB mutex
+    * there — the documented swap. Readers list `_versions` once
+    * (metadata-scale), then scan exactly the files their snapshot
+    * names, with partition pruning intact via basePath. */
+  private def versionsDir(lake: String) = s"$lake/_versions"
+  private def dataDir(lake: String) = s"$lake/data"
+
+  private def hfs(s: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private[graft] def versions(s: SparkSession, lake: String): Seq[Int] = {
+    val d = new org.apache.hadoop.fs.Path(versionsDir(lake))
+    val fs = hfs(s, lake)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(_.matches("v\\d{5}\\.list"))
+      .map(_.stripPrefix("v").stripSuffix(".list").toInt).sorted
+  }
+
+  private[graft] def manifest(s: SparkSession, lake: String, v: Int): Seq[String] = {
+    val fs = hfs(s, lake)
+    val in = fs.open(new org.apache.hadoop.fs.Path(
+      f"${versionsDir(lake)}/v$v%05d.list"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
+  /** Commit `files` (relative to data/) as the next version; returns the
+    * version number. The write is tmp + atomic rename, so a reader never
+    * observes a partial manifest and a crash before the rename leaves
+    * the previous version current. */
+  private[graft] def commitVersion(s: SparkSession, lake: String,
+      files: Seq[String]): Int = {
+    val fs = hfs(s, lake)
+    val v = versions(s, lake).lastOption.getOrElse(0) + 1
+    val dir = new org.apache.hadoop.fs.Path(versionsDir(lake))
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, f".tmp-v$v%05d")
+    val out = fs.create(tmp, true)
+    try out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, f"v$v%05d.list")),
+      s"manifest rename failed for version $v")
+    v
+  }
+
+  /** Write `rows` (doc_id, text, lang, source) as a new snapshot that
+    * REPLACES `replaced` partitions: the frame's files land immutably
+    * under data/lang=x/ with a version prefix, the manifest carries every
+    * prior file outside the replaced set, and the commit is the manifest
+    * rename. Returns the new version. */
+  private[graft] def writeVersion(s: SparkSession, lake: String,
+      rows: DataFrame, replaced: Seq[String]): Int = {
+    val fs = hfs(s, lake)
+    val prev = versions(s, lake).lastOption.map(manifest(s, lake, _))
+      .getOrElse(Seq.empty)
+    val v = versions(s, lake).lastOption.getOrElse(0) + 1
+    val scratch = s"$lake/.stage-v$v"
+    rows.write.mode("overwrite").partitionBy("lang").parquet(scratch)
+    val moved = scala.collection.mutable.ArrayBuffer.empty[String]
+    fs.listStatus(new org.apache.hadoop.fs.Path(scratch)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("lang="))
+      .foreach { dir =>
+        val target = new org.apache.hadoop.fs.Path(
+          s"${dataDir(lake)}/${dir.getPath.getName}")
+        fs.mkdirs(target)
+        fs.listStatus(dir.getPath).toSeq
+          .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+          .foreach { f =>
+            val name = f"v$v%05d-${f.getPath.getName}"
+            require(fs.rename(f.getPath,
+              new org.apache.hadoop.fs.Path(target, name)),
+              s"data file move failed: $name")
+            moved += s"${dir.getPath.getName}/$name"
+          }
+      }
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    val carried = prev.filterNot(p =>
+      replaced.exists(l => p.startsWith(s"lang=$l/")))
+    commitVersion(s, lake, carried ++ moved)
+  }
+
+  /** Read one snapshot: exactly the files its manifest names, with the
+    * `lang` partition column recovered via basePath (pruning intact). */
+  private[graft] def readVersion(s: SparkSession, lake: String,
+      v: Int): DataFrame = {
+    val files = manifest(s, lake, v).map(p => s"${dataDir(lake)}/$p")
+    s.read.option("basePath", dataDir(lake)).parquet(files: _*)
+  }
+
+  /** End-to-end gated time travel: v1 = the base corpus; v2 applies an
+    * `en`-only delta (delete doc_id%11==0, version doc_id%7==0's text) so
+    * only the en partition rewrites and every other partition's files
+    * carry over by reference. BOTH snapshots then read back through their
+    * manifests into one (version, lang) aggregate — the oracle recomputes
+    * v1 from `documents` and v2 from the same delta rule, so time travel
+    * serving anything but the exact historical content breaks the gate. */
+  def q127_time_travel(s: SparkSession, dir: String): DataFrame = {
+    val lake = Orc.scratchDir(s) + "_tt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(lake))
+    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    writeVersion(s, lake, docs, replaced = Seq.empty)
+    val enV2 = docs.filter(col("lang") === "en")
+      .filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"),
+        col("lang"), col("source"))
+    writeVersion(s, lake, enV2, replaced = Seq("en"))
+    val agg = Seq(1, 2).map { v =>
+      readVersion(s, lake, v)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(conv(substring(md5(col("text").cast("binary")), 1, 12), 16, 10)
+            .cast("long")).cast("long").as("text_sig"))
+        .select(lit(v).as("version"), col("lang"), col("n_docs"),
+          col("text_sig"))
+    }.reduce(_ unionByName _).orderBy(col("version"), col("lang"))
+    val pinned = agg.localCheckpoint() // tiny
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(lake))
+    pinned
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_merge_into_lake" -> (q98_merge_into_lake _),
-    "q126_compact_small_files" -> (q126_compact_small_files _))
+    "q126_compact_small_files" -> (q126_compact_small_files _),
+    "q127_time_travel" -> (q127_time_travel _))
 
   val oracle: Map[String, String] = Map(
     // the merged table == the next snapshot, recomputed from documents
@@ -324,5 +464,18 @@ object Lake {
         |  CAST((COUNT(*) + 99) // 100 AS BIGINT) AS files_after,
         |  CAST(SUM(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT)) AS BIGINT)
         |    AS text_sig
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // v1 = the corpus as stored; v2 = the en-only delta applied; any
+    // historical-read contamination between snapshots breaks the gate
+    "q127_time_travel" ->
+      """WITH v1 AS (SELECT 1 AS version, lang, text FROM documents),
+        |v2 AS (SELECT 2 AS version, lang,
+        |    CASE WHEN lang = 'en' AND doc_id % 7 = 0 THEN text || ' v2'
+        |         ELSE text END AS text
+        |  FROM documents WHERE NOT (lang = 'en' AND doc_id % 11 = 0)),
+        |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        |SELECT version, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT)) AS BIGINT)
+        |    AS text_sig
+        |FROM u GROUP BY version, lang ORDER BY version, lang""".stripMargin)
 }

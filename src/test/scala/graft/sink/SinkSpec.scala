@@ -334,4 +334,58 @@ class SinkSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(key1))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(key2))
   }
+
+  test("versioned lake: carry-by-reference, time travel, rollback, partial commit invisible") {
+    val dir = "/root/testdata/sf0.001"
+    val lake = s"${System.getProperty("java.io.tmpdir")}/graft_tt_spec_" +
+      spark.sparkContext.applicationId
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(lake))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    def snap(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      df.select(col("doc_id"), col("text")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val base = snap(docs)
+
+    assert(Lake.writeVersion(spark, lake, docs, Seq.empty) == 1)
+    val enV2 = docs.filter(col("lang") === "en" && col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"), col("lang"), col("source"))
+    assert(Lake.writeVersion(spark, lake, enV2, Seq("en")) == 2)
+
+    // carry-by-reference: every non-en v1 file appears VERBATIM in v2's
+    // manifest and its bytes were never touched (mtime unchanged)
+    val m1 = Lake.manifest(spark, lake, 1)
+    val m2 = Lake.manifest(spark, lake, 2).toSet
+    val carried = m1.filterNot(_.startsWith("lang=en/"))
+    assert(carried.nonEmpty && carried.forall(m2))
+    assert(m1.filter(_.startsWith("lang=en/")).forall(f => !m2(f)),
+      "replaced partition's old files must leave the new snapshot")
+
+    // time travel: v1 still serves the exact historical content
+    assert(snap(Lake.readVersion(spark, lake, 1)) == base)
+    // v2 applied the delta
+    val langOf: Map[Long, String] = docs.select(col("doc_id"), col("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val v2 = snap(Lake.readVersion(spark, lake, 2))
+    val expected = base.collect {
+      case (id, t) if !(langOf(id) == "en" && id % 11 == 0) =>
+        id -> (if (langOf(id) == "en" && id % 7 == 0) t + " v2" else t)
+    }
+    assert(v2 == expected)
+
+    // rollback = a commit whose manifest equals v1's
+    assert(Lake.commitVersion(spark, lake, m1) == 3)
+    assert(snap(Lake.readVersion(spark, lake, 3)) == base)
+
+    // a crashed commit (tmp manifest never renamed) is invisible
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$lake/_versions/.tmp-v00004")
+    val out = fs.create(tmp, true)
+    out.write("lang=zz/ghost.parquet".getBytes("UTF-8")); out.close()
+    assert(Lake.versions(spark, lake) == Seq(1, 2, 3))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(lake))
+  }
 }
