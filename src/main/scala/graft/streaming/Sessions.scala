@@ -538,6 +538,48 @@ object Sessions {
       .drop("__t", "__s")
   }
 
+  /** Streaming DSIR gate — the continuous twin of q125's importance
+    * scoring: each arriving document's hashed-unigram buckets score
+    * against the BROADCAST trained λ table
+    * ([[graft.text.CorpusFilters.dsirLambda]], 512 integer micro-nat
+    * entries) entirely map-side — no state store, batch-boundary
+    * independent, and the per-doc score is the SAME exact BIGINT dot
+    * product the batch computes (parity is integer equality, pinned by
+    * SessionsSpec). A stream cannot take the corpus-global Gumbel top-k,
+    * so the production rule is the lmQualityStream pattern: the batch
+    * run calibrates a score cutoff (e.g. its k-th selected score or a
+    * target acceptance quantile) and the stream applies it as a fixed
+    * integer threshold. Buckets unseen in training score 0 — an unseen
+    * feature is evidence for neither distribution. */
+  def dsirGateStream(docs: DataFrame, textCol: String,
+      lambda: Map[Int, Long], keepUnats: Long): DataFrame = {
+    val bl = docs.sparkSession.sparkContext.broadcast(lambda)
+    val score = udf { (toks: Seq[String]) =>
+      val lam = bl.value
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var s = 0L
+      var i = 0
+      while (i < toks.length) {
+        val h = md.digest(toks(i).getBytes("UTF-8"))
+        // first 4 hex chars = first 2 bytes, exactly the batch derivation
+        val b = (((h(0) & 0xff) << 8) | (h(1) & 0xff)) %
+          graft.text.CorpusFilters.DsirBuckets
+        s += lam.getOrElse(b, 0L)
+        md.reset()
+        i += 1
+      }
+      (toks.length.toLong, s)
+    }
+    docs
+      .withColumn("__t", graft.text.Cleanse.tokens(col(textCol)))
+      .filter(size(col("__t")) >= 1)
+      .withColumn("__s", score(col("__t")))
+      .withColumn("n_tokens", col("__s._1"))
+      .withColumn("score_unat", col("__s._2"))
+      .withColumn("keep", col("score_unat") >= lit(keepUnats))
+      .drop("__t", "__s")
+  }
+
   case class HHIn(w: Long, term: String, ts: Timestamp)
   /** SpaceSaving counter state per open window: est counts + max
     * overcounts share the key set; total rides along for the guarantee

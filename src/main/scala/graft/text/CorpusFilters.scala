@@ -2759,39 +2759,62 @@ object CorpusFilters {
     * the totals are broadcast joins; the top-k is a
     * TakeOrderedAndProject. Nothing corpus-global but the final k-row
     * heap — the 100 TB shape. */
-  private val DsirBuckets = 512
+  private[graft] val DsirBuckets = 512
   private val DsirK = 20
 
   /** Full per-document DSIR frame (every doc scored, pre-top-k) — the
     * kernel behind [[q125_dsir_resample]], exposed for the spec's
     * target-uplift invariant. */
   private[graft] def dsirScores(s: SparkSession, dir: String): DataFrame = {
-    val b = DsirBuckets
     // lang rides the scan (no join against the exploded token frame)
-    val tb = Tables.documentsFanned(s, dir)
+    val tb = dsirTb(s, dir)
+    tb.join(broadcast(dsirLambdaOf(tb)), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lam")).as("score_unat"))
+  }
+
+  /** The trained per-bucket micro-nat λ table, exported for the streaming
+    * gate ([[graft.streaming.Sessions.dsirGateStream]]) through the
+    * trainer memo — 512 entries, a broadcast-scale model like
+    * [[lmModelSets]]. Buckets absent from the training corpus have no
+    * entry; the stream scores them 0 (an unseen feature is evidence for
+    * neither distribution). */
+  private[graft] def dsirLambda(s: SparkSession, dir: String): Map[Int, Long] =
+    memoTrained(s, dir, "dsir") {
+      dsirScoresLambda(s, dir).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+
+  /** Shared token→bucket frame (doc_id, lang, b). */
+  private def dsirTb(s: SparkSession, dir: String): DataFrame =
+    Tables.documentsFanned(s, dir)
       .select(col("doc_id"), col("lang"),
         explode(Cleanse.tokens(col("text"))).as("term"))
       .withColumn("b",
         (conv(substring(md5(col("term").cast("binary")), 1, 4), 16, 10)
-          .cast("long") % b).cast("int"))
+          .cast("long") % DsirBuckets).cast("int"))
       .select(col("doc_id"), col("lang"), col("b"))
+
+  /** The λ sub-plan (bucket → integer micro-nats) off a token frame. */
+  private def dsirLambdaOf(tb: DataFrame): DataFrame = {
+    val b = DsirBuckets
     val bucketCounts = tb.groupBy(col("b")).agg(
       count(lit(1)).as("cr"),
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
-    // corpus totals are the bucket table's own marginals — no third pass
+    // corpus totals are the bucket table's own marginals — no extra pass
     val totals = bucketCounts.agg(
       sum(col("cr")).cast("double").as("nr"),
       sum(col("ct")).cast("double").as("nt"))
-    val lam = bucketCounts.crossJoin(broadcast(totals))
+    bucketCounts.crossJoin(broadcast(totals))
       .select(col("b"),
         round(lit(1e6) * log(
           ((col("ct") + lit(1.0)) / (col("nt") + lit(b.toDouble))) /
             ((col("cr") + lit(1.0)) / (col("nr") + lit(b.toDouble)))))
           .cast("long").as("lam"))
-    tb.join(broadcast(lam), Seq("b"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("lam")).as("score_unat"))
   }
+
+  private def dsirScoresLambda(s: SparkSession, dir: String): DataFrame =
+    dsirLambdaOf(dsirTb(s, dir))
 
   def q125_dsir_resample(s: SparkSession, dir: String): DataFrame = {
     val gum = round(lit(1e6) *

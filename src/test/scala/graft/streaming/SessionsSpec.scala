@@ -807,6 +807,48 @@ class SessionsSpec extends AnyFunSuite {
     } finally index.close()
   }
 
+  test("streaming DSIR gate: integer score parity with batch, cutoff doc-for-doc") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.text.CorpusFilters.dsirScores(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("score_unat"))).toMap
+    assert(batch.nonEmpty)
+    // batch calibrates the cutoff: the median score (any quantile works —
+    // the stream only needs a fixed integer)
+    val cutoff = batch.values.map(_._2).toSeq.sorted.apply(batch.size / 2)
+    val lambda = graft.text.CorpusFilters.dsirLambda(spark, dir)
+    assert(lambda.nonEmpty && lambda.size <= 512)
+    val corpus = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q = Sessions.dsirGateStream(
+      input.toDF().toDF("doc_id", "text"), "text", lambda, cutoff)
+      .writeStream.format("memory").queryName("dsir_out")
+      .outputMode("append").start()
+    try {
+      // 3-batch replay: the gate is stateless, so batch boundaries are
+      // invisible by construction
+      corpus.grouped(math.max(1, corpus.length / 3)).foreach { g =>
+        input.addData(g.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("dsir_out").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_tokens"), r.getAs[Long]("score_unat"),
+            r.getAs[Boolean]("keep"))).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (id, (n, s, keep)) =>
+        assert((n, s) == batch(id),
+          s"doc $id: streamed ($n,$s) != batch ${batch(id)} — the hashed " +
+            "bucket derivation must be bit-identical")
+        assert(keep == (s >= cutoff))
+      }
+    } finally q.stop()
+  }
+
   test("SpaceSaving heavy hitters: guarantees vs exact counts, bounded state, window eviction") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
