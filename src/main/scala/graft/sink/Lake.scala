@@ -397,6 +397,40 @@ object Lake {
     s.read.option("basePath", dataDir(lake)).parquet(files: _*)
   }
 
+  /** VACUUM: delete every manifest outside `keep` and every data file no
+    * kept manifest references. This is both the retention operator
+    * (bound storage growth) and the GDPR lever: a right-to-be-forgotten
+    * delete is writeVersion(current minus the subject's rows) followed by
+    * a vacuum keeping only post-delete versions — after which NO
+    * snapshot, current or historical, can serve the erased rows (the
+    * documented trade: time travel across the erasure boundary is gone,
+    * which is exactly what erasure means; Delta's VACUUM + retention
+    * window is the same contract). Returns the deleted data-file count.
+    *
+    * Scale: pure metadata — manifests are line lists, the file diff is a
+    * set difference over relative paths, deletes are per-file FS calls
+    * (batched/bulk-deleted on object stores). Never touches live data. */
+  private[graft] def vacuum(s: SparkSession, lake: String,
+      keep: Seq[Int]): Int = {
+    val fs = hfs(s, lake)
+    val all = versions(s, lake)
+    require(keep.nonEmpty && keep.forall(all.contains),
+      s"keep set $keep must be existing versions $all")
+    val keepSet = keep.toSet
+    val referenced = keep.flatMap(manifest(s, lake, _)).toSet
+    val doomed = all.filterNot(keepSet)
+      .flatMap(manifest(s, lake, _)).distinct
+      .filterNot(referenced)
+    doomed.foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"${dataDir(lake)}/$p"), false)
+    }
+    all.filterNot(keepSet).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        f"${versionsDir(lake)}/v$v%05d.list"), false)
+    }
+    doomed.size
+  }
+
   /** End-to-end gated time travel: v1 = the base corpus; v2 applies an
     * `en`-only delta (delete doc_id%11==0, version doc_id%7==0's text) so
     * only the en partition rewrites and every other partition's files
@@ -431,10 +465,67 @@ object Lake {
     pinned
   }
 
+  // --------------------------------- incremental aggregate maintenance
+  /** MATERIALIZED-VIEW REFRESH — maintain a per-(lang, source) aggregate
+    * under a CDC delta WITHOUT recomputing it from the corpus: every
+    * maintained measure is additive-and-subtractable (COUNT; SUM of the
+    * 48-bit text digest), so a delete subtracts the old row's
+    * contribution, an insert adds the new one's, and an update does both
+    * (including across groups when a doc moves (lang, source)). min/max
+    * are deliberately ABSENT: they are not subtractable under deletes —
+    * maintaining them needs a full recompute or an auxiliary structure,
+    * the classic MV-maintenance boundary (Gupta & Mumick's
+    * self-maintainability), which the q98 snapshot aggregate (that keeps
+    * them) exists for.
+    *
+    * The gate is the q122 discipline: the incremental result must equal
+    * the from-scratch recompute row-for-row — the oracle recomputes the
+    * merged snapshot's aggregate directly.
+    *
+    * Scale: cost is O(delta) beyond the already-materialized base (here
+    * the base agg recomputes for the gate, but its output is
+    * groups-cardinality metadata a production pipeline stores); the only
+    * corpus-sized op is the diff join, which a real changelog source
+    * (q93's generator, the CDC stream) replaces outright. */
+  def q128_incremental_agg(s: SparkSession, dir: String): DataFrame = {
+    def sig(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("binary")), 1, 12), 16, 10).cast("long")
+    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val base = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(sig(col("text"))).cast("long").as("text_sig"))
+    val olds = docs.select(col("doc_id"), col("lang").as("l_old"),
+      col("source").as("s_old"), sig(col("text")).as("g_old"))
+    val news = nextSnapshot(s, dir).select(col("doc_id"),
+      col("lang").as("l_new"), col("source").as("s_new"),
+      sig(col("text")).as("g_new"))
+    val changed = olds.join(news, Seq("doc_id"), "full_outer")
+      .filter(!(col("l_old") <=> col("l_new") &&
+        col("s_old") <=> col("s_new") && col("g_old") <=> col("g_new")))
+    val minus = changed.filter(col("g_old").isNotNull)
+      .select(col("l_old").as("lang"), col("s_old").as("source"),
+        lit(-1L).as("dn"), (-col("g_old")).as("dsig"))
+    val plus = changed.filter(col("g_new").isNotNull)
+      .select(col("l_new").as("lang"), col("s_new").as("source"),
+        lit(1L).as("dn"), col("g_new").as("dsig"))
+    val delta = minus.unionByName(plus).groupBy(col("lang"), col("source"))
+      .agg(sum(col("dn")).as("dn"), sum(col("dsig")).as("dsig"))
+    base.join(delta, Seq("lang", "source"), "full_outer")
+      .select(col("lang"), col("source"),
+        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .cast("long").as("n_docs"),
+        (coalesce(col("text_sig"), lit(0L)) + coalesce(col("dsig"), lit(0L)))
+          .cast("long").as("text_sig"))
+      .filter(col("n_docs") > 0)
+      .orderBy(col("lang"), col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_merge_into_lake" -> (q98_merge_into_lake _),
     "q126_compact_small_files" -> (q126_compact_small_files _),
-    "q127_time_travel" -> (q127_time_travel _))
+    "q127_time_travel" -> (q127_time_travel _),
+    "q128_incremental_agg" -> (q128_incremental_agg _))
 
   val oracle: Map[String, String] = Map(
     // the merged table == the next snapshot, recomputed from documents
@@ -477,5 +568,23 @@ object Lake {
         |SELECT version, lang, COUNT(*) AS n_docs,
         |  CAST(SUM(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT)) AS BIGINT)
         |    AS text_sig
-        |FROM u GROUP BY version, lang ORDER BY version, lang""".stripMargin)
+        |FROM u GROUP BY version, lang ORDER BY version, lang""".stripMargin,
+    // incremental must equal recompute: the oracle aggregates the merged
+    // snapshot from scratch (q98's rule, minus the non-subtractable
+    // min/max the incremental form deliberately drops)
+    "q128_incremental_agg" ->
+      """WITH b AS (SELECT doc_id, text, lang, source,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bk FROM documents),
+        |n AS (SELECT COUNT(*) AS cnt FROM documents),
+        |merged AS (
+        |  SELECT doc_id,
+        |    CASE WHEN bk = 'b' THEN text || ' v2' ELSE text END AS text,
+        |    lang, source
+        |  FROM b WHERE bk <> 'a'
+        |  UNION ALL
+        |  SELECT doc_id + cnt, text, lang, source FROM b, n WHERE bk = 'c')
+        |SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT)) AS BIGINT)
+        |    AS text_sig
+        |FROM merged GROUP BY lang, source ORDER BY lang, source""".stripMargin)
 }

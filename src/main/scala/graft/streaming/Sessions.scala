@@ -686,6 +686,51 @@ object Sessions {
         handler(batch, id)
       }
 
+  /** Run `body` exactly once per (commitDir, batchId): the transactional
+    * half of the foreachBatch contract. Structured Streaming guarantees
+    * foreachBatch is called AT LEAST once per batch id (a crash between
+    * the handler and the checkpoint advance replays the batch on
+    * restart); a non-idempotent side effect (an INSERT-only warehouse
+    * append, a notification) therefore duplicates unless the handler
+    * keys on the id. This is the standard marker-file transaction:
+    * skip if the batch's marker exists, else run the body and commit the
+    * marker by atomic tmp+rename — the same log-rename discipline as
+    * [[graft.sink.Lake.commitVersion]] (and the same S3 caveat). Returns
+    * whether the body ran. The window of re-execution (crash AFTER the
+    * body, BEFORE the marker) remains — effectively-once requires the
+    * body itself to be transactional or idempotent, which is why
+    * [[graft.sink.Lake.applyChangesInto]]-style keyed merges are the
+    * recommended body: replaying a merge of the same changelog batch is
+    * a no-op. */
+  private[graft] def runBatchOnce(s: SparkSession, commitDir: String,
+      id: Long)(body: => Unit): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(commitDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(commitDir, f"batch-$id%020d")
+    if (fs.exists(marker)) false
+    else {
+      body
+      fs.mkdirs(new org.apache.hadoop.fs.Path(commitDir))
+      val tmp = new org.apache.hadoop.fs.Path(commitDir, f".tmp-batch-$id%020d")
+      val out = fs.create(tmp, true)
+      try out.write(Array.emptyByteArray) finally out.close()
+      require(fs.rename(tmp, marker), s"commit marker rename failed for $id")
+      true
+    }
+  }
+
+  /** [[sinkForeachBatch]] with the [[runBatchOnce]] transaction: replayed
+    * batch ids (restart after a crash before the checkpoint advanced)
+    * skip the handler instead of duplicating its side effects. */
+  def idempotentForeachBatch(events: DataFrame, commitDir: String,
+      handler: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        runBatchOnce(batch.sparkSession, commitDir, id)(
+          handler(batch.toDF(), id)): Unit
+      }
+
   /** Events whose session can no longer grow (last event + gap < watermark)
     * vs still-open ones. */
   private def splitClosed(times: List[Long], wm: Long): (List[Long], List[Long]) = {

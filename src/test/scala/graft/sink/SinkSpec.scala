@@ -386,6 +386,30 @@ class SinkSpec extends AnyFunSuite {
     val out = fs.create(tmp, true)
     out.write("lang=zz/ghost.parquet".getBytes("UTF-8")); out.close()
     assert(Lake.versions(spark, lake) == Seq(1, 2, 3))
+
+    // GDPR erasure: v4 = current minus one subject's rows, then vacuum
+    // keeping only v4 — no snapshot can serve the erased doc afterwards
+    val subject = Lake.readVersion(spark, lake, 3)
+      .filter(col("lang") === "en").select(col("doc_id"))
+      .orderBy(col("doc_id")).limit(1).collect().head.getLong(0)
+    val current = Lake.readVersion(spark, lake, 3)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    assert(Lake.writeVersion(spark, lake,
+      current.filter(col("lang") === "en" && col("doc_id") =!= subject),
+      Seq("en")) == 4)
+    val m4 = Lake.manifest(spark, lake, 4)
+    val erased = Lake.vacuum(spark, lake, Seq(4))
+    assert(erased > 0, "old en files must be physically deleted")
+    assert(Lake.versions(spark, lake) == Seq(4))
+    val v4 = snap(Lake.readVersion(spark, lake, 4))
+    assert(!v4.contains(subject) && v4.keySet == base.keySet - subject)
+    // every file v4 references survived the vacuum; the erased-version
+    // manifests are gone (time travel across the erasure boundary ends)
+    m4.foreach { p =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$lake/data/$p")))
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$lake/_versions/v00001.list")))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(lake))
   }
 }

@@ -849,6 +849,38 @@ class SessionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("idempotent foreachBatch: a replayed batch id never re-runs the handler") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val commitDir = s"${System.getProperty("java.io.tmpdir")}/graft_commits_" +
+      spark.sparkContext.applicationId
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(commitDir))
+    var runs = 0
+    // the crash-replay contract, driven directly: same id twice = one run
+    assert(Sessions.runBatchOnce(spark, commitDir, 7L) { runs += 1 })
+    assert(!Sessions.runBatchOnce(spark, commitDir, 7L) { runs += 1 })
+    assert(Sessions.runBatchOnce(spark, commitDir, 8L) { runs += 1 })
+    assert(runs == 2)
+    // and through a real stream: every batch id lands exactly one marker
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val input = MemoryStream[Long]
+    val q = Sessions.idempotentForeachBatch(
+      input.toDF().toDF("v"), commitDir,
+      (df, id) => seen.synchronized { seen += ((id, df.count())) }: Unit)
+      .start()
+    try {
+      input.addData(1L, 2L, 3L); q.processAllAvailable()
+      input.addData(4L); q.processAllAvailable()
+      assert(seen.map(_._2).sum == 4)
+      val fs = new org.apache.hadoop.fs.Path(commitDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val markers = fs.listStatus(new org.apache.hadoop.fs.Path(commitDir))
+        .map(_.getPath.getName).filter(_.startsWith("batch-")).sorted
+      assert(markers.length == seen.size + 2) // + the two direct-run ids
+    } finally q.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(commitDir))
+  }
+
   test("SpaceSaving heavy hitters: guarantees vs exact counts, bounded state, window eviction") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
