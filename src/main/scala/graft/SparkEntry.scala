@@ -19,16 +19,18 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rel.Relational.queries ++ text.TextOps.queries ++ text.Tokenize.queries ++
-      text.CorpusFilters.queries ++ ml.Vocab.queries ++
+      text.CorpusFilters.queries ++ text.Retrieval.queries ++
+      ml.Vocab.queries ++ ml.Hdr.queries ++
       ml.Similarity.queries ++ ml.Lda.queries ++ ml.Bloom.queries ++
       ml.Quantize.queries ++ ingest.Tickets.queries ++
       multimodal.Media.queries ++ sink.Orc.queries ++ sink.Avro.queries ++
-      sink.Lake.queries
+      sink.Lake.queries ++ sink.Skipping.queries
 
   def oracleSql: Map[String, String] =
     rel.Relational.oracle ++ text.TextOps.oracle ++ text.Tokenize.oracle ++
-      text.CorpusFilters.oracle ++ ml.Vocab.oracle ++
+      text.CorpusFilters.oracle ++ text.Retrieval.oracle ++
+      ml.Vocab.oracle ++ ml.Hdr.oracle ++
       ml.Similarity.oracle ++ ml.Bloom.oracle ++ ml.Quantize.oracle ++
       ingest.Tickets.oracle ++ multimodal.Media.oracle ++ sink.Orc.oracle ++
-      sink.Avro.oracle ++ sink.Lake.oracle
+      sink.Avro.oracle ++ sink.Lake.oracle ++ sink.Skipping.oracle
 }

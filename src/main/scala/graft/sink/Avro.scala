@@ -222,8 +222,55 @@ object Avro {
     pinned
   }
 
+  /** Schema evolution through the Avro resolution rules (q132): the lake
+    * holds v1 container files; the read pins a v2 READER schema that (a)
+    * DROPS `text` (decoder skips the bytes — the column-prune analogue a
+    * row format can offer), (b) RENAMES `n_chars` → `chars` via an Avro
+    * alias, and (c) ADDS `quality` with default 7, filled for every v1
+    * record. This is the production catalog-schema read: writers upgrade
+    * asynchronously while readers run the pinned new schema against old
+    * and new files alike. The aggregate proves all three legs: sum_chars
+    * flows through the alias, sum_quality = 7·n proves default fill, and
+    * the dropped column never reaches the scan schema. */
+  private[sink] val EvolvedReaderSchema: String =
+    """{"type":"record","name":"graft_record","namespace":"graft.avro",
+      |"fields":[
+      | {"name":"doc_id","type":["null","long"],"default":null},
+      | {"name":"source","type":["null","string"],"default":null},
+      | {"name":"chars","type":["null","long"],"default":null,
+      |  "aliases":["n_chars"]},
+      | {"name":"quality","type":"long","default":7}]}""".stripMargin
+
+  /** PRE-checkpoint frame, exposed for AvroSpec plan/pruning assertions. */
+  private[sink] def avroEvolutionAgg(s: SparkSession, dir: String,
+      out: String): DataFrame = {
+    writePartitioned(
+      graft.Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars")),
+      out, "lang")
+    s.read.format("graft.sink.AvroSource")
+      .option("readerSchema", EvolvedReaderSchema).load(out)
+      .filter(col("lang").isin("en", "de"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("chars")).cast("long").as("sum_chars"),
+        sum(col("quality")).cast("long").as("sum_quality"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  def q132_avro_evolution(s: SparkSession, dir: String): DataFrame = {
+    val out = Orc.scratchDir(s) + "_avroevo"
+    val pinned = avroEvolutionAgg(s, dir, out).localCheckpoint() // tiny
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    pinned
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q113_avro_roundtrip" -> (q113_avro_roundtrip _))
+    "q113_avro_roundtrip" -> (q113_avro_roundtrip _),
+    "q132_avro_evolution" -> (q132_avro_evolution _))
 
   val oracle: Map[String, String] = Map(
     "q113_avro_roundtrip" ->
@@ -233,7 +280,16 @@ object Avro {
         | CAST(SUM(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT)) AS BIGINT)
         |   AS text_sig
         |FROM documents WHERE lang IN ('en', 'de')
-        |GROUP BY source ORDER BY source""".stripMargin)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    // v2 reader over v1 files: alias carries n_chars, default fills
+    // quality = 7 per record, text never decodes
+    "q132_avro_evolution" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        | CAST(7 * COUNT(*) AS BIGINT) AS sum_quality,
+        | MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM documents WHERE lang IN ('en', 'de')
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin)
 }
 
 /** Hadoop Configuration is not Serializable; this is the standard
@@ -267,13 +323,15 @@ object AvroCounters {
   * a production catalog would pin the schema instead). */
 class AvroSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val layout = AvroLayout.discover(options.get("path"))
+    val layout = AvroLayout.discover(options.get("path"),
+      Option(options.get("readerSchema")))
     layout.sparkSchema
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new AvroTable(AvroLayout.discover(opts.get("path")),
+    new AvroTable(
+      AvroLayout.discover(opts.get("path"), Option(opts.get("readerSchema"))),
       opts.getLong("splitBytes", 32L * 1024 * 1024))
   }
 }
@@ -286,7 +344,12 @@ private[sink] case class AvroLayout(
     partitionCol: Option[String],
     // (partition value or "", file path, file length)
     files: Seq[(String, String, Long)],
-    dataSchema: StructType) {
+    dataSchema: StructType,
+    // Avro READER schema (JSON) for schema evolution: when set, records
+    // resolve writer→reader per the Avro spec (added fields fill their
+    // defaults, dropped fields are skipped during decode, aliases map
+    // renamed fields) — the catalog-pinned-schema read path.
+    readerSchemaJson: Option[String] = None) {
   def sparkSchema: StructType = partitionCol match {
     case Some(c) => StructType(dataSchema.fields :+ StructField(c, StringType, false))
     case None    => dataSchema
@@ -296,7 +359,8 @@ private[sink] case class AvroLayout(
 private[sink] object AvroLayout {
   private val PartDir = "^([A-Za-z_][A-Za-z0-9_]*)=(.*)$".r
 
-  def discover(path: String): AvroLayout = {
+  def discover(path: String,
+      readerSchemaJson: Option[String] = None): AvroLayout = {
     require(path != null, "graft Avro source: path option required")
     val conf = new Configuration()
     val root = new Path(path)
@@ -322,12 +386,20 @@ private[sink] object AvroLayout {
       } else
         (None, avroFiles(root).map(f => ("", f._1, f._2)))
     require(files.nonEmpty, s"graft Avro source: no .avro files under $path")
-    // one header read for the writer schema
-    val in = new FsInput(new Path(files.head._2), conf)
-    val rdr = new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord]())
-    val avSchema = rdr.getSchema
-    rdr.close()
-    AvroLayout(path, partitionCol, files, Avro.toStructType(avSchema))
+    // the table schema: the pinned reader schema when evolving, else one
+    // header read for the writer schema
+    val avSchema = readerSchemaJson match {
+      case Some(json) => new ASchema.Parser().parse(json)
+      case None =>
+        val in = new FsInput(new Path(files.head._2), conf)
+        val rdr = new DataFileReader[GenericRecord](in,
+          new GenericDatumReader[GenericRecord]())
+        val ws = rdr.getSchema
+        rdr.close()
+        ws
+    }
+    AvroLayout(path, partitionCol, files, Avro.toStructType(avSchema),
+      readerSchemaJson)
   }
 }
 
@@ -381,7 +453,7 @@ private[sink] class AvroScanBuilder(layout: AvroLayout, splitBytes: Long)
     }
     val survivors = layout.files.filter(f => keep(f._1))
     new AvroScan(survivors, layout.partitionCol, layout.dataSchema, required,
-      splitBytes, pushed.map(_.toString))
+      splitBytes, pushed.map(_.toString), layout.readerSchemaJson)
   }
 }
 
@@ -393,7 +465,8 @@ private[sink] case class AvroSplit(file: String, start: Long, end: Long,
 
 private[sink] class AvroScan(files: Seq[(String, String, Long)],
     partitionCol: Option[String], dataSchema: StructType,
-    required: StructType, splitBytes: Long, pushedDesc: Array[String])
+    required: StructType, splitBytes: Long, pushedDesc: Array[String],
+    readerSchemaJson: Option[String] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -407,25 +480,36 @@ private[sink] class AvroScan(files: Seq[(String, String, Long)],
         AvroSplit(path, i * splitBytes, math.min(len, (i + 1) * splitBytes), pv))
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(dataSchema, required, partitionCol)
+    new AvroReaderFactory(dataSchema, required, partitionCol,
+      readerSchemaJson)
 }
 
 private[sink] class AvroReaderFactory(dataSchema: StructType,
-    required: StructType, partitionCol: Option[String])
+    required: StructType, partitionCol: Option[String],
+    readerSchemaJson: Option[String] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new AvroPartitionReader(p.asInstanceOf[AvroSplit], dataSchema, required,
-      partitionCol)
+      partitionCol, readerSchemaJson)
 }
 
 private[sink] class AvroPartitionReader(split: AvroSplit,
     dataSchema: StructType, required: StructType,
-    partitionCol: Option[String]) extends PartitionReader[InternalRow] {
+    partitionCol: Option[String],
+    readerSchemaJson: Option[String] = None)
+    extends PartitionReader[InternalRow] {
 
   private val reader: DataFileReader[GenericRecord] = {
     AvroCounters.filesOpened.incrementAndGet()
     val in = new FsInput(new Path(split.file), new Configuration())
-    val r = new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+    // writer schema comes from the file header; an explicit reader schema
+    // turns on Avro's writer→reader resolution (defaults/skips/aliases)
+    val datum = readerSchemaJson match {
+      case Some(json) => new GenericDatumReader[GenericRecord](
+        null, new ASchema.Parser().parse(json))
+      case None => new GenericDatumReader[GenericRecord]()
+    }
+    val r = new DataFileReader[GenericRecord](in, datum)
     r.sync(split.start) // first block at or after start; 0 → first block
     r
   }

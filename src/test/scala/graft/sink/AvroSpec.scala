@@ -110,6 +110,30 @@ class AvroSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
+  test("schema evolution: default fill, alias rename, dropped field") {
+    val out = tmp("evo")
+    val evolved = Avro.avroEvolutionAgg(spark, dir, out)
+    // the evolved scan schema: renamed + added fields, no `text`
+    val raw = spark.read.format("graft.sink.AvroSource")
+      .option("readerSchema", Avro.EvolvedReaderSchema).load(out)
+    assert(raw.schema.fieldNames.toSet ==
+      Set("doc_id", "source", "chars", "quality", "lang"))
+    val got = evolved.collect()
+    val want = Tables.documents(spark, dir)
+      .filter(col("lang").isin("en", "de"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        (lit(7) * count(lit(1))).cast("long").as("sum_quality"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"), col("source")).collect()
+    assert(got.toSeq == want.toSeq)
+    // per-row default fill, not just in aggregate
+    assert(raw.filter(col("quality") =!= 7).count() == 0)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   test("q113 avro round-trip agg equals the parquet truth") {
     val got = Avro.avroRoundTripAgg(spark, dir, tmp("q113")).collect()
     val want = Tables.documents(spark, dir)

@@ -1,0 +1,88 @@
+package graft.text
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BM25 retrieval (q129) against a driver-side brute-force oracle: the
+  * whole sf0.001 corpus is re-scored with plain double-precision BM25 and
+  * the integer micro-nat impact ranking must agree wherever the
+  * double-precision gap exceeds the quantization noise. */
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val result =
+    Retrieval.q129_bm25_topk(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+
+  private val queries = Map(
+    1 -> Seq("spark", "join", "merge"),
+    2 -> Seq("window", "stream", "batch"),
+    3 -> Seq("hash", "sort", "filter", "vector"))
+
+  /** Driver-side double BM25 (Lucene idf, k1=1.2, b=0.75). */
+  private lazy val brute: Map[Int, Seq[(Long, Double)]] = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.split(" ").filter(_.nonEmpty).toSeq))
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.size).sum / n
+    val dfMap = queries.values.flatten.toSet.map { (t: String) =>
+      t -> docs.count(_._2.contains(t)).toDouble
+    }.toMap
+    queries.map { case (qid, terms) =>
+      qid -> docs.flatMap { case (id, toks) =>
+        val dl = toks.size.toDouble
+        val score = terms.map { t =>
+          val tf = toks.count(_ == t).toDouble
+          if (tf == 0) 0.0
+          else {
+            val idf = math.log((n + 1.0) / (dfMap(t) + 0.5))
+            idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+          }
+        }.sum
+        if (score > 0) Some((id, score)) else None
+      }.sortBy { case (id, sc) => (-sc, id) }.toSeq
+    }
+  }
+
+  test("ranks are 1..k, scores non-increasing, hits contain query terms") {
+    assert(result.nonEmpty)
+    queries.keys.foreach { qid =>
+      val rows = result.filter(_._1 == qid).sortBy(_._2)
+      assert(rows.map(_._2).toSeq == (1 to rows.length))
+      assert(rows.map(_._5).toSeq == rows.map(_._5).sortBy(-_).toSeq)
+      assert(rows.forall(_._4 >= 1)) // n_terms_hit
+    }
+  }
+
+  test("integer impact ranking agrees with double BM25 brute force") {
+    queries.keys.foreach { qid =>
+      val got = result.filter(_._1 == qid).sortBy(_._2).map(_._3).toSeq
+      val want = brute(qid).take(got.length)
+      // compare as score-ordered sets allowing swaps only between docs
+      // whose double scores are within the quantization noise
+      got.zip(want).zipWithIndex.foreach { case ((g, (w, wScore)), i) =>
+        if (g != w) {
+          val gScore = brute(qid).find(_._1 == g).map(_._2).getOrElse(0.0)
+          assert(math.abs(gScore - wScore) < 1e-4 * math.max(1.0, wScore),
+            s"qid=$qid rank=${i + 1}: got doc $g (brute $gScore), " +
+              s"want doc $w (brute $wScore)")
+        }
+      }
+    }
+  }
+
+  test("every returned doc actually contains at least one query term") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    result.foreach { case (qid, _, docId, _, _) =>
+      val toks = docs(docId).trim.split(" ").filter(_.nonEmpty).toSet
+      assert(queries(qid).exists(toks.contains))
+    }
+  }
+}
