@@ -49,7 +49,9 @@ object Bench {
     Set("q55_dedup_components", "q70_curation_funnel", "q73_dedup_union",
       "q92_semdedup",
       // 16 fixture appends + the rewrite: ~20 sequential driver jobs
-      "q126_compact_small_files")
+      "q126_compact_small_files",
+      // 8 fixture appends + index builds + per-probe pruned scans
+      "q131_data_skipping")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -18,7 +18,8 @@ object SparkEntry {
     text.TextOps.q32_corpus_pipeline(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    rel.Relational.queries ++ text.TextOps.queries ++ text.Tokenize.queries ++
+    rel.Relational.queries ++ rel.Behavior.queries ++
+      text.TextOps.queries ++ text.Tokenize.queries ++
       text.CorpusFilters.queries ++ text.Retrieval.queries ++
       ml.Vocab.queries ++ ml.Hdr.queries ++
       ml.Similarity.queries ++ ml.Lda.queries ++ ml.Bloom.queries ++
@@ -27,7 +28,8 @@ object SparkEntry {
       sink.Lake.queries ++ sink.Skipping.queries
 
   def oracleSql: Map[String, String] =
-    rel.Relational.oracle ++ text.TextOps.oracle ++ text.Tokenize.oracle ++
+    rel.Relational.oracle ++ rel.Behavior.oracle ++
+      text.TextOps.oracle ++ text.Tokenize.oracle ++
       text.CorpusFilters.oracle ++ text.Retrieval.oracle ++
       ml.Vocab.oracle ++ ml.Hdr.oracle ++
       ml.Similarity.oracle ++ ml.Bloom.oracle ++ ml.Quantize.oracle ++

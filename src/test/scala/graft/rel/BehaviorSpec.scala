@@ -1,0 +1,72 @@
+package graft.rel
+
+import graft.text.SparkTestSession
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Funnel/cohort kernels (q133/q134) on adversarial orderings the big
+  * corpus may not exercise. */
+class BehaviorSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val D = 86400L * 1000000L // one day in micros
+
+  private def funnel(rows: Seq[(Long, Long, String)]) = {
+    import spark.implicits._
+    Behavior.funnelFrame(rows.toDF("user_id", "ts_us", "event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+  }
+
+  test("funnel: click BEFORE the first view never counts") {
+    val rows = Seq(
+      (1L, 100L, "click"), (1L, 200L, "view"), // click precedes view
+      (2L, 100L, "view"), (2L, 200L, "click")) // proper order
+    val got = funnel(rows)
+    assert(got.length == 1)
+    val (_, entered, clicked, converted, _) = got.head
+    assert(entered == 2 && clicked == 1 && converted == 0)
+  }
+
+  test("funnel: purchase before the qualifying click never counts") {
+    val rows = Seq(
+      (1L, 100L, "view"), (1L, 150L, "purchase"), (1L, 200L, "click"))
+    val got = funnel(rows)
+    val (_, entered, clicked, converted, _) = got.head
+    assert(entered == 1 && clicked == 1 && converted == 0)
+  }
+
+  test("funnel: conversion window excludes late steps") {
+    val rows = Seq(
+      // converts at the window edge: click day 3, purchase exactly day 7
+      (1L, 0L, "view"), (1L, 3 * D, "click"), (1L, 7 * D, "purchase"),
+      // click inside, purchase one micro past the 7-day window
+      (2L, 0L, "view"), (2L, 3 * D, "click"), (2L, 7 * D + 1, "purchase"),
+      // click itself out of window
+      (3L, 0L, "view"), (3L, 7 * D + 1, "click"), (3L, 7 * D + 2, "purchase"))
+    val got = funnel(rows)
+    val (_, entered, clicked, converted, sumConv) = got.head
+    assert(entered == 3 && clicked == 2 && converted == 1)
+    assert(sumConv == 7 * D)
+  }
+
+  test("funnel: simultaneous timestamps satisfy the >= ordering") {
+    val rows = Seq((1L, 500L, "view"), (1L, 500L, "click"),
+      (1L, 500L, "purchase"))
+    val got = funnel(rows)
+    val (_, entered, clicked, converted, sumConv) = got.head
+    assert(entered == 1 && clicked == 1 && converted == 1 && sumConv == 0)
+  }
+
+  test("retention: offsets count distinct users relative to first day") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 10L), (1L, 10L), (1L, 11L), (1L, 13L), // dupes collapse
+      (2L, 11L), (2L, 12L),
+      (3L, 10L), (3L, 30L)) // offset 20 > 13 drops
+    val got = Behavior.retentionFrame(rows.toDF("user_id", "day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((10L, 0L, 2L), (10L, 1L, 1L), (10L, 3L, 1L),
+      (11L, 0L, 1L), (11L, 1L, 1L)))
+  }
+}
