@@ -52,7 +52,12 @@ object Retrieval {
       .select(col("doc_id"), Cleanse.tokens(col("text")).as("t"))
 
   // ---------------------------------------------------- BM25 top-k search
-  def q129_bm25_topk(s: SparkSession, dir: String): DataFrame = {
+  def q129_bm25_topk(s: SparkSession, dir: String): DataFrame =
+    bm25Ranked(s, dir, 10)
+
+  /** The BM25 chain with a parameterized cutoff — q129 reports the
+    * top-10; the RRF fusion (q136) consumes the top-20 leg. */
+  private def bm25Ranked(s: SparkSession, dir: String, k: Int): DataFrame = {
     import s.implicits._
     val toks = docToks(s, dir)
     // postings: one row per (doc, term) with tf; dl rides along so the
@@ -90,9 +95,98 @@ object Retrieval {
     val win = Window.partitionBy(col("qid"))
       .orderBy(col("score_unat").desc, col("doc_id"))
     scored.withColumn("rank", row_number().over(win))
-      .filter(col("rank") <= 10) // literal bound → WindowGroupLimit heap
+      .filter(col("rank") <= k) // literal bound → WindowGroupLimit heap
       .select(col("qid"), col("rank").cast("int").as("rank"),
         col("doc_id"), col("n_terms_hit"), col("score_unat"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  // ------------------------------------------------- positional phrase search
+  /** Fixed phrase probes (exact consecutive-token match). */
+  private val PhraseQueries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("merge", "join"),
+    2 -> Seq("batch", "batch"),
+    3 -> Seq("window", "window", "dup"))
+
+  /** Exact phrase search (q135) through POSITIONAL postings — the other
+    * half of an inverted index: each phrase term's postings join on
+    * (doc_id, adjusted position), so "merge join" matches only
+    * consecutive tokens. The join chain keys on (doc_id, pos) —
+    * co-partitioned after the first shuffle — and per-doc match counts
+    * rank the results. No per-doc array walks, no regex over text: at
+    * 100 TB this is k-1 equi-joins over term-filtered posting slices
+    * (each a pushed-filter scan of the postings table), the Lucene
+    * phrase-query plan in relational form. */
+  def q135_phrase_search(s: SparkSession, dir: String): DataFrame = {
+    val posts = docToks(s, dir)
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "term")))
+      .localCheckpoint(false) // one tokenize feeds all phrase legs
+    val perQuery = PhraseQueries.map { case (qid, ts) =>
+      var m = posts.filter(col("term") === ts.head)
+        .select(col("doc_id"), col("pos"))
+      ts.zipWithIndex.drop(1).foreach { case (t, i) =>
+        m = m.join(
+          posts.filter(col("term") === t)
+            .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+      }
+      m.groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
+        .withColumn("qid", lit(qid))
+    }
+    val win = Window.partitionBy(col("qid"))
+      .orderBy(col("n_matches").desc, col("doc_id"))
+    perQuery.reduce(_ unionByName _)
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank").cast("int").as("rank"),
+        col("doc_id"), col("n_matches"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  // --------------------------------------------- RRF hybrid retrieval
+  /** Reciprocal-rank fusion (q136) — hybrid lexical+vector retrieval,
+    * the standard RAG recipe (Cormack, Clarke & Buettcher 2009, SIGIR):
+    * fuse the BM25 top-20 (q129's leg) with the embedding-cosine top-20
+    * (q19's leg, query = the embedding with vec_id = qid) by
+    * `Σ 1/(60 + rank)`. The fusion is integerized to micro-units —
+    * `1e9 div (60 + rank)` — so fused scores are exact BIGINTs: rank
+    * positions are the only inputs, making the fusion immune to the
+    * score-scale mismatch between legs (the reason RRF beats score
+    * interpolation in practice, and the reason it gates exactly here).
+    * Candidates appearing in one leg only contribute that leg's term —
+    * partial overlap is the normal case when fusing heterogeneous
+    * retrievers. Scale: both legs are gated operators with bounded-heap
+    * top-k; the fusion itself touches 2·k·|queries| rows. */
+  def q136_rrf_hybrid(s: SparkSession, dir: String): DataFrame = {
+    val lex = bm25Ranked(s, dir, 20)
+      .select(col("qid"), col("doc_id").as("id"),
+        expr("1000000000L div (60L + rank)").as("contrib"))
+    val e = Tables.embeddingsFanned(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = e.filter(col("vec_id").isInCollection(Bm25Queries.map(_._1)))
+      .select(col("vec_id").cast("int").as("qid"), col("emb").as("qemb"))
+    val vw = Window.partitionBy(col("qid"))
+      .orderBy(col("sim_r").desc, col("id"))
+    val dot = (a: Column, b: Column) => graft.ml.VecFunctions.dot_d(a, b)
+    val vec = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("id"),
+        round(dot(col("qemb"), col("emb")) /
+          (sqrt(dot(col("qemb"), col("qemb"))) *
+            sqrt(dot(col("emb"), col("emb")))), 6).as("sim_r"))
+      .withColumn("rank", row_number().over(vw))
+      .filter(col("rank") <= 20)
+      .select(col("qid"), col("id"),
+        expr("1000000000L div (60L + rank)").as("contrib"))
+    val fw = Window.partitionBy(col("qid"))
+      .orderBy(col("score_u").desc, col("id"))
+    lex.unionByName(vec)
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("contrib")).as("score_u"), count(lit(1)).as("n_legs"))
+      .withColumn("rank", row_number().over(fw))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank").cast("int").as("rank"),
+        col("id"), col("n_legs"), col("score_u"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -103,8 +197,10 @@ object Retrieval {
     .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
     .mkString(", ")
 
-  private lazy val bm25Oracle: String =
-    s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
+  /** The BM25 CTE chain (toks → postings → idf → scores → ranks),
+    * shared by the q129 gate and the q136 fusion leg. */
+  private lazy val bm25CoreCtes: String =
+    s"""toks AS (SELECT doc_id, $DToks AS t FROM documents),
        |posts AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
        |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
        |  FROM posts GROUP BY 1, 2, 3),
@@ -124,15 +220,75 @@ object Retrieval {
        |  FROM tf JOIN q USING (term) JOIN idf USING (term), stats
        |  GROUP BY 1, 2),
        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-       |    ORDER BY score_unat DESC, doc_id) AS rank FROM sc)
+       |    ORDER BY score_unat DESC, doc_id) AS rank FROM sc)""".stripMargin
+
+  private lazy val bm25Oracle: String =
+    s"""WITH $bm25CoreCtes
        |SELECT CAST(qid AS INTEGER) AS qid, CAST(rank AS INTEGER) AS rank,
        |  doc_id, n_terms_hit, score_unat
        |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
+  private lazy val phraseOracle: String = {
+    val chains = PhraseQueries.map { case (qid, ts) =>
+      val joins = ts.zipWithIndex.drop(1).map { case (t, i) =>
+        s"JOIN posts p$i ON p$i.doc_id = p0.doc_id " +
+          s"AND p$i.i = p0.i + $i AND p$i.term = '$t'"
+      }.mkString(" ")
+      s"""SELECT $qid AS qid, p0.doc_id, CAST(COUNT(*) AS BIGINT)
+         |    AS n_matches
+         |  FROM posts p0 $joins
+         |  WHERE p0.term = '${ts.head}' GROUP BY p0.doc_id""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
+       |posts AS (SELECT doc_id, i, t[i] AS term
+       |  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+       |cnts AS (
+       |  $chains),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY n_matches DESC, doc_id) AS rank FROM cnts)
+       |SELECT CAST(qid AS INTEGER) AS qid, CAST(rank AS INTEGER) AS rank,
+       |  doc_id, n_matches
+       |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+  }
+
+  private lazy val rrfOracle: String = {
+    val qids = Bm25Queries.map(_._1).mkString(", ")
+    s"""WITH $bm25CoreCtes,
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |vq AS (SELECT CAST(vec_id AS INTEGER) AS qid, emb AS qemb FROM e
+       |  WHERE vec_id IN ($qids)),
+       |vp AS (SELECT qid, vec_id AS id,
+       |    round(list_dot_product(qemb, emb) /
+       |      (sqrt(list_dot_product(qemb, qemb)) *
+       |       sqrt(list_dot_product(emb, emb))), 6) AS sim_r
+       |  FROM vq, e WHERE vec_id <> qid),
+       |vr AS (SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY sim_r DESC, id) AS rank FROM vp),
+       |vc AS (SELECT qid, id, 1000000000 // (60 + rank) AS contrib
+       |  FROM vr WHERE rank <= 20),
+       |lc AS (SELECT qid, doc_id AS id, 1000000000 // (60 + rank)
+       |    AS contrib
+       |  FROM r WHERE rank <= 20),
+       |fused AS (SELECT qid, id, CAST(SUM(contrib) AS BIGINT) AS score_u,
+       |    CAST(COUNT(*) AS BIGINT) AS n_legs
+       |  FROM (SELECT * FROM lc UNION ALL SELECT * FROM vc)
+       |  GROUP BY 1, 2),
+       |fr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY score_u DESC, id) AS rank FROM fused)
+       |SELECT CAST(qid AS INTEGER) AS qid, CAST(rank AS INTEGER) AS rank,
+       |  id, n_legs, score_u
+       |FROM fr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q129_bm25_topk" -> (q129_bm25_topk _))
+    "q129_bm25_topk" -> (q129_bm25_topk _),
+    "q135_phrase_search" -> (q135_phrase_search _),
+    "q136_rrf_hybrid" -> (q136_rrf_hybrid _))
 
   val oracle: Map[String, String] = Map(
-    "q129_bm25_topk" -> bm25Oracle)
+    "q129_bm25_topk" -> bm25Oracle,
+    "q135_phrase_search" -> phraseOracle,
+    "q136_rrf_hybrid" -> rrfOracle)
 }
