@@ -40,6 +40,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => ml.DotProductD(args(0), args(1))),
     ml.KmvFunctions.sqlFunction,
     ml.Bloom.sqlFunction,
+    ("jaro_winkler",
+      info("jaro_winkler", "_FUNC_(a, b) - Jaro-Winkler string similarity " +
+        "(boost threshold 0.7, prefix weight 0.1, prefix cap 4)."),
+      (args: Seq[Expression]) => text.JaroWinkler(args(0), args(1))),
     ("lemma_tokens",
       info("lemma_tokens", "_FUNC_(str) - Tokenize + stopword-filter + suffix-lemmatize."),
       (args: Seq[Expression]) => text.LemmaTokens(args.head)),

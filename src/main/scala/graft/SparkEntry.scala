@@ -19,20 +19,25 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rel.Relational.queries ++ rel.Behavior.queries ++
+      rel.Linkage.queries ++ rel.Graph.queries ++
       text.TextOps.queries ++ text.Tokenize.queries ++
+      text.Entropy.queries ++ text.Budget.queries ++
       text.CorpusFilters.queries ++ text.Retrieval.queries ++
       ml.Vocab.queries ++ ml.Hdr.queries ++
       ml.Similarity.queries ++ ml.Lda.queries ++ ml.Bloom.queries ++
       ml.Quantize.queries ++ ingest.Tickets.queries ++
       multimodal.Media.queries ++ sink.Orc.queries ++ sink.Avro.queries ++
-      sink.Lake.queries ++ sink.Skipping.queries
+      sink.Lake.queries ++ sink.Skipping.queries ++ sink.Dpp.queries
 
   def oracleSql: Map[String, String] =
     rel.Relational.oracle ++ rel.Behavior.oracle ++
+      rel.Linkage.oracle ++ rel.Graph.oracle ++
       text.TextOps.oracle ++ text.Tokenize.oracle ++
+      text.Entropy.oracle ++ text.Budget.oracle ++
       text.CorpusFilters.oracle ++ text.Retrieval.oracle ++
       ml.Vocab.oracle ++ ml.Hdr.oracle ++
       ml.Similarity.oracle ++ ml.Bloom.oracle ++ ml.Quantize.oracle ++
       ingest.Tickets.oracle ++ multimodal.Media.oracle ++ sink.Orc.oracle ++
-      sink.Avro.oracle ++ sink.Lake.oracle ++ sink.Skipping.oracle
+      sink.Avro.oracle ++ sink.Lake.oracle ++ sink.Skipping.oracle ++
+      sink.Dpp.oracle
 }

@@ -46,8 +46,17 @@ object Hdr {
   }
 
   def q130_hdr_quantiles(s: SparkSession, dir: String): DataFrame = {
+    // non-positive guard (round-14, advice item): the pure kernel
+    // `bucket` requires v >= 1 (bin() of a negative long is 64 chars, so
+    // e = 64 and the bucketing silently collapses); mirror that contract
+    // here so a zero/negative price fails LOUDLY instead of mis-bucketing.
+    // raise_error inside when() stays whole-stage-codegen'd.
     val li = Tables.lineitem(s, dir)
-      .select(round(col("l_extendedprice") * 100).cast("long").as("v"))
+      .select(round(col("l_extendedprice") * 100).cast("long").as("v0"))
+      .select(when(col("v0") >= 1, col("v0"))
+        .otherwise(raise_error(concat(
+          lit("HDR sketch requires positive values, got "),
+          col("v0").cast("string")))).as("v"))
     val bucketed = li
       .withColumn("e", length(expr("bin(v)")))
       .withColumn("shift",

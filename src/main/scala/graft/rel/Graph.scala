@@ -1,0 +1,128 @@
+package graft.rel
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Iterative graph analytics on the relational tables — PageRank (Page,
+  * Brin, Motwani & Winograd 1999) over the customer↔supplier trade graph,
+  * done in SCALED-INTEGER arithmetic so a distributed power iteration is
+  * bit-reproducible and cross-engine gateable.
+  *
+  * Why integers: float PageRank sums per-node contributions in
+  * shuffle-arrival order — a 1000-executor run and a laptop run disagree
+  * in ulps, and ranks near ties flip. Here ranks live in 10^-12 units of
+  * total mass (BIGINT); per-edge contribution is `r div deg` (one integer
+  * division per SOURCE, constant across its edges) and the damped update
+  * is `base + (85·Σcontrib) div 100` — every operation exact, so
+  * summation order is irrelevant. Floor truncation leaks ≤ deg units of
+  * mass per node per round: deterministic, identical in both engines,
+  * and ~10^-9 of total mass — irrelevant to ranking.
+  *
+  * Scale shape: edges materialize ONCE (localCheckpoint — reused by all
+  * rounds; at 100 TB this is the one corpus-scale shuffle, hash-keyed on
+  * src so the per-round join + dst-aggregate reuse its partitioning).
+  * Each round is one join + one map-side-combined aggregate; driver state
+  * is two scalars (N, base). Five fixed rounds — the gated variant of a
+  * convergence loop (the q73 fixpoint shows the convergence-probe form).
+  */
+object Graph {
+
+  private val Mass = 1000000000000L // 10^12: total rank mass, integer units
+  private val Iters = 5
+  private val TopK = 25
+
+  /** q138: PageRank over the bipartite customer↔supplier graph (an edge
+    * per distinct trading pair from orders ⋈ lineitem, symmetrized).
+    * Node encoding: customer c → 2c, supplier s → 2s+1. Damping 0.85 in
+    * exact rational form. Returns the top-25 nodes by final rank. */
+  def q138_pagerank(s: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("cn"),
+        (col("l_suppkey") * 2 + 1).as("sn"))
+      .distinct()
+    val edges = e0.select(col("cn").as("src"), col("sn").as("dst"))
+      .unionByName(e0.select(col("sn").as("src"), col("cn").as("dst")))
+      .localCheckpoint() // materialized once, reused by all rounds
+    val (ranks, deg) = pagerankRanks(edges, Iters)
+    val w = Window.orderBy(col("r").desc, col("node"))
+    ranks.join(deg.select(col("src").as("node"), col("deg")), Seq("node"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("rk").cast("int").as("rank"),
+        when(col("node") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_type"),
+        expr("node div 2").as("orig_id"),
+        col("deg").as("degree"), col("r").as("rank_u"))
+      .orderBy(col("rank"))
+  }
+
+  /** The exact-integer power iteration over a SYMMETRIC (src, dst) edge
+    * list (every node must appear as a src — symmetry guarantees it and
+    * rules out dangling mass). Exposed for GraphSpec's hand-computed
+    * fixture. Returns (final ranks, out-degrees). */
+  private[graft] def pagerankRanks(edges: DataFrame, iters: Int)
+      : (DataFrame, DataFrame) = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // deg rides ALONG the edge list (one join, before the loop) so each
+    // round is exactly one join + one aggregate — at 100 TB this is the
+    // adjacency-list-with-degree layout every Pregel-style runner keeps
+    val degEdges = edges.join(deg, Seq("src"))
+      .select(col("src"), col("dst"), col("deg"))
+      .localCheckpoint()
+    val n = deg.count()
+    val init = Mass / n
+    val base = (15L * init) / 100L
+    var ranks = deg.select(col("src").as("node"), lit(init).as("r"))
+    (1 to iters).foreach { _ =>
+      ranks = degEdges
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), expr("r div deg").as("contrib"))
+        .groupBy(col("node"))
+        .agg((lit(base) + expr("(85 * sum(contrib)) div 100")).as("r"))
+    }
+    (ranks, deg)
+  }
+
+  private lazy val pagerankOracle: String = {
+    def round(k: Int): String =
+      s"""it$k AS (SELECT e.dst AS node,
+         |    (SELECT base FROM params) +
+         |      (85 * SUM(r.r // d.deg)) // 100 AS r
+         |  FROM edges e JOIN it${k - 1} r ON e.src = r.node
+         |  JOIN deg d ON d.node = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS cn,
+       |    l_suppkey * 2 + 1 AS sn
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT cn AS src, sn AS dst FROM e0
+       |  UNION ALL SELECT sn, cn FROM e0),
+       |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+       |  FROM edges GROUP BY 1),
+       |params AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    $Mass // COUNT(*) AS init,
+       |    (15 * ($Mass // COUNT(*))) // 100 AS base FROM deg),
+       |it0 AS (SELECT node, (SELECT init FROM params) AS r FROM deg),
+       |${(1 to Iters).map(round).mkString(",\n")},
+       |ranked AS (SELECT r.node, r.r, d.deg,
+       |    ROW_NUMBER() OVER (ORDER BY r.r DESC, r.node) AS rk
+       |  FROM it$Iters r JOIN deg d USING (node))
+       |SELECT CAST(rk AS INTEGER) AS rank,
+       |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+       |    AS node_type,
+       |  node // 2 AS orig_id, deg AS degree, CAST(r AS BIGINT) AS rank_u
+       |FROM ranked WHERE rk <= $TopK ORDER BY rank""".stripMargin
+  }
+
+  // ------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_pagerank" -> (q138_pagerank _))
+
+  val oracle: Map[String, String] = Map(
+    "q138_pagerank" -> pagerankOracle)
+}

@@ -109,7 +109,13 @@ object Skipping {
       .filter(col("doc_id").isin(probeIds.map(_._2): _*))
       .select(col("doc_id"), col("lang")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    val rows = probeIds.map { case (i, p) =>
+    // index consultation is pure driver-side metadata math; the pruned
+    // re-scans BATCH into one job (round-14, advice item): read the union
+    // of every probe's candidate files ONCE with input_file_name, filter
+    // to the probe ids, and attribute hits back per (probe, file) — the
+    // per-probe sequential s.read.count() pattern would not survive a
+    // larger NProbes.
+    val verdicts = probeIds.map { case (i, p) =>
       val (w1, b1) = pos(1, p); val (w2, b2) = pos(2, p)
       def bloomHit(file: String): Boolean = {
         val words = blooms.getOrElse(file, Map.empty)
@@ -123,10 +129,19 @@ object Skipping {
         zones.find(z => z._2 == lang && z._5 == p / cellw).get._1
       }
       val noFalseNeg = trueFile.forall(tf => cand.exists(_._1 == tf))
-      val found =
-        if (cand.isEmpty) 0L
-        else s.read.parquet(cand.map(_._1): _*)
-          .filter(col("doc_id") === p).count()
+      (i, p, isPresent, minmax, cand, noFalseNeg)
+    }
+    val allCand = verdicts.flatMap(_._5.map(_._1)).distinct
+    // one physical job over the union of candidate files; hit rows are
+    // ≤ NProbes so the collect is metadata-sized
+    val hits: Set[(String, Long)] =
+      if (allCand.isEmpty) Set.empty
+      else s.read.parquet(allCand: _*)
+        .select(input_file_name().as("file"), col("doc_id"))
+        .filter(col("doc_id").isin(verdicts.map(_._2): _*))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val rows = verdicts.map { case (i, p, isPresent, minmax, cand, noFalseNeg) =>
+      val found = cand.count(z => hits.contains((z._1, p))).toLong
       val scanOk = found == (if (isPresent) 1L else 0L)
       (i, p, isPresent, zones.length.toLong, minmax.length.toLong,
         cand.length.toLong, if (isPresent) 1L else 0L, noFalseNeg, scanOk)

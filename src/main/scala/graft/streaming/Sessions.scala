@@ -580,6 +580,21 @@ object Sessions {
       .drop("__t", "__s")
   }
 
+  /** Streaming char-entropy gate — the continuous twin of q139: the
+    * SAME native [[graft.text.CharEntropyUnat]] codegen expression runs
+    * map-side on each arriving document (no state store, no watermark,
+    * batch-boundary independent BY CONSTRUCTION — the score is a pure
+    * per-row function), and the batch-calibrated micro-nat floor applies
+    * as a fixed integer threshold. Batch↔stream parity is INTEGER
+    * equality doc-for-doc (SessionsSpec replay), the dsirGateStream
+    * discipline: streaming and batch can never drift silently. */
+  def entropyGateStream(docs: DataFrame, textCol: String,
+      minUnat: Long): DataFrame =
+    docs
+      .withColumn("h_unat",
+        graft.text.Entropy.char_entropy_unat(col(textCol)))
+      .withColumn("keep", col("h_unat") >= lit(minUnat))
+
   case class HHIn(w: Long, term: String, ts: Timestamp)
   /** SpaceSaving counter state per open window: est counts + max
     * overcounts share the key set; total rides along for the guarantee

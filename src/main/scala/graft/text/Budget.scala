@@ -1,0 +1,199 @@
+package graft.text
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Training-mixture token budgeting (q140) — the allocator that decides
+  * how many tokens each SOURCE contributes to a training run: waterfill
+  * toward a uniform per-source level, capped by each source's available
+  * mass times a max-epoch bound (the "don't repeat a small source more
+  * than E times" rule every LLM data recipe carries — cf. the
+  * repetition-harm analyses of Muennighoff et al. 2023, "Scaling
+  * Data-Constrained Language Models", and the per-source epoch caps in
+  * the Pile / LLaMA mixture tables).
+  *
+  * Formally: caps c_s = E·tokens_s, budget B = (1/2)·E·Σtokens. The
+  * allocation is min(c_s, L*) with the WATER LEVEL
+  * L* = max{L ∈ ℤ : Σ_s min(c_s, L) ≤ B} — unique by monotonicity, and
+  * computable EXACTLY from the cap-sorted prefix sums: with caps
+  * c_1 ≤ … ≤ c_K and inclusive prefixes P_j, source j is saturated iff
+  * P_j + (K−j)·c_j ≤ B, and L* = (B − P_{j*}) div (K − j*) over the
+  * saturated count j* (all-integer; when every source saturates,
+  * allocation is the caps themselves). Both engines run the identical
+  * window algebra, so the gate is exact — no floats anywhere.
+  *
+  * Scale shape: the ONLY corpus-scale work is the per-source token
+  * count (one map-side-combined aggregate); the allocator itself runs
+  * on K rows (K = |sources|, here 20 — catalogs, not corpora) through
+  * two windows. At 100 TB identical: count, then O(K) math.
+  */
+object Budget {
+
+  private val MaxEpochs = 3L
+
+  /** The allocation frame (one row per source with tokens/cap/budget/
+    * level/alloc/saturated) — q140's output core, reused by q143's
+    * materialization step. */
+  private[graft] def allocations(s: SparkSession, dir: String): DataFrame = {
+    // corpus-scale half: per-source token counts, one agg
+    val tok = Tables.documentsFanned(s, dir)
+      .select(col("source"),
+        size(Cleanse.tokens(col("text"))).cast("long").as("tk"))
+      .groupBy(col("source")).agg(sum(col("tk")).as("tokens"))
+      .withColumn("cap", col("tokens") * MaxEpochs)
+    // allocator half: K rows, window algebra only
+    val wSort = Window.orderBy(col("cap"), col("source"))
+    val wPrefix = wSort.rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    val ranked = tok
+      // integer `div` throughout — Column./ is DOUBLE division in Spark
+      .withColumn("total_cap3", sum(col("tokens")).over(wAll) * MaxEpochs)
+      .withColumn("budget", expr("total_cap3 div 2"))
+      .withColumn("j", row_number().over(wSort))
+      .withColumn("pfx", sum(col("cap")).over(wPrefix))
+      .withColumn("k_total", count(lit(1)).over(wAll))
+      .withColumn("sat",
+        col("pfx") + (col("k_total") - col("j")) * col("cap") <= col("budget"))
+    val leveled = ranked
+      .withColumn("j_sat", sum(when(col("sat"), 1L).otherwise(0L)).over(wAll))
+      .withColumn("p_sat",
+        sum(when(col("sat"), col("cap")).otherwise(0L)).over(wAll))
+      .withColumn("max_cap", max(col("cap")).over(wAll))
+      .withColumn("level",
+        when(col("j_sat") === col("k_total"), col("max_cap"))
+          .otherwise(expr("(budget - p_sat) div (k_total - j_sat)")))
+      .withColumn("alloc", least(col("cap"), col("level")))
+      .withColumn("epochs_milli", expr("(alloc * 1000) div tokens"))
+    leveled.select(col("source"), col("tokens"), col("cap"), col("budget"),
+      col("level"), col("alloc"), col("sat").as("saturated"),
+      col("epochs_milli"))
+  }
+
+  def q140_token_waterfill(s: SparkSession, dir: String): DataFrame =
+    allocations(s, dir).orderBy(col("source"))
+
+  // ------------------------------------------- q143 mixture materialization
+  /** q143 closes q140's learn→apply loop: the allocation becomes an
+    * ACTUAL sampled corpus. Per source: `alloc div tokens` full epochs
+    * of the whole source, plus a deterministic hash-ordered document
+    * PREFIX consuming the remaining `alloc mod tokens` budget (greedy —
+    * a doc is kept while the running token total fits; the md5(doc_id)
+    * order is the house seeded-uniform, so the prefix is reproducible
+    * anywhere). Reports per source what a shard writer would need:
+    * kept docs/tokens per epoch tier and the utilization of the grant.
+    *
+    * Scale shape: one window per source over (source-hash-partitioned)
+    * docs for the running sum — a single shuffle; the allocation frame
+    * is broadcast. Epochs are ARITHMETIC (multiply by the full-epoch
+    * count), never a physical repeat — exactly how a manifest encodes
+    * multi-epoch sampling at 100 TB. */
+  def q143_mixture_materialize(s: SparkSession, dir: String): DataFrame = {
+    val alloc = allocations(s, dir)
+      .select(col("source"), col("tokens"), col("alloc"))
+    val docTok = Tables.documentsFanned(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(Cleanse.tokens(col("text"))).cast("long").as("tk"))
+    val wCum = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val marked = docTok
+      .join(broadcast(alloc), Seq("source"))
+      .withColumn("cum", sum(col("tk")).over(wCum))
+      .withColumn("rem", expr("alloc % tokens"))
+      .withColumn("in_prefix", col("cum") <= col("rem"))
+    marked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("tokens")).as("tokens"),
+        max(col("alloc")).as("alloc"),
+        sum(when(col("in_prefix"), 1L).otherwise(0L)).as("prefix_docs"),
+        sum(when(col("in_prefix"), col("tk")).otherwise(0L))
+          .as("prefix_tokens"))
+      .withColumn("full_epochs", expr("alloc div tokens"))
+      .withColumn("kept_docs",
+        col("full_epochs") * col("n_docs") + col("prefix_docs"))
+      .withColumn("kept_tokens",
+        col("full_epochs") * col("tokens") + col("prefix_tokens"))
+      .withColumn("utilization_permille",
+        expr("(kept_tokens * 1000) div alloc"))
+      .select(col("source"), col("n_docs"), col("tokens"), col("alloc"),
+        col("full_epochs"), col("prefix_docs"), col("prefix_tokens"),
+        col("kept_docs"), col("kept_tokens"), col("utilization_permille"))
+      .orderBy(col("source"))
+  }
+
+  /** The allocator CTE chain (tok → caps → ranked → sat → lv → fin),
+    * shared by the q140 gate and q143's materialization oracle. */
+  private lazy val waterfillCoreCtes: String =
+    s"""tok AS (SELECT source,
+       |    CAST(SUM(len(list_filter(string_split(trim(text), ' '),
+       |      t -> t <> ''))) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY 1),
+       |caps AS (SELECT source, tokens, tokens * $MaxEpochs AS cap FROM tok),
+       |ranked AS (SELECT *,
+       |    (SELECT SUM(tokens) * $MaxEpochs FROM caps) // 2 AS budget,
+       |    ROW_NUMBER() OVER (ORDER BY cap, source) AS j,
+       |    SUM(cap) OVER (ORDER BY cap, source
+       |      ROWS UNBOUNDED PRECEDING) AS pfx,
+       |    (SELECT COUNT(*) FROM caps) AS k_total
+       |  FROM caps),
+       |sat AS (SELECT *,
+       |    pfx + (k_total - j) * cap <= budget AS sat FROM ranked),
+       |lv AS (SELECT *,
+       |    (SELECT SUM(CASE WHEN sat THEN 1 ELSE 0 END) FROM sat) AS j_sat,
+       |    (SELECT SUM(CASE WHEN sat THEN cap ELSE 0 END) FROM sat) AS p_sat,
+       |    (SELECT MAX(cap) FROM sat) AS max_cap
+       |  FROM sat),
+       |fin AS (SELECT *,
+       |    CASE WHEN j_sat = k_total THEN max_cap
+       |      ELSE (budget - p_sat) // (k_total - j_sat) END AS level
+       |  FROM lv)""".stripMargin
+
+  private lazy val waterfillOracle: String =
+    s"""WITH $waterfillCoreCtes
+       |SELECT source, tokens, cap,
+       |  CAST(budget AS BIGINT) AS budget, CAST(level AS BIGINT) AS level,
+       |  CAST(least(cap, level) AS BIGINT) AS alloc, sat AS saturated,
+       |  CAST(least(cap, level) * 1000 // tokens AS BIGINT) AS epochs_milli
+       |FROM fin ORDER BY source""".stripMargin
+
+  private lazy val materializeOracle: String =
+    s"""WITH $waterfillCoreCtes,
+       |alc AS (SELECT source, tokens,
+       |    CAST(least(cap, level) AS BIGINT) AS alloc FROM fin),
+       |dt AS (SELECT source, doc_id,
+       |    CAST(len(list_filter(string_split(trim(text), ' '),
+       |      t -> t <> '')) AS BIGINT) AS tk
+       |  FROM documents),
+       |cum AS (SELECT d.source, d.tk, a.tokens, a.alloc,
+       |    CAST(SUM(d.tk) OVER (PARTITION BY d.source
+       |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM dt d JOIN alc a USING (source)),
+       |m AS (SELECT source, tokens, alloc,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN cum <= alloc % tokens THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS prefix_docs,
+       |    CAST(SUM(CASE WHEN cum <= alloc % tokens THEN tk ELSE 0 END)
+       |      AS BIGINT) AS prefix_tokens
+       |  FROM cum GROUP BY 1, 2, 3)
+       |SELECT source, n_docs, tokens, alloc,
+       |  CAST(alloc // tokens AS BIGINT) AS full_epochs,
+       |  prefix_docs, prefix_tokens,
+       |  CAST(alloc // tokens * n_docs + prefix_docs AS BIGINT) AS kept_docs,
+       |  CAST(alloc // tokens * tokens + prefix_tokens AS BIGINT)
+       |    AS kept_tokens,
+       |  CAST(((alloc // tokens * tokens + prefix_tokens) * 1000) // alloc
+       |    AS BIGINT) AS utilization_permille
+       |FROM m ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_token_waterfill" -> (q140_token_waterfill _),
+    "q143_mixture_materialize" -> (q143_mixture_materialize _))
+
+  val oracle: Map[String, String] = Map(
+    "q140_token_waterfill" -> waterfillOracle,
+    "q143_mixture_materialize" -> materializeOracle)
+}

@@ -1,0 +1,127 @@
+package graft.text
+
+import graft.Tables
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Character-entropy quality signal (q139) — the classic gibberish /
+  * base64-blob / repeated-filler detector in pretraining curation
+  * (low-entropy text is boilerplate or repetition; abnormally high is
+  * random blobs): Shannon entropy of the per-document character
+  * distribution, in MICRO-NATS so it hash-gates cross-engine.
+  *
+  * Identity used: H = ln(n) − (Σ_c cnt_c·ln(cnt_c)) / n. Each ln is
+  * integerized ONCE per distinct count (`round(1e6·ln x)` — the q125/
+  * q129 micro-nat discipline, same documented knife-edge class), so the
+  * per-doc sum is an exact BIGINT regardless of summation order, and the
+  * final value is one integer division.
+  *
+  * The engine path never explodes characters: `CharEntropyUnat` is a
+  * native codegen expression doing ONE pass over the string with a
+  * 128-slot ASCII fast path (HashMap fallback for supplementary code
+  * points) — per-row scalar work inside WholeStageCodegen, zero shuffle.
+  * The oracle is the explode→group→sum formulation over the same
+  * arithmetic; parity of the two shapes is exactly what the gate proves
+  * (EntropySpec additionally pins the kernel to a Spark-side explode
+  * twin). At 100 TB the expression path is the only sane one: the
+  * explode shape multiplies the shuffle by average document length.
+  */
+object EntropyKernel {
+  /** round(1e6·ln(x)) for x ≥ 1. */
+  private def iln(x: Long): Long = math.round(1e6 * math.log(x.toDouble))
+
+  /** Per-CODE-POINT entropy in micro-nats; 0 for empty/null-length
+    * strings. Counts Unicode code points (matches DuckDB's
+    * `string_split(text, '')` and Spark's `length()`). */
+  def charEntropyUnat(u: UTF8String): Long = {
+    val s = u.toString
+    if (s.isEmpty) return 0L
+    val ascii = new Array[Long](128)
+    var other: java.util.HashMap[Integer, Long] = null
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp < 128) ascii(cp) += 1
+      else {
+        if (other == null) other = new java.util.HashMap[Integer, Long]()
+        other.merge(cp, 1L, (a, b) => a + b)
+      }
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var sum = 0L
+    var c = 0
+    while (c < 128) {
+      val cnt = ascii(c)
+      if (cnt > 0) sum += cnt * iln(cnt)
+      c += 1
+    }
+    if (other != null) {
+      val it = other.values().iterator()
+      while (it.hasNext) { val cnt = it.next(); sum += cnt * iln(cnt) }
+    }
+    iln(n) - sum / n
+  }
+}
+
+/** `char_entropy_unat(str)` — see [[EntropyKernel]]. Null-safe, codegen'd
+  * via a static kernel call (stays inside WholeStageCodegen). */
+case class CharEntropyUnat(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "char_entropy_unat"
+  override protected def nullSafeEval(input: Any): Any =
+    EntropyKernel.charEntropyUnat(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.EntropyKernel.charEntropyUnat($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyUnat =
+    copy(child = newChild)
+}
+
+object Entropy {
+
+  def char_entropy_unat(c: Column): Column =
+    GraftSqlBridge.column(CharEntropyUnat(GraftSqlBridge.expression(c)))
+
+  /** Below ~2.8 nats a document in this corpus is in the repetitive tail
+    * (p10 ≈ 2.77 nats measured at sf0.01); English-like text runs
+    * ≈ 2.8-3.0 nats of character entropy. */
+  private val LowEntropyUnat = 2800000L
+
+  def q139_char_entropy(s: SparkSession, dir: String): DataFrame =
+    Tables.documentsFanned(s, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_text"),
+        char_entropy_unat(col("text")).as("h_unat"))
+      .withColumn("low_entropy", col("h_unat") < LowEntropyUnat)
+      .orderBy(col("doc_id"))
+
+  private lazy val entropyOracle: String =
+    s"""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+       |  FROM documents),
+       |cc AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM ch GROUP BY 1, 2),
+       |agg AS (SELECT doc_id, SUM(cnt) AS n,
+       |    SUM(cnt * CAST(round(1000000.0 * ln(cnt)) AS BIGINT)) AS sm
+       |  FROM cc GROUP BY 1),
+       |h AS (SELECT d.doc_id,
+       |    CAST(length(d.text) AS BIGINT) AS n_chars_text,
+       |    CAST(CASE WHEN a.n IS NULL OR a.n = 0 THEN 0
+       |      ELSE CAST(round(1000000.0 * ln(a.n)) AS BIGINT) - sm // a.n
+       |    END AS BIGINT) AS h_unat
+       |  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id)
+       |SELECT doc_id, n_chars_text, h_unat,
+       |  h_unat < $LowEntropyUnat AS low_entropy
+       |FROM h ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_char_entropy" -> (q139_char_entropy _))
+
+  val oracle: Map[String, String] = Map(
+    "q139_char_entropy" -> entropyOracle)
+}

@@ -85,6 +85,19 @@ object Retrieval {
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(idf.select(col("term"), col("idf_unat"),
         col("n_docs"), col("sum_dl"))), Seq("term"))
+      // overflow guard (round-14, advice item): the impact numerator
+      // idf_unat·44·tf·sum_dl must stay under 2^63 or ranks corrupt
+      // SILENTLY (BIGINT wrap). Fail loudly per row instead: one integer
+      // division per posting, codegen'd, keeps every row when honest.
+      // The documented fix at the scale where this fires is the
+      // DECIMAL(38,0) swap (see scaladoc above). Shaped as a filter so
+      // column pruning can't drop the assertion.
+      .filter(coalesce(
+        assert_true(col("idf_unat") <=
+          lit(Long.MaxValue) / (lit(44L) * col("tf") * col("sum_dl")),
+          lit("BM25 impact product would overflow BIGINT: swap the " +
+            "impact expression to DECIMAL(38,0) at this corpus scale")),
+        lit(true)))
       .withColumn("impact_unat", expr(
         """(idf_unat * (44L * tf * sum_dl)) div
           |(20L * tf * sum_dl + 6L * sum_dl + 18L * dl * n_docs)"""

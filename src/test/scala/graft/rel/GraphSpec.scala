@@ -1,0 +1,63 @@
+package graft.rel
+
+import graft.text.SparkTestSession
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q138 integer PageRank: the distributed power iteration must equal an
+  * in-memory reference running the IDENTICAL scaled-integer update rule,
+  * and structural symmetries must come out exact (the point of integer
+  * arithmetic — float PageRank only matches such symmetries to ulps). */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val Mass = 1000000000000L
+
+  /** In-memory twin of Graph.pagerankRanks' update rule. */
+  private def reference(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).map { case (k, es) => k -> es.size.toLong }
+    val n = deg.size
+    val init = Mass / n
+    val base = (15L * init) / 100L
+    var r = deg.keys.map(_ -> init).toMap
+    (1 to iters).foreach { _ =>
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
+      }
+      r = in.map { case (node, s) => node -> (base + (85L * s) / 100L) }
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    val df = edges.toDF("src", "dst")
+    Graph.pagerankRanks(df, iters)._1.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("path graph A-B-C: distributed == in-memory reference, ends symmetric") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+    val got = run(edges, 5)
+    assert(got == reference(edges, 5))
+    assert(got(1L) == got(3L), "symmetric endpoints must tie EXACTLY")
+    assert(got(2L) > got(1L), "the hub must outrank the leaves")
+  }
+
+  test("star graph: hub dominates, leaves tie exactly, mass bounded") {
+    val leaves = (2L to 6L)
+    val edges = leaves.flatMap(l => Seq((1L, l), (l, 1L)))
+    val got = run(edges, 4)
+    assert(got == reference(edges, 4))
+    assert(leaves.map(got).toSet.size == 1, "all leaves identical")
+    assert(got(1L) > got(2L))
+    // floors only ever LEAK mass: total never exceeds the initial mass
+    assert(got.values.sum <= Mass)
+  }
+
+  test("two disconnected pairs rank identically (no cross-component leakage)") {
+    val edges = Seq((1L, 2L), (2L, 1L), (10L, 11L), (11L, 10L))
+    val got = run(edges, 5)
+    assert(got == reference(edges, 5))
+    assert(got.values.toSet.size == 1, "four symmetric nodes, one rank value")
+  }
+}

@@ -849,6 +849,42 @@ class SessionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming entropy gate: integer parity with q139 doc-for-doc") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.text.Entropy.q139_char_entropy(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(batch.nonEmpty)
+    // batch calibrates the floor (median — any fixed integer works)
+    val floor = batch.values.toSeq.sorted.apply(batch.size / 2)
+    val corpus = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q = Sessions.entropyGateStream(
+      input.toDF().toDF("doc_id", "text"), "text", floor)
+      .writeStream.format("memory").queryName("entropy_out")
+      .outputMode("append").start()
+    try {
+      // 3-batch replay: stateless gate, batch boundaries invisible
+      corpus.grouped(math.max(1, corpus.length / 3)).foreach { g =>
+        input.addData(g.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("entropy_out").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("h_unat"), r.getAs[Boolean]("keep"))).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (id, (h, keep)) =>
+        assert(h == batch(id),
+          s"doc $id: streamed $h != batch ${batch(id)} — the kernel is " +
+            "a pure per-row function; any drift is a bug")
+        assert(keep == (h >= floor))
+      }
+    } finally q.stop()
+  }
+
   test("idempotent foreachBatch: a replayed batch id never re-runs the handler") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

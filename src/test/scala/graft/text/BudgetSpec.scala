@@ -1,0 +1,67 @@
+package graft.text
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q140 waterfill: the allocation must be the UNIQUE maximal uniform
+  * level — checked against the definition directly, not a reimplementation. */
+class BudgetSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("waterfill: feasible, maximal, cap-consistent, epoch-bounded") {
+    val out = Budget.q140_token_waterfill(spark, sf).collect().map { r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6), r.getLong(7))
+    }
+    assert(out.nonEmpty)
+    val budget = out.head._4
+    val level = out.head._5
+    assert(out.forall(_._4 == budget) && out.forall(_._5 == level),
+      "budget and level are corpus-global scalars")
+    val caps = out.map(_._3)
+    // feasibility: Σ alloc ≤ B, and alloc = min(cap, L) exactly
+    assert(out.map(_._6).sum <= budget)
+    out.foreach { case (_, _, cap, _, lv, alloc, sat, _) =>
+      assert(alloc == math.min(cap, lv))
+      assert(sat == (alloc == cap), "saturated ⇔ allocation hit the cap")
+    }
+    // maximality: raising the level by 1 must bust the budget
+    // (unless every source is already saturated)
+    if (!out.forall(_._7)) {
+      val atPlus1 = caps.map(c => math.min(c, level + 1)).sum
+      assert(atPlus1 > budget, "L is not maximal")
+    }
+    // epoch bound: allocation never exceeds MaxEpochs (cap = 3·tokens)
+    out.foreach { case (_, tokens, cap, _, _, alloc, _, epochsMilli) =>
+      assert(cap == tokens * 3)
+      assert(epochsMilli <= 3000L)
+      assert(epochsMilli == alloc * 1000 / tokens)
+    }
+  }
+
+  test("q143 materialization: never overdraws the grant, prefix is tight") {
+    val alloc = Budget.q140_token_waterfill(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(5)).toMap
+    val out = Budget.q143_mixture_materialize(spark, sf).collect().map { r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9))
+    }
+    assert(out.map(_._1).toSet == alloc.keySet, "one row per source")
+    out.foreach { case (src, nDocs, tokens, grant, fullEpochs, prefixDocs,
+        prefixTokens, keptDocs, keptTokens, utilPermille) =>
+      assert(grant == alloc(src), "materialization must use q140's grants")
+      assert(keptTokens <= grant, s"$src overdraws: $keptTokens > $grant")
+      assert(fullEpochs == grant / tokens)
+      assert(prefixTokens <= grant % tokens, "prefix exceeds the remainder")
+      assert(keptDocs == fullEpochs * nDocs + prefixDocs)
+      assert(keptTokens == fullEpochs * tokens + prefixTokens)
+      assert(utilPermille == keptTokens * 1000 / grant)
+      // saturated sources (grant = 3·tokens) consume exactly 3 epochs
+      if (grant == tokens * 3) {
+        assert(fullEpochs == 3 && prefixDocs == 0 && keptTokens == grant)
+      }
+    }
+  }
+}
