@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
     ext.injectOptimizerRule(_ => plans.BoundedLevenshtein)
+    ext.injectOptimizerRule(_ => plans.JaroPrefilter)
     ext.injectPlannerStrategy(_ => plans.AsofStrategy)
   }
 }
@@ -62,6 +63,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(plans.BoundedLevenshtein))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ plans.BoundedLevenshtein
+    if (!spark.experimental.extraOptimizations.contains(plans.JaroPrefilter))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ plans.JaroPrefilter
     if (!spark.experimental.extraStrategies.contains(plans.AsofStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ plans.AsofStrategy

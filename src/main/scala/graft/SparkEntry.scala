@@ -21,7 +21,7 @@ object SparkEntry {
     rel.Relational.queries ++ rel.Behavior.queries ++
       rel.Linkage.queries ++ rel.Graph.queries ++
       text.TextOps.queries ++ text.Tokenize.queries ++
-      text.Entropy.queries ++ text.Budget.queries ++
+      text.Entropy.queries ++ text.Budget.queries ++ text.Overlap.queries ++
       text.CorpusFilters.queries ++ text.Retrieval.queries ++
       ml.Vocab.queries ++ ml.Hdr.queries ++
       ml.Similarity.queries ++ ml.Lda.queries ++ ml.Bloom.queries ++
@@ -33,7 +33,7 @@ object SparkEntry {
     rel.Relational.oracle ++ rel.Behavior.oracle ++
       rel.Linkage.oracle ++ rel.Graph.oracle ++
       text.TextOps.oracle ++ text.Tokenize.oracle ++
-      text.Entropy.oracle ++ text.Budget.oracle ++
+      text.Entropy.oracle ++ text.Budget.oracle ++ text.Overlap.oracle ++
       text.CorpusFilters.oracle ++ text.Retrieval.oracle ++
       ml.Vocab.oracle ++ ml.Hdr.oracle ++
       ml.Similarity.oracle ++ ml.Bloom.oracle ++ ml.Quantize.oracle ++

@@ -51,11 +51,15 @@ object Linkage {
         col("a.tok") === col("b.tok") && col("a.p_name") =!= col("b.p_name"))
       .select(col("a.p_name").as("p_name"), col("b.p_name").as("cand"))
       .distinct()
+    // threshold on the raw comparator (JaroPrefilter rewrites this to
+    // length-guard ∧ jw — LinkageSpec asserts the rewrite in THIS plan);
+    // the gated output column is the micro-quantized score
     val scored = cand
+      .filter(TextFunctions.jaro_winkler(col("p_name"), col("cand")) >=
+        lit(JwFloor.toDouble / 1e6))
       .withColumn("jw_u",
         round(TextFunctions.jaro_winkler(col("p_name"), col("cand")) * 1e6)
           .cast("long"))
-      .filter(col("jw_u") >= JwFloor)
     val w = Window.partitionBy(col("p_name"))
       .orderBy(col("jw_u").desc, col("cand"))
     val best = scored.withColumn("rk", row_number().over(w))
@@ -79,11 +83,12 @@ object Linkage {
        |sc AS (SELECT p_name, cand,
        |    CAST(round(jaro_winkler_similarity(p_name, cand) * 1000000)
        |      AS BIGINT) AS jw_u
-       |  FROM cand),
+       |  FROM cand
+       |  WHERE jaro_winkler_similarity(p_name, cand) >= 0.9),
        |best AS (SELECT p_name, cand AS best_match, jw_u,
        |    ROW_NUMBER() OVER (PARTITION BY p_name
        |      ORDER BY jw_u DESC, cand) AS rk
-       |  FROM sc WHERE jw_u >= $JwFloor)
+       |  FROM sc)
        |SELECT p.p_partkey, p.p_name, n.n_same, b.best_match, b.jw_u
        |FROM part p JOIN names n USING (p_name)
        |JOIN best b ON b.p_name = p.p_name AND b.rk = 1

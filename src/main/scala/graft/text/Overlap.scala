@@ -1,0 +1,96 @@
+package graft.text
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Eval-set n-gram decontamination (q144) — the published GPT-3 /
+  * Pile-style overlap rule (Brown et al. 2020 appendix C; Gao et al.
+  * 2020): a training document is CONTAMINATED if it shares any n-gram
+  * with a held-out evaluation document. This is the fuzzy complement of
+  * the exact-hash Bloom decontamination (q52/q80): exact matching misses
+  * quotations/partial copies; n-gram overlap catches them.
+  *
+  * Fixture: the eval set is the deterministic md5(doc_id) 1-in-8 slice
+  * (the q87b/q117 split discipline — exactly reproducible in SQL); n = 5
+  * token-grams (the corpus' docs are hundreds of tokens, so 5-grams are
+  * discriminative the way 13-grams are on real text). Output is
+  * per-TRAINING-doc: gram counts, DISTINCT overlapping grams, and the
+  * contamination flag — the audit a decontamination pass must emit
+  * before it deletes anything.
+  *
+  * Scale shape: eval grams are one distinct projection of the (small)
+  * eval slice; the overlap is a hash semi-join keyed on the gram — the
+  * inverted-index access path again, with map-side partial distinct on
+  * (doc, gram). At 100 TB the eval side is ~10^6 grams (eval suites are
+  * small by construction) — broadcastable, and the documented downgrade
+  * is a Bloom of eval grams probed map-side (q80's shape) when even
+  * that is too wide: a Bloom false positive only flags an extra doc for
+  * review, never drops eval coverage. */
+object Overlap {
+
+  private val N = 5
+
+  private def gramFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.documentsFanned(s, dir)
+      .select(col("doc_id"), Cleanse.tokens(col("text")).as("t"))
+      // guard BEFORE the transform: Spark's sequence(1, 0) steps DOWN
+      // ([1,0]), so a short doc would emit junk grams instead of none
+      .filter(size(col("t")) >= N)
+      .withColumn("is_eval",
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1),
+          16, 10).cast("int") % 8 === 0)
+      .select(col("doc_id"), col("is_eval"), explode(expr(
+        s"""transform(sequence(1, greatest(size(t) - ${N - 1}, 0)),
+           |  i -> concat_ws(' ', element_at(t,i), element_at(t,i+1),
+           |    element_at(t,i+2), element_at(t,i+3), element_at(t,i+4)))"""
+          .stripMargin.replace('\n', ' '))).as("g"))
+
+  def q144_ngram_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val grams = gramFrame(s, dir)
+    val evalGrams = grams.filter(col("is_eval"))
+      .select(col("g")).distinct()
+    val train = grams.filter(!col("is_eval"))
+      .select(col("doc_id"), col("g")).distinct()
+    val hits = train.join(evalGrams, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit_grams"))
+    train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"))
+      .withColumn("contaminated", col("n_hit_grams") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val overlapOracle: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |    list_filter(string_split(trim(text), ' '), t -> t <> '') AS t,
+       |    (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS INT)
+       |      % 8 = 0) AS is_eval
+       |  FROM documents
+       |  WHERE len(list_filter(string_split(trim(text), ' '),
+       |    t -> t <> '')) >= $N),
+       |grams AS (SELECT doc_id, is_eval, unnest(
+       |    list_transform(range(1, greatest(len(t) - ${N - 1}, 0) + 1),
+       |      i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])))
+       |    AS g
+       |  FROM toks),
+       |ev AS (SELECT DISTINCT g FROM grams WHERE is_eval),
+       |tr AS (SELECT DISTINCT doc_id, g FROM grams WHERE NOT is_eval),
+       |hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_grams
+       |  FROM tr WHERE g IN (SELECT g FROM ev) GROUP BY 1),
+       |base AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+       |  FROM tr GROUP BY 1)
+       |SELECT b.doc_id, b.n_grams,
+       |  COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
+       |  COALESCE(h.n_hit_grams, 0) > 0 AS contaminated
+       |FROM base b LEFT JOIN hits h USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+
+  // ------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_ngram_decontaminate" -> (q144_ngram_decontaminate _))
+
+  val oracle: Map[String, String] = Map(
+    "q144_ngram_decontaminate" -> overlapOracle)
+}

@@ -1,0 +1,44 @@
+package graft.text
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q144 eval-set decontamination vs an in-memory brute-force twin. */
+class OverlapSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("n-gram overlap equals the brute-force twin; eval slice is the md5 rule") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def toks(t: String): Seq[String] =
+      t.trim.split(" ").filter(_.nonEmpty).toSeq
+    val withGrams = docs.map { case (id, text) =>
+      (id, Integer.parseInt(md5hex(id.toString).substring(0, 1), 16) % 8 == 0,
+        toks(text).sliding(5).filter(_.size == 5)
+          .map(_.mkString(" ")).toSet)
+    }.filter(_._3.nonEmpty)
+    val evalGrams = withGrams.filter(_._2).flatMap(_._3).toSet
+    val expected = withGrams.filterNot(_._2).map { case (id, _, gs) =>
+      id -> (gs.size.toLong, gs.count(evalGrams).toLong)
+    }.toMap
+    val got = Overlap.q144_ngram_decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got.keySet == expected.keySet,
+      "training docs with >= 1 gram must appear exactly once")
+    got.foreach { case (id, (n, hits, flag)) =>
+      val (en, ehits) = expected(id)
+      assert(n == en, s"doc $id gram count")
+      assert(hits == ehits, s"doc $id hit count")
+      assert(flag == (hits > 0))
+    }
+    // the fixture must exercise BOTH outcomes or the gate is vacuous
+    assert(got.values.exists(_._3) && got.values.exists(!_._3),
+      "need contaminated AND clean docs in the fixture")
+  }
+}
