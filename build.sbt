@@ -33,8 +33,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // classes; the default 240 MB code cache fills mid-sequence and the
   // JVM's silent flush→re-JIT churn inflated EXECUTOR CPU 8x on identical
   // stages late in the run (q55 taskTime 25s -> 208s, gc ~0 — the diag
-  // listener's signature). 1 GiB keeps every hot compilation resident.
-  "-XX:ReservedCodeCacheSize=1g",
+  // listener's signature). 1 GiB helped but the round-14 diag still saw
+  // the signature on q70's in-sequence runs (taskTime 71s -> 232s, gc ~0,
+  // same 33 stages) with ~157 queries x 2-5 runs compiled; 2 GiB of
+  // reserved (virtual, committed on use) costs nothing on a 128 GiB host.
+  "-XX:ReservedCodeCacheSize=2g",
   // 16g default: the 8g heap let old-gen pressure from earlier queries in
   // a long run distort later per-query timings (observed 2.5s -> 79s on a
   // percentile-buffer agg mid-bench); the host has 128 GiB

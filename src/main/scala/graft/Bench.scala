@@ -159,7 +159,13 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       System.gc()
-      val times = Seq.fill(if (multiJobQueries(name)) 3 else 2)(once())
+      // median-of-5 for the multi-job set since round 14: the round-13
+      // official run medianed q73 at 33s against a 2.7-5s isolated time —
+      // diag showed executor CPU itself inflated ~6x (gc≈0, same stages),
+      // i.e. an external-contention PHASE spanning consecutive runs.
+      // Three samples lose the median to any 2-run phase; five need a
+      // ~4-run phase to corrupt, at ~+40s total bench cost.
+      val times = Seq.fill(if (multiJobQueries(name)) 5 else 2)(once())
       name -> (if (times.exists(_ < 0)) -1.0
         else if (multiJobQueries(name)) times.sorted.apply(times.size / 2)
         else times.min)
