@@ -1,0 +1,114 @@
+package graft.rel
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Declarative data-quality expectations (q146) — the Deequ model
+  * (Schelter et al. VLDB 2018, "Automating Large-Scale Data Quality
+  * Verification") in relational form: a constraint suite over `lineitem`
+  * evaluated in as few passes as the constraint classes allow, emitting
+  * one audit row per constraint: the measured violation count, the
+  * checked population, and the verdict.
+  *
+  * Constraint classes and their physical shapes:
+  *  - SCALAR metrics (completeness, domain membership, range) — ALL fold
+  *    into ONE map-side-combined aggregate over the fact scan: adding a
+  *    constraint of this class costs one more aggregate expression, not
+  *    another pass. This is the Deequ insight: metrics are aggregates,
+  *    so a suite is one job.
+  *  - UNIQUENESS — one hash aggregate on the key (count of keys seen
+  *    more than once).
+  *  - REFERENTIAL integrity — one anti-join against the parent keys
+  *    (broadcast when the parent key set is small; here orders is the
+  *    parent so it stays a shuffled semi-structure at scale).
+  *
+  * Everything is exact integer counting — no float metrics, so the
+  * report hash-gates cross-engine with zero tolerance.
+  */
+object Expectations {
+
+  def q146_expectations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    // class 1: every scalar metric in ONE aggregate pass
+    val scalars = li.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("null_qty"),
+      sum(when(col("l_extendedprice").isNull, 1L).otherwise(0L)).as("null_price"),
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+        .otherwise(0L)).as("range_qty"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+        .otherwise(0L)).as("range_disc"),
+      sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L)
+        .otherwise(0L)).as("domain_flag"),
+      sum(when(!col("l_linestatus").isin("O", "F"), 1L)
+        .otherwise(0L)).as("domain_status"))
+    // class 2: key uniqueness (one hash agg on the key)
+    val dupKeys = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .agg(coalesce(sum(col("c")), lit(0L)).as("dup_rows"),
+        count(lit(1)).as("dup_keys"))
+    // class 3: referential integrity (anti-join to the parent)
+    val orphans = li.select(col("l_orderkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_rows"))
+    val m = scalars.crossJoin(dupKeys).crossJoin(orphans).head()
+    def row(name: String, violations: Long, population: Long) =
+      (name, violations, population, violations == 0L)
+    val nRows = m.getAs[Long]("n_rows")
+    Seq(
+      row("complete_l_quantity", m.getAs[Long]("null_qty"), nRows),
+      row("complete_l_extendedprice", m.getAs[Long]("null_price"), nRows),
+      row("range_l_quantity_1_50", m.getAs[Long]("range_qty"), nRows),
+      row("range_l_discount_0_0.1", m.getAs[Long]("range_disc"), nRows),
+      row("domain_l_returnflag_ANR", m.getAs[Long]("domain_flag"), nRows),
+      row("domain_l_linestatus_OF", m.getAs[Long]("domain_status"), nRows),
+      row("unique_orderkey_linenumber", m.getAs[Long]("dup_rows"), nRows),
+      row("ref_l_orderkey_in_orders", m.getAs[Long]("orphan_rows"), nRows))
+      .toDF("check_name", "violations", "population", "passed")
+      .orderBy(col("check_name"))
+  }
+
+  private lazy val expectationsOracle: String =
+    s"""WITH sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS null_qty,
+       |    CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS null_price,
+       |    CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS range_qty,
+       |    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS range_disc,
+       |    CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R')
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS domain_flag,
+       |    CAST(SUM(CASE WHEN l_linestatus NOT IN ('O','F')
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS domain_status
+       |  FROM lineitem),
+       |dup AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS dup_rows
+       |  FROM (SELECT COUNT(*) AS c FROM lineitem
+       |    GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1) t),
+       |orph AS (SELECT CAST(COUNT(*) AS BIGINT) AS orphan_rows
+       |  FROM lineitem l WHERE NOT EXISTS
+       |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+       |rows_out(check_name, violations) AS (
+       |  SELECT 'complete_l_quantity', null_qty FROM sc
+       |  UNION ALL SELECT 'complete_l_extendedprice', null_price FROM sc
+       |  UNION ALL SELECT 'range_l_quantity_1_50', range_qty FROM sc
+       |  UNION ALL SELECT 'range_l_discount_0_0.1', range_disc FROM sc
+       |  UNION ALL SELECT 'domain_l_returnflag_ANR', domain_flag FROM sc
+       |  UNION ALL SELECT 'domain_l_linestatus_OF', domain_status FROM sc
+       |  UNION ALL SELECT 'unique_orderkey_linenumber', dup_rows FROM dup
+       |  UNION ALL SELECT 'ref_l_orderkey_in_orders', orphan_rows FROM orph)
+       |SELECT check_name, violations,
+       |  (SELECT n_rows FROM sc) AS population, violations = 0 AS passed
+       |FROM rows_out ORDER BY check_name""".stripMargin
+
+  // ------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_expectations" -> (q146_expectations _))
+
+  val oracle: Map[String, String] = Map(
+    "q146_expectations" -> expectationsOracle)
+}

@@ -59,7 +59,23 @@ object Retrieval {
     * top-10; the RRF fusion (q136) consumes the top-20 leg. */
   private def bm25Ranked(s: SparkSession, dir: String, k: Int): DataFrame = {
     import s.implicits._
-    val toks = docToks(s, dir)
+    val qterms = Bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("qid", "term")
+    bm25RankedFor(s, dir, k, qterms)
+  }
+
+  /** Same chain over an ARBITRARY (qid, term) frame — the round-2 leg of
+    * the PRF expansion (q147) feeds a derived term set through here. */
+  private def bm25RankedFor(s: SparkSession, dir: String, k: Int,
+      qterms: DataFrame): DataFrame =
+    bm25RankedOn(docToks(s, dir), k, qterms)
+
+  /** The chain over a CALLER-OWNED token frame, so multi-round consumers
+    * (q147) tokenize the corpus once — the "postings materialize once"
+    * discipline the scaladoc promises. */
+  private def bm25RankedOn(toks: DataFrame, k: Int,
+      qterms: DataFrame): DataFrame = {
     // postings: one row per (doc, term) with tf; dl rides along so the
     // scoring join needs no per-doc side table
     val posts = toks
@@ -69,9 +85,6 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"))
     val stats = toks.agg(count(lit(1)).as("n_docs"),
       sum(size(col("t"))).as("sum_dl"))
-    val qterms = Bm25Queries
-      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
-      .toDF("qid", "term")
     // df over the query vocabulary only — postings are unique per
     // (doc, term) so df is a plain count
     val dfT = posts
@@ -203,6 +216,62 @@ object Retrieval {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // ------------------------------------------- q147 PRF query expansion
+  private val PrfFeedbackK = 10 // feedback depth
+  private val PrfExpTerms = 3 // expansion terms per query
+  private val PrfMinFbDf = 2 // a feedback term must appear in >= 2 fb docs
+
+  /** Pseudo-relevance-feedback query expansion (q147) — RM3-lite
+    * (Lavrenko & Croft SIGIR 2001 relevance models; the Rocchio/RM3
+    * two-pass recipe every Lucene/Anserini deployment ships): run the
+    * BM25 round, mine the top-[[PrfFeedbackK]] documents of each query
+    * for the [[PrfExpTerms]] most frequent non-query terms (by
+    * feedback-document frequency, lexicographic tiebreak, minimum
+    * [[PrfMinFbDf]] — all integer ranking, no float term weights), then
+    * re-run BM25 with the expanded term set. Output: the final top-10
+    * per query with the expansion terms carried as a sorted
+    * comma-joined audit column.
+    *
+    * Scale shape: both rounds are the q129 posting-join plan (corpus
+    * touched once per round — and at 100 TB the postings TABLE is
+    * materialized once, making round 2 a second probe, not a second
+    * scan); the feedback mining is top-k·|queries| rows joined to the
+    * token table on doc_id. The oracle replays BOTH rounds — the
+    * derived expansion terms are recomputed in SQL, so a drift in
+    * either round or in the mining rule fails the hash. */
+  def q147_prf_expansion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qterms = Bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("qid", "term")
+    // one tokenize pass feeds round 1, the feedback mining, and round 2
+    val toks = docToks(s, dir).localCheckpoint()
+    val fbDocs = bm25RankedOn(toks, PrfFeedbackK, qterms)
+      .select(col("qid"), col("doc_id"))
+    // feedback-document frequency per (qid, term), original terms out
+    val fbTerms = fbDocs
+      .join(toks, Seq("doc_id"))
+      .select(col("qid"), col("doc_id"), explode(col("t")).as("term"))
+      .distinct()
+      .groupBy(col("qid"), col("term")).agg(count(lit(1)).as("fb_df"))
+      .join(qterms, Seq("qid", "term"), "left_anti")
+      .filter(col("fb_df") >= PrfMinFbDf)
+    val wExp = Window.partitionBy(col("qid"))
+      .orderBy(col("fb_df").desc, col("term"))
+    val expTerms = fbTerms.withColumn("rk", row_number().over(wExp))
+      .filter(col("rk") <= PrfExpTerms)
+      .select(col("qid"), col("term"))
+    val expanded = qterms.unionByName(expTerms).distinct()
+    val audit = expTerms.groupBy(col("qid"))
+      .agg(array_join(array_sort(collect_set(col("term"))), ",")
+        .as("exp_terms"))
+    bm25RankedOn(toks, 10, expanded)
+      .join(broadcast(audit), Seq("qid"), "left")
+      .select(col("qid"), col("rank"), col("doc_id"), col("n_terms_hit"),
+        col("score_unat"), coalesce(col("exp_terms"), lit("")).as("exp_terms"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
 
@@ -212,28 +281,39 @@ object Retrieval {
 
   /** The BM25 CTE chain (toks → postings → idf → scores → ranks),
     * shared by the q129 gate and the q136 fusion leg. */
-  private lazy val bm25CoreCtes: String =
+  /** The corpus-side CTEs (toks/postings/stats) every BM25 leg shares. */
+  private lazy val bm25BaseCtes: String =
     s"""toks AS (SELECT doc_id, $DToks AS t FROM documents),
        |posts AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
        |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
        |  FROM posts GROUP BY 1, 2, 3),
        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-       |    CAST(SUM(len(t)) AS BIGINT) AS sum_dl FROM toks),
-       |q(qid, term) AS (VALUES $bm25Values),
-       |dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf
-       |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
-       |idf AS (SELECT term, CAST(round(1000000.0 *
+       |    CAST(SUM(len(t)) AS BIGINT) AS sum_dl FROM toks)""".stripMargin
+
+  /** The scoring CTE chain (df → idf → scores → ranks) parameterized on
+    * the query-term relation `$qname(qid, term)` and a suffix for CTE
+    * names, so q147's round-2 leg can re-instantiate it over a DERIVED
+    * term set within one statement. */
+  private def bm25ScoringCtes(qname: String, x: String): String =
+    s"""dft$x AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+       |  WHERE term IN (SELECT DISTINCT term FROM $qname) GROUP BY term),
+       |idf$x AS (SELECT term, CAST(round(1000000.0 *
        |      ln((2.0 * n_docs + 2.0) / (2 * df + 1))) AS BIGINT) AS idf_unat
-       |  FROM dft, stats),
-       |sc AS (SELECT qid, doc_id,
+       |  FROM dft$x, stats),
+       |sc$x AS (SELECT qid, doc_id,
        |    CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
        |    CAST(SUM((idf_unat * (44 * tf * sum_dl)) //
        |      (20 * tf * sum_dl + 6 * sum_dl + 18 * dl * n_docs))
        |      AS BIGINT) AS score_unat
-       |  FROM tf JOIN q USING (term) JOIN idf USING (term), stats
+       |  FROM tf JOIN $qname USING (term) JOIN idf$x USING (term), stats
        |  GROUP BY 1, 2),
-       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-       |    ORDER BY score_unat DESC, doc_id) AS rank FROM sc)""".stripMargin
+       |r$x AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY score_unat DESC, doc_id) AS rank FROM sc$x)""".stripMargin
+
+  private lazy val bm25CoreCtes: String =
+    s"""$bm25BaseCtes,
+       |q(qid, term) AS (VALUES $bm25Values),
+       |${bm25ScoringCtes("q", "")}""".stripMargin
 
   private lazy val bm25Oracle: String =
     s"""WITH $bm25CoreCtes
@@ -294,14 +374,41 @@ object Retrieval {
        |FROM fr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
   }
 
+  private lazy val prfOracle: String =
+    s"""WITH $bm25CoreCtes,
+       |fb AS (SELECT qid, doc_id FROM r WHERE rank <= $PrfFeedbackK),
+       |fbt AS (SELECT f.qid, t.term, CAST(COUNT(*) AS BIGINT) AS fb_df
+       |  FROM fb f JOIN (SELECT DISTINCT doc_id, unnest(t) AS term
+       |    FROM toks) t ON t.doc_id = f.doc_id
+       |  GROUP BY 1, 2),
+       |cand AS (SELECT fbt.* FROM fbt
+       |  WHERE fb_df >= $PrfMinFbDf AND NOT EXISTS (SELECT 1 FROM q
+       |    WHERE q.qid = fbt.qid AND q.term = fbt.term)),
+       |expt AS (SELECT qid, term FROM (SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY qid ORDER BY fb_df DESC, term) AS rk FROM cand) z
+       |  WHERE rk <= $PrfExpTerms),
+       |q2 AS (SELECT DISTINCT qid, term FROM
+       |  (SELECT qid, term FROM q UNION ALL SELECT qid, term FROM expt) u),
+       |${bm25ScoringCtes("q2", "2")},
+       |audit AS (SELECT qid, string_agg(term, ',' ORDER BY term)
+       |    AS exp_terms
+       |  FROM expt GROUP BY qid)
+       |SELECT CAST(r2.qid AS INTEGER) AS qid,
+       |  CAST(r2.rank AS INTEGER) AS rank, r2.doc_id, r2.n_terms_hit,
+       |  r2.score_unat, COALESCE(a.exp_terms, '') AS exp_terms
+       |FROM r2 LEFT JOIN audit a ON a.qid = r2.qid
+       |WHERE r2.rank <= 10 ORDER BY qid, rank""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_bm25_topk" -> (q129_bm25_topk _),
     "q135_phrase_search" -> (q135_phrase_search _),
-    "q136_rrf_hybrid" -> (q136_rrf_hybrid _))
+    "q136_rrf_hybrid" -> (q136_rrf_hybrid _),
+    "q147_prf_expansion" -> (q147_prf_expansion _))
 
   val oracle: Map[String, String] = Map(
     "q129_bm25_topk" -> bm25Oracle,
     "q135_phrase_search" -> phraseOracle,
-    "q136_rrf_hybrid" -> rrfOracle)
+    "q136_rrf_hybrid" -> rrfOracle,
+    "q147_prf_expansion" -> prfOracle)
 }

@@ -85,4 +85,25 @@ class RetrievalSpec extends AnyFunSuite {
       assert(queries(qid).exists(toks.contains))
     }
   }
+
+  test("q147 PRF: expansion terms are novel, mined from feedback, ranking valid") {
+    val out = Retrieval.q147_prf_expansion(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getString(5)))
+    assert(out.nonEmpty)
+    // per query: ranks are 1..k contiguous, expansion column constant
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length))
+      assert(rows.map(_._4).toSet.size == 1, s"exp_terms must be per-query")
+      val exp = rows.head._4
+      if (exp.nonEmpty) {
+        val terms = exp.split(",").toSeq
+        assert(terms == terms.sorted, "audit column is sorted")
+        assert(terms.size <= 3)
+        // novel: never one of the original query terms
+        queries(qid).foreach(orig => assert(!terms.contains(orig)))
+      }
+    }
+    // the fixture must actually expand something, or the op is vacuous
+    assert(out.exists(_._4.nonEmpty))
+  }
 }
