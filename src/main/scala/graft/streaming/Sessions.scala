@@ -595,6 +595,41 @@ object Sessions {
         graft.text.Entropy.char_entropy_unat(col(textCol)))
       .withColumn("keep", col("h_unat") >= lit(minUnat))
 
+  /** Streaming data-quality expectations (the q146 suite's continuous
+    * twin): the SCALAR constraint class — exactly the class that folds
+    * into one aggregate in batch — folds the same way into one
+    * watermarked windowed aggregate here, so a constraint suite over a
+    * firehose costs one stateful agg with O(open windows) state (the
+    * qualityDriftStream shape). Uniqueness/referential constraints are
+    * deliberately NOT in the stream: they need corpus-global state, and
+    * the production pattern is the batch suite over the landed lake
+    * (q146) reconciling the stream's scalar verdicts — the same
+    * batch↔stream split as dedup (q73 vs the band-index gate).
+    * Constraints mirror the events table's contract: value present and
+    * non-negative, event_type in its domain, props.k in [0, 100).
+    * Exact integer counts — batch parity is row-for-row equality. */
+  def expectationsStream(events: DataFrame, tsCol: String,
+      watermark: String, windowLen: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("null_value"),
+        sum(when(col("value") < 0, 1L).otherwise(0L)).as("neg_value"),
+        sum(when(!col("event_type").isin(
+          "view", "click", "purchase", "signup", "error"), 1L)
+          .otherwise(0L)).as("bad_type"),
+        sum(when(get_json_object(col("props"), "$.k").isNull ||
+          get_json_object(col("props"), "$.k").cast("long") < 0 ||
+          get_json_object(col("props"), "$.k").cast("long") >= 100, 1L)
+          .otherwise(0L)).as("bad_props"))
+      .select(col("window.start").as("window_start"), col("n_events"),
+        col("null_value"), col("neg_value"), col("bad_type"),
+        col("bad_props"),
+        (col("null_value") + col("neg_value") + col("bad_type") +
+          col("bad_props") === 0L).as("all_passed"))
+
   case class HHIn(w: Long, term: String, ts: Timestamp)
   /** SpaceSaving counter state per open window: est counts + max
     * overcounts share the key set; total rides along for the guarantee

@@ -885,6 +885,56 @@ class SessionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming expectations: windowed verdicts equal the batch suite") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // epoch-micros anchor ON a 10-minute boundary (window() aligns to
+    // epoch multiples, so an unaligned anchor shifts every window start)
+    val t0 = 1700000400000000L
+    def ev(minute: Long, typ: String, value: java.lang.Double, k: Int) =
+      (new Timestamp((t0 + minute * 60000000L) / 1000), typ, value,
+        if (k == Int.MinValue) """{"nope": 1}""" else s"""{"k": $k}""")
+    // window 0: clean; window 1: one violation of each class; window 2 clean
+    val rows = Seq(
+      ev(0, "view", 1.0, 5), ev(1, "click", 2.0, 7),
+      ev(10, "view", null, 5), // null_value
+      ev(11, "bogus", 1.0, 5), // bad_type
+      ev(12, "view", -3.0, 5), // neg_value
+      ev(13, "view", 1.0, 200), // bad_props (range)
+      ev(14, "view", 1.0, Int.MinValue), // bad_props (missing key)
+      ev(20, "purchase", 9.0, 0))
+    val input = MemoryStream[(Timestamp, String, java.lang.Double, String)]
+    val streamDf = input.toDF().toDF("ts", "event_type", "value", "props")
+    val q = Sessions.expectationsStream(streamDf, "ts", "5 minutes",
+        "10 minutes")
+      .writeStream.format("memory").queryName("exp_out")
+      .outputMode("append").start()
+    try {
+      rows.grouped(3).foreach { g =>
+        input.addData(g.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      // append mode: close every window (watermark passes the last event)
+      input.addData(ev(60, "view", 1.0, 1)); q.processAllAvailable()
+      val got = spark.table("exp_out").collect()
+        .map(r => r.getTimestamp(0).getTime -> (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))).toMap
+      // batch parity: the SAME aggregate over the same rows
+      val batch = Sessions.expectationsStream(
+        rows.toDF("ts", "event_type", "value", "props"), "ts",
+        "5 minutes", "10 minutes").collect()
+        .map(r => r.getTimestamp(0).getTime -> (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))).toMap
+      // append mode emits only CLOSED windows; the final event's own
+      // window stays open, so the stream's key set is the closed subset
+      assert(got.keySet == batch.keySet - (t0 / 1000 + 3600000L))
+      got.foreach { case (w, v) => assert(v == batch(w), s"window $w") }
+      // the dirty window caught one violation per class, clean ones passed
+      val dirty = got(t0 / 1000 + 600000L)
+      assert(dirty == ((5L, 1L, 1L, 1L, 2L, false)))
+      assert(got(t0 / 1000).== ((2L, 0L, 0L, 0L, 0L, true)))
+    } finally q.stop()
+  }
+
   test("idempotent foreachBatch: a replayed batch id never re-runs the handler") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
