@@ -20,7 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rel.Relational.queries ++ rel.Behavior.queries ++
       rel.Linkage.queries ++ rel.Graph.queries ++ rel.Triangles.queries ++
-      rel.Expectations.queries ++
+      rel.Expectations.queries ++ rel.Coreness.queries ++
       text.TextOps.queries ++ text.Tokenize.queries ++
       text.Entropy.queries ++ text.Budget.queries ++ text.Overlap.queries ++
       text.CorpusFilters.queries ++ text.Retrieval.queries ++
@@ -33,7 +33,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     rel.Relational.oracle ++ rel.Behavior.oracle ++
       rel.Linkage.oracle ++ rel.Graph.oracle ++ rel.Triangles.oracle ++
-      rel.Expectations.oracle ++
+      rel.Expectations.oracle ++ rel.Coreness.oracle ++
       text.TextOps.oracle ++ text.Tokenize.oracle ++
       text.Entropy.oracle ++ text.Budget.oracle ++ text.Overlap.oracle ++
       text.CorpusFilters.oracle ++ text.Retrieval.oracle ++

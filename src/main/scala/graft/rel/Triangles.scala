@@ -38,22 +38,30 @@ object Triangles {
   private[graft] val MinCoOrders = 6
   private val TopK = 25
 
-  def q145_triangle_count(s: SparkSession, dir: String): DataFrame = {
+  /** The significance-thresholded supplier co-occurrence edge set
+    * (sa < sb), checkpointed — shared by q145 and q148's coreness. */
+  private[graft] def significantEdges(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
       .distinct()
-    // undirected significant edges (sa < sb), weight = co-orders
-    val edges = li.as("a").join(li.as("b"),
+    li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
       .groupBy(col("a.sk").as("sa"), col("b.sk").as("sb"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= MinCoOrders)
       .select(col("sa"), col("sb"))
-      .localCheckpoint() // reused: degrees, orientation, closure probe
-    // degree in the UNDIRECTED graph
-    val deg = edges.select(col("sa").as("n")).unionByName(
+      .localCheckpoint() // multiple consumers in every caller
+  }
+
+  /** Undirected degree of [[significantEdges]]. */
+  private[graft] def degreesOf(edges: DataFrame): DataFrame =
+    edges.select(col("sa").as("n")).unionByName(
         edges.select(col("sb").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+
+  def q145_triangle_count(s: SparkSession, dir: String): DataFrame = {
+    val edges = significantEdges(s, dir)
+    val deg = degreesOf(edges)
     // orientation key: degree-then-id, packed (deg < 2^20 and id < 2^20
     // at any bench SF; the pack is just a total order both engines share)
     val ordOf = deg.select(col("n"), (col("deg") * 1048576L + col("n")).as("ord"))
@@ -90,15 +98,19 @@ object Triangles {
       .orderBy(col("rank"))
   }
 
-  private lazy val triangleOracle: String =
-    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+  /** The li→edges→deg CTE chain both graph oracles share. */
+  private[graft] lazy val coGraphCtes: String =
+    s"""li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
        |  FROM lineitem),
        |edges AS (SELECT a.sk AS sa, b.sk AS sb
        |  FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk
        |  GROUP BY 1, 2 HAVING COUNT(*) >= $MinCoOrders),
        |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
        |    SELECT sa AS n FROM edges UNION ALL SELECT sb FROM edges) t
-       |  GROUP BY 1),
+       |  GROUP BY 1)""".stripMargin
+
+  private lazy val triangleOracle: String =
+    s"""WITH $coGraphCtes,
        |ordv AS (SELECT n, deg * 1048576 + n AS ord FROM deg),
        |oe AS (SELECT
        |    CASE WHEN oa.ord < ob.ord THEN e.sa ELSE e.sb END AS src,
