@@ -26,7 +26,7 @@ object SparkEntry {
       text.CorpusFilters.queries ++ text.Retrieval.queries ++
       ml.Vocab.queries ++ ml.Hdr.queries ++
       ml.Similarity.queries ++ ml.Lda.queries ++ ml.Bloom.queries ++
-      ml.Quantize.queries ++ ingest.Tickets.queries ++
+      ml.Quantize.queries ++ ingest.Tickets.queries ++ ingest.Wet.queries ++
       multimodal.Media.queries ++ sink.Orc.queries ++ sink.Avro.queries ++
       sink.Lake.queries ++ sink.Skipping.queries ++ sink.Dpp.queries
 
@@ -39,7 +39,8 @@ object SparkEntry {
       text.CorpusFilters.oracle ++ text.Retrieval.oracle ++
       ml.Vocab.oracle ++ ml.Hdr.oracle ++
       ml.Similarity.oracle ++ ml.Bloom.oracle ++ ml.Quantize.oracle ++
-      ingest.Tickets.oracle ++ multimodal.Media.oracle ++ sink.Orc.oracle ++
+      ingest.Tickets.oracle ++ ingest.Wet.oracle ++
+      multimodal.Media.oracle ++ sink.Orc.oracle ++
       sink.Avro.oracle ++ sink.Lake.oracle ++ sink.Skipping.oracle ++
       sink.Dpp.oracle
 }
