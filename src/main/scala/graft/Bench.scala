@@ -51,7 +51,9 @@ object Bench {
       // 16 fixture appends + the rewrite: ~20 sequential driver jobs
       "q126_compact_small_files",
       // 8 fixture appends + index builds + per-probe pruned scans
-      "q131_data_skipping")
+      "q131_data_skipping",
+      // fixed-round iterations with a checkpoint per round (r14)
+      "q138_pagerank", "q148_coreness")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -51,7 +51,8 @@ object Graph {
       .localCheckpoint() // materialized once, reused by all rounds
     val (ranks, deg) = pagerankRanks(edges, Iters)
     val w = Window.orderBy(col("r").desc, col("node"))
-    ranks.join(deg.select(col("src").as("node"), col("deg")), Seq("node"))
+    val out = ranks
+      .join(deg.select(col("src").as("node"), col("deg")), Seq("node"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= TopK)
       .select(col("rk").cast("int").as("rank"),
@@ -60,6 +61,13 @@ object Graph {
         expr("node div 2").as("orig_id"),
         col("deg").as("degree"), col("r").as("rank_u"))
       .orderBy(col("rank"))
+      // pin-and-release (the q88/Similarity discipline): the result is
+      // TopK rows; the pinned edge list is corpus-scale and would
+      // otherwise accumulate across repeated calls in one session
+      .localCheckpoint()
+    graft.ml.Similarity.pinnedRdds(edges)
+      .foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** The exact-integer power iteration over a SYMMETRIC (src, dst) edge
@@ -86,7 +94,13 @@ object Graph {
         .groupBy(col("node"))
         .agg((lit(base) + expr("(85 * sum(contrib)) div 100")).as("r"))
     }
-    (ranks, deg)
+    // pin the |V|-sized result, release the corpus-scale adjacency —
+    // ranks' lineage runs through degEdges, so the release must follow
+    // the checkpoint's materialization
+    val pinned = ranks.localCheckpoint()
+    graft.ml.Similarity.pinnedRdds(degEdges)
+      .foreach(_.unpersist(blocking = false))
+    (pinned, deg)
   }
 
   private lazy val pagerankOracle: String = {
