@@ -1,6 +1,7 @@
 package graft.text
 
 import graft.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -87,10 +88,100 @@ object Overlap {
        |FROM base b LEFT JOIN hits h USING (doc_id)
        |ORDER BY b.doc_id""".stripMargin
 
+  // ------------------------------------------ q150 containment join
+  /** Containment threshold (permille). */
+  private val ContainT = 900
+
+  /** Asymmetric gram-set containment join (q150) — subset/quotation
+    * detection: pairs where C(A→B) = |G_A ∩ G_B| / |G_A| ≥ 0.9. Symmetric
+    * Jaccard dedup (q30/q33/q79) misses exactly these: a document
+    * swallowed by a much larger one scores low Jaccard but is still a
+    * duplicate for training purposes (the containment variant of the
+    * SSJoin/PPJoin family — Chaudhuri, Ganti & Kaushik ICDE 2006;
+    * Xiao et al. WWW 2008).
+    *
+    * Candidate generation is the LOSSLESS containment prefix filter: if
+    * C(A→B) ≥ t then B must share at least one of A's ⌊(1−t)·|A|⌋+1
+    * rarest grams (missing all of them already loses > (1−t)·|A|).
+    * Ordering the prefix by ascending global df minimizes candidates but
+    * ANY such subset is sound — which is why the oracle can be the plain
+    * exact threshold computation and still hash-match. Exact
+    * verification counts the true intersection only for candidate
+    * pairs. At 100 TB: gram df is the postings-length table (computed
+    * once, Heaps-bounded keys), the prefix join keys on RARE grams (df
+    * small by construction — the hot-bucket problem solves itself), and
+    * the verify join touches Σ_candidates |A| rows; the documented
+    * dense-id swap (q79's long-id lesson) applies when gram strings
+    * outgrow comfortable join keys. */
+  def q150_containment_join(s: SparkSession, dir: String): DataFrame = {
+    val grams = gramFrame(s, dir)
+      .select(col("doc_id"), col("g")).distinct()
+      .localCheckpoint() // feeds df, sizes, prefix, and both verify sides
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val dfG = grams.groupBy(col("g")).agg(count(lit(1)).as("df_g"))
+    val wPfx = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df_g"), col("g"))
+    val prefix = grams
+      .join(dfG, Seq("g"))
+      .join(sizes, Seq("doc_id"))
+      .withColumn("pr", row_number().over(wPfx))
+      .filter(col("pr") <= expr(s"n div 10 + 1")) // ⌊(1−0.9)·n⌋ + 1
+      .select(col("doc_id").as("doc_a"), col("g"), col("n").as("n_a"))
+    val cand = prefix
+      .join(grams.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"))
+      .distinct()
+    val inter = cand
+      .join(grams.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("g")),
+        Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") * 1000 >= lit(ContainT) * col("n_a"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("inter"),
+        expr("(1000 * inter) div n_a").as("containment_permille"),
+        expr("(1000 * inter) div (n_a + n_b - inter)").as("jaccard_permille"))
+      .withColumn("subset_not_neardup",
+        col("jaccard_permille") < ContainT)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private lazy val containOracle: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |    list_filter(string_split(trim(text), ' '), t -> t <> '') AS t
+       |  FROM documents),
+       |g AS (SELECT DISTINCT doc_id, unnest(
+       |    list_transform(range(1, greatest(len(t) - ${N - 1}, 0) + 1),
+       |      i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])))
+       |    AS gr
+       |  FROM toks WHERE len(t) >= $N),
+       |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM g
+       |  GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(COUNT(*) AS BIGINT) AS i
+       |  FROM g a JOIN g b ON a.gr = b.gr AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, sa.n AS n_a, sb.n AS n_b, i AS inter,
+       |  CAST((1000 * i) // sa.n AS BIGINT) AS containment_permille,
+       |  CAST((1000 * i) // (sa.n + sb.n - i) AS BIGINT)
+       |    AS jaccard_permille,
+       |  (1000 * i) // (sa.n + sb.n - i) < $ContainT AS subset_not_neardup
+       |FROM inter JOIN sz sa ON sa.doc_id = doc_a
+       |JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE i * 1000 >= $ContainT * sa.n
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q144_ngram_decontaminate" -> (q144_ngram_decontaminate _))
+    "q144_ngram_decontaminate" -> (q144_ngram_decontaminate _),
+    "q150_containment_join" -> (q150_containment_join _))
 
   val oracle: Map[String, String] = Map(
-    "q144_ngram_decontaminate" -> overlapOracle)
+    "q144_ngram_decontaminate" -> overlapOracle,
+    "q150_containment_join" -> containOracle)
 }

@@ -41,4 +41,25 @@ class OverlapSpec extends AnyFunSuite {
     assert(got.values.exists(_._3) && got.values.exists(!_._3),
       "need contaminated AND clean docs in the fixture")
   }
+
+  test("q150 containment equals exhaustive pair scan; prefix filter is lossless") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val gsets = docs.map { case (id, text) =>
+      id -> text.trim.split(" ").filter(_.nonEmpty).toSeq
+        .sliding(5).filter(_.size == 5).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty).toMap
+    val expected = (for {
+      (a, ga) <- gsets.toSeq; (b, gb) <- gsets.toSeq if a != b
+      inter = (ga & gb).size
+      if inter * 1000 >= 900 * ga.size
+    } yield (a, b) -> (ga.size.toLong, gb.size.toLong, inter.toLong)).toMap
+    val got = Overlap.q150_containment_join(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expected,
+      s"missing=${expected.keySet -- got.keySet} extra=${got.keySet -- expected.keySet}")
+    assert(expected.nonEmpty, "fixture must contain containment pairs")
+  }
 }
