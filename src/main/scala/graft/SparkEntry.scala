@@ -24,7 +24,7 @@ object SparkEntry {
       text.TextOps.queries ++ text.Tokenize.queries ++
       text.Entropy.queries ++ text.Budget.queries ++ text.Overlap.queries ++
       text.CorpusFilters.queries ++ text.Retrieval.queries ++
-      ml.Vocab.queries ++ ml.Hdr.queries ++
+      ml.Vocab.queries ++ ml.Hdr.queries ++ ml.LshPlanner.queries ++
       ml.Similarity.queries ++ ml.Lda.queries ++ ml.Bloom.queries ++
       ml.Quantize.queries ++ ingest.Tickets.queries ++ ingest.Wet.queries ++
       multimodal.Media.queries ++ sink.Orc.queries ++ sink.Avro.queries ++
@@ -37,7 +37,7 @@ object SparkEntry {
       text.TextOps.oracle ++ text.Tokenize.oracle ++
       text.Entropy.oracle ++ text.Budget.oracle ++ text.Overlap.oracle ++
       text.CorpusFilters.oracle ++ text.Retrieval.oracle ++
-      ml.Vocab.oracle ++ ml.Hdr.oracle ++
+      ml.Vocab.oracle ++ ml.Hdr.oracle ++ ml.LshPlanner.oracle ++
       ml.Similarity.oracle ++ ml.Bloom.oracle ++ ml.Quantize.oracle ++
       ingest.Tickets.oracle ++ ingest.Wet.oracle ++
       multimodal.Media.oracle ++ sink.Orc.oracle ++
