@@ -123,6 +123,68 @@ object Budget {
       .orderBy(col("source"))
   }
 
+  // ------------------------------------------- q152 curriculum manifest
+  private val StepBudget = 2000L // tokens per training step (≈14 steps
+  // at the 28k-token verify corpus — a step per ~20 docs, budget ≫ max doc)
+
+  /** Length-curriculum step manifest (q152) — ascending-difficulty
+    * ordering with length as the difficulty proxy (the curriculum-
+    * learning recipe of Bengio et al. ICML 2009, with short-first
+    * ordering also being the sequence-efficiency schedule of Li et al.
+    * 2022's staged training): documents sort by (token count, doc_id)
+    * and pack greedily into fixed-token-budget training STEPS (running
+    * cumsum div budget — one window, no loop). Because steps are
+    * CONTIGUOUS slices of a sorted order, the per-step length ranges
+    * form a non-overlapping staircase — max_len(step k) ≤
+    * min_len(step k+1) — which the output carries as a gated
+    * `staircase_ok` column: a broken ordering or a mis-assigned doc
+    * flips it in both engines.
+    *
+    * Scale shape: one global sort by a SHORT key (the one genuinely
+    * global operation a curriculum needs — range partitioning, the
+    * q123 layout machinery), one prefix-sum window, one aggregate to
+    * O(steps) rows. Nothing else is corpus-global. */
+  def q152_curriculum_steps(s: SparkSession, dir: String): DataFrame = {
+    val docTok = Tables.documentsFanned(s, dir)
+      .select(col("doc_id"),
+        size(Cleanse.tokens(col("text"))).cast("long").as("tk"))
+    val wCum = Window.orderBy(col("tk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val steps = docTok
+      .withColumn("cum", sum(col("tk")).over(wCum))
+      .withColumn("step", expr(s"(cum - 1) div $StepBudget"))
+      .groupBy(col("step"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("tokens"),
+        min(col("tk")).as("min_len"), max(col("tk")).as("max_len"))
+    val wLag = Window.orderBy(col("step"))
+    steps
+      .withColumn("prev_max", lag(col("max_len"), 1).over(wLag))
+      .withColumn("staircase_ok",
+        col("prev_max").isNull || col("prev_max") <= col("min_len"))
+      .select(col("step"), col("n_docs"), col("tokens"), col("min_len"),
+        col("max_len"), col("staircase_ok"))
+      .orderBy(col("step"))
+  }
+
+  private lazy val curriculumOracle: String =
+    s"""WITH dt AS (SELECT doc_id,
+       |    CAST(len(list_filter(string_split(trim(text), ' '),
+       |      t -> t <> '')) AS BIGINT) AS tk
+       |  FROM documents),
+       |cum AS (SELECT doc_id, tk,
+       |    CAST(SUM(tk) OVER (ORDER BY tk, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM dt),
+       |steps AS (SELECT (cum - 1) // $StepBudget AS step,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(tk) AS BIGINT) AS tokens,
+       |    MIN(tk) AS min_len, MAX(tk) AS max_len
+       |  FROM cum GROUP BY 1)
+       |SELECT step, n_docs, tokens, min_len, max_len,
+       |  COALESCE(lag(max_len) OVER (ORDER BY step) <= min_len, TRUE)
+       |    AS staircase_ok
+       |FROM steps ORDER BY step""".stripMargin
+
   /** The allocator CTE chain (tok → caps → ranked → sat → lv → fin),
     * shared by the q140 gate and q143's materialization oracle. */
   private lazy val waterfillCoreCtes: String =
@@ -191,9 +253,11 @@ object Budget {
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q140_token_waterfill" -> (q140_token_waterfill _),
-    "q143_mixture_materialize" -> (q143_mixture_materialize _))
+    "q143_mixture_materialize" -> (q143_mixture_materialize _),
+    "q152_curriculum_steps" -> (q152_curriculum_steps _))
 
   val oracle: Map[String, String] = Map(
     "q140_token_waterfill" -> waterfillOracle,
-    "q143_mixture_materialize" -> materializeOracle)
+    "q143_mixture_materialize" -> materializeOracle,
+    "q152_curriculum_steps" -> curriculumOracle)
 }

@@ -64,4 +64,27 @@ class BudgetSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q152 curriculum: budget respected, staircase holds, totals anchor") {
+    val out = Budget.q152_curriculum_steps(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))
+    }
+    assert(out.length > 1, "fixture must span multiple steps")
+    assert(out.forall(_._6), "staircase must hold everywhere")
+    // steps are dense 0..K
+    assert(out.map(_._1).toSeq == (0L until out.length))
+    // every step except possibly the last lands within one doc of budget
+    out.dropRight(1).foreach { case (step, _, tokens, _, maxLen, _) =>
+      assert(tokens <= 2000L + maxLen, s"step $step grossly over budget")
+      assert(tokens > 2000L - maxLen, s"step $step grossly under budget")
+    }
+    // totals anchor at the corpus
+    val corpusTokens = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.size(
+          Cleanse.tokens(org.apache.spark.sql.functions.col("text"))))
+        .cast("long")).head().getLong(0)
+    assert(out.map(_._3).sum == corpusTokens)
+  }
 }
