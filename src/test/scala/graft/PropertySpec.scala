@@ -67,6 +67,53 @@ object PureProperties extends Properties("graft.pure") {
       }
       sessions.flatten == sorted && within && separated
     }
+
+  // -------- JaroWinkler kernel: closed forms on random DISTINCT-char
+  // strings (adjacent swap -> m=n, t=1; last-char drop -> m=n-1, t=0 —
+  // both give exact expected doubles, mirroring the kernel's op order)
+  private def jw(a: String, b: String): Double =
+    text.JaroWinklerKernel.jw(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  private val distinctStr: Gen[String] =
+    Gen.choose(4, 20).map(n =>
+      new String(scala.util.Random.javaRandomToRandom(
+        new java.util.Random(n * 7919L)).shuffle(
+        ('a' to 'z').toList).take(n).toArray))
+
+  property("JaroWinkler: adjacent swap closed form") =
+    Prop.forAll(distinctStr, Gen.choose(0, 18)) { (a, i0) =>
+      val n = a.length
+      val i = i0 % (n - 1)
+      val b = a.updated(i, a(i + 1)).updated(i + 1, a(i))
+      val jaro = ((n.toDouble / n) + (n.toDouble / n) +
+        ((n - 1).toDouble / n)) / 3
+      val l = math.min(i, 4)
+      val expect = if (jaro > 0.7) jaro + l * 0.1 * (1 - jaro) else jaro
+      jw(a, b) == expect
+    }
+
+  property("JaroWinkler: last-char drop closed form") =
+    Prop.forAll(distinctStr) { a =>
+      val n = a.length
+      val b = a.dropRight(1)
+      val m = (n - 1).toDouble
+      val jaro = (m / n + m / (n - 1) + m / m) / 3
+      val l = math.min(n - 1, 4)
+      val expect = if (jaro > 0.7) jaro + l * 0.1 * (1 - jaro) else jaro
+      jw(a, b) == expect && jw(a, b) == jw(b, a)
+    }
+
+  private val asciiStr: Gen[String] = Gen.choose(0, 30)
+    .flatMap(n => Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+
+  property("JaroWinkler: identity, bounds, symmetry on random ascii") =
+    Prop.forAll(asciiStr, asciiStr) { (a, b) =>
+      val v = jw(a, b)
+      v >= 0.0 && v <= 1.0 && v == jw(b, a) && jw(a, a) == 1.0
+    }
+
 }
 
 /** Batched property checks for Column transforms: all generated cases run
