@@ -41,6 +41,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => ml.DotProductD(args(0), args(1))),
     ml.KmvFunctions.sqlFunction,
     ml.Bloom.sqlFunction,
+    ("char_entropy_unat",
+      info("char_entropy_unat", "_FUNC_(str) - Per-code-point Shannon " +
+        "entropy in micro-nats (integerized per distinct count)."),
+      (args: Seq[Expression]) => text.CharEntropyUnat(args.head)),
     ("jaro_winkler",
       info("jaro_winkler", "_FUNC_(a, b) - Jaro-Winkler string similarity " +
         "(boost threshold 0.7, prefix weight 0.1, prefix cap 4)."),

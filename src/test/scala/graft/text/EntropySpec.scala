@@ -28,6 +28,12 @@ class EntropySpec extends AnyFunSuite {
     assert(h("aabbccdd") == h("abcdabcd"))
   }
 
+  test("char_entropy_unat is registered as a SQL function") {
+    graft.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT char_entropy_unat('ab') AS h")
+      .head().getLong(0) == 693147L)
+  }
+
   test("non-ASCII fallback counts CODE POINTS (astral chars included)") {
     // U+1F600 is two UTF-16 units but ONE code point: 2 distinct symbols
     val s = "a😀" // "a😀"
