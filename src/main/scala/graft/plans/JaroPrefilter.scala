@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.text.JaroWinkler
+import graft.text.{JaroWinkler, Utf16Length}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -51,10 +51,15 @@ object JaroPrefilter extends Rule[LogicalPlan] {
     }
   }
 
+  // Lengths are measured in UTF-16 CODE UNITS (Utf16Length) — the same
+  // units JaroWinklerKernel.jw scores with — NOT Spark's Length (code
+  // points). The two diverge up to 2× on supplementary-plane text, and a
+  // guard in the wrong units would silently reject true matches
+  // (round-14 advice item).
   private def guarded(a: Expression, b: Expression, t: Double): Expression = {
     val ratio = Literal(5.0 * t - 4.0 - 1e-9)
-    val mn = Cast(Least(Seq(Length(a), Length(b))), DoubleType)
-    val mx = Cast(Greatest(Seq(Length(a), Length(b))), DoubleType)
+    val mn = Cast(Least(Seq(Utf16Length(a), Utf16Length(b))), DoubleType)
+    val mx = Cast(Greatest(Seq(Utf16Length(a), Utf16Length(b))), DoubleType)
     And(
       GreaterThanOrEqual(mn, Multiply(ratio, mx)),
       Not(LessThan(JaroWinkler(a, b), Literal(t))))

@@ -49,7 +49,7 @@ object Graph {
     val edges = e0.select(col("cn").as("src"), col("sn").as("dst"))
       .unionByName(e0.select(col("sn").as("src"), col("cn").as("dst")))
       .localCheckpoint() // materialized once, reused by all rounds
-    val (ranks, deg) = pagerankRanks(edges, Iters)
+    val (ranks, deg, _, converged) = pagerankRanks(edges, Iters)
     val w = Window.orderBy(col("r").desc, col("node"))
     val out = ranks
       .join(deg.select(col("src").as("node"), col("deg")), Seq("node"))
@@ -59,48 +59,86 @@ object Graph {
         when(col("node") % 2 === 0, lit("customer"))
           .otherwise(lit("supplier")).as("node_type"),
         expr("node div 2").as("orig_id"),
-        col("deg").as("degree"), col("r").as("rank_u"))
+        col("deg").as("degree"), col("r").as("rank_u"),
+        lit(converged).as("converged"))
       .orderBy(col("rank"))
       // pin-and-release (the q88/Similarity discipline): the result is
       // TopK rows; the pinned edge list is corpus-scale and would
       // otherwise accumulate across repeated calls in one session
       .localCheckpoint()
-    graft.ml.Similarity.pinnedRdds(edges)
+    (graft.ml.Similarity.pinnedRdds(edges) ++
+      graft.ml.Similarity.pinnedRdds(ranks))
       .foreach(_.unpersist(blocking = false))
     out
   }
 
   /** The exact-integer power iteration over a SYMMETRIC (src, dst) edge
     * list (every node must appear as a src — symmetry guarantees it and
-    * rules out dangling mass). Exposed for GraphSpec's hand-computed
-    * fixture. Returns (final ranks, out-degrees). */
-  private[graft] def pagerankRanks(edges: DataFrame, iters: Int)
-      : (DataFrame, DataFrame) = {
+    * rules out dangling mass), with the q73 fingerprint-probe early
+    * exit: each round's lazy checkpoint is materialized by a map-side
+    * (count, bit_xor(xxhash64)) probe, and a probe match — confirmed by
+    * an exact set-equality job, so a collision can only cost one extra
+    * round — stops the loop at the first EXACT integer fixpoint (which
+    * the integer arithmetic makes reachable: regular components land on
+    * `r = base + (85·deg·(r div deg)) div 100` exactly). A fixpoint
+    * persists under the deterministic update, so early-exit values equal
+    * the oracle's round-`maxIters` values bit-for-bit. Exposed for
+    * GraphSpec's hand-computed fixture.
+    *
+    * Returns (final ranks pinned, out-degrees, rounds executed,
+    * converged). Every loop checkpoint — including the degree-annotated
+    * adjacency — is released before returning (pin-and-release). */
+  private[graft] def pagerankRanks(edges: DataFrame, maxIters: Int)
+      : (DataFrame, DataFrame, Int, Boolean) = {
+    val loopRdds =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    def tracked(df: DataFrame): DataFrame = {
+      loopRdds ++= graft.ml.Similarity.pinnedRdds(df); df
+    }
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(node, r))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // deg rides ALONG the edge list (one join, before the loop) so each
     // round is exactly one join + one aggregate — at 100 TB this is the
     // adjacency-list-with-degree layout every Pregel-style runner keeps
-    val degEdges = edges.join(deg, Seq("src"))
+    val degEdges = tracked(edges.join(deg, Seq("src"))
       .select(col("src"), col("dst"), col("deg"))
-      .localCheckpoint()
+      .localCheckpoint())
     val n = deg.count()
     val init = Mass / n
     val base = (15L * init) / 100L
-    var ranks = deg.select(col("src").as("node"), lit(init).as("r"))
-    (1 to iters).foreach { _ =>
-      ranks = degEdges
+    var ranks = tracked(
+      deg.select(col("src").as("node"), lit(init).as("r")).localCheckpoint())
+    var prevFp = fingerprint(ranks)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIters) {
+      val next = tracked(degEdges
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), expr("r div deg").as("contrib"))
         .groupBy(col("node"))
         .agg((lit(base) + expr("(85 * sum(contrib)) div 100")).as("r"))
+        .localCheckpoint(eager = false))
+      val fp = fingerprint(next)
+      if (fp == prevFp) {
+        converged = ranks.select(col("node"), col("r"), lit(1).as("tag"))
+          .union(next.select(col("node"), col("r"), lit(-1).as("tag")))
+          .groupBy(col("node"), col("r")).agg(sum(col("tag")).as("d"))
+          .filter(col("d") =!= 0).isEmpty
+      }
+      prevFp = fp
+      ranks = next
+      rounds += 1
     }
-    // pin the |V|-sized result, release the corpus-scale adjacency —
-    // ranks' lineage runs through degEdges, so the release must follow
-    // the checkpoint's materialization
+    // pin the |V|-sized result, release every loop checkpoint — ranks'
+    // lineage runs through degEdges, so the release must follow the
+    // checkpoint's materialization
     val pinned = ranks.localCheckpoint()
-    graft.ml.Similarity.pinnedRdds(degEdges)
-      .foreach(_.unpersist(blocking = false))
-    (pinned, deg)
+    loopRdds.foreach(_.unpersist(blocking = false))
+    (pinned, deg, rounds, converged)
   }
 
   private lazy val pagerankOracle: String = {
@@ -123,14 +161,18 @@ object Graph {
        |    (15 * ($Mass // COUNT(*))) // 100 AS base FROM deg),
        |it0 AS (SELECT node, (SELECT init FROM params) AS r FROM deg),
        |${(1 to Iters).map(round).mkString(",\n")},
+       |conv AS (SELECT MAX(CASE WHEN a.r <> b.r THEN 1 ELSE 0 END) = 0
+       |    AS converged
+       |  FROM it$Iters a JOIN it${Iters - 1} b USING (node)),
        |ranked AS (SELECT r.node, r.r, d.deg,
        |    ROW_NUMBER() OVER (ORDER BY r.r DESC, r.node) AS rk
        |  FROM it$Iters r JOIN deg d USING (node))
        |SELECT CAST(rk AS INTEGER) AS rank,
        |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
        |    AS node_type,
-       |  node // 2 AS orig_id, deg AS degree, CAST(r AS BIGINT) AS rank_u
-       |FROM ranked WHERE rk <= $TopK ORDER BY rank""".stripMargin
+       |  node // 2 AS orig_id, deg AS degree, CAST(r AS BIGINT) AS rank_u,
+       |  converged
+       |FROM ranked, conv WHERE rk <= $TopK ORDER BY rank""".stripMargin
   }
 
   // ------------------------------------------------------------- registry

@@ -86,7 +86,7 @@ object Triangles {
       .groupBy(col("n")).agg(count(lit(1)).as("triangles"))
     val total = tri.agg(count(lit(1)).as("total_triangles"))
     val rankW = Window.orderBy(col("triangles").desc, col("n"))
-    perNode.join(deg, Seq("n"))
+    val out = perNode.join(deg, Seq("n"))
       .withColumn("rk", row_number().over(rankW))
       .filter(col("rk") <= TopK)
       .crossJoin(broadcast(total))
@@ -96,6 +96,14 @@ object Triangles {
           .as("clustering_permille"),
         col("total_triangles"))
       .orderBy(col("rank"))
+      // pin the TopK result, release the edge + oriented-edge
+      // checkpoints (round-14 advice item: these stayed pinned for the
+      // session, and bench median-of-5 repeats a query 5×)
+      .localCheckpoint()
+    (graft.ml.Similarity.pinnedRdds(edges) ++
+      graft.ml.Similarity.pinnedRdds(oe))
+      .foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** The li→edges→deg CTE chain both graph oracles share. */

@@ -139,7 +139,7 @@ object Overlap {
       .groupBy(col("doc_a"), col("doc_b"), col("n_a"))
       .agg(count(lit(1)).as("inter"))
       .filter(col("inter") * 1000 >= lit(ContainT) * col("n_a"))
-    inter
+    val result = inter
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
         Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
@@ -149,6 +149,15 @@ object Overlap {
       .withColumn("subset_not_neardup",
         col("jaccard_permille") < ContainT)
       .orderBy(col("doc_a"), col("doc_b"))
+      // pin-and-release (the Graph/Similarity discipline): the result is
+      // pair-count-sized; the checkpointed gram table is corpus-scale and
+      // would otherwise stay pinned for the session — bench median-of-5
+      // repeats a query 5×, and accumulated pins measurably inflate
+      // later in-sequence queries (round-14 advice item).
+      .localCheckpoint()
+    graft.ml.Similarity.pinnedRdds(grams)
+      .foreach(_.unpersist(blocking = false))
+    result
   }
 
   private lazy val containOracle: String =

@@ -98,16 +98,26 @@ object Retrieval {
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(idf.select(col("term"), col("idf_unat"),
         col("n_docs"), col("sum_dl"))), Seq("term"))
-      // overflow guard (round-14, advice item): the impact numerator
-      // idf_unat·44·tf·sum_dl must stay under 2^63 or ranks corrupt
-      // SILENTLY (BIGINT wrap). Fail loudly per row instead: one integer
-      // division per posting, codegen'd, keeps every row when honest.
-      // The documented fix at the scale where this fires is the
-      // DECIMAL(38,0) swap (see scaladoc above). Shaped as a filter so
-      // column pruning can't drop the assertion.
+      // overflow guard (round-14 advice, re-fixed round 15): the impact
+      // numerator idf_unat·(44·tf·sum_dl) and every denominator term
+      // must stay under 2^63 or ranks corrupt. The r14 guard computed
+      // its own divisor 44·tf·sum_dl in Long arithmetic — which itself
+      // overflows in exactly the regime it guards — and compared with
+      // Column./ (double division, ~2^53 exact). This guard uses
+      // DIVISION ONLY (nested floor-division: ⌊⌊⌊M/a⌋/x⌋/y⌋ =
+      // ⌊M/(a·x·y)⌋ for positive ints), so no sub-expression can wrap at
+      // ANY scale and the assert's remediation message always wins the
+      // race against ANSI's own overflow exception in the impact
+      // expression below. Conjunct 1 bounds 20·tf·sum_dl ≤ M/4 (and a
+      // fortiori 44·tf·sum_dl ≤ M and 6·sum_dl ≤ M/4); conjunct 2
+      // bounds 18·dl·n_docs ≤ M/4, so the denominator SUM stays under
+      // M; conjunct 3 bounds the full numerator product. Integer `div`
+      // throughout; shaped as a filter so column pruning can't drop it.
       .filter(coalesce(
-        assert_true(col("idf_unat") <=
-          lit(Long.MaxValue) / (lit(44L) * col("tf") * col("sum_dl")),
+        assert_true(
+          expr(s"sum_dl <= (${Long.MaxValue}L div 80L) div tf") &&
+          expr(s"dl <= (${Long.MaxValue}L div 72L) div n_docs") &&
+          expr(s"idf_unat <= ((${Long.MaxValue}L div 44L) div tf) div sum_dl"),
           lit("BM25 impact product would overflow BIGINT: swap the " +
             "impact expression to DECIMAL(38,0) at this corpus scale")),
         lit(true)))
@@ -265,11 +275,18 @@ object Retrieval {
     val audit = expTerms.groupBy(col("qid"))
       .agg(array_join(array_sort(collect_set(col("term"))), ",")
         .as("exp_terms"))
-    bm25RankedOn(toks, 10, expanded)
+    val result = bm25RankedOn(toks, 10, expanded)
       .join(broadcast(audit), Seq("qid"), "left")
       .select(col("qid"), col("rank"), col("doc_id"), col("n_terms_hit"),
         col("score_unat"), coalesce(col("exp_terms"), lit("")).as("exp_terms"))
       .orderBy(col("qid"), col("rank"))
+      // pin-and-release: the result is top-k·|queries| rows; the shared
+      // tokenized corpus checkpoint is corpus-scale and must not stay
+      // pinned after the call (round-14 advice item).
+      .localCheckpoint()
+    graft.ml.Similarity.pinnedRdds(toks)
+      .foreach(_.unpersist(blocking = false))
+    result
   }
 
   private val DToks =

@@ -3,7 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static helpers referenced from generated code — must be stable, public,
@@ -194,6 +194,29 @@ case class HtmlUnescape(child: Expression) extends UnaryExpression {
   * values — agree cross-engine bit-for-bit. Walks UTF-16 code units
   * (identical to code points on the BMP text this corpus carries). */
 object JaroWinklerKernel {
+
+  /** UTF-16 code-unit length of a UTF8String — the SAME length notion
+    * `jw` scores with (String.length / charAt) — computed from the UTF-8
+    * bytes without materializing a java.lang.String: one unit per 1/2/3
+    * byte sequence, two per 4-byte (supplementary-plane) sequence. The
+    * [[graft.plans.JaroPrefilter]] length guard must measure in these
+    * units: Spark's `Length` counts CODE POINTS, which diverge from code
+    * units by up to 2× on supplementary-plane text, and a guard computed
+    * in the wrong units can reject a pair whose true jw ≥ t (round-14
+    * advice item). */
+  def cuLength(u: UTF8String): Int = {
+    val nb = u.numBytes
+    var i = 0; var n = 0
+    while (i < nb) {
+      val b = u.getByte(i) & 0xFF
+      if (b < 0x80) { n += 1; i += 1 }
+      else if (b < 0xE0) { n += 1; i += 2 }
+      else if (b < 0xF0) { n += 1; i += 3 }
+      else { n += 2; i += 4 }
+    }
+    n
+  }
+
   def jw(u1: UTF8String, u2: UTF8String): Double = {
     val s1 = u1.toString; val s2 = u2.toString
     if (s1 == s2) return 1.0
@@ -233,6 +256,23 @@ object JaroWinklerKernel {
     while (l < maxp && s1.charAt(l) == s2.charAt(l)) l += 1
     if (jaro > 0.7) jaro + l * 0.1 * (1 - jaro) else jaro
   }
+}
+
+/** UTF-16 code-unit length as a native expression (codegen'd static
+  * call) — the length notion [[JaroWinklerKernel.jw]] scores with, used
+  * by [[graft.plans.JaroPrefilter]] so its necessary-length guard is
+  * computed in the kernel's own units (code points ≠ code units off the
+  * BMP). O(bytes) — strictly cheaper than the O(|a|·|b|) window walk it
+  * guards. */
+case class Utf16Length(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "utf16_length"
+  override protected def nullSafeEval(input: Any): Any =
+    JaroWinklerKernel.cuLength(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.JaroWinklerKernel.cuLength($c)")
+  override protected def withNewChildInternal(newChild: Expression): Utf16Length =
+    copy(child = newChild)
 }
 
 /** `jaro_winkler(a, b)` as a native Catalyst expression: null-safe,

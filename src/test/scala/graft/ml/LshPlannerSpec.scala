@@ -38,4 +38,32 @@ class LshPlannerSpec extends AnyFunSuite {
     assert(byCfg((16, 16)) > byCfg((16, 8)),
       "threshold must rise with rows per band")
   }
+
+  test("every integerized pow() value sits far from a .5 rounding boundary") {
+    // round(1e6·x) gates a cross-library double (JVM Math.pow vs DuckDB
+    // std::pow). pow is not required to be correctly rounded, but both
+    // are faithful to ~1 ulp: a 1-ulp divergence at |x| ≤ 1 perturbs
+    // 1e6·x by ~1e-10 — so the gate is platform-stable iff every grid
+    // value's fractional part stays well clear of .5. Assert a 1e-4
+    // margin (six orders above the worst credible divergence) for all
+    // 6 configs × 19 grid points AND the 6 s_star values (round-14
+    // advice item: this was shown for the ln-based micro-nat kernels
+    // but never for these pow grids).
+    val configs = Seq((8, 16), (16, 8), (32, 4), (64, 2), (16, 16), (32, 8))
+    val grid = 50L until 1000L by 50L
+    // distance of frac(1e6·x) from the round() decision boundary at .5
+    def margin(x: Double): Double = math.abs((x * 1e6) % 1.0 - 0.5)
+    for ((b, r) <- configs) {
+      for (s <- grid) {
+        val p = 1.0 - math.pow(1.0 - math.pow(s / 1000.0, r), b)
+        assert(margin(p) > 1e-4,
+          s"p(b=$b,r=$r,s=$s)=$p too close to a .5 boundary " +
+            s"(margin ${margin(p)})")
+      }
+      val sStar = math.pow(1.0 / b, 1.0 / r)
+      assert(margin(sStar) > 1e-4,
+        s"s_star(b=$b,r=$r)=$sStar too close to a .5 boundary " +
+          s"(margin ${margin(sStar)})")
+    }
+  }
 }

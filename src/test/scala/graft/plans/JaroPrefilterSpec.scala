@@ -39,7 +39,7 @@ class JaroPrefilterSpec extends AnyFunSuite {
     val df = partPairs.filter(
       TextFunctions.jaro_winkler(col("a"), col("b")) >= lit(0.9))
     val opt = df.queryExecution.optimizedPlan.toString
-    assert(opt.contains("least(length"), s"no length guard in:\n$opt")
+    assert(opt.contains("least(utf16_length"), s"no length guard in:\n$opt")
     assert(opt.toLowerCase.contains("jaro_winkler"),
       "the comparator itself must survive (guard is necessary, not sufficient)")
   }
@@ -48,7 +48,34 @@ class JaroPrefilterSpec extends AnyFunSuite {
     val df = partPairs.filter(
       TextFunctions.jaro_winkler(col("a"), col("b")) >= lit(0.5))
     val opt = df.queryExecution.optimizedPlan.toString
-    assert(!opt.contains("least(length"), s"guard should not fire:\n$opt")
+    assert(!opt.contains("least(utf16_length"), s"guard should not fire:\n$opt")
+  }
+
+  test("supplementary-plane pair survives the guard (code-unit lengths)") {
+    // the kernel scores UTF-16 CODE UNITS; a guard in code points would
+    // silently drop this true match (round-14 advice item): a is 4
+    // supplementary chars (cp 4, cu 8), b appends 4 ASCII (cp 8, cu 12).
+    // cu ratio 8/12 = 0.667 ≥ 5·0.93−4 = 0.65 — but cp ratio 4/8 = 0.5
+    // fails the bound, so the old guard rejected a pair whose true
+    // jw ≈ 0.933 ≥ 0.93.
+    val a = "𝕒𝕓𝕔𝕕" // 𝕒𝕓𝕔𝕕
+    val b = a + "wxyz"
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    assert(graft.text.JaroWinklerKernel.cuLength(u(a)) == 8)
+    assert(graft.text.JaroWinklerKernel.cuLength(u(b)) == 12)
+    val jw = graft.text.JaroWinklerKernel.jw(u(a), u(b))
+    assert(jw >= 0.93, s"fixture must be a true match, got $jw")
+    // parquet-backed so the optimizer can't pre-execute the filter on a
+    // LocalRelation (which would mask a broken guard)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("jaroguard").toString + "/pairs"
+    import spark.implicits._
+    Seq((a, b)).toDF("a", "b").write.parquet(tmp)
+    val df = spark.read.parquet(tmp).filter(
+      TextFunctions.jaro_winkler(col("a"), col("b")) >= lit(0.93))
+    assert(df.queryExecution.optimizedPlan.toString
+      .contains("least(utf16_length"), "guard must be in play")
+    assert(df.count() == 1, "guard must keep the supplementary-plane match")
   }
 
   test("all comparison directions agree with the unoptimized result") {
@@ -76,7 +103,7 @@ class JaroPrefilterSpec extends AnyFunSuite {
     val plan = graft.rel.Linkage
       .q137_fuzzy_match(spark, "/root/testdata/sf0.001")
       .queryExecution.optimizedPlan.toString
-    assert(plan.contains("least(length"),
+    assert(plan.contains("least(utf16_length"),
       s"q137 should carry the length guard:\n${plan.take(2000)}")
   }
 }

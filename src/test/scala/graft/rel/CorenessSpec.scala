@@ -72,6 +72,34 @@ class CorenessSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("convergence probe: K4+path exits early, values equal peeling") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    val adjDf = edges.flatMap(p => Seq(p, p.swap)).toDF("u", "v")
+    val c0 = adjDf.groupBy(col("u").as("n")).agg(count(lit(1)).as("c"))
+    // round 1 already lands on the coreness; the round-2 probe detects it
+    val (c, rounds, converged) = Coreness.hIndexWithRounds(adjDf, c0, 6)
+    assert(converged, "fixpoint must be detected")
+    assert(rounds < 6, s"expected early exit, ran $rounds rounds")
+    val got = c.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 1L, 6L -> 1L))
+  }
+
+  test("convergence probe: starved round budget reports NOT converged") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    val adjDf = edges.flatMap(p => Seq(p, p.swap)).toDF("u", "v")
+    val c0 = adjDf.groupBy(col("u").as("n")).agg(count(lit(1)).as("c"))
+    // c1 ≠ c0 (degrees are not the coreness here), so one round cannot
+    // confirm a fixpoint — the late case must gate loudly, not lie
+    val (_, rounds, converged) = Coreness.hIndexWithRounds(adjDf, c0, 1)
+    assert(!converged, "one round cannot certify this graph")
+    assert(rounds == 1)
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
   private def count(c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.count(c)

@@ -60,4 +60,33 @@ class GraphSpec extends AnyFunSuite {
     assert(got == reference(edges, 5))
     assert(got.values.toSet.size == 1, "four symmetric nodes, one rank value")
   }
+
+  test("convergence probe: 1-regular graph hits its exact fixpoint round 1") {
+    import spark.implicits._
+    // every node deg 1 and Mass/4 divides cleanly: r1 = base + 85·r0 div
+    // 100 = r0 exactly, so the first probe must match and exit — and the
+    // early-exit values must STILL equal the full-depth reference (a
+    // fixpoint persists under the deterministic update)
+    val edges = Seq((1L, 2L), (2L, 1L), (10L, 11L), (11L, 10L))
+    val (ranks, _, rounds, converged) =
+      Graph.pagerankRanks(edges.toDF("src", "dst"), 5)
+    assert(converged, "exact integer fixpoint must be detected")
+    assert(rounds == 1, s"expected exit after round 1, ran $rounds")
+    val got = ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == reference(edges, 5), "early exit == full-depth values")
+  }
+
+  test("convergence probe: irregular graph runs every round, reports false") {
+    import spark.implicits._
+    // star is irregular: hub/leaf values keep sliding by truncation for
+    // many rounds — no exact fixpoint within 4
+    val leaves = (2L to 6L)
+    val edges = leaves.flatMap(l => Seq((1L, l), (l, 1L)))
+    val (ranks, _, rounds, converged) =
+      Graph.pagerankRanks(edges.toDF("src", "dst"), 4)
+    assert(!converged, "no exact fixpoint expected within 4 rounds")
+    assert(rounds == 4, "late case must use the full round budget")
+    val got = ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == reference(edges, 4))
+  }
 }
