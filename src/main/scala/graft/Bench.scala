@@ -33,7 +33,8 @@ object Bench {
       "q106_ivfpq_recall", // coarse KMeans + 8 PQ KMeans fits inside
       "q110_ivfpq_residual_recall", // same fits on residuals
       "q105_unigram_learn", "q105b_unigram_tokenize", // Viterbi-EM fits
-      "q111_tokenizer_report") // replays the BPE + unigram trainings
+      "q111_tokenizer_report", // replays the BPE + unigram trainings
+      "q155_lda_recovery") // seeded LDA fit on the planted corpus
 
   /** Queries that launch MANY driver jobs (convergence fixpoints, the
     * multi-pass funnel): their per-job scheduling noise compounds, so
@@ -168,10 +169,11 @@ object Bench {
       // Three samples lose the median to any 2-run phase; five need a
       // ~4-run phase to corrupt, at ~+40s total bench cost.
       val times = Seq.fill(if (multiJobQueries(name)) 5 else 2)(once())
-      name -> (if (times.exists(_ < 0)) -1.0
+      val official = if (times.exists(_ < 0)) -1.0
         else if (multiJobQueries(name)) times.sorted.apply(times.size / 2)
-        else times.min)
-    }
+        else times.min
+      (name, official, times)
+    }.map { case (name, official, times) => name -> (official, times) }
     // 3-decimal rounding (1 ms resolution — below run-to-run noise): the
     // full-precision doubles doubled the line length and the driver's tail
     // capture truncated the cheap half of the suite out of BENCH_r{5,6}
@@ -185,17 +187,33 @@ object Bench {
     // ~48 expensive ones; round-12 advice: failures sorted FIRST were the
     // first content truncated, inverting the intent). The short trailing
     // summary line still carries n_failed even if every name is cut.
-    val qs = results.sortBy { case (k, v) => (v < 0, v, k) }
-      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    val qs = results.sortBy { case (k, (v, _)) => (v < 0, v, k) }
+      .map { case (k, (v, _)) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val nFailed = results.count(_._2 < 0)
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val nFailed = results.count(_._2._1 < 0)
+    val total = results.collect { case (_, (v, _)) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"queries":$qs}""")
     // Second, SHORT line with the headline numbers alone: short enough to
     // survive truncation from EITHER direction, so the official artifact
     // always records the total even if the per-query line is cut
     // (round-8 verdict item 2).
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed}""")
+    // COMPLETE per-query artifact on disk (round-14 verdict item 8): the
+    // stdout capture preserves only the tail of the long line, which
+    // limited r13↔r14 comparison to ~70 queries. This file carries every
+    // query's official time AND the raw sample vector (so the multi-job
+    // set's spread — not just the median — is recorded). Written to the
+    // repo root, where the bench runs from; overwritten per run.
+    val full = results.toSeq.sortBy(_._1).map { case (k, (v, ts)) =>
+      "\"" + k + "\":{\"time\":" + r3(v) +
+        ",\"samples\":[" + ts.map(r3).mkString(",") + "]}"
+    }.mkString("{", ",", "}")
+    try {
+      val w = new java.io.PrintWriter("BENCH_FULL.json")
+      try w.println(
+        s"""{"sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"total":${r3(total)},"queries":$full}""")
+      finally w.close()
+    } catch { case _: Throwable => () } // artifact is best-effort
     spark.stop()
   }
 }

@@ -52,6 +52,12 @@ object GraftExtensions {
     ("lemma_tokens",
       info("lemma_tokens", "_FUNC_(str) - Tokenize + stopword-filter + suffix-lemmatize."),
       (args: Seq[Expression]) => text.LemmaTokens(args.head)),
+    ("porter2_stem",
+      info("porter2_stem", "_FUNC_(token) - Porter2 (English Snowball) stem."),
+      (args: Seq[Expression]) => text.Porter2Stem(args.head)),
+    ("utf16_length",
+      info("utf16_length", "_FUNC_(str) - Length in UTF-16 code units."),
+      (args: Seq[Expression]) => text.Utf16Length(args.head)),
     ("simhash_agg",
       info("simhash_agg", "_FUNC_(hash, weight) - 64-bit weighted SimHash aggregate."),
       (args: Seq[Expression]) =>

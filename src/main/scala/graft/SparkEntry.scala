@@ -40,7 +40,8 @@ object SparkEntry {
       text.Entropy.oracle ++ text.Budget.oracle ++ text.Overlap.oracle ++
       text.CorpusFilters.oracle ++ text.Retrieval.oracle ++
       ml.Vocab.oracle ++ ml.Hdr.oracle ++ ml.LshPlanner.oracle ++
-      ml.Similarity.oracle ++ ml.Bloom.oracle ++ ml.Quantize.oracle ++
+      ml.Similarity.oracle ++ ml.Lda.oracle ++
+      ml.Bloom.oracle ++ ml.Quantize.oracle ++
       ingest.Tickets.oracle ++ ingest.Wet.oracle ++
       multimodal.Media.oracle ++ sink.Orc.oracle ++
       sink.Avro.oracle ++ sink.Lake.oracle ++ sink.Skipping.oracle ++

@@ -352,8 +352,19 @@ object Media {
       .orderBy(col("doc_id"))
   }
 
-  /** Engine-only: frame sampling + per-media frame size stats. */
-  def m_media_frames(s: SparkSession, dir: String): DataFrame =
+  /** Frame sampling + per-media frame size stats — HASH-GATED since
+    * round 15 (previously engine-only m_media_frames): the sampler's
+    * slice arithmetic is fully deterministic over the generator's blob,
+    * so the DuckDB twin replays the content-LENGTH derivation (splitmix64
+    * over seed id⊕0x5eed in HUGEINT limbs, exactly the q83 replay) and
+    * the gate pins, per video, the frame count AND the total sampled
+    * bytes — which equal the blob length iff the n slices tile [0, len)
+    * with no gap or overlap. An off-by-one in the slice bounds (the
+    * classic `len·i/n` rounding bug) changes total_bytes and fails the
+    * hash. Feature extraction (m_media_features) stays engine-only: its
+    * seed folds over every content BYTE, which has no tractable SQL
+    * replay — its determinism contract lives in MediaSourceSpec. */
+  def q154_media_frames(s: SparkSession, dir: String): DataFrame =
     sampleFrames(mediaTable(s, dir), n = 4)
       .select(col("media_id"), col("frame_no"), length(col("frame")).as("frame_bytes"))
       .groupBy(col("media_id"))
@@ -363,7 +374,7 @@ object Media {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_media_features" -> (m_media_features _),
-    "m_media_frames"   -> (m_media_frames _),
+    "q154_media_frames" -> (q154_media_frames _),
     "m_media_dedup"    -> (m_media_dedup _),
     "q83_image_text_pairs" -> (q83_image_text_pairs _),
     "q90_interleaved_docs" -> (q90_interleaved_docs _),
@@ -484,7 +495,42 @@ object Media {
        |FROM agg ORDER BY doc_id""".stripMargin
   }
 
+  /** Generated twin of q154: splitmix64 HUGEINT replay of the generator's
+    * kind (seed id) and content-length (seed id⊕0x5eed) derivations; the
+    * Spark side's total sampled bytes must equal the replayed blob length
+    * exactly (the 4 slices tile the blob), and the video id set must
+    * match kidx = 2. */
+  private lazy val mediaFramesOracle: String = {
+    val z1 = "(z + 11400714819323198485) % 18446744073709551616"
+    val m2 = mulmodSql("x1", BigInt("13787848793156543929"))
+    val m3 = mulmodSql("x2", BigInt("10723151780598845931"))
+    s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+       |zs AS (SELECT id, v,
+       |    CASE v WHEN 0 THEN CAST(id AS HUGEINT)
+       |           ELSE xor(CAST(id AS HUGEINT), 24301) END AS z
+       |  FROM ids, (VALUES (0),(1)) t(v)),
+       |s1 AS (SELECT id, v, $z1 AS z1 FROM zs),
+       |s2 AS (SELECT id, v, xor(z1, z1 // 1073741824) AS x1 FROM s1),
+       |s3 AS (SELECT id, v, $m2 AS z2 FROM s2),
+       |s4 AS (SELECT id, v, xor(z2, z2 // 134217728) AS x2 FROM s3),
+       |s5 AS (SELECT id, v, $m3 AS z3 FROM s4),
+       |s6 AS (SELECT id, v, xor(z3, z3 // 2147483648) AS m FROM s5),
+       |sg AS (SELECT id, v,
+       |    CASE WHEN m >= 9223372036854775808 THEN m - 18446744073709551616
+       |         ELSE m END AS x
+       |  FROM s6),
+       |attrs AS (SELECT id,
+       |    MAX(CASE WHEN v = 0 THEN ((x % 3) + 3) % 3 END) AS kidx,
+       |    MAX(CASE WHEN v = 1 THEN ((x % 1800) + 1800) % 1800 + 200 END)
+       |      AS len
+       |  FROM sg GROUP BY id)
+       |SELECT id AS media_id, CAST(4 AS BIGINT) AS n_frames,
+       |  CAST(len AS BIGINT) AS total_bytes
+       |FROM attrs WHERE kidx = 2 ORDER BY media_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q83_image_text_pairs" -> imageTextPairsOracle,
-    "q90_interleaved_docs" -> interleavedDocsOracle)
+    "q90_interleaved_docs" -> interleavedDocsOracle,
+    "q154_media_frames" -> mediaFramesOracle)
 }

@@ -891,14 +891,24 @@ object Relational {
   /** Two-phase salted aggregation — THE skew pattern at 100 TB: a hot
     * group key (one event_type = 20 % of a 100 TB stream) would pin its
     * entire group on one reducer; salting first aggregates on
-    * (key, hash(row)%32) so the hot key spreads over 32 reducers, then the
+    * (key, hash(row)%S) so the hot key spreads over S reducers, then the
     * tiny per-salt partials re-aggregate. Only re-aggregatable stats
     * (sum/count/min/max) compose this way; the result is identical to the
-    * direct groupBy, which is exactly what the oracle checks. */
-  def q46_skew_salted_agg(s: SparkSession, dir: String): DataFrame =
+    * direct groupBy, which is exactly what the oracle checks.
+    *
+    * The salt count S is CONSUMED from the q153 skew advisor (round-14
+    * verdict item 4 — the advisor→executor loop): S = the advisor's
+    * ⌈top1/mean⌉ for `events.event_type`, floored at the session's
+    * shuffle parallelism so a low-cardinality key still spreads over the
+    * full reducer width (splitting the hot key `factor` ways equalizes
+    * SHARD sizes; the floor keeps shard COUNT ≥ the cluster's lanes).
+    * Memoized per (session, corpus) via the trainer-memo pattern —
+    * SkewAdvisorSpec asserts the fixture-level factor identity. */
+  def q46_skew_salted_agg(s: SparkSession, dir: String): DataFrame = {
+    val salt = q46SaltCount(s, dir)
     Tables.events(s, dir)
       .groupBy(col("event_type"),
-        pmod(xxhash64(col("event_id")), lit(32)).as("salt"))
+        pmod(xxhash64(col("event_id")), lit(salt)).as("salt"))
       .agg(count(lit(1)).as("c"), sum(d2(col("value"))).as("sv"),
         min(col("value")).as("mn"), max(col("value")).as("mx"))
       .groupBy(col("event_type"))
@@ -909,6 +919,15 @@ object Relational {
         max(col("mx")).as("max_value"),
         (sum(col("sv")).cast(DoubleType) / sum(col("c"))).as("avg_value"))
       .orderBy(col("event_type"))
+  }
+
+  /** q46's advisor-fed salt count (exposed for SkewAdvisorSpec): the
+    * q153 ⌈top1/mean⌉ for the grouping key, floored at the session's
+    * shuffle parallelism. */
+  private[graft] def q46SaltCount(s: SparkSession, dir: String): Int =
+    math.max(
+      SkewAdvisor.recommendedSaltFactor(s, dir, "events.event_type"),
+      s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
   // ------------------------------------------------------------ as-of join
   /** As-of join (point-in-time lookup): each purchase event picks the

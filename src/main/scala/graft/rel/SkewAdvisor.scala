@@ -28,8 +28,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 object SkewAdvisor {
 
   def q153_skew_advisor(s: SparkSession, dir: String): DataFrame = {
+    // keys are audited as STRINGS (long→string casts render identically
+    // in Spark and DuckDB) so string-keyed shuffle columns — like q46's
+    // event_type grouping key — sit in the same audit as the numeric
+    // ids; only the per-key counts feed the stats, never k itself
     def keyed(tag: String, df: DataFrame, c: Column): DataFrame =
-      df.select(lit(tag).as("audit_key"), c.cast("long").as("k"))
+      df.select(lit(tag).as("audit_key"), c.cast("string").as("k"))
     val keys =
       keyed("lineitem.l_orderkey", Tables.lineitem(s, dir), col("l_orderkey"))
         .unionByName(keyed("lineitem.l_suppkey",
@@ -40,6 +44,8 @@ object SkewAdvisor {
           Tables.orders(s, dir), col("o_custkey")))
         .unionByName(keyed("events.user_id",
           Tables.events(s, dir), col("user_id")))
+        .unionByName(keyed("events.event_type",
+          Tables.events(s, dir), col("event_type")))
     val counts = keys.groupBy(col("audit_key"), col("k"))
       .agg(count(lit(1)).as("c"))
     val wAsc = Window.partitionBy(col("audit_key")).orderBy(col("c"), col("k"))
@@ -71,15 +77,16 @@ object SkewAdvisor {
   private lazy val skewOracle: String =
     s"""WITH keys AS (
        |  SELECT 'lineitem.l_orderkey' AS audit_key,
-       |    CAST(l_orderkey AS BIGINT) AS k FROM lineitem
-       |  UNION ALL SELECT 'lineitem.l_suppkey', CAST(l_suppkey AS BIGINT)
+       |    CAST(l_orderkey AS VARCHAR) AS k FROM lineitem
+       |  UNION ALL SELECT 'lineitem.l_suppkey', CAST(l_suppkey AS VARCHAR)
        |    FROM lineitem
-       |  UNION ALL SELECT 'lineitem.l_partkey', CAST(l_partkey AS BIGINT)
+       |  UNION ALL SELECT 'lineitem.l_partkey', CAST(l_partkey AS VARCHAR)
        |    FROM lineitem
-       |  UNION ALL SELECT 'orders.o_custkey', CAST(o_custkey AS BIGINT)
+       |  UNION ALL SELECT 'orders.o_custkey', CAST(o_custkey AS VARCHAR)
        |    FROM orders
-       |  UNION ALL SELECT 'events.user_id', CAST(user_id AS BIGINT)
-       |    FROM events),
+       |  UNION ALL SELECT 'events.user_id', CAST(user_id AS VARCHAR)
+       |    FROM events
+       |  UNION ALL SELECT 'events.event_type', event_type FROM events),
        |cnt AS (SELECT audit_key, k, CAST(COUNT(*) AS BIGINT) AS c
        |  FROM keys GROUP BY 1, 2),
        |rk AS (SELECT *,
@@ -103,6 +110,56 @@ object SkewAdvisor {
        |  CAST((top1 * n_keys + n_rows - 1) // n_rows AS BIGINT)
        |    AS salt_factor
        |FROM pick ORDER BY audit_key""".stripMargin
+
+  /** ⌈top1/mean⌉ for ONE keyed frame (single column `k`) — the identical
+    * integer sizing rule q153 reports, exposed so specs can assert the
+    * advisor→executor loop on constructed fixtures. */
+  private[graft] def saltFactorOf(keys: DataFrame): Long = {
+    val r = keys.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("top1"), count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows")).head()
+    val (top1, nKeys, nRows) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    (top1 * nKeys + nRows - 1) / nRows
+  }
+
+  /** Advisor→executor loop (round-14 verdict item 4): the salting factor
+    * a consumer (q46) applies IS the advisor's reported ⌈top1/mean⌉ for
+    * that audit key — the trainer-memo pattern (CorpusFilters.memoTrained):
+    * keyed on (applicationId, audit key, corpus-content fingerprint) so an
+    * in-place corpus mutation re-advises instead of serving a stale
+    * factor. The memoized value is ONE scalar — metadata, never corpus
+    * data; the first consumer in a session pays the advisor pass (the
+    * same catalog-sized aggregate q153 itself runs). */
+  private val saltMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+
+  /** Content fingerprint of the audited tables (name|length|mtime of
+    * every file — the Similarity.corpusFingerprint recipe pointed at the
+    * relational side the advisor actually reads). */
+  private def tablesFingerprint(s: SparkSession, dir: String): String = {
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    Seq("events.parquet", "lineitem.parquet", "orders.parquet").foreach { t =>
+      val path = new org.apache.hadoop.fs.Path(s"$dir/$t")
+      val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(path, true)
+      while (it.hasNext) {
+        val f = it.next()
+        entries +=
+          s"${f.getPath.toUri.getPath}|${f.getLen}|${f.getModificationTime}"
+      }
+    }
+    entries.sorted.mkString(",")
+  }
+
+  def recommendedSaltFactor(s: SparkSession, dir: String,
+      auditKey: String): Int =
+    saltMemo.computeIfAbsent(
+      s"${s.sparkContext.applicationId}|$auditKey|" +
+        tablesFingerprint(s, dir),
+      _ => java.lang.Long.valueOf(
+        q153_skew_advisor(s, dir)
+          .filter(col("audit_key") === auditKey)
+          .select(col("salt_factor")).head().getLong(0))).toInt
 
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

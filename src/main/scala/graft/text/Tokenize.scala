@@ -83,8 +83,36 @@ object Tokenize {
         md5(array_join(col("lemmas"), " ").cast("binary")).as("lemmas_md5"))
       .orderBy(col("doc_id"))
 
+  /** Engine-only: the quantitative M1 fidelity measurement (round-14
+    * verdict item 7) — token-level agreement between the oracle-gated
+    * lemma-lite rules and the published Porter2 stemmer over the corpus'
+    * M1 token stream. Works on the DISTINCT word table (Heaps-bounded —
+    * metadata-scale) with token counts carried alongside, so both the
+    * vocabulary-level and occurrence-weighted agreement report from one
+    * catalog-sized pass; the corpus-side work is one explode + one
+    * map-side-combined count. Engine-only: Porter2's region arithmetic
+    * has no tractable SQL twin (Porter2Spec carries goldens + the
+    * idempotence property instead). */
+  def m_stem_agreement(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documentsFanned(s, dir)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
+      .filter(length(col("tok")) >= 2 &&
+        !col("tok").isin(EnglishStopwords.map(x => x: Any): _*))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .select(col("tok"), col("n"),
+        lemma(col("tok")).as("lemma_lite"),
+        Porter2.porter2_stem(col("tok")).as("porter2"))
+      .withColumn("agree", (col("lemma_lite") === col("porter2")).cast("long"))
+    vocab.agg(
+      sum(col("n")).as("n_tokens"),
+      count(lit(1)).as("n_vocab"),
+      expr("(1000 * sum(agree)) div count(1)").as("vocab_agree_permille"),
+      expr("(1000 * sum(agree * n)) div sum(n)").as("token_agree_permille"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q38_lemma_tokens" -> (q38_lemma_tokens _))
+    "q38_lemma_tokens" -> (q38_lemma_tokens _),
+    "m_stem_agreement" -> (m_stem_agreement _))
 
   private def sqlIn(xs: Seq[String]): String =
     xs.map(x => "'" + x.replace("'", "''") + "'").mkString("(", ",", ")")

