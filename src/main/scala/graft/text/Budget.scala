@@ -250,14 +250,164 @@ object Budget {
        |    AS BIGINT) AS utilization_permille
        |FROM m ORDER BY source""".stripMargin
 
+  // ------------------------------------------- q156 sequence packing
+  private val BlockLen = 256L
+
+  /** GPT-style pretraining sequence packing (q156) — the standard
+    * concat-and-chop: documents concatenate in a deterministic order and
+    * the token stream is cut into fixed [[BlockLen]]-token training
+    * sequences (the packing used by GPT-2/3-lineage pretraining — Brown
+    * et al. 2020 §2.3 "documents are packed into sequences"; T5's
+    * "packing", Raffel et al. 2020). Emitted per block: how many docs
+    * touch it, the doc-id span, the token fill, and how many documents
+    * START inside it (the attention-reset/EOD-boundary count a trainer
+    * materializes masks from).
+    *
+    * Everything derives from ONE prefix sum over per-doc token counts —
+    * doc i occupies token interval [cum−tk, cum), so it touches blocks
+    * ⌊st/B⌋..⌊(en−1)/B⌋ and contributes min(en,(b+1)B) − max(st,bB)
+    * tokens to block b. All integer; both engines replay the identical
+    * algebra, so block boundaries, fills and boundary counts gate
+    * exactly.
+    *
+    * Scale shape: the doc-id-ordered cumulative sum is a
+    * range-partitioned prefix sum (the q152/q123 machinery — one pass,
+    * partition subtotals broadcast); the per-doc block explode is
+    * tk/B + 1 rows (local fan-out bounded by doc length); the per-block
+    * aggregate is map-side-combined on the block id. No corpus-global
+    * state beyond the O(partitions) subtotal exchange. */
+  def q156_sequence_packing(s: SparkSession, dir: String): DataFrame = {
+    val wCum = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val spans = Tables.documentsFanned(s, dir)
+      .select(col("doc_id"),
+        size(Cleanse.tokens(col("text"))).cast("long").as("tk"))
+      .filter(col("tk") > 0) // empty docs occupy no block interval
+      .withColumn("cum", sum(col("tk")).over(wCum))
+      .select(col("doc_id"), col("tk"),
+        (col("cum") - col("tk")).as("st"), col("cum").as("en"))
+    spans
+      .select(col("doc_id"), col("st"), col("en"),
+        explode(expr(s"sequence(st div $BlockLen, (en - 1) div $BlockLen)"))
+          .as("block_id"))
+      .groupBy(col("block_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr(s"least(en, (block_id + 1) * $BlockLen) " +
+          s"- greatest(st, block_id * $BlockLen)")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(when(expr(s"st div $BlockLen") === col("block_id"), 1L)
+          .otherwise(0L)).as("n_starts"))
+      .orderBy(col("block_id"))
+  }
+
+  private lazy val packingOracle: String =
+    s"""WITH dt AS (SELECT doc_id,
+       |    CAST(len(list_filter(string_split(trim(text), ' '),
+       |      t -> t <> '')) AS BIGINT) AS tk
+       |  FROM documents),
+       |cum AS (SELECT doc_id, tk,
+       |    CAST(SUM(tk) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS cum
+       |  FROM dt WHERE tk > 0),
+       |spans AS (SELECT doc_id, cum - tk AS st, cum AS en FROM cum),
+       |blk AS (SELECT doc_id, st, en,
+       |    unnest(range(st // $BlockLen, (en - 1) // $BlockLen + 1)) AS b
+       |  FROM spans)
+       |SELECT CAST(b AS BIGINT) AS block_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(least(en, (b + 1) * $BlockLen)
+       |    - greatest(st, b * $BlockLen)) AS BIGINT) AS n_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+       |  CAST(SUM(CASE WHEN st // $BlockLen = b THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_starts
+       |FROM blk GROUP BY 1 ORDER BY block_id""".stripMargin
+
+  // -------------------------------------- q157 systematic PPS sampling
+  private val PpsK = 64L
+
+  /** Systematic probability-proportional-to-size sampling (q157) —
+    * Madow (1949)'s systematic selection over the cumulative-size line:
+    * with total weight W and k sample points t_j = ⌊(2j+1)·W / 2k⌋
+    * (centered systematic grid), document i (token interval [st, en))
+    * is drawn once per point falling in its interval. Inclusion counts
+    * are E[n_hits] = k·w_i/W — the PPS primitive behind mixture
+    * subsampling and eval-split draws — and the whole draw is INTEGER
+    * arithmetic: n_hits = f(en) − f(st) with the closed form
+    * f(x) = clamp(⌈(2kx − W)/2W⌉, 0, k) (no per-point join, no floats,
+    * no RNG — determinism is the systematic grid itself).
+    *
+    * The `hits_complete` gate asserts Σ n_hits = k (every point lands in
+    * exactly one interval) — a wrong cumsum, off-by-one in f, or a lost
+    * interval flips it in both engines.
+    *
+    * Scale shape: one range-partitioned prefix sum, then a MAP-SIDE
+    * closed form per doc (f(en) − f(st)) — no join against the point
+    * set at all. Bound: 2k·x ≤ 2k·W needs W ≤ 2^63/(2k) ≈ 7.2e16
+    * tokens at k = 64 — three orders above a 100 TB corpus. */
+  def q157_systematic_pps(s: SparkSession, dir: String): DataFrame = {
+    val wCum = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    val spans = Tables.documentsFanned(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(Cleanse.tokens(col("text"))).cast("long").as("tk"))
+      .filter(col("tk") > 0)
+      .withColumn("cum", sum(col("tk")).over(wCum))
+      .withColumn("w_total", sum(col("tk")).over(wAll))
+      .select(col("doc_id"), col("source"), col("tk"),
+        (col("cum") - col("tk")).as("st"), col("cum").as("en"),
+        col("w_total"))
+    val hits = spans
+      .withColumn("f_en", expr(s"greatest(0L, least($PpsK, " +
+        s"(2 * $PpsK * en - w_total + 2 * w_total - 1) div (2 * w_total)))"))
+      .withColumn("f_st", expr(s"greatest(0L, least($PpsK, " +
+        s"(2 * $PpsK * st - w_total + 2 * w_total - 1) div (2 * w_total)))"))
+      .withColumn("n_hits", col("f_en") - col("f_st"))
+    hits
+      .withColumn("hits_complete",
+        sum(col("n_hits")).over(wAll) === lit(PpsK))
+      .filter(col("n_hits") >= 1)
+      .select(col("doc_id"), col("source"), col("tk").as("weight"),
+        col("n_hits"), col("hits_complete"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val ppsOracle: String =
+    s"""WITH dt AS (SELECT doc_id, source,
+       |    CAST(len(list_filter(string_split(trim(text), ' '),
+       |      t -> t <> '')) AS BIGINT) AS tk
+       |  FROM documents),
+       |cum AS (SELECT doc_id, source, tk,
+       |    CAST(SUM(tk) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS cum,
+       |    CAST(SUM(tk) OVER () AS BIGINT) AS w_total
+       |  FROM dt WHERE tk > 0),
+       |spans AS (SELECT doc_id, source, tk, cum - tk AS st, cum AS en,
+       |    w_total FROM cum),
+       |h AS (SELECT doc_id, source, tk,
+       |    greatest(0, least($PpsK,
+       |      (2 * $PpsK * en - w_total + 2 * w_total - 1) // (2 * w_total)))
+       |    - greatest(0, least($PpsK,
+       |      (2 * $PpsK * st - w_total + 2 * w_total - 1) // (2 * w_total)))
+       |      AS n_hits
+       |  FROM spans)
+       |SELECT doc_id, source, tk AS weight, CAST(n_hits AS BIGINT) AS n_hits,
+       |  (SELECT SUM(n_hits) FROM h) = $PpsK AS hits_complete
+       |FROM h WHERE n_hits >= 1 ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q140_token_waterfill" -> (q140_token_waterfill _),
     "q143_mixture_materialize" -> (q143_mixture_materialize _),
-    "q152_curriculum_steps" -> (q152_curriculum_steps _))
+    "q152_curriculum_steps" -> (q152_curriculum_steps _),
+    "q156_sequence_packing" -> (q156_sequence_packing _),
+    "q157_systematic_pps" -> (q157_systematic_pps _))
 
   val oracle: Map[String, String] = Map(
     "q140_token_waterfill" -> waterfillOracle,
     "q143_mixture_materialize" -> materializeOracle,
-    "q152_curriculum_steps" -> curriculumOracle)
+    "q152_curriculum_steps" -> curriculumOracle,
+    "q156_sequence_packing" -> packingOracle,
+    "q157_systematic_pps" -> ppsOracle)
 }

@@ -87,4 +87,58 @@ class BudgetSpec extends AnyFunSuite {
         .cast("long")).head().getLong(0)
     assert(out.map(_._3).sum == corpusTokens)
   }
+
+  test("q156 packing: blocks tile the token stream exactly") {
+    import org.apache.spark.sql.functions.{col, size}
+    val out = Budget.q156_sequence_packing(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    // contiguous block ids from 0
+    assert(out.map(_._1).toSeq == (0L until out.length.toLong))
+    // every block but the last holds exactly BlockLen tokens; the last
+    // holds the remainder
+    val fills = out.map(_._3)
+    assert(fills.init.forall(_ == 256L), "interior blocks must be full")
+    assert(fills.last >= 1L && fills.last <= 256L)
+    // the fills sum to the corpus token count (nothing lost or doubled)
+    val docToks = graft.Tables.documents(spark, sf)
+      .select(size(Cleanse.tokens(col("text"))).cast("long").as("tk"))
+      .collect().map(_.getLong(0)).filter(_ > 0)
+    assert(fills.sum == docToks.sum)
+    // doc spans are monotone across blocks; boundary counts total docs
+    assert(out.map(_._6).sum == docToks.length,
+      "every doc starts in exactly one block")
+    // consecutive blocks either share the boundary-spanning doc or butt
+    // up exactly (a doc ending on the cut)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= a._5 && b._4 <= b._5, "doc span ordered within block")
+      assert(b._4 == a._5 || b._4 == a._5 + 1,
+        s"block ${b._1} first_doc ${b._4} vs prev last_doc ${a._5}")
+    }
+  }
+
+  test("q157 systematic PPS: brute-force point placement agrees") {
+    import org.apache.spark.sql.functions.{col, size}
+    val k = 64L
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(Cleanse.tokens(col("text"))).cast("long").as("tk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._2 > 0).sortBy(_._1)
+    val w = docs.map(_._2).sum
+    val points = (0L until k).map(j => ((2 * j + 1) * w) / (2 * k))
+    // brute force: walk the cumulative line, drop each point into its doc
+    var cum = 0L
+    val expected = scala.collection.mutable.Map.empty[Long, Long]
+    docs.foreach { case (id, tk) =>
+      val st = cum; cum += tk
+      val h = points.count(p => p >= st && p < cum)
+      if (h > 0) expected(id) = h.toLong
+    }
+    val got = Budget.q157_systematic_pps(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == expected.toMap, "closed-form f must equal point walk")
+    assert(got.values.sum == k, "all points land exactly once")
+  }
 }
