@@ -3,7 +3,7 @@ package graft.text
 import graft.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Training-mixture token budgeting (q140) — the allocator that decides
   * how many tokens each SOURCE contributes to a training run: waterfill
@@ -148,10 +148,12 @@ object Budget {
     val docTok = Tables.documentsFanned(s, dir)
       .select(col("doc_id"),
         size(Cleanse.tokens(col("text"))).cast("long").as("tk"))
-    val wCum = Window.orderBy(col("tk"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val steps = docTok
-      .withColumn("cum", sum(col("tk")).over(wCum))
+    // distributed prefix sum in difficulty order (round-15): bucket by
+    // the leading sort key's range — `tk div 64` is coarsely monotone in
+    // (tk, doc_id), so the bucketed two-phase sum reproduces the global
+    // running sum exactly while the per-bucket windows parallelize
+    val steps = bucketedPrefixSum(docTok, expr("tk div 64"),
+        Seq(col("tk"), col("doc_id")), col("tk"))
       .withColumn("step", expr(s"(cum - 1) div $StepBudget"))
       .groupBy(col("step"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("tokens"),
@@ -253,6 +255,50 @@ object Budget {
   // ------------------------------------------- q156 sequence packing
   private val BlockLen = 256L
 
+  /** DISTRIBUTED prefix sum over (doc_id, tk) — the two-phase bucketed
+    * form, in pure DataFrame algebra (round-15: upgrades the prefix-sum
+    * consumers from a global-ORDER-BY window, which Spark executes as a
+    * SINGLE partition, to a plan that scales):
+    *
+    *   1. bucket by doc_id range (`div` [[CumBucket]]) and run the
+    *      running sum INSIDE each bucket — `Window.partitionBy(bucket)`
+    *      distributes across the cluster;
+    *   2. per-bucket subtotals (catalog-sized: one row per bucket) get
+    *      an exclusive running sum over the tiny bucket table;
+    *   3. broadcast-join the bucket offsets back and add.
+    *
+    * Output is bit-identical to the single-window form (integer sums,
+    * same total order), which is exactly what the unchanged DuckDB
+    * oracles prove. At 100 TB: one hash shuffle on the bucket id, an
+    * O(buckets) driver-side-scale window, one broadcast — no stage ever
+    * sees the corpus in one task. */
+  private val CumBucket = 1024L
+
+  /** General form: `bucket` must be coarsely MONOTONE in `order` (every
+    * row of bucket b orders before every row of bucket b+1) — true for
+    * any `key div span` bucketing of the leading order key. Appends
+    * `cum` = inclusive running sum of `value` in the global `order`. */
+  private[graft] def bucketedPrefixSum(df: DataFrame, bucket: Column,
+      order: Seq[Column], value: Column): DataFrame = {
+    val bucketed = df.withColumn("bkt", bucket)
+    val wLocal = Window.partitionBy(col("bkt")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = bucketed.withColumn("lcum", sum(value).over(wLocal))
+    val wBkts = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("bkt"))
+      .agg(sum(value).as("bsum"))
+      .withColumn("boff", coalesce(sum(col("bsum")).over(wBkts), lit(0L)))
+      .select(col("bkt"), col("boff"))
+    local.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("cum", col("lcum") + col("boff"))
+      .drop("bkt", "lcum")
+  }
+
+  private[graft] def prefixSumByDocId(docTok: DataFrame): DataFrame =
+    bucketedPrefixSum(docTok, expr(s"doc_id div $CumBucket"),
+      Seq(col("doc_id")), col("tk"))
+
   /** GPT-style pretraining sequence packing (q156) — the standard
     * concat-and-chop: documents concatenate in a deterministic order and
     * the token stream is cut into fixed [[BlockLen]]-token training
@@ -277,13 +323,11 @@ object Budget {
     * aggregate is map-side-combined on the block id. No corpus-global
     * state beyond the O(partitions) subtotal exchange. */
   def q156_sequence_packing(s: SparkSession, dir: String): DataFrame = {
-    val wCum = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val spans = Tables.documentsFanned(s, dir)
-      .select(col("doc_id"),
-        size(Cleanse.tokens(col("text"))).cast("long").as("tk"))
-      .filter(col("tk") > 0) // empty docs occupy no block interval
-      .withColumn("cum", sum(col("tk")).over(wCum))
+    val spans = prefixSumByDocId(
+      Tables.documentsFanned(s, dir)
+        .select(col("doc_id"),
+          size(Cleanse.tokens(col("text"))).cast("long").as("tk"))
+        .filter(col("tk") > 0)) // empty docs occupy no block interval
       .select(col("doc_id"), col("tk"),
         (col("cum") - col("tk")).as("st"), col("cum").as("en"))
     spans
@@ -346,15 +390,15 @@ object Budget {
     * set at all. Bound: 2k·x ≤ 2k·W needs W ≤ 2^63/(2k) ≈ 7.2e16
     * tokens at k = 64 — three orders above a 100 TB corpus. */
   def q157_systematic_pps(s: SparkSession, dir: String): DataFrame = {
-    val wCum = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.partitionBy()
-    val spans = Tables.documentsFanned(s, dir)
+    val docTok = Tables.documentsFanned(s, dir)
       .select(col("doc_id"), col("source"),
         size(Cleanse.tokens(col("text"))).cast("long").as("tk"))
       .filter(col("tk") > 0)
-      .withColumn("cum", sum(col("tk")).over(wCum))
-      .withColumn("w_total", sum(col("tk")).over(wAll))
+    // total mass: map-side-combined 1-row aggregate, broadcast — never a
+    // corpus-wide unpartitioned window
+    val tot = docTok.agg(sum(col("tk")).as("w_total"))
+    val spans = prefixSumByDocId(docTok)
+      .crossJoin(broadcast(tot))
       .select(col("doc_id"), col("source"), col("tk"),
         (col("cum") - col("tk")).as("st"), col("cum").as("en"),
         col("w_total"))
@@ -364,10 +408,13 @@ object Budget {
       .withColumn("f_st", expr(s"greatest(0L, least($PpsK, " +
         s"(2 * $PpsK * st - w_total + 2 * w_total - 1) div (2 * w_total)))"))
       .withColumn("n_hits", col("f_en") - col("f_st"))
+    // the completeness gate: Σ n_hits over ALL docs (selected or not) —
+    // a 1-row map-side aggregate, broadcast onto the k-row result
+    val complete = hits.agg((sum(col("n_hits")) === lit(PpsK))
+      .as("hits_complete"))
     hits
-      .withColumn("hits_complete",
-        sum(col("n_hits")).over(wAll) === lit(PpsK))
       .filter(col("n_hits") >= 1)
+      .crossJoin(broadcast(complete))
       .select(col("doc_id"), col("source"), col("tk").as("weight"),
         col("n_hits"), col("hits_complete"))
       .orderBy(col("doc_id"))

@@ -118,6 +118,19 @@ class BudgetSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix sums distribute: corpus window is bucket-partitioned") {
+    // the two-phase bucketed prefix sum must shuffle the CORPUS side by
+    // bucket (parallel windows), leaving only the O(buckets) subtotal
+    // frame to an unpartitioned window — never the corpus in one task
+    Seq(Budget.q156_sequence_packing(spark, sf),
+        Budget.q157_systematic_pps(spark, sf),
+        Budget.q152_curriculum_steps(spark, sf)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("hashpartitioning(bkt"),
+        s"corpus-side window must partition by bucket:\n${plan.take(1200)}")
+    }
+  }
+
   test("q157 systematic PPS: brute-force point placement agrees") {
     import org.apache.spark.sql.functions.{col, size}
     val k = 64L
