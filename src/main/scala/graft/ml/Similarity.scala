@@ -458,6 +458,57 @@ object Similarity {
         (avg(col("nh").cast("double") / col("nt")) >= 0.55).as("recall_ok"))
   }
 
+  /** Matryoshka truncation-robustness audit (q158) — the MRL question
+    * (Kusupati et al. 2022, "Matryoshka Representation Learning"): how
+    * much top-k retrieval quality survives when the embedding is
+    * truncated to its leading d dimensions? For d ∈ {8, 16, 32, 64} the
+    * exact truncated-cosine top-3 over the 50-query set compares
+    * against the full-dimension truth, reporting per-dim overlap in
+    * exact permille integers — the dimension-budget curve a platform
+    * consults before shipping short embeddings to an ANN tier.
+    *
+    * Fully hash-gated: slicing, dot products (same summation order both
+    * engines — the q82 contract), round-6 sims, integer overlap
+    * arithmetic. One pair pass computes ALL dims (the sims ride as an
+    * exploded per-pair array — no per-dim corpus re-scan).
+    *
+    * Scale shape: the exact pass is the q19/q82 brute oracle shape over
+    * the gated 50-query panel (queries × corpus equi-free join with a
+    * broadcast query side, bounded-heap rank-≤3 WindowGroupLimit); at
+    * production query volumes the truncated ranking runs through the
+    * IVF/PQ tiers (q82/q99/q106) with d chosen FROM this report. */
+  def q158_matryoshka_recall(s: SparkSession, dir: String): DataFrame = {
+    val dims = Seq(8, 16, 32, 64)
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val pairSims = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        explode(array(dims.map(d => struct(lit(d).as("dim"),
+          round(cosine(slice(col("qemb"), 1, d), slice(col("emb"), 1, d)), 6)
+            .as("sim"))): _*)).as("ds"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("ds.dim").as("dim"), col("ds.sim").as("sim"))
+    val w = Window.partitionBy(col("dim"), col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    // tiny (dims × queries × 3 rows) and consumed TWICE (as the per-dim
+    // candidate set and as the dim-64 truth side) — checkpoint so the
+    // corpus-side pair scan executes once, not once per consumer
+    val topk = pairSims.withColumn("r", row_number().over(w))
+      .filter(col("r") <= 3)
+      .select(col("dim"), col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val truth = topk.filter(col("dim") === 64)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    topk.join(truth, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("dim"))
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        expr("(1000 * sum(coalesce(hit, 0L))) div (3 * count(distinct query_id))")
+          .as("overlap_permille"))
+      .orderBy(col("dim"))
+  }
+
   /** Centroids for the hash-gated IVF twin: seeded Gaussians, same
     * embed-the-constants contract as the LSH hyperplanes. */
   private def seededCentroids(k: Int, dim: Int): IndexedSeq[IndexedSeq[Double]] = {
@@ -1974,7 +2025,8 @@ object Similarity {
     "q110_ivfpq_residual_recall" -> (q110_ivfpq_residual_recall _),
     "q84_minhash_lsh_recall" -> (q84_minhash_lsh_recall _),
     "m_ann_pq_seeded"     -> (m_ann_pq_seeded _),
-    "q92_semdedup"        -> (q92_semdedup _))
+    "q92_semdedup"        -> (q92_semdedup _),
+    "q158_matryoshka_recall" -> (q158_matryoshka_recall _))
 
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
@@ -2211,6 +2263,29 @@ object Similarity {
         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM pairs)
         |SELECT COUNT(DISTINCT query_id) AS n_queries, TRUE AS recall_ok
         |FROM ranked WHERE rank <= 3""".stripMargin,
+    // the MRL truncation curve — the full per-dim top-3 overlap replay
+    "q158_matryoshka_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 50),
+        |dims(dim) AS (VALUES (8), (16), (32), (64)),
+        |pairs AS (SELECT d.dim, query_id, vec_id AS neighbor_id,
+        |  round(list_dot_product(qemb[1:d.dim], emb[1:d.dim]) /
+        |        (sqrt(list_dot_product(qemb[1:d.dim], qemb[1:d.dim])) *
+        |         sqrt(list_dot_product(emb[1:d.dim], emb[1:d.dim]))), 6) AS sim
+        |  FROM q, e, dims d WHERE vec_id <> query_id),
+        |rk AS (SELECT dim, query_id, neighbor_id,
+        |  ROW_NUMBER() OVER (PARTITION BY dim, query_id
+        |    ORDER BY sim DESC, neighbor_id) AS r FROM pairs),
+        |tk AS (SELECT dim, query_id, neighbor_id FROM rk WHERE r <= 3),
+        |truth AS (SELECT query_id, neighbor_id FROM tk WHERE dim = 64)
+        |SELECT CAST(t.dim AS INTEGER) AS dim,
+        |  CAST(COUNT(DISTINCT t.query_id) AS BIGINT) AS n_queries,
+        |  CAST((1000 * SUM(CASE WHEN x.neighbor_id IS NOT NULL
+        |    THEN 1 ELSE 0 END)) // (3 * COUNT(DISTINCT t.query_id))
+        |    AS BIGINT) AS overlap_permille
+        |FROM tk t LEFT JOIN truth x
+        |  ON x.query_id = t.query_id AND x.neighbor_id = t.neighbor_id
+        |GROUP BY t.dim ORDER BY dim""".stripMargin,
     // truth = exact squared L2 (what ADC approximates — embeddings are
     // unnormalized); recall_ok asserted as literal TRUE, q82's shape
     "q99_pq_fitted_recall" ->
