@@ -114,6 +114,26 @@ object PureProperties extends Properties("graft.pure") {
       v >= 0.0 && v <= 1.0 && v == jw(b, a) && jw(a, a) == 1.0
     }
 
+  // arbitrary well-formed Unicode strings, BMP + supplementary mixed
+  private val uniStr: Gen[String] = Gen.choose(0, 20).flatMap(n =>
+    Gen.listOfN(n, Gen.oneOf(
+      Gen.choose(0x20, 0x7e),           // ASCII
+      Gen.choose(0xa0, 0xd7ff),         // BMP non-surrogate
+      Gen.choose(0x10000, 0x10fff)))    // supplementary plane
+      .map(_.map(Character.toChars(_).mkString).mkString))
+
+  property("cuLength equals String.length (UTF-16 code units) on Unicode") =
+    Prop.forAll(uniStr) { s =>
+      text.JaroWinklerKernel.cuLength(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)) == s.length
+    }
+
+  property("Porter2: stems never lengthen and are idempotent on ascii words") =
+    Prop.forAll(asciiStr.map(_.toLowerCase.filter(_.isLetter))) { w =>
+      val s1 = text.Porter2Kernel.stem(w)
+      s1.length <= w.length && text.Porter2Kernel.stem(s1) == s1
+    }
+
 }
 
 /** Batched property checks for Column transforms: all generated cases run
