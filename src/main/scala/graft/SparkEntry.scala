@@ -21,11 +21,12 @@ object SparkEntry {
     rel.Relational.queries ++ rel.Behavior.queries ++
       rel.Linkage.queries ++ rel.Graph.queries ++ rel.Triangles.queries ++
       rel.Expectations.queries ++ rel.Coreness.queries ++
-      rel.SkewAdvisor.queries ++
+      rel.SkewAdvisor.queries ++ rel.JoinCard.queries ++
       text.TextOps.queries ++ text.Tokenize.queries ++
       text.Entropy.queries ++ text.Budget.queries ++ text.Overlap.queries ++
       text.CorpusFilters.queries ++ text.Retrieval.queries ++
       ml.Vocab.queries ++ ml.Hdr.queries ++ ml.LshPlanner.queries ++
+      ml.Projection.queries ++
       ml.Similarity.queries ++ ml.Lda.queries ++ ml.Bloom.queries ++
       ml.Quantize.queries ++ ingest.Tickets.queries ++ ingest.Wet.queries ++
       multimodal.Media.queries ++ sink.Orc.queries ++ sink.Avro.queries ++
@@ -35,11 +36,12 @@ object SparkEntry {
     rel.Relational.oracle ++ rel.Behavior.oracle ++
       rel.Linkage.oracle ++ rel.Graph.oracle ++ rel.Triangles.oracle ++
       rel.Expectations.oracle ++ rel.Coreness.oracle ++
-      rel.SkewAdvisor.oracle ++
+      rel.SkewAdvisor.oracle ++ rel.JoinCard.oracle ++
       text.TextOps.oracle ++ text.Tokenize.oracle ++
       text.Entropy.oracle ++ text.Budget.oracle ++ text.Overlap.oracle ++
       text.CorpusFilters.oracle ++ text.Retrieval.oracle ++
       ml.Vocab.oracle ++ ml.Hdr.oracle ++ ml.LshPlanner.oracle ++
+      ml.Projection.oracle ++
       ml.Similarity.oracle ++ ml.Lda.oracle ++
       ml.Bloom.oracle ++ ml.Quantize.oracle ++
       ingest.Tickets.oracle ++ ingest.Wet.oracle ++

@@ -1,0 +1,90 @@
+package graft.rel
+
+import graft.Tables
+import graft.text.SparkTestSession
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q159/q159b: the correlated-sampling estimator's kernel parity, the
+  * deploy-shaped sample-first plan, and the advisor→executor broadcast
+  * loop (the q153→q46 contract for join planning). */
+class JoinCardSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("splitmix64 expression matches the JVM kernel (codegen + eval)") {
+    import spark.implicits._
+    val vals = Seq(0L, 1L, -1L, 42L, 123456789L, Long.MaxValue, Long.MinValue)
+    val got = vals.toDF("x")
+      .select(JoinCard.splitmix64(col("x")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == vals.map(SplitMix64Kernel.mix))
+  }
+
+  test("deploy estimator equals the audit's sampled estimate") {
+    val audit = JoinCard.q159_join_cardinality(spark, dir)
+      .filter(col("join_name") === "lineitem_orders").head()
+    // the order-key domain is big enough that the audit sampled, not
+    // counted exactly — otherwise this test compares nothing
+    assert(audit.getAs[Long]("p_inv") == 8L)
+    val est = JoinCard.estimatedJoinRows(
+      Tables.lineitem(spark, dir), "l_orderkey",
+      Tables.orders(spark, dir), "o_orderkey")
+    assert(est == audit.getAs[Long]("est_rows"))
+    // and the estimate is in the right ballpark of the truth (the audit
+    // itself gates err_permille cross-engine; this is the spec-side floor)
+    val truth = audit.getAs[Long]("true_rows")
+    assert(est > truth / 2 && est < truth * 2)
+  }
+
+  test("deploy estimator samples BEFORE the per-key aggregate (plan shape)") {
+    val frame = JoinCard.estimatorFrame(
+      Tables.lineitem(spark, dir), "l_orderkey",
+      Tables.orders(spark, dir), "o_orderkey")
+    // parquet-backed frames keep the Filter visible (ConvertToLocalRelation
+    // would execute it at optimize time on local data)
+    val filters = frame.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.toLowerCase.contains("splitmix64") => f
+    }
+    assert(filters.size == 2, // one per join side, both below their aggs
+      s"expected the sampling predicate under both scans:\n" +
+        frame.queryExecution.optimizedPlan)
+  }
+
+  test("advisor decision drives the physical join; rows are invariant") {
+    val restoreStatic = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val restoreAqe =
+      spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try {
+      // disable automatic broadcasts so ONLY the advisor's hint decides
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val o = Tables.orders(spark, dir)
+      val c = Tables.customer(spark, dir)
+      val hinted = JoinCard.advisedJoin(o, c, doBroadcast = true)
+      val plain = JoinCard.advisedJoin(o, c, doBroadcast = false)
+      val a = hinted.collect()
+      val b = plain.collect()
+      assert(a.toSeq == b.toSeq, "advice must change the plan, never the rows")
+      assert(hinted.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      assert(!plain.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", restoreStatic)
+      restoreAqe match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
+  test("q159b consumes the advisor's decision (customer is broadcast-tiny)") {
+    assert(JoinCard.recommendedBroadcast(spark, dir, "orders_customer"))
+    assert(JoinCard.q159b_advised_join(spark, dir).count() > 0)
+  }
+}
