@@ -58,6 +58,10 @@ object GraftExtensions {
     ("utf16_length",
       info("utf16_length", "_FUNC_(str) - Length in UTF-16 code units."),
       (args: Seq[Expression]) => text.Utf16Length(args.head)),
+    ("splitmix64",
+      info("splitmix64", "_FUNC_(x) - splitmix64 finalizer of a 64-bit key " +
+        "(Steele, Lea & Flood 2014; the q159 sampling hash)."),
+      (args: Seq[Expression]) => rel.SplitMix64(args.head)),
     ("simhash_agg",
       info("simhash_agg", "_FUNC_(hash, weight) - 64-bit weighted SimHash aggregate."),
       (args: Seq[Expression]) =>

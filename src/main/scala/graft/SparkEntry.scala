@@ -22,7 +22,7 @@ object SparkEntry {
       rel.Linkage.queries ++ rel.Graph.queries ++ rel.Triangles.queries ++
       rel.Expectations.queries ++ rel.Coreness.queries ++
       rel.SkewAdvisor.queries ++ rel.JoinCard.queries ++
-      text.TextOps.queries ++ text.Tokenize.queries ++
+      text.TextOps.queries ++ text.Tokenize.queries ++ text.Phrases.queries ++
       text.Entropy.queries ++ text.Budget.queries ++ text.Overlap.queries ++
       text.CorpusFilters.queries ++ text.Retrieval.queries ++
       ml.Vocab.queries ++ ml.Hdr.queries ++ ml.LshPlanner.queries ++
@@ -37,7 +37,7 @@ object SparkEntry {
       rel.Linkage.oracle ++ rel.Graph.oracle ++ rel.Triangles.oracle ++
       rel.Expectations.oracle ++ rel.Coreness.oracle ++
       rel.SkewAdvisor.oracle ++ rel.JoinCard.oracle ++
-      text.TextOps.oracle ++ text.Tokenize.oracle ++
+      text.TextOps.oracle ++ text.Tokenize.oracle ++ text.Phrases.oracle ++
       text.Entropy.oracle ++ text.Budget.oracle ++ text.Overlap.oracle ++
       text.CorpusFilters.oracle ++ text.Retrieval.oracle ++
       ml.Vocab.oracle ++ ml.Hdr.oracle ++ ml.LshPlanner.oracle ++

@@ -1,0 +1,205 @@
+package graft.text
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Phrase mining + phrase merging (q161/q162) — the word2vec
+  * collocation pass (Mikolov et al. 2013, "Distributed representations
+  * of words and phrases and their compositionality" §4: score(wi, wj) =
+  * (count(wi wj) − δ) / (count(wi)·count(wj)), scaled by corpus size,
+  * with discount δ suppressing rare-pair noise): the standard
+  * preprocessing that decides which adjacent pairs become single
+  * tokens BEFORE tokenizer/embedding training. q161 LEARNS the phrase
+  * table (top-K by score); q162 APPLIES it with the same greedy
+  * leftmost non-overlapping merge the reference C implementation uses
+  * — the learn→apply loop the repo's trained components all close.
+  *
+  * The score integerizes as (10^6·(c12 − δ)·N) div (c1·c2) computed in
+  * DECIMAL(38,0) — products of three corpus-scale counts overflow
+  * BIGINT in exactly the 100 TB regime (the q129 BM25 lesson), and
+  * DECIMAL(38,0) div mirrors DuckDB HUGEINT `//` exactly. No logs, no
+  * doubles: rank order and reported scores are bit-identical across
+  * engines and summation orders.
+  *
+  * Scale shape (q161): one bigram aggregate (vocabulary²-bounded,
+  * map-side combined) joined to two BROADCAST unigram tables, then a
+  * rank-≤K global top-k (WindowGroupLimit bounded heap — never a full
+  * sort). (q162): the merge is a map-side pass against the BROADCAST
+  * K-row phrase table — per-doc windows over exploded positions,
+  * partitioned by doc_id, no corpus-wide shuffle beyond the explode's
+  * own layout.
+  */
+object Phrases {
+
+  private val Delta = 5L
+  private val TopK = 30
+
+  private def docToks(s: SparkSession, dir: String): DataFrame =
+    Tables.documentsFanned(s, dir)
+      .select(col("doc_id"), Cleanse.tokens(col("text")).as("t"))
+
+  /** Top-K phrase candidates with exact integer scores. */
+  def q161_phrase_mining(s: SparkSession, dir: String): DataFrame = {
+    val bi = docToks(s, dir).filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t)-1), i -> " +
+          "struct(element_at(t,i) AS w1, element_at(t,i+1) AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val biCounts = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= Delta)
+    val uni = docToks(s, dir).select(explode(col("t")).as("w"))
+    val uniCounts = uni.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val total = uni.agg(count(lit(1)).as("tot"))
+    val scored = biCounts
+      .join(broadcast(uniCounts.select(col("w").as("w1"),
+        col("c1").as("c_w1"))), Seq("w1"))
+      .join(broadcast(uniCounts.select(col("w").as("w2"),
+        col("c1").as("c_w2"))), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("score_micro", expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * (c12 - 5) * tot) div " +
+          "(CAST(c_w1 AS DECIMAL(38,0)) * c_w2) AS BIGINT)"))
+    val w = Window.orderBy(col("score_micro").desc, col("w1"), col("w2"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("rank"), col("w1"), col("w2"), col("c12"),
+        col("c_w1"), col("c_w2"), col("score_micro"))
+      .orderBy(col("rank"))
+  }
+
+  /** Greedy leftmost non-overlapping merge of the learned phrase table
+    * into every document's token stream. Within a maximal run of
+    * consecutive phrase matches the merges land at run positions
+    * 0, 2, 4, … (merging (i, i+1) consumes i+1, so the next candidate
+    * is i+2) — the parity form of the sequential word2vec loop, which
+    * windows express without recursion. */
+  def q162_phrase_merge(s: SparkSession, dir: String): DataFrame =
+    greedyMerge(docToks(s, dir), q161_phrase_mining(s, dir))
+
+  /** The apply half on explicit inputs — `docs(doc_id, t)` merged
+    * against `phrases(w1, w2, ...)` — exposed so specs can pin the
+    * greedy-leftmost semantics on handcrafted fixtures. */
+  private[graft] def greedyMerge(docs: DataFrame,
+      phraseTable: DataFrame): DataFrame = {
+    val phrases = phraseTable
+      .select(col("w1"), col("w2"), lit(true).as("is_phrase"))
+    val pos = docs.filter(size(col("t")) >= 1)
+      .select(col("doc_id"), size(col("t")).as("n_before"),
+        posexplode(col("t")).as(Seq("i", "w")))
+    val wNext = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val matched = pos
+      .withColumn("w_next", lead(col("w"), 1).over(wNext))
+      .join(broadcast(phrases),
+        col("w") === col("w1") && col("w_next") === col("w2"), "left")
+      .withColumn("m", coalesce(col("is_phrase"), lit(false)))
+    // run-id: consecutive matches share a group; parity inside the run
+    // decides which matches actually merge
+    val runGrp = sum(when(col("m"), 0L).otherwise(1L)).over(
+      wNext.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val flagged = matched.withColumn("grp", runGrp)
+    val wRun = Window.partitionBy(col("doc_id"), col("grp"), col("m"))
+      .orderBy(col("i"))
+    val merged = flagged
+      .withColumn("rn", row_number().over(wRun) - 1L)
+      .withColumn("merge_start", col("m") && col("rn") % 2 === 0)
+      .withColumn("consumed",
+        coalesce(lag(col("merge_start"), 1).over(wNext), lit(false)))
+      .withColumn("out_tok",
+        when(col("merge_start"), concat(col("w"), lit("_"), col("w_next")))
+          .otherwise(col("w")))
+      .filter(!col("consumed"))
+    merged.groupBy(col("doc_id"), col("n_before"))
+      .agg(count(lit(1)).as("n_after"),
+        sum(when(col("merge_start"), 1L).otherwise(0L)).as("n_merges"),
+        md5(array_join(transform(array_sort(collect_list(
+          struct(col("i"), col("out_tok")))), x => x("out_tok")), " ")
+          .cast("binary")).as("digest"))
+      .select(col("doc_id"), col("n_before"), col("n_after"),
+        col("n_merges"), col("digest"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  private val DToks =
+    "list_filter(string_split(trim(text), ' '), t -> t <> '')"
+
+  private lazy val miningOracle: String =
+    s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
+       |bi AS (SELECT t[i] AS w1, t[i+1] AS w2
+       |  FROM toks, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+       |bic AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+       |  FROM bi GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+       |unic AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+       |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot
+       |  FROM (SELECT unnest(t) FROM toks)),
+       |scored AS (SELECT w1, w2, c12, u1.c1 AS c_w1, u2.c1 AS c_w2,
+       |    CAST((CAST(1000000 AS HUGEINT) * (c12 - 5) * tot) //
+       |      (CAST(u1.c1 AS HUGEINT) * u2.c1) AS BIGINT) AS score_micro
+       |  FROM bic JOIN unic u1 ON bic.w1 = u1.w
+       |  JOIN unic u2 ON bic.w2 = u2.w, tot),
+       |rk AS (SELECT *, CAST(row_number() OVER
+       |    (ORDER BY score_micro DESC, w1, w2) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT rank, w1, w2, c12, c_w1, c_w2, score_micro
+       |FROM rk WHERE rank <= 30 ORDER BY rank""".stripMargin
+
+  private lazy val mergeOracle: String =
+    s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
+       |bi AS (SELECT t[i] AS w1, t[i+1] AS w2
+       |  FROM toks, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+       |bic AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+       |  FROM bi GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+       |unic AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+       |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot
+       |  FROM (SELECT unnest(t) FROM toks)),
+       |scored AS (SELECT w1, w2,
+       |    CAST((CAST(1000000 AS HUGEINT) * (c12 - 5) * tot) //
+       |      (CAST(u1.c1 AS HUGEINT) * u2.c1) AS BIGINT) AS score_micro
+       |  FROM bic JOIN unic u1 ON bic.w1 = u1.w
+       |  JOIN unic u2 ON bic.w2 = u2.w, tot),
+       |ph AS (SELECT w1, w2 FROM (SELECT *, row_number() OVER
+       |    (ORDER BY score_micro DESC, w1, w2) AS rank FROM scored)
+       |  WHERE rank <= 30),
+       |pos AS (SELECT doc_id, len(t) AS n_before, i - 1 AS i, t[i] AS w,
+       |    t[i+1] AS w_next
+       |  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+       |  WHERE len(t) >= 1),
+       |mt AS (SELECT p.*, (ph.w1 IS NOT NULL) AS m
+       |  FROM pos p LEFT JOIN ph
+       |    ON p.w = ph.w1 AND p.w_next = ph.w2),
+       |grps AS (SELECT *, SUM(CASE WHEN m THEN 0 ELSE 1 END) OVER
+       |    (PARTITION BY doc_id ORDER BY i
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+       |  FROM mt),
+       |rns AS (SELECT *, row_number() OVER
+       |    (PARTITION BY doc_id, grp, m ORDER BY i) - 1 AS rn
+       |  FROM grps),
+       |mg AS (SELECT *, m AND rn % 2 = 0 AS merge_start FROM rns),
+       |cons AS (SELECT *, COALESCE(lag(merge_start) OVER
+       |    (PARTITION BY doc_id ORDER BY i), FALSE) AS consumed,
+       |    CASE WHEN m AND rn % 2 = 0 THEN w || '_' || w_next
+       |         ELSE w END AS out_tok
+       |  FROM mg)
+       |SELECT doc_id, CAST(n_before AS INTEGER) AS n_before,
+       |  CAST(COUNT(*) AS BIGINT) AS n_after,
+       |  CAST(SUM(CASE WHEN merge_start THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_merges,
+       |  md5(COALESCE(string_agg(out_tok, ' ' ORDER BY i), '')) AS digest
+       |FROM cons WHERE NOT consumed
+       |GROUP BY doc_id, n_before ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_phrase_mining" -> (q161_phrase_mining _),
+    "q162_phrase_merge" -> (q162_phrase_merge _))
+
+  val oracle: Map[String, String] = Map(
+    "q161_phrase_mining" -> miningOracle,
+    "q162_phrase_merge" -> mergeOracle)
+}
