@@ -30,7 +30,8 @@ object SparkEntry {
       ml.Similarity.queries ++ ml.Lda.queries ++ ml.Bloom.queries ++
       ml.Quantize.queries ++ ingest.Tickets.queries ++ ingest.Wet.queries ++
       multimodal.Media.queries ++ sink.Orc.queries ++ sink.Avro.queries ++
-      sink.Lake.queries ++ sink.Skipping.queries ++ sink.Dpp.queries
+      sink.Lake.queries ++ sink.Skipping.queries ++ sink.Dpp.queries ++
+      sink.RangeLayout.queries
 
   def oracleSql: Map[String, String] =
     rel.Relational.oracle ++ rel.Behavior.oracle ++
@@ -47,5 +48,5 @@ object SparkEntry {
       ingest.Tickets.oracle ++ ingest.Wet.oracle ++
       multimodal.Media.oracle ++ sink.Orc.oracle ++
       sink.Avro.oracle ++ sink.Lake.oracle ++ sink.Skipping.oracle ++
-      sink.Dpp.oracle
+      sink.Dpp.oracle ++ sink.RangeLayout.oracle
 }
