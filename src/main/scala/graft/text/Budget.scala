@@ -443,18 +443,129 @@ object Budget {
        |  (SELECT SUM(n_hits) FROM h) = $PpsK AS hits_complete
        |FROM h WHERE n_hits >= 1 ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------- Neyman optimal allocation
+  /** Stratified sampling design (q164) — Neyman 1934 optimal allocation
+    * ("On the two different aspects of the representative method"): a
+    * fixed annotation/eval budget n splits across strata h proportional
+    * to N_h·σ_h, minimizing the stratified estimator's variance
+    * Σ N_h²σ_h²/n_h. The report carries Neyman next to proportional
+    * allocation and the variance each implies — the design table a
+    * platform reads before spending labeling budget on eval panels.
+    *
+    * Exactness: N_h²σ_h² = N_h·Σx² − (Σx)² is a PURE INTEGER (call it
+    * M_h), so the weight is w_h = √M_h — and IEEE-754 requires sqrt to
+    * be correctly rounded (unlike pow/ln, the knife-edge class), so
+    * round(10⁶·√M_h) is bit-identical on any conforming engine.
+    * Seats assign by largest-remainder (Hamilton) apportionment on the
+    * integer weights: base ⌊n·w_h/W⌋, leftovers to the largest
+    * n·w_h mod W (ties by stratum name) — all BIGINT. Variance terms
+    * integerize per stratum ((10⁶·M_h) div n_h) BEFORE summation.
+    * Gates: each allocation sums exactly to n; Neyman's variance is no
+    * worse than proportional's (the optimality the scheme exists for,
+    * surviving integer seat rounding).
+    *
+    * Scale shape: one map-side-combined aggregate to |strata| rows;
+    * everything after is catalog-sized window arithmetic. */
+  def q164_neyman_allocation(s: SparkSession, dir: String): DataFrame = {
+    val budget = 1000L
+    val base = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_h"),
+        sum(col("n_chars")).as("sx"),
+        sum(col("n_chars") * col("n_chars")).as("sx2"))
+      .withColumn("m_h", col("n_h") * col("sx2") - col("sx") * col("sx"))
+      .withColumn("w_micro",
+        round(lit(1e6) * sqrt(col("m_h").cast("double"))).cast("long"))
+    val wAll = Window.partitionBy()
+    // NB: Spark column resolution is case-insensitive — scratch names
+    // must differ by more than case
+    def hamilton(w: Column, out: String): DataFrame => DataFrame = df => {
+      val tagged = df
+        .withColumn("_wv", w)
+        .withColumn("_wtot", sum(col("_wv")).over(wAll))
+        .withColumn("_base", expr(s"($budget * _wv) div _wtot"))
+        .withColumn("_rem", expr(s"($budget * _wv) % _wtot"))
+        .withColumn("_left", lit(budget) - sum(col("_base")).over(wAll))
+        .withColumn("_rk", row_number().over(
+          Window.orderBy(col("_rem").desc, col("source"))))
+      tagged
+        .withColumn(out, col("_base") +
+          when(col("_rk") <= col("_left"), 1L).otherwise(0L))
+        .drop("_wv", "_wtot", "_base", "_rem", "_left", "_rk")
+    }
+    val alloc = base
+      .transform(hamilton(col("w_micro"), "alloc_neyman"))
+      .transform(hamilton(col("n_h"), "alloc_prop"))
+      .withColumn("v_neyman_u",
+        expr("(1000000 * m_h) div greatest(1L, alloc_neyman)"))
+      .withColumn("v_prop_u",
+        expr("(1000000 * m_h) div greatest(1L, alloc_prop)"))
+    alloc
+      .withColumn("sum_ok",
+        sum(col("alloc_neyman")).over(wAll) === budget &&
+          sum(col("alloc_prop")).over(wAll) === budget)
+      .withColumn("neyman_no_worse",
+        sum(col("v_neyman_u")).over(wAll) <= sum(col("v_prop_u")).over(wAll))
+      .select(col("source"), col("n_h"), col("m_h"), col("w_micro"),
+        col("alloc_neyman"), col("alloc_prop"), col("v_neyman_u"),
+        col("v_prop_u"), col("sum_ok"), col("neyman_no_worse"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val neymanOracle: String =
+    s"""WITH base AS (SELECT source,
+       |    CAST(COUNT(*) AS BIGINT) AS n_h,
+       |    CAST(SUM(n_chars) AS BIGINT) AS sx,
+       |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sx2
+       |  FROM documents GROUP BY 1),
+       |m AS (SELECT source, n_h, n_h * sx2 - sx * sx AS m_h FROM base),
+       |w AS (SELECT *, CAST(round(1000000.0 *
+       |    sqrt(CAST(m_h AS DOUBLE))) AS BIGINT) AS w_micro FROM m),
+       |ney AS (SELECT *,
+       |    (1000 * w_micro) // (SELECT SUM(w_micro) FROM w) AS b_n,
+       |    (1000 * w_micro) % (SELECT SUM(w_micro) FROM w) AS r_n
+       |  FROM w),
+       |neyr AS (SELECT *, ROW_NUMBER() OVER (ORDER BY r_n DESC, source)
+       |    AS rk_n, 1000 - (SELECT SUM(b_n) FROM ney) AS left_n FROM ney),
+       |an AS (SELECT *, b_n + CASE WHEN rk_n <= left_n THEN 1 ELSE 0 END
+       |    AS alloc_neyman FROM neyr),
+       |prp AS (SELECT *,
+       |    (1000 * n_h) // (SELECT SUM(n_h) FROM base) AS b_p,
+       |    (1000 * n_h) % (SELECT SUM(n_h) FROM base) AS r_p
+       |  FROM an),
+       |prpr AS (SELECT *, ROW_NUMBER() OVER (ORDER BY r_p DESC, source)
+       |    AS rk_p, 1000 - (SELECT SUM(b_p) FROM prp) AS left_p FROM prp),
+       |ap AS (SELECT *, b_p + CASE WHEN rk_p <= left_p THEN 1 ELSE 0 END
+       |    AS alloc_prop FROM prpr),
+       |v AS (SELECT *,
+       |    (1000000 * m_h) // greatest(1, alloc_neyman) AS v_neyman_u,
+       |    (1000000 * m_h) // greatest(1, alloc_prop) AS v_prop_u
+       |  FROM ap)
+       |SELECT source, n_h, m_h, w_micro,
+       |  CAST(alloc_neyman AS BIGINT) AS alloc_neyman,
+       |  CAST(alloc_prop AS BIGINT) AS alloc_prop,
+       |  CAST(v_neyman_u AS BIGINT) AS v_neyman_u,
+       |  CAST(v_prop_u AS BIGINT) AS v_prop_u,
+       |  ((SELECT SUM(alloc_neyman) FROM v) = 1000 AND
+       |   (SELECT SUM(alloc_prop) FROM v) = 1000) AS sum_ok,
+       |  (SELECT SUM(v_neyman_u) FROM v) <=
+       |    (SELECT SUM(v_prop_u) FROM v) AS neyman_no_worse
+       |FROM v ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q140_token_waterfill" -> (q140_token_waterfill _),
     "q143_mixture_materialize" -> (q143_mixture_materialize _),
     "q152_curriculum_steps" -> (q152_curriculum_steps _),
     "q156_sequence_packing" -> (q156_sequence_packing _),
-    "q157_systematic_pps" -> (q157_systematic_pps _))
+    "q157_systematic_pps" -> (q157_systematic_pps _),
+    "q164_neyman_allocation" -> (q164_neyman_allocation _))
 
   val oracle: Map[String, String] = Map(
     "q140_token_waterfill" -> waterfillOracle,
     "q143_mixture_materialize" -> materializeOracle,
     "q152_curriculum_steps" -> curriculumOracle,
     "q156_sequence_packing" -> packingOracle,
-    "q157_systematic_pps" -> ppsOracle)
+    "q157_systematic_pps" -> ppsOracle,
+    "q164_neyman_allocation" -> neymanOracle)
 }

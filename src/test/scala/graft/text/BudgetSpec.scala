@@ -154,4 +154,22 @@ class BudgetSpec extends AnyFunSuite {
     assert(got == expected.toMap, "closed-form f must equal point walk")
     assert(got.values.sum == k, "all points land exactly once")
   }
+
+  test("q164 Neyman: seats sum to budget, optimality survives rounding") {
+    import org.apache.spark.sql.functions.col
+    val rows = Budget.q164_neyman_allocation(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("alloc_neyman")).sum == 1000L)
+    assert(rows.map(_.getAs[Long]("alloc_prop")).sum == 1000L)
+    assert(rows.forall(_.getAs[Boolean]("sum_ok")))
+    assert(rows.forall(_.getAs[Boolean]("neyman_no_worse")))
+    // Hamilton apportionment: every stratum within 1 seat of its real quota
+    val wTot = rows.map(_.getAs[Long]("w_micro")).sum
+    rows.foreach { r =>
+      val exact = 1000.0 * r.getAs[Long]("w_micro") / wTot
+      val seats = r.getAs[Long]("alloc_neyman")
+      assert(math.abs(seats - exact) < 1.0,
+        s"${r.getAs[String]("source")}: $seats vs quota $exact")
+    }
+  }
 }
