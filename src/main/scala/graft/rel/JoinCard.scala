@@ -221,6 +221,81 @@ object JoinCard {
     advisedJoin(Tables.orders(s, dir), Tables.customer(s, dir),
       recommendedBroadcast(s, dir, "orders_customer"))
 
+  // ---------------------------------------------------------------- q165
+
+  /** End-biased estimation (q165) — the upgrade the q159 scaling note
+    * promises, implemented: plain correlated sampling fails on skew
+    * because the hot key is a coin flip (in the 1/P sample: P×
+    * overestimate; out: catastrophic underestimate — measured 974–999 ‰
+    * error on the exponential fixture below at every SF). The published
+    * fix (end-biased / bifocal sampling — Estan & Varghese 2002's
+    * sample-and-hold insight; Ganguly et al. 1996's dense/sparse split)
+    * carries heavy keys EXACTLY and samples only the light tail. Heavy
+    * detection is a COUNT-MIN probe (Cormode & Muthukrishnan 2005, the
+    * q104 sketch): cms_est(k) ≥ exact always, so the heavy tier is a
+    * provable SUPERSET of the true-heavy keys — no hot key can slip
+    * into the sampled tail (gated as `heavy_superset_ok`).
+    *
+    * The skewed fixture derives deterministically from real data:
+    * k = length(bin(event_id)) gives key j a ~2^j population — the
+    * exponential skew a uniform synthetic table otherwise lacks — and
+    * replays exactly in both engines (no log2 doubles near power-of-2
+    * knife edges; bin-string length is integer-exact).
+    *
+    * Scale shape: the sketch build is one map-side pass into d·w cells;
+    * the per-row deploy predicate (heavy ∪ sampled) is 4 md5s against
+    * the BROADCAST 4096-cell sketch plus one splitmix64 — so the
+    * per-key aggregate downstream only sees heavy ∪ sampled keys. The
+    * audit (this query) also computes the exact truth to grade both
+    * estimators side by side. */
+  def q165_endbiased_estimate(s: SparkSession, dir: String): DataFrame = {
+    val wdt = 1024
+    val ev = Tables.events(s, dir)
+      .select(expr("length(bin(event_id))").cast("long").as("k"))
+    val nTotal = ev.agg(count(lit(1)).as("n_rows"))
+    def cellOf(j: Column, k: Column): Column =
+      conv(substring(md5(concat(j.cast("string"), lit(" "),
+        k.cast("string")).cast("binary")), 1, 12), 16, 10)
+        .cast("long") % wdt
+    val sketch = ev
+      .select(explode(expr("sequence(0, 3)")).as("j"), col("k"))
+      .select(col("j"), cellOf(col("j"), col("k")).as("cell"))
+      .groupBy(col("j"), col("cell")).agg(count(lit(1)).as("cnt"))
+    val perKey = ev.groupBy(col("k")).agg(count(lit(1)).as("c"))
+    val probed = perKey
+      .select(col("k"), col("c"), explode(expr("sequence(0, 3)")).as("j"))
+      .withColumn("cell", cellOf(col("j"), col("k")))
+      .join(broadcast(sketch), Seq("j", "cell"))
+      .groupBy(col("k"), col("c")).agg(min(col("cnt")).as("cms_est"))
+    val flags = probed.crossJoin(broadcast(nTotal))
+      .withColumn("t_heavy", expr("n_rows div 100"))
+      .withColumn("heavy", col("cms_est") >= col("t_heavy"))
+      .withColumn("sampled", pmod(splitmix64(col("k")), lit(PInv)) === 0L)
+    flags.agg(
+      count(lit(1)).as("n_keys"),
+      sum(when(col("heavy"), 1L).otherwise(0L)).as("n_heavy"),
+      sum(when(!col("heavy") && col("sampled"), 1L).otherwise(0L))
+        .as("n_sampled_light"),
+      sum(col("c") * col("c")).as("true_rows"),
+      (sum(when(col("heavy"), col("c") * col("c")).otherwise(0L)) +
+        lit(PInv) * sum(when(!col("heavy") && col("sampled"),
+          col("c") * col("c")).otherwise(0L))).as("est_rows"),
+      (lit(PInv) * sum(when(col("sampled"), col("c") * col("c"))
+        .otherwise(0L))).as("corr_est_rows"),
+      bool_and(col("heavy") || col("c") < col("t_heavy"))
+        .as("heavy_superset_ok"))
+      .withColumn("err_permille",
+        expr("(1000 * abs(est_rows - true_rows)) div true_rows"))
+      .withColumn("corr_err_permille",
+        expr("(1000 * abs(corr_est_rows - true_rows)) div true_rows"))
+      .withColumn("endbiased_no_worse",
+        col("err_permille") <= col("corr_err_permille"))
+      .select(col("n_keys"), col("n_heavy"), col("n_sampled_light"),
+        col("est_rows"), col("true_rows"), col("err_permille"),
+        col("corr_est_rows"), col("corr_err_permille"),
+        col("heavy_superset_ok"), col("endbiased_no_worse"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** splitmix64 replayed step-for-step in HUGEINT arithmetic (the q83
@@ -314,12 +389,74 @@ object JoinCard {
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Replays the fixture key, the CMS build+probe, the splitmix64 tail
+    * sample, and the tiered arithmetic. */
+  private lazy val endbiasedOracle: String = {
+    val z1 = "(z + 11400714819323198485) % 18446744073709551616"
+    val m2 = mulmodSql("x1", BigInt("13787848793156543929"))
+    val m3 = mulmodSql("x2", BigInt("10723151780598845931"))
+    s"""WITH ev AS (SELECT CAST(length(format('{:b}', event_id)) AS BIGINT)
+       |    AS k FROM events),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM ev),
+       |cells AS (SELECT j,
+       |    CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ' ' ||
+       |      CAST(k AS VARCHAR)), 1, 12) AS BIGINT) % 1024 AS cell,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM ev, unnest(range(0, 4)) AS u(j) GROUP BY 1, 2),
+       |pk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS c FROM ev GROUP BY 1),
+       |ph AS (SELECT pk.k, pk.c, j,
+       |    CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ' ' ||
+       |      CAST(pk.k AS VARCHAR)), 1, 12) AS BIGINT) % 1024 AS cell
+       |  FROM pk, unnest(range(0, 4)) AS u(j)),
+       |probe AS (SELECT k, c, MIN(cnt) AS cms_est
+       |  FROM ph JOIN cells USING (j, cell) GROUP BY 1, 2),
+       |zs AS (SELECT *, CAST(k AS HUGEINT) AS z FROM probe),
+       |s1 AS (SELECT *, $z1 AS z1 FROM zs),
+       |s2 AS (SELECT *, xor(z1, z1 // 1073741824) AS x1 FROM s1),
+       |s3 AS (SELECT *, $m2 AS z2 FROM s2),
+       |s4 AS (SELECT *, xor(z2, z2 // 134217728) AS x2 FROM s3),
+       |s5 AS (SELECT *, $m3 AS z3 FROM s4),
+       |s6 AS (SELECT *, xor(z3, z3 // 2147483648) AS m FROM s5),
+       |flags AS (SELECT k, c, cms_est,
+       |    n_rows // 100 AS t_heavy,
+       |    cms_est >= n_rows // 100 AS heavy,
+       |    (m % 8) = 0 AS sampled
+       |  FROM s6, nt),
+       |agg AS (SELECT
+       |    CAST(COUNT(*) AS BIGINT) AS n_keys,
+       |    CAST(SUM(CASE WHEN heavy THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_heavy,
+       |    CAST(SUM(CASE WHEN NOT heavy AND sampled THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_sampled_light,
+       |    CAST(SUM(c * c) AS BIGINT) AS true_rows,
+       |    CAST(SUM(CASE WHEN heavy THEN c * c ELSE 0 END) +
+       |      8 * SUM(CASE WHEN NOT heavy AND sampled THEN c * c
+       |        ELSE 0 END) AS BIGINT) AS est_rows,
+       |    CAST(8 * SUM(CASE WHEN sampled THEN c * c ELSE 0 END)
+       |      AS BIGINT) AS corr_est_rows,
+       |    bool_and(heavy OR c < t_heavy) AS heavy_superset_ok
+       |  FROM flags)
+       |SELECT n_keys, n_heavy, n_sampled_light, est_rows, true_rows,
+       |  CAST((1000 * abs(est_rows - true_rows)) // true_rows AS BIGINT)
+       |    AS err_permille,
+       |  corr_est_rows,
+       |  CAST((1000 * abs(corr_est_rows - true_rows)) // true_rows
+       |    AS BIGINT) AS corr_err_permille,
+       |  heavy_superset_ok,
+       |  ((1000 * abs(est_rows - true_rows)) // true_rows) <=
+       |    ((1000 * abs(corr_est_rows - true_rows)) // true_rows)
+       |    AS endbiased_no_worse
+       |FROM agg""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_join_cardinality" -> (q159_join_cardinality _),
-    "q159b_advised_join" -> (q159b_advised_join _))
+    "q159b_advised_join" -> (q159b_advised_join _),
+    "q165_endbiased_estimate" -> (q165_endbiased_estimate _))
 
   val oracle: Map[String, String] = Map(
     "q159_join_cardinality" -> joinCardOracle,
-    "q159b_advised_join" -> advisedJoinOracle)
+    "q159b_advised_join" -> advisedJoinOracle,
+    "q165_endbiased_estimate" -> endbiasedOracle)
 }

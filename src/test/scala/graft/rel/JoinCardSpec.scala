@@ -87,4 +87,19 @@ class JoinCardSpec extends AnyFunSuite {
     assert(JoinCard.recommendedBroadcast(spark, dir, "orders_customer"))
     assert(JoinCard.q159b_advised_join(spark, dir).count() > 0)
   }
+
+  test("q165: heavy tier is a superset and rescues the skewed estimate") {
+    val r = JoinCard.q165_endbiased_estimate(spark, dir).head()
+    assert(r.getAs[Boolean]("heavy_superset_ok"),
+      "CMS overcount guarantees no true-heavy key escapes the heavy tier")
+    assert(r.getAs[Boolean]("endbiased_no_worse"))
+    // on the exponential fixture the gap is structural, not marginal:
+    // plain correlated sampling misses the hot keys almost entirely
+    assert(r.getAs[Long]("err_permille") <= 100L,
+      s"end-biased err ${r.getAs[Long]("err_permille")}")
+    assert(r.getAs[Long]("corr_err_permille") >= 500L,
+      s"correlated err ${r.getAs[Long]("corr_err_permille")} " +
+        "(fixture no longer demonstrates the failure mode?)")
+    assert(r.getAs[Long]("n_heavy") > 0)
+  }
 }
