@@ -208,7 +208,9 @@ object Bench {
       "\"" + k + "\":{\"time\":" + r3(v) +
         ",\"samples\":[" + ts.map(r3).mkString(",") + "]}"
     }.mkString("{", ",", "}")
-    try {
+    // a SPARK_GRAFT_ONLY dev subset must not clobber the full artifact
+    // (round-15 lesson: a 2-query probe overwrote the certified run)
+    if (!sys.env.contains("SPARK_GRAFT_ONLY")) try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
       try w.println(
         s"""{"sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"total":${r3(total)},"queries":$full}""")
