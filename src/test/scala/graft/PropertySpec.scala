@@ -1,6 +1,6 @@
 package graft
 
-import graft.text.{Cleanse, SparkTestSession, Tokenize}
+import graft.text.{Cleanse, Phrases, SparkTestSession, Tokenize}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Properties, Test => SCTest}
@@ -177,6 +177,40 @@ class ColumnPropertySpec extends AnyFunSuite {
     assert(out("loading") == "load" && out("loaded") == "load")
     assert(out("errors") == "error" && out("glass") == "glass")
     assert(out.forall { case (t, l) => l.length <= t.length })
+  }
+
+  test("window-parity greedy merge ≡ sequential reference on random streams") {
+    import spark.implicits._
+    // independent reference: the literal word2vec loop — walk left to
+    // right, merge on phrase hit, skip the consumed token
+    def seqMerge(t: Seq[String], ph: Set[(String, String)]): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < t.length) {
+        if (i + 1 < t.length && ph((t(i), t(i + 1)))) {
+          out += s"${t(i)}_${t(i + 1)}"; i += 2
+        } else { out += t(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("a", "b", "c", "d")
+    val phrases = Seq("a" -> "a", "a" -> "b", "b" -> "c", "d" -> "a")
+    val docs = (1L to 120L).map(id =>
+      (id, Seq.fill(1 + rnd.nextInt(16))(vocab(rnd.nextInt(vocab.length)))))
+    def md5Of(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = docs.map { case (id, t) =>
+      val m = seqMerge(t, phrases.toSet)
+      id -> (t.length.toLong, m.length.toLong, md5Of(m.mkString(" ")))
+    }.toMap
+    val got = Phrases.greedyMerge(docs.toDF("doc_id", "t"),
+        phrases.toDF("w1", "w2")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_before").toLong, r.getAs[Long]("n_after"),
+          r.getAs[String]("digest")))).toMap
+    assert(got == expected)
   }
 
   test("native LemmaTokens kernel ≡ builtin-HOF pipeline on random text") {
