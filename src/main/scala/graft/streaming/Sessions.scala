@@ -630,6 +630,43 @@ object Sessions {
         (col("null_value") + col("neg_value") + col("bad_type") +
           col("bad_props") === 0L).as("all_passed"))
 
+  /** Streaming layout-drift monitor — the q163 range advisor's
+    * continuous twin: bucket the firehose against the BROADCAST advisor
+    * boundary array (a 7-element plan constant — the stateless map-side
+    * probe class every curation gate uses) and emit, per watermarked
+    * window, the per-bucket counts and the hottest bucket's permille
+    * share. A breach (`drift_alert`) is the signal to re-run the
+    * advisor before range-partitioned writes rot into skewed files —
+    * the streaming half of the advise→write→monitor layout loop.
+    *
+    * The per-bucket counts PIVOT into the window's single row (one
+    * stateful aggregate — a per-(window, bucket) grouping would need a
+    * second streaming aggregate for the share, which append mode
+    * forbids). Exact integers; batch parity is row-for-row equality of
+    * the same plan over the same rows. */
+  def rangeDriftStream(events: DataFrame, tsCol: String, valueCol: String,
+      boundaries: Seq[Long], watermark: String, windowLen: String,
+      maxSharePermille: Long): DataFrame = {
+    val barr = typedlit(boundaries)
+    val k = boundaries.length + 1
+    val bucketCols = (0 until k).map(i =>
+      sum(when(col("bucket") === i, 1L).otherwise(0L)).as(s"b$i"))
+    events
+      .withWatermark(tsCol, watermark)
+      .withColumn("bucket", size(filter(barr, b => col(valueCol) >= b)))
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(count(lit(1)).as("n_rows"),
+        bucketCols.head +: bucketCols.tail: _*)
+      .withColumn("bucket_counts",
+        array((0 until k).map(i => col(s"b$i")): _*))
+      .withColumn("max_share_permille",
+        expr("(1000 * array_max(bucket_counts)) div n_rows"))
+      .withColumn("drift_alert",
+        col("max_share_permille") > maxSharePermille)
+      .select(col("window.start").as("window_start"), col("n_rows"),
+        col("bucket_counts"), col("max_share_permille"), col("drift_alert"))
+  }
+
   case class HHIn(w: Long, term: String, ts: Timestamp)
   /** SpaceSaving counter state per open window: est counts + max
     * overcounts share the key set; total rides along for the guarantee

@@ -935,6 +935,46 @@ class SessionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("range-drift monitor: hot-bucket alert fires, batch parity exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000400000000L
+    val bnds = Seq(100L, 200L, 300L) // 4 buckets over the value line
+    def ev(minute: Long, v: Long) =
+      (new Timestamp((t0 + minute * 60000000L) / 1000), v)
+    // window 0: spread across all 4 buckets; window 1: all in bucket 3
+    val rows = Seq(
+      ev(0, 50L), ev(1, 150L), ev(2, 250L), ev(3, 350L),
+      ev(10, 400L), ev(11, 500L), ev(12, 600L), ev(13, 999L))
+    val input = MemoryStream[(Timestamp, Long)]
+    val streamDf = input.toDF().toDF("ts", "v")
+    val q = Sessions.rangeDriftStream(streamDf, "ts", "v", bnds,
+        "5 minutes", "10 minutes", 800L)
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode("append").start()
+    try {
+      rows.grouped(4).foreach { g =>
+        input.addData(g.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      input.addData(ev(60, 1L)); q.processAllAvailable() // close windows
+      def key(r: org.apache.spark.sql.Row) = r.getTimestamp(0).getTime
+      def payload(r: org.apache.spark.sql.Row) =
+        (r.getLong(1), r.getSeq[Long](2), r.getLong(3), r.getBoolean(4))
+      val got = spark.table("drift_out").collect()
+        .map(r => key(r) -> payload(r)).toMap
+      val batch = Sessions.rangeDriftStream(rows.toDF("ts", "v"), "ts",
+          "v", bnds, "5 minutes", "10 minutes", 800L).collect()
+        .map(r => key(r) -> payload(r)).toMap
+      assert(got.keySet == batch.keySet - (t0 / 1000 + 3600000L))
+      got.foreach { case (w, v) => assert(v == batch(w), s"window $w") }
+      val spread = got(t0 / 1000)
+      assert(spread == ((4L, Seq(1L, 1L, 1L, 1L), 250L, false)))
+      val hot = got(t0 / 1000 + 600000L)
+      assert(hot == ((4L, Seq(0L, 0L, 0L, 4L), 1000L, true)),
+        "all-one-bucket window must alert")
+    } finally q.stop()
+  }
+
   test("idempotent foreachBatch: a replayed batch id never re-runs the handler") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
