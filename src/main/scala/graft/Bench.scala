@@ -54,7 +54,9 @@ object Bench {
       // 8 fixture appends + index builds + per-probe pruned scans
       "q131_data_skipping",
       // fixed-round iterations with a checkpoint per round (r14)
-      "q138_pagerank", "q148_coreness")
+      "q138_pagerank", "q148_coreness",
+      // 4 synchronous label rounds, checkpoint + fingerprint job each (r15)
+      "q166_lpa_communities")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
