@@ -3,7 +3,7 @@ package graft.ml
 import graft.Tables
 import graft.text.Cleanse
 import org.apache.spark.ml.feature.CountVectorizer
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -97,6 +97,52 @@ object Vocab {
       .toDF("term_id", "term").orderBy(col("term_id"))
   }
 
+  // ------------------------------------------------- feature hashing (A2')
+  /** Hashing-trick vectorizer (q168) — Weinberger et al. 2009, "Feature
+    * hashing for large scale multitask learning": tokens map straight
+    * into B = 256 buckets via a hash, with an independent ±1 sign hash
+    * making the estimator unbiased (E[⟨φ(x), φ(y)⟩] = ⟨x, y⟩). This is
+    * the VOCABULARY-FREE doc2bow: where q24/q25 materialize a
+    * dictionary (a corpus-wide distinct-term table that must fit
+    * somewhere), the hashed path has NO trained state at all — the one
+    * vectorizer that needs no fit pass, no broadcast table and no
+    * stage coordination at 100 TB (it is what fastText and Vowpal
+    * Wabbit ship). Cost: collisions fold features together — which is
+    * measurable, so the report carries per-doc nnz and L1 next to the
+    * exact sparse-vector digest.
+    *
+    * Bucket and sign reuse the q104 md5 recipe (salt-prefixed, exactly
+    * replayable in DuckDB): bucket = md5('b ' tok) % 256, sign from
+    * md5('s ' tok) parity. Zero-weight buckets (collision cancellation)
+    * are DROPPED — true sparse semantics, asserted through the gate.
+    *
+    * Scale: explode → (doc, bucket) aggregate with map-side combine;
+    * the per-doc digest folds the ≤B-entry vector ordered by bucket.
+    * Nothing corpus-global anywhere. */
+  def q168_feature_hashing(s: SparkSession, dir: String): DataFrame = {
+    val B = 256
+    def h12(salt: String, tok: Column): Column =
+      conv(substring(md5(concat(lit(salt), lit(" "), tok)
+        .cast("binary")), 1, 12), 16, 10).cast("long")
+    val toksE = Tables.documentsFanned(s, dir)
+      .select(col("doc_id"), explode(Cleanse.tokens(col("text"))).as("tok"))
+    toksE
+      .select(col("doc_id"), (h12("b", col("tok")) % B).as("bucket"),
+        when(h12("s", col("tok")) % 2 === 0L, 1L).otherwise(-1L).as("sg"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sg")).as("wgt"))
+      .filter(col("wgt") =!= 0L)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nnz"),
+        sum(abs(col("wgt"))).as("l1"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("bucket"), col("wgt")))),
+          x => concat(x("bucket").cast("string"), lit(":"),
+            x("wgt").cast("string"))), " ").cast("binary")).as("vec_digest"))
+      .select(col("doc_id"), col("nnz"), col("l1"), col("vec_digest"))
+      .orderBy(col("doc_id"))
+  }
+
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
   private val DictSql =
@@ -111,6 +157,7 @@ object Vocab {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_dictionary" -> (q24_dictionary _),
     "q25_doc2bow"    -> (q25_doc2bow _),
+    "q168_feature_hashing" -> (q168_feature_hashing _),
     "m_vocab_countvectorizer" -> (m_vocab_countvectorizer _))
 
   val oracle: Map[String, String] = Map(
@@ -121,5 +168,20 @@ object Vocab {
       s"""WITH $DictSql
          |SELECT t.doc_id, d.term_id, COUNT(*) AS freq
          |FROM toks t JOIN dict d ON t.term = d.term
-         |GROUP BY t.doc_id, d.term_id ORDER BY doc_id, term_id""".stripMargin)
+         |GROUP BY t.doc_id, d.term_id ORDER BY doc_id, term_id""".stripMargin,
+    "q168_feature_hashing" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($DToks) AS tok FROM documents),
+         |hashed AS (SELECT doc_id,
+         |    CAST('0x' || substr(md5('b ' || tok), 1, 12) AS BIGINT) % 256
+         |      AS bucket,
+         |    CASE WHEN CAST('0x' || substr(md5('s ' || tok), 1, 12)
+         |      AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sg
+         |  FROM toks),
+         |vec AS (SELECT doc_id, bucket, CAST(SUM(sg) AS BIGINT) AS wgt
+         |  FROM hashed GROUP BY 1, 2 HAVING SUM(sg) <> 0)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nnz,
+         |  CAST(SUM(abs(wgt)) AS BIGINT) AS l1,
+         |  md5(string_agg(CAST(bucket AS VARCHAR) || ':' ||
+         |    CAST(wgt AS VARCHAR), ' ' ORDER BY bucket)) AS vec_digest
+         |FROM vec GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }
