@@ -122,6 +122,58 @@ object Phrases {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------- skip-gram pairs
+  /** Skip-gram training-pair materialization (q170) — the other half of
+    * the word2vec preprocessing (Mikolov et al. 2013): frequent-word
+    * SUBSAMPLING (discard token w with probability 1 − √(t/f(w)) — the
+    * published t-rule that deletes filler mass before windows form)
+    * followed by window-W (center, context) pair extraction over the
+    * COMPACTED stream (deletions widen effective windows — the
+    * documented side effect, reproduced deliberately).
+    *
+    * Determinism: the discard draw for position (doc, i) is
+    * pmod(splitmix64(doc·100000 + i), 2³²) compared against the
+    * per-word threshold round(2³²·(1 − √(t·N/c))) — √ is
+    * IEEE-correctly-rounded (the q164 argument), so thresholds are
+    * bit-stable and the whole corpus replays in DuckDB. Window pairs
+    * come from an equi-join on (doc, rank+offset) — no range scan.
+    *
+    * Scale: counts are one map-side-combined aggregate; the threshold
+    * table is vocabulary-sized and BROADCASTS; the surviving-position
+    * rank is a per-doc window (bounded by doc length); the offset join
+    * is equi-keyed and shuffles the compacted stream once. Output is
+    * vocab²-bounded. */
+  def q170_skipgram_pairs(s: SparkSession, dir: String): DataFrame = {
+    val t = 0.01
+    val offsets = Seq(-2, -1, 1, 2)
+    val toks = docToks(s, dir).filter(size(col("t")) >= 1)
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("i", "w")))
+    val cnt = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n = toks.agg(count(lit(1)).as("n_tot"))
+    val thr = cnt.crossJoin(broadcast(n))
+      .withColumn("thr", round(lit(4294967296.0) * (lit(1.0) -
+        sqrt(lit(t) * col("n_tot").cast("double") / col("c").cast("double"))))
+        .cast("long"))
+      .select(col("w"), col("thr"))
+    val surv = toks.join(broadcast(thr), "w")
+      .filter(pmod(graft.rel.JoinCard.splitmix64(
+        col("doc_id") * lit(100000L) + col("i")), lit(4294967296L))
+        >= col("thr"))
+      .withColumn("j", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("i"))))
+      .select(col("doc_id"), col("j"), col("w"))
+    import s.implicits._
+    surv.select(col("doc_id"), col("j"), col("w").as("center"))
+      .crossJoin(broadcast(offsets.toDF("off")))
+      .withColumn("jc", col("j") + col("off"))
+      .join(surv.select(col("doc_id"), col("j").as("jc"),
+        col("w").as("context")), Seq("doc_id", "jc"))
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("center"), col("context"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private val DToks =
@@ -194,12 +246,56 @@ object Phrases {
        |FROM cons WHERE NOT consumed
        |GROUP BY doc_id, n_before ORDER BY doc_id""".stripMargin
 
+  private def mulmodSql(x: String, c: BigInt): String = {
+    val base = BigInt(4294967296L)
+    val lo = c % base
+    val hi = c / base
+    s"((($x % 4294967296) * $lo + " +
+      s"((($x % 4294967296) * $hi + ($x // 4294967296) * $lo) % 4294967296)" +
+      s" * 4294967296) % 18446744073709551616)"
+  }
+
+  private lazy val skipgramOracle: String = {
+    val z1 = "(z + 11400714819323198485) % 18446744073709551616"
+    val m2 = mulmodSql("x1", BigInt("13787848793156543929"))
+    val m3 = mulmodSql("x2", BigInt("10723151780598845931"))
+    s"""WITH toks AS (SELECT doc_id, i - 1 AS i, t[i] AS w
+       |  FROM (SELECT doc_id, $DToks AS t FROM documents),
+       |    unnest(range(1, len(t) + 1)) AS u(i) WHERE len(t) >= 1),
+       |cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM toks),
+       |thr AS (SELECT w, CAST(round(4294967296.0 * (1.0 -
+       |    sqrt(0.01 * CAST(n_tot AS DOUBLE) / CAST(c AS DOUBLE))))
+       |    AS BIGINT) AS thr
+       |  FROM cnt, n),
+       |zs AS (SELECT doc_id, i, w,
+       |    CAST(doc_id * 100000 + i AS HUGEINT) AS z FROM toks),
+       |s1 AS (SELECT doc_id, i, w, $z1 AS z1 FROM zs),
+       |s2 AS (SELECT doc_id, i, w, xor(z1, z1 // 1073741824) AS x1 FROM s1),
+       |s3 AS (SELECT doc_id, i, w, $m2 AS z2 FROM s2),
+       |s4 AS (SELECT doc_id, i, w, xor(z2, z2 // 134217728) AS x2 FROM s3),
+       |s5 AS (SELECT doc_id, i, w, $m3 AS z3 FROM s4),
+       |s6 AS (SELECT doc_id, i, w, xor(z3, z3 // 2147483648) AS m FROM s5),
+       |surv AS (SELECT doc_id, w,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS j
+       |  FROM s6 JOIN thr USING (w)
+       |  WHERE CAST(m % 4294967296 AS BIGINT) >= thr),
+       |pairs AS (SELECT a.w AS center, b.w AS context
+       |  FROM surv a
+       |  JOIN (SELECT unnest([-2, -1, 1, 2]) AS off) o ON TRUE
+       |  JOIN surv b ON b.doc_id = a.doc_id AND b.j = a.j + o.off)
+       |SELECT center, context, CAST(COUNT(*) AS BIGINT) AS cnt
+       |FROM pairs GROUP BY 1, 2 ORDER BY center, context""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_phrase_mining" -> (q161_phrase_mining _),
-    "q162_phrase_merge" -> (q162_phrase_merge _))
+    "q162_phrase_merge" -> (q162_phrase_merge _),
+    "q170_skipgram_pairs" -> (q170_skipgram_pairs _))
 
   val oracle: Map[String, String] = Map(
     "q161_phrase_mining" -> miningOracle,
-    "q162_phrase_merge" -> mergeOracle)
+    "q162_phrase_merge" -> mergeOracle,
+    "q170_skipgram_pairs" -> skipgramOracle)
 }

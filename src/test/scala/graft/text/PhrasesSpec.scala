@@ -62,6 +62,17 @@ class PhrasesSpec extends AnyFunSuite {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
+  test("skip-gram pairs: symmetric window yields a symmetric pair table") {
+    val rows = Phrases.q170_skipgram_pairs(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case ((a, b), c) =>
+      assert(rows.getOrElse((b, a), -1L) == c,
+        s"pair ($a,$b)=$c lacks the mirror count")
+    }
+    assert(rows.values.forall(_ >= 1L))
+  }
+
   test("merge conserves tokens: n_before = n_after + n_merges") {
     val out = Phrases.q162_phrase_merge(spark, dir)
       .filter(col("n_before") =!= col("n_after") + col("n_merges"))
