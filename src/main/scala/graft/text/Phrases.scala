@@ -174,6 +174,51 @@ object Phrases {
       .orderBy(col("center"), col("context"))
   }
 
+  // ------------------------------------------------- negative sampling
+  /** Negative-sampling noise table (q171) — the third leg of the
+    * word2vec preprocessing (phrases q161/q162, subsampled pairs q170):
+    * negatives draw from the unigram distribution raised to 3/4
+    * (Mikolov et al. 2013 §2.2 — the published smoothing that lifts
+    * rare-word probability). Weights integerize as
+    * round(10⁶·c^0.75); pow is NOT correctly rounded, so — per the
+    * q151 boundary protocol — the spec asserts every vocabulary
+    * count's fractional part sits ≥ 10⁻⁴ from the .5 rounding
+    * boundary (measured ≥ 9·10⁻³ across SFs, five orders above a
+    * 1-ulp divergence). The K = 1000 draws use the q157 Madow
+    * systematic closed form over the cumulative micro-weight line —
+    * integer, join-free, and within 1 of K·w/W per word by the
+    * systematic-sampling guarantee (also spec-asserted).
+    *
+    * Scale: the table is vocabulary-sized; the prefix sum runs over
+    * vocab rows (catalog, not corpus — the corpus only feeds one
+    * map-side-combined count aggregate). */
+  def q171_negative_sampling(s: SparkSession, dir: String): DataFrame = {
+    val K = 1000L
+    val cnt = docToks(s, dir)
+      .select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val wm = cnt.withColumn("w_micro",
+      round(lit(1e6) * pow(col("c").cast("double"), lit(0.75)))
+        .cast("long"))
+    val win = Window.orderBy(col("w"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = wm.agg(sum(col("w_micro")).as("w_total"))
+    val spans = wm
+      .withColumn("cum", sum(col("w_micro")).over(win))
+      .withColumn("st", col("cum") - col("w_micro"))
+      .crossJoin(broadcast(tot))
+    val f = (x: String) => s"greatest(0L, least($K, " +
+      s"(2 * $K * $x - w_total + 2 * w_total - 1) div (2 * w_total)))"
+    val wAll = Window.partitionBy()
+    spans
+      .withColumn("n_draws", expr(s"${f("cum")} - ${f("st")}"))
+      .withColumn("draws_complete",
+        sum(col("n_draws")).over(wAll) === K)
+      .select(col("w"), col("c"), col("w_micro"), col("n_draws"),
+        col("draws_complete"))
+      .orderBy(col("w"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private val DToks =
@@ -292,10 +337,33 @@ object Phrases {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_phrase_mining" -> (q161_phrase_mining _),
     "q162_phrase_merge" -> (q162_phrase_merge _),
-    "q170_skipgram_pairs" -> (q170_skipgram_pairs _))
+    "q170_skipgram_pairs" -> (q170_skipgram_pairs _),
+    "q171_negative_sampling" -> (q171_negative_sampling _))
+
+  private lazy val negativeOracle: String = {
+    val k = 1000L
+    def f(x: String) = s"greatest(0, least($k, " +
+      s"(2 * $k * ($x) - w_total + 2 * w_total - 1) // (2 * w_total)))"
+    s"""WITH toks AS (SELECT unnest($DToks) AS w FROM documents),
+       |cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+       |wm AS (SELECT w, c, CAST(round(1000000.0 *
+       |    pow(CAST(c AS DOUBLE), 0.75)) AS BIGINT) AS w_micro FROM cnt),
+       |tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS w_total FROM wm),
+       |spans AS (SELECT w, c, w_micro,
+       |    CAST(SUM(w_micro) OVER (ORDER BY w ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS cum
+       |  FROM wm),
+       |h AS (SELECT w, c, w_micro,
+       |    ${f("cum")} - ${f("cum - w_micro")} AS n_draws
+       |  FROM spans, tot)
+       |SELECT w, c, w_micro, CAST(n_draws AS BIGINT) AS n_draws,
+       |  (SELECT SUM(n_draws) FROM h) = $k AS draws_complete
+       |FROM h ORDER BY w""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "q161_phrase_mining" -> miningOracle,
     "q162_phrase_merge" -> mergeOracle,
-    "q170_skipgram_pairs" -> skipgramOracle)
+    "q170_skipgram_pairs" -> skipgramOracle,
+    "q171_negative_sampling" -> negativeOracle)
 }

@@ -73,6 +73,31 @@ class PhrasesSpec extends AnyFunSuite {
     assert(rows.values.forall(_ >= 1L))
   }
 
+  test("negative sampling: boundary margins, completeness, Madow bound") {
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = Phrases.q171_negative_sampling(spark, sf).collect()
+      assert(rows.nonEmpty)
+      // pow is not correctly rounded: assert every vocab count's
+      // micro-weight sits clear of the .5 rounding boundary (q151 rule)
+      rows.foreach { r =>
+        val x = 1e6 * math.pow(r.getAs[Long]("c").toDouble, 0.75)
+        val margin = math.abs(x % 1.0 - 0.5)
+        assert(margin > 1e-4, s"${r.getAs[String]("w")}: margin $margin")
+      }
+      assert(rows.map(_.getAs[Long]("n_draws")).sum == 1000L)
+      assert(rows.forall(_.getAs[Boolean]("draws_complete")))
+      // systematic sampling: every word within 1 of its expectation
+      val wTot = rows.map(_.getAs[Long]("w_micro")).sum
+      rows.foreach { r =>
+        val diff = r.getAs[Long]("n_draws") * wTot -
+          1000L * r.getAs[Long]("w_micro")
+        assert(math.abs(diff) < wTot,
+          s"${r.getAs[String]("w")}: draws off expectation by ${
+            diff.toDouble / wTot}")
+      }
+    }
+  }
+
   test("merge conserves tokens: n_before = n_after + n_merges") {
     val out = Phrases.q162_phrase_merge(spark, dir)
       .filter(col("n_before") =!= col("n_after") + col("n_merges"))
