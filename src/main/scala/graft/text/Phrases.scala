@@ -174,6 +174,42 @@ object Phrases {
       .orderBy(col("center"), col("context"))
   }
 
+  // ------------------------------------------------- GloVe co-occurrence
+  /** Distance-weighted co-occurrence matrix (q172) — the GloVe
+    * preprocessing pass (Pennington, Socher & Manning 2014, §4: "word
+    * pairs that are d words apart contribute 1/d to the count"): for
+    * window W = 4, the 1/d fractions scale EXACTLY by LCM(1..4) = 12 —
+    * weights 12, 6, 4, 3 — so X_ij accumulates as a pure BIGINT
+    * twelfths-count, summation-order-proof with no float drift (the
+    * reference implementations carry float accumulators whose totals
+    * depend on shard order; a 100 TB matrix build cannot).
+    *
+    * Symmetric windows (context both sides), full stream (GloVe does
+    * not subsample — that is q170's word2vec rule). Output is the
+    * vocab²-bounded upper triangle (wa ≤ wb) with the twelfths weight
+    * and the raw pair count.
+    *
+    * Scale: same offset equi-join shape as q170 — explode, per-doc
+    * positions, join on (doc, i+d); the aggregate is vocab²-bounded and
+    * map-side combined. */
+  def q172_glove_cooc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val weights = Seq((1, 12L), (2, 6L), (3, 4L), (4, 3L))
+    val toks = docToks(s, dir).filter(size(col("t")) >= 2)
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("i", "w")))
+    val right = toks.select(col("doc_id"), col("i").as("j"),
+      col("w").as("wr"))
+    toks
+      .crossJoin(broadcast(weights.toDF("d", "w12")))
+      .withColumn("j", col("i") + col("d"))
+      .join(right, Seq("doc_id", "j"))
+      .select(least(col("w"), col("wr")).as("wa"),
+        greatest(col("w"), col("wr")).as("wb"), col("w12"))
+      .groupBy(col("wa"), col("wb"))
+      .agg(sum(col("w12")).as("x12"), count(lit(1)).as("n_pairs"))
+      .orderBy(col("wa"), col("wb"))
+  }
+
   // ------------------------------------------------- negative sampling
   /** Negative-sampling noise table (q171) — the third leg of the
     * word2vec preprocessing (phrases q161/q162, subsampled pairs q170):
@@ -338,7 +374,22 @@ object Phrases {
     "q161_phrase_mining" -> (q161_phrase_mining _),
     "q162_phrase_merge" -> (q162_phrase_merge _),
     "q170_skipgram_pairs" -> (q170_skipgram_pairs _),
-    "q171_negative_sampling" -> (q171_negative_sampling _))
+    "q171_negative_sampling" -> (q171_negative_sampling _),
+    "q172_glove_cooc" -> (q172_glove_cooc _))
+
+  private lazy val gloveOracle: String =
+    s"""WITH toks AS (SELECT doc_id, i - 1 AS i, t[i] AS w
+       |  FROM (SELECT doc_id, $DToks AS t FROM documents),
+       |    unnest(range(1, len(t) + 1)) AS u(i) WHERE len(t) >= 2),
+       |wt AS (SELECT * FROM (VALUES (1, 12), (2, 6), (3, 4), (4, 3))
+       |  v(d, w12)),
+       |pairs AS (SELECT least(a.w, b.w) AS wa, greatest(a.w, b.w) AS wb,
+       |    wt.w12
+       |  FROM toks a CROSS JOIN wt
+       |  JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + wt.d)
+       |SELECT wa, wb, CAST(SUM(w12) AS BIGINT) AS x12,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM pairs GROUP BY 1, 2 ORDER BY wa, wb""".stripMargin
 
   private lazy val negativeOracle: String = {
     val k = 1000L
@@ -365,5 +416,6 @@ object Phrases {
     "q161_phrase_mining" -> miningOracle,
     "q162_phrase_merge" -> mergeOracle,
     "q170_skipgram_pairs" -> skipgramOracle,
-    "q171_negative_sampling" -> negativeOracle)
+    "q171_negative_sampling" -> negativeOracle,
+    "q172_glove_cooc" -> gloveOracle)
 }
