@@ -26,6 +26,7 @@ object SparkEntry {
       text.TextOps.queries ++ text.Tokenize.queries ++ text.Phrases.queries ++
       text.Entropy.queries ++ text.Budget.queries ++ text.Overlap.queries ++
       text.CorpusFilters.queries ++ text.Retrieval.queries ++
+      text.Eval.queries ++
       ml.Vocab.queries ++ ml.Hdr.queries ++ ml.LshPlanner.queries ++
       ml.Projection.queries ++
       ml.Similarity.queries ++ ml.Lda.queries ++ ml.Bloom.queries ++
@@ -43,6 +44,7 @@ object SparkEntry {
       text.TextOps.oracle ++ text.Tokenize.oracle ++ text.Phrases.oracle ++
       text.Entropy.oracle ++ text.Budget.oracle ++ text.Overlap.oracle ++
       text.CorpusFilters.oracle ++ text.Retrieval.oracle ++
+      text.Eval.oracle ++
       ml.Vocab.oracle ++ ml.Hdr.oracle ++ ml.LshPlanner.oracle ++
       ml.Projection.oracle ++
       ml.Similarity.oracle ++ ml.Lda.oracle ++

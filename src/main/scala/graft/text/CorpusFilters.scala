@@ -2380,7 +2380,7 @@ object CorpusFilters {
 
   /** Generated twin of q87: same seeded weight table as a SQL literal,
     * same md5-bucket derivation, same composition order. */
-  private lazy val qualityClassifierOracle: String = {
+  private[graft] lazy val qualityClassifierOracle: String = {
     val buckets = ClassifierBuckets
     val w = ClassifierWeights
     s"""WITH toks AS (SELECT doc_id, unnest($DToks) AS term FROM documents),
@@ -2919,7 +2919,7 @@ object CorpusFilters {
     "q119_source_divergence" -> (q119_source_divergence _),
     "q121_packing_efficiency" -> (q121_packing_efficiency _))
 
-  private val DToks =
+  private[graft] val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
 
   /** q66b's CTE chain (span winners → per-doc kept text/counts + base),

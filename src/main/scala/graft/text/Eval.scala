@@ -1,0 +1,306 @@
+package graft.text
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Model-evaluation surface for the curation classifiers (q173-q177) —
+  * the metrics a training-data pipeline runs after every filter retrain:
+  * confusion matrix + agreement (Cohen 1960 kappa, Matthews 1975 MCC),
+  * threshold-free ranking quality (tie-aware exact AUC via the
+  * Mann-Whitney rank identity), chi-square feature selection over the
+  * vocabulary (Yang & Pedersen 1997), a per-language quality slice, and
+  * reliability-diagram calibration bins (Niculescu-Mizil & Caruana 2005).
+  *
+  * Classifier under evaluation: q87's seeded linear quality scorer
+  * (`CorpusFilters.q87_quality_classifier` — keep = logit ≥ 0), judged
+  * against the deterministic filler-ratio label that q87b trains on
+  * (`CorpusFilters.qualityLabels`). Both sides are exactly replayable in
+  * static SQL, so every metric here is fully oracle-gated — unlike the
+  * q87b trained-model row, nothing needs an accuracy-floor contract.
+  *
+  * Cross-engine arithmetic discipline: every COUNT is an exact BIGINT;
+  * every permille is a floor division of non-negative BIGINTs (Spark
+  * `div` truncation == DuckDB `//` floor on non-negatives); every real-
+  * valued metric (kappa, MCC, chi2) is a fixed-size expression over
+  * count-valued doubles using ONLY IEEE-754 exactly-rounded ops
+  * (+ − × ÷ sqrt — no transcendentals, the q87 lesson), with the
+  * expression TEXT shared verbatim between `selectExpr` and the DuckDB
+  * twin so both engines evaluate the identical tree (the q71/BM25
+  * mirrored-tree pattern). Counts are double-exact to 2^53 docs, so the
+  * kernels hold far past 100 TB; per-class sums never multiply as
+  * BIGINTs (the n² kappa/MCC products are formed AFTER the cast to
+  * double), so there is no Long-overflow cliff to guard.
+  */
+object Eval {
+
+  // ------------------------------------------------ shared pred ⋈ label
+  /** (doc_id, logit_r, keep, label): q87's prediction joined to the
+    * filler-ratio ground truth. One shuffle on doc_id; both inputs are
+    * single-pass token rollups of the same scan. */
+  private def predLab(s: SparkSession, dir: String): DataFrame =
+    CorpusFilters.q87_quality_classifier(s, dir)
+      .select(col("doc_id"), col("logit_r"), col("keep"))
+      .join(CorpusFilters.qualityLabels(s, dir)
+        .select(col("doc_id"), col("label")), "doc_id")
+
+  /** SQL twin of [[predLab]] as a WITH-clause body (`pl`): q87's oracle
+    * chain nested as a subquery + the q87b label CTE, joined on doc_id. */
+  private lazy val PredLabCtes: String = {
+    val fillers = CorpusFilters.FillerTokens.map(f => s"'$f'").mkString(", ")
+    s"""pred AS (SELECT doc_id, logit_r, keep
+       |  FROM (${CorpusFilters.qualityClassifierOracle})),
+       |ctoks AS (SELECT doc_id, ${CorpusFilters.DToks} AS t FROM documents),
+       |lab AS (SELECT doc_id,
+       |    (100 * CAST(len(list_filter(t, w -> w IN ($fillers))) AS BIGINT)
+       |      >= 13 * CAST(len(t) AS BIGINT)) AS label
+       |  FROM ctoks WHERE len(t) >= 1),
+       |pl AS (SELECT p.doc_id, p.logit_r, p.keep, l.label
+       |  FROM pred p JOIN lab l USING (doc_id))""".stripMargin
+  }
+
+  // ------------------------------------------- q173 confusion + agreement
+  /** Expression texts shared verbatim by Spark `selectExpr` and the
+    * DuckDB twin — the mirrored-tree contract. po/pe are Cohen's observed
+    * and chance agreement; each parenthesized factor is a ≤n count cast
+    * to double BEFORE any product. */
+  private val PoExpr =
+    "CAST(tp+tn AS DOUBLE) / CAST(tp+fp+fn+tn AS DOUBLE)"
+  private val PeExpr =
+    "(CAST(tp+fp AS DOUBLE)*CAST(tp+fn AS DOUBLE) + " +
+      "CAST(fn+tn AS DOUBLE)*CAST(fp+tn AS DOUBLE)) / " +
+      "(CAST(tp+fp+fn+tn AS DOUBLE)*CAST(tp+fp+fn+tn AS DOUBLE))"
+  private val MccExpr =
+    "CASE WHEN tp+fp = 0 OR tp+fn = 0 OR tn+fp = 0 OR tn+fn = 0 THEN NULL " +
+      "ELSE (CAST(tp AS DOUBLE)*CAST(tn AS DOUBLE) - " +
+      "CAST(fp AS DOUBLE)*CAST(fn AS DOUBLE)) / " +
+      "sqrt((CAST(tp+fp AS DOUBLE)*CAST(tp+fn AS DOUBLE))*" +
+      "(CAST(tn+fp AS DOUBLE)*CAST(tn+fn AS DOUBLE))) END"
+  private val MetricExprs = Seq(
+    "(1000 * (tp+tn)) div (tp+fp+fn+tn) AS acc_permille",
+    "CASE WHEN tp+fp = 0 THEN NULL ELSE (1000 * tp) div (tp+fp) END" +
+      " AS prec_permille",
+    "CASE WHEN tp+fn = 0 THEN NULL ELSE (1000 * tp) div (tp+fn) END" +
+      " AS rec_permille",
+    "CASE WHEN 2*tp+fp+fn = 0 THEN NULL ELSE (1000 * 2 * tp) div (2*tp+fp+fn) END" +
+      " AS f1_permille",
+    s"round(CASE WHEN $PeExpr >= 1.0 THEN NULL " +
+      s"ELSE (($PoExpr) - ($PeExpr)) / (1.0 - ($PeExpr)) END, 6) AS kappa_r",
+    s"round($MccExpr, 6) AS mcc_r")
+
+  /** Confusion matrix of the rule classifier vs the filler label, plus
+    * accuracy/precision/recall/F1 (permille BIGINTs, floor division) and
+    * Cohen's kappa + Matthews correlation (round-6 doubles, IEEE-exact
+    * mirrored trees). ONE corpus pass → one 4-cell rollup → scalar math
+    * on a 1-row frame; at 100 TB this is the cost of a word count. */
+  def q173_classifier_eval(s: SparkSession, dir: String): DataFrame =
+    predLab(s, dir).agg(
+        sum(when(col("keep") && col("label"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("keep") && !col("label"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("keep") && col("label"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("keep") && !col("label"), 1L).otherwise(0L)).as("tn"))
+      .selectExpr(Seq("tp", "fp", "fn", "tn") ++ MetricExprs: _*)
+
+  private lazy val q173Oracle: String =
+    s"""WITH $PredLabCtes,
+       |cm AS (SELECT
+       |    CAST(SUM(CASE WHEN keep AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(SUM(CASE WHEN keep AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(SUM(CASE WHEN NOT keep AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |    CAST(SUM(CASE WHEN NOT keep AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM pl)
+       |SELECT tp, fp, fn, tn,
+       |  ${MetricExprs.map(_.replace(" div ", " // ")).mkString(",\n  ")}
+       |FROM cm""".stripMargin
+
+  // ------------------------------------------------- q174 exact AUC
+  /** Tie-aware exact AUC of the q87 logit against the label, via the
+    * Mann-Whitney identity in 2× integer units (so tied-group half-credit
+    * stays integral): over score groups g ascending,
+    * auc_num2 = Σ pos_g·(2·neg_below_g + neg_g), auc_den2 = 2·P·N,
+    * AUC = num2/den2. Scores are the round-6 logits, so tie groups are
+    * cross-engine identical.
+    *
+    * Scale shape: corpus → (score, cnt, pos) group rollup (map-side
+    * combine), then the running negative count comes from the
+    * [[Budget.bucketedPrefixSum]] two-phase machinery — no global
+    * single-partition window; the grouped frame is bounded by distinct
+    * round-6 logits, and the bucket table by its /0.01 coarsening. The
+    * BIGINT num2/den2 are exact to ~2·10⁹ docs per class; past that the
+    * sum column upgrades to DECIMAL(38,0) (documented in SCALING.md) —
+    * auc_permille itself never loses meaning since it is a ratio. */
+  def q174_auc_exact(s: SparkSession, dir: String): DataFrame = {
+    val g = predLab(s, dir).groupBy(col("logit_r"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("pos"))
+      .withColumn("neg", col("cnt") - col("pos"))
+    val pre = Budget.bucketedPrefixSum(g,
+      floor(col("logit_r") * lit(100.0)).cast(LongType),
+      Seq(col("logit_r")), col("neg"))
+    pre.select(col("pos"), col("neg"), (col("cum") - col("neg")).as("nb"))
+      .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+        sum(col("pos") * (lit(2L) * col("nb") + col("neg"))).as("auc_num2"))
+      .selectExpr("n_pos", "n_neg", "auc_num2",
+        "2 * n_pos * n_neg AS auc_den2",
+        "CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL " +
+          "ELSE (1000 * auc_num2) div (2 * n_pos * n_neg) END AS auc_permille")
+  }
+
+  private lazy val q174Oracle: String =
+    s"""WITH $PredLabCtes,
+       |g AS (SELECT logit_r, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos
+       |  FROM pl GROUP BY logit_r),
+       |n AS (SELECT logit_r, pos, cnt - pos AS neg FROM g),
+       |p AS (SELECT pos, neg,
+       |    CAST(coalesce(SUM(neg) OVER (ORDER BY logit_r
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nb
+       |  FROM n),
+       |a AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+       |    CAST(SUM(neg) AS BIGINT) AS n_neg,
+       |    CAST(SUM(pos * (2 * nb + neg)) AS BIGINT) AS auc_num2
+       |  FROM p)
+       |SELECT n_pos, n_neg, auc_num2, 2 * n_pos * n_neg AS auc_den2,
+       |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+       |    ELSE (1000 * auc_num2) // (2 * n_pos * n_neg) END AS auc_permille
+       |FROM a""".stripMargin
+
+  // ------------------------------------------- q175 chi-square terms
+  /** Top-20 label-discriminative vocabulary terms by the chi-square
+    * statistic over document frequency (Yang & Pedersen 1997's χ² feature
+    * selection — the standard "which tokens predict quality" audit after
+    * a filter retrain). Per term with a = df⁺, b = df⁻ and class totals
+    * P, N: χ² = n·(aN − bP)² / ((a+b)·(n−a−b)·P·N) — the ad−bc determinant
+    * reduced to aN − bP, which keeps every BIGINT factor ≤ n·df before the
+    * cast to double; the quotient is a mirrored IEEE tree. min-df 5 and
+    * the not-in-every-doc filter drop the degenerate denominators.
+    *
+    * Scale: distinct (doc, term) → vocabulary-sized term rollup (Heaps-
+    * bounded), class totals a broadcast 1-row frame, top-20 a bounded-heap
+    * TakeOrderedAndProject — no global sort, no n² anywhere. */
+  def q175_chi2_terms(s: SparkSession, dir: String): DataFrame = {
+    val lab = CorpusFilters.qualityLabels(s, dir)
+      .select(col("doc_id"), col("label"))
+    val tot = lab.agg(
+      sum(when(col("label"), 1L).otherwise(0L)).as("p_tot"),
+      sum(when(!col("label"), 1L).otherwise(0L)).as("n_tot"))
+    val ab = Tables.documentsFanned(s, dir)
+      .select(col("doc_id"), explode(Cleanse.tokens(col("text"))).as("term"))
+      .distinct()
+      .join(lab, "doc_id")
+      .groupBy(col("term"))
+      .agg(sum(when(col("label"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("label"), 1L).otherwise(0L)).as("b"))
+    ab.crossJoin(broadcast(tot))
+      .selectExpr("term", "a", "b", "p_tot", "n_tot",
+        "a*n_tot - b*p_tot AS delta")
+      .where("a + b >= 5 AND a + b < p_tot + n_tot")
+      .selectExpr("term", "a", "b",
+        "CAST(p_tot+n_tot AS DOUBLE)*CAST(delta AS DOUBLE)*CAST(delta AS DOUBLE)" +
+          " / (CAST(a+b AS DOUBLE)*CAST(p_tot+n_tot-a-b AS DOUBLE)*" +
+          "CAST(p_tot AS DOUBLE)*CAST(n_tot AS DOUBLE)) AS chi2")
+      .orderBy(col("chi2").desc, col("term"))
+      .limit(20)
+      .selectExpr("term", "a", "b", "round(chi2, 6) AS chi2_r")
+  }
+
+  private lazy val q175Oracle: String = {
+    val fillers = CorpusFilters.FillerTokens.map(f => s"'$f'").mkString(", ")
+    s"""WITH ctoks AS (SELECT doc_id, ${CorpusFilters.DToks} AS t FROM documents),
+       |lab AS (SELECT doc_id,
+       |    (100 * CAST(len(list_filter(t, w -> w IN ($fillers))) AS BIGINT)
+       |      >= 13 * CAST(len(t) AS BIGINT)) AS label
+       |  FROM ctoks WHERE len(t) >= 1),
+       |tot AS (SELECT
+       |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS p_tot,
+       |    CAST(SUM(CASE WHEN NOT label THEN 1 ELSE 0 END) AS BIGINT) AS n_tot
+       |  FROM lab),
+       |dt AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM ctoks),
+       |ab AS (SELECT term,
+       |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS a,
+       |    CAST(SUM(CASE WHEN NOT label THEN 1 ELSE 0 END) AS BIGINT) AS b
+       |  FROM dt JOIN lab USING (doc_id) GROUP BY term),
+       |d AS (SELECT term, a, b, p_tot, n_tot, a*n_tot - b*p_tot AS delta
+       |  FROM ab CROSS JOIN tot
+       |  WHERE a + b >= 5 AND a + b < p_tot + n_tot),
+       |c AS (SELECT term, a, b,
+       |    CAST(p_tot+n_tot AS DOUBLE)*CAST(delta AS DOUBLE)*CAST(delta AS DOUBLE)
+       |      / (CAST(a+b AS DOUBLE)*CAST(p_tot+n_tot-a-b AS DOUBLE)*
+       |      CAST(p_tot AS DOUBLE)*CAST(n_tot AS DOUBLE)) AS chi2
+       |  FROM d)
+       |SELECT term, a, b, round(chi2, 6) AS chi2_r
+       |FROM c ORDER BY chi2 DESC, term LIMIT 20""".stripMargin
+  }
+
+  // ------------------------------------------- q176 per-language slice
+  /** The per-language quality report every multilingual curation run
+    * ships: docs, classifier keep-rate, label positive-rate, and
+    * classifier↔label agreement, per `lang`. Catalog-sized output (one
+    * row per language); permilles are floor divisions of exact counts. */
+  def q176_lang_quality(s: SparkSession, dir: String): DataFrame =
+    predLab(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("keep") === col("label"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .selectExpr("lang", "n_docs", "n_keep", "n_pos",
+        "(1000 * n_agree) div n_docs AS acc_permille")
+      .orderBy(col("lang"))
+
+  private lazy val q176Oracle: String =
+    s"""WITH $PredLabCtes,
+       |j AS (SELECT d.lang, pl.keep, pl.label
+       |  FROM pl JOIN documents d USING (doc_id))
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |  CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  (1000 * CAST(SUM(CASE WHEN keep = label THEN 1 ELSE 0 END) AS BIGINT))
+       |    // CAST(COUNT(*) AS BIGINT) AS acc_permille
+       |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ------------------------------------------- q177 calibration bins
+  /** Reliability-diagram surface: fixed-width logit bins (0.02) with doc
+    * count, positive count, and the bin's logit mass in exact micro units
+    * (Σ round(10⁶·logit_r) — an integer sum, summation-order-proof, from
+    * which any consumer derives the bin-mean score without a float
+    * reduction). floor(logit_r/0.02) is one IEEE division + floor, so bin
+    * edges are bit-identical cross-engine. One group rollup; output is
+    * bounded by the logit range / 0.02 — catalog-sized at any corpus. */
+  def q177_calibration_bins(s: SparkSession, dir: String): DataFrame =
+    predLab(s, dir)
+      .selectExpr("CAST(floor(logit_r / 0.02) AS BIGINT) AS bin",
+        "label", "CAST(round(logit_r * 1000000.0) AS BIGINT) AS logit_u")
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("logit_u")).as("sum_logit_u"))
+      .orderBy(col("bin"))
+
+  private lazy val q177Oracle: String =
+    s"""WITH $PredLabCtes
+       |SELECT CAST(floor(logit_r / 0.02) AS BIGINT) AS bin,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  CAST(SUM(CAST(round(logit_r * 1000000.0) AS BIGINT)) AS BIGINT)
+       |    AS sum_logit_u
+       |FROM pl GROUP BY bin ORDER BY bin""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_classifier_eval" -> (q173_classifier_eval _),
+    "q174_auc_exact" -> (q174_auc_exact _),
+    "q175_chi2_terms" -> (q175_chi2_terms _),
+    "q176_lang_quality" -> (q176_lang_quality _),
+    "q177_calibration_bins" -> (q177_calibration_bins _))
+
+  val oracle: Map[String, String] = Map(
+    "q173_classifier_eval" -> q173Oracle,
+    "q174_auc_exact" -> q174Oracle,
+    "q175_chi2_terms" -> q175Oracle,
+    "q176_lang_quality" -> q176Oracle,
+    "q177_calibration_bins" -> q177Oracle)
+}

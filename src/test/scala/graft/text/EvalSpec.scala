@@ -1,0 +1,105 @@
+package graft.text
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q173-q177 evaluation kernels: brute-force pairwise AUC oracle, closed
+  * forms for kappa/MCC on a hand confusion matrix, and cell invariants. */
+class EvalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("confusion cells partition the labeled corpus (q173)") {
+    val r = Eval.q173_classifier_eval(spark, sf).head()
+    val Seq(tp, fp, fn, tn) = (0 to 3).map(r.getLong)
+    val nDocs = CorpusFilters.qualityLabels(spark, sf).count()
+    assert(tp + fp + fn + tn == nDocs)
+    assert(tp >= 0 && fp >= 0 && fn >= 0 && tn >= 0)
+    val acc = r.getLong(r.fieldIndex("acc_permille"))
+    assert(acc == 1000L * (tp + tn) / nDocs)
+    val kappa = r.getDouble(r.fieldIndex("kappa_r"))
+    assert(kappa >= -1.0 && kappa <= 1.0)
+    val mcc = r.getDouble(r.fieldIndex("mcc_r"))
+    assert(mcc >= -1.0 && mcc <= 1.0)
+  }
+
+  test("kappa and MCC closed forms on a hand-built confusion matrix") {
+    // tp=40 fp=10 fn=20 tn=30, n=100: po=.7,
+    // pe=(50*60+50*40)/10000=.5 -> kappa=.4;
+    // mcc=(1200-200)/sqrt(50*60*40*50)=1000/sqrt(6e6)
+    import spark.implicits._
+    val cm = Seq((40L, 10L, 20L, 30L)).toDF("tp", "fp", "fn", "tn")
+    // same expression texts the operator ships (via its selectExpr path):
+    val out = cm.selectExpr("tp", "fp", "fn", "tn",
+      "round(((CAST(tp+tn AS DOUBLE) / CAST(tp+fp+fn+tn AS DOUBLE)) - " +
+        "((CAST(tp+fp AS DOUBLE)*CAST(tp+fn AS DOUBLE) + " +
+        "CAST(fn+tn AS DOUBLE)*CAST(fp+tn AS DOUBLE)) / " +
+        "(CAST(tp+fp+fn+tn AS DOUBLE)*CAST(tp+fp+fn+tn AS DOUBLE)))) / " +
+        "(1.0 - ((CAST(tp+fp AS DOUBLE)*CAST(tp+fn AS DOUBLE) + " +
+        "CAST(fn+tn AS DOUBLE)*CAST(fp+tn AS DOUBLE)) / " +
+        "(CAST(tp+fp+fn+tn AS DOUBLE)*CAST(tp+fp+fn+tn AS DOUBLE)))), 6)" +
+        " AS kappa_r",
+      "round((CAST(tp AS DOUBLE)*CAST(tn AS DOUBLE) - " +
+        "CAST(fp AS DOUBLE)*CAST(fn AS DOUBLE)) / " +
+        "sqrt((CAST(tp+fp AS DOUBLE)*CAST(tp+fn AS DOUBLE))*" +
+        "(CAST(tn+fp AS DOUBLE)*CAST(tn+fn AS DOUBLE))), 6) AS mcc_r").head()
+    assert(out.getDouble(4) == 0.4)
+    assert(out.getDouble(5) == math.rint(1e6 * 1000.0 / math.sqrt(6e6)) / 1e6)
+  }
+
+  test("rank-sum AUC equals the brute-force pairwise count (q174)") {
+    val r = Eval.q174_auc_exact(spark, sf).head()
+    val (nPos, nNeg, num2, den2) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(den2 == 2 * nPos * nNeg)
+    assert(num2 >= 0 && num2 <= den2, "AUC in [0,1]")
+    // brute force over all pos x neg pairs on the tiny fixture:
+    // 2*[#(pos>neg) + 0.5*#(pos==neg)] must equal auc_num2
+    val scored = CorpusFilters.q87_quality_classifier(spark, sf)
+      .select("doc_id", "logit_r")
+      .join(CorpusFilters.qualityLabels(spark, sf)
+        .select("doc_id", "label"), "doc_id")
+      .select("logit_r", "label")
+      .collect().map(x => (x.getDouble(0), x.getBoolean(1)))
+    val pos = scored.filter(_._2).map(_._1)
+    val neg = scored.filterNot(_._2).map(_._1)
+    assert(pos.length.toLong == nPos && neg.length.toLong == nNeg)
+    val brute2 = (for (p <- pos; n <- neg) yield
+      if (p > n) 2L else if (p == n) 1L else 0L).sum
+    assert(brute2 == num2, s"pairwise 2xAUC numerator: $brute2 != $num2")
+  }
+
+  test("chi2 terms are non-negative, df-bounded, and <= 20 (q175)") {
+    val rows = Eval.q175_chi2_terms(spark, sf).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("chi2_r")) >= 0.0)
+      assert(r.getLong(r.fieldIndex("a")) + r.getLong(r.fieldIndex("b")) >= 5)
+    }
+  }
+
+  test("language slices sum back to the q173 totals (q176)") {
+    val langs = Eval.q176_lang_quality(spark, sf).collect()
+    val cm = Eval.q173_classifier_eval(spark, sf).head()
+    val n = (0 to 3).map(cm.getLong).sum
+    assert(langs.map(_.getLong(1)).sum == n)
+    langs.foreach { r =>
+      val acc = r.getLong(r.fieldIndex("acc_permille"))
+      assert(acc >= 0 && acc <= 1000)
+    }
+  }
+
+  test("calibration bins partition docs and bound positives (q177)") {
+    val bins = Eval.q177_calibration_bins(spark, sf).collect()
+    val cm = Eval.q173_classifier_eval(spark, sf).head()
+    val n = (0 to 3).map(cm.getLong).sum
+    assert(bins.map(_.getLong(1)).sum == n)
+    bins.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "n_pos <= n per bin")
+      // bin b holds logits in [0.02*b, 0.02*(b+1)): mean must sit inside
+      val b = r.getLong(0)
+      val meanU = r.getLong(3).toDouble / r.getLong(1)
+      assert(meanU >= 20000.0 * b - 1 && meanU <= 20000.0 * (b + 1) + 1)
+    }
+  }
+}
