@@ -1,0 +1,225 @@
+package graft.ml
+
+import graft.Tables
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
+
+/** Integer-exact seeded k-means over the embedding table (q178-q180) —
+  * the cluster-then-curate primitive behind cluster-balanced data
+  * selection (SemDeDup's cluster stage, Abbas et al. 2023; DataComp-style
+  * topic balancing): Lloyd's algorithm (Lloyd 1982) with every quantity
+  * an exact BIGINT, so assignments, centroids, inertia and the balanced
+  * sample all rows+schema+hash-gate against an unrolled DuckDB twin.
+  *
+  * Exactness protocol: embeddings integerize ONCE to micro-units
+  * (round(10⁶·x) — one IEEE multiply on identical input doubles, then
+  * half-away-from-zero rounding, bit-identical cross-engine, no libm).
+  * Distances are Σ(xu−c)² BIGINTs (|xu| ≤ ~10⁶, 64 dims → ≤ ~10¹⁵, far
+  * inside Long). Argmin packs d·K+cid so the min is ONE map-side-combined
+  * aggregate with the deterministic low-cid tiebreak. Centroid updates
+  * are per-dim BIGINT sums (summation-order-proof) followed by
+  * round-half-up-to-+∞ integer division ((2s+n) floorDiv 2n, the pmod
+  * floor construction both engines evaluate identically) — so the next
+  * round's inputs are again exact integers. Fixed R synchronous rounds
+  * from seeded centroids (the first K vec_ids), like the q166 LPA
+  * unrolled-round contract.
+  *
+  * Scale: each round is one broadcast of K·d longs against the corpus
+  * scan (no shuffle for assignment), one (cid, dim) rollup (K·d output
+  * rows), and a K-row centroid rebuild — Lloyd's is embarrassingly
+  * map-side at any corpus size. The per-vector distance kernel is a
+  * native codegen expression ([[L2SqDistL]], the DotProductD/I8Dot
+  * pattern) — a primitive loop inside WholeStageCodegen, not an
+  * interpreted HOF. At 100 TB the micro-unit frame would be pinned once
+  * (the q73 shared-stage pattern) instead of re-derived per round.
+  */
+object ClusterUtil {
+  /** Σ (a_i − b_i)² over two long arrays (truncated to the shorter). */
+  def sqdistL(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+}
+
+case class L2SqDistL(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "l2_sqdist_l"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ClusterUtil.sqdistL(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ml.ClusterUtil.sqdistL($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2SqDistL =
+    copy(left = newLeft, right = newRight)
+}
+
+object Cluster {
+  private val K = 4
+  private val Dims = 64
+  private val Rounds = 3
+  private val SampleCap = 32
+
+  def l2_sqdist_l(a: Column, b: Column): Column =
+    GraftSqlBridge.column(L2SqDistL(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** (vec_id, xu): embeddings in exact micro-units. */
+  private def microEmb(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * lit(1000000.0), 0).cast(LongType)).as("xu"))
+
+  /** Shared round-half-up-to-+∞ integer division text (b > 0), evaluated
+    * identically by Spark (`div`) and DuckDB (`//`) because the pmod
+    * construction reduces the dividend to an exact multiple first. */
+  private def fdivHalfUp(a: String, b: String): String =
+    s"(($a) - ((($a) % ($b)) + ($b)) % ($b)) div ($b)"
+
+  /** One assignment pass: per vec, packed argmin d·K+cid vs `cent`
+    * (cid, c, n). Returns (vec_id, xu, packed). */
+  private def assign(e: DataFrame, cent: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cent.select(col("cid"), col("c"))))
+      .select(col("vec_id"), col("xu"),
+        (l2_sqdist_l(col("xu"), col("c")) * lit(K.toLong) + col("cid"))
+          .as("pk"))
+      .groupBy(col("vec_id"), col("xu"))
+      .agg(min(col("pk")).as("packed"))
+
+  /** R rounds of Lloyd's from the seeded init; returns the final
+    * centroid frame (cid, c, n). */
+  private[graft] def kmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = microEmb(s, dir)
+    var cent = e.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("xu").as("c"),
+        lit(0L).as("n"))
+    for (_ <- 1 to Rounds) {
+      val su = assign(e, cent)
+        .select(pmod(col("packed"), lit(K.toLong)).as("cid"),
+          posexplode(col("xu")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("col")).as("su"), count(lit(1)).as("n"))
+        .selectExpr("cid", "pos", "n",
+          s"${fdivHalfUp("2*su + n", "2*n")} AS cu")
+      val upd = su.groupBy(col("cid"), col("n"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cu")))),
+          p => p.getField("cu")).as("c"))
+      cent = cent.alias("p")
+        .join(upd.alias("u"), Seq("cid"), "left")
+        .select(col("cid"),
+          coalesce(col("u.c"), col("p.c")).as("c"),
+          coalesce(col("u.n"), lit(0L)).as("n"))
+    }
+    cent
+  }
+
+  /** Final centroids, exploded to (cid, dim, c_u, n) — the consumable
+    * model surface (K·d rows, catalog-sized at any corpus). */
+  def q178_kmeans_centroids(s: SparkSession, dir: String): DataFrame =
+    kmeans(s, dir)
+      .select(col("cid"), col("n"), posexplode(col("c")))
+      .select(col("cid"), (col("pos") + 1).cast(IntegerType).as("dim"),
+        col("col").as("c_u"), col("n"))
+      .orderBy(col("cid"), col("dim"))
+
+  /** Per-cluster fit report from the post-fit assignment: member count
+    * and exact BIGINT inertia (Σ squared micro-unit distance). */
+  def q179_cluster_report(s: SparkSession, dir: String): DataFrame =
+    assign(microEmb(s, dir), kmeans(s, dir))
+      // packed div K, not `/`: Long `/` is DOUBLE division (2^53 cliff)
+      .selectExpr(s"pmod(packed, $K) AS cid", s"packed div $K AS d")
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"), sum(col("d")).as("inertia"))
+      .orderBy(col("cid"))
+
+  /** Cluster-balanced selection: ≤ [[SampleCap]] members per cluster in
+    * md5 pseudo-random order — the topic-rebalancing pick (over-
+    * represented clusters truncate, small ones keep everything). Bounded
+    * heap per cluster via rank ≤ cap; output ≤ K·cap rows. */
+  def q180_cluster_balanced_sample(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid"))
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+    assign(microEmb(s, dir), kmeans(s, dir))
+      .select(pmod(col("packed"), lit(K.toLong)).as("cid"), col("vec_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= SampleCap)
+      .select(col("cid"), col("vec_id"))
+      .orderBy(col("cid"), col("vec_id"))
+  }
+
+  // --------------------------------------------------- generated twins
+  /** Unrolled round CTEs c0..c{R} (the q166 protocol): every round is
+    * assignment (packed argmin) → per-dim sums → half-up floor division →
+    * list rebuild, with LEFT JOIN + COALESCE carrying empty clusters. */
+  private def kmeansCtes: String = {
+    val dist = s"CAST(list_sum(list_transform(range(1, ${Dims + 1}), " +
+      "i -> (xu[i]-c[i])*(xu[i]-c[i]))) AS BIGINT)"
+    val fdiv = fdivHalfUp("2*su + n", "2*n").replace(" div ", " // ")
+    val rounds = (1 to Rounds).map { r =>
+      s"""a$r AS (SELECT vec_id, xu, MIN($dist * $K + cid) AS packed
+         |  FROM e CROSS JOIN c${r - 1} GROUP BY vec_id, xu),
+         |s$r AS (SELECT packed % $K AS cid, t.i AS i,
+         |    CAST(SUM(xu[t.i]) AS BIGINT) AS su,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM a$r CROSS JOIN range(1, ${Dims + 1}) t(i) GROUP BY 1, 2),
+         |u$r AS (SELECT cid, n, list($fdiv ORDER BY i) AS c
+         |  FROM s$r GROUP BY cid, n),
+         |c$r AS (SELECT p.cid, COALESCE(u.c, p.c) AS c,
+         |    COALESCE(u.n, CAST(0 AS BIGINT)) AS n
+         |  FROM c${r - 1} p LEFT JOIN u$r u USING (cid))""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(round(x * 1000000.0) AS BIGINT)) AS xu
+       |  FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, xu AS c,
+       |    CAST(0 AS BIGINT) AS n
+       |  FROM e WHERE vec_id < $K),
+       |$rounds""".stripMargin
+  }
+
+  private def finalAssign: String =
+    s"""fa AS (SELECT vec_id,
+       |    MIN(CAST(list_sum(list_transform(range(1, ${Dims + 1}),
+       |      i -> (xu[i]-c[i])*(xu[i]-c[i]))) AS BIGINT) * $K + cid) AS packed
+       |  FROM e CROSS JOIN c$Rounds GROUP BY vec_id, xu)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_kmeans_centroids" -> (q178_kmeans_centroids _),
+    "q179_cluster_report" -> (q179_cluster_report _),
+    "q180_cluster_balanced_sample" -> (q180_cluster_balanced_sample _))
+
+  val oracle: Map[String, String] = Map(
+    "q178_kmeans_centroids" ->
+      s"""WITH $kmeansCtes
+         |SELECT cid, CAST(t.i AS INTEGER) AS dim, c[t.i] AS c_u, n
+         |FROM c$Rounds CROSS JOIN range(1, ${Dims + 1}) t(i)
+         |ORDER BY cid, dim""".stripMargin,
+    "q179_cluster_report" ->
+      s"""WITH $kmeansCtes,
+         |$finalAssign
+         |SELECT packed % $K AS cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  CAST(SUM(packed // $K) AS BIGINT) AS inertia
+         |FROM fa GROUP BY 1 ORDER BY cid""".stripMargin,
+    "q180_cluster_balanced_sample" ->
+      s"""WITH $kmeansCtes,
+         |$finalAssign,
+         |rk AS (SELECT packed % $K AS cid, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY packed % $K
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+         |  FROM fa)
+         |SELECT cid, vec_id FROM rk WHERE rk <= $SampleCap
+         |ORDER BY cid, vec_id""".stripMargin)
+}

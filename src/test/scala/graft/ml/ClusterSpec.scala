@@ -1,0 +1,90 @@
+package graft.ml
+
+import graft.text.SparkTestSession
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q178-q180 integer k-means: kernel goldens, HOF-twin parity, cluster
+  * partition/quota invariants, and Lloyd improvement over the seeds. */
+class ClusterSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("sqdistL golden values and truncation semantics") {
+    def arr(xs: Long*) = ArrayData.toArrayData(xs.toArray)
+    assert(ClusterUtil.sqdistL(arr(), arr()) == 0L)
+    assert(ClusterUtil.sqdistL(arr(3L), arr(7L)) == 16L)
+    assert(ClusterUtil.sqdistL(arr(1L, -2L, 3L), arr(-1L, 2L, 3L)) == 20L)
+    // shorter side truncates (never happens in-plan: fixed 64 dims)
+    assert(ClusterUtil.sqdistL(arr(5L, 100L), arr(5L)) == 0L)
+  }
+
+  test("native kernel matches the interpreted zip_with/aggregate twin") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * lit(1000000.0), 0).cast("long")).as("xu"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("xu").as("c")).crossJoin(e.limit(50))
+    val mism = q.select(
+        Cluster.l2_sqdist_l(col("xu"), col("c")).as("native"),
+        aggregate(zip_with(col("xu"), col("c"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mism == 0L)
+  }
+
+  test("clusters partition the collection and quotas bind (q179/q180)") {
+    val rep = Cluster.q179_cluster_report(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rep.map(_.getLong(1)).sum == total)
+    assert(rep.forall(_.getLong(2) >= 0L), "inertia non-negative")
+    val quota = Cluster.q180_cluster_balanced_sample(spark, sf)
+      .groupBy("cid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rep.foreach { r: Row =>
+      val (cid, n) = (r.getLong(0), r.getLong(1))
+      assert(quota.getOrElse(cid, 0L) == math.min(32L, n),
+        s"cluster $cid quota")
+    }
+  }
+
+  test("centroids stay inside the micro-unit envelope (q178)") {
+    val cent = Cluster.q178_kmeans_centroids(spark, sf)
+    val Row(lo: Long, hi: Long) = spark.read
+      .parquet(s"$sf/embeddings.parquet")
+      .select(explode(col("embedding").cast("array<double>")).as("x"))
+      .select(round(col("x") * lit(1000000.0), 0).cast("long").as("u"))
+      .agg(min(col("u")), max(col("u"))).head()
+    val bad = cent.filter(col("c_u") < lo || col("c_u") > hi).count()
+    assert(bad == 0L, "every centroid coordinate is a convex-ish combo")
+    assert(cent.count() == 4L * 64L)
+  }
+
+  test("three Lloyd rounds improve on the seed assignment") {
+    import org.apache.spark.sql.DataFrame
+    def inertia(cent: DataFrame): Long = {
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => round(x * lit(1000000.0), 0).cast("long")).as("xu"))
+      e.crossJoin(broadcast(cent.select(col("cid"), col("c"))))
+        .select(col("vec_id"),
+          (Cluster.l2_sqdist_l(col("xu"), col("c")) * lit(4L) + col("cid"))
+            .as("pk"))
+        .groupBy(col("vec_id")).agg(min(col("pk")).as("packed"))
+        .selectExpr("sum(packed div 4) AS i").head().getLong(0)
+    }
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * lit(1000000.0), 0).cast("long")).as("xu"))
+    val seeds = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("xu").as("c"))
+    val fit = Cluster.kmeans(spark, sf)
+    assert(inertia(fit) <= inertia(seeds),
+      "fitted centroids can't be worse than the raw seeds")
+  }
+}
