@@ -748,6 +748,77 @@ object Sessions {
       }
   }
 
+  case class ResIn(w: Long, doc_id: Long, weight: Long, ts: Timestamp)
+  /** Top-k reservoir per open window: (doc_id, weight, lnu_unat) triples,
+    * kept sorted best-first. O(k) state per window. */
+  case class ResState(top: Seq[(Long, Long, Long)])
+  case class ResOut(window_start: Timestamp, doc_id: Long, weight: Long,
+      lnu_unat: Long)
+
+  /** Streaming weighted reservoir per event-time tumbling window — the
+    * A-ES sampler (Efraimidis & Spirakis 2006) q182 runs in batch, here
+    * under BOUNDED state: each window keeps only its current k best
+    * priorities, because A-ES priorities are pure per-row functions of
+    * (doc_id, weight) — no prefix sum, no second pass, no vocabulary
+    * state. This is the claim in q182's scaladoc made executable: the
+    * reservoir merges across shards/batches by priority alone.
+    *
+    * Determinism: priorities compare as exact integer cross-products —
+    * ln(u_a)/w_a > ln(u_b)/w_b ⇔ lnu_a·w_b > lnu_b·w_a for positive
+    * weights (|lnu| ≤ 36.8e6 micro-nats × realistic weights stays far
+    * inside Long) — with doc_id as the total-order tiebreak, so the
+    * fold is arrival-order-INDEPENDENT (a true merge semilattice), not
+    * just replay-deterministic like SpaceSaving. lnu integerizes with
+    * the same round(10⁶·ln u) kernel as the batch path (BudgetSpec pins
+    * the .5 margins). Windows emit at watermark passage, best first. */
+  def reservoirStream(docs: DataFrame, idCol: String, weightCol: String,
+      tsCol: String, k: Int, windowMs: Long = 60000L,
+      watermark: String = "1 minute"): Dataset[ResOut] = {
+    import docs.sparkSession.implicits._
+    require(k >= 1, "reservoir needs capacity")
+    // better(a, b): a strictly beats b by (priority desc, doc_id asc)
+    def better(a: (Long, Long, Long), b: (Long, Long, Long)): Boolean = {
+      val c = a._3 * b._2 - b._3 * a._2 // lnu_a·w_b vs lnu_b·w_a
+      c > 0 || (c == 0 && a._1 < b._1)
+    }
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(
+        expr(s"(unix_millis($tsCol) div ${windowMs}L) * ${windowMs}L").as("w"),
+        col(idCol).cast("long").as("doc_id"),
+        col(weightCol).cast("long").as("weight"), col(tsCol).as("ts"))
+      .filter(col("weight") > 0)
+      .as[ResIn]
+      .groupByKey(_.w)
+      .flatMapGroupsWithState[ResState, ResOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (w: Long, rows: Iterator[ResIn], state: GroupState[ResState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            st.top.iterator.map { case (d, wt, lnu) =>
+              ResOut(new Timestamp(w), d, wt, lnu)
+            }
+          } else {
+            var top = state.getOption.getOrElse(ResState(Seq.empty)).top
+            rows.foreach { r =>
+              val u = ((graft.rel.SplitMix64Kernel.mix(r.doc_id) >>> 11) + 1)
+                .toDouble / 9007199254740992.0
+              val cand = (r.doc_id, r.weight,
+                math.round(1e6 * math.log(u)))
+              if (!top.exists(_._1 == cand._1)) {
+                val merged = (cand +: top).sortWith(better).take(k)
+                top = merged
+              }
+            }
+            state.update(ResState(top))
+            state.setTimeoutTimestamp(
+              math.max(w + windowMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Continuous CDC → lake: every micro-batch of changelog rows
     * (doc_id, text, lang, source, op 'U'/'D') merges into the stored
     * lang-partitioned table via [[graft.sink.Lake.applyChangesInto]] —

@@ -1060,4 +1060,53 @@ class SessionsSpec extends AnyFunSuite {
       assert(sketch1.head._3 == 5L && sketch1.head._4 == 0L)
     } finally q.stop()
   }
+
+  test("streaming A-ES reservoir: exact top-k per window, bounded state, batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val k = 5
+    val w0 = 1200000L // window [1200000, 1260000)
+    def tms(ms: Long) = new Timestamp(ms)
+    // window 0: 40 docs with varied weights, shuffled arrival order;
+    // window 1: 3 docs (fewer than k — reservoir keeps all)
+    val win0 = (1L to 40L).map(d => (tms(w0 + (d % 7) * 1000L), d, d * 37 % 19 + 1))
+    val shuffled = win0.sortBy(_._2 * 31 % 13) // deterministic scramble
+    val win1 = Seq(101L, 102L, 103L).map(d => (tms(w0 + 61000L), d, 5L))
+    val sentinel = Seq((tms(w0 + 10 * 60000L), 999L, 1L))
+    val input = MemoryStream[(Timestamp, Long, Long)]
+    val q = Sessions.reservoirStream(
+      input.toDF().toDF("ts", "doc_id", "weight"),
+      "doc_id", "weight", "ts", k)
+      .writeStream.format("memory").queryName("res_out")
+      .outputMode("append").start()
+    try {
+      // split across micro-batches to exercise the state merge
+      input.addData(shuffled.take(15): _*); q.processAllAvailable()
+      input.addData(shuffled.drop(15) ++ win1: _*); q.processAllAvailable()
+      input.addData(sentinel: _*); q.processAllAvailable()
+      val out = spark.table("res_out").collect().map(r =>
+        (r.getAs[Timestamp]("window_start").getTime,
+          r.getAs[Long]("doc_id"), r.getAs[Long]("weight"),
+          r.getAs[Long]("lnu_unat")))
+      val res0 = out.filter(_._1 == w0)
+      val res1 = out.filter(_._1 == w0 + 60000L)
+      assert(res0.length == k, "exactly k kept in the full window")
+      assert(res1.length == 3, "short window keeps everything")
+      // brute-force A-ES twin with the same kernel + exact rational order
+      def lnu(d: Long): Long = {
+        val u = ((graft.rel.SplitMix64Kernel.mix(d) >>> 11) + 1).toDouble /
+          9007199254740992.0
+        math.round(1e6 * math.log(u))
+      }
+      val expect0 = win0.map { case (_, d, w) => (d, w, lnu(d)) }
+        .sortWith { (a, b) =>
+          val c = a._3 * b._2 - b._3 * a._2
+          c > 0 || (c == 0 && a._1 < b._1)
+        }.take(k).map(t => (t._1, t._2, t._3)).toSet
+      assert(res0.map(t => (t._2, t._3, t._4)).toSet == expect0,
+        "stream top-k equals the exact-rational brute-force selection")
+      // arrival-order independence: lnu values match the batch kernel
+      res0.foreach { case (_, d, _, l) => assert(l == lnu(d)) }
+    } finally q.stop()
+  }
 }
