@@ -3,7 +3,7 @@ package graft.text
 import graft.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Model-evaluation surface for the curation classifiers (q173-q177) —
   * the metrics a training-data pipeline runs after every filter retrain:
@@ -290,7 +290,192 @@ object Eval {
        |    AS sum_logit_u
        |FROM pl GROUP BY bin ORDER BY bin""".stripMargin
 
+  // ------------------------------------------- q183 quality-signal fusion
+  /** (doc_id, rk): global rank by (score desc, doc_id asc), distributed —
+    * strictly-better counts ride the [[Budget.bucketedPrefixSum]] two-
+    * phase machinery over DISTINCT scores; within-tie order is a window
+    * PARTITIONED by the score value. Never a single-partition global
+    * window; `bucket` must be a monotone nonincreasing coarsening of the
+    * score (span is the parallelism knob). Bit-identical to the plain
+    * ROW_NUMBER the DuckDB twin runs. */
+  private def descRank(df: DataFrame, score: Column, bucket: Column)
+      : DataFrame = {
+    val g = df.select(col("doc_id"), score.as("s"), bucket.as("bk"))
+    val cnt = g.groupBy(col("s"), col("bk")).agg(count(lit(1)).as("c"))
+    val pre = Budget.bucketedPrefixSum(cnt, col("bk"),
+      Seq(col("s").desc), col("c"))
+      .select(col("s"), (col("cum") - col("c")).as("better"))
+    val wTie = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s")).orderBy(col("doc_id"))
+    g.join(pre, "s")
+      .withColumn("rk",
+        col("better") + row_number().over(wTie).cast("long"))
+      .select(col("doc_id"), col("rk"))
+  }
+
+  /** Reciprocal-rank fusion of three independent quality signals
+    * (Cormack, Clarke & Buettcher 2009's RRF, applied to curation the
+    * way retrieval stacks fuse rankers): classifier logit, character
+    * entropy (q139's micro-nat kernel), and distinct-token ratio. Each
+    * reciprocal 1/(60+rank) is integerized by FLOOR division to permicro
+    * units BEFORE summation, so the fused score is an exact BIGINT —
+    * rank fusion without a float accumulator. Top-25 fused docs emit
+    * with all three ranks (the audit surface: which signal drove the
+    * pick). */
+  def q183_quality_fusion(s: SparkSession, dir: String): DataFrame = {
+    val pred = CorpusFilters.q87_quality_classifier(s, dir)
+      .selectExpr("doc_id",
+        "CAST(round(logit_r * 1000000.0) AS BIGINT) AS logit_u")
+    val ent = Tables.documentsFanned(s, dir)
+      .select(col("doc_id"), Entropy.char_entropy_unat(col("text")).as("ent_u"))
+      .join(pred.select("doc_id"), "doc_id")
+    val dtr = Tables.documentsFanned(s, dir)
+      .select(col("doc_id"), Cleanse.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+      .selectExpr("doc_id",
+        "CAST(size(array_distinct(t)) AS DOUBLE) / CAST(size(t) AS DOUBLE)" +
+          " AS dtr")
+    val r1 = descRank(pred, col("logit_u"),
+      expr("floor(-logit_u / 100000) "))
+    val r2 = descRank(ent, col("ent_u"), expr("floor(-ent_u / 500000)"))
+    val r3 = descRank(dtr, col("dtr"),
+      floor(-col("dtr") * lit(8.0)).cast(LongType))
+    r1.withColumnRenamed("rk", "r_logit")
+      .join(r2.withColumnRenamed("rk", "r_ent"), "doc_id")
+      .join(r3.withColumnRenamed("rk", "r_dtr"), "doc_id")
+      .selectExpr("doc_id", "r_logit", "r_ent", "r_dtr",
+        "1000000 div (60 + r_logit) + 1000000 div (60 + r_ent) + " +
+          "1000000 div (60 + r_dtr) AS rrf_u")
+      .orderBy(col("rrf_u").desc, col("doc_id"))
+      .limit(25)
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val q183Oracle: String = {
+    val fillers = CorpusFilters.FillerTokens.map(f => s"'$f'").mkString(", ")
+    s"""WITH pred AS (SELECT doc_id,
+       |    CAST(round(logit_r * 1000000.0) AS BIGINT) AS logit_u
+       |  FROM (${CorpusFilters.qualityClassifierOracle})),
+       |ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+       |  FROM documents),
+       |cc AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM ch GROUP BY 1, 2),
+       |eagg AS (SELECT doc_id, SUM(cnt) AS n,
+       |    SUM(cnt * CAST(round(1000000.0 * ln(cnt)) AS BIGINT)) AS sm
+       |  FROM cc GROUP BY 1),
+       |ent AS (SELECT p.doc_id,
+       |    CAST(CASE WHEN a.n IS NULL OR a.n = 0 THEN 0
+       |      ELSE CAST(round(1000000.0 * ln(a.n)) AS BIGINT) - sm // a.n
+       |    END AS BIGINT) AS ent_u
+       |  FROM pred p LEFT JOIN eagg a ON p.doc_id = a.doc_id),
+       |dt AS (SELECT doc_id, ${CorpusFilters.DToks} AS t FROM documents),
+       |dtr AS (SELECT doc_id,
+       |    CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+       |      AS dtr
+       |  FROM dt WHERE len(t) >= 1),
+       |r1 AS (SELECT doc_id, ROW_NUMBER() OVER (
+       |    ORDER BY logit_u DESC, doc_id) AS r_logit FROM pred),
+       |r2 AS (SELECT doc_id, ROW_NUMBER() OVER (
+       |    ORDER BY ent_u DESC, doc_id) AS r_ent FROM ent),
+       |r3 AS (SELECT doc_id, ROW_NUMBER() OVER (
+       |    ORDER BY dtr DESC, doc_id) AS r_dtr FROM dtr),
+       |f AS (SELECT doc_id, r_logit, r_ent, r_dtr,
+       |    1000000 // (60 + r_logit) + 1000000 // (60 + r_ent) +
+       |      1000000 // (60 + r_dtr) AS rrf_u
+       |  FROM r1 JOIN r2 USING (doc_id) JOIN r3 USING (doc_id)),
+       |top AS (SELECT * FROM f ORDER BY rrf_u DESC, doc_id LIMIT 25)
+       |SELECT doc_id, CAST(r_logit AS BIGINT) AS r_logit,
+       |  CAST(r_ent AS BIGINT) AS r_ent, CAST(r_dtr AS BIGINT) AS r_dtr,
+       |  CAST(rrf_u AS BIGINT) AS rrf_u
+       |FROM top ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------- q184 Heaps-law forecast
+  /** Vocabulary-growth forecast (Heaps 1978, V(n) = K·n^β) — the
+    * tokenizer-design question at 100 TB ("how big does the vocab get at
+    * 100× the tokens?") answered from nested corpus prefixes: vocabulary
+    * at each prefix comes from FIRST-OCCURRENCE docs (one vocab-sized
+    * min rollup — no per-prefix rescan), β̂ is the log-log slope between
+    * the smallest and largest prefix in micro-nats, and the 100×
+    * extrapolation stays entirely in integer log space
+    * (lnv̂ = lnv₈ + Δlnv·ln100/Δlnn, floor-divided) — no pow(), no
+    * cross-libm exposure beyond the documented round(10⁶·ln n) class. */
+  def q184_heaps_forecast(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documentsFanned(s, dir)
+      .select(col("doc_id"), Cleanse.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+    val mx = toks.agg(max(col("doc_id")).as("mx"))
+    val js = Seq(1, 2, 4, 8)
+    val thr = js.map(j => s"struct(${j}L AS j, " +
+      s"((mx + 1) * $j + 7) div 8 AS t)").mkString("array(", ", ", ")")
+    val cuts = mx.selectExpr(s"explode($thr) AS c")
+      .selectExpr("c.j AS j", "c.t AS t")
+    val perDoc = toks.select(col("doc_id"),
+      size(col("t")).cast("long").as("tk"))
+    val nTok = perDoc.crossJoin(broadcast(cuts))
+      .filter(col("doc_id") < col("t"))
+      .groupBy(col("j"), col("t"))
+      .agg(sum(col("tk")).as("n_tokens"))
+    val firstDoc = toks
+      .select(col("doc_id"), explode(col("t")).as("term"))
+      .groupBy(col("term")).agg(min(col("doc_id")).as("fd"))
+    val vocab = firstDoc.crossJoin(broadcast(cuts))
+      .filter(col("fd") < col("t"))
+      .groupBy(col("j"))
+      .agg(count(lit(1)).as("vocab"))
+    val rows = nTok.join(vocab, "j")
+      .selectExpr("j", "t AS cut_doc", "n_tokens", "vocab",
+        "CAST(round(1000000.0 * ln(n_tokens)) AS BIGINT) AS lnn_u",
+        "CAST(round(1000000.0 * ln(vocab)) AS BIGINT) AS lnv_u")
+    val fit = rows.agg(
+        max(when(col("j") === 1, col("lnn_u"))).as("lnn1"),
+        max(when(col("j") === 1, col("lnv_u"))).as("lnv1"),
+        max(when(col("j") === 8, col("lnn_u"))).as("lnn8"),
+        max(when(col("j") === 8, col("lnv_u"))).as("lnv8"))
+      .selectExpr(
+        "(1000 * (lnv8 - lnv1)) div (lnn8 - lnn1) AS beta_permille",
+        "lnv8 + ((lnv8 - lnv1) * 4605170) div (lnn8 - lnn1)" +
+          " AS lnv_pred_100x_u")
+    rows.crossJoin(broadcast(fit)).orderBy(col("j"))
+  }
+
+  private lazy val q184Oracle: String =
+    s"""WITH dt AS (SELECT doc_id, ${CorpusFilters.DToks} AS t FROM documents),
+       |toks AS (SELECT doc_id, t FROM dt WHERE len(t) >= 1),
+       |mx AS (SELECT MAX(doc_id) AS mx FROM toks),
+       |cuts AS (SELECT CAST(j AS BIGINT) AS j,
+       |    ((mx + 1) * j + 7) // 8 AS t
+       |  FROM mx CROSS JOIN (SELECT unnest([1, 2, 4, 8]) AS j)),
+       |nt AS (SELECT c.j, c.t, CAST(SUM(len(d.t)) AS BIGINT) AS n_tokens
+       |  FROM toks d CROSS JOIN cuts c WHERE d.doc_id < c.t
+       |  GROUP BY c.j, c.t),
+       |fd AS (SELECT term, MIN(doc_id) AS fd FROM (
+       |    SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY term),
+       |vb AS (SELECT c.j, CAST(COUNT(*) AS BIGINT) AS vocab
+       |  FROM fd CROSS JOIN cuts c WHERE fd.fd < c.t GROUP BY c.j),
+       |rows_ AS (SELECT j, t AS cut_doc, n_tokens, vocab,
+       |    CAST(round(1000000.0 * ln(n_tokens)) AS BIGINT) AS lnn_u,
+       |    CAST(round(1000000.0 * ln(vocab)) AS BIGINT) AS lnv_u
+       |  FROM nt JOIN vb USING (j)),
+       |fit AS (SELECT
+       |    (1000 * (MAX(CASE WHEN j = 8 THEN lnv_u END) -
+       |      MAX(CASE WHEN j = 1 THEN lnv_u END))) //
+       |      (MAX(CASE WHEN j = 8 THEN lnn_u END) -
+       |      MAX(CASE WHEN j = 1 THEN lnn_u END)) AS beta_permille,
+       |    MAX(CASE WHEN j = 8 THEN lnv_u END) +
+       |      ((MAX(CASE WHEN j = 8 THEN lnv_u END) -
+       |      MAX(CASE WHEN j = 1 THEN lnv_u END)) * 4605170) //
+       |      (MAX(CASE WHEN j = 8 THEN lnn_u END) -
+       |      MAX(CASE WHEN j = 1 THEN lnn_u END)) AS lnv_pred_100x_u
+       |  FROM rows_)
+       |SELECT j, cut_doc, n_tokens, vocab, lnn_u, lnv_u,
+       |  CAST(beta_permille AS BIGINT) AS beta_permille,
+       |  CAST(lnv_pred_100x_u AS BIGINT) AS lnv_pred_100x_u
+       |FROM rows_ CROSS JOIN fit ORDER BY j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_quality_fusion" -> (q183_quality_fusion _),
+    "q184_heaps_forecast" -> (q184_heaps_forecast _),
     "q173_classifier_eval" -> (q173_classifier_eval _),
     "q174_auc_exact" -> (q174_auc_exact _),
     "q175_chi2_terms" -> (q175_chi2_terms _),
@@ -298,6 +483,8 @@ object Eval {
     "q177_calibration_bins" -> (q177_calibration_bins _))
 
   val oracle: Map[String, String] = Map(
+    "q183_quality_fusion" -> q183Oracle,
+    "q184_heaps_forecast" -> q184Oracle,
     "q173_classifier_eval" -> q173Oracle,
     "q174_auc_exact" -> q174Oracle,
     "q175_chi2_terms" -> q175Oracle,

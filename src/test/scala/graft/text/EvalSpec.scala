@@ -1,10 +1,12 @@
 package graft.text
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** q173-q177 evaluation kernels: brute-force pairwise AUC oracle, closed
-  * forms for kappa/MCC on a hand confusion matrix, and cell invariants. */
+/** q173-q184 evaluation kernels: brute-force pairwise AUC oracle, closed
+  * forms for kappa/MCC on a hand confusion matrix, rank-machinery
+  * bit-identity, Heaps-forecast shape, and cell invariants. */
 class EvalSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
@@ -87,6 +89,65 @@ class EvalSpec extends AnyFunSuite {
       val acc = r.getLong(r.fieldIndex("acc_permille"))
       assert(acc >= 0 && acc <= 1000)
     }
+  }
+
+  test("fused ranks are valid and the RRF sum is reproducible (q183)") {
+    val rows = Eval.q183_quality_fusion(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    val n = CorpusFilters.qualityLabels(spark, sf).count()
+    rows.foreach { r =>
+      val Seq(r1, r2, r3) = (1 to 3).map(r.getLong)
+      assert(r1 >= 1 && r1 <= n && r2 >= 1 && r2 <= n && r3 >= 1 && r3 <= n)
+      assert(r.getLong(4) ==
+        1000000L / (60 + r1) + 1000000L / (60 + r2) + 1000000L / (60 + r3))
+    }
+  }
+
+  test("distributed descRank is bit-identical to the global window") {
+    // the q183 ranking claim: two-phase bucketed rank == ROW_NUMBER
+    import org.apache.spark.sql.expressions.Window
+    val pred = CorpusFilters.q87_quality_classifier(spark, sf)
+      .selectExpr("doc_id",
+        "CAST(round(logit_r * 1000000.0) AS BIGINT) AS logit_u")
+    val w = Window.orderBy(col("logit_u").desc, col("doc_id"))
+    val global = pred
+      .withColumn("rk_g", row_number().over(w).cast("long"))
+      .select("doc_id", "rk_g")
+    val fused = Eval.q183_quality_fusion(spark, sf)
+      .select(col("doc_id"), col("r_logit"))
+    val mism = fused.join(global, "doc_id")
+      .filter(col("r_logit") =!= col("rk_g")).count()
+    assert(mism == 0L)
+  }
+
+  test("Heaps prefixes nest and the forecast extrapolates upward (q184)") {
+    val rows = Eval.q184_heaps_forecast(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 8L))
+    val nt = rows.map(_.getLong(2))
+    val vb = rows.map(_.getLong(3))
+    assert(nt.zip(nt.tail).forall(p => p._1 < p._2), "token counts grow")
+    assert(vb.zip(vb.tail).forall(p => p._1 <= p._2), "vocab monotone")
+    // the synthetic corpus has a CLOSED ~31-token vocabulary: it
+    // saturates by the 1/8 prefix, so beta = 0 (a flat forecast) is the
+    // correct fit here — open-vocabulary corpora give beta in ~(0.4, 0.8)
+    val beta = rows.head.getLong(6)
+    assert(beta >= 0 && beta <= 1000, s"Heaps beta in [0,1]: $beta")
+    val lnv8 = rows.last.getLong(5)
+    assert(rows.head.getLong(7) >= lnv8, "100x forecast >= observed")
+  }
+
+  test("Heaps fit closed form on a planted 2-point curve") {
+    // V ~ n^(2/3): n 1000->8000, V 100->400 (ln4/ln8 = 2/3)
+    import spark.implicits._
+    val df = Seq((6907755L, 4605170L, 8987197L, 5991465L))
+      .toDF("lnn1", "lnv1", "lnn8", "lnv8")
+    val r = df.selectExpr(
+      "(1000 * (lnv8 - lnv1)) div (lnn8 - lnn1) AS beta",
+      "lnv8 + ((lnv8 - lnv1) * 4605170) div (lnn8 - lnn1) AS pred").head()
+    assert(r.getLong(0) == 666L)
+    // 100x tokens at beta=2/3 -> ln V grows by (2/3)*ln(100)
+    assert(math.abs(r.getLong(1) - (5991465L + 2L * 4605170L / 3L)) <= 2L)
   }
 
   test("calibration bins partition docs and bound positives (q177)") {
