@@ -322,10 +322,14 @@ object Eval {
     * rank fusion without a float accumulator. Top-25 fused docs emit
     * with all three ranks (the audit surface: which signal drove the
     * pick). */
-  def q183_quality_fusion(s: SparkSession, dir: String): DataFrame = {
-    val pred = CorpusFilters.q87_quality_classifier(s, dir)
+  /** (doc_id, logit_u): q87's logit in exact micro units. */
+  private def logitU(s: SparkSession, dir: String): DataFrame =
+    CorpusFilters.q87_quality_classifier(s, dir)
       .selectExpr("doc_id",
         "CAST(round(logit_r * 1000000.0) AS BIGINT) AS logit_u")
+
+  def q183_quality_fusion(s: SparkSession, dir: String): DataFrame = {
+    val pred = logitU(s, dir)
     val ent = Tables.documentsFanned(s, dir)
       .select(col("doc_id"), Entropy.char_entropy_unat(col("text")).as("ent_u"))
       .join(pred.select("doc_id"), "doc_id")
@@ -389,6 +393,94 @@ object Eval {
        |  CAST(rrf_u AS BIGINT) AS rrf_u
        |FROM top ORDER BY doc_id""".stripMargin
   }
+
+  // --------------------------------- q185 keep-rate threshold advisor
+  private val KeepTargetPermille = 600L
+
+  /** Threshold advisor: the smallest logit cut that keeps at least
+    * [[KeepTargetPermille]] of the corpus — i.e. the k-th largest logit
+    * as an order statistic, found on the DISTINCT-logit histogram (the
+    * q177 surface) with a descending bucketed prefix count, never a
+    * corpus sort. Emits the chosen micro-unit threshold plus the
+    * achieved rate and two contract booleans: `ok` (target met) and
+    * `tight` (one distinct step higher would miss — minimality). This is
+    * the advisor half of the q153→q46 pattern; q185b consumes it. */
+  def q185_threshold_advisor(s: SparkSession, dir: String): DataFrame = {
+    val pred = logitU(s, dir)
+    val nk = pred.agg(count(lit(1)).as("n_docs"))
+      .selectExpr("n_docs",
+        s"(n_docs * $KeepTargetPermille + 999) div 1000 AS k_target")
+    val g = pred.groupBy(col("logit_u")).agg(count(lit(1)).as("c"))
+    val cum = Budget.bucketedPrefixSum(g,
+      expr("floor(-logit_u / 100000)"), Seq(col("logit_u").desc), col("c"))
+    val pick = cum.crossJoin(broadcast(nk))
+      .filter(col("cum") >= col("k_target"))
+      .agg(max(col("logit_u")).as("threshold_u"))
+    cum.crossJoin(broadcast(pick))
+      .filter(col("logit_u") === col("threshold_u"))
+      .crossJoin(broadcast(nk))
+      .selectExpr("n_docs", "k_target", "threshold_u",
+        "cum AS n_kept",
+        "(1000 * cum) div n_docs AS keep_permille",
+        "cum >= k_target AS ok",
+        "cum - c < k_target AS tight")
+  }
+
+  /** The executor half: every doc scores map-side against the advised
+    * threshold (a broadcast 1-row frame — the advisor's output consumed
+    * as a plan input, the q153→q46 loop), reported per source. */
+  def q185b_threshold_apply(s: SparkSession, dir: String): DataFrame = {
+    val thr = q185_threshold_advisor(s, dir).select(col("threshold_u"))
+    logitU(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        "doc_id")
+      .crossJoin(broadcast(thr))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("logit_u") >= col("threshold_u"), 1L).otherwise(0L))
+          .as("n_kept"))
+      .selectExpr("source", "n_docs", "n_kept",
+        "(1000 * n_kept) div n_docs AS kept_permille")
+      .orderBy(col("source"))
+  }
+
+  /** Shared CTE chain deriving the advised threshold in plain SQL. */
+  private lazy val ThresholdCtes: String =
+    s"""pred AS (SELECT doc_id,
+       |    CAST(round(logit_r * 1000000.0) AS BIGINT) AS logit_u
+       |  FROM (${CorpusFilters.qualityClassifierOracle})),
+       |nk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    (CAST(COUNT(*) AS BIGINT) * $KeepTargetPermille + 999) // 1000
+       |      AS k_target FROM pred),
+       |g AS (SELECT logit_u, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM pred GROUP BY logit_u),
+       |cm AS (SELECT logit_u, c,
+       |    CAST(SUM(c) OVER (ORDER BY logit_u DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum
+       |  FROM g),
+       |pick AS (SELECT MAX(logit_u) AS threshold_u
+       |  FROM cm CROSS JOIN nk WHERE cum >= k_target)""".stripMargin
+
+  private lazy val q185Oracle: String =
+    s"""WITH $ThresholdCtes
+       |SELECT n_docs, k_target, threshold_u, cum AS n_kept,
+       |  (1000 * cum) // n_docs AS keep_permille,
+       |  cum >= k_target AS ok,
+       |  cum - c < k_target AS tight
+       |FROM cm CROSS JOIN pick CROSS JOIN nk
+       |WHERE logit_u = threshold_u""".stripMargin
+
+  private lazy val q185bOracle: String =
+    s"""WITH $ThresholdCtes
+       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN p.logit_u >= pk.threshold_u THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_kept,
+       |  (1000 * CAST(SUM(CASE WHEN p.logit_u >= pk.threshold_u
+       |    THEN 1 ELSE 0 END) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+       |    AS kept_permille
+       |FROM pred p JOIN documents d USING (doc_id) CROSS JOIN pick pk
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
   // ------------------------------------------- q184 Heaps-law forecast
   /** Vocabulary-growth forecast (Heaps 1978, V(n) = K·n^β) — the
@@ -476,6 +568,8 @@ object Eval {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q183_quality_fusion" -> (q183_quality_fusion _),
     "q184_heaps_forecast" -> (q184_heaps_forecast _),
+    "q185_threshold_advisor" -> (q185_threshold_advisor _),
+    "q185b_threshold_apply" -> (q185b_threshold_apply _),
     "q173_classifier_eval" -> (q173_classifier_eval _),
     "q174_auc_exact" -> (q174_auc_exact _),
     "q175_chi2_terms" -> (q175_chi2_terms _),
@@ -485,6 +579,8 @@ object Eval {
   val oracle: Map[String, String] = Map(
     "q183_quality_fusion" -> q183Oracle,
     "q184_heaps_forecast" -> q184Oracle,
+    "q185_threshold_advisor" -> q185Oracle,
+    "q185b_threshold_apply" -> q185bOracle,
     "q173_classifier_eval" -> q173Oracle,
     "q174_auc_exact" -> q174Oracle,
     "q175_chi2_terms" -> q175Oracle,

@@ -186,11 +186,72 @@ object Overlap {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------------------- registry
+  // ------------------------------------- q186 cross-source contamination
+  /** Source-pair contamination matrix: for every pair of corpus sources,
+    * the shared distinct token-3-gram mass and both directed containments
+    * (|G_a ∩ G_b| / |G_a| in permille) — the governance report that says
+    * "how much of source A already lives in source B" BEFORE a training
+    * mix is frozen (the cross-split twin of the q52/q80/q144 eval-set
+    * decontamination family; same shingle granularity as q33).
+    *
+    * Scale shape: one distinct (source, gram) projection (map-side
+    * distinct into a gram-keyed shuffle), then the inverted gram index
+    * expands each gram to its source PAIRS — bounded by sources², never
+    * by the corpus (a gram row fans out to at most C(|sources|, 2)
+    * pairs). Per-source gram totals are a catalog-sized rollup broadcast
+    * onto the pair frame. Output is |sources|² rows — metadata. */
+  def q186_source_contamination(s: SparkSession, dir: String): DataFrame = {
+    val sg = Tables.documentsFanned(s, dir)
+      .select(col("source"), Cleanse.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(t) - 3), " +
+          "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("g"))
+      .distinct()
+    val totals = sg.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    val inter = sg.alias("a").join(sg.alias("b"), Seq("g"))
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(totals.select(col("source").as("source_a"),
+        col("n_grams").as("grams_a"))), "source_a")
+      .join(broadcast(totals.select(col("source").as("source_b"),
+        col("n_grams").as("grams_b"))), "source_b")
+      .selectExpr("source_a", "source_b", "grams_a", "grams_b", "inter",
+        "(1000 * inter) div grams_a AS cont_ab_permille",
+        "(1000 * inter) div grams_b AS cont_ba_permille")
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  private lazy val contaminationOracle: String =
+    s"""WITH toks AS (SELECT source, ${CorpusFilters.DToks} AS t FROM documents),
+       |sg AS (SELECT DISTINCT source,
+       |    unnest(list_transform(range(1, len(t) - 1),
+       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+       |  FROM toks WHERE len(t) >= 3),
+       |totals AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+       |  FROM sg GROUP BY source),
+       |inter AS (SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b,
+       |  ta.n_grams AS grams_a, tb.n_grams AS grams_b, inter,
+       |  (1000 * inter) // ta.n_grams AS cont_ab_permille,
+       |  (1000 * inter) // tb.n_grams AS cont_ba_permille
+       |FROM inter
+       |JOIN totals ta ON ta.source = source_a
+       |JOIN totals tb ON tb.source = source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q144_ngram_decontaminate" -> (q144_ngram_decontaminate _),
-    "q150_containment_join" -> (q150_containment_join _))
+    "q150_containment_join" -> (q150_containment_join _),
+    "q186_source_contamination" -> (q186_source_contamination _))
 
   val oracle: Map[String, String] = Map(
     "q144_ngram_decontaminate" -> overlapOracle,
-    "q150_containment_join" -> containOracle)
+    "q150_containment_join" -> containOracle,
+    "q186_source_contamination" -> contaminationOracle)
 }

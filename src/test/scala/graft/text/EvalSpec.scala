@@ -137,6 +137,24 @@ class EvalSpec extends AnyFunSuite {
     assert(rows.head.getLong(7) >= lnv8, "100x forecast >= observed")
   }
 
+  test("threshold advisor picks the exact order statistic (q185)") {
+    val r = Eval.q185_threshold_advisor(spark, sf).head()
+    val (n, k, thr, kept) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(r.getBoolean(5), "target keep-rate met")
+    assert(kept >= k && 1000 * kept >= 600 * n)
+    // brute force: threshold must be the k-th largest logit
+    val logits = CorpusFilters.q87_quality_classifier(spark, sf)
+      .selectExpr("CAST(round(logit_r * 1000000.0) AS BIGINT) AS u")
+      .collect().map(_.getLong(0)).sorted(Ordering[Long].reverse)
+    assert(thr == logits(k.toInt - 1), "k-th largest logit")
+    assert(kept == logits.count(_ >= thr))
+    // apply side reconciles with the advisor
+    val applied = Eval.q185b_threshold_apply(spark, sf).collect()
+    assert(applied.map(_.getLong(2)).sum == kept)
+    assert(applied.map(_.getLong(1)).sum == n)
+  }
+
   test("Heaps fit closed form on a planted 2-point curve") {
     // V ~ n^(2/3): n 1000->8000, V 100->400 (ln4/ln8 = 2/3)
     import spark.implicits._

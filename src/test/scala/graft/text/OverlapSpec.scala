@@ -62,4 +62,19 @@ class OverlapSpec extends AnyFunSuite {
       s"missing=${expected.keySet -- got.keySet} extra=${got.keySet -- expected.keySet}")
     assert(expected.nonEmpty, "fixture must contain containment pairs")
   }
+
+  test("q186 contamination matrix: ordered pairs, bounded containments") {
+    val rows = Overlap.q186_source_contamination(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pairs ordered a < b")
+      val (ga, gb, in) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(in >= 1 && in <= math.min(ga, gb),
+        "intersection bounded by either gram set")
+      assert(r.getLong(5) <= 1000 && r.getLong(6) <= 1000)
+      // directed containments derive from the same intersection
+      assert(r.getLong(5) == 1000 * in / ga)
+      assert(r.getLong(6) == 1000 * in / gb)
+    }
+  }
 }
