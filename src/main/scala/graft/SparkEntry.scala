@@ -30,7 +30,7 @@ object SparkEntry {
       ml.Vocab.queries ++ ml.Hdr.queries ++ ml.LshPlanner.queries ++
       ml.Projection.queries ++
       ml.Similarity.queries ++ ml.Lda.queries ++ ml.Bloom.queries ++
-      ml.Cluster.queries ++ ml.Bitext.queries ++
+      ml.Cluster.queries ++ ml.Bitext.queries ++ ml.Pca.queries ++
       ml.Quantize.queries ++ ingest.Tickets.queries ++ ingest.Wet.queries ++
       multimodal.Media.queries ++ sink.Orc.queries ++ sink.Avro.queries ++
       sink.Lake.queries ++ sink.Skipping.queries ++ sink.Dpp.queries ++
@@ -48,7 +48,7 @@ object SparkEntry {
       text.Eval.oracle ++
       ml.Vocab.oracle ++ ml.Hdr.oracle ++ ml.LshPlanner.oracle ++
       ml.Projection.oracle ++
-      ml.Similarity.oracle ++ ml.Lda.oracle ++ ml.Cluster.oracle ++ ml.Bitext.oracle ++
+      ml.Similarity.oracle ++ ml.Lda.oracle ++ ml.Cluster.oracle ++ ml.Bitext.oracle ++ ml.Pca.oracle ++
       ml.Bloom.oracle ++ ml.Quantize.oracle ++
       ingest.Tickets.oracle ++ ingest.Wet.oracle ++
       multimodal.Media.oracle ++ sink.Orc.oracle ++

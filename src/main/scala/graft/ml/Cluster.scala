@@ -76,7 +76,7 @@ object Cluster {
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
   /** (vec_id, xu): embeddings in exact micro-units. */
-  private def microEmb(s: SparkSession, dir: String): DataFrame =
+  private[ml] def microEmb(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"),
         transform(col("embedding").cast("array<double>"),

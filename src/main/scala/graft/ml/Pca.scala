@@ -1,0 +1,133 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Integer-exact power iteration for the dominant principal direction of
+  * the embedding second-moment matrix (q188) — the PCA primitive behind
+  * embedding whitening, drift detection and ABBA-style dimensionality
+  * audits, built so the fit hash-gates cross-engine like q178's k-means:
+  *
+  *   1. ONE corpus pass builds the d×d second-moment matrix C = Σ x xᵀ
+  *      over micro-integerized embeddings — every entry an exact BIGINT
+  *      sum (summation-order-proof), output d² rows (catalog-sized).
+  *   2. C floor-shifts by 2²⁰ (scale is irrelevant to eigenvectors) so
+  *      the matrix-vector products of the iteration stay far inside
+  *      Long.
+  *   3. Fixed unrolled rounds of von Mises/power iteration (Mises &
+  *      Pollaczek-Geiringer 1929): w = C_s·v (exact BIGINT), then v
+  *      renormalizes to milli units by FLOOR division with the max-abs
+  *      component (the k-means requantization move) — every round
+  *      re-enters integer space, so the DuckDB twin replays the whole
+  *      fit bit-for-bit.
+  *
+  * Emitted per dim: the fitted direction v (milli units), the final
+  * un-normalized product w = C_s·v, and a convergence contract: the
+  * cosine between successive normalized iterates (align_r, a mirrored
+  * IEEE tree over three exact ≤64-term BIGINT sums) — ≈1 iff the
+  * iteration has settled.
+  *
+  * Scale: stage 1 is the only corpus-sized work — a (doc, i, j) explode
+  * bounded by n·d² with map-side combine into d² cells (at 100 TB:
+  * still one shuffle of d² partial frames; d² = 4096 cells is
+  * broadcast-class). Stages 2-3 touch d²-row frames only: the fit
+  * itself costs nothing at any corpus size, exactly like q178's
+  * centroid rebuilds. Uncentered by design (the second moment, not
+  * covariance): embeddings are ~zero-mean by construction and centering
+  * would need a subtract that re-enters float space; the consumer that
+  * needs covariance centers x BEFORE micro-integerization. */
+object Pca {
+  private val Dims = 64
+  private val Rounds = 3
+  private val VScale = 1000L
+  private val CShift = 1048576L // 2^20
+
+  /** Shared FLOOR-division text (b > 0), identical under Spark `div` and
+    * DuckDB `//` because the pmod construction pre-reduces the dividend
+    * to an exact multiple. */
+  private def fdivFloor(a: String, b: String): String =
+    s"(($a) - ((($a) % ($b)) + ($b)) % ($b)) div ($b)"
+
+  /** (i, j, c): the shifted second-moment matrix, d² rows. */
+  private def moment(s: SparkSession, dir: String): DataFrame = {
+    val xe = Cluster.microEmb(s, dir)
+      .select(col("vec_id"), posexplode(col("xu")))
+      .toDF("vec_id", "i", "xi")
+    xe.alias("a").join(xe.alias("b"), "vec_id")
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum(col("a.xi") * col("b.xi")).as("cij"))
+      .selectExpr("i", "j", s"${fdivFloor("cij", CShift.toString)} AS c")
+  }
+
+  /** One iteration: w = C_s·v, then milli renormalization by max-abs. */
+  private def step(c: DataFrame, v: DataFrame): (DataFrame, DataFrame) = {
+    val w = c.join(v, c("j") === v("j"), "inner")
+      .groupBy(c("i").as("i"))
+      .agg(sum(col("c") * col("v")).as("w"))
+    val m = w.agg(greatest(max(abs(col("w"))), lit(1L)).as("m"))
+    val vNext = w.crossJoin(broadcast(m))
+      .selectExpr("i AS j", s"${fdivFloor(s"$VScale * w", "m")} AS v")
+    (w, vNext)
+  }
+
+  def q188_power_iteration(s: SparkSession, dir: String): DataFrame = {
+    val c = moment(s, dir)
+    var v = s.range(0, Dims).selectExpr("id AS j",
+      s"CAST($VScale AS BIGINT) AS v")
+    for (_ <- 1 to Rounds) v = step(c, v)._2
+    val (wf, vNext) = step(c, v)
+    val sums = v.alias("v")
+      .join(vNext.alias("n"), col("v.j") === col("n.j"))
+      .agg(sum(col("v.v") * col("n.v")).as("svn"),
+        sum(col("v.v") * col("v.v")).as("svv"),
+        sum(col("n.v") * col("n.v")).as("snn"))
+      .selectExpr("round(CASE WHEN svv = 0 OR snn = 0 THEN NULL ELSE " +
+        "CAST(svn AS DOUBLE) / (sqrt(CAST(svv AS DOUBLE)) * " +
+        "sqrt(CAST(snn AS DOUBLE))) END, 6) AS align_r")
+    v.select(col("j").cast("long").as("dim"), col("v").as("v_milli"))
+      .join(wf.select(col("i").cast("long").as("dim"), col("w").as("w_s")),
+        "dim")
+      .crossJoin(broadcast(sums))
+      .orderBy(col("dim"))
+  }
+
+  private lazy val pcaOracle: String = {
+    val fdiv = fdivFloor("cij", CShift.toString).replace(" div ", " // ")
+    val fdivV = fdivFloor(s"$VScale * w", "m").replace(" div ", " // ")
+    def round(r: Int): String =
+      s"""w$r AS (SELECT cs.i, CAST(SUM(cs.c * v.v) AS BIGINT) AS w
+         |  FROM cs JOIN v${r - 1} v ON cs.j = v.j GROUP BY cs.i),
+         |m$r AS (SELECT GREATEST(MAX(ABS(w)), 1) AS m FROM w$r),
+         |v$r AS (SELECT i AS j, $fdivV AS v FROM w$r CROSS JOIN m$r)"""
+        .stripMargin
+    s"""WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(round(x * 1000000.0) AS BIGINT)) AS xu
+       |  FROM embeddings),
+       |xe AS (SELECT vec_id, t.i - 1 AS i, xu[t.i] AS xi
+       |  FROM e CROSS JOIN range(1, ${Dims + 1}) t(i)),
+       |c0 AS (SELECT a.i AS i, b.i AS j,
+       |    CAST(SUM(a.xi * b.xi) AS BIGINT) AS cij
+       |  FROM xe a JOIN xe b USING (vec_id) GROUP BY 1, 2),
+       |cs AS (SELECT i, j, $fdiv AS c FROM c0),
+       |v0 AS (SELECT CAST(u.i AS BIGINT) AS j, CAST($VScale AS BIGINT) AS v
+       |  FROM (SELECT unnest(range(0, $Dims)) AS i) u),
+       |${(1 to Rounds + 1).map(round).mkString(",\n")},
+       |sums AS (SELECT
+       |    CAST(SUM(v.v * n.v) AS BIGINT) AS svn,
+       |    CAST(SUM(v.v * v.v) AS BIGINT) AS svv,
+       |    CAST(SUM(n.v * n.v) AS BIGINT) AS snn
+       |  FROM v$Rounds v JOIN v${Rounds + 1} n ON v.j = n.j)
+       |SELECT v.j AS dim, v.v AS v_milli, w.w AS w_s,
+       |  round(CASE WHEN svv = 0 OR snn = 0 THEN NULL ELSE
+       |    CAST(svn AS DOUBLE) / (sqrt(CAST(svv AS DOUBLE)) *
+       |    sqrt(CAST(snn AS DOUBLE))) END, 6) AS align_r
+       |FROM v$Rounds v JOIN w${Rounds + 1} w ON v.j = w.i
+       |CROSS JOIN sums ORDER BY dim""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_power_iteration" -> (q188_power_iteration _))
+
+  val oracle: Map[String, String] = Map(
+    "q188_power_iteration" -> pcaOracle)
+}

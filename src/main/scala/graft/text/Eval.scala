@@ -565,7 +565,91 @@ object Eval {
        |  CAST(lnv_pred_100x_u AS BIGINT) AS lnv_pred_100x_u
        |FROM rows_ CROSS JOIN fit ORDER BY j""".stripMargin
 
+  // ------------------------------------- q187 signal correlation matrix
+  /** Pearson correlations between the three per-doc curation signals
+    * (n_chars, token count, char entropy in milli-nats) — the profiling
+    * report that says which quality signals are redundant before fusing
+    * them (the q183 design question, answered with data). All ten
+    * moments are exact BIGINT sums in ONE corpus pass (entropy floor-
+    * coarsened to milli-nats so every cross-moment stays inside Long at
+    * 100 TB-class counts); each r is then a fixed-size mirrored IEEE
+    * tree (casts → one quotient with two exact sqrts) on the 1-row
+    * moment frame. Output: 3 rows, one per signal pair. */
+  def q187_signal_correlation(s: SparkSession, dir: String): DataFrame = {
+    val sig = Tables.documentsFanned(s, dir)
+      .select(col("doc_id"), col("n_chars").as("x1"),
+        size(Cleanse.tokens(col("text"))).cast("long").as("x2"),
+        Entropy.char_entropy_unat(col("text")).as("hu"))
+      .selectExpr("x1", "x2", "hu div 1000 AS x3")
+    val m = sig.agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+      sum(col("x3")).as("s3"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x3") * col("x3")).as("s33"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x1") * col("x3")).as("s13"),
+      sum(col("x2") * col("x3")).as("s23"))
+    def rExpr(sab: String, sa: String, sb: String, saa: String,
+        sbb: String): String =
+      s"round(CASE WHEN n*$saa - $sa*$sa = 0 OR n*$sbb - $sb*$sb = 0 " +
+        s"THEN NULL ELSE CAST(n*$sab - $sa*$sb AS DOUBLE) / " +
+        s"(sqrt(CAST(n*$saa - $sa*$sa AS DOUBLE)) * " +
+        s"sqrt(CAST(n*$sbb - $sb*$sb AS DOUBLE))) END, 6) AS r_r"
+    val pairs = Seq(
+      ("chars_tokens", rExpr("s12", "s1", "s2", "s11", "s22")),
+      ("chars_entropy", rExpr("s13", "s1", "s3", "s11", "s33")),
+      ("tokens_entropy", rExpr("s23", "s2", "s3", "s22", "s33")))
+    pairs.map { case (name, e) =>
+      m.selectExpr(s"'$name' AS pair", "n AS n_docs", e)
+    }.reduce(_ unionByName _).orderBy(col("pair"))
+  }
+
+  private lazy val q187Oracle: String = {
+    def rExpr(sab: String, sa: String, sb: String, saa: String,
+        sbb: String): String =
+      s"round(CASE WHEN n*$saa - $sa*$sa = 0 OR n*$sbb - $sb*$sb = 0 " +
+        s"THEN NULL ELSE CAST(n*$sab - $sa*$sb AS DOUBLE) / " +
+        s"(sqrt(CAST(n*$saa - $sa*$sa AS DOUBLE)) * " +
+        s"sqrt(CAST(n*$sbb - $sb*$sb AS DOUBLE))) END, 6) AS r_r"
+    s"""WITH dt AS (SELECT doc_id, n_chars,
+       |    CAST(len(${CorpusFilters.DToks}) AS BIGINT) AS n_toks, text
+       |  FROM documents),
+       |ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+       |  FROM documents),
+       |cc AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM ch GROUP BY 1, 2),
+       |eagg AS (SELECT doc_id, SUM(cnt) AS cn,
+       |    SUM(cnt * CAST(round(1000000.0 * ln(cnt)) AS BIGINT)) AS sm
+       |  FROM cc GROUP BY 1),
+       |sig AS (SELECT d.n_chars AS x1, d.n_toks AS x2,
+       |    CAST(CASE WHEN a.cn IS NULL OR a.cn = 0 THEN 0
+       |      ELSE CAST(round(1000000.0 * ln(a.cn)) AS BIGINT) - sm // a.cn
+       |    END AS BIGINT) // 1000 AS x3
+       |  FROM dt d LEFT JOIN eagg a ON d.doc_id = a.doc_id),
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+       |    CAST(SUM(x3) AS BIGINT) AS s3,
+       |    CAST(SUM(x1*x1) AS BIGINT) AS s11,
+       |    CAST(SUM(x2*x2) AS BIGINT) AS s22,
+       |    CAST(SUM(x3*x3) AS BIGINT) AS s33,
+       |    CAST(SUM(x1*x2) AS BIGINT) AS s12,
+       |    CAST(SUM(x1*x3) AS BIGINT) AS s13,
+       |    CAST(SUM(x2*x3) AS BIGINT) AS s23
+       |  FROM sig)
+       |SELECT * FROM (
+       |  SELECT 'chars_tokens' AS pair, n AS n_docs,
+       |    ${rExpr("s12", "s1", "s2", "s11", "s22")} FROM m
+       |  UNION ALL SELECT 'chars_entropy', n,
+       |    ${rExpr("s13", "s1", "s3", "s11", "s33")} FROM m
+       |  UNION ALL SELECT 'tokens_entropy', n,
+       |    ${rExpr("s23", "s2", "s3", "s22", "s33")} FROM m)
+       |ORDER BY pair""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_signal_correlation" -> (q187_signal_correlation _),
     "q183_quality_fusion" -> (q183_quality_fusion _),
     "q184_heaps_forecast" -> (q184_heaps_forecast _),
     "q185_threshold_advisor" -> (q185_threshold_advisor _),
@@ -581,6 +665,7 @@ object Eval {
     "q184_heaps_forecast" -> q184Oracle,
     "q185_threshold_advisor" -> q185Oracle,
     "q185b_threshold_apply" -> q185bOracle,
+    "q187_signal_correlation" -> q187Oracle,
     "q173_classifier_eval" -> q173Oracle,
     "q174_auc_exact" -> q174Oracle,
     "q175_chi2_terms" -> q175Oracle,

@@ -1,0 +1,62 @@
+package graft.ml
+
+import graft.text.SparkTestSession
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q188 integer power iteration: exact brute-force replay of the whole
+  * fit in driver-side Long arithmetic, plus normalization invariants. */
+class PcaSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def micro(): Array[Array[Long]] =
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * lit(1000000.0), 0).cast("long")).as("xu"))
+      .orderBy(col("vec_id"))
+      .collect().map(_.getSeq[Long](1).toArray)
+
+  test("the fitted direction replays exactly in driver-side integers") {
+    val xs = micro()
+    val d = 64
+    // second moment, shifted by 2^20 with floor semantics
+    val c = Array.ofDim[Long](d, d)
+    for (x <- xs; i <- 0 until d; j <- 0 until d) c(i)(j) += x(i) * x(j)
+    val cs = c.map(_.map(v => Math.floorDiv(v, 1048576L)))
+    def stepV(v: Array[Long]): (Array[Long], Array[Long]) = {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => cs(i)(j) * v(j)).sum)
+      val m = math.max(w.map(math.abs).max, 1L)
+      (w, w.map(x => Math.floorDiv(1000L * x, m)))
+    }
+    var v = Array.fill(d)(1000L)
+    for (_ <- 1 to 3) v = stepV(v)._2
+    val (wf, vn) = stepV(v)
+    val rows = Pca.q188_power_iteration(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.length == d)
+    rows.foreach { r =>
+      val dim = r.getLong(0).toInt
+      assert(r.getLong(1) == v(dim), s"v[$dim]")
+      assert(r.getLong(2) == wf(dim), s"w[$dim]")
+    }
+    // emitted alignment matches the driver-side cosine of (v, v_next)
+    val svn = (0 until d).map(i => v(i) * vn(i)).sum.toDouble
+    val svv = v.map(x => x * x).sum.toDouble
+    val snn = vn.map(x => x * x).sum.toDouble
+    val expect = math.rint(1e6 * svn / (math.sqrt(svv) * math.sqrt(snn))) / 1e6
+    assert(rows.head.getDouble(3) == expect)
+  }
+
+  test("renormalization pins the max-abs component to exactly 1000") {
+    val vs = Pca.q188_power_iteration(spark, sf).collect()
+      .map(_.getLong(1))
+    assert(vs.map(math.abs).max == 1000L)
+    // convergence contract present and bounded
+    val a = Pca.q188_power_iteration(spark, sf).head().getDouble(3)
+    assert(a >= -1.0 && a <= 1.0)
+  }
+}

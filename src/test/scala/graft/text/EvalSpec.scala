@@ -155,6 +155,35 @@ class EvalSpec extends AnyFunSuite {
     assert(applied.map(_.getLong(1)).sum == n)
   }
 
+  test("signal correlations replay in driver-side exact moments (q187)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("n_chars", "text").collect()
+      .map { r =>
+        val text = r.getString(1)
+        val toks = text.trim.split(" ").count(_.nonEmpty).toLong
+        val ent = EntropyKernel.charEntropyUnat(
+          UTF8String.fromString(text)) / 1000L
+        (r.getLong(0), toks, ent)
+      }
+    val n = docs.length.toLong
+    def r(xa: Array[Long], xb: Array[Long]): Double = {
+      val (sa, sb) = (xa.sum, xb.sum)
+      val (saa, sbb) = (xa.map(x => x * x).sum, xb.map(x => x * x).sum)
+      val sab = xa.zip(xb).map(p => p._1 * p._2).sum
+      val num = (n * sab - sa * sb).toDouble
+      math.rint(1e6 * num / (math.sqrt((n * saa - sa * sa).toDouble) *
+        math.sqrt((n * sbb - sb * sb).toDouble))) / 1e6
+    }
+    val (x1, x2, x3) = (docs.map(_._1), docs.map(_._2), docs.map(_._3))
+    val got = Eval.q187_signal_correlation(spark, sf).collect()
+      .map(row => row.getString(0) -> row.getDouble(2)).toMap
+    assert(got("chars_tokens") == r(x1, x2))
+    assert(got("chars_entropy") == r(x1, x3))
+    assert(got("tokens_entropy") == r(x2, x3))
+    assert(got("chars_tokens") > 0.5, "length signals must correlate")
+  }
+
   test("Heaps fit closed form on a planted 2-point curve") {
     // V ~ n^(2/3): n 1000->8000, V 100->400 (ln4/ln8 = 2/3)
     import spark.implicits._
