@@ -125,9 +125,63 @@ object Pca {
        |CROSS JOIN sums ORDER BY dim""".stripMargin
   }
 
+  // ------------------------------------ q189 projection drift histogram
+  private val ProjShift = 65536L // 2^16
+  private val BinSpan = 1024L
+
+  /** The q188 fit CONSUMED (the advisor→executor/learn→apply contract,
+    * like q153→q46 and q185→q185b): every embedding projects onto the
+    * fitted direction map-side — proj = Σ xuᵢ·vᵢ, an exact BIGINT dot of
+    * the broadcast 64-value model — and the projection distribution
+    * lands in fixed-width bins with an exact per-bin mass sum. This is
+    * the drift surface: re-fit v on a reference corpus, project a new
+    * shard, compare histograms (the embedding-space analog of the q117
+    * CCNet buckets and the rangeDriftStream layout monitor). Floor
+    * shifts keep every quantity inside Long at any corpus size; output
+    * is histogram-sized. */
+  def q189_projection_histogram(s: SparkSession, dir: String): DataFrame = {
+    val v = q188_power_iteration(s, dir)
+      .select(col("dim").cast("int").as("i"), col("v_milli"))
+    val proj = Cluster.microEmb(s, dir)
+      .select(col("vec_id"), posexplode(col("xu")))
+      .toDF("vec_id", "i", "xi")
+      .join(broadcast(v), "i")
+      .groupBy(col("vec_id"))
+      .agg(sum(col("xi") * col("v_milli")).as("proj"))
+      .selectExpr("vec_id", s"${fdivFloor("proj", ProjShift.toString)} AS ps")
+    proj
+      .selectExpr("vec_id", "ps", s"${fdivFloor("ps", BinSpan.toString)} AS bin")
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("ps")).as("sum_ps"),
+        min(col("ps")).as("min_ps"), max(col("ps")).as("max_ps"))
+      .orderBy(col("bin"))
+  }
+
+  private lazy val projOracle: String = {
+    val fdivP = fdivFloor("proj", ProjShift.toString).replace(" div ", " // ")
+    val fdivB = fdivFloor("ps", BinSpan.toString).replace(" div ", " // ")
+    s"""WITH fit AS ($pcaOracle),
+       |e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(round(x * 1000000.0) AS BIGINT)) AS xu
+       |  FROM embeddings),
+       |xe AS (SELECT vec_id, t.i - 1 AS i, xu[t.i] AS xi
+       |  FROM e CROSS JOIN range(1, ${Dims + 1}) t(i)),
+       |pr AS (SELECT vec_id,
+       |    CAST(SUM(xe.xi * f.v_milli) AS BIGINT) AS proj
+       |  FROM xe JOIN fit f ON xe.i = f.dim GROUP BY vec_id),
+       |ps AS (SELECT vec_id, $fdivP AS ps FROM pr),
+       |bn AS (SELECT vec_id, ps, $fdivB AS bin FROM ps)
+       |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(ps) AS BIGINT) AS sum_ps,
+       |  MIN(ps) AS min_ps, MAX(ps) AS max_ps
+       |FROM bn GROUP BY bin ORDER BY bin""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q188_power_iteration" -> (q188_power_iteration _))
+    "q188_power_iteration" -> (q188_power_iteration _),
+    "q189_projection_histogram" -> (q189_projection_histogram _))
 
   val oracle: Map[String, String] = Map(
-    "q188_power_iteration" -> pcaOracle)
+    "q188_power_iteration" -> pcaOracle,
+    "q189_projection_histogram" -> projOracle)
 }

@@ -482,6 +482,60 @@ object Eval {
        |FROM pred p JOIN documents d USING (doc_id) CROSS JOIN pick pk
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  // ------------------------------------------- q190 MAD robust outliers
+  /** Robust per-source length outliers via the median absolute deviation
+    * (Hampel 1974's MAD, the 3σ-rule's heavy-tail-proof replacement for
+    * corpus profiling): flag docs with |x − med| > 1.5·MAD. Exactness
+    * hinges on unit scaling, not tolerance: an even-count median of
+    * integers is a HALF-integer — binary-exact in a double and exactly
+    * recovered as med4 = 4·med; deviations then live in integer quarter
+    * units, their median in exact eighths (madq2 = 2·med(dev_q)), and
+    * the outlier test 2·dev_q > 3·madq2 is pure BIGINT. Spark
+    * `percentile` and DuckDB `quantile_cont` share the interpolation
+    * definition (the q95 parity), so both engines derive identical
+    * doubles before the exact recovery. Per-source aggs over the
+    * source-cardinality dim; the deviation pass is one broadcast join —
+    * at 100 TB swap `approx_percentile` per the q41→q41b note. */
+  def q190_mad_outliers(s: SparkSession, dir: String): DataFrame = {
+    val med = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(expr("CAST(round(percentile(n_chars, 0.5) * 4) AS BIGINT)")
+        .as("med4"))
+    val dev = Tables.documents(s, dir)
+      .select(col("source"), col("n_chars"))
+      .join(broadcast(med), "source")
+      .selectExpr("source", "med4", "abs(4 * n_chars - med4) AS dev_q")
+    val mad = dev.groupBy(col("source"), col("med4"))
+      .agg(expr("CAST(round(percentile(dev_q, 0.5) * 2) AS BIGINT)")
+        .as("madq2"))
+    dev.join(broadcast(mad.select(col("source"), col("madq2"))), "source")
+      .groupBy(col("source"), col("med4"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(expr("2 * dev_q > 3 * madq2"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        max(col("madq2")).as("madq2"))
+      .select(col("source"), col("n_docs"), col("med4"), col("madq2"),
+        col("n_outliers"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val q190Oracle: String =
+    s"""WITH med AS (SELECT source,
+       |    CAST(round(quantile_cont(n_chars, 0.5) * 4) AS BIGINT) AS med4
+       |  FROM documents GROUP BY source),
+       |dev AS (SELECT d.source, m.med4,
+       |    abs(4 * d.n_chars - m.med4) AS dev_q
+       |  FROM documents d JOIN med m USING (source)),
+       |mad AS (SELECT source, med4,
+       |    CAST(round(quantile_cont(dev_q, 0.5) * 2) AS BIGINT) AS madq2
+       |  FROM dev GROUP BY source, med4)
+       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  d.med4, MAX(m.madq2) AS madq2,
+       |  CAST(SUM(CASE WHEN 2 * dev_q > 3 * m.madq2 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_outliers
+       |FROM dev d JOIN mad m USING (source, med4)
+       |GROUP BY d.source, d.med4 ORDER BY d.source""".stripMargin
+
   // ------------------------------------------- q184 Heaps-law forecast
   /** Vocabulary-growth forecast (Heaps 1978, V(n) = K·n^β) — the
     * tokenizer-design question at 100 TB ("how big does the vocab get at
@@ -654,6 +708,7 @@ object Eval {
     "q184_heaps_forecast" -> (q184_heaps_forecast _),
     "q185_threshold_advisor" -> (q185_threshold_advisor _),
     "q185b_threshold_apply" -> (q185b_threshold_apply _),
+    "q190_mad_outliers" -> (q190_mad_outliers _),
     "q173_classifier_eval" -> (q173_classifier_eval _),
     "q174_auc_exact" -> (q174_auc_exact _),
     "q175_chi2_terms" -> (q175_chi2_terms _),
@@ -666,6 +721,7 @@ object Eval {
     "q185_threshold_advisor" -> q185Oracle,
     "q185b_threshold_apply" -> q185bOracle,
     "q187_signal_correlation" -> q187Oracle,
+    "q190_mad_outliers" -> q190Oracle,
     "q173_classifier_eval" -> q173Oracle,
     "q174_auc_exact" -> q174Oracle,
     "q175_chi2_terms" -> q175Oracle,

@@ -51,6 +51,19 @@ class PcaSpec extends AnyFunSuite {
     assert(rows.head.getDouble(3) == expect)
   }
 
+  test("projection histogram tiles the collection within bin bounds (q189)") {
+    val bins = Pca.q189_projection_histogram(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(bins.map(_.getLong(1)).sum == total)
+    bins.foreach { r =>
+      val (bin, lo, hi) = (r.getLong(0), r.getLong(3), r.getLong(4))
+      assert(lo >= bin * 1024 && hi < (bin + 1) * 1024,
+        s"bin $bin bounds [$lo,$hi]")
+      assert(r.getLong(2) >= r.getLong(1) * lo &&
+        r.getLong(2) <= r.getLong(1) * hi, "mass within envelope")
+    }
+  }
+
   test("renormalization pins the max-abs component to exactly 1000") {
     val vs = Pca.q188_power_iteration(spark, sf).collect()
       .map(_.getLong(1))

@@ -184,6 +184,31 @@ class EvalSpec extends AnyFunSuite {
     assert(got("chars_tokens") > 0.5, "length signals must correlate")
   }
 
+  test("MAD outliers replay against a driver-side robust twin (q190)") {
+    def medianQ(xs: Array[Long]): Double = {
+      val s2 = xs.sorted
+      if (s2.length % 2 == 1) s2(s2.length / 2).toDouble
+      else (s2(s2.length / 2 - 1) + s2(s2.length / 2)) / 2.0
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (src, xs) => src -> xs.map(_._2) }
+    val got = Eval.q190_mad_outliers(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == docs.keySet)
+    docs.foreach { case (src, xs) =>
+      val med4 = math.round(medianQ(xs) * 4)
+      val devQ = xs.map(x => math.abs(4 * x - med4))
+      val madq2 = math.round(medianQ(devQ) * 2)
+      val out = devQ.count(d => 2 * d > 3 * madq2).toLong
+      val (n, m4, m2, o) = got(src)
+      assert(n == xs.length.toLong && m4 == med4 && m2 == madq2 && o == out,
+        s"$src: got ${got(src)} want (${xs.length}, $med4, $madq2, $out)")
+    }
+  }
+
   test("Heaps fit closed form on a planted 2-point curve") {
     // V ~ n^(2/3): n 1000->8000, V 100->400 (ln4/ln8 = 2/3)
     import spark.implicits._
