@@ -1,0 +1,51 @@
+package graft.rel
+
+import graft.text.SparkTestSession
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q191/q192: predicted pairs are genuine non-edges at distance 2 with
+  * bounded Adamic-Adar mass; the power-law fit is internally coherent. */
+class LinkPredSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  // sf0.001's 45-pair graph is complete (zero non-adjacent wedges, a
+  // measured property) — invariants run at sf0.01 where candidates exist
+  private val sf = "/root/testdata/sf0.01"
+
+  test("predictions are non-edges with bounded AA mass (q191)") {
+    val rows = LinkPred.q191_link_prediction(spark, sf).collect()
+    assert(rows.length == 20)
+    // rebuild the budgeted edge set the operator predicts against
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_orderkey AS ok", "l_suppkey AS sk").distinct()
+    val edges = li.alias("a").join(li.alias("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("sa"), col("b.sk").as("sb"))
+      .agg(count(lit(1)).as("w"))
+      .orderBy(col("w").desc, col("sa"), col("sb")).limit(4000)
+      .select("sa", "sb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val (u, w, cn, aa) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(u < w, "canonical pair order")
+      assert(!edges.contains((u, w)), "predicted pair must be a non-edge")
+      assert(cn >= 1, "distance-2 requires a common neighbor")
+      // each wedge contributes at most 1e9 div round(1e6 ln 2) = 1442
+      assert(aa >= 1 && aa <= cn * 1442L, s"AA mass $aa vs cn=$cn")
+    }
+  }
+
+  test("power-law MLE is coherent (q192)") {
+    val r = LinkPred.q192_powerlaw_fit(spark, sf).head()
+    val (n, dmin, dmax) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(n > 0 && dmin >= 1 && dmax >= dmin)
+    assert(r.getLong(3) >= 1 && r.getLong(3) <= n, "n_at_dmin in [1, n]")
+    if (!r.isNullAt(5)) {
+      assert(r.getLong(5) > 1000, "alpha > 1 whenever some deg > dmin")
+    } else {
+      assert(dmin == dmax, "null alpha only for a degree-regular graph")
+    }
+  }
+}
