@@ -9,6 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class BehaviorSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
   private val D = 86400L * 1000000L // one day in micros
+  private val sf = "/root/testdata/sf0.001"
 
   private def funnel(rows: Seq[(Long, Long, String)]) = {
     import spark.implicits._
@@ -68,5 +69,34 @@ class BehaviorSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((10L, 0L, 2L), (10L, 1L, 1L), (10L, 3L, 1L),
       (11L, 0L, 1L), (11L, 1L, 1L)))
+  }
+
+  test("q193 transitions: row-stochastic permilles, mass conservation") {
+    val rows = Behavior.q193_markov_transitions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(2)).sum
+    val events = graft.Tables.events(spark, sf).count()
+    val users = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    // every event except each user's first contributes one transition
+    assert(total == events - users)
+    rows.groupBy(_.getString(0)).foreach { case (src, g) =>
+      val p = g.map(_.getLong(3)).sum
+      // floor-division permilles sum to (1000 - residue), residue < fanout
+      assert(p <= 1000 && p > 1000 - g.length, s"$src row sums $p")
+    }
+  }
+
+  test("q194 RFM: segment counts partition the customer base, scores in 1..5") {
+    val rows = Behavior.q194_rfm_segments(spark, sf).collect()
+    val nCust = graft.Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(3)).sum == nCust)
+    rows.foreach { r =>
+      (0 to 2).foreach(i => assert(r.getInt(i) >= 1 && r.getInt(i) <= 5))
+    }
+    // quintiles are balanced per dimension to within interpolation ties
+    val byR = rows.groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(3)).sum)
+    assert(byR.keySet.size >= 4, "recency quintiles populated")
   }
 }
