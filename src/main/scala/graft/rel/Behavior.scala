@@ -229,15 +229,143 @@ object Behavior {
        |  CAST(COUNT(*) AS BIGINT) AS n_customers
        |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // -------------------------------------------- q195: session top paths
+  /** Top event paths per gap-session (q16's 30-minute lag semantics with
+    * the (ts_us, event_id) total order): each session reduces to its
+    * first-5-event type string, and the corpus reports the 10 most
+    * common paths — the "how do users actually move" rollup feeding
+    * sequence-model features (q193's matrix is the order-1 summary;
+    * these are the raw order-k prefixes). Per-user windows distribute;
+    * the path vocabulary is ≤ |types|⁵ — catalog-sized; top-10 is a
+    * bounded heap. */
+  def q195_session_paths(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"))
+      .withColumn("new_s",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1)
+          .when(lag(col("ts_us"), 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id"),
+        col("event_type")))).as("evs"))
+      .selectExpr(
+        "array_join(transform(slice(evs, 1, 5), x -> x.event_type), '>')" +
+          " AS path")
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(10)
+      .orderBy(col("path"))
+  }
+
+  private lazy val pathsOracle: String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+       |    event_type FROM events),
+       |lg AS (SELECT *, CASE WHEN LAG(ts_us, 1) OVER w IS NULL THEN 1
+       |      WHEN ts_us - LAG(ts_us, 1) OVER w > ${30L * 60 * 1000 * 1000}
+       |      THEN 1 ELSE 0 END AS new_s
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       |ss AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+       |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |    AS session_id
+       |  FROM lg),
+       |paths AS (SELECT array_to_string(
+       |    (list(event_type ORDER BY ts_us, event_id))[1:5], '>') AS path
+       |  FROM ss GROUP BY user_id, session_id),
+       |top AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+       |  FROM paths GROUP BY path ORDER BY n_sessions DESC, path LIMIT 10)
+       |SELECT path, n_sessions FROM top ORDER BY path""".stripMargin
+
+  // ------------------------------------- q196: revenue concentration
+  /** Lorenz/Gini concentration of customer revenue — "how top-heavy is
+    * the order book" (and, reused over per-source token mass, "how
+    * top-heavy is the corpus"): exact integer Gini over CENTS (money ×
+    * 100 — DECIMAL(18,2) is closed under it), using the value-group
+    * identity Σ_group (2i−n−1)x = x·cnt·(2·cum − cnt − n) so no per-row
+    * rank is ever materialized — the cumulative count comes from the
+    * bucketed two-phase prefix sum over DISTINCT revenue values. Plus
+    * the top-decile share via the q185 order-statistic machinery
+    * (ties included, reported as n_top). gini_permille =
+    * 1000·Σ/(n·total), floor-divided — headroom to ~10⁹ customers ×
+    * 10¹⁶ total cents before the DECIMAL upgrade documented in
+    * SCALING.md. */
+  def q196_revenue_concentration(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.orders(s, dir)
+      .selectExpr("o_custkey",
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS price")
+      .groupBy(col("o_custkey"))
+      .agg(expr("CAST(SUM(price) * 100 AS BIGINT)").as("cents"))
+    val g = cust.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+    val tot = cust.agg(count(lit(1)).as("n"), sum(col("cents")).as("total"))
+    val asc = graft.text.Budget.bucketedPrefixSum(g,
+      expr("cents div 10000000"), Seq(col("cents")), col("cnt"))
+    val gini = asc.crossJoin(broadcast(tot))
+      .selectExpr("cents * cnt * (2 * cum - cnt - n) AS contrib",
+        "n", "total")
+      .groupBy(col("n"), col("total"))
+      .agg(sum(col("contrib")).as("num"))
+      .selectExpr("n AS n_customers", "total AS total_cents",
+        "(1000 * num) div (n * total) AS gini_permille")
+    val desc = graft.text.Budget.bucketedPrefixSum(
+      g.join(broadcast(tot.select(col("n"))), expr("true")),
+      expr("-(cents div 10000000)"), Seq(col("cents").desc), col("cnt"))
+    val thr = desc.filter(col("cum") >= expr("greatest(n div 10, 1L)"))
+      .agg(max(col("cents")).as("thr_cents"))
+    val top = cust.crossJoin(broadcast(thr))
+      .filter(col("cents") >= col("thr_cents"))
+      .agg(count(lit(1)).as("n_top"), sum(col("cents")).as("top_cents"))
+    gini.crossJoin(broadcast(thr)).crossJoin(broadcast(top))
+      .selectExpr("n_customers", "total_cents", "gini_permille",
+        "thr_cents", "n_top",
+        "(1000 * top_cents) div total_cents AS top_share_permille")
+  }
+
+  private lazy val giniOracle: String =
+    s"""WITH cust AS (SELECT o_custkey,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+       |      AS cents
+       |  FROM orders GROUP BY o_custkey),
+       |g AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM cust GROUP BY cents),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(cents) AS BIGINT) AS total FROM cust),
+       |asc_ AS (SELECT cents, cnt, CAST(SUM(cnt) OVER (ORDER BY cents
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM g),
+       |gini AS (SELECT n, total,
+       |    CAST(SUM(cents * cnt * (2 * cum - cnt - n)) AS BIGINT) AS num
+       |  FROM asc_ CROSS JOIN tot GROUP BY n, total),
+       |dsc AS (SELECT cents, CAST(SUM(cnt) OVER (ORDER BY cents DESC
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM g),
+       |thr AS (SELECT MAX(cents) AS thr_cents FROM dsc CROSS JOIN tot
+       |  WHERE cum >= GREATEST(n // 10, 1)),
+       |top AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_top,
+       |    CAST(SUM(cents) AS BIGINT) AS top_cents
+       |  FROM cust CROSS JOIN thr WHERE cents >= thr_cents)
+       |SELECT n AS n_customers, total AS total_cents,
+       |  (1000 * num) // (n * total) AS gini_permille,
+       |  thr_cents, n_top,
+       |  (1000 * top_cents) // total AS top_share_permille
+       |FROM gini CROSS JOIN thr CROSS JOIN top""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q133_funnel" -> (q133_funnel _),
     "q134_cohort_retention" -> (q134_cohort_retention _),
     "q193_markov_transitions" -> (q193_markov_transitions _),
-    "q194_rfm_segments" -> (q194_rfm_segments _))
+    "q194_rfm_segments" -> (q194_rfm_segments _),
+    "q195_session_paths" -> (q195_session_paths _),
+    "q196_revenue_concentration" -> (q196_revenue_concentration _))
 
   val oracle: Map[String, String] = Map(
     "q133_funnel" -> funnelOracle,
     "q134_cohort_retention" -> cohortOracle,
     "q193_markov_transitions" -> markovOracle,
-    "q194_rfm_segments" -> rfmOracle)
+    "q194_rfm_segments" -> rfmOracle,
+    "q195_session_paths" -> pathsOracle,
+    "q196_revenue_concentration" -> giniOracle)
 }

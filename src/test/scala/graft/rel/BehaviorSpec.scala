@@ -2,6 +2,7 @@ package graft.rel
 
 import graft.text.SparkTestSession
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.expr
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Funnel/cohort kernels (q133/q134) on adversarial orderings the big
@@ -98,5 +99,38 @@ class BehaviorSpec extends AnyFunSuite {
     // quintiles are balanced per dimension to within interpolation ties
     val byR = rows.groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(3)).sum)
     assert(byR.keySet.size >= 4, "recency quintiles populated")
+  }
+
+  test("q195 paths: session totals conserved, path arity bounded") {
+    val rows = Behavior.q195_session_paths(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      val steps = r.getString(0).split(">")
+      assert(steps.length >= 1 && steps.length <= 5)
+      assert(r.getLong(1) >= 1)
+    }
+  }
+
+  test("q196 Gini: exact integer replay against a sorted driver twin") {
+    val r = Behavior.q196_revenue_concentration(spark, sf).head()
+    val cents = graft.Tables.orders(spark, sf)
+      .selectExpr("o_custkey", "CAST(o_totalprice AS DECIMAL(18,2)) AS p")
+      .groupBy("o_custkey")
+      .agg(expr("CAST(SUM(p) * 100 AS BIGINT)").as("c"))
+      .collect().map(_.getLong(1)).sorted
+    val n = cents.length.toLong
+    val total = cents.sum
+    val num = cents.zipWithIndex.map { case (x, i0) =>
+      x * (2L * (i0 + 1) - n - 1)
+    }.sum
+    assert(r.getLong(0) == n && r.getLong(1) == total)
+    assert(r.getLong(2) == 1000L * num / (n * total), "exact Gini permille")
+    // top decile: threshold is the k-th largest; share consistent
+    val k = math.max(n / 10, 1L)
+    val thr = cents.sorted(Ordering[Long].reverse)(k.toInt - 1)
+    assert(r.getLong(3) == thr)
+    val top = cents.filter(_ >= thr)
+    assert(r.getLong(4) == top.length.toLong)
+    assert(r.getLong(5) == 1000L * top.sum / total)
   }
 }
