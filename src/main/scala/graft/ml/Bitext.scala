@@ -97,9 +97,74 @@ object Bitext {
        |SELECT x_id, y_id, cos_u, round(marg, 6) AS margin_r
        |FROM top ORDER BY x_id""".stripMargin
 
+  // ----------------------------------------- q197 hard-negative mining
+  private val Anchors = 8
+  private val NegK = 4
+
+  /** Triplet mining for contrastive embedding training (the
+    * in-batch-negatives upgrade: Schroff et al. 2015's semi-hard
+    * negatives, SimCSE/DPR-style retrieval training data): per anchor,
+    * the top-1 neighbor is the positive and the next [[NegK]] are the
+    * hard negatives, each reported with its micro-cosine and the
+    * positive-negative margin (an exact BIGINT difference — the
+    * "semi-hardness" the trainer curricula sort by). Brute scoring like
+    * q19/q181 (the declared baseline role); the production candidate
+    * generator is the ANN shortlist, scorer unchanged. */
+  def q197_triplet_mining(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = e.filter(col("vec_id") < Anchors)
+      .select(col("vec_id").as("anchor_id"), col("emb").as("qemb"))
+    val cos = VecFunctions.dot_d(col("qemb"), col("emb")) /
+      (sqrt(VecFunctions.dot_d(col("qemb"), col("qemb"))) *
+        sqrt(VecFunctions.dot_d(col("emb"), col("emb"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id"))
+      .orderBy(col("cos_u").desc, col("vec_id"))
+    val ranked = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("vec_id"),
+        round(cos * lit(1000000.0), 0).cast(LongType).as("cos_u"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 1 + NegK)
+    val pos = ranked.filter(col("rk") === 1)
+      .select(col("anchor_id"), col("vec_id").as("pos_id"),
+        col("cos_u").as("pos_u"))
+    ranked.filter(col("rk") > 1)
+      .join(broadcast(pos), "anchor_id")
+      .selectExpr("anchor_id", "pos_id", "vec_id AS neg_id",
+        "CAST(rk - 1 AS INTEGER) AS neg_rank", "pos_u",
+        "cos_u AS neg_u", "pos_u - cos_u AS margin_u")
+      .orderBy(col("anchor_id"), col("neg_rank"))
+  }
+
+  private lazy val tripletOracle: String =
+    s"""WITH e AS (SELECT vec_id,
+       |    CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS anchor_id, emb AS qemb FROM e
+       |  WHERE vec_id < $Anchors),
+       |ranked AS (SELECT anchor_id, vec_id, cos_u, ROW_NUMBER() OVER (
+       |    PARTITION BY anchor_id ORDER BY cos_u DESC, vec_id) AS rk
+       |  FROM (SELECT anchor_id, vec_id,
+       |      CAST(round(list_dot_product(qemb, emb) /
+       |        (sqrt(list_dot_product(qemb, qemb)) *
+       |        sqrt(list_dot_product(emb, emb))) * 1000000.0) AS BIGINT)
+       |        AS cos_u
+       |    FROM q CROSS JOIN e WHERE vec_id <> anchor_id)),
+       |pos AS (SELECT anchor_id, vec_id AS pos_id, cos_u AS pos_u
+       |  FROM ranked WHERE rk = 1)
+       |SELECT r.anchor_id, p.pos_id, r.vec_id AS neg_id,
+       |  CAST(r.rk - 1 AS INTEGER) AS neg_rank, p.pos_u,
+       |  r.cos_u AS neg_u, p.pos_u - r.cos_u AS margin_u
+       |FROM ranked r JOIN pos p USING (anchor_id)
+       |WHERE r.rk > 1 AND r.rk <= ${1 + NegK}
+       |ORDER BY r.anchor_id, neg_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q181_bitext_margin" -> (q181_bitext_margin _))
+    "q181_bitext_margin" -> (q181_bitext_margin _),
+    "q197_triplet_mining" -> (q197_triplet_mining _))
 
   val oracle: Map[String, String] = Map(
-    "q181_bitext_margin" -> bitextOracle)
+    "q181_bitext_margin" -> bitextOracle,
+    "q197_triplet_mining" -> tripletOracle)
 }

@@ -536,6 +536,72 @@ object Eval {
        |FROM dev d JOIN mad m USING (source, med4)
        |GROUP BY d.source, d.med4 ORDER BY d.source""".stripMargin
 
+  // ----------------------------------------------- q198 dataset card
+  /** The dataset-card summary block (the quantitative half of a Datasheet
+    * for Datasets, Gebru et al. 2018): corpus size, token mass, language/
+    * source coverage, empty and exact-duplicate document counts, total
+    * and median character mass — one row per metric, every value an
+    * exact BIGINT from one corpus pass plus one md5-group dup probe.
+    * This is the report a release pipeline regenerates per snapshot and
+    * diffs across versions; it composes the primitives (tokenize, md5
+    * dedup group, exact percentile) into the single artifact reviewers
+    * read. */
+  def q198_dataset_card(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documentsFanned(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        size(Cleanse.tokens(col("text"))).cast("long").as("tk"),
+        md5(col("text").cast("binary")).as("h"))
+    val base = d.agg(
+      count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(when(col("tk") === 0L, 1L).otherwise(0L)).as("n_empty"),
+      sum(col("n_chars")).as("total_chars"))
+    val dup = d.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_exact_dup_docs"))
+    val med = Tables.documents(s, dir)
+      .agg(expr("CAST(round(percentile(n_chars, 0.5) * 4) AS BIGINT)")
+        .as("med4_chars"))
+    base.crossJoin(broadcast(dup)).crossJoin(broadcast(med))
+      .selectExpr("stack(8, " +
+        "'n_docs', n_docs, 'n_tokens', n_tokens, 'n_langs', n_langs, " +
+        "'n_sources', n_sources, 'n_empty', n_empty, " +
+        "'n_exact_dup_docs', n_exact_dup_docs, " +
+        "'total_chars', total_chars, 'med4_chars', med4_chars) " +
+        "AS (metric, value)")
+      .orderBy(col("metric"))
+  }
+
+  private lazy val q198Oracle: String =
+    s"""WITH d AS (SELECT doc_id, lang, source, n_chars,
+       |    CAST(len(${CorpusFilters.DToks}) AS BIGINT) AS tk,
+       |    md5(text) AS h
+       |  FROM documents),
+       |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(tk) AS BIGINT) AS n_tokens,
+       |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       |    CAST(SUM(CASE WHEN tk = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_empty,
+       |    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |  FROM d),
+       |dup AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT)
+       |    AS n_exact_dup_docs
+       |  FROM (SELECT COUNT(*) AS c FROM d GROUP BY h HAVING COUNT(*) >= 2)),
+       |med AS (SELECT CAST(round(quantile_cont(n_chars, 0.5) * 4) AS BIGINT)
+       |    AS med4_chars FROM documents)
+       |SELECT metric, value FROM (
+       |  SELECT 'n_docs' AS metric, n_docs AS value FROM base
+       |  UNION ALL SELECT 'n_tokens', n_tokens FROM base
+       |  UNION ALL SELECT 'n_langs', n_langs FROM base
+       |  UNION ALL SELECT 'n_sources', n_sources FROM base
+       |  UNION ALL SELECT 'n_empty', n_empty FROM base
+       |  UNION ALL SELECT 'n_exact_dup_docs', n_exact_dup_docs FROM dup
+       |  UNION ALL SELECT 'total_chars', total_chars FROM base
+       |  UNION ALL SELECT 'med4_chars', med4_chars FROM med)
+       |ORDER BY metric""".stripMargin
+
   // ------------------------------------------- q184 Heaps-law forecast
   /** Vocabulary-growth forecast (Heaps 1978, V(n) = K·n^β) — the
     * tokenizer-design question at 100 TB ("how big does the vocab get at
@@ -709,6 +775,7 @@ object Eval {
     "q185_threshold_advisor" -> (q185_threshold_advisor _),
     "q185b_threshold_apply" -> (q185b_threshold_apply _),
     "q190_mad_outliers" -> (q190_mad_outliers _),
+    "q198_dataset_card" -> (q198_dataset_card _),
     "q173_classifier_eval" -> (q173_classifier_eval _),
     "q174_auc_exact" -> (q174_auc_exact _),
     "q175_chi2_terms" -> (q175_chi2_terms _),
@@ -722,6 +789,7 @@ object Eval {
     "q185b_threshold_apply" -> q185bOracle,
     "q187_signal_correlation" -> q187Oracle,
     "q190_mad_outliers" -> q190Oracle,
+    "q198_dataset_card" -> q198Oracle,
     "q173_classifier_eval" -> q173Oracle,
     "q174_auc_exact" -> q174Oracle,
     "q175_chi2_terms" -> q175Oracle,

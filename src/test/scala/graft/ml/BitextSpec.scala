@@ -35,4 +35,18 @@ class BitextSpec extends AnyFunSuite {
       assert(r.getDouble(3) * r.getLong(2) >= 0.0)
     }
   }
+
+  test("triplets: margins non-negative, negatives ranked, pos is top-1 (q197)") {
+    val rows = Bitext.q197_triplet_mining(spark, sf).collect()
+    assert(rows.length == 8 * 4, "8 anchors x 4 negatives")
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      assert(g.map(_.getInt(3)).sorted.toSeq == Seq(1, 2, 3, 4))
+      // margin grows (weakly) with negative rank; all margins >= 0
+      val byRank = g.sortBy(_.getInt(3)).map(_.getLong(6))
+      assert(byRank.forall(_ >= 0L))
+      assert(byRank.zip(byRank.tail).forall(p => p._1 <= p._2))
+      // positive never appears among its own negatives
+      assert(!g.map(_.getLong(2)).contains(g.head.getLong(1)))
+    }
+  }
 }

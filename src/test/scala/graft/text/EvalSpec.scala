@@ -209,6 +209,21 @@ class EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("dataset card metrics cross-check against direct counts (q198)") {
+    val card = Eval.q198_dataset_card(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(card("n_docs") == docs.count())
+    assert(card("n_langs") == docs.select("lang").distinct().count())
+    assert(card("n_sources") == docs.select("source").distinct().count())
+    assert(card("total_chars") ==
+      docs.agg(sum(col("n_chars"))).head().getLong(0))
+    assert(card("n_empty") >= 0 && card("n_empty") <= card("n_docs"))
+    assert(card("n_exact_dup_docs") != 1L,
+      "a doc is either unique or in a >=2 group")
+    assert(card("n_tokens") > 0 && card("med4_chars") > 0)
+  }
+
   test("Heaps fit closed form on a planted 2-point curve") {
     // V ~ n^(2/3): n 1000->8000, V 100->400 (ln4/ln8 = 2/3)
     import spark.implicits._
