@@ -305,13 +305,24 @@ object Behavior {
     val tot = cust.agg(count(lit(1)).as("n"), sum(col("cents")).as("total"))
     val asc = graft.text.Budget.bucketedPrefixSum(g,
       expr("cents div 10000000"), Seq(col("cents")), col("cnt"))
+    // floor(1000*num/den) by three-digit long division: num <= den can
+    // reach ~3.4e16 at sf0.1 (and beyond at scale), so 1000*num overflows
+    // Long under ANSI — but 10*x never does for x < den, and the digit
+    // recurrence is exact. (The DuckDB twin runs the plain form in
+    // HUGEINT — identical floor, no mirroring needed for integers.)
+    val digitDiv =
+      "(((10 * num) div den) * 100 + " +
+        "((10 * ((10 * num) % den)) div den) * 10 + " +
+        "(10 * ((10 * ((10 * num) % den)) % den)) div den)"
     val gini = asc.crossJoin(broadcast(tot))
       .selectExpr("cents * cnt * (2 * cum - cnt - n) AS contrib",
         "n", "total")
       .groupBy(col("n"), col("total"))
       .agg(sum(col("contrib")).as("num"))
       .selectExpr("n AS n_customers", "total AS total_cents",
-        "(1000 * num) div (n * total) AS gini_permille")
+        "num", "n * total AS den")
+      .selectExpr("n_customers", "total_cents",
+        s"$digitDiv AS gini_permille")
     val desc = graft.text.Budget.bucketedPrefixSum(
       g.join(broadcast(tot.select(col("n"))), expr("true")),
       expr("-(cents div 10000000)"), Seq(col("cents").desc), col("cnt"))
@@ -338,7 +349,7 @@ object Behavior {
        |asc_ AS (SELECT cents, cnt, CAST(SUM(cnt) OVER (ORDER BY cents
        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM g),
        |gini AS (SELECT n, total,
-       |    CAST(SUM(cents * cnt * (2 * cum - cnt - n)) AS BIGINT) AS num
+       |    SUM(cents * cnt * (2 * cum - cnt - n)) AS num
        |  FROM asc_ CROSS JOIN tot GROUP BY n, total),
        |dsc AS (SELECT cents, CAST(SUM(cnt) OVER (ORDER BY cents DESC
        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM g),
@@ -348,7 +359,8 @@ object Behavior {
        |    CAST(SUM(cents) AS BIGINT) AS top_cents
        |  FROM cust CROSS JOIN thr WHERE cents >= thr_cents)
        |SELECT n AS n_customers, total AS total_cents,
-       |  (1000 * num) // (n * total) AS gini_permille,
+       |  CAST((1000 * num) // (CAST(n AS HUGEINT) * total) AS BIGINT)
+       |    AS gini_permille,
        |  thr_cents, n_top,
        |  (1000 * top_cents) // total AS top_share_permille
        |FROM gini CROSS JOIN thr CROSS JOIN top""".stripMargin

@@ -711,12 +711,21 @@ object Eval {
       sum(col("x1") * col("x2")).as("s12"),
       sum(col("x1") * col("x3")).as("s13"),
       sum(col("x2") * col("x3")).as("s23"))
+    // per-FACTOR double casts (the q173 kappa shape): n·Σxy formed in
+    // Long wraps under ANSI at lake-scale moments (the q196 lesson) —
+    // products of count-valued doubles are IEEE-deterministic instead
     def rExpr(sab: String, sa: String, sb: String, saa: String,
         sbb: String): String =
-      s"round(CASE WHEN n*$saa - $sa*$sa = 0 OR n*$sbb - $sb*$sb = 0 " +
-        s"THEN NULL ELSE CAST(n*$sab - $sa*$sb AS DOUBLE) / " +
-        s"(sqrt(CAST(n*$saa - $sa*$sa AS DOUBLE)) * " +
-        s"sqrt(CAST(n*$sbb - $sb*$sb AS DOUBLE))) END, 6) AS r_r"
+      s"round(CASE WHEN CAST(n AS DOUBLE)*CAST($saa AS DOUBLE) - " +
+        s"CAST($sa AS DOUBLE)*CAST($sa AS DOUBLE) = 0.0 OR " +
+        s"CAST(n AS DOUBLE)*CAST($sbb AS DOUBLE) - " +
+        s"CAST($sb AS DOUBLE)*CAST($sb AS DOUBLE) = 0.0 THEN NULL ELSE " +
+        s"(CAST(n AS DOUBLE)*CAST($sab AS DOUBLE) - " +
+        s"CAST($sa AS DOUBLE)*CAST($sb AS DOUBLE)) / " +
+        s"(sqrt(CAST(n AS DOUBLE)*CAST($saa AS DOUBLE) - " +
+        s"CAST($sa AS DOUBLE)*CAST($sa AS DOUBLE)) * " +
+        s"sqrt(CAST(n AS DOUBLE)*CAST($sbb AS DOUBLE) - " +
+        s"CAST($sb AS DOUBLE)*CAST($sb AS DOUBLE))) END, 6) AS r_r"
     val pairs = Seq(
       ("chars_tokens", rExpr("s12", "s1", "s2", "s11", "s22")),
       ("chars_entropy", rExpr("s13", "s1", "s3", "s11", "s33")),
@@ -729,10 +738,16 @@ object Eval {
   private lazy val q187Oracle: String = {
     def rExpr(sab: String, sa: String, sb: String, saa: String,
         sbb: String): String =
-      s"round(CASE WHEN n*$saa - $sa*$sa = 0 OR n*$sbb - $sb*$sb = 0 " +
-        s"THEN NULL ELSE CAST(n*$sab - $sa*$sb AS DOUBLE) / " +
-        s"(sqrt(CAST(n*$saa - $sa*$sa AS DOUBLE)) * " +
-        s"sqrt(CAST(n*$sbb - $sb*$sb AS DOUBLE))) END, 6) AS r_r"
+      s"round(CASE WHEN CAST(n AS DOUBLE)*CAST($saa AS DOUBLE) - " +
+        s"CAST($sa AS DOUBLE)*CAST($sa AS DOUBLE) = 0.0 OR " +
+        s"CAST(n AS DOUBLE)*CAST($sbb AS DOUBLE) - " +
+        s"CAST($sb AS DOUBLE)*CAST($sb AS DOUBLE) = 0.0 THEN NULL ELSE " +
+        s"(CAST(n AS DOUBLE)*CAST($sab AS DOUBLE) - " +
+        s"CAST($sa AS DOUBLE)*CAST($sb AS DOUBLE)) / " +
+        s"(sqrt(CAST(n AS DOUBLE)*CAST($saa AS DOUBLE) - " +
+        s"CAST($sa AS DOUBLE)*CAST($sa AS DOUBLE)) * " +
+        s"sqrt(CAST(n AS DOUBLE)*CAST($sbb AS DOUBLE) - " +
+        s"CAST($sb AS DOUBLE)*CAST($sb AS DOUBLE))) END, 6) AS r_r"
     s"""WITH dt AS (SELECT doc_id, n_chars,
        |    CAST(len(${CorpusFilters.DToks}) AS BIGINT) AS n_toks, text
        |  FROM documents),
