@@ -819,6 +819,65 @@ object Sessions {
       }
   }
 
+  case class TrIn(user_id: Long, ts_us: Long, event_id: Long,
+      event_type: String, ts: Timestamp)
+  /** Last seen event per user — O(1) state per key. */
+  case class TrState(ts_us: Long, event_id: Long, event_type: String)
+  case class TrOut(user_id: Long, src: String, dst: String, ts_us: Long)
+
+  /** Streaming twin of q193's Markov transition extraction: per-user
+    * consecutive event pairs emitted as they happen, with ONE
+    * last-event record of state per user (evicted on event-time
+    * timeout after `idle`). The batch operator needs the whole history
+    * behind a lag window; the stream needs 24 bytes per live user —
+    * this is the standard sessionless sequence-feature extractor in
+    * front of an online transition-count aggregate.
+    *
+    * Determinism contract: within a micro-batch, a user's rows fold in
+    * (ts_us, event_id) order; across batches the state carries the last
+    * event, so for per-user in-order arrival (in-order within the
+    * watermark) the emitted pair set EQUALS the batch lag pairs —
+    * SessionsSpec pins that parity. A late event older than the carried
+    * state would emit an out-of-order pair (recorded, not reordered):
+    * the streaming result is replay-deterministic, and the
+    * reconciliation path is the batch q193 over the sealed corpus —
+    * the same stream-fast/batch-true split as the near-dup stage. */
+  def transitionStream(events: DataFrame, idCol: String, tsCol: String,
+      eventIdCol: String, typeCol: String,
+      watermark: String = "1 minute",
+      idleTimeoutMs: Long = 10 * 60000L): Dataset[TrOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol).cast("long").as("user_id"),
+        expr(s"unix_micros($tsCol)").as("ts_us"),
+        col(eventIdCol).cast("long").as("event_id"),
+        col(typeCol).as("event_type"),
+        col(tsCol).as("ts")) // the watermarked column must survive
+      .as[TrIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TrState, TrOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[TrIn], state: GroupState[TrState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toArray.sortBy(r => (r.ts_us, r.event_id))
+            var last = state.getOption
+            val out = sorted.iterator.map { r =>
+              val o = last.map(p => TrOut(uid, p.event_type, r.event_type,
+                r.ts_us))
+              last = Some(TrState(r.ts_us, r.event_id, r.event_type))
+              o
+            }.flatten.toVector
+            last.foreach(state.update)
+            state.setTimeoutTimestamp(
+              math.max(sorted.map(_.ts_us / 1000L).max + idleTimeoutMs,
+                state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
   /** Continuous CDC → lake: every micro-batch of changelog rows
     * (doc_id, text, lang, source, op 'U'/'D') merges into the stored
     * lang-partitioned table via [[graft.sink.Lake.applyChangesInto]] —

@@ -1061,6 +1061,44 @@ class SessionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming transitions equal the batch lag pairs across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def tms(ms: Long) = new Timestamp(ms)
+    val base = 1800000L
+    // two users, events interleaved and scrambled WITHIN each batch;
+    // batch split lands mid-sequence to exercise the carried state
+    val evs = Seq(
+      (1L, base + 1000L, 1L, "view"), (2L, base + 1500L, 2L, "view"),
+      (1L, base + 2000L, 3L, "click"), (1L, base + 3000L, 4L, "view"),
+      (2L, base + 2500L, 5L, "click"), (1L, base + 4000L, 6L, "purchase"),
+      (2L, base + 5000L, 7L, "purchase"), (2L, base + 6000L, 8L, "view"))
+    val (b1, b2) = evs.splitAt(4)
+    val scram1 = b1.sortBy(_._3 * 7 % 5)
+    val scram2 = b2.sortBy(_._3 * 3 % 4)
+    val input = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = Sessions.transitionStream(
+      input.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+      "user_id", "ts", "event_id", "event_type")
+      .writeStream.format("memory").queryName("tr_out")
+      .outputMode("append").start()
+    try {
+      input.addData(scram1.map(e => (e._1, tms(e._2), e._3, e._4)): _*)
+      q.processAllAvailable()
+      input.addData(scram2.map(e => (e._1, tms(e._2), e._3, e._4)): _*)
+      q.processAllAvailable()
+      val got = spark.table("tr_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSet
+      // batch twin: lag over the full in-order frame
+      val expect = evs.groupBy(_._1).flatMap { case (u, g) =>
+        val s = g.sortBy(e => (e._2, e._3))
+        s.zip(s.tail).map { case (a, b) => (u, a._4, b._4, b._2 * 1000L) }
+      }.toSet
+      assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+    } finally q.stop()
+  }
+
   test("streaming A-ES reservoir: exact top-k per window, bounded state, batch parity") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
