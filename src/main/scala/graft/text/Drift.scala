@@ -1,0 +1,205 @@
+package graft.text
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Distribution-drift monitors over the corpus quality signals — the
+  * per-source release gate a curation platform runs before admitting a
+  * new crawl/source into the training mixture (the "did this source
+  * shift?" check of every data-quality stack; cf. the drift chapters of
+  * Rabanser et al. NeurIPS 2019, "Failing Loudly").
+  *
+  * q202 — EXACT two-sample Kolmogorov-Smirnov distance, leave-one-out
+  * per source (source vs rest-of-corpus) over the document-length
+  * signal. The KS statistic sup_x |F1(x) − F2(x)| is computed WITHOUT
+  * floats: with c1(x), c2(x) the ECDF counts, D = max_x |c1(x)·n2 −
+  * c2(x)·n1| as an exact BIGINT cross-multiplication (the q174 AUC /
+  * q196 Gini discipline: rank identities in integer space), reported
+  * with its exact numerator, the floor-permille D/(n1·n2), and the
+  * argmax location (min x attaining the max — deterministic).
+  *
+  * q203 — Population Stability Index per source vs rest on fixed-width
+  * length bins (the credit-scoring drift metric; Siddiqi 2006): PSI =
+  * Σ_b (p1−p2)·ln(p1/p2) with Laplace +1 smoothing. Quantization
+  * follows the house micro-nat rule (integerize BEFORE summation,
+  * q125-class): proportions as floor-permilles, each ln as a
+  * DIFFERENCE of integer micro-nat roundings (round(10⁶·ln c) −
+  * round(10⁶·ln n) — ln of integer counts, the q191/q192 knife-edge
+  * class), each bin term a BIGINT product, the PSI an exact sum —
+  * summation-order-proof.
+  *
+  * Scale shape: q202's dense grid is |sources| × |distinct signal
+  * values| — exact ECDFs are value-cardinality-bounded, so the kernel
+  * fits signals with bounded support (lengths, scores, permilles; here
+  * ≤ ~600 distinct). At 100 TB two things change, both argued in
+  * SCALING.md: cross-products c·n reach BIGINT limits near n ≈ 3·10⁹ —
+  * the loud assert below names the DECIMAL(38,0) swap — and unbounded-
+  * support signals first quantize to the q203 bins (PSI IS the
+  * bounded-cardinality scale path: 16 bins per source, one aggregate,
+  * no value-level grid). Everything else is one corpus pass plus
+  * catalog-sized window algebra.
+  */
+object Drift {
+
+  // ------------------------------------------------------ q202 exact KS
+  def q202_ks_drift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), col("n_chars").as("v"))
+    val n = docs.count()
+    val wAll = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // ≤ |distinct v| rows: the single-partition window is catalog-sized
+    val valsCum = docs.groupBy(col("v"))
+      .agg(count(lit(1)).as("cv"))
+      .withColumn("cum_all", sum(col("cv")).over(wAll))
+    val srcTot = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val sv = docs.groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val wS = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val g2 = srcTot.crossJoin(broadcast(valsCum))
+      .join(sv, Seq("source", "v"), "left_outer")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("c1", sum(col("cnt")).over(wS))
+      .withColumn("n_rest", lit(n) - col("n_s"))
+      // cross-products are bounded by n_s·n_rest; past ~3·10⁹ docs the
+      // exact kernel must move to DECIMAL(38,0) — fail loudly, not wrap
+      .filter(coalesce(assert_true(
+        expr(s"n_s <= (${Long.MaxValue}L div greatest(n_rest, 1L))"),
+        lit("KS cross-product would overflow BIGINT: swap the ECDF " +
+          "comparison to DECIMAL(38,0) at this corpus scale")), lit(true)))
+      .withColumn("score",
+        abs(col("c1") * col("n_rest") -
+          (col("cum_all") - col("c1")) * col("n_s")))
+    val g3 = g2.withColumn("mx",
+      max(col("score")).over(Window.partitionBy(col("source"))))
+    g3.groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_s"), max(col("n_rest")).as("n_rest"),
+        max(col("score")).as("d_num"),
+        min(when(col("score") === col("mx"), col("v"))).as("v_at_max"))
+      .withColumn("ks_permille",
+        expr("(1000 * d_num) div (n_s * n_rest)"))
+      .select(col("source"), col("n_s"), col("n_rest"), col("d_num"),
+        col("v_at_max"), col("ks_permille"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val ksOracle: String =
+    s"""WITH docs AS (SELECT source, n_chars AS v FROM documents),
+       |vals AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cv
+       |  FROM docs GROUP BY 1),
+       |vc AS (SELECT v, cv, CAST(SUM(cv) OVER (ORDER BY v
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_all FROM vals),
+       |st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+       |  FROM docs GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM docs),
+       |sv AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM docs GROUP BY 1, 2),
+       |g2 AS (SELECT st.source, st.n_s, vc.v, vc.cum_all,
+       |    CAST(SUM(COALESCE(sv.cnt, 0)) OVER (PARTITION BY st.source
+       |      ORDER BY vc.v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c1,
+       |    (SELECT n FROM tot) - st.n_s AS n_rest
+       |  FROM st CROSS JOIN vc
+       |  LEFT JOIN sv ON sv.source = st.source AND sv.v = vc.v),
+       |g3 AS (SELECT source, n_s, n_rest, v,
+       |    abs(c1 * n_rest - (cum_all - c1) * n_s) AS score FROM g2),
+       |g4 AS (SELECT *, MAX(score) OVER (PARTITION BY source) AS mx
+       |  FROM g3),
+       |fin AS (SELECT source, MAX(n_s) AS n_s, MAX(n_rest) AS n_rest,
+       |    CAST(MAX(score) AS BIGINT) AS d_num,
+       |    MIN(CASE WHEN score = mx THEN v END) AS v_at_max
+       |  FROM g4 GROUP BY 1)
+       |SELECT source, n_s, n_rest, d_num, v_at_max,
+       |  (1000 * d_num) // (n_s * n_rest) AS ks_permille
+       |FROM fin ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------ q203 PSI
+  private val BinW = 64L
+  private val NBins = 16L
+
+  def q203_psi_drift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select(col("source"),
+        least(lit(NBins - 1L), expr(s"n_chars div $BinW")).as("bin"))
+    val n = docs.count()
+    val srcTot = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val binAll = docs.groupBy(col("bin")).agg(count(lit(1)).as("c_all"))
+    val sb = docs.groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = srcTot
+      .crossJoin(broadcast((0L until NBins).toDF("bin")))
+      .join(broadcast(binAll), Seq("bin"), "left_outer")
+      .join(sb, Seq("source", "bin"), "left_outer")
+      .withColumn("c_all", coalesce(col("c_all"), lit(0L)))
+      .withColumn("c1", coalesce(col("cnt"), lit(0L)))
+      .withColumn("n_rest", lit(n) - col("n_s"))
+      .withColumn("c2", col("c_all") - col("c1"))
+    val terms = grid
+      .withColumn("p1", expr(s"(1000 * (c1 + 1)) div (n_s + $NBins)"))
+      .withColumn("p2", expr(s"(1000 * (c2 + 1)) div (n_rest + $NBins)"))
+      .withColumn("l1",
+        round(lit(1e6) * log(col("c1") + 1L)).cast("long") -
+          round(lit(1e6) * log(col("n_s") + NBins)).cast("long"))
+      .withColumn("l2",
+        round(lit(1e6) * log(col("c2") + 1L)).cast("long") -
+          round(lit(1e6) * log(col("n_rest") + NBins)).cast("long"))
+      .withColumn("term",
+        (col("p1") - col("p2")) * (col("l1") - col("l2")))
+    val t2 = terms.withColumn("mx",
+      max(col("term")).over(Window.partitionBy(col("source"))))
+    t2.groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_s"), max(col("n_rest")).as("n_rest"),
+        sum(col("term")).as("psi_nano"), max(col("term")).as("max_term"),
+        min(when(col("term") === col("mx"), col("bin"))).as("bin_at_max"))
+      .select(col("source"), col("n_s"), col("n_rest"), col("psi_nano"),
+        col("max_term"), col("bin_at_max"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val psiOracle: String =
+    s"""WITH docs AS (SELECT source,
+       |    least(${NBins - 1}, n_chars // $BinW) AS bin FROM documents),
+       |st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+       |  FROM docs GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM docs),
+       |ba AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS c_all
+       |  FROM docs GROUP BY 1),
+       |sb AS (SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM docs GROUP BY 1, 2),
+       |bins AS (SELECT CAST(unnest(range(0, $NBins)) AS BIGINT) AS bin),
+       |grid AS (SELECT st.source, st.n_s, bins.bin,
+       |    COALESCE(ba.c_all, 0) AS c_all, COALESCE(sb.cnt, 0) AS c1,
+       |    (SELECT n FROM tot) - st.n_s AS n_rest
+       |  FROM st CROSS JOIN bins
+       |  LEFT JOIN ba ON ba.bin = bins.bin
+       |  LEFT JOIN sb ON sb.source = st.source AND sb.bin = bins.bin),
+       |terms AS (SELECT source, n_s, n_rest, bin,
+       |    (1000 * (c1 + 1)) // (n_s + $NBins) AS p1,
+       |    (1000 * (c_all - c1 + 1)) // (n_rest + $NBins) AS p2,
+       |    CAST(round(1000000.0 * ln(c1 + 1)) AS BIGINT) -
+       |      CAST(round(1000000.0 * ln(n_s + $NBins)) AS BIGINT) AS l1,
+       |    CAST(round(1000000.0 * ln(c_all - c1 + 1)) AS BIGINT) -
+       |      CAST(round(1000000.0 * ln(n_rest + $NBins)) AS BIGINT) AS l2
+       |  FROM grid),
+       |tm AS (SELECT source, n_s, n_rest, bin,
+       |    (p1 - p2) * (l1 - l2) AS term FROM terms),
+       |t2 AS (SELECT *, MAX(term) OVER (PARTITION BY source) AS mx
+       |  FROM tm)
+       |SELECT source, MAX(n_s) AS n_s, MAX(n_rest) AS n_rest,
+       |  CAST(SUM(term) AS BIGINT) AS psi_nano,
+       |  CAST(MAX(term) AS BIGINT) AS max_term,
+       |  MIN(CASE WHEN term = mx THEN bin END) AS bin_at_max
+       |FROM t2 GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_ks_drift" -> (q202_ks_drift _),
+    "q203_psi_drift" -> (q203_psi_drift _))
+
+  val oracle: Map[String, String] = Map(
+    "q202_ks_drift" -> ksOracle,
+    "q203_psi_drift" -> psiOracle)
+}

@@ -48,4 +48,59 @@ class LinkPredSpec extends AnyFunSuite {
       assert(dmin == dmax, "null alpha only for a degree-regular graph")
     }
   }
+
+  test("q201 distance profile: brute-force BFS agrees, identities hold") {
+    val rows = LinkPred.q201_distance_histogram(spark, sf).collect()
+    // rebuild the budgeted graph and BFS it driver-side
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_orderkey AS ok", "l_suppkey AS sk").distinct()
+    val edges = li.alias("a").join(li.alias("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("sa"), col("b.sk").as("sb"))
+      .agg(count(lit(1)).as("w"))
+      .orderBy(col("w").desc, col("sa"), col("sb")).limit(4000)
+      .select("sa", "sb").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.Set[Long]]
+    edges.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    val hist = scala.collection.mutable.Map.empty[Int, Long]
+      .withDefaultValue(0L)
+    for (s0 <- adj.keys) {
+      val seen = scala.collection.mutable.Map(s0 -> 0)
+      var fr = List(s0); var d = 0
+      while (fr.nonEmpty && d < 8) {
+        d += 1
+        fr = fr.flatMap(adj(_)).distinct.filterNot(seen.contains)
+        fr.foreach(seen(_) = d)
+      }
+      seen.foreach { case (v, dd) => if (v > s0) hist(dd) += 1 }
+    }
+    val got = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == hist.toMap.filter(_._1 >= 1),
+      s"histogram $got vs brute ${hist.toMap}")
+    val n = adj.size.toLong
+    val reach = hist.values.sum
+    rows.foreach { r =>
+      assert(r.getLong(3) == n, "n_nodes")
+      assert(r.getLong(4) == n * (n - 1) / 2, "total_pairs")
+      assert(r.getLong(5) == reach, "reachable_pairs")
+      assert(r.getBoolean(8), "converged at this SF (measured diam 2)")
+      assert(r.getLong(7) ==
+        1000L * hist.map { case (d, c) => d * c }.sum / reach, "avg milli")
+    }
+    // cum_pairs staircase + effective diameter definition
+    val byDist = rows.sortBy(_.getInt(0))
+    var cum = 0L
+    var eff = Int.MaxValue
+    byDist.foreach { r =>
+      cum += r.getLong(1)
+      assert(r.getLong(2) == cum, "cum_pairs")
+      if (10 * cum >= 9 * reach && eff == Int.MaxValue) eff = r.getInt(0)
+    }
+    byDist.foreach(r => assert(r.getInt(6) == eff, "eff_diam_p90"))
+  }
 }

@@ -202,4 +202,47 @@ class BudgetSpec extends AnyFunSuite {
       assert(mn > 1e-6, s"boundary margin $mn at $d")
     }
   }
+
+  test("q199 stride schedule: priority-queue simulation parity, " +
+    "fairness lag < 1 slot, frontier gate holds") {
+    val rows = Budget.q199_stride_schedule(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5)))
+    assert(rows.length == 600)
+    assert(rows.forall(_._5), "per-row lag_ok must gate true")
+    assert(rows.forall(_._6), "frontier_ok must gate true")
+    // exact driver-side simulation: merge all (source, k) candidates by
+    // the rational priority (k+1)/w via BigInt cross-multiplication
+    val ws = Budget.allocations(spark, sf)
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("alloc")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).filter(_._2 > 0)
+    val totalW = ws.map(_._2).sum
+    val cands = for {
+      (src, w) <- ws.toSeq
+      k <- 0L until (600L * w / totalW + 4L)
+    } yield (src, w, k)
+    val sorted = cands.sortWith { case ((s1, w1, k1), (s2, w2, k2)) =>
+      val l = BigInt(k1 + 1) * w2; val r = BigInt(k2 + 1) * w1
+      l < r || (l == r && (s1 < s2 || (s1 == s2 && k1 < k2)))
+    }.take(600)
+    sorted.zipWithIndex.foreach { case ((src, w, k), i) =>
+      val (step, oSrc, occ, oW, _, _) = rows(i)
+      assert(step == i + 1L && oSrc == src && occ == k + 1L && oW == w,
+        s"step ${i + 1}: got ($oSrc, $occ), sim ($src, ${k + 1})")
+    }
+    // full fairness matrix: EVERY source at EVERY prefix is within one
+    // slot of its exact quota (the stride-scheduler bound)
+    val cum = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    sorted.zipWithIndex.foreach { case ((src, _, _), i) =>
+      val t = i + 1L
+      cum(src) += 1
+      ws.foreach { case (s2, w2) =>
+        val lag = (BigInt(cum(s2)) * totalW - BigInt(t) * w2).abs
+        assert(lag < BigInt(totalW),
+          s"lag bound broken for $s2 at step $t")
+      }
+    }
+  }
 }

