@@ -1288,7 +1288,7 @@ object Similarity {
     * Hamming = bit_count(xor). Signature bits combine with bitwise OR of
     * per-bit signed literals (never `+`/`<<` at bit 63 — BIGINT sums
     * overflow-error in DuckDB where Spark wraps). */
-  private def simhashCtes(p: String): String = {
+  private[graft] def simhashCtes(p: String): String = {
     // signed assembly: DuckDB errors on `hi << 32` once bit 31 is set
     // (BIGINT shift overflow), so bias hi into signed-32 range first —
     // (hi - 2^32·[hi ≥ 2^31]) · 2^32 + lo is two's-complement-identical to

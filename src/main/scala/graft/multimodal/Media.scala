@@ -377,6 +377,7 @@ object Media {
     "q154_media_frames" -> (q154_media_frames _),
     "m_media_dedup"    -> (m_media_dedup _),
     "q83_image_text_pairs" -> (q83_image_text_pairs _),
+    "q205_alignment_gate" -> (q205_alignment_gate _),
     "q90_interleaved_docs" -> (q90_interleaved_docs _),
     "m_image_text_pairs"   -> (m_image_text_pairs _))
 
@@ -438,6 +439,94 @@ object Media {
        |FROM attrs a JOIN documents d ON d.doc_id = a.id
        |WHERE a.kidx = 0
        |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------ q205 alignment gate
+  private val AlignSalt = 77003L
+  private val AlignMaxHamming = 26
+
+  /** Image-text ALIGNMENT gate (q205) — the CLIP-score filter every
+    * paired multimodal corpus runs before training (the LAION-400M
+    * recipe: Schuhmann et al. 2021 drop pairs with CLIP cosine < 0.3;
+    * DataComp's filtering tracks, Gadre et al. 2023, tune exactly this
+    * gate): per q83 pair, compare a 64-bit image-side signature against
+    * the caption's 64-bit SimHash and keep pairs whose Hamming
+    * agreement clears the threshold.
+    *
+    * Stub-codec honesty (the container has no CLIP): in production the
+    * image signature is the binarized image-tower embedding
+    * (extractFeatures → sign bits, exactly [[m_image_text_pairs]]'s
+    * phash); HERE it is metadata-seeded (splitmix64(media_id ⊕ salt))
+    * so the ENTIRE gate — pair assembly, both signatures, the Hamming
+    * comparison, every keep decision — replays in DuckDB and
+    * hash-gates. The Spark-side plumbing (pair join, dual-modality
+    * signature computation, integer threshold, keep flag) is the real
+    * pipeline; only the image-tower bits are fake, behind the same seam
+    * the codec stubs already occupy.
+    *
+    * Scale shape: the caption SimHash is the q73 one-shuffle native
+    * aggregate; the image signature is map-side arithmetic; the gate is
+    * one equi-join on doc_id — no new super-linear object. At 100 TB
+    * the only change is swapping the seeded signature for the codec's
+    * sign bits (same column, same types). */
+  def q205_alignment_gate(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q83_image_text_pairs(s, dir)
+      .select(col("doc_id"), col("media_id"), col("lang"))
+    val sigs = graft.ml.Similarity.simhash(s, dir)
+    pairs.join(sigs, Seq("doc_id"))
+      .withColumn("img_sig", graft.rel.JoinCard.splitmix64(
+        col("media_id").bitwiseXOR(lit(AlignSalt))))
+      .withColumn("hamming",
+        bit_count(col("img_sig").bitwiseXOR(col("simhash"))).cast("int"))
+      .withColumn("keep", col("hamming") <= AlignMaxHamming)
+      .select(col("doc_id"), col("media_id"), col("lang"),
+        col("hamming"), col("keep"))
+      .orderBy(col("doc_id"), col("media_id"))
+  }
+
+  /** Generated twin of q205: the q83 kind-derivation replay picks the
+    * image ids, a second salted splitmix chain re-derives the image
+    * signature, and the caption SimHash reuses the 64-conditional-sums
+    * encoding from `Similarity.simhashCtes`. */
+  private lazy val alignmentOracle: String = {
+    val z1 = "(z + 11400714819323198485) % 18446744073709551616"
+    val m2 = mulmodSql("x1", BigInt("13787848793156543929"))
+    val m3 = mulmodSql("x2", BigInt("10723151780598845931"))
+    val az1 = z1.replace("(z ", "(az ")
+    s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+       |zs AS (SELECT id, CAST(id AS HUGEINT) AS z FROM ids),
+       |s1 AS (SELECT id, $z1 AS z1 FROM zs),
+       |s2 AS (SELECT id, xor(z1, z1 // 1073741824) AS x1 FROM s1),
+       |s3 AS (SELECT id, $m2 AS z2 FROM s2),
+       |s4 AS (SELECT id, xor(z2, z2 // 134217728) AS x2 FROM s3),
+       |s5 AS (SELECT id, $m3 AS z3 FROM s4),
+       |s6 AS (SELECT id, xor(z3, z3 // 2147483648) AS m FROM s5),
+       |sg AS (SELECT id,
+       |    CASE WHEN m >= 9223372036854775808 THEN m - 18446744073709551616
+       |         ELSE m END AS x
+       |  FROM s6),
+       |imgs AS (SELECT id FROM sg WHERE ((x % 3) + 3) % 3 = 0),
+       |azs AS (SELECT id, xor(CAST(id AS HUGEINT), $AlignSalt) AS az
+       |  FROM imgs),
+       |a1 AS (SELECT id, $az1 AS z1 FROM azs),
+       |a2 AS (SELECT id, xor(z1, z1 // 1073741824) AS x1 FROM a1),
+       |a3 AS (SELECT id, $m2 AS z2 FROM a2),
+       |a4 AS (SELECT id, xor(z2, z2 // 134217728) AS x2 FROM a3),
+       |a5 AS (SELECT id, $m3 AS z3 FROM a4),
+       |a6 AS (SELECT id, xor(z3, z3 // 2147483648) AS m FROM a5),
+       |asg AS (SELECT id,
+       |    CAST(CASE WHEN m >= 9223372036854775808
+       |         THEN m - 18446744073709551616
+       |         ELSE m END AS BIGINT) AS img_sig
+       |  FROM a6),
+       |${graft.ml.Similarity.simhashCtes("sx")}
+       |SELECT i.id AS doc_id, i.id AS media_id, d.lang,
+       |  CAST(bit_count(xor(a.img_sig, sx.simhash)) AS INTEGER) AS hamming,
+       |  bit_count(xor(a.img_sig, sx.simhash)) <= $AlignMaxHamming AS keep
+       |FROM imgs i JOIN asg a ON a.id = i.id
+       |JOIN documents d ON d.doc_id = i.id
+       |JOIN sxsig sx ON sx.doc_id = i.id
+       |ORDER BY doc_id, media_id""".stripMargin
   }
 
   /** Generated twin of q90: the same splitmix64 HUGEINT replay derives
@@ -531,6 +620,7 @@ object Media {
 
   val oracle: Map[String, String] = Map(
     "q83_image_text_pairs" -> imageTextPairsOracle,
+    "q205_alignment_gate" -> alignmentOracle,
     "q90_interleaved_docs" -> interleavedDocsOracle,
     "q154_media_frames" -> mediaFramesOracle)
 }

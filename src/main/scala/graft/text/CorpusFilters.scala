@@ -1131,6 +1131,72 @@ object CorpusFilters {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokenizer fertility report by language (q204) — the comparison
+    * table every multilingual tokenizer evaluation publishes (fertility
+    * = pieces per word, cf. the XLM-R tokenizer analyses of Rust et al.
+    * ACL 2021, "How Good is Your Tokenizer?"): per language, how many
+    * BPE pieces the LEARNED q94 vocabulary spends per 100 words and how
+    * many characters ride in each piece. A language the vocabulary
+    * under-serves shows high fertility — the signal that reweights the
+    * tokenizer-training mixture. Consumes the q94 trainer memo
+    * (learn→apply consumer, the q94b pattern) and stays integer-exact:
+    * fertility as (100·pieces) div words, piece width as
+    * (1000·chars) div pieces.
+    *
+    * Scale shape: identical to q94b — the pieces table is vocabulary-
+    * sized (Heaps-bounded distinct words, broadcast), the corpus pass
+    * is one explode + broadcast join + per-lang aggregate. */
+  def q204_tokenizer_fertility(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMergesLearned(s, dir)
+    merges.foreach { case (l, r) =>
+      require(l.matches("[a-z0-9]+") && r.matches("[a-z0-9]+"),
+        s"BPE merge symbols must be [a-z0-9]+: '$l', '$r'")
+    }
+    val symInit = "concat('|', array_join(transform(sequence(1, length(word))," +
+      " i -> substring(word, i, 1)), '||'), '|')"
+    val chain = merges.foldLeft(symInit) { case (acc, (l, r)) =>
+      s"replace($acc, '|$l||$r|', '|$l$r|')"
+    }
+    val wordPieces = docToks(s, dir)
+      .select(explode(col("t")).as("word")).distinct()
+      .withColumn("sym", expr(chain))
+      .withColumn("n_pieces", expr(
+        "size(split(substring(sym, 2, length(sym) - 2), '\\\\|\\\\|'))").cast("long"))
+      .withColumn("n_chars", length(col("word")).cast("long"))
+      .select(col("word"), col("n_pieces"), col("n_chars"))
+    Tables.documentsFanned(s, dir)
+      .select(col("doc_id"), col("lang"), Cleanse.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(col("doc_id"), col("lang"), explode(col("t")).as("word"))
+      .join(broadcast(wordPieces), "word")
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("n_chars")).as("n_chars"))
+      .withColumn("pieces_per_100w", expr("(100 * n_pieces) div n_words"))
+      .withColumn("chars_per_piece_milli", expr("(1000 * n_chars) div n_pieces"))
+      .orderBy(col("lang"))
+  }
+
+  private lazy val fertilityOracle: String =
+    s"""WITH $bpeStagesSql,
+       |wp AS (SELECT word,
+       |    CAST(len(string_split(sym[2:len(sym) - 1], '||')) AS BIGINT)
+       |      AS n_pieces,
+       |    CAST(length(word) AS BIGINT) AS n_chars
+       |  FROM s$BpeRounds),
+       |toks AS (SELECT doc_id, lang, unnest($DToks) AS word FROM documents),
+       |g AS (SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |    CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(wp.n_pieces) AS BIGINT) AS n_pieces,
+       |    CAST(SUM(wp.n_chars) AS BIGINT) AS n_chars
+       |  FROM toks JOIN wp USING (word) GROUP BY 1)
+       |SELECT lang, n_docs, n_words, n_pieces, n_chars,
+       |  (100 * n_pieces) // n_words AS pieces_per_100w,
+       |  (1000 * n_chars) // n_pieces AS chars_per_piece_milli
+       |FROM g ORDER BY lang""".stripMargin
+
   private lazy val bpeTokenizeOracle: String =
     s"""WITH $bpeStagesSql,
        |wp AS (SELECT word,
@@ -2901,6 +2967,7 @@ object CorpusFilters {
     "q87b_quality_trained" -> (q87b_quality_trained _),
     "q94_bpe_learn"       -> (q94_bpe_learn _),
     "q94b_bpe_tokenize"   -> (q94b_bpe_tokenize _),
+    "q204_tokenizer_fertility" -> (q204_tokenizer_fertility _),
     "q112_bytebpe_learn"  -> (q112_bytebpe_learn _),
     "q112b_bytebpe_tokenize" -> (q112b_bytebpe_tokenize _),
     "q95_adaptive_threshold" -> (q95_adaptive_threshold _),
@@ -3345,6 +3412,7 @@ object CorpusFilters {
          |  CAST(SUM(covered) AS BIGINT) AS n_repeated_tokens
          |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q94b_bpe_tokenize" -> bpeTokenizeOracle,
+    "q204_tokenizer_fertility" -> fertilityOracle,
     "q112_bytebpe_learn" -> byteBpeLearnOracle,
     "q112b_bytebpe_tokenize" -> byteBpeTokenizeOracle,
     "q116_wordpiece_learn" -> wpLearnOracle,

@@ -104,4 +104,35 @@ class MediaSpec extends AnyFunSuite {
     assert(expected.values.max >= 2, "fixture must produce multi-image docs")
     assert(rows.map(_.getAs[String]("items_md5")).distinct.length > 1)
   }
+
+  test("q205 alignment gate: pair set matches q83, hamming replays, " +
+    "keep is exactly the threshold test") {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val rows = Media.q205_alignment_gate(spark, dir).collect()
+    val pairKeys = Media.q83_image_text_pairs(spark, dir)
+      .select(col("doc_id"), col("media_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == pairKeys,
+      "gate scores exactly the q83 pair table")
+    val sims = graft.ml.Similarity.simhash(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var kept = 0
+    rows.foreach { r =>
+      val (doc, media, ham, keep) =
+        (r.getLong(0), r.getLong(1), r.getInt(3), r.getBoolean(4))
+      assert(ham >= 0 && ham <= 64)
+      val imgSig = mix(media ^ 77003L)
+      assert(ham == java.lang.Long.bitCount(imgSig ^ sims(doc)),
+        s"hamming replay for pair ($doc, $media)")
+      assert(keep == (ham <= 26), "keep is the pure threshold test")
+      if (keep) kept += 1
+    }
+    assert(kept >= 1 && kept < rows.length,
+      "threshold must separate: some pairs keep, some drop")
+  }
 }

@@ -360,4 +360,31 @@ class SubwordSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_words") == words.length.toLong)
     }
   }
+
+  test("q204 fertility: per-lang rows roll up q94b's per-doc counts " +
+    "exactly; metric identities hold") {
+    val sf = "/root/testdata/sf0.001"
+    val fert = CorpusFilters.q204_tokenizer_fertility(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // independent roll-up: q94b per-doc piece counts joined to doc langs
+    val perDoc = CorpusFilters.q94b_bpe_tokenize(spark, sf)
+      .join(spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_words")).as("w"), sum(col("n_bpe_tokens")).as("p"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(fert.keySet == perDoc.keySet)
+    perDoc.foreach { case (lang, (nd, w, p)) =>
+      val (fnd, fw, fp, _, per100, charsMilli) = fert(lang)
+      assert(fnd == nd && fw == w && fp == p, s"roll-up for $lang")
+      assert(per100 == 100 * p / w, "fertility floor-division identity")
+      assert(per100 >= 100, "a word is at least one piece")
+      assert(charsMilli >= 1000,
+        "pieces never exceed characters (merges only shrink)")
+    }
+  }
 }
