@@ -667,6 +667,69 @@ object Sessions {
         col("bucket_counts"), col("max_share_permille"), col("drift_alert"))
   }
 
+  /** Streaming PSI drift gate — q203's continuous learn→apply twin (the
+    * seventh advisor→executor loop): the BATCH reference histogram
+    * (16 length bins over the sealed corpus, collected once — a
+    * metadata-scale plan constant, the trainer-memo pattern) broadcasts
+    * into a stateless windowed aggregate, and every watermarked window
+    * emits its exact integer PSI against that reference plus a
+    * `drift_alert` breach flag. Quantization is identical to q203
+    * (floor-permille proportions, micro-nat ln differences, terms
+    * integerized BEFORE the sum), so a window holding exactly the
+    * reference mix scores every term 0 and batch parity is row-for-row
+    * equality of the same plan over the same rows.
+    *
+    * Scale shape: ONE streaming aggregate per window (the 16 bin counts
+    * pivot into the window row — a per-(window, bin) grouping would
+    * need a second aggregate, which append mode forbids); the PSI
+    * algebra is map-side arithmetic on the single window row. State is
+    * O(open windows), never O(stream). */
+  def psiDriftStream(docs: DataFrame, tsCol: String, charsCol: String,
+      refCounts: Seq[(Long, Long)], watermark: String, windowLen: String,
+      alertNano: Long): DataFrame = {
+    val nBins = 16
+    val nRef = refCounts.map(_._2).sum
+    val refMap = refCounts.toMap
+    require(nRef > 0, "reference histogram must be non-empty")
+    val ref = (0 until nBins).map { b =>
+      val c = refMap.getOrElse(b.toLong, 0L)
+      ((1000L * (c + 1)) / (nRef + nBins),
+        math.round(1e6 * math.log((c + 1).toDouble)) -
+          math.round(1e6 * math.log((nRef + nBins).toDouble)))
+    }
+    val binCols = (0 until nBins).map(b =>
+      sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"c$b"))
+    def term(b: Int) = {
+      val (p2, l2) = ref(b)
+      (expr(s"(1000 * (c$b + 1)) div (n_docs + $nBins)") - lit(p2)) *
+        ((round(lit(1e6) * log(col(s"c$b") + lit(1L))).cast("long") -
+          round(lit(1e6) * log(col("n_docs") + lit(nBins.toLong)))
+            .cast("long")) - lit(l2))
+    }
+    docs
+      .withWatermark(tsCol, watermark)
+      .withColumn("bin",
+        least(lit(nBins - 1L), expr(s"$charsCol div 64")))
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(count(lit(1)).as("n_docs"), binCols.head +: binCols.tail: _*)
+      .withColumn("psi_nano", (0 until nBins).map(term).reduce(_ + _))
+      .withColumn("max_term", greatest((0 until nBins).map(term): _*))
+      .withColumn("bin_at_max", coalesce((0 until nBins).map(b =>
+        when(term(b) === col("max_term"), lit(b.toLong))): _*))
+      .withColumn("drift_alert", col("psi_nano") > alertNano)
+      .select(col("window.start").as("window_start"), col("n_docs"),
+        col("psi_nano"), col("max_term"), col("bin_at_max"),
+        col("drift_alert"))
+  }
+
+  /** The q203-binning reference histogram of a sealed corpus — the
+    * collect is 16 rows (metadata-scale), the batch half of
+    * [[psiDriftStream]]'s learn→apply loop. */
+  def psiReference(docs: DataFrame, charsCol: String): Seq[(Long, Long)] =
+    docs.withColumn("bin", least(lit(15L), expr(s"$charsCol div 64")))
+      .groupBy(col("bin")).agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
   case class HHIn(w: Long, term: String, ts: Timestamp)
   /** SpaceSaving counter state per open window: est counts + max
     * overcounts share the key set; total rides along for the guarantee

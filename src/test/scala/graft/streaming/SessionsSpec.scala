@@ -1147,4 +1147,64 @@ class SessionsSpec extends AnyFunSuite {
       res0.foreach { case (_, d, _, l) => assert(l == lnu(d)) }
     } finally q.stop()
   }
+
+  test("psi drift gate: reference-mix window scores exactly zero, " +
+    "shifted window alerts, batch parity exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000400000000L // on a 10-minute boundary
+    def doc(minute: Long, chars: Long) =
+      (new Timestamp((t0 + minute * 60000000L) / 1000), chars)
+    // reference mix: lengths across 4 distinct bins
+    val refRows = Seq(50L, 120L, 120L, 300L, 300L, 300L, 700L, 700L)
+    // window 0 replays the reference multiset exactly; window 1 is all
+    // bin-15 outliers
+    val rows = refRows.zipWithIndex.map { case (c, i) => doc(i % 8, c) } ++
+      (0 until 8).map(i => doc(10 + (i % 8), 999L))
+    val refCounts = Sessions.psiReference(
+      refRows.toDF("n_chars"), "n_chars")
+    val input = MemoryStream[(Timestamp, Long)]
+    val q = Sessions.psiDriftStream(input.toDF().toDF("ts", "n_chars"),
+        "ts", "n_chars", refCounts, "5 minutes", "10 minutes", 1000000L)
+      .writeStream.format("memory").queryName("psi_out")
+      .outputMode("append").start()
+    try {
+      rows.grouped(5).foreach { g =>
+        input.addData(g.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      input.addData(doc(60, 1L)); q.processAllAvailable() // close windows
+      val got = spark.table("psi_out").collect()
+        .map(r => r.getTimestamp(0).getTime ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getBoolean(5))).toMap
+      val w0 = got(t0 / 1000)
+      assert(w0._1 == 8L)
+      assert(w0._2 == 0L, "identical mix must score PSI exactly 0")
+      assert(!w0._5)
+      val w1 = got(t0 / 1000 + 600000L)
+      assert(w1._5, "all-outlier window must alert")
+      assert(w1._4 == 15L, "worst bin is the outlier bin")
+      // driver replay of the window-1 score (q203 quantization)
+      def lnMicro(x: Long): Long = math.round(1e6 * math.log(x.toDouble))
+      val nRef = refRows.length.toLong
+      val psi1 = (0 until 16).map { b =>
+        val c1 = if (b == 15) 8L else 0L
+        val cr = refRows.count(c => math.min(15L, c / 64L) == b).toLong
+        val p1 = (1000L * (c1 + 1)) / (8L + 16)
+        val p2 = (1000L * (cr + 1)) / (nRef + 16)
+        val l1 = lnMicro(c1 + 1) - lnMicro(8L + 16)
+        val l2 = lnMicro(cr + 1) - lnMicro(nRef + 16)
+        (p1 - p2) * (l1 - l2)
+      }.sum
+      assert(w1._2 == psi1, "exact PSI replay for the shifted window")
+      // batch parity: the same plan over the same rows, row-for-row
+      val batch = Sessions.psiDriftStream(rows.toDF("ts", "n_chars"),
+          "ts", "n_chars", refCounts, "5 minutes", "10 minutes", 1000000L)
+        .collect()
+        .map(r => r.getTimestamp(0).getTime ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getBoolean(5))).toMap
+      got.foreach { case (w, v) => assert(v == batch(w), s"window $w") }
+    } finally q.stop()
+  }
 }
