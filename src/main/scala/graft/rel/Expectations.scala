@@ -105,10 +105,90 @@ object Expectations {
        |  (SELECT n_rows FROM sc) AS population, violations = 0 AS passed
        |FROM rows_out ORDER BY check_name""".stripMargin
 
+  // -------------------------------------------------- q208 Benford audit
+  /** First-digit expected permilles round(1000·log₁₀(1 + 1/d)) — Scala
+    * constants embedded as literals in BOTH engines, so no query-time
+    * pow/log knife-edge exists at all. */
+  private val BenfordPermille: Seq[(Int, Long)] =
+    (1 to 9).map(d => d -> math.round(1000.0 * math.log10(1.0 + 1.0 / d)))
+
+  /** Benford first-digit audit (q208) — the classic fabricated-numbers
+    * screen (Benford 1938; Nigrini's forensic-accounting practice,
+    * "Benford's Law", Wiley 2012) applied to the money column: natural
+    * multi-magnitude amounts follow P(d) = log₁₀(1+1/d); synthetic or
+    * truncated feeds don't, and the divergence localizes data-entry
+    * bugs the schema checks of q146 can't see (a price column that's
+    * secretly uniform passes every range/null/domain constraint).
+    *
+    * All-integer discipline: cents derive via the house DECIMAL(18,2)
+    * money cast, the first digit comes off the decimal STRING (never
+    * log10 of a double at query time), observed shares floor-quantize
+    * to permilles BEFORE the divergence so the statistic is
+    * scale-proof (no c² products — the q196 overflow lesson), and the
+    * per-digit divergence term (o−e)²·10⁶ div e is a quantized Pearson
+    * χ²-style contribution bounded by 10¹² at ANY corpus size.
+    *
+    * Scale: one map-side digit extraction + one 9-group aggregate +
+    * catalog algebra. */
+  def q208_benford_audit(s: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.lineitem(s, dir)
+      .select(substring(
+        col("l_extendedprice").cast("decimal(18,2)").multiply(lit(100))
+          .cast("long").cast("string"), 1, 1).cast("int").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n_obs"))
+    val expected = BenfordPermille
+      .map { case (d, e) => s"($d, ${e}L)" }.mkString(", ")
+    val exp = s.sql(
+      s"SELECT col1 AS d, col2 AS e_permille FROM VALUES $expected")
+    val n = broadcast(digits.agg(sum(col("n_obs")).as("n_rows")))
+    val terms = exp.join(digits, Seq("d"), "left_outer")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .crossJoin(n)
+      .withColumn("o_permille", expr("(1000 * n_obs) div n_rows"))
+      .withColumn("term_micro", expr(
+        "((o_permille - e_permille) * (o_permille - e_permille) * 1000000)" +
+          " div e_permille"))
+    val tot = broadcast(
+      terms.agg(sum(col("term_micro")).as("divergence_micro")))
+    terms.crossJoin(tot)
+      .select(col("d"), col("n_obs"), col("n_rows"), col("o_permille"),
+        col("e_permille"), col("term_micro"), col("divergence_micro"))
+      .orderBy(col("d"))
+  }
+
+  private lazy val benfordOracle: String = {
+    val expected = BenfordPermille
+      .map { case (d, e) => s"($d, $e)" }.mkString(", ")
+    s"""WITH dig AS (SELECT CAST(substr(CAST(CAST(
+       |      CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS VARCHAR), 1, 1) AS INTEGER) AS d
+       |  FROM lineitem),
+       |obs AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_obs
+       |  FROM dig GROUP BY d),
+       |exp AS (SELECT d, CAST(e AS BIGINT) AS e_permille
+       |  FROM (VALUES $expected) t(d, e)),
+       |n AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_rows FROM obs),
+       |terms AS (SELECT exp.d, COALESCE(obs.n_obs, 0) AS n_obs,
+       |    n.n_rows, e_permille,
+       |    (1000 * COALESCE(obs.n_obs, 0)) // n.n_rows AS o_permille
+       |  FROM exp LEFT JOIN obs ON obs.d = exp.d CROSS JOIN n),
+       |t2 AS (SELECT *,
+       |    ((o_permille - e_permille) * (o_permille - e_permille)
+       |      * 1000000) // e_permille AS term_micro
+       |  FROM terms),
+       |tot AS (SELECT CAST(SUM(term_micro) AS BIGINT)
+       |    AS divergence_micro FROM t2)
+       |SELECT d, n_obs, n_rows, o_permille, e_permille, term_micro,
+       |  divergence_micro
+       |FROM t2 CROSS JOIN tot ORDER BY d""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q146_expectations" -> (q146_expectations _))
+    "q146_expectations" -> (q146_expectations _),
+    "q208_benford_audit" -> (q208_benford_audit _))
 
   val oracle: Map[String, String] = Map(
-    "q146_expectations" -> expectationsOracle)
+    "q146_expectations" -> expectationsOracle,
+    "q208_benford_audit" -> benfordOracle)
 }

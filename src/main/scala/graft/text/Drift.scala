@@ -194,12 +194,82 @@ object Drift {
        |  MIN(CASE WHEN term = mx THEN bin END) AS bin_at_max
        |FROM t2 GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------ q207 quantile-rank calibration
+  /** Per-source quantile calibration (q207) — map every document's raw
+    * quality signal onto its WITHIN-SOURCE and GLOBAL quantile ranks
+    * (the score-calibration step that precedes any cross-source
+    * threshold: a "keep the best 40%" rule applied to raw scores
+    * silently over-prunes whole sources whose score distributions sit
+    * low — CCNet applies its LM-perplexity cut per-shard for exactly
+    * this reason, Wenzek et al. 2020 §4). Ranks are exact ECDF counts
+    * from value-group prefix sums (P(X ≤ v), floor-permille) — never a
+    * row_number, so ties calibrate identically — and `calib_gap` =
+    * within-source minus global rank exposes how far per-source
+    * thresholding diverges from global at each doc.
+    *
+    * Scale shape: two value-group tables (global and per-source — both
+    * value-cardinality-bounded like q202's grid) with catalog-sized
+    * windows, broadcast-joined back onto one corpus pass. No
+    * corpus-scale window, no sort. */
+  def q207_quantile_calibrate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars").as("v"))
+    val wAll = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val valsCum = docs.groupBy(col("v")).agg(count(lit(1)).as("cv"))
+      .withColumn("cum_all", sum(col("cv")).over(wAll))
+      .select(col("v"), col("cum_all"))
+    val wS = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val svCum = docs.groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).as("cs"))
+      .withColumn("cum_s", sum(col("cs")).over(wS))
+      .select(col("source"), col("v"), col("cum_s"))
+    val n = docs.count()
+    val srcTot = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    docs
+      .join(broadcast(valsCum), Seq("v"))
+      .join(broadcast(svCum), Seq("source", "v"))
+      .join(broadcast(srcTot), Seq("source"))
+      .withColumn("pct_source", expr("(1000 * cum_s) div n_s"))
+      .withColumn("pct_global", expr(s"(1000 * cum_all) div ${n}L"))
+      .withColumn("calib_gap", col("pct_source") - col("pct_global"))
+      .select(col("doc_id"), col("source"), col("v"), col("pct_source"),
+        col("pct_global"), col("calib_gap"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val calibrateOracle: String =
+    s"""WITH docs AS (SELECT doc_id, source, n_chars AS v FROM documents),
+       |vc AS (SELECT v, CAST(SUM(COUNT(*)) OVER (ORDER BY v
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_all
+       |  FROM docs GROUP BY v),
+       |sv AS (SELECT source, v, CAST(SUM(COUNT(*)) OVER (
+       |    PARTITION BY source ORDER BY v
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_s
+       |  FROM docs GROUP BY source, v),
+       |st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+       |  FROM docs GROUP BY source),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM docs)
+       |SELECT d.doc_id, d.source, d.v,
+       |  (1000 * sv.cum_s) // st.n_s AS pct_source,
+       |  (1000 * vc.cum_all) // (SELECT n FROM tot) AS pct_global,
+       |  (1000 * sv.cum_s) // st.n_s -
+       |    (1000 * vc.cum_all) // (SELECT n FROM tot) AS calib_gap
+       |FROM docs d
+       |JOIN vc ON vc.v = d.v
+       |JOIN sv ON sv.source = d.source AND sv.v = d.v
+       |JOIN st ON st.source = d.source
+       |ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q202_ks_drift" -> (q202_ks_drift _),
-    "q203_psi_drift" -> (q203_psi_drift _))
+    "q203_psi_drift" -> (q203_psi_drift _),
+    "q207_quantile_calibrate" -> (q207_quantile_calibrate _))
 
   val oracle: Map[String, String] = Map(
     "q202_ks_drift" -> ksOracle,
-    "q203_psi_drift" -> psiOracle)
+    "q203_psi_drift" -> psiOracle,
+    "q207_quantile_calibrate" -> calibrateOracle)
 }

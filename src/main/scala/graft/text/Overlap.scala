@@ -185,6 +185,57 @@ object Overlap {
        |WHERE i * 1000 >= $ContainT * sa.n
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------------- q206 novelty curve
+  /** Per-document n-gram NOVELTY (q206) — the marginal-information
+    * signal data-pruning recipes rank by (the "what does this doc add
+    * that the corpus before it didn't have?" question behind
+    * deduplication-aware selection, cf. Lee et al. 2022 §5's analysis
+    * of duplicate text memorization and SemDeDup's marginal-utility
+    * framing): for each document, the fraction of its distinct token
+    * 3-grams whose FIRST corpus occurrence (minimum doc_id — the
+    * arrival order) is this document. A near-duplicate of earlier
+    * material scores near 0; genuinely new text scores near 1000.
+    *
+    * Scale shape: one distinct (doc, gram) projection, one gram-keyed
+    * min-aggregate for first occurrences, one join back on the SAME
+    * gram key (the shuffle partitioning is reused — no second
+    * repartition), one per-doc rollup. All corpus-linear, no windows,
+    * no value grids; the q33 stop-gram caps are unnecessary because
+    * nothing fans out beyond the doc's own gram list. */
+  def q206_novelty_curve(s: SparkSession, dir: String): DataFrame = {
+    val dg = Tables.documentsFanned(s, dir)
+      .select(col("doc_id"), col("source"), Cleanse.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(0, size(t) - 3), " +
+          "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("g"))
+      .distinct()
+    val first = dg.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    dg.join(first, Seq("g"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_permille", expr("(1000 * n_novel) div n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val noveltyOracle: String =
+    s"""WITH toks AS (SELECT doc_id, source,
+       |    ${CorpusFilters.DToks} AS t FROM documents),
+       |dg AS (SELECT DISTINCT doc_id, source,
+       |    unnest(list_transform(range(1, len(t) - 1),
+       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+       |  FROM toks WHERE len(t) >= 3),
+       |fo AS (SELECT g, MIN(doc_id) AS first_doc FROM dg GROUP BY g)
+       |SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_novel,
+       |  (1000 * CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+       |    AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS novelty_permille
+       |FROM dg JOIN fo USING (g)
+       |GROUP BY doc_id, source ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- registry
   // ------------------------------------- q186 cross-source contamination
   /** Source-pair contamination matrix: for every pair of corpus sources,
@@ -248,10 +299,12 @@ object Overlap {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q144_ngram_decontaminate" -> (q144_ngram_decontaminate _),
     "q150_containment_join" -> (q150_containment_join _),
-    "q186_source_contamination" -> (q186_source_contamination _))
+    "q186_source_contamination" -> (q186_source_contamination _),
+    "q206_novelty_curve" -> (q206_novelty_curve _))
 
   val oracle: Map[String, String] = Map(
     "q144_ngram_decontaminate" -> overlapOracle,
     "q150_containment_join" -> containOracle,
-    "q186_source_contamination" -> contaminationOracle)
+    "q186_source_contamination" -> contaminationOracle,
+    "q206_novelty_curve" -> noveltyOracle)
 }

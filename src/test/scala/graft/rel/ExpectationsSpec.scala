@@ -30,4 +30,32 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(byName("unique_orderkey_linenumber") > 0L,
       "the fixture's known key collisions must be detected")
   }
+
+  test("q208 Benford: digit counts and divergence replay from raw prices") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Expectations.q208_benford_audit(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 9))
+    // driver twin: same DECIMAL(18,2) cents derivation off the raw reads
+    val prices = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(org.apache.spark.sql.functions.col("l_extendedprice")
+        .cast("decimal(18,2)").multiply(100).cast("long")).collect()
+      .map(_.getLong(0))
+    val n = prices.length.toLong
+    val counts = prices.groupBy(_.toString.head.asDigit)
+      .map { case (d, v) => d -> v.length.toLong }
+    var divergence = 0L
+    rows.foreach { r =>
+      val (d, nObs, nRows, o, e, term) = (r.getInt(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nRows == n)
+      assert(nObs == counts.getOrElse(d, 0L), s"digit $d count")
+      assert(o == 1000L * nObs / n)
+      assert(e == math.round(1000.0 * math.log10(1.0 + 1.0 / d)))
+      assert(term == (o - e) * (o - e) * 1000000L / e, s"digit $d term")
+      divergence += term
+    }
+    rows.foreach(r => assert(r.getLong(6) == divergence))
+    // Benford permilles are a near-partition of 1000
+    assert(math.abs(rows.map(_.getLong(4)).sum - 1000L) <= 2)
+  }
 }

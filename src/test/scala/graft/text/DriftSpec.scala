@@ -73,4 +73,32 @@ class DriftSpec extends AnyFunSuite {
     // p1 == p2 and l1 == l2 make each term vanish — checked symbolically
     // by the replay above (terms with c1 == c2 and nS == nRest are 0).
   }
+
+  test("q207 calibration: ECDF ranks replay exactly; identities hold") {
+    val out = Drift.q207_quantile_calibrate(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val all = docs()
+    val n = all.length.toLong
+    val byDoc = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.size == byDoc.length)
+    byDoc.foreach { case (id, src, v) =>
+      val (oSrc, oV, pSrc, pGlob, gap) = out(id)
+      assert(oSrc == src && oV == v)
+      val mine = all.filter(_._1 == src)
+      val cumS = mine.count(_._2 <= v).toLong
+      val cumAll = all.count(_._2 <= v).toLong
+      assert(pSrc == 1000L * cumS / mine.length, s"doc $id within-source")
+      assert(pGlob == 1000L * cumAll / n, s"doc $id global")
+      assert(gap == pSrc - pGlob)
+      assert(pSrc >= 1 && pSrc <= 1000 && pGlob >= 1 && pGlob <= 1000)
+    }
+    // every source's maximum value calibrates to rank 1000
+    byDoc.groupBy(_._2).foreach { case (src, rows) =>
+      val maxDoc = rows.maxBy(r => (r._3, r._1))
+      assert(out(maxDoc._1)._3 == 1000L, s"source $src max rank")
+    }
+  }
 }

@@ -77,4 +77,34 @@ class OverlapSpec extends AnyFunSuite {
       assert(r.getLong(6) == 1000 * in / gb)
     }
   }
+
+  test("q206 novelty: brute-force first-occurrence sweep agrees exactly") {
+    val rows = Overlap.q206_novelty_curve(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    // driver twin: tokenize (the DToks split), build 3-gram sets,
+    // first-occurrence by id
+    val collected = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val gramSets = collected.map { case (id, src, text) =>
+      val t = text.trim.split(" ").filter(_.nonEmpty)
+      val grams =
+        if (t.length < 3) Set.empty[String]
+        else t.sliding(3).map(_.mkString(" ")).toSet
+      (id, src, grams)
+    }
+    val firstOf = scala.collection.mutable.Map.empty[String, Long]
+    gramSets.sortBy(_._1).foreach { case (id, _, gs) =>
+      gs.foreach(g => if (!firstOf.contains(g)) firstOf(g) = id)
+    }
+    val expected = gramSets.filter(_._3.nonEmpty).map { case (id, src, gs) =>
+      val novel = gs.count(g => firstOf(g) == id).toLong
+      id -> (src, gs.size.toLong, novel, 1000L * novel / gs.size)
+    }.toMap
+    assert(rows == expected)
+    // the earliest doc with grams is all-novel by construction
+    val firstDoc = expected.keys.min
+    assert(expected(firstDoc)._4 == 1000L)
+  }
 }
