@@ -365,7 +365,61 @@ object Behavior {
        |  (1000 * top_cents) // total AS top_share_permille
        |FROM gini CROSS JOIN thr CROSS JOIN top""".stripMargin
 
+  // ------------------------------------------------ q209 traffic profile
+  /** Day-of-week × hour traffic heat profile (q209) — the seasonality
+    * surface capacity planning and anomaly baselining read first (the
+    * input to any "is this Tuesday 3am spike real?" question; the
+    * calendar-decomposition step of classical STL profiling). Calendar
+    * math runs in PURE epoch arithmetic — dow = (days since epoch + 4)
+    * mod 7 with 1970-01-01 anchored Thursday, hour = in-day micros div
+    * 3600·10⁶ — never a calendar API, so both engines agree by
+    * construction (no timezone/week-convention seam; Spark and DuckDB
+    * disagree on dayofweek numbering). Exact integer counts, permille
+    * shares, a deterministic peak flag, and the weekend mass replicated
+    * per row.
+    *
+    * Scale shape: one map-side extraction + one ≤168-group aggregate;
+    * the profile algebra is catalog math on those 168 rows. */
+  def q209_traffic_profile(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .select(expr("(ts_us div 86400000000L + 4) % 7").as("dow"),
+        expr("(ts_us % 86400000000L) div 3600000000L").as("hour"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val tot = broadcast(cells.agg(sum(col("n_events")).as("total_events"),
+      max(col("n_events")).as("max_cell"),
+      sum(when(col("dow") === 0L || col("dow") === 6L, col("n_events"))
+        .otherwise(0L)).as("weekend_events")))
+    cells.crossJoin(tot)
+      .select(col("dow"), col("hour"), col("n_events"),
+        expr("(1000 * n_events) div total_events").as("share_permille"),
+        (col("n_events") === col("max_cell")).as("is_peak"),
+        expr("(1000 * weekend_events) div total_events")
+          .as("weekend_permille"),
+        col("total_events"))
+      .orderBy(col("dow"), col("hour"))
+  }
+
+  private lazy val trafficOracle: String =
+    s"""WITH cells AS (SELECT
+       |    (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+       |    (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
+       |    CAST(COUNT(*) AS BIGINT) AS n_events
+       |  FROM events GROUP BY 1, 2),
+       |tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total_events,
+       |    CAST(MAX(n_events) AS BIGINT) AS max_cell,
+       |    CAST(SUM(CASE WHEN dow IN (0, 6) THEN n_events ELSE 0 END)
+       |      AS BIGINT) AS weekend_events
+       |  FROM cells)
+       |SELECT dow, hour, n_events,
+       |  (1000 * n_events) // total_events AS share_permille,
+       |  n_events = max_cell AS is_peak,
+       |  (1000 * weekend_events) // total_events AS weekend_permille,
+       |  total_events
+       |FROM cells CROSS JOIN tot ORDER BY dow, hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_traffic_profile" -> (q209_traffic_profile _),
     "q133_funnel" -> (q133_funnel _),
     "q134_cohort_retention" -> (q134_cohort_retention _),
     "q193_markov_transitions" -> (q193_markov_transitions _),
@@ -374,6 +428,7 @@ object Behavior {
     "q196_revenue_concentration" -> (q196_revenue_concentration _))
 
   val oracle: Map[String, String] = Map(
+    "q209_traffic_profile" -> trafficOracle,
     "q133_funnel" -> funnelOracle,
     "q134_cohort_retention" -> cohortOracle,
     "q193_markov_transitions" -> markovOracle,

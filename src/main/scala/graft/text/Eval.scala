@@ -783,7 +783,86 @@ object Eval {
        |ORDER BY pair""".stripMargin
   }
 
+  // ------------------------------------------- q210 trimmed/winsorized
+  /** Per-source trimmed and winsorized means (q210) — the robust
+    * location estimates that complement q190's MAD scale estimate
+    * (Tukey's classical robust-statistics pair; winsorization per
+    * Dixon & Tukey 1968): drop (trimmed) or clamp (winsorized) the top
+    * and bottom 5% of each source's length distribution before
+    * averaging, so a handful of giant or empty documents can't move a
+    * source's profile between releases.
+    *
+    * Exact order statistics WITHOUT a corpus sort: per-source VALUE
+    * GROUPS carry (count, cumulative count, value·count); the rank
+    * window [k+1, n−k] intersects each group arithmetically
+    * (included = max(0, min(cum, n−k) − max(cum−c, k))), the clamp
+    * values are min-v-at-rank aggregates, and both means emit in milli
+    * units by floor division — no floats, no row_number, tie-proof by
+    * construction.
+    *
+    * Scale shape: the value-group table is support-bounded (the q202
+    * grid argument), its per-source windows are catalog-sized, and the
+    * corpus contributes one grouping pass. */
+  def q210_trimmed_stats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), col("n_chars").as("v"))
+    val wS = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val groups = docs.groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wS))
+    val tot = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      .withColumn("k", expr("n_s div 20"))
+    val g = groups.join(broadcast(tot), Seq("source"))
+      .withColumn("included", greatest(lit(0L),
+        least(col("cum"), col("n_s") - col("k")) -
+          greatest(col("cum") - col("c"), col("k"))))
+    g.groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_s"), max(col("k")).as("k_trim"),
+        min(when(col("cum") >= col("k") + 1, col("v"))).as("lo_clamp"),
+        min(when(col("cum") >= col("n_s") - col("k"), col("v")))
+          .as("hi_clamp"),
+        sum(col("v") * col("included")).as("trimmed_sum"))
+      .withColumn("trimmed_n", col("n_s") - lit(2L) * col("k_trim"))
+      .withColumn("trimmed_mean_milli",
+        expr("(1000 * trimmed_sum) div trimmed_n"))
+      .withColumn("winsor_mean_milli", expr(
+        "(1000 * (trimmed_sum + k_trim * lo_clamp + k_trim * hi_clamp))" +
+          " div n_s"))
+      .select(col("source"), col("n_s"), col("k_trim"), col("lo_clamp"),
+        col("hi_clamp"), col("trimmed_mean_milli"),
+        col("winsor_mean_milli"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val trimmedOracle: String =
+    s"""WITH docs AS (SELECT source, n_chars AS v FROM documents),
+       |groups AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c,
+       |    CAST(SUM(COUNT(*)) OVER (PARTITION BY source ORDER BY v
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM docs GROUP BY source, v),
+       |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
+       |    CAST(COUNT(*) AS BIGINT) // 20 AS k
+       |  FROM docs GROUP BY source),
+       |g AS (SELECT gr.*, t.n_s, t.k,
+       |    greatest(0, least(cum, t.n_s - t.k) -
+       |      greatest(cum - c, t.k)) AS included
+       |  FROM groups gr JOIN tot t USING (source)),
+       |agg AS (SELECT source, MAX(n_s) AS n_s, MAX(k) AS k_trim,
+       |    MIN(CASE WHEN cum >= k + 1 THEN v END) AS lo_clamp,
+       |    MIN(CASE WHEN cum >= n_s - k THEN v END) AS hi_clamp,
+       |    CAST(SUM(v * included) AS BIGINT) AS trimmed_sum
+       |  FROM g GROUP BY source)
+       |SELECT source, n_s, k_trim, lo_clamp, hi_clamp,
+       |  (1000 * trimmed_sum) // (n_s - 2 * k_trim)
+       |    AS trimmed_mean_milli,
+       |  (1000 * (trimmed_sum + k_trim * lo_clamp + k_trim * hi_clamp))
+       |    // n_s AS winsor_mean_milli
+       |FROM agg ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_trimmed_stats" -> (q210_trimmed_stats _),
     "q187_signal_correlation" -> (q187_signal_correlation _),
     "q183_quality_fusion" -> (q183_quality_fusion _),
     "q184_heaps_forecast" -> (q184_heaps_forecast _),
@@ -798,6 +877,7 @@ object Eval {
     "q177_calibration_bins" -> (q177_calibration_bins _))
 
   val oracle: Map[String, String] = Map(
+    "q210_trimmed_stats" -> trimmedOracle,
     "q183_quality_fusion" -> q183Oracle,
     "q184_heaps_forecast" -> q184Oracle,
     "q185_threshold_advisor" -> q185Oracle,

@@ -370,7 +370,86 @@ object Phrases {
   }
 
   // ------------------------------------------------------------- registry
+  // -------------------------------------------- q211 distinctive terms
+  private val TopDistinct = 10
+
+  /** Per-source distinctive vocabulary (q211) — the "Fightin' Words"
+    * log-odds-with-Dirichlet-prior comparison (Monroe, Colaresi & Quinn
+    * 2008, Political Analysis 16(4)): for every (source, term), the
+    * smoothed log-odds delta between the source's usage and the rest of
+    * the corpus,
+    *   δ = [ln(y_s+α) − ln(n_s+Vα−y_s−α)] − [ln(y_r+α) − ln(n_r+Vα−y_r−α)]
+    * with the uniform α = 1 prior — the source-characterization report
+    * a mixture designer reads before weighting ("what IS this crawl?").
+    * Every ln is of an integer count (the q191 micro-nat class),
+    * integerized per term BEFORE ranking, so the ranking and the top-10
+    * slice hash-gate exactly; ties break on the term string.
+    *
+    * Scale shape: one token-count aggregate per (source, term)
+    * (vocabulary-bounded — Heaps), a broadcast join of per-source and
+    * global totals, and a rank ≤ K per-source window — the bounded-heap
+    * WindowGroupLimit shape, never a global sort. */
+  def q211_distinctive_terms(s: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documentsFanned(s, dir)
+      .select(col("source"), explode(Cleanse.tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("y_s"))
+    val gt = st.groupBy(col("term")).agg(sum(col("y_s")).as("y_all"))
+    val totals = st.groupBy(col("source")).agg(sum(col("y_s")).as("n_s"))
+    val grand = broadcast(gt.agg(sum(col("y_all")).as("n_all"),
+      count(lit(1)).as("vocab")))
+    def lnMicro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(lit(1e6) * log(c.cast("double"))).cast("long")
+    val scored = st.join(broadcast(gt), Seq("term"))
+      .join(broadcast(totals), Seq("source"))
+      .crossJoin(grand)
+      .withColumn("y_r", col("y_all") - col("y_s"))
+      .withColumn("n_r", col("n_all") - col("n_s"))
+      .withColumn("delta_micro",
+        (lnMicro(col("y_s") + 1) -
+          lnMicro(col("n_s") + col("vocab") - col("y_s") - 1)) -
+          (lnMicro(col("y_r") + 1) -
+            lnMicro(col("n_r") + col("vocab") - col("y_r") - 1)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("delta_micro").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= TopDistinct)
+      .select(col("source"), col("rank"), col("term"), col("y_s"),
+        col("y_r"), col("delta_micro"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  private lazy val distinctiveOracle: String = {
+    def lnMicro(x: String): String =
+      s"CAST(round(1000000.0 * ln($x)) AS BIGINT)"
+    s"""WITH st AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS y_s
+       |  FROM (SELECT source, unnest($DToks) AS term FROM documents)
+       |  GROUP BY 1, 2),
+       |gt AS (SELECT term, CAST(SUM(y_s) AS BIGINT) AS y_all
+       |  FROM st GROUP BY 1),
+       |totals AS (SELECT source, CAST(SUM(y_s) AS BIGINT) AS n_s
+       |  FROM st GROUP BY 1),
+       |grand AS (SELECT CAST(SUM(y_all) AS BIGINT) AS n_all,
+       |    CAST(COUNT(*) AS BIGINT) AS vocab FROM gt),
+       |scored AS (SELECT st.source, st.term, st.y_s,
+       |    gt.y_all - st.y_s AS y_r,
+       |    (${lnMicro("st.y_s + 1")} -
+       |     ${lnMicro("t.n_s + g.vocab - st.y_s - 1")}) -
+       |    (${lnMicro("gt.y_all - st.y_s + 1")} -
+       |     ${lnMicro("g.n_all - t.n_s + g.vocab - (gt.y_all - st.y_s) - 1")})
+       |      AS delta_micro
+       |  FROM st JOIN gt USING (term) JOIN totals t USING (source)
+       |  CROSS JOIN grand g),
+       |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |    ORDER BY delta_micro DESC, term) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT source, rank, term, y_s, y_r, delta_micro
+       |FROM ranked WHERE rank <= $TopDistinct
+       |ORDER BY source, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_distinctive_terms" -> (q211_distinctive_terms _),
     "q161_phrase_mining" -> (q161_phrase_mining _),
     "q162_phrase_merge" -> (q162_phrase_merge _),
     "q170_skipgram_pairs" -> (q170_skipgram_pairs _),
@@ -413,6 +492,7 @@ object Phrases {
   }
 
   val oracle: Map[String, String] = Map(
+    "q211_distinctive_terms" -> distinctiveOracle,
     "q161_phrase_mining" -> miningOracle,
     "q162_phrase_merge" -> mergeOracle,
     "q170_skipgram_pairs" -> skipgramOracle,

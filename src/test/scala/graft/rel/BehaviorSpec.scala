@@ -133,4 +133,30 @@ class BehaviorSpec extends AnyFunSuite {
     assert(r.getLong(4) == top.length.toLong)
     assert(r.getLong(5) == 1000L * top.sum / total)
   }
+
+  test("q209 traffic profile: mass conserved, epoch dow matches the " +
+    "calendar, peak flag is exactly the max") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Behavior.q209_traffic_profile(spark, sf).collect()
+    val total = rows.head.getLong(6)
+    assert(rows.map(_.getLong(2)).sum == total, "cell mass conserved")
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 6))
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 23))
+    val maxCell = rows.map(_.getLong(2)).max
+    rows.foreach(r => assert(r.getBoolean(4) == (r.getLong(2) == maxCell)))
+    val weekend = rows.filter(r => r.getLong(0) == 0 || r.getLong(0) == 6)
+      .map(_.getLong(2)).sum
+    rows.foreach(r => assert(r.getLong(5) == 1000L * weekend / total))
+    // epoch arithmetic vs java.time on the raw events (UTC)
+    val sample = graft.Tables.events(spark, sf).select("ts_us")
+      .limit(200).collect().map(_.getLong(0))
+    sample.foreach { us =>
+      val ins = java.time.Instant.ofEpochSecond(us / 1000000L)
+      val utc = ins.atZone(java.time.ZoneOffset.UTC)
+      val dowCal = utc.getDayOfWeek.getValue % 7 // ISO Mon=1..Sun=7 → Sun=0
+      val dowQ = (us / 86400000000L + 4) % 7
+      assert(dowQ == dowCal, s"dow mismatch at $us")
+      assert((us % 86400000000L) / 3600000000L == utc.getHour.toLong)
+    }
+  }
 }

@@ -250,4 +250,28 @@ class EvalSpec extends AnyFunSuite {
       assert(meanU >= 20000.0 * b - 1 && meanU <= 20000.0 * (b + 1) + 1)
     }
   }
+
+  test("q210 trimmed/winsorized: brute-force sorted-trim agrees exactly") {
+    val out = Eval.q210_trimmed_stats(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.keySet == docs.map(_._1).toSet)
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      val vs = rows.map(_._2).sorted
+      val n = vs.length
+      val k = n / 20
+      val trimmed = vs.slice(k, n - k)
+      val lo = vs(k) // the (k+1)-th order statistic
+      val hi = vs(n - k - 1)
+      val (oN, oK, oLo, oHi, tMean, wMean) = out(src)
+      assert(oN == n.toLong && oK == k.toLong, s"$src sizes")
+      assert(oLo == lo && oHi == hi, s"$src clamps")
+      assert(tMean == 1000L * trimmed.sum / trimmed.length, s"$src trimmed")
+      assert(wMean ==
+        1000L * (trimmed.sum + k * lo + k * hi) / n, s"$src winsorized")
+    }
+  }
 }

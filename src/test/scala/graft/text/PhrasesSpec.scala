@@ -103,4 +103,47 @@ class PhrasesSpec extends AnyFunSuite {
       .filter(col("n_before") =!= col("n_after") + col("n_merges"))
     assert(out.count() == 0)
   }
+
+  test("q211 distinctive terms: brute-force log-odds replay picks the " +
+    "same top-10 in the same order") {
+    val rows = Phrases.q211_distinctive_terms(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val counts = scala.collection.mutable
+      .Map.empty[(String, String), Long].withDefaultValue(0L)
+    docs.foreach { case (src, text) =>
+      text.trim.split(" ").filter(_.nonEmpty)
+        .foreach(t => counts((src, t)) += 1)
+    }
+    val yAll = counts.groupBy(_._1._2).map { case (t, m) =>
+      t -> m.values.sum
+    }
+    val nS = counts.groupBy(_._1._1).map { case (s0, m) =>
+      s0 -> m.values.sum
+    }
+    val nAll = yAll.values.sum
+    val vocab = yAll.size.toLong
+    def lnMicro(x: Long): Long = math.round(1e6 * math.log(x.toDouble))
+    def delta(src: String, term: String): Long = {
+      val ys = counts((src, term)); val yr = yAll(term) - ys
+      val ns = nS(src); val nr = nAll - ns
+      (lnMicro(ys + 1) - lnMicro(ns + vocab - ys - 1)) -
+        (lnMicro(yr + 1) - lnMicro(nr + vocab - yr - 1))
+    }
+    rows.groupBy(_._1).foreach { case (src, got) =>
+      val expected = counts.keys.filter(_._1 == src).map(_._2).toSeq
+        .map(t => (t, delta(src, t)))
+        .sortBy { case (t, d) => (-d, t) }.take(10)
+      assert(got.sortBy(_._2).map(r => (r._3, r._6)).toSeq == expected,
+        s"top-10 for $src")
+      got.foreach { r =>
+        assert(r._4 == counts((src, r._3)), "y_s replay")
+        assert(r._5 == yAll(r._3) - counts((src, r._3)), "y_r replay")
+      }
+    }
+    assert(rows.groupBy(_._1).forall(_._2.length == 10))
+  }
 }
