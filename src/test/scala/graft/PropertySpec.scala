@@ -128,10 +128,19 @@ object PureProperties extends Properties("graft.pure") {
         org.apache.spark.unsafe.types.UTF8String.fromString(s)) == s.length
     }
 
-  property("Porter2: stems never lengthen and are idempotent on ascii words") =
+  // Idempotence is NOT a Porter2 invariant on arbitrary letter strings:
+  // step 5 e-deletion can expose a step-1a 's' that only a RE-stem would
+  // strip (stem("buybrse") = "buybrs", stem("buybrs") = "buybr" — the
+  // published algorithm runs the steps once, so both are correct outputs).
+  // What the algorithm does guarantee on any input: stems never lengthen,
+  // and re-stemming is monotonically non-increasing. Idempotence over the
+  // REAL corpus vocabulary (where it does hold) is gated in Porter2Spec.
+  property("Porter2: stems never lengthen; re-stem is non-increasing") =
     Prop.forAll(asciiStr.map(_.toLowerCase.filter(_.isLetter))) { w =>
       val s1 = text.Porter2Kernel.stem(w)
-      s1.length <= w.length && text.Porter2Kernel.stem(s1) == s1
+      val s2 = text.Porter2Kernel.stem(s1)
+      s1.length <= w.length && s2.length <= s1.length &&
+        text.Porter2Kernel.stem(w) == s1 // deterministic
     }
 
 }

