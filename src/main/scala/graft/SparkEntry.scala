@@ -26,7 +26,7 @@ object SparkEntry {
       text.TextOps.queries ++ text.Tokenize.queries ++ text.Phrases.queries ++
       text.Entropy.queries ++ text.Budget.queries ++ text.Overlap.queries ++
       text.CorpusFilters.queries ++ text.Retrieval.queries ++
-      text.KneserNey.queries ++
+      text.KneserNey.queries ++ text.Keywords.queries ++
       text.Eval.queries ++ text.Privacy.queries ++ text.Drift.queries ++
       ml.Vocab.queries ++ ml.Hdr.queries ++ ml.LshPlanner.queries ++
       ml.Projection.queries ++
@@ -46,7 +46,7 @@ object SparkEntry {
       text.TextOps.oracle ++ text.Tokenize.oracle ++ text.Phrases.oracle ++
       text.Entropy.oracle ++ text.Budget.oracle ++ text.Overlap.oracle ++
       text.CorpusFilters.oracle ++ text.Retrieval.oracle ++
-      text.KneserNey.oracle ++
+      text.KneserNey.oracle ++ text.Keywords.oracle ++
       text.Eval.oracle ++ text.Privacy.oracle ++ text.Drift.oracle ++
       ml.Vocab.oracle ++ ml.Hdr.oracle ++ ml.LshPlanner.oracle ++
       ml.Projection.oracle ++

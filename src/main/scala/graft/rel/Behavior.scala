@@ -1,6 +1,7 @@
 package graft.rel
 
 import graft.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -418,7 +419,160 @@ object Behavior {
        |  total_events
        |FROM cells CROSS JOIN tot ORDER BY dow, hour""".stripMargin
 
+  // ------------------------------------------------ q214 CUSUM changepoint
+  /** Mean-shift changepoint detection over the daily event series — the
+    * Page/Taylor CUSUM statistic a pipeline monitor runs to answer "did
+    * ingest volume shift, and WHEN?" (Page 1954; Taylor's cumulative-sum
+    * changepoint analysis — the bootstrap significance pass is out of
+    * scope, the argmax location and normalized magnitude are the data
+    * surface). For day prefix sums S_i over a contiguous day grid
+    * (missing days count 0) the statistic at i is |n·S_i − i·S_n| — the
+    * exact BIGINT cross-multiplication of |S_i/S_n − i/n| (the q202 KS
+    * discipline applied to the time axis); the argmax day is the
+    * changepoint estimate and left/right milli-rates describe the shift.
+    *
+    * Scale shape: one map-side day extraction + day-cardinality
+    * aggregate; the prefix sums and argmax are catalog math over the
+    * day grid (≤ tens of thousands of rows at any horizon). Cross-
+    * products n·S reach BIGINT limits only past ~10⁵ days × 10¹³
+    * events — the loud assert names the DECIMAL(38,0) swap. */
+  def q214_cusum_changepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(expr("ts_us div 86400000000L").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+    val filled = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left_outer")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pre = filled
+      .withColumn("i", row_number().over(Window.orderBy(col("day"))).cast("long"))
+      .withColumn("s_i", sum(col("c")).over(wCum))
+    val tot = pre.agg(max(col("i")).as("n_days"), max(col("s_i")).as("s_n"))
+    val scored = pre.crossJoin(broadcast(tot))
+      .filter(col("i") < col("n_days")) // the last point is identically 0
+      .filter(coalesce(assert_true(
+        expr(s"s_i <= (${Long.MaxValue}L div greatest(n_days, 1L)) " +
+          s"and i <= (${Long.MaxValue}L div greatest(s_n, 1L))"),
+        lit("CUSUM cross-product would overflow BIGINT: swap to " +
+          "DECIMAL(38,0) at this horizon")), lit(true)))
+      .withColumn("stat",
+        abs(col("n_days") * col("s_i") - col("i") * col("s_n")))
+    val mx = scored.withColumn("m",
+      max(col("stat")).over(Window.partitionBy(lit(1))))
+    mx.filter(col("stat") === col("m"))
+      .groupBy(col("n_days"), col("s_n"))
+      .agg(min(col("day")).as("day_at_max"), max(col("stat")).as("d_num"),
+        min_by(col("i"), col("day")).as("i_at"),
+        min_by(col("s_i"), col("day")).as("s_at"))
+      .select(col("n_days"), col("s_n").as("n_events"), col("day_at_max"),
+        col("d_num"),
+        expr("(1000 * d_num) div (n_days * s_n)").as("cusum_permille"),
+        expr("(1000 * s_at) div i_at").as("left_rate_milli"),
+        expr("(1000 * (s_n - s_at)) div (n_days - i_at)")
+          .as("right_rate_milli"))
+  }
+
+  private lazy val cusumOracle: String =
+    s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+       |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+       |grid AS (SELECT CAST(unnest(range(d0, d1 + 1)) AS BIGINT) AS day
+       |  FROM bounds),
+       |filled AS (SELECT g.day, COALESCE(d.c, 0) AS c
+       |  FROM grid g LEFT JOIN daily d ON d.day = g.day),
+       |pre AS (SELECT day, c,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+       |    CAST(SUM(c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS s_i FROM filled),
+       |tot AS (SELECT MAX(i) AS n_days, MAX(s_i) AS s_n FROM pre),
+       |scored AS (SELECT day, i, s_i, n_days, s_n,
+       |    abs(n_days * s_i - i * s_n) AS stat
+       |  FROM pre CROSS JOIN tot WHERE i < n_days),
+       |mx AS (SELECT *, MAX(stat) OVER () AS m FROM scored)
+       |SELECT MAX(n_days) AS n_days, MAX(s_n) AS n_events,
+       |  MIN(day) AS day_at_max, MAX(stat) AS d_num,
+       |  (1000 * MAX(stat)) // (MAX(n_days) * MAX(s_n)) AS cusum_permille,
+       |  (1000 * MIN_BY(s_i, day)) // MIN_BY(i, day) AS left_rate_milli,
+       |  (1000 * (MAX(s_n) - MIN_BY(s_i, day)))
+       |    // (MAX(n_days) - MIN_BY(i, day)) AS right_rate_milli
+       |FROM mx WHERE stat = m""".stripMargin
+
+  // --------------------------------------------- q215 revenue attribution
+  /** Multi-touch revenue attribution — the marketing-analytics shape of
+    * the credit-assignment join: every purchase event's cents are split
+    * LINEARLY across the user's distinct preceding touch events (7-day
+    * lookback, non-purchase types), with the integer remainder assigned
+    * to the LAST touch (closest to conversion) so attributed mass
+    * conserves EXACTLY — Σ attributed = Σ converted, gated as integers
+    * (Shapley/position-based variants change only the per-touch weight
+    * arithmetic, not the join).
+    *
+    * Scale shape: a per-user range join (purchases × touches co-
+    * partitioned on user_id, per-user fan-out bounded by activity);
+    * the rollup is |event_types|-sized. Money integerizes once as
+    * round(100·value) cents — both engines compute the identical BIGINT.
+    */
+  def q215_revenue_attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_us"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts_us").as("p_ts"),
+        round(col("value") * lit(100)).cast("long").as("cents"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("event_type").as("touch_type"), col("ts_us").as("t_ts"))
+    val lookback = 7L * 86400000000L
+    val joined = purchases.join(touches, Seq("user_id"))
+      .filter(col("t_ts") < col("p_ts") &&
+        col("t_ts") >= col("p_ts") - lit(lookback))
+    val wP = Window.partitionBy(col("p_id"))
+      .orderBy(col("t_ts").desc, col("t_id").desc)
+    val credited = joined
+      .withColumn("k", count(lit(1)).over(Window.partitionBy(col("p_id"))))
+      .withColumn("rnk", row_number().over(wP).cast("long"))
+      .withColumn("credit",
+        expr("cents div k") +
+          when(col("rnk") === 1L, col("cents") - expr("k * (cents div k)"))
+            .otherwise(lit(0L)))
+    credited.groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("p_id")).as("n_conversions"),
+        sum(col("credit")).as("cents"))
+      .orderBy(col("touch_type"))
+  }
+
+  private lazy val attributionOracle: String =
+    s"""WITH ev AS (SELECT event_id, user_id, event_type,
+       |    epoch_us(ts) AS ts_us, value FROM events),
+       |p AS (SELECT event_id AS p_id, user_id, ts_us AS p_ts,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM ev WHERE event_type = 'purchase'),
+       |t AS (SELECT user_id, event_id AS t_id, event_type AS touch_type,
+       |    ts_us AS t_ts FROM ev WHERE event_type <> 'purchase'),
+       |j AS (SELECT p.p_id, p.cents, t.t_id, t.touch_type, t.t_ts
+       |  FROM p JOIN t ON t.user_id = p.user_id
+       |    AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - 604800000000),
+       |c AS (SELECT p_id, cents, touch_type,
+       |    CAST(COUNT(*) OVER (PARTITION BY p_id) AS BIGINT) AS k,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY p_id
+       |      ORDER BY t_ts DESC, t_id DESC) AS BIGINT) AS rnk
+       |  FROM j),
+       |cr AS (SELECT p_id, touch_type,
+       |    cents // k + CASE WHEN rnk = 1
+       |      THEN cents - k * (cents // k) ELSE 0 END AS credit
+       |  FROM c)
+       |SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+       |  CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_conversions,
+       |  CAST(SUM(credit) AS BIGINT) AS cents
+       |FROM cr GROUP BY touch_type ORDER BY touch_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_cusum_changepoint" -> (q214_cusum_changepoint _),
+    "q215_revenue_attribution" -> (q215_revenue_attribution _),
     "q209_traffic_profile" -> (q209_traffic_profile _),
     "q133_funnel" -> (q133_funnel _),
     "q134_cohort_retention" -> (q134_cohort_retention _),
@@ -428,6 +582,8 @@ object Behavior {
     "q196_revenue_concentration" -> (q196_revenue_concentration _))
 
   val oracle: Map[String, String] = Map(
+    "q214_cusum_changepoint" -> cusumOracle,
+    "q215_revenue_attribution" -> attributionOracle,
     "q209_traffic_profile" -> trafficOracle,
     "q133_funnel" -> funnelOracle,
     "q134_cohort_retention" -> cohortOracle,

@@ -175,12 +175,101 @@ object Linkage {
        |FROM ladder ORDER BY level""".stripMargin
   }
 
+  // ------------------------------------------------- q216 l-diversity ladder
+  private val DivL = 3
+
+  /** q216: l-diversity audit over the same generalization ladder as q141 —
+    * k-anonymity bounds group SIZE but a uniform group still leaks its
+    * sensitive value; distinct l-diversity (Machanavajjhala et al. 2007,
+    * "l-diversity: privacy beyond k-anonymity") requires every
+    * quasi-identifier group to contain ≥ l distinct sensitive values.
+    * The released fact here is the order row (sensitive = order
+    * priority) keyed by the customer quasi-identifiers; per ladder level
+    * the audit reports the minimum group diversity, the groups below
+    * l = 3 and the rows they expose, and `chosen` marks Samarati-style
+    * the first level that is l-diverse outright.
+    *
+    * Scale shape: same as q141 — per level one hash aggregate on a
+    * shrinking key (count + count-distinct with map-side partials), an
+    * O(levels)-row audit output; at 100 TB compute the L0 groups once
+    * and re-aggregate the group table per level instead of rescanning. */
+  def q216_l_diversity(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        col("c_nationkey").cast("long").as("nat"),
+        col("n_regionkey").cast("long").as("reg"),
+        (round(col("c_acctbal") * 100).cast("long") + BalOffset).as("bal"),
+        col("o_orderpriority").as("sens"))
+    def level(lv: Int, geo: Column, bucket: Column): DataFrame =
+      fact.groupBy(col("seg"), geo.as("geo"), bucket.as("bb"))
+        .agg(count(lit(1)).as("sz"), countDistinct(col("sens")).as("l"))
+        .agg(count(lit(1)).as("n_groups"), min(col("l")).as("min_l"),
+          sum(when(col("l") < DivL, lit(1L)).otherwise(0L))
+            .as("groups_below"),
+          sum(when(col("l") < DivL, col("sz")).otherwise(0L))
+            .as("rows_at_risk"))
+        .select(lit(lv).as("level"), col("n_groups"), col("min_l"),
+          col("groups_below"), col("rows_at_risk"),
+          (col("min_l") >= DivL).as("l_ok"))
+    val ladder =
+      level(0, col("nat"), expr("bal div 10000"))
+        .unionByName(level(1, col("nat"), expr("bal div 100000")))
+        .unionByName(level(2, col("reg"), expr("bal div 100000")))
+        .unionByName(level(3, col("reg"), lit(0L)))
+        .unionByName(level(4, lit(0L), lit(0L)))
+    val all = Window.partitionBy()
+    ladder
+      .withColumn("chosen", col("level") ===
+        min(when(col("l_ok"), col("level"))).over(all))
+      .orderBy(col("level"))
+  }
+
+  private lazy val ldivOracle: String = {
+    def lvl(lv: Int, geo: String, bucket: String): String =
+      s"""SELECT $lv AS level, CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |    CAST(MIN(l) AS BIGINT) AS min_l,
+         |    CAST(SUM(CASE WHEN l < $DivL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS groups_below,
+         |    CAST(SUM(CASE WHEN l < $DivL THEN sz ELSE 0 END) AS BIGINT)
+         |      AS rows_at_risk,
+         |    MIN(l) >= $DivL AS l_ok
+         |  FROM (SELECT seg, $geo AS geo, $bucket AS bb,
+         |      COUNT(*) AS sz, COUNT(DISTINCT sens) AS l
+         |    FROM fact GROUP BY 1, 2, 3) g$lv""".stripMargin
+    s"""WITH fact AS (SELECT c_mktsegment AS seg,
+       |    CAST(c_nationkey AS BIGINT) AS nat,
+       |    CAST(n_regionkey AS BIGINT) AS reg,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) + $BalOffset AS bal,
+       |    o_orderpriority AS sens
+       |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |  JOIN orders ON o_custkey = c_custkey),
+       |ladder AS (
+       |${lvl(0, "nat", "bal // 10000")}
+       |UNION ALL
+       |${lvl(1, "nat", "bal // 100000")}
+       |UNION ALL
+       |${lvl(2, "reg", "bal // 100000")}
+       |UNION ALL
+       |${lvl(3, "reg", "0")}
+       |UNION ALL
+       |${lvl(4, "0", "0")})
+       |SELECT level, n_groups, min_l, groups_below, rows_at_risk, l_ok,
+       |  level = (SELECT MIN(level) FROM ladder WHERE l_ok) AS chosen
+       |FROM ladder ORDER BY level""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_fuzzy_match" -> (q137_fuzzy_match _),
-    "q141_k_anonymity" -> (q141_k_anonymity _))
+    "q141_k_anonymity" -> (q141_k_anonymity _),
+    "q216_l_diversity" -> (q216_l_diversity _))
 
   val oracle: Map[String, String] = Map(
     "q137_fuzzy_match" -> fuzzyOracle,
-    "q141_k_anonymity" -> anonOracle)
+    "q141_k_anonymity" -> anonOracle,
+    "q216_l_diversity" -> ldivOracle)
 }

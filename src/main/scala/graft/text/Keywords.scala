@@ -1,0 +1,120 @@
+package graft.text
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus keyword extraction — RAKE (Rose, Engel, Cramer & Cowley 2010,
+  * "Automatic keyword extraction from individual documents"): candidate
+  * phrases are maximal stopword-free token runs, each word scores
+  * degree/frequency over the phrase co-occurrence graph, and a phrase
+  * scores the sum of its member word scores. The dataset-card /
+  * topic-labeling companion to q48's tf-idf and q211's log-odds: RAKE
+  * needs no per-source contrast and surfaces multi-word terms.
+  *
+  * Integerization: word scores are floor-permille degree/frequency
+  * ((1000·deg) div freq — both exact BIGINT counts), phrase scores exact
+  * sums of member permilles — no float anywhere, so the gate is exact.
+  *
+  * Scale shape: the phrase segmentation is the q75 boundary-list pattern
+  * (one pass of per-row list ops, corpus-linear, no window); word stats
+  * are vocabulary-bounded and broadcast back; phrase stats are
+  * phrase-vocabulary-bounded (runs capped at 4 tokens, so ≤ vocab⁴ but
+  * Heaps-bounded in practice like q195's paths); the top-10 is a bounded
+  * heap, never a global sort of the corpus.
+  */
+object Keywords {
+
+  private val Stop: Seq[String] = TextOps.Stopwords
+  private val MaxLen = 4
+
+  private def docToks(s: SparkSession, dir: String): DataFrame =
+    Tables.documentsFanned(s, dir)
+      .select(col("doc_id"), Cleanse.tokens(col("text")).as("t"))
+
+  def q213_rake_keywords(s: SparkSession, dir: String): DataFrame = {
+    val toks = docToks(s, dir).filter(size(col("t")) >= 1)
+    // stopword boundary positions (1-based), then maximal runs between them
+    val seg = toks
+      .withColumn("bp", filter(
+        transform(sequence(lit(1), size(col("t"))),
+          i => when(element_at(col("t"), i).isInCollection(Stop), i)),
+        x => x.isNotNull))
+      .withColumn("ph", explode(filter(
+        zip_with(
+          concat(array(lit(1)), transform(col("bp"), x => x + 1)),
+          concat(col("bp"), array(size(col("t")) + 1)),
+          (st, en) => slice(col("t"), st, en - st)),
+        p => size(p) >= 1 && size(p) <= MaxLen)))
+      .select(array_join(col("ph"), " ").as("ph"),
+        size(col("ph")).cast("long").as("plen"))
+    // word graph stats: freq = occurrences in phrases, deg = Σ phrase len
+    val wordScores = seg
+      .select(explode(split(col("ph"), " ")).as("w"), col("plen"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("wscore", expr("(1000 * deg) div freq"))
+      .select(col("w"), col("wscore"))
+    val phrases = seg.groupBy(col("ph")).agg(count(lit(1)).as("n_occ"))
+    // members re-derive from the phrase TEXT (words contain no spaces),
+    // so the score join never touches the exploded occurrence stream
+    phrases
+      .select(col("ph"), col("n_occ"),
+        explode(split(col("ph"), " ")).as("w"))
+      .join(broadcast(wordScores), Seq("w"))
+      .groupBy(col("ph"))
+      .agg(max(col("n_occ")).as("n_occ"), count(lit(1)).as("n_words"),
+        sum(col("wscore")).as("score"))
+      .orderBy(col("score").desc, col("n_occ").desc, col("ph"))
+      .limit(10)
+      .select(col("ph"), col("n_occ"), col("n_words"), col("score"))
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  private val DToks =
+    "list_filter(string_split(trim(text), ' '), t -> t <> '')"
+  private val StopList = Stop.map(w => s"'$w'").mkString("[", ",", "]")
+
+  private lazy val rakeOracle: String =
+    s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents
+       |  WHERE len($DToks) >= 1),
+       |b AS (SELECT doc_id, t,
+       |    list_filter(list_transform(range(1, len(t) + 1),
+       |      i -> CASE WHEN list_contains($StopList, t[CAST(i AS INT)])
+       |        THEN CAST(i AS INT) END), x -> x IS NOT NULL) AS bp
+       |  FROM toks),
+       |s AS (SELECT doc_id, t,
+       |    [CAST(1 AS INT)] || list_transform(bp, x -> x + 1) AS starts,
+       |    bp || [CAST(len(t) + 1 AS INT)] AS ends FROM b),
+       |seg AS (SELECT doc_id,
+       |    array_to_string(t[starts[CAST(j AS INT)] :
+       |      ends[CAST(j AS INT)] - 1], ' ') AS ph,
+       |    CAST(ends[CAST(j AS INT)] - starts[CAST(j AS INT)] AS BIGINT)
+       |      AS plen
+       |  FROM s, unnest(range(1, len(starts) + 1)) AS u(j)
+       |  WHERE ends[CAST(j AS INT)] - starts[CAST(j AS INT)]
+       |    BETWEEN 1 AND $MaxLen),
+       |ws AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+       |    CAST(SUM(plen) AS BIGINT) AS deg
+       |  FROM (SELECT unnest(string_split(ph, ' ')) AS w, plen FROM seg)
+       |  GROUP BY 1),
+       |wsc AS (SELECT w, (1000 * deg) // freq AS wscore FROM ws),
+       |pht AS (SELECT ph, CAST(COUNT(*) AS BIGINT) AS n_occ
+       |  FROM seg GROUP BY 1),
+       |mem AS (SELECT ph, n_occ, unnest(string_split(ph, ' ')) AS w
+       |  FROM pht),
+       |psc AS (SELECT ph, MAX(n_occ) AS n_occ,
+       |    CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(wscore) AS BIGINT) AS score
+       |  FROM mem JOIN wsc USING (w) GROUP BY ph)
+       |SELECT ph, n_occ, n_words, score FROM psc
+       |ORDER BY score DESC, n_occ DESC, ph LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_rake_keywords" -> (q213_rake_keywords _))
+
+  val oracle: Map[String, String] = Map(
+    "q213_rake_keywords" -> rakeOracle)
+}

@@ -159,4 +159,81 @@ class BehaviorSpec extends AnyFunSuite {
       assert((us % 86400000000L) / 3600000000L == utc.getHour.toLong)
     }
   }
+
+  test("q214 CUSUM: brute-force sweep over the filled day grid agrees") {
+    val sf = "/root/testdata/sf0.001"
+    val row = Behavior.q214_cusum_changepoint(spark, sf).collect().head
+    val (nDays, nEvents, dayAtMax, dNum, permille, leftR, rightR) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4), row.getLong(5), row.getLong(6))
+    val days = graft.Tables.events(spark, sf).select("ts_us").collect()
+      .map(_.getLong(0) / 86400000000L)
+    val byDay = days.groupBy(identity).map { case (d, v) => d -> v.length.toLong }
+    val (d0, d1) = (days.min, days.max)
+    val grid = (d0 to d1).map(d => d -> byDay.getOrElse(d, 0L))
+    assert(nDays == grid.length.toLong && nEvents == days.length.toLong)
+    var s = 0L; var best = -1L; var bestDay = Long.MaxValue
+    var iAt = 0L; var sAt = 0L
+    for (((d, c), idx) <- grid.zipWithIndex; i = idx + 1L) {
+      s += c
+      if (i < nDays) {
+        val stat = math.abs(nDays * s - i * nEvents)
+        if (stat > best) { best = stat; bestDay = d; iAt = i; sAt = s }
+      }
+    }
+    assert(dNum == best, "CUSUM numerator")
+    assert(dayAtMax == bestDay, "argmax day (min day on ties)")
+    assert(permille == (1000L * best) / (nDays * nEvents))
+    assert(leftR == (1000L * sAt) / iAt)
+    assert(rightR == (1000L * (nEvents - sAt)) / (nDays - iAt))
+    assert(permille >= 0 && permille <= 1000)
+  }
+
+  test("q215 attribution: per-purchase mass conserves exactly; " +
+    "remainder lands on the last touch") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Behavior.q215_revenue_attribution(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val ev = graft.Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "ts_us", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    val purchases = ev.filter(_._3 == "purchase")
+    val touches = ev.filter(_._3 != "purchase")
+    val look = 7L * 86400000000L
+    var expCents = Map.empty[String, Long].withDefaultValue(0L)
+    var expTouches = Map.empty[String, Long].withDefaultValue(0L)
+    var expConv = Map.empty[String, Set[Long]].withDefaultValue(Set.empty)
+    var convertedCents = 0L
+    for ((pid, uid, _, pts, v) <- purchases) {
+      val cents = math.round(v * 100)
+      val ts = touches.filter(t => t._2 == uid && t._4 < pts &&
+        t._4 >= pts - look)
+      if (ts.nonEmpty) {
+        convertedCents += cents
+        val k = ts.length.toLong
+        val last = ts.maxBy(t => (t._4, t._1))
+        for (t <- ts) {
+          val credit = cents / k +
+            (if (t._1 == last._1) cents - k * (cents / k) else 0L)
+          expCents += t._3 -> (expCents(t._3) + credit)
+          expTouches += t._3 -> (expTouches(t._3) + 1L)
+          expConv += t._3 -> (expConv(t._3) + pid)
+        }
+      }
+    }
+    assert(out.keySet == expCents.keySet)
+    for ((tt, cents) <- expCents) {
+      val (nT, nC, c) = out(tt)
+      assert(c == cents, s"$tt attributed cents")
+      assert(nT == expTouches(tt), s"$tt touch count")
+      assert(nC == expConv(tt).size.toLong, s"$tt conversions")
+    }
+    // the global invariant the operator exists for: attribution is a
+    // PARTITION of converted revenue — nothing created, nothing lost
+    assert(out.values.map(_._3).sum == convertedCents,
+      "attributed cents must sum exactly to converted cents")
+  }
 }

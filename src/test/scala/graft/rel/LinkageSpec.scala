@@ -92,4 +92,30 @@ class LinkageSpec extends AnyFunSuite {
     // k_ok ⇔ zero suppression at that level
     out.foreach { l => assert(l._5 == (l._4 == 0L)) }
   }
+
+  test("q216: diversity is monotone under coarsening; chosen is first l-ok") {
+    val out = Linkage.q216_l_diversity(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getBoolean(6)))
+    assert(out.map(_._1).toSeq == Seq(0, 1, 2, 3, 4))
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2, "group count must not grow when coarsening")
+      // a coarse group is a union of fine groups, so its distinct-count
+      // is >= every part's — the minimum can only rise
+      assert(b._3 >= a._3, "min diversity must not shrink when coarsening")
+    }
+    // level 4 (one group) has l = global distinct priorities
+    val globalL = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderpriority").distinct().count()
+    assert(out.last._3 == globalL)
+    assert(out.last._2 >= 1L)
+    val chosen = out.filter(_._7)
+    val firstOk = out.find(_._6)
+    assert(chosen.length == (if (firstOk.isDefined) 1 else 0))
+    firstOk.foreach(f => assert(chosen.head._1 == f._1))
+    // l_ok ⇔ zero groups below ⇔ zero rows at risk
+    out.foreach { l =>
+      assert(l._6 == (l._4 == 0L) && (l._4 == 0L) == (l._5 == 0L))
+    }
+  }
 }

@@ -1,0 +1,53 @@
+package graft.text
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q213: the full RAKE pipeline (segmentation → word graph → phrase
+  * scores → top-10) replays brutally on the driver. */
+class KeywordsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private val stop = TextOps.Stopwords.toSet
+
+  private def brute(): Seq[(String, Long, Long, Long)] = {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val phrases = docs.toSeq.flatMap { text =>
+      val t = text.trim.split(" ").filter(_.nonEmpty).toSeq
+      if (t.isEmpty) Seq.empty
+      else {
+        // maximal stopword-free runs, capped at 4 tokens
+        val runs = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+        var cur = scala.collection.mutable.ArrayBuffer.empty[String]
+        for (w <- t) {
+          if (stop(w)) { if (cur.nonEmpty) runs += cur.toSeq; cur.clear() }
+          else cur += w
+        }
+        if (cur.nonEmpty) runs += cur.toSeq
+        runs.filter(r => r.nonEmpty && r.length <= 4).toSeq
+      }
+    }
+    val freq = phrases.flatten.groupBy(identity)
+      .map { case (w, v) => w -> v.size.toLong }
+    val deg = phrases.flatMap(p => p.map(w => w -> p.length.toLong))
+      .groupBy(_._1).map { case (w, v) => w -> v.map(_._2).sum }
+    val wscore = freq.keys.map(w => w -> (1000L * deg(w)) / freq(w)).toMap
+    phrases.groupBy(_.mkString(" ")).toSeq.map { case (ph, occ) =>
+      val words = ph.split(" ").toSeq
+      (ph, occ.size.toLong, words.length.toLong, words.map(wscore).sum)
+    }.sortBy { case (ph, nOcc, _, score) => (-score, -nOcc, ph) }.take(10)
+  }
+
+  test("q213 RAKE: top-10 phrases replay brutally, scores exact") {
+    val got = Keywords.q213_rake_keywords(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val want = brute()
+    assert(got == want, s"RAKE top-10 mismatch:\n got=$got\nwant=$want")
+    // degree/freq >= phrase-length floor: a word's degree counts at
+    // least its own occurrences, so every word score is >= 1000
+    assert(got.forall(_._4 >= 1000L * 1), "scores bounded below")
+    assert(got.map(_._1).distinct.length == got.length, "phrases unique")
+  }
+}
