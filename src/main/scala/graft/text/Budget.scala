@@ -741,7 +741,154 @@ object Budget {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------ q217 split manifest
+  /** Deterministic stratified train/val/test split manifest — the
+    * leakage-safe 80/10/10 assignment every training pipeline freezes
+    * before any tuning: a document's split is a pure function of its id
+    * (splitmix64 bucket), so the SAME doc lands in the SAME split on any
+    * cluster, any partitioning, any rerun — and re-ingesting a shard can
+    * never migrate documents across the contamination boundary. The
+    * manifest reports per (source, split): docs, exact token mass, the
+    * within-source permille share, and a bit_xor signature of the
+    * assignment keys so the gate covers the ASSIGNMENT itself, not just
+    * the counts.
+    *
+    * Scale shape: one map-side key computation + one (sources×3)-group
+    * aggregate; the per-source share algebra is catalog math. Nothing
+    * shuffles at doc granularity. */
+  def q217_split_manifest(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(Cleanse.tokens(col("text"))).cast("long").as("tk"),
+        graft.rel.JoinCard.splitmix64(col("doc_id")).as("key"))
+      .withColumn("bucket", pmod(col("key"), lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+    val cells = keyed.groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tokens"),
+        expr("bit_xor(key)").as("assign_sig"))
+    val srcTot = cells.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_src"))
+    cells.join(broadcast(srcTot), Seq("source"))
+      .select(col("source"), col("split"), col("n_docs"), col("n_tokens"),
+        expr("(1000 * n_docs) div n_src").as("share_permille"),
+        col("assign_sig"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  private lazy val splitOracle: String = {
+    val z1 = "(z + 11400714819323198485) % 18446744073709551616"
+    val m2 = mulmodSql("x1", BigInt("13787848793156543929"))
+    val m3 = mulmodSql("x2", BigInt("10723151780598845931"))
+    s"""WITH dt AS (SELECT doc_id, source,
+       |    CAST(len(list_filter(string_split(trim(text), ' '),
+       |      t -> t <> '')) AS BIGINT) AS tk,
+       |    CAST(doc_id AS HUGEINT) AS z FROM documents),
+       |s1 AS (SELECT doc_id, source, tk, $z1 AS z1 FROM dt),
+       |s2 AS (SELECT doc_id, source, tk, xor(z1, z1 // 1073741824) AS x1
+       |  FROM s1),
+       |s3 AS (SELECT doc_id, source, tk, $m2 AS z2 FROM s2),
+       |s4 AS (SELECT doc_id, source, tk, xor(z2, z2 // 134217728) AS x2
+       |  FROM s3),
+       |s5 AS (SELECT doc_id, source, tk, $m3 AS z3 FROM s4),
+       |s6 AS (SELECT doc_id, source, tk, xor(z3, z3 // 2147483648) AS m
+       |  FROM s5),
+       |k AS (SELECT doc_id, source, tk,
+       |    CASE WHEN m >= 9223372036854775808
+       |      THEN m - 18446744073709551616 ELSE m END AS key FROM s6),
+       |sp AS (SELECT source, tk, key,
+       |    CASE WHEN ((key % 100) + 100) % 100 < 80 THEN 'train'
+       |         WHEN ((key % 100) + 100) % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split FROM k),
+       |cells AS (SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(tk) AS BIGINT) AS n_tokens,
+       |    CAST(bit_xor(key) AS BIGINT) AS assign_sig
+       |  FROM sp GROUP BY 1, 2),
+       |st AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_src
+       |  FROM cells GROUP BY 1)
+       |SELECT c.source, c.split, c.n_docs, c.n_tokens,
+       |  (1000 * c.n_docs) // st.n_src AS share_permille, c.assign_sig
+       |FROM cells c JOIN st USING (source)
+       |ORDER BY c.source, c.split""".stripMargin
+  }
+
+  // -------------------------------------------- q218 epoch shuffle manifest
+  private val ShufEpochs = 3
+  private val ShufShards = 8L
+
+  /** Multi-epoch shuffle manifest — the loader-side global-shuffle
+    * contract for multi-epoch training (each epoch must present the
+    * corpus in a DIFFERENT pseudo-random order, reproducibly): a
+    * document's epoch-e shard is pmod(splitmix64(doc_id·1000003 + e),
+    * S), so the full shard assignment is a pure per-row function — no
+    * global sort, no state — and any executor can locate any document's
+    * shard from the manifest alone. Per (epoch, shard) the manifest
+    * reports the population, signed key range, a bit_xor signature of
+    * the keys (gating the exact assignment), and `n_stay` — how many of
+    * the shard's documents sat in the SAME shard the previous epoch, the
+    * decorrelation audit (≈ n/S when the epochs genuinely reshuffle).
+    *
+    * Scale shape: the doc×epoch key table is a map-side expression (one
+    * corpus scan, epochs generated per row); the stay-join co-partitions
+    * on doc_id; output is epochs×shards rows. */
+  def q218_epoch_shuffle(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"))
+      .withColumn("epoch", explode(sequence(lit(0), lit(ShufEpochs - 1))))
+      .withColumn("key", graft.rel.JoinCard.splitmix64(
+        col("doc_id") * lit(1000003L) + col("epoch")))
+      .withColumn("shard", pmod(col("key"), lit(ShufShards)))
+    val prev = base.select(col("doc_id"),
+      (col("epoch") + 1).as("epoch"), col("shard").as("prev_shard"))
+    base.join(prev, Seq("doc_id", "epoch"), "left_outer")
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("key")).as("min_key"), max(col("key")).as("max_key"),
+        expr("bit_xor(key)").as("shard_sig"),
+        sum(when(col("prev_shard") === col("shard"), 1L).otherwise(0L))
+          .as("n_stay"))
+      .orderBy(col("epoch"), col("shard"))
+  }
+
+  private lazy val shuffleOracle: String = {
+    val z1 = "(z + 11400714819323198485) % 18446744073709551616"
+    val m2 = mulmodSql("x1", BigInt("13787848793156543929"))
+    val m3 = mulmodSql("x2", BigInt("10723151780598845931"))
+    s"""WITH de AS (SELECT doc_id, CAST(e AS INT) AS epoch,
+       |    CAST(CAST(doc_id AS HUGEINT) * 1000003 + e AS HUGEINT)
+       |      % 18446744073709551616 AS z
+       |  FROM documents, unnest(range(0, $ShufEpochs)) AS u(e)),
+       |s1 AS (SELECT doc_id, epoch, $z1 AS z1 FROM de),
+       |s2 AS (SELECT doc_id, epoch, xor(z1, z1 // 1073741824) AS x1
+       |  FROM s1),
+       |s3 AS (SELECT doc_id, epoch, $m2 AS z2 FROM s2),
+       |s4 AS (SELECT doc_id, epoch, xor(z2, z2 // 134217728) AS x2
+       |  FROM s3),
+       |s5 AS (SELECT doc_id, epoch, $m3 AS z3 FROM s4),
+       |s6 AS (SELECT doc_id, epoch, xor(z3, z3 // 2147483648) AS m
+       |  FROM s5),
+       |k AS (SELECT doc_id, epoch,
+       |    CAST(CASE WHEN m >= 9223372036854775808
+       |      THEN m - 18446744073709551616 ELSE m END AS BIGINT) AS key
+       |  FROM s6),
+       |sh AS (SELECT doc_id, epoch, key,
+       |    CAST(((key % $ShufShards) + $ShufShards) % $ShufShards
+       |      AS BIGINT) AS shard
+       |  FROM k)
+       |SELECT a.epoch, a.shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(MIN(a.key) AS BIGINT) AS min_key,
+       |  CAST(MAX(a.key) AS BIGINT) AS max_key,
+       |  CAST(bit_xor(a.key) AS BIGINT) AS shard_sig,
+       |  CAST(SUM(CASE WHEN p.shard = a.shard THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_stay
+       |FROM sh a LEFT JOIN sh p
+       |  ON p.doc_id = a.doc_id AND p.epoch = a.epoch - 1
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_split_manifest" -> (q217_split_manifest _),
+    "q218_epoch_shuffle" -> (q218_epoch_shuffle _),
     "q182_weighted_reservoir" -> (q182_weighted_reservoir _),
     "q199_stride_schedule" -> (q199_stride_schedule _),
     "q140_token_waterfill" -> (q140_token_waterfill _),
@@ -752,6 +899,8 @@ object Budget {
     "q164_neyman_allocation" -> (q164_neyman_allocation _))
 
   val oracle: Map[String, String] = Map(
+    "q217_split_manifest" -> splitOracle,
+    "q218_epoch_shuffle" -> shuffleOracle,
     "q182_weighted_reservoir" -> reservoirOracle,
     "q199_stride_schedule" -> strideOracle,
     "q140_token_waterfill" -> waterfillOracle,

@@ -245,4 +245,77 @@ class BudgetSpec extends AnyFunSuite {
       }
     }
   }
+
+  /** Scala replica of the splitmix64 finalizer (Steele et al. 2014). */
+  private def sm64(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  test("q217 split manifest: assignment is a pure doc_id function; " +
+    "splits partition every source; signatures replay") {
+    import org.apache.spark.sql.functions.col
+    val rows = Budget.q217_split_manifest(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def splitOf(id: Long): String = {
+      val b = ((sm64(id) % 100) + 100) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val exp = docs.groupBy(d => (d._2, splitOf(d._1))).map { case (k, v) =>
+      k -> (v.length.toLong,
+        v.map(_._3.trim.split(" ").count(_.nonEmpty).toLong).sum,
+        v.map(d => sm64(d._1)).reduce(_ ^ _))
+    }
+    assert(rows.map(r => (r._1, r._2)).toSet == exp.keySet)
+    for ((src, sp, n, tk, share, sig) <- rows) {
+      val (en, etk, esig) = exp((src, sp))
+      assert(n == en && tk == etk && sig == esig, s"($src,$sp) manifest")
+      val nSrc = docs.count(_._2 == src).toLong
+      assert(share == 1000L * n / nSrc)
+    }
+    // the splits PARTITION each source exactly
+    for (src <- docs.map(_._2).distinct) {
+      val tot = rows.filter(_._1 == src).map(_._3).sum
+      assert(tot == docs.count(_._2 == src).toLong, s"$src partition")
+    }
+  }
+
+  test("q218 epoch shuffle: assignment replays; shards partition each " +
+    "epoch; stay-rate is the decorrelation audit") {
+    val rows = Budget.q218_epoch_shuffle(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    def keyOf(id: Long, e: Int): Long = sm64(id * 1000003L + e)
+    def shardOf(id: Long, e: Int): Long = {
+      val k = keyOf(id, e); ((k % 8) + 8) % 8
+    }
+    for (e <- 0 until 3) {
+      val byShard = ids.groupBy(shardOf(_, e))
+      val epochRows = rows.filter(_._1 == e)
+      assert(epochRows.map(_._3).sum == ids.length.toLong,
+        s"epoch $e shards must partition the corpus")
+      for ((ep, sh, n, minK, maxK, sig, stay) <- epochRows) {
+        val mine = byShard(sh)
+        assert(n == mine.length.toLong)
+        val keys = mine.map(keyOf(_, ep))
+        assert(minK == keys.min && maxK == keys.max)
+        assert(sig == keys.reduce(_ ^ _), s"epoch $ep shard $sh sig")
+        val expStay = if (ep == 0) 0L
+          else mine.count(id => shardOf(id, ep - 1) == sh).toLong
+        assert(stay == expStay, s"epoch $ep shard $sh stay count")
+      }
+    }
+    // epochs genuinely reshuffle: strictly fewer stay than move
+    val later = rows.filter(_._1 > 0)
+    assert(later.map(_._7).sum * 2 < later.map(_._3).sum,
+      "a real reshuffle keeps well under half the docs in place")
+  }
 }
