@@ -28,7 +28,8 @@ object SparkEntry {
       text.CorpusFilters.queries ++ text.Retrieval.queries ++
       text.KneserNey.queries ++ text.Keywords.queries ++
       text.Eval.queries ++ text.Privacy.queries ++ text.Drift.queries ++
-      ml.Vocab.queries ++ ml.Hdr.queries ++ ml.LshPlanner.queries ++
+      ml.Vocab.queries ++ ml.Hdr.queries ++ ml.Hll.queries ++
+      ml.LshPlanner.queries ++
       ml.Projection.queries ++
       ml.Similarity.queries ++ ml.Lda.queries ++ ml.Bloom.queries ++
       ml.Cluster.queries ++ ml.Bitext.queries ++ ml.Pca.queries ++
@@ -48,7 +49,8 @@ object SparkEntry {
       text.CorpusFilters.oracle ++ text.Retrieval.oracle ++
       text.KneserNey.oracle ++ text.Keywords.oracle ++
       text.Eval.oracle ++ text.Privacy.oracle ++ text.Drift.oracle ++
-      ml.Vocab.oracle ++ ml.Hdr.oracle ++ ml.LshPlanner.oracle ++
+      ml.Vocab.oracle ++ ml.Hdr.oracle ++ ml.Hll.oracle ++
+      ml.LshPlanner.oracle ++
       ml.Projection.oracle ++
       ml.Similarity.oracle ++ ml.Lda.oracle ++ ml.Cluster.oracle ++ ml.Bitext.oracle ++ ml.Pca.oracle ++
       ml.Bloom.oracle ++ ml.Quantize.oracle ++

@@ -1,0 +1,187 @@
+package graft.ml
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** HyperLogLog distinct-count sketch (Flajolet, Fusy, Gandouet & Meunier
+  * 2007) — the THIRD rung of the repo's cardinality ladder and the one
+  * every lake/telemetry stack actually stores: q_approx_distinct gates
+  * Spark's built-in HLL++ within tolerance, q54 gates the native KMV
+  * aggregate within tolerance, and q219 builds the textbook HLL REGISTERS
+  * themselves in pure relational algebra so the whole sketch — registers,
+  * raw estimate, small-range linear-counting correction — is BIT-EXACT
+  * and replays in DuckDB (no tolerance contract at all).
+  *
+  * The float-free lift: with h = splitmix64(key), bucket = low 8 bits,
+  * w = h >>> 8 (a 56-bit window), the rank is rho = 57 − bitlen(w)
+  * (bitlen via length(bin(w)) — exact integers in both engines; w = 0 →
+  * rho = 57). Registers M_j = max rho per bucket. The harmonic sum
+  * Σ 2^(−M_j) becomes the integer S = Σ 2^(57−M_j) over the full
+  * 256-bucket grid (absent buckets M = 0), and the estimate
+  *   E = α_m·m²/Σ2^(−M_j) = (α_micro·m²·2^57) div (10⁶·S)
+  * is one integral division of exact operands — DECIMAL(38,0) on the
+  * Spark side, HUGEINT in DuckDB (S ≤ 256·2^57 ≈ 2^65 overflows BIGINT
+  * by design; the term table does not). α_micro = round(10⁶·0.7213/
+  * (1 + 1.079/m)) is a compile-time literal shared by both plans.
+  * Small-range correction (V = zero registers > 0 and E ≤ 5m/2):
+  * linear counting m·ln(m/V) in the house micro-nat quantization,
+  * round(10⁶·ln m) − round(10⁶·ln V) of INTEGER arguments (q203 class).
+  *
+  * Why this is the 100 TB sketch: a register table is 256 BIGINTs per
+  * group no matter how many rows stream through it, max() is a
+  * commutative-idempotent merge (map-side partial combine, mergeable
+  * across shards/days without rescanning), and the estimate is catalog
+  * math over the register table. The register bit_xor signature gates
+  * the sketch CONTENT, not just the estimate.
+  */
+object Hll {
+
+  private val P = 8
+  private val M = 1 << P // 256 registers
+  private val MaxRho = 64 - P + 1 // 57
+  private val AlphaMicro: Long =
+    math.round(1e6 * 0.7213 / (1.0 + 1.079 / M)) // 718273
+  /** α_micro · m² · 2^57 — the estimate numerator, shared literal. */
+  private val Numer: BigInt =
+    BigInt(AlphaMicro) * BigInt(M) * BigInt(M) * (BigInt(1) << MaxRho)
+  private val LnMMicro: Long = math.round(1e6 * math.log(M.toDouble))
+
+  def q219_hll_distinct(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitemFanned(s, dir)
+    // one pass, three sketch targets stacked as (name, key)
+    val keyed = li.select(explode(array(
+        struct(lit("orderkey").as("name"), col("l_orderkey").as("k")),
+        struct(lit("partkey").as("name"), col("l_partkey").as("k")),
+        struct(lit("suppkey").as("name"), col("l_suppkey").as("k"))))
+        .as("t"))
+      .select(col("t.name").as("name"),
+        graft.rel.JoinCard.splitmix64(col("t.k")).as("h"))
+      .select(col("name"), pmod(col("h"), lit(M.toLong)).as("bucket"),
+        expr(s"shiftrightunsigned(h, $P)").as("w"))
+      .select(col("name"), col("bucket"),
+        when(col("w") === 0L, lit(MaxRho.toLong))
+          .otherwise(lit(MaxRho.toLong) - length(bin(col("w"))))
+          .as("rho"))
+    val regs = keyed.groupBy(col("name"), col("bucket"))
+      .agg(max(col("rho")).as("m_j"))
+    // full 256-bucket grid per target: absent buckets are M = 0
+    val grid = li.sparkSession.range(M.toLong).select(col("id").as("bucket"))
+    val full = keyed.select(col("name")).distinct()
+      .crossJoin(broadcast(grid))
+      .join(regs, Seq("name", "bucket"), "left_outer")
+      .withColumn("m_j", coalesce(col("m_j"), lit(0L)))
+    val sketch = full.groupBy(col("name"))
+      .agg(
+        sum(when(col("m_j") === 0L, 1L).otherwise(0L)).as("v_zero"),
+        sum(expr(s"CAST(shiftleft(1L, CAST($MaxRho - m_j AS INT)) " +
+          "AS DECIMAL(38,0))")).as("s_dec"),
+        expr("bit_xor(bucket * 64 + m_j)").as("reg_sig"))
+      // the integral division's quotient must fit a BIGINT: S below
+      // ~1.6e3 needs >1.8e16 distinct keys — fail loudly, never wrap
+      .filter(coalesce(assert_true(
+        expr("s_dec >= 4096"),
+        lit("HLL estimate would overflow BIGINT: cardinality beyond " +
+          "1.8e16 distinct needs the DECIMAL(38,0) estimate path")),
+        lit(true)))
+      .withColumn("raw_est", expr(
+        s"CAST(CAST('$Numer' AS DECIMAL(38,0)) " +
+          "div (CAST(1000000 AS DECIMAL(38,0)) * s_dec) AS BIGINT)"))
+      .withColumn("est",
+        when(col("v_zero") > 0L && col("raw_est") * 2 <= lit(5L * M),
+          expr(s"(${M}L * (${LnMMicro}L - " +
+            "CAST(round(1000000.0 * ln(v_zero)) AS BIGINT))) div 1000000"))
+          .otherwise(col("raw_est")))
+    val exact = li.select(
+        countDistinct(col("l_orderkey")).as("orderkey"),
+        countDistinct(col("l_partkey")).as("partkey"),
+        countDistinct(col("l_suppkey")).as("suppkey"))
+      .select(explode(map(
+        lit("orderkey"), col("orderkey"),
+        lit("partkey"), col("partkey"),
+        lit("suppkey"), col("suppkey"))).as(Seq("name", "exact")))
+    sketch.join(broadcast(exact), Seq("name"))
+      .select(col("name"), col("v_zero"), col("reg_sig"), col("raw_est"),
+        col("est"), col("exact"),
+        expr("(1000 * abs(est - exact)) div exact").as("err_permille"))
+      .orderBy(col("name"))
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  private def mulmodSql(x: String, c: BigInt): String = {
+    val base = BigInt(4294967296L)
+    val lo = c % base
+    val hi = c / base
+    s"((($x % 4294967296) * $lo + " +
+      s"((($x % 4294967296) * $hi + ($x // 4294967296) * $lo) % 4294967296)" +
+      s" * 4294967296) % 18446744073709551616)"
+  }
+
+  private lazy val hllOracle: String = {
+    val z1 = "(z + 11400714819323198485) % 18446744073709551616"
+    val m2 = mulmodSql("x1", BigInt("13787848793156543929"))
+    val m3 = mulmodSql("x2", BigInt("10723151780598845931"))
+    s"""WITH keyed AS (
+       |  SELECT 'orderkey' AS name, CAST(l_orderkey AS HUGEINT) AS z
+       |    FROM lineitem
+       |  UNION ALL
+       |  SELECT 'partkey', CAST(l_partkey AS HUGEINT) FROM lineitem
+       |  UNION ALL
+       |  SELECT 'suppkey', CAST(l_suppkey AS HUGEINT) FROM lineitem),
+       |s1 AS (SELECT name, $z1 AS z1 FROM keyed),
+       |s2 AS (SELECT name, xor(z1, z1 // 1073741824) AS x1 FROM s1),
+       |s3 AS (SELECT name, $m2 AS z2 FROM s2),
+       |s4 AS (SELECT name, xor(z2, z2 // 134217728) AS x2 FROM s3),
+       |s5 AS (SELECT name, $m3 AS z3 FROM s4),
+       |s6 AS (SELECT name, xor(z3, z3 // 2147483648) AS h FROM s5),
+       |rh AS (SELECT name, CAST(h % $M AS BIGINT) AS bucket,
+       |    CAST(h // $M AS BIGINT) AS w FROM s6),
+       |rho AS (SELECT name, bucket,
+       |    CASE WHEN w = 0 THEN $MaxRho
+       |         ELSE $MaxRho - length(bin(w)) END AS rho FROM rh),
+       |regs AS (SELECT name, bucket, CAST(MAX(rho) AS BIGINT) AS m_j
+       |  FROM rho GROUP BY 1, 2),
+       |grid AS (SELECT n.name, CAST(b AS BIGINT) AS bucket
+       |  FROM (SELECT DISTINCT name FROM keyed) n,
+       |    unnest(range(0, $M)) AS u(b)),
+       |full_regs AS (SELECT g.name, g.bucket, COALESCE(r.m_j, 0) AS m_j
+       |  FROM grid g LEFT JOIN regs r
+       |    ON r.name = g.name AND r.bucket = g.bucket),
+       |sk AS (SELECT name,
+       |    CAST(SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS v_zero,
+       |    SUM(CAST(1 AS HUGEINT) << CAST($MaxRho - m_j AS INT)) AS s_h,
+       |    CAST(bit_xor(bucket * 64 + m_j) AS BIGINT) AS reg_sig
+       |  FROM full_regs GROUP BY 1),
+       |est0 AS (SELECT name, v_zero, reg_sig,
+       |    CAST(CAST('$Numer' AS HUGEINT)
+       |      // (1000000 * s_h) AS BIGINT) AS raw_est
+       |  FROM sk),
+       |est AS (SELECT name, v_zero, reg_sig, raw_est,
+       |    CASE WHEN v_zero > 0 AND raw_est * 2 <= ${5 * M}
+       |      THEN ($M * ($LnMMicro -
+       |        CAST(round(1000000.0 * ln(v_zero)) AS BIGINT))) // 1000000
+       |      ELSE raw_est END AS est FROM est0),
+       |ex AS (
+       |  SELECT 'orderkey' AS name,
+       |      CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact
+       |    FROM lineitem
+       |  UNION ALL
+       |  SELECT 'partkey', CAST(COUNT(DISTINCT l_partkey) AS BIGINT)
+       |    FROM lineitem
+       |  UNION ALL
+       |  SELECT 'suppkey', CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+       |    FROM lineitem)
+       |SELECT e.name, s.v_zero, s.reg_sig, s.raw_est, s.est, e.exact,
+       |  (1000 * abs(s.est - e.exact)) // e.exact AS err_permille
+       |FROM est s JOIN ex e USING (name) ORDER BY e.name""".stripMargin
+  }
+
+  // ------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_hll_distinct" -> (q219_hll_distinct _))
+
+  val oracle: Map[String, String] = Map(
+    "q219_hll_distinct" -> hllOracle)
+}

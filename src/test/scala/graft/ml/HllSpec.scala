@@ -1,0 +1,77 @@
+package graft.ml
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q219: the relational HLL replays register-for-register against a
+  * driver-side reference sketch, including the estimate arithmetic and
+  * the small-range correction branch. */
+class HllSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.text.SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def sm64(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def reference(keys: Array[Long])
+      : (Array[Long], Long, Long, Long, Long) = {
+    val m = 256
+    val regs = Array.fill(m)(0L)
+    for (k <- keys) {
+      val h = sm64(k)
+      val bucket = (((h % m) + m) % m).toInt
+      val w = h >>> 8
+      val rho = if (w == 0L) 57L else 57L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rho > regs(bucket)) regs(bucket) = rho
+    }
+    val vZero = regs.count(_ == 0L).toLong
+    val s = regs.map(mj => BigInt(1) << (57 - mj).toInt).sum
+    val alphaMicro = math.round(1e6 * 0.7213 / (1.0 + 1.079 / m))
+    val numer = BigInt(alphaMicro) * m * m * (BigInt(1) << 57)
+    val rawEst = (numer / (BigInt(1000000) * s)).toLong
+    val lnM = math.round(1e6 * math.log(m.toDouble))
+    val est = if (vZero > 0 && rawEst * 2 <= 5L * m)
+      (m * (lnM - math.round(1e6 * math.log(vZero.toDouble)))) / 1000000L
+    else rawEst
+    val sig = regs.zipWithIndex.map { case (mj, b) => b * 64L + mj }
+      .reduce(_ ^ _)
+    (regs, vZero, rawEst, est, sig)
+  }
+
+  test("q219 HLL: registers, signature, estimate and correction branch " +
+    "replay exactly; error stays inside the published RSE envelope") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey").collect()
+    val cols = Map(
+      "orderkey" -> li.map(_.getLong(0)),
+      "partkey" -> li.map(_.getLong(1)),
+      "suppkey" -> li.map(_.getLong(2)))
+    val out = Hll.q219_hll_distinct(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(out.keySet == cols.keySet)
+    for ((name, keys) <- cols) {
+      val (_, vZero, rawEst, est, sig) = reference(keys)
+      val (gV, gSig, gRaw, gEst, gExact, gErr) = out(name)
+      val exact = keys.distinct.length.toLong
+      assert(gV == vZero, s"$name zero-register count")
+      assert(gSig == sig, s"$name register signature")
+      assert(gRaw == rawEst, s"$name raw estimate")
+      assert(gEst == est, s"$name corrected estimate")
+      assert(gExact == exact, s"$name exact distinct")
+      assert(gErr == 1000L * math.abs(est - exact) / exact)
+      // m=256 → RSE ≈ 1.04/√256 = 6.5%; 4σ envelope (both corrections
+      // applied) — a failure here means broken arithmetic, not variance
+      assert(gErr <= 260, s"$name error $gErr permille out of envelope")
+    }
+    // the small-cardinality target must actually exercise the
+    // linear-counting branch at this SF (suppliers ≪ m)
+    val (sV, _, sRaw, _, _, _) = out("suppkey")
+    assert(sV > 0 && sRaw * 2 <= 5L * 256,
+      "suppkey should take the linear-counting branch")
+  }
+}
