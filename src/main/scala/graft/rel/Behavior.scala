@@ -570,7 +570,89 @@ object Behavior {
        |  CAST(SUM(credit) AS BIGINT) AS cents
        |FROM cr GROUP BY touch_type ORDER BY touch_type""".stripMargin
 
+  // ------------------------------------- q220 seasonal decomposition
+  /** STL-lite additive decomposition of the daily event series — the
+    * classical-decomposition skeleton (trend = centered 7-day moving
+    * window, seasonal = day-of-week mean of the detrended series,
+    * remainder; Cleveland et al. 1990 §2 describe the loess upgrade,
+    * the moving-average form is the textbook classical method) that a
+    * traffic monitor runs before any anomaly rule, so weekday rhythm
+    * stops masquerading as drift. Everything stays EXACT by working in
+    * sevenths: trend7 = Σ of the 7-day window (7× the mean), detrended7
+    * = 7c − trend7, seasonal7 = the floor-mean of detrended7 per dow
+    * (offset-shifted so Spark's truncate-toward-zero `div` and DuckDB's
+    * floor `//` agree on negatives — the q141 BalOffset discipline),
+    * remainder7 the exact difference. The additive identity
+    * 7c = trend7 + seasonal7 + remainder7 holds bit-for-bit.
+    *
+    * Scale shape: day-grid algebra throughout — one corpus pass to daily
+    * counts, then windows over the (bounded) day grid; the dow means are
+    * a 7-group aggregate. Edge days without a full window are excluded
+    * (reported by the interior day count). */
+  def q220_seasonal_decompose(s: SparkSession, dir: String): DataFrame = {
+    val Off = 1000000000000L // shifts floor-division operands positive
+    val daily = Tables.events(s, dir)
+      .select(expr("ts_us div 86400000000L").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+    val filled = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left_outer")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val wTrend = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val wCnt = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val interior = filled
+      .withColumn("trend7", sum(col("c")).over(wTrend))
+      .withColumn("n_win", count(lit(1)).over(wTrend))
+      .withColumn("n_days", count(lit(1)).over(wCnt))
+      .filter(col("n_win") === 7) // full windows only: the interior
+      .withColumn("detr7", lit(7L) * col("c") - col("trend7"))
+      .withColumn("dow", expr("(day + 4) % 7"))
+    val seasonal = interior.groupBy(col("dow"))
+      .agg(sum(col("detr7")).as("sd"), count(lit(1)).as("nd"))
+      .withColumn("seasonal7",
+        expr(s"((sd + ${Off}L * nd) div nd) - ${Off}L"))
+      .select(col("dow"), col("seasonal7"))
+    interior.join(broadcast(seasonal), Seq("dow"))
+      .select(col("day"), col("dow"), col("c"), col("trend7"),
+        col("seasonal7"),
+        (lit(7L) * col("c") - col("trend7") - col("seasonal7"))
+          .as("remainder7"),
+        col("n_days"))
+      .orderBy(col("day"))
+  }
+
+  private lazy val seasonalOracle: String =
+    s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+       |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+       |grid AS (SELECT CAST(unnest(range(d0, d1 + 1)) AS BIGINT) AS day
+       |  FROM bounds),
+       |filled AS (SELECT g.day, COALESCE(d.c, 0) AS c
+       |  FROM grid g LEFT JOIN daily d ON d.day = g.day),
+       |win AS (SELECT day, c,
+       |    CAST(SUM(c) OVER (ORDER BY day
+       |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+       |      AS trend7,
+       |    COUNT(*) OVER (ORDER BY day
+       |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n_win,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS n_days
+       |  FROM filled),
+       |interior AS (SELECT day, c, trend7, n_days,
+       |    7 * c - trend7 AS detr7, (day + 4) % 7 AS dow
+       |  FROM win WHERE n_win = 7),
+       |seas AS (SELECT dow,
+       |    ((SUM(detr7) + 1000000000000 * COUNT(*)) // COUNT(*))
+       |      - 1000000000000 AS seasonal7
+       |  FROM interior GROUP BY 1)
+       |SELECT i.day, i.dow, i.c, i.trend7,
+       |  CAST(s.seasonal7 AS BIGINT) AS seasonal7,
+       |  CAST(7 * i.c - i.trend7 - s.seasonal7 AS BIGINT) AS remainder7,
+       |  i.n_days
+       |FROM interior i JOIN seas s USING (dow) ORDER BY i.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_seasonal_decompose" -> (q220_seasonal_decompose _),
     "q214_cusum_changepoint" -> (q214_cusum_changepoint _),
     "q215_revenue_attribution" -> (q215_revenue_attribution _),
     "q209_traffic_profile" -> (q209_traffic_profile _),
@@ -582,6 +664,7 @@ object Behavior {
     "q196_revenue_concentration" -> (q196_revenue_concentration _))
 
   val oracle: Map[String, String] = Map(
+    "q220_seasonal_decompose" -> seasonalOracle,
     "q214_cusum_changepoint" -> cusumOracle,
     "q215_revenue_attribution" -> attributionOracle,
     "q209_traffic_profile" -> trafficOracle,

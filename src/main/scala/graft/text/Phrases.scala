@@ -448,7 +448,83 @@ object Phrases {
        |ORDER BY source, rank""".stripMargin
   }
 
+  // ---------------------------------------------------- q221 PPMI pairs
+  /** Positive pointwise mutual information over the ±2 skip-gram window
+    * — the count-based association score whose factorization IS the
+    * classic distributional embedding (Church & Hanks 1990 for PMI;
+    * Levy & Goldberg 2014, "Neural word embedding as implicit matrix
+    * factorization", for why PPMI·SVD rivals word2vec). Pair events are
+    * ORDERED (center, context) so the marginals are plain row/column
+    * sums; PPMI quantizes per the house micro-nat rule — each ln of an
+    * INTEGER count rounded once, the score a sum of four roundings,
+    * clamped at zero (q203/q212 class):
+    *   ppmi_micro = max(0, lnM(n_ab) + lnM(N) − lnM(c_a) − lnM(k_b)).
+    * The n ≥ 5 support floor is the published practice (rare-pair PMI
+    * explodes) and is mirrored in both engines.
+    *
+    * Scale shape: the pair table is vocab²-bounded with map-side
+    * combine; marginals are vocab-sized broadcasts; the top-20 is a
+    * bounded heap. The corpus feeds exactly one (doc, pos) self-join —
+    * the q170/q172 equi-join shape, never a window. */
+  def q221_ppmi_pairs(s: SparkSession, dir: String): DataFrame = {
+    val toks = docToks(s, dir).filter(size(col("t")) >= 2)
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("i", "w")))
+    val right = toks.select(col("doc_id"), col("i").as("j"),
+      col("w").as("ctx"))
+    import s.implicits._
+    val pairs = toks
+      .crossJoin(broadcast(Seq(-2, -1, 1, 2).toDF("d")))
+      .withColumn("j", col("i") + col("d"))
+      .join(right, Seq("doc_id", "j"))
+      .groupBy(col("w").as("a"), col("ctx").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val n = pairs.agg(sum(col("n_ab")).as("n")).select(col("n"))
+    val ca = pairs.groupBy(col("a")).agg(sum(col("n_ab")).as("c_a"))
+    val kb = pairs.groupBy(col("b")).agg(sum(col("n_ab")).as("k_b"))
+    def lnM(c: org.apache.spark.sql.Column) =
+      round(lit(1e6) * log(c)).cast("long")
+    pairs.filter(col("n_ab") >= 5)
+      .join(broadcast(ca), Seq("a"))
+      .join(broadcast(kb), Seq("b"))
+      .crossJoin(broadcast(n))
+      .withColumn("ppmi_micro",
+        greatest(lit(0L),
+          lnM(col("n_ab")) + lnM(col("n")) - lnM(col("c_a"))
+            - lnM(col("k_b"))))
+      .orderBy(col("ppmi_micro").desc, col("a"), col("b"))
+      .limit(20)
+      .select(col("a"), col("b"), col("n_ab"), col("c_a"), col("k_b"),
+        col("ppmi_micro"))
+  }
+
+  private lazy val ppmiOracle: String =
+    s"""WITH toks AS (SELECT doc_id, i - 1 AS i, t[i] AS w
+       |  FROM (SELECT doc_id, $DToks AS t FROM documents),
+       |    unnest(range(1, len(t) + 1)) AS u(i) WHERE len(t) >= 2),
+       |pairs AS (SELECT a.w AS a, b.w AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_ab
+       |  FROM toks a CROSS JOIN (VALUES (-2), (-1), (1), (2)) v(d)
+       |  JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + v.d
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM pairs),
+       |ca AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS c_a
+       |  FROM pairs GROUP BY 1),
+       |kb AS (SELECT b, CAST(SUM(n_ab) AS BIGINT) AS k_b
+       |  FROM pairs GROUP BY 1),
+       |sc AS (SELECT p.a, p.b, p.n_ab, ca.c_a, kb.k_b,
+       |    greatest(0,
+       |      CAST(round(1000000.0 * ln(p.n_ab)) AS BIGINT)
+       |      + CAST(round(1000000.0 * ln((SELECT n FROM tot))) AS BIGINT)
+       |      - CAST(round(1000000.0 * ln(ca.c_a)) AS BIGINT)
+       |      - CAST(round(1000000.0 * ln(kb.k_b)) AS BIGINT))
+       |      AS ppmi_micro
+       |  FROM pairs p JOIN ca USING (a) JOIN kb USING (b)
+       |  WHERE p.n_ab >= 5)
+       |SELECT a, b, n_ab, c_a, k_b, ppmi_micro FROM sc
+       |ORDER BY ppmi_micro DESC, a, b LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_ppmi_pairs" -> (q221_ppmi_pairs _),
     "q211_distinctive_terms" -> (q211_distinctive_terms _),
     "q161_phrase_mining" -> (q161_phrase_mining _),
     "q162_phrase_merge" -> (q162_phrase_merge _),
@@ -492,6 +568,7 @@ object Phrases {
   }
 
   val oracle: Map[String, String] = Map(
+    "q221_ppmi_pairs" -> ppmiOracle,
     "q211_distinctive_terms" -> distinctiveOracle,
     "q161_phrase_mining" -> miningOracle,
     "q162_phrase_merge" -> mergeOracle,

@@ -236,4 +236,40 @@ class BehaviorSpec extends AnyFunSuite {
     assert(out.values.map(_._3).sum == convertedCents,
       "attributed cents must sum exactly to converted cents")
   }
+
+  test("q220 seasonal decomposition: additive identity exact, trend " +
+    "windows replay, seasonal is a pure dow function") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Behavior.q220_seasonal_decompose(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val days = graft.Tables.events(spark, sf).select("ts_us").collect()
+      .map(_.getLong(0) / 86400000000L)
+    val byDay = days.groupBy(identity)
+      .map { case (d, v) => d -> v.length.toLong }
+    val (d0, d1) = (days.min, days.max)
+    val grid = (d0 to d1).map(d => d -> byDay.getOrElse(d, 0L))
+    assert(rows.length == grid.length - 6, "interior excludes 3+3 edges")
+    assert(rows.forall(_._7 == grid.length.toLong))
+    val cOf = grid.toMap
+    for ((day, dow, c, trend7, seasonal7, rem7, _) <- rows) {
+      assert(dow == (day + 4) % 7)
+      assert(c == cOf(day))
+      assert(trend7 == (-3L to 3L).map(k => cOf(day + k)).sum,
+        s"day $day trend window")
+      assert(7 * c == trend7 + seasonal7 + rem7,
+        s"day $day additive identity")
+    }
+    // seasonal7 is a function of dow alone, and equals the floor-mean
+    // of the detrended series over that dow
+    for ((dow, g) <- rows.groupBy(_._2)) {
+      assert(g.map(_._5).distinct.length == 1, s"dow $dow seasonal varies")
+      val det = g.map(r => 7 * r._3 - r._4)
+      val floorMean = {
+        val off = 1000000000000L
+        (det.sum + off * det.length) / det.length - off
+      }
+      assert(g.head._5 == floorMean, s"dow $dow seasonal mean")
+    }
+  }
 }

@@ -146,4 +146,35 @@ class PhrasesSpec extends AnyFunSuite {
     }
     assert(rows.groupBy(_._1).forall(_._2.length == 10))
   }
+
+  test("q221 PPMI: ordered-pair counts, marginals and micro-nat scores " +
+    "replay brutally; support floor applied") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    for (text <- docs) {
+      val t = text.trim.split(" ").filter(_.nonEmpty)
+      if (t.length >= 2)
+        for (i <- t.indices; d <- Seq(-2, -1, 1, 2); j = i + d
+             if j >= 0 && j < t.length)
+          pairs((t(i), t(j))) += 1
+    }
+    val n = pairs.values.sum
+    val ca = pairs.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+    val kb = pairs.groupBy(_._1._2).map { case (b, m) => b -> m.values.sum }
+    def lnM(x: Long): Long = math.round(1e6 * math.log(x.toDouble))
+    val scored = pairs.toSeq.filter(_._2 >= 5).map { case ((a, b), nab) =>
+      val p = math.max(0L, lnM(nab) + lnM(n) - lnM(ca(a)) - lnM(kb(b)))
+      (a, b, nab, ca(a), kb(b), p)
+    }.sortBy { case (a, b, _, _, _, p) => (-p, a, b) }.take(20)
+    val got = Phrases.q221_ppmi_pairs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == scored, s"PPMI top-20 mismatch:\n got=$got\nwant=$scored")
+    // window symmetry makes the two marginals coincide per word
+    got.foreach { case (a, _, _, cA, _, _) => assert(cA == kb(a)) }
+    assert(got.forall(_._6 >= 0L))
+  }
 }
