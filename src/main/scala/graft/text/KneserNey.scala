@@ -85,10 +85,162 @@ object KneserNey {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------- q222 holdout eval
+  /** Holdout perplexity evaluation of the KN model — learn→apply loop
+    * over the q217 split boundary: the bigram model (counts, context and
+    * continuation tables) trains on the TRAIN split only, then scores
+    * every split's bigrams, so the train-vs-val micro-nat gap is the
+    * overfitting surface a filter-retrain pipeline watches (the KenLM
+    * analogue of an eval-loss curve; CCNet holds out exactly this way).
+    * Scoring classifies each bigram: seen pair → full KN rational;
+    * unseen pair with seen context AND seen continuation → the backoff
+    * term alone (3·N1f·N1b over 4·c(v·)·B — exactly the mass KN
+    * reserves); anything else is an OOV event, COUNTED but not scored
+    * (a zero-probability continuation has no finite log — the honest
+    * accounting, not a fudge floor). The `no_overfit` flag is an exact
+    * integer cross-multiplication of the train/val mean log-probs.
+    *
+    * Scale shape: q212's model tables (vocab/vocab²-bounded) built from
+    * the train partition of one corpus scan; scoring joins shuffle on
+    * the bigram key with the vocab-sized tables broadcast; output is 3
+    * rows. The split is the q217 pure-hash function — no doc can leak
+    * across the boundary between runs. */
+  def q222_kn_holdout(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documentsFanned(s, dir)
+      .select(col("doc_id"), Cleanse.tokens(col("text")).as("t"))
+      .withColumn("bucket",
+        pmod(graft.rel.JoinCard.splitmix64(col("doc_id")), lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+    val bi = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("split"), explode(expr(
+        "transform(sequence(1, size(t)-1), i -> struct(element_at(t,i) AS w1, element_at(t,i+1) AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("split"), col("b.w1").as("w1"),
+        col("b.w2").as("w2"))
+    val trainBi = bi.filter(col("split") === "train")
+    val bic = trainBi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val ctx = bic.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1v"), count(lit(1)).as("n1f"))
+    val cont = bic.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val b = bic.count()
+    val scored = bi
+      .join(bic, Seq("w1", "w2"), "left_outer")
+      .join(broadcast(ctx), Seq("w1"), "left_outer")
+      .join(broadcast(cont), Seq("w2"), "left_outer")
+      .withColumn("scoreable",
+        col("c1v").isNotNull && col("n1b").isNotNull)
+      .withColumn("num",
+        when(col("c12").isNotNull,
+          expr(s"greatest(4 * c12 - 3, 0L) * ${b}L + 3 * n1f * n1b"))
+          .otherwise(expr(s"3 * n1f * n1b")))
+      .withColumn("lp",
+        when(col("scoreable"),
+          round(lit(1e6) * log(col("num"))).cast("long") -
+            round(lit(1e6) * log(expr(s"4 * c1v * ${b}L"))).cast("long"))
+          .otherwise(lit(0L)))
+    val perSplit = scored.groupBy(col("split"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("scoreable"), 1L).otherwise(0L)).as("n_scored"),
+        sum(when(!col("scoreable"), 1L).otherwise(0L)).as("n_oov"),
+        sum(col("lp")).as("sum_lp_micro"))
+    // exact cross-multiplied mean comparison: train mean >= val mean
+    val gap = perSplit.filter(col("split").isin("train", "val"))
+      .groupBy()
+      .agg(
+        max(when(col("split") === "train", col("sum_lp_micro"))).as("s_t"),
+        max(when(col("split") === "train", col("n_scored"))).as("n_t"),
+        max(when(col("split") === "val", col("sum_lp_micro"))).as("s_v"),
+        max(when(col("split") === "val", col("n_scored"))).as("n_v"))
+      .select((col("s_t") * col("n_v") >= col("s_v") * col("n_t"))
+        .as("no_overfit"))
+    perSplit.crossJoin(broadcast(gap))
+      .select(col("split"), col("n_docs"), col("n_bigrams"),
+        col("n_scored"), col("n_oov"), col("sum_lp_micro"),
+        col("no_overfit"))
+      .orderBy(col("split"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private val DToks =
     "list_filter(string_split(trim(text), ' '), t -> t <> '')"
+
+  private def mulmodSql(x: String, c: BigInt): String = {
+    val base = BigInt(4294967296L)
+    val lo = c % base
+    val hi = c / base
+    s"((($x % 4294967296) * $lo + " +
+      s"((($x % 4294967296) * $hi + ($x // 4294967296) * $lo) % 4294967296)" +
+      s" * 4294967296) % 18446744073709551616)"
+  }
+
+  private lazy val holdoutOracle: String = {
+    val z1 = "(z + 11400714819323198485) % 18446744073709551616"
+    val m2 = mulmodSql("x1", BigInt("13787848793156543929"))
+    val m3 = mulmodSql("x2", BigInt("10723151780598845931"))
+    s"""WITH d0 AS (SELECT doc_id, $DToks AS t,
+       |    CAST(doc_id AS HUGEINT) AS z FROM documents),
+       |s1 AS (SELECT doc_id, t, $z1 AS z1 FROM d0),
+       |s2 AS (SELECT doc_id, t, xor(z1, z1 // 1073741824) AS x1 FROM s1),
+       |s3 AS (SELECT doc_id, t, $m2 AS z2 FROM s2),
+       |s4 AS (SELECT doc_id, t, xor(z2, z2 // 134217728) AS x2 FROM s3),
+       |s5 AS (SELECT doc_id, t, $m3 AS z3 FROM s4),
+       |s6 AS (SELECT doc_id, t, xor(z3, z3 // 2147483648) AS m FROM s5),
+       |sp AS (SELECT doc_id, t,
+       |    CASE WHEN (((CASE WHEN m >= 9223372036854775808
+       |        THEN m - 18446744073709551616 ELSE m END) % 100) + 100)
+       |        % 100 < 80 THEN 'train'
+       |      WHEN (((CASE WHEN m >= 9223372036854775808
+       |        THEN m - 18446744073709551616 ELSE m END) % 100) + 100)
+       |        % 100 < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM s6),
+       |bi AS (SELECT doc_id, split, t[i] AS w1, t[i+1] AS w2
+       |  FROM sp, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+       |bic AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+       |  FROM bi WHERE split = 'train' GROUP BY 1, 2),
+       |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1v,
+       |    CAST(COUNT(*) AS BIGINT) AS n1f FROM bic GROUP BY 1),
+       |cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b
+       |  FROM bic GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM bic),
+       |sc AS (SELECT bi.doc_id, bi.split,
+       |    (ctx.c1v IS NOT NULL AND cont.n1b IS NOT NULL) AS scoreable,
+       |    CASE WHEN ctx.c1v IS NOT NULL AND cont.n1b IS NOT NULL THEN
+       |      CAST(round(1000000.0 * ln(
+       |        CASE WHEN bic.c12 IS NOT NULL
+       |          THEN greatest(4 * bic.c12 - 3, 0) * tot.b
+       |            + 3 * ctx.n1f * cont.n1b
+       |          ELSE 3 * ctx.n1f * cont.n1b END)) AS BIGINT)
+       |      - CAST(round(1000000.0 * ln(4 * ctx.c1v * tot.b)) AS BIGINT)
+       |    ELSE 0 END AS lp
+       |  FROM bi
+       |  LEFT JOIN bic USING (w1, w2)
+       |  LEFT JOIN ctx USING (w1)
+       |  LEFT JOIN cont USING (w2), tot),
+       |ps AS (SELECT split, CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+       |      AS n_docs,
+       |    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(CASE WHEN scoreable THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_scored,
+       |    CAST(SUM(CASE WHEN scoreable THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS n_oov,
+       |    CAST(SUM(lp) AS BIGINT) AS sum_lp_micro
+       |  FROM sc GROUP BY 1),
+       |gap AS (SELECT
+       |    MAX(CASE WHEN split = 'train' THEN sum_lp_micro END)
+       |      * MAX(CASE WHEN split = 'val' THEN n_scored END)
+       |    >= MAX(CASE WHEN split = 'val' THEN sum_lp_micro END)
+       |      * MAX(CASE WHEN split = 'train' THEN n_scored END)
+       |      AS no_overfit
+       |  FROM ps WHERE split IN ('train', 'val'))
+       |SELECT ps.split, ps.n_docs, ps.n_bigrams, ps.n_scored, ps.n_oov,
+       |  ps.sum_lp_micro, gap.no_overfit
+       |FROM ps CROSS JOIN gap ORDER BY ps.split""".stripMargin
+  }
 
   private lazy val knOracle: String =
     s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
@@ -115,8 +267,10 @@ object KneserNey {
 
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q212_kneser_ney" -> (q212_kneser_ney _))
+    "q212_kneser_ney" -> (q212_kneser_ney _),
+    "q222_kn_holdout" -> (q222_kn_holdout _))
 
   val oracle: Map[String, String] = Map(
-    "q212_kneser_ney" -> knOracle)
+    "q212_kneser_ney" -> knOracle,
+    "q222_kn_holdout" -> holdoutOracle)
 }

@@ -79,4 +79,69 @@ class KneserNeySpec extends AnyFunSuite {
     val keeps = out.values.map(_._3).toSeq
     assert(keeps.nonEmpty)
   }
+
+  private def sm64(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  test("q222 holdout: train-only model, split scoring and the overfit " +
+    "flag replay brutally; events partition into scored + oov") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def splitOf(id: Long): String = {
+      val b = ((sm64(id) % 100) + 100) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val docBis = docs.toSeq.map { case (id, text) =>
+      val t = text.trim.split(" ").filter(_.nonEmpty).toSeq
+      (id, splitOf(id),
+        t.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))).toSeq)
+    }.filter(_._3.nonEmpty)
+    val trainBis = docBis.filter(_._2 == "train").flatMap(_._3)
+    val bic = trainBis.groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val ctx = bic.groupBy(_._1._1).map { case (v, m) =>
+      v -> (m.values.sum, m.size.toLong)
+    }
+    val cont = bic.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val b = bic.size.toLong
+    def lnMicro(x: Long): Long = math.round(1e6 * math.log(x.toDouble))
+    val exp = docBis.groupBy(_._2).map { case (sp, ds) =>
+      var nScored = 0L; var nOov = 0L; var sum = 0L
+      for ((_, _, bis) <- ds; (v, w) <- bis) {
+        (ctx.get(v), cont.get(w)) match {
+          case (Some((c1v, n1f)), Some(n1b)) =>
+            nScored += 1
+            val num = bic.get((v, w)) match {
+              case Some(c) => math.max(4 * c - 3, 0L) * b + 3 * n1f * n1b
+              case None => 3 * n1f * n1b
+            }
+            sum += lnMicro(num) - lnMicro(4 * c1v * b)
+          case _ => nOov += 1
+        }
+      }
+      sp -> (ds.map(_._1).distinct.size.toLong,
+        ds.map(_._3.size.toLong).sum, nScored, nOov, sum)
+    }
+    val out = KneserNey.q222_kn_holdout(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))).toMap
+    assert(out.keySet == exp.keySet)
+    for ((sp, (nd, nb, ns, no, sum)) <- exp) {
+      val (gNd, gNb, gNs, gNo, gSum, _) = out(sp)
+      assert(gNd == nd && gNb == nb, s"$sp doc/bigram counts")
+      assert(gNs == ns && gNo == no, s"$sp scored/oov classification")
+      assert(gNs + gNo == gNb, s"$sp events partition")
+      assert(gSum == sum, s"$sp exact micro-nat sum")
+    }
+    val (st, nt) = (exp("train")._5, exp("train")._3)
+    val (sv, nv) = (exp("val")._5, exp("val")._3)
+    out.values.foreach { case (_, _, _, _, _, flag) =>
+      assert(flag == (st * nv >= sv * nt), "overfit flag cross-mult")
+    }
+  }
 }
