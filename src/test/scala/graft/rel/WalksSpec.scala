@@ -40,4 +40,57 @@ class WalksSpec extends AnyFunSuite {
     // every node contributes exactly WalksPerNode walks
     assert(rows.groupBy(_.getLong(0)).values.forall(_.length == 2))
   }
+
+  test("q223 node2vec: biased hops replay sequentially; the p/q weights " +
+    "actually divert walks from the uniform rule") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Walks.q223_node2vec_walks(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val edges = Triangles.significantEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges.map(e => e._1 -> e._2) ++ edges.map(e => e._2 -> e._1))
+      .groupBy(_._1)
+      .map { case (u, vs) => u -> vs.map(_._2).sorted.toIndexedSeq }
+    var diverted = 0
+    def refWalk(s: Long, w: Long): String = {
+      val path = new StringBuilder(s.toString)
+      var prev = s
+      var cur = {
+        val nbrs = adj(s)
+        val h = SplitMix64Kernel.mix(s * 257L + w * 29L + 1L)
+        nbrs((((h % nbrs.length) + nbrs.length) % nbrs.length).toInt)
+      }
+      path.append("-").append(cur)
+      (2 to 4).foreach { t =>
+        val nbrs = adj(cur)
+        val pn = adj(prev).toSet
+        val ws = nbrs.map(x =>
+          if (x == prev) 1L else if (pn(x)) 4L else 2L)
+        val tot = ws.sum
+        val h = SplitMix64Kernel.mix(s * 257L + w * 29L + t)
+        val r = ((h % tot) + tot) % tot
+        var cum = 0L; var idx = 0
+        while (cum + ws(idx) <= r) { cum += ws(idx); idx += 1 }
+        val uniformIdx = (((h % nbrs.length) + nbrs.length)
+          % nbrs.length).toInt
+        if (idx != uniformIdx) diverted += 1
+        prev = cur
+        cur = nbrs(idx)
+        path.append("-").append(cur)
+      }
+      path.toString
+    }
+    rows.foreach { r =>
+      val (s, w, path) = (r.getLong(0), r.getLong(1), r.getString(2))
+      assert(path == refWalk(s, w), s"node2vec walk ($s, $w)")
+      // every hop is a real edge
+      val hops = path.split("-").map(_.toLong)
+      hops.sliding(2).foreach { case Array(a, b) =>
+        assert(adj(a).contains(b), s"($a,$b) not an edge")
+      }
+      assert(r.getLong(3) == hops.distinct.length.toLong)
+    }
+    assert(diverted > 0,
+      "the bias never changed a selection - weights are dead code")
+  }
 }
