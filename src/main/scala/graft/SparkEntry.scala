@@ -22,7 +22,7 @@ object SparkEntry {
       rel.Linkage.queries ++ rel.Graph.queries ++ rel.Triangles.queries ++
       rel.Expectations.queries ++ rel.Coreness.queries ++
       rel.SkewAdvisor.queries ++ rel.JoinCard.queries ++ rel.Lpa.queries ++
-      rel.Walks.queries ++ rel.LinkPred.queries ++
+      rel.Walks.queries ++ rel.LinkPred.queries ++ rel.Itemsets.queries ++
       text.TextOps.queries ++ text.Tokenize.queries ++ text.Phrases.queries ++
       text.Entropy.queries ++ text.Budget.queries ++ text.Overlap.queries ++
       text.CorpusFilters.queries ++ text.Retrieval.queries ++
@@ -43,7 +43,7 @@ object SparkEntry {
       rel.Linkage.oracle ++ rel.Graph.oracle ++ rel.Triangles.oracle ++
       rel.Expectations.oracle ++ rel.Coreness.oracle ++
       rel.SkewAdvisor.oracle ++ rel.JoinCard.oracle ++ rel.Lpa.oracle ++
-      rel.Walks.oracle ++ rel.LinkPred.oracle ++
+      rel.Walks.oracle ++ rel.LinkPred.oracle ++ rel.Itemsets.oracle ++
       text.TextOps.oracle ++ text.Tokenize.oracle ++ text.Phrases.oracle ++
       text.Entropy.oracle ++ text.Budget.oracle ++ text.Overlap.oracle ++
       text.CorpusFilters.oracle ++ text.Retrieval.oracle ++
