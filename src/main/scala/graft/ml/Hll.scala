@@ -47,6 +47,25 @@ object Hll {
     BigInt(AlphaMicro) * BigInt(M) * BigInt(M) * (BigInt(1) << MaxRho)
   private val LnMMicro: Long = math.round(1e6 * math.log(M.toDouble))
 
+  /** Pure register fold shared by the streaming twin's consumers and the
+    * specs — the identical arithmetic to the q219 relational plan:
+    * (zero registers, raw estimate, corrected estimate). Registers are a
+    * max-semilattice, so folding partial register maps from any shard /
+    * window / day split gives the same answer — merge with
+    * `(a ++ b.map { case (k, v) => k -> math.max(v, a.getOrElse(k, 0L)) })`. */
+  def estimate(regs: Map[Long, Long]): (Long, Long, Long) = {
+    val full = (0L until M.toLong).map(b => regs.getOrElse(b, 0L))
+    val vZero = full.count(_ == 0L).toLong
+    val s = full.map(mj => BigInt(1) << (MaxRho - mj.toInt)).sum
+    val raw = (Numer / (BigInt(1000000) * s)).toLong
+    val est =
+      if (vZero > 0 && raw * 2 <= 5L * M)
+        (M * (LnMMicro - math.round(1e6 * math.log(vZero.toDouble)))) /
+          1000000L
+      else raw
+    (vZero, raw, est)
+  }
+
   def q219_hll_distinct(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitemFanned(s, dir)
     // one pass, three sketch targets stacked as (name, key)

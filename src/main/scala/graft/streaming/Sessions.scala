@@ -722,6 +722,36 @@ object Sessions {
         col("drift_alert"))
   }
 
+  /** Streaming HLL register stream — q219's continuous twin and the
+    * operator that makes the sketch's 100 TB story CONCRETE: per
+    * event-time window the stream maintains one max() register per
+    * (window, low-byte bucket) — O(open windows × 256) state no matter
+    * the stream rate — and append mode emits the finalized register rows
+    * once the watermark passes. Downstream (a reconciler, a dashboard,
+    * the spec) folds registers to the estimate with
+    * [[graft.ml.Hll.estimate]]; because max is a commutative-idempotent
+    * semilattice the fold is arrival-order- and batch-split-INVARIANT —
+    * the same property that lets batch q219 merge register tables across
+    * shards/days without rescanning. The rho arithmetic is identical to
+    * q219 (splitmix64, low-byte bucket, 57 − bitlen(h >>> 8)).
+    *
+    * Emitting REGISTERS rather than estimates keeps the plan at one
+    * stateful aggregate (append mode forbids chaining a second); the
+    * estimate is catalog math over 256 rows per window. */
+  def hllRegisterStream(events: DataFrame, keyCol: String, tsCol: String,
+      watermark: String, windowLen: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .withColumn("h", graft.rel.JoinCard.splitmix64(col(keyCol)))
+      .withColumn("bucket", pmod(col("h"), lit(256L)))
+      .withColumn("wv", expr("shiftrightunsigned(h, 8)"))
+      .withColumn("rho", when(col("wv") === 0L, lit(57L))
+        .otherwise(lit(57L) - length(bin(col("wv"))).cast("long")))
+      .groupBy(window(col(tsCol), windowLen), col("bucket"))
+      .agg(max(col("rho")).as("m_j"), count(lit(1)).as("n_rows"))
+      .select(col("window.start").as("window_start"), col("bucket"),
+        col("m_j"), col("n_rows"))
+
   /** The q203-binning reference histogram of a sealed corpus — the
     * collect is 16 rows (metadata-scale), the batch half of
     * [[psiDriftStream]]'s learn→apply loop. */

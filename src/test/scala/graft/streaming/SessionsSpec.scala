@@ -488,6 +488,75 @@ class SessionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming HLL registers: batch-split-invariant state, register " +
+    "parity with batch plan, estimate folds exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def tss(sec: Int) = new Timestamp(1700000040000L + sec * 1000L)
+    // window 1 (0-59s): user ids 1..40, each seen 1-3 times; window 2:
+    // 5 ids; flush row far ahead closes both
+    val w1Ids = (1L to 40L).flatMap(i => Seq.fill(1 + (i % 3).toInt)(i))
+    val w1 = w1Ids.zipWithIndex.map { case (id, i) =>
+      (id, tss(5 + (i % 50))) }
+    val w2 = (100L to 104L).map(id => (id, tss(70 + (id % 20).toInt)))
+    val flush = Seq((999L, tss(1400)))
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = Sessions.hllRegisterStream(
+        input.toDF().toDF("user_id", "ts"), "user_id", "ts", "1 minute",
+        "1 minute")
+      .writeStream.format("memory").queryName("hllregs")
+      .outputMode("append").start()
+    try {
+      // split window 1 across THREE micro-batches: register state must
+      // merge across them (max semilattice)
+      input.addData(w1.take(20))
+      q.processAllAvailable()
+      input.addData(w1.drop(20))
+      q.processAllAvailable()
+      input.addData(w2 ++ flush)
+      q.processAllAvailable()
+      val got = spark.table("hllregs").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      // batch parity: same plan over the on-time frame
+      val batch = Sessions.hllRegisterStream(
+          (w1 ++ w2 ++ flush).toDF("user_id", "ts"), "user_id", "ts",
+          "1 minute", "1 minute")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      assert(got.nonEmpty && got.toSet.subsetOf(batch.toSet),
+        "stream registers must match the batch plan row-for-row")
+      val gw1 = got.filter(_._1 == tss(0))
+      assert(gw1.nonEmpty, "window 1 must be finalized and emitted")
+      // fold window-1 registers to the estimate; with 40 distinct ids
+      // and 256 buckets the linear-counting branch is near-exact
+      val regs = gw1.map(r => r._2 -> r._3).toMap
+      val (vZero, _, est) = graft.ml.Hll.estimate(regs)
+      assert(vZero > 0L)
+      assert(math.abs(est - 40L) <= 3L,
+        s"windowed estimate $est too far from the 40 true distinct")
+      // row mass: window-1 register rows account for every event
+      assert(gw1.map(_._4).sum == w1.length.toLong)
+      // driver reference: identical registers from a plain fold
+      def sm64(x: Long): Long = {
+        var z = x + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      val ref = scala.collection.mutable.Map.empty[Long, Long]
+      for ((id, _) <- w1) {
+        val h = sm64(id)
+        val b = ((h % 256) + 256) % 256
+        val w = h >>> 8
+        val rho = if (w == 0L) 57L
+          else 57L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        ref(b) = math.max(ref.getOrElse(b, 0L), rho)
+      }
+      assert(regs == ref.toMap, "stream registers must equal the fold")
+    } finally q.stop()
+  }
+
   test("windowed counts run identically on a batch frame (unified plan)") {
     import spark.implicits._
     val batch = Seq(
