@@ -137,6 +137,140 @@ object Retrieval {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // ------------------------------------------------- q225 retrieval eval
+  /** NDCG@10 discount literals: round(10⁶ / log₂(1+i)) for ranks 1..10 —
+    * compile-time constants shared by both engines, so the graded
+    * metrics never evaluate a log at query time. */
+  private val NdcgK = 10
+  private val RelMinTf = 3L
+  private val DiscMicro: Seq[Long] = (1 to NdcgK).map(i =>
+    math.round(1e6 / (math.log(1.0 + i) / math.log(2.0))))
+  private val IdcgPrefix: Seq[Long] = DiscMicro.scanLeft(0L)(_ + _).tail
+
+  /** Retrieval-quality evaluation (q225) — the metrics layer over the
+    * BM25 stack (Järvelin & Kekäläinen 2002 for NDCG; MRR is the
+    * TREC-standard first-relevant reciprocal): relevance is the exact
+    * AND-semantics label (a document is relevant to a query iff it
+    * contains EVERY query term — derivable in both engines, no human
+    * labels needed), and the judged ranking is q129's top-10. Per
+    * query: n_rel, the first relevant rank, MRR as the floor
+    * micro-reciprocal, hits@10, and DCG/IDCG/NDCG with the discount
+    * table as compile-time micro literals (element_at over a 10-slot
+    * array — no log at query time, no float seam).
+    *
+    * Scale shape: relevance = one distinct (doc, term) projection
+    * joined to the broadcast query vocabulary with a count-equality
+    * test (corpus-linear, map-side combine); everything after joins the
+    * 30-row ranked list. The eval output is |queries| rows. */
+  def q225_retrieval_eval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qterms = Bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .distinct.toDF("qid", "term")
+    val qsize = Bm25Queries
+      .map { case (q, ts) => (q, ts.distinct.length.toLong) }
+      .toDF("qid", "n_terms")
+    val ranked = bm25Ranked(s, dir, NdcgK)
+    // exact relevance label: EVERY distinct query term appears >= 3
+    // times in the doc (plain AND matches most of this corpus and the
+    // metrics degenerate to 1000 — measured; the tf floor makes the
+    // judged set selective at both SFs while staying engine-derivable)
+    val rel = docToks(s, dir)
+      .select(col("doc_id"), explode(col("t")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= RelMinTf)
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy(col("qid"), col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      .join(broadcast(qsize), Seq("qid"))
+      .filter(col("n_hit") === col("n_terms"))
+      .select(col("qid"), col("doc_id"), lit(true).as("rel"))
+    val nRel = rel.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+    val disc = array(DiscMicro.map(lit): _*)
+    val idcgArr = array(IdcgPrefix.map(lit): _*)
+    ranked
+      .join(rel, Seq("qid", "doc_id"), "left_outer")
+      .withColumn("rel", coalesce(col("rel"), lit(false)))
+      .groupBy(col("qid"))
+      .agg(
+        sum(when(col("rel"), 1L).otherwise(0L)).as("hits_at_10"),
+        min(when(col("rel"), col("rank"))).as("first_rel_rank"),
+        sum(when(col("rel"),
+          element_at(disc, col("rank"))).otherwise(0L)).as("dcg_micro"))
+      .join(broadcast(nRel), Seq("qid"), "left_outer")
+      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+      .withColumn("first_rel_rank", coalesce(col("first_rel_rank"), lit(0)))
+      .withColumn("rr_micro",
+        when(col("first_rel_rank") > 0,
+          expr("1000000L div CAST(first_rel_rank AS BIGINT)"))
+          .otherwise(lit(0L)))
+      .withColumn("idcg_micro",
+        when(col("n_rel") > 0,
+          element_at(idcgArr,
+            least(col("n_rel"), lit(NdcgK.toLong)).cast("int")))
+          .otherwise(lit(0L)))
+      .withColumn("ndcg_permille",
+        when(col("idcg_micro") > 0,
+          expr("(1000 * dcg_micro) div idcg_micro")).otherwise(lit(0L)))
+      .select(col("qid"), col("n_rel"), col("first_rel_rank"),
+        col("rr_micro"), col("hits_at_10"), col("dcg_micro"),
+        col("idcg_micro"), col("ndcg_permille"))
+      .orderBy(col("qid"))
+  }
+
+  private lazy val evalOracle: String = {
+    val qsizeVals = Bm25Queries
+      .map { case (q, ts) => s"($q, ${ts.distinct.length})" }
+      .mkString(", ")
+    val discVals = DiscMicro.zipWithIndex
+      .map { case (d, i) => s"(${i + 1}, $d)" }.mkString(", ")
+    val idcgVals = IdcgPrefix.zipWithIndex
+      .map { case (d, i) => s"(${i + 1}, $d)" }.mkString(", ")
+    s"""WITH $bm25CoreCtes,
+       |qsz(qid, n_terms) AS (VALUES $qsizeVals),
+       |disc(rank, d_micro) AS (VALUES $discVals),
+       |idcg(n, i_micro) AS (VALUES $idcgVals),
+       |dterms AS (SELECT doc_id, term
+       |  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $RelMinTf),
+       |rel AS (SELECT q.qid, dt.doc_id
+       |  FROM dterms dt JOIN (SELECT DISTINCT qid, term FROM q) q
+       |    USING (term)
+       |  GROUP BY q.qid, dt.doc_id
+       |  HAVING COUNT(*) = (SELECT n_terms FROM qsz
+       |    WHERE qsz.qid = q.qid)),
+       |nrel AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_rel
+       |  FROM rel GROUP BY 1),
+       |top AS (SELECT r.qid, r.rank, r.doc_id,
+       |    (rel.doc_id IS NOT NULL) AS is_rel
+       |  FROM r LEFT JOIN rel ON rel.qid = r.qid
+       |    AND rel.doc_id = r.doc_id
+       |  WHERE r.rank <= $NdcgK),
+       |ag AS (SELECT qid,
+       |    CAST(SUM(CASE WHEN is_rel THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS hits_at_10,
+       |    MIN(CASE WHEN is_rel THEN rank END) AS frr,
+       |    CAST(SUM(CASE WHEN is_rel THEN
+       |      (SELECT d_micro FROM disc WHERE disc.rank = top.rank)
+       |      ELSE 0 END) AS BIGINT) AS dcg_micro
+       |  FROM top GROUP BY 1),
+       |fin AS (SELECT ag.qid, COALESCE(nrel.n_rel, 0) AS n_rel,
+       |    CAST(COALESCE(ag.frr, 0) AS INTEGER) AS first_rel_rank,
+       |    ag.hits_at_10, ag.dcg_micro,
+       |    CASE WHEN COALESCE(nrel.n_rel, 0) > 0 THEN
+       |      (SELECT i_micro FROM idcg
+       |       WHERE idcg.n = least(nrel.n_rel, $NdcgK))
+       |      ELSE 0 END AS idcg_micro
+       |  FROM ag LEFT JOIN nrel USING (qid))
+       |SELECT CAST(qid AS INTEGER) AS qid, n_rel, first_rel_rank,
+       |  CASE WHEN first_rel_rank > 0
+       |    THEN 1000000 // CAST(first_rel_rank AS BIGINT) ELSE 0 END
+       |    AS rr_micro,
+       |  hits_at_10, dcg_micro, CAST(idcg_micro AS BIGINT) AS idcg_micro,
+       |  CASE WHEN idcg_micro > 0 THEN (1000 * dcg_micro) // idcg_micro
+       |    ELSE 0 END AS ndcg_permille
+       |FROM fin ORDER BY qid""".stripMargin
+  }
+
   // ------------------------------------------------- positional phrase search
   /** Fixed phrase probes (exact consecutive-token match). */
   private val PhraseQueries: Seq[(Int, Seq[String])] = Seq(
@@ -421,9 +555,11 @@ object Retrieval {
     "q129_bm25_topk" -> (q129_bm25_topk _),
     "q135_phrase_search" -> (q135_phrase_search _),
     "q136_rrf_hybrid" -> (q136_rrf_hybrid _),
-    "q147_prf_expansion" -> (q147_prf_expansion _))
+    "q147_prf_expansion" -> (q147_prf_expansion _),
+    "q225_retrieval_eval" -> (q225_retrieval_eval _))
 
   val oracle: Map[String, String] = Map(
+    "q225_retrieval_eval" -> evalOracle,
     "q129_bm25_topk" -> bm25Oracle,
     "q135_phrase_search" -> phraseOracle,
     "q136_rrf_hybrid" -> rrfOracle,

@@ -106,4 +106,53 @@ class RetrievalSpec extends AnyFunSuite {
     // the fixture must actually expand something, or the op is vacuous
     assert(out.exists(_._4.nonEmpty))
   }
+
+  test("q225 retrieval eval: relevance label and graded metrics replay " +
+    "over the gated ranking; NDCG bounds hold") {
+    val sf = "/root/testdata/sf0.001"
+    val queries = Map(
+      1 -> Seq("spark", "join", "merge"),
+      2 -> Seq("window", "stream", "batch"),
+      3 -> Seq("hash", "sort", "filter", "vector"))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // relevance: every distinct query term appears >= 3 times
+    def relevant(qid: Int): Set[Long] = {
+      val terms = queries(qid).distinct
+      docs.filter { case (_, text) =>
+        val tc = text.trim.split(" ").filter(_.nonEmpty)
+          .groupBy(identity).map { case (k, v) => k -> v.length }
+        terms.forall(t => tc.getOrElse(t, 0) >= 3)
+      }.map(_._1).toSet
+    }
+    // the ranking under evaluation is q129's (itself oracle-gated)
+    val ranked = Retrieval.q129_bm25_topk(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val disc = (1 to 10).map(i =>
+      math.round(1e6 / (math.log(1.0 + i) / math.log(2.0))))
+    val idcgPrefix = disc.scanLeft(0L)(_ + _).tail
+    val out = Retrieval.q225_retrieval_eval(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(out.keySet == queries.keySet)
+    for (qid <- queries.keys) {
+      val rel = relevant(qid)
+      val top = ranked.filter(_._1 == qid).sortBy(_._2)
+      val (nRel, frr, rr, hits, dcg, idcg, ndcg) = out(qid)
+      assert(nRel == rel.size.toLong, s"q$qid n_rel")
+      val hitRanks = top.filter(t => rel(t._3)).map(_._2)
+      assert(hits == hitRanks.length.toLong, s"q$qid hits@10")
+      assert(frr == hitRanks.headOption.getOrElse(0), s"q$qid first rank")
+      assert(rr == (if (frr > 0) 1000000L / frr else 0L))
+      assert(dcg == hitRanks.map(r => disc(r - 1)).sum, s"q$qid dcg")
+      assert(idcg == (if (rel.nonEmpty)
+        idcgPrefix(math.min(rel.size, 10) - 1) else 0L))
+      assert(ndcg == (if (idcg > 0) 1000L * dcg / idcg else 0L))
+      assert(dcg <= idcg && ndcg >= 0 && ndcg <= 1000, s"q$qid bounds")
+    }
+    // the label must discriminate: not every judged doc is relevant
+    assert(out.values.exists(_._4 < 10L),
+      "degenerate label: all top-10 relevant for every query")
+  }
 }
