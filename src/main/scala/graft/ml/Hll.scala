@@ -126,6 +126,119 @@ object Hll {
       .orderBy(col("name"))
   }
 
+  // ------------------------------------------------- q226 merge contract
+  /** HLL shard-merge invariance (q226) — the property the 100 TB story
+    * rests on, promoted to an ORACLE-GATED contract: registers built
+    * per shard (here: per document source) and merged with max() must
+    * equal the registers of one direct pass, signature-for-signature
+    * and estimate-for-estimate. In algebra this is just associativity/
+    * commutativity/idempotence of max — but the gate pins that the
+    * PLANS (a two-level aggregation vs a one-level one, different
+    * shuffle keys, different combine orders) land on identical
+    * integers in both engines, which is exactly what lets a lake keep
+    * per-day register tables and answer "distinct over any date range"
+    * without rescanning.
+    *
+    * Scale shape: the sharded path is groupBy(shard, bucket) then
+    * groupBy(bucket) — both map-side-combining aggregates over
+    * register-scale data; the contract output is 2 rows. */
+  def q226_hll_merge(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(s, dir)
+      .select(col("source"),
+        graft.rel.JoinCard.splitmix64(col("doc_id")).as("h"))
+      .select(col("source"), pmod(col("h"), lit(M.toLong)).as("bucket"),
+        expr(s"shiftrightunsigned(h, $P)").as("w"))
+      .select(col("source"), col("bucket"),
+        when(col("w") === 0L, lit(MaxRho.toLong))
+          .otherwise(lit(MaxRho.toLong) - length(bin(col("w"))))
+          .as("rho"))
+    val direct = keyed.groupBy(col("bucket")).agg(max(col("rho")).as("m_j"))
+      .withColumn("side", lit("direct"))
+    val merged = keyed.groupBy(col("source"), col("bucket"))
+      .agg(max(col("rho")).as("m_j"))
+      .groupBy(col("bucket")).agg(max(col("m_j")).as("m_j"))
+      .withColumn("side", lit("merged"))
+    val grid = s.range(M.toLong).select(col("id").as("bucket"))
+    val sides = direct.unionByName(merged)
+    val fullRegs = sides.select(col("side")).distinct()
+      .crossJoin(broadcast(grid))
+      .join(sides, Seq("side", "bucket"), "left_outer")
+      .withColumn("m_j", coalesce(col("m_j"), lit(0L)))
+    val sketch = fullRegs.groupBy(col("side"))
+      .agg(
+        sum(when(col("m_j") === 0L, 1L).otherwise(0L)).as("v_zero"),
+        sum(expr(s"CAST(shiftleft(1L, CAST($MaxRho - m_j AS INT)) " +
+          "AS DECIMAL(38,0))")).as("s_dec"),
+        expr("bit_xor(bucket * 64 + m_j)").as("reg_sig"))
+      .withColumn("raw_est", expr(
+        s"CAST(CAST('$Numer' AS DECIMAL(38,0)) " +
+          "div (CAST(1000000 AS DECIMAL(38,0)) * s_dec) AS BIGINT)"))
+      .withColumn("est",
+        when(col("v_zero") > 0L && col("raw_est") * 2 <= lit(5L * M),
+          expr(s"(${M}L * (${LnMMicro}L - " +
+            "CAST(round(1000000.0 * ln(v_zero)) AS BIGINT))) div 1000000"))
+          .otherwise(col("raw_est")))
+    val contract = sketch.groupBy()
+      .agg(
+        (countDistinct(col("reg_sig")) === 1).as("sigs_equal"),
+        (countDistinct(col("est")) === 1).as("ests_equal"))
+    sketch.crossJoin(broadcast(contract))
+      .select(col("side"), col("v_zero"), col("reg_sig"), col("raw_est"),
+        col("est"), col("sigs_equal"), col("ests_equal"))
+      .orderBy(col("side"))
+  }
+
+  private lazy val mergeOracle: String = {
+    val z1 = "(z + 11400714819323198485) % 18446744073709551616"
+    val m2 = mulmodSql("x1", BigInt("13787848793156543929"))
+    val m3 = mulmodSql("x2", BigInt("10723151780598845931"))
+    s"""WITH d0 AS (SELECT source, CAST(doc_id AS HUGEINT) AS z
+       |  FROM documents),
+       |s1 AS (SELECT source, $z1 AS z1 FROM d0),
+       |s2 AS (SELECT source, xor(z1, z1 // 1073741824) AS x1 FROM s1),
+       |s3 AS (SELECT source, $m2 AS z2 FROM s2),
+       |s4 AS (SELECT source, xor(z2, z2 // 134217728) AS x2 FROM s3),
+       |s5 AS (SELECT source, $m3 AS z3 FROM s4),
+       |s6 AS (SELECT source, xor(z3, z3 // 2147483648) AS h FROM s5),
+       |rh AS (SELECT source, CAST(h % $M AS BIGINT) AS bucket,
+       |    CAST(h // $M AS BIGINT) AS w FROM s6),
+       |rho AS (SELECT source, bucket,
+       |    CASE WHEN w = 0 THEN $MaxRho
+       |         ELSE $MaxRho - length(bin(w)) END AS rho FROM rh),
+       |direct AS (SELECT 'direct' AS side, bucket,
+       |    CAST(MAX(rho) AS BIGINT) AS m_j FROM rho GROUP BY 2),
+       |shard AS (SELECT source, bucket, CAST(MAX(rho) AS BIGINT) AS m_j
+       |  FROM rho GROUP BY 1, 2),
+       |merged AS (SELECT 'merged' AS side, bucket, MAX(m_j) AS m_j
+       |  FROM shard GROUP BY 2),
+       |sides AS (SELECT * FROM direct UNION ALL SELECT * FROM merged),
+       |grid AS (SELECT sd.side, CAST(b AS BIGINT) AS bucket
+       |  FROM (SELECT DISTINCT side FROM sides) sd,
+       |    unnest(range(0, $M)) AS u(b)),
+       |fr AS (SELECT g.side, g.bucket, COALESCE(s.m_j, 0) AS m_j
+       |  FROM grid g LEFT JOIN sides s
+       |    ON s.side = g.side AND s.bucket = g.bucket),
+       |sk AS (SELECT side,
+       |    CAST(SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS v_zero,
+       |    SUM(CAST(1 AS HUGEINT) << CAST($MaxRho - m_j AS INT)) AS s_h,
+       |    CAST(bit_xor(bucket * 64 + m_j) AS BIGINT) AS reg_sig
+       |  FROM fr GROUP BY 1),
+       |est0 AS (SELECT side, v_zero, reg_sig,
+       |    CAST(CAST('$Numer' AS HUGEINT)
+       |      // (1000000 * s_h) AS BIGINT) AS raw_est FROM sk),
+       |est AS (SELECT side, v_zero, reg_sig, raw_est,
+       |    CASE WHEN v_zero > 0 AND raw_est * 2 <= ${5 * M}
+       |      THEN ($M * ($LnMMicro -
+       |        CAST(round(1000000.0 * ln(v_zero)) AS BIGINT))) // 1000000
+       |      ELSE raw_est END AS est FROM est0),
+       |c AS (SELECT COUNT(DISTINCT reg_sig) = 1 AS sigs_equal,
+       |    COUNT(DISTINCT est) = 1 AS ests_equal FROM est)
+       |SELECT e.side, e.v_zero, e.reg_sig, e.raw_est, e.est,
+       |  c.sigs_equal, c.ests_equal
+       |FROM est e CROSS JOIN c ORDER BY e.side""".stripMargin
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private def mulmodSql(x: String, c: BigInt): String = {
@@ -199,8 +312,10 @@ object Hll {
 
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q219_hll_distinct" -> (q219_hll_distinct _))
+    "q219_hll_distinct" -> (q219_hll_distinct _),
+    "q226_hll_merge" -> (q226_hll_merge _))
 
   val oracle: Map[String, String] = Map(
-    "q219_hll_distinct" -> hllOracle)
+    "q219_hll_distinct" -> hllOracle,
+    "q226_hll_merge" -> mergeOracle)
 }

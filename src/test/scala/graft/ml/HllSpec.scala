@@ -74,4 +74,34 @@ class HllSpec extends AnyFunSuite {
     assert(sV > 0 && sRaw * 2 <= 5L * 256,
       "suppkey should take the linear-counting branch")
   }
+
+  test("q226 merge contract: sharded max-merge equals the direct pass; " +
+    "both flags gate true") {
+    val rows = Hll.q226_hll_merge(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getBoolean(6)))
+    assert(rows.map(_._1).sorted.toSeq == Seq("direct", "merged"))
+    val Seq(d, m) = rows.sortBy(_._1).toSeq
+    assert(d._2 == m._2 && d._3 == m._3 && d._4 == m._4 && d._5 == m._5,
+      "merged sketch must equal the direct sketch field-for-field")
+    assert(rows.forall(r => r._6 && r._7), "contract flags must be true")
+    // driver reference off the sharded fold proves it is the same sketch
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val ref = scala.collection.mutable.Map.empty[Long, Long]
+    for ((_, id) <- docs) {
+      val h = sm64(id)
+      val b = ((h % 256) + 256) % 256
+      val w = h >>> 8
+      val rho = if (w == 0L) 57L
+        else 57L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      ref(b) = math.max(ref.getOrElse(b, 0L), rho)
+    }
+    val sig = (0L until 256L)
+      .map(b => b * 64L + ref.getOrElse(b, 0L)).reduce(_ ^ _)
+    assert(d._3 == sig, "register signature replay")
+    val (vZero, raw, est) = Hll.estimate(ref.toMap)
+    assert(d._2 == vZero && d._4 == raw && d._5 == est, "estimate replay")
+  }
 }
