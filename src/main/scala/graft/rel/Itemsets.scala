@@ -1,6 +1,7 @@
 package graft.rel
 
 import graft.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -74,10 +75,118 @@ object Itemsets {
        |FROM p JOIN l1 la ON la.pk = p.pa JOIN l1 lb ON lb.pk = p.pb
        |ORDER BY lift_permille DESC, p.pa, p.pb LIMIT 20""".stripMargin
 
+  // ------------------------------------------------ q227 rank stability
+  /** Catalog rank stability across time — exact Spearman rank
+    * correlation (Spearman 1904) of per-part revenue between the early
+    * and late half of the shipping horizon: the "did the catalog's
+    * revenue ORDER shift?" drift check that complements magnitude drift
+    * (q202/q203 watch distributions, this watches the ranking itself —
+    * the thing a recommender or buyer actually consumes). Everything is
+    * exact: per-row cents integerize once (the identical IEEE product
+    * mirrored op-for-op, then one round), per-half ranks are
+    * row_number over (revenue desc, part) — total order, tie-proof —
+    * and ρ lifts to ρ_micro = 10⁶ − (6·10⁶·Σd²) div (n(n²−1)).
+    *
+    * Scale shape: two map-side-combined per-part aggregates, then
+    * catalog-sized windows (parts, not rows). The ρ numerator 6·10⁶·Σd²
+    * is bounded by 2·10⁶·n³ — past ~1.6·10⁴ ranked parts the loud
+    * assert names the DECIMAL(38,0) swap. */
+  def q227_rank_stability(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("pk"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("us"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * lit(100)).cast("long").as("cents"))
+    val mid = li.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    val halves = li.crossJoin(broadcast(mid))
+      .withColumn("half", when(col("us") <= col("mid"), "early")
+        .otherwise("late"))
+      .groupBy(col("half"), col("pk")).agg(sum(col("cents")).as("rev"))
+    val w = Window.partitionBy(col("half"))
+      .orderBy(col("rev").desc, col("pk"))
+    val ranked = halves.withColumn("rnk", row_number().over(w).cast("long"))
+    val early = ranked.filter(col("half") === "early")
+      .select(col("pk"), col("rnk").as("r_e"))
+    val late = ranked.filter(col("half") === "late")
+      .select(col("pk"), col("rnk").as("r_l"))
+    val joined = early.join(late, Seq("pk"), "full_outer")
+    val paired = joined.filter(col("r_e").isNotNull && col("r_l").isNotNull)
+      // re-rank WITHIN the common set so Spearman sees a permutation
+      .withColumn("re2", row_number()
+        .over(Window.orderBy(col("r_e"))).cast("long"))
+      .withColumn("rl2", row_number()
+        .over(Window.orderBy(col("r_l"))).cast("long"))
+      .withColumn("d", col("re2") - col("rl2"))
+      .withColumn("mad", max(abs(col("d"))).over(Window.partitionBy()))
+    paired
+      .select(col("pk"), col("d"), col("mad"))
+      .crossJoin(broadcast(
+        joined.agg(
+          sum(when(col("r_e").isNotNull && col("r_l").isNull, 1L)
+            .otherwise(0L)).as("n_early_only"),
+          sum(when(col("r_e").isNull && col("r_l").isNotNull, 1L)
+            .otherwise(0L)).as("n_late_only"))))
+      .groupBy(col("n_early_only"), col("n_late_only"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(col("d") * col("d")).as("sum_d2"),
+        max(abs(col("d"))).as("max_abs_d"),
+        min(when(abs(col("d")) === col("mad"), col("pk")))
+          .as("pk_at_max"))
+      .filter(coalesce(assert_true(
+        expr(s"n_common <= 16000"),
+        lit("Spearman numerator would overflow BIGINT: move rho to " +
+          "DECIMAL(38,0) past ~1.6e4 ranked parts")), lit(true)))
+      .select(col("n_common"), col("n_early_only"), col("n_late_only"),
+        col("sum_d2"), col("max_abs_d"), col("pk_at_max"),
+        expr("1000000 - (6000000 * sum_d2) div " +
+          "(n_common * (n_common * n_common - 1))").as("rho_micro"))
+  }
+
+  private lazy val stabilityOracle: String =
+    s"""WITH li AS (SELECT l_partkey AS pk, epoch_us(l_shipdate) AS us,
+       |    CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+       |      AS BIGINT) AS cents FROM lineitem),
+       |mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM li),
+       |halves AS (SELECT CASE WHEN us <= (SELECT mid FROM mid)
+       |      THEN 'early' ELSE 'late' END AS half, pk,
+       |    CAST(SUM(cents) AS BIGINT) AS rev
+       |  FROM li GROUP BY 1, 2),
+       |ranked AS (SELECT half, pk, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY half ORDER BY rev DESC, pk) AS BIGINT) AS rnk
+       |  FROM halves),
+       |e AS (SELECT pk, rnk AS r_e FROM ranked WHERE half = 'early'),
+       |l AS (SELECT pk, rnk AS r_l FROM ranked WHERE half = 'late'),
+       |j AS (SELECT COALESCE(e.pk, l.pk) AS pk, e.r_e, l.r_l
+       |  FROM e FULL OUTER JOIN l ON e.pk = l.pk),
+       |only_c AS (SELECT
+       |    CAST(SUM(CASE WHEN r_e IS NOT NULL AND r_l IS NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_early_only,
+       |    CAST(SUM(CASE WHEN r_e IS NULL AND r_l IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_late_only FROM j),
+       |p AS (SELECT pk,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY r_e) AS BIGINT) AS re2,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY r_l) AS BIGINT) AS rl2
+       |  FROM j WHERE r_e IS NOT NULL AND r_l IS NOT NULL),
+       |d AS (SELECT pk, re2 - rl2 AS d FROM p),
+       |mx AS (SELECT MAX(abs(d)) AS mad FROM d),
+       |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common,
+       |    CAST(SUM(d * d) AS BIGINT) AS sum_d2,
+       |    CAST(MAX(abs(d)) AS BIGINT) AS max_abs_d,
+       |    MIN(CASE WHEN abs(d) = (SELECT mad FROM mx) THEN pk END)
+       |      AS pk_at_max
+       |  FROM d)
+       |SELECT ag.n_common, oc.n_early_only, oc.n_late_only, ag.sum_d2,
+       |  ag.max_abs_d, ag.pk_at_max,
+       |  1000000 - (6000000 * ag.sum_d2)
+       |    // (ag.n_common * (ag.n_common * ag.n_common - 1)) AS rho_micro
+       |FROM ag CROSS JOIN only_c oc""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q224_frequent_itemsets" -> (q224_frequent_itemsets _))
+    "q224_frequent_itemsets" -> (q224_frequent_itemsets _),
+    "q227_rank_stability" -> (q227_rank_stability _))
 
   val oracle: Map[String, String] = Map(
-    "q224_frequent_itemsets" -> itemsetsOracle)
+    "q224_frequent_itemsets" -> itemsetsOracle,
+    "q227_rank_stability" -> stabilityOracle)
 }

@@ -43,4 +43,42 @@ class ItemsetsSpec extends AnyFunSuite {
     }
     assert(rows.nonEmpty, "a support-3 floor must leave rules at sf0.001")
   }
+
+  test("q227 rank stability: Spearman replays against a sorted driver " +
+    "twin; rho bounds hold") {
+    val row = Itemsets.q227_rank_stability(spark, sf).collect().head
+    val (nC, nE, nL, sumD2, maxD, pkAt, rho) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4), row.getLong(5), row.getLong(6))
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_partkey", "unix_micros(CAST(l_shipdate AS TIMESTAMP))",
+        "CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS LONG)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mid = (li.map(_._2).min + li.map(_._2).max) / 2
+    def revs(pred: Long => Boolean): Map[Long, Long] =
+      li.filter(r => pred(r._2)).groupBy(_._1)
+        .map { case (pk, v) => pk -> v.map(_._3).sum }
+    val eRev = revs(_ <= mid); val lRev = revs(_ > mid)
+    def rank(m: Map[Long, Long]): Map[Long, Long] =
+      m.toSeq.sortBy { case (pk, rev) => (-rev, pk) }
+        .zipWithIndex.map { case ((pk, _), i) => pk -> (i + 1L) }.toMap
+    val (re, rl) = (rank(eRev), rank(lRev))
+    val common = (re.keySet & rl.keySet).toSeq
+    assert(nC == common.length.toLong)
+    assert(nE == (re.keySet -- rl.keySet).size.toLong)
+    assert(nL == (rl.keySet -- re.keySet).size.toLong)
+    // re-rank within the common set (the permutation Spearman needs)
+    def rerank(r: Map[Long, Long]): Map[Long, Long] =
+      common.sortBy(r).zipWithIndex.map { case (pk, i) => pk -> (i + 1L) }
+        .toMap
+    val (re2, rl2) = (rerank(re), rerank(rl))
+    val ds = common.map(pk => pk -> (re2(pk) - rl2(pk)))
+    assert(sumD2 == ds.map(d => d._2 * d._2).sum, "sum of squared diffs")
+    val mad = ds.map(d => math.abs(d._2)).max
+    assert(maxD == mad)
+    assert(pkAt == ds.filter(d => math.abs(d._2) == mad).map(_._1).min)
+    val n = common.length.toLong
+    assert(rho == 1000000L - (6000000L * sumD2) / (n * (n * n - 1)))
+    assert(rho >= -1000000L && rho <= 1000000L, "rho in [-1, 1]")
+  }
 }
