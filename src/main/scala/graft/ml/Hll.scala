@@ -1,6 +1,7 @@
 package graft.ml
 
 import graft.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -239,6 +240,150 @@ object Hll {
        |FROM est e CROSS JOIN c ORDER BY e.side""".stripMargin
   }
 
+  // --------------------------------------------- q228 KMV set operations
+  private val KmvK = 128
+  private val HBits = 60
+  private val HMax: BigInt = BigInt(1) << HBits
+
+  /** KMV/Theta set-operation estimates (q228) — what HLL cannot do:
+    * bottom-k signatures support UNION and (via inclusion-exclusion)
+    * INTERSECTION estimates from the signatures alone (Beyer et al.
+    * 2007, "On synopses for distinct-value estimation"; the Theta
+    * sketch of Dasgupta et al. 2016 systematizes it). Sets are the
+    * distinct ORDER keys per return flag (partial overlap — the part
+    * universe saturates every flag at both SFs, measured first); h is the 60-bit md5 prefix
+    * (positive, engine-shared), a signature is the k smallest h per
+    * set, and the estimator is exact integer arithmetic:
+    * est = count if count < k (the sketch IS the set), else
+    * ((k−1)·2⁶⁰) div θ with θ the k-th minimum — the product lives in
+    * DECIMAL(38,0)/HUGEINT (127·2⁶⁰ > 2⁶³ by design). The union
+    * estimate is computed FROM the two signatures (merge, re-take
+    * bottom-k) — never from the base sets, which is the whole point at
+    * scale; intersection = A + B − A∪B, reported beside the exact
+    * values with permille errors. Deterministic end to end — the gate
+    * is exact, no tolerance contract.
+    *
+    * Scale shape: per-set bottom-k is the rank ≤ k WindowGroupLimit
+    * bounded heap over the distinct-key aggregate (map-side combine);
+    * signatures are k rows each, so every set operation after the
+    * first pass is sketch-sized. Per-day/per-source signatures merge
+    * associatively like the HLL registers (q226's argument, with
+    * bottom-k as the semilattice). */
+  def q228_kmv_setops(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Seq(("A", "N"), ("A", "R"), ("N", "R"))
+    val sets = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("f"), col("l_orderkey").as("pk"))
+      .distinct()
+      .withColumn("h",
+        conv(substring(md5(col("pk").cast("string").cast("binary")),
+          1, 15), 16, 10).cast("long"))
+    val wF = Window.partitionBy(col("f")).orderBy(col("h"))
+    val sig = sets.withColumn("rnk", row_number().over(wF))
+      .filter(col("rnk") <= KmvK)
+      .select(col("f"), col("h"))
+    val est1 = sig.groupBy(col("f"))
+      .agg(count(lit(1)).as("cnt"), max(col("h")).as("theta"))
+      .withColumn("est", when(col("cnt") < KmvK, col("cnt")).otherwise(
+        expr(s"CAST((CAST(${KmvK - 1} AS DECIMAL(38,0)) * $HMax) " +
+          "div CAST(theta AS DECIMAL(38,0)) AS BIGINT)")))
+      .select(col("f"), col("est"))
+    val exact1 = sets.groupBy(col("f")).agg(count(lit(1)).as("exact"))
+    import s.implicits._
+    val pairDf = pairs.toDF("fa", "fb")
+    // union estimate from the SIGNATURES alone: merge, distinct, bottom-k
+    val merged = pairDf
+      .join(sig.select(col("f").as("fa"), col("h")), Seq("fa"))
+      .unionByName(pairDf
+        .join(sig.select(col("f").as("fb"), col("h")), Seq("fb"))
+        .select(col("fa"), col("fb"), col("h")))
+      .select(col("fa"), col("fb"), col("h")).distinct()
+    val wP = Window.partitionBy(col("fa"), col("fb")).orderBy(col("h"))
+    val estU = merged.withColumn("rnk", row_number().over(wP))
+      .filter(col("rnk") <= KmvK)
+      .groupBy(col("fa"), col("fb"))
+      .agg(count(lit(1)).as("cnt"), max(col("h")).as("theta"))
+      .withColumn("est_union", when(col("cnt") < KmvK, col("cnt"))
+        .otherwise(expr(
+          s"CAST((CAST(${KmvK - 1} AS DECIMAL(38,0)) * $HMax) " +
+            "div CAST(theta AS DECIMAL(38,0)) AS BIGINT)")))
+      .select(col("fa"), col("fb"), col("est_union"))
+    val exactU = pairDf
+      .join(sets.select(col("f").as("fa"), col("pk")), Seq("fa"))
+      .unionByName(pairDf
+        .join(sets.select(col("f").as("fb"), col("pk")), Seq("fb"))
+        .select(col("fa"), col("fb"), col("pk")))
+      .select(col("fa"), col("fb"), col("pk")).distinct()
+      .groupBy(col("fa"), col("fb")).agg(count(lit(1)).as("exact_union"))
+    pairDf
+      .join(broadcast(est1.select(col("f").as("fa"), col("est").as("est_a"))),
+        Seq("fa"))
+      .join(broadcast(est1.select(col("f").as("fb"), col("est").as("est_b"))),
+        Seq("fb"))
+      .join(broadcast(exact1.select(col("f").as("fa"),
+        col("exact").as("exact_a"))), Seq("fa"))
+      .join(broadcast(exact1.select(col("f").as("fb"),
+        col("exact").as("exact_b"))), Seq("fb"))
+      .join(broadcast(estU), Seq("fa", "fb"))
+      .join(broadcast(exactU), Seq("fa", "fb"))
+      .withColumn("est_inter",
+        col("est_a") + col("est_b") - col("est_union"))
+      .withColumn("exact_inter",
+        col("exact_a") + col("exact_b") - col("exact_union"))
+      .select(col("fa"), col("fb"), col("est_a"), col("est_b"),
+        col("est_union"), col("est_inter"), col("exact_union"),
+        col("exact_inter"),
+        expr("(1000 * abs(est_union - exact_union)) div exact_union")
+          .as("err_union_permille"),
+        expr("(1000 * abs(est_inter - exact_inter)) " +
+          "div greatest(exact_inter, 1L)").as("err_inter_permille"))
+      .orderBy(col("fa"), col("fb"))
+  }
+
+  private lazy val setopsOracle: String = {
+    val estExpr = (cnt: String, theta: String) =>
+      s"CASE WHEN $cnt < $KmvK THEN $cnt ELSE " +
+        s"CAST((CAST(${KmvK - 1} AS HUGEINT) * $HMax) // $theta AS BIGINT) END"
+    s"""WITH sets AS (SELECT DISTINCT l_returnflag AS f, l_orderkey AS pk
+       |  FROM lineitem),
+       |hs AS (SELECT f, pk,
+       |    CAST('0x' || substr(md5(CAST(pk AS VARCHAR)), 1, 15)
+       |      AS BIGINT) AS h FROM sets),
+       |sig AS (SELECT f, h FROM (SELECT f, h, ROW_NUMBER() OVER (
+       |    PARTITION BY f ORDER BY h) AS rnk FROM hs) WHERE rnk <= $KmvK),
+       |est1 AS (SELECT f, ${estExpr("COUNT(*)", "MAX(h)")} AS est
+       |  FROM sig GROUP BY f),
+       |ex1 AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS exact
+       |  FROM sets GROUP BY f),
+       |pr(fa, fb) AS (VALUES ('A','N'), ('A','R'), ('N','R')),
+       |mg AS (SELECT DISTINCT pr.fa, pr.fb, s.h
+       |  FROM pr JOIN sig s ON s.f = pr.fa OR s.f = pr.fb),
+       |mgk AS (SELECT fa, fb, h FROM (SELECT fa, fb, h, ROW_NUMBER()
+       |    OVER (PARTITION BY fa, fb ORDER BY h) AS rnk FROM mg)
+       |  WHERE rnk <= $KmvK),
+       |eu AS (SELECT fa, fb, ${estExpr("COUNT(*)", "MAX(h)")} AS est_union
+       |  FROM mgk GROUP BY fa, fb),
+       |xu AS (SELECT fa, fb, CAST(COUNT(*) AS BIGINT) AS exact_union
+       |  FROM (SELECT DISTINCT pr.fa, pr.fb, s.pk
+       |    FROM pr JOIN sets s ON s.f = pr.fa OR s.f = pr.fb)
+       |  GROUP BY fa, fb)
+       |SELECT pr.fa, pr.fb, ea.est AS est_a, eb.est AS est_b,
+       |  eu.est_union,
+       |  ea.est + eb.est - eu.est_union AS est_inter,
+       |  xu.exact_union,
+       |  xa.exact + xb.exact - xu.exact_union AS exact_inter,
+       |  (1000 * abs(eu.est_union - xu.exact_union)) // xu.exact_union
+       |    AS err_union_permille,
+       |  (1000 * abs(ea.est + eb.est - eu.est_union
+       |    - (xa.exact + xb.exact - xu.exact_union)))
+       |    // greatest(xa.exact + xb.exact - xu.exact_union, 1)
+       |    AS err_inter_permille
+       |FROM pr
+       |JOIN est1 ea ON ea.f = pr.fa JOIN est1 eb ON eb.f = pr.fb
+       |JOIN ex1 xa ON xa.f = pr.fa JOIN ex1 xb ON xb.f = pr.fb
+       |JOIN eu USING (fa, fb) JOIN xu USING (fa, fb)
+       |ORDER BY pr.fa, pr.fb""".stripMargin
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private def mulmodSql(x: String, c: BigInt): String = {
@@ -313,9 +458,11 @@ object Hll {
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q219_hll_distinct" -> (q219_hll_distinct _),
-    "q226_hll_merge" -> (q226_hll_merge _))
+    "q226_hll_merge" -> (q226_hll_merge _),
+    "q228_kmv_setops" -> (q228_kmv_setops _))
 
   val oracle: Map[String, String] = Map(
     "q219_hll_distinct" -> hllOracle,
-    "q226_hll_merge" -> mergeOracle)
+    "q226_hll_merge" -> mergeOracle,
+    "q228_kmv_setops" -> setopsOracle)
 }

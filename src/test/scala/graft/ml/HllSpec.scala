@@ -104,4 +104,47 @@ class HllSpec extends AnyFunSuite {
     val (vZero, raw, est) = Hll.estimate(ref.toMap)
     assert(d._2 == vZero && d._4 == raw && d._5 == est, "estimate replay")
   }
+
+  test("q228 KMV set ops: bottom-k signatures, union-from-signatures and " +
+    "inclusion-exclusion replay brutally") {
+    val rows = Hll.q228_kmv_setops(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))).toMap
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_returnflag", "l_orderkey").collect()
+      .map(r => (r.getString(0), r.getLong(1))).distinct
+    def h60(x: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.toString.getBytes("UTF-8"))
+      val hex = md.map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val k = 128
+    val hMax = BigInt(1) << 60
+    def estOf(hs: Seq[Long]): Long = {
+      val sig = hs.distinct.sorted.take(k)
+      if (sig.length < k) sig.length.toLong
+      else ((BigInt(k - 1) * hMax) / BigInt(sig.max)).toLong
+    }
+    val byFlag = li.groupBy(_._1)
+      .map { case (f, v) => f -> v.map(x => h60(x._2)).toSeq }
+    val setsByFlag = li.groupBy(_._1)
+      .map { case (f, v) => f -> v.map(_._2).toSet }
+    for (((fa, fb), (estA, estB, estU, estI, exU, exI)) <- rows) {
+      assert(estA == estOf(byFlag(fa)), s"($fa,$fb) est_a")
+      assert(estB == estOf(byFlag(fb)), s"($fa,$fb) est_b")
+      // union estimate must come from the SIGNATURES, not the base sets
+      val sigA = byFlag(fa).distinct.sorted.take(k)
+      val sigB = byFlag(fb).distinct.sorted.take(k)
+      assert(estU == estOf(sigA ++ sigB), s"($fa,$fb) est_union")
+      assert(estI == estA + estB - estU, s"($fa,$fb) inclusion-exclusion")
+      assert(exU == (setsByFlag(fa) ++ setsByFlag(fb)).size.toLong)
+      assert(exI == (setsByFlag(fa) & setsByFlag(fb)).size.toLong)
+      // k=128 -> RSE ~ 8.9%; 4-sigma envelope on the union
+      assert(math.abs(estU - exU) * 1000 <= 360L * exU,
+        s"($fa,$fb) union error outside the envelope")
+    }
+    assert(rows.keySet == Set(("A", "N"), ("A", "R"), ("N", "R")))
+  }
 }
