@@ -1641,6 +1641,40 @@ object Similarity {
         countDistinct(col("grp")).as("n_groups"))
       .orderBy(col("split"), col("source"))
 
+  /** Naive-split leakage audit (q229) — WHY the stage assigns splits by
+    * GROUP: a per-document hash split (q217's rule — correct for exact
+    * dedup, where duplicates share the id-defining content) lets
+    * NEAR-duplicates with different doc_ids straddle the train/eval
+    * boundary; for a pair the chance of landing together is only
+    * 0.8²+0.1²+0.1² = 0.66, so roughly a third of 2-doc groups leak.
+    * This operator QUANTIFIES that: the q73 closure groups crossed with
+    * the q217 doc-hash assignment — leaky groups, documents they hold,
+    * the leaked permille, and the (expected-false) `leak_free_naive`
+    * flag that contrasts with q100's gated-true group-aware split.
+    *
+    * Scale: one stage scan + a group-cardinality rollup; the split is a
+    * map-side hash. Consumer #8 of the materialized stage. */
+  def q229_naive_split_leakage(s: SparkSession, dir: String): DataFrame = {
+    val naive = dedupStage(s, dir).select(col("doc_id"), col("grp"))
+      .withColumn("bucket",
+        pmod(graft.rel.JoinCard.splitmix64(col("doc_id")), lit(100L)))
+      .withColumn("nsplit",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+    naive.groupBy(col("grp"))
+      .agg(count(lit(1)).as("sz"), countDistinct(col("nsplit")).as("ns"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("sz")).as("n_docs"),
+        sum(when(col("ns") >= 2, 1L).otherwise(0L)).as("n_leaky_groups"),
+        sum(when(col("ns") >= 2, col("sz")).otherwise(0L))
+          .as("docs_in_leaky"),
+        max(col("ns")).as("max_span"))
+      .select(col("n_groups"), col("n_docs"), col("n_leaky_groups"),
+        col("docs_in_leaky"), col("max_span"),
+        expr("(1000 * docs_in_leaky) div n_docs").as("leaked_permille"),
+        (col("n_leaky_groups") === 0L).as("leak_free_naive"))
+  }
+
   /** Component-SIZE histogram off the materialized stage — the cluster-
     * size audit a dedup run publishes (how much of the corpus sits in
     * big near-dup clusters vs singletons; a sudden mass shift toward
@@ -2012,6 +2046,7 @@ object Similarity {
     "q73b_dedup_survivorship" -> (q73b_dedup_survivorship _),
     "q100_component_split" -> (q100_component_split _),
     "q101_curation_report" -> (q101_curation_report _),
+    "q229_naive_split_leakage" -> (q229_naive_split_leakage _),
     "q109_component_sizes" -> (q109_component_sizes _),
     "q114_hard_negatives" -> (q114_hard_negatives _),
     "q118_contrastive_triples" -> (q118_contrastive_triples _),
@@ -2529,6 +2564,60 @@ object Similarity {
          |SELECT p1.query_id, positive_id, pos_sim_r, negatives, n_negatives
          |FROM p1 JOIN negagg USING (query_id)
          |ORDER BY query_id""".stripMargin,
+    // the q73 closure crossed with the q217 NAIVE doc-hash split
+    // (splitmix64 replayed via HUGEINT limbs): groups whose members
+    // straddle splits are the near-dup leakage the group-aware split
+    // exists to prevent
+    "q229_naive_split_leakage" -> {
+      def mm(x: String, c: BigInt): String = {
+        val base = BigInt(4294967296L)
+        val lo = c % base
+        val hi = c / base
+        s"((($x % 4294967296) * $lo + " +
+          s"((($x % 4294967296) * $hi + ($x // 4294967296) * $lo) " +
+          s"% 4294967296) * 4294967296) % 18446744073709551616)"
+      }
+      val z1 = "(z + 11400714819323198485) % 18446744073709551616"
+      val m2 = mm("x1", BigInt("13787848793156543929"))
+      val m3 = mm("x2", BigInt("10723151780598845931"))
+      s"""WITH RECURSIVE $dedupUnionCtes,
+         |grouped AS (SELECT d.doc_id,
+         |    COALESCE(lab.component, d.doc_id) AS grp
+         |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.id),
+         |z0 AS (SELECT doc_id, grp, CAST(doc_id AS HUGEINT) AS z
+         |  FROM grouped),
+         |t1 AS (SELECT doc_id, grp, $z1 AS z1 FROM z0),
+         |t2 AS (SELECT doc_id, grp, xor(z1, z1 // 1073741824) AS x1
+         |  FROM t1),
+         |t3 AS (SELECT doc_id, grp, $m2 AS z2 FROM t2),
+         |t4 AS (SELECT doc_id, grp, xor(z2, z2 // 134217728) AS x2
+         |  FROM t3),
+         |t5 AS (SELECT doc_id, grp, $m3 AS z3 FROM t4),
+         |t6 AS (SELECT doc_id, grp, xor(z3, z3 // 2147483648) AS m
+         |  FROM t5),
+         |asg AS (SELECT doc_id, grp,
+         |    CASE WHEN ((((CASE WHEN m >= 9223372036854775808
+         |        THEN m - 18446744073709551616 ELSE m END) % 100) + 100)
+         |        % 100) < 80 THEN 'train'
+         |      WHEN ((((CASE WHEN m >= 9223372036854775808
+         |        THEN m - 18446744073709551616 ELSE m END) % 100) + 100)
+         |        % 100) < 90 THEN 'val' ELSE 'test' END AS nsplit
+         |  FROM t6),
+         |pg AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS sz,
+         |    CAST(COUNT(DISTINCT nsplit) AS BIGINT) AS ns
+         |  FROM asg GROUP BY grp),
+         |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |    CAST(SUM(sz) AS BIGINT) AS n_docs,
+         |    CAST(SUM(CASE WHEN ns >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_leaky_groups,
+         |    CAST(SUM(CASE WHEN ns >= 2 THEN sz ELSE 0 END) AS BIGINT)
+         |      AS docs_in_leaky,
+         |    CAST(MAX(ns) AS BIGINT) AS max_span FROM pg)
+         |SELECT n_groups, n_docs, n_leaky_groups, docs_in_leaky, max_span,
+         |  (1000 * docs_in_leaky) // n_docs AS leaked_permille,
+         |  n_leaky_groups = 0 AS leak_free_naive
+         |FROM ag""".stripMargin
+    },
     // the q73 closure, then group sizes (component coalesced to the doc
     // id for untouched singletons) and the size histogram
     "q109_component_sizes" ->

@@ -89,8 +89,10 @@ object Itemsets {
     *
     * Scale shape: two map-side-combined per-part aggregates, then
     * catalog-sized windows (parts, not rows). The ρ numerator 6·10⁶·Σd²
-    * is bounded by 2·10⁶·n³ — past ~1.6·10⁴ ranked parts the loud
-    * assert names the DECIMAL(38,0) swap. */
+    * is bounded by 2·10⁶·n³ and passes 2⁶³ near 1.6·10⁴ ranked parts —
+    * HIT at sf0.1 (the r15 bench caught the loud assert), so ρ computes
+    * in DECIMAL(38,0)/HUGEINT outright; the quotient is ≤ 2·10⁶ and
+    * lands back in a BIGINT. */
   def q227_rank_stability(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_partkey").as("pk"),
@@ -132,14 +134,14 @@ object Itemsets {
         max(abs(col("d"))).as("max_abs_d"),
         min(when(abs(col("d")) === col("mad"), col("pk")))
           .as("pk_at_max"))
-      .filter(coalesce(assert_true(
-        expr(s"n_common <= 16000"),
-        lit("Spearman numerator would overflow BIGINT: move rho to " +
-          "DECIMAL(38,0) past ~1.6e4 ranked parts")), lit(true)))
       .select(col("n_common"), col("n_early_only"), col("n_late_only"),
         col("sum_d2"), col("max_abs_d"), col("pk_at_max"),
-        expr("1000000 - (6000000 * sum_d2) div " +
-          "(n_common * (n_common * n_common - 1))").as("rho_micro"))
+        // the numerator 6e6·Σd² passes 2⁶³ near ~1.6e4 ranked parts
+        // (hit at sf0.1), so ρ lives in DECIMAL(38,0) — the quotient is
+        // bounded by 2·10⁶ and lands back in a BIGINT
+        expr("1000000 - CAST((CAST(6000000 AS DECIMAL(38,0)) * sum_d2) " +
+          "div CAST(n_common * (n_common * n_common - 1) " +
+          "AS DECIMAL(38,0)) AS BIGINT)").as("rho_micro"))
   }
 
   private lazy val stabilityOracle: String =
@@ -177,8 +179,9 @@ object Itemsets {
        |  FROM d)
        |SELECT ag.n_common, oc.n_early_only, oc.n_late_only, ag.sum_d2,
        |  ag.max_abs_d, ag.pk_at_max,
-       |  1000000 - (6000000 * ag.sum_d2)
-       |    // (ag.n_common * (ag.n_common * ag.n_common - 1)) AS rho_micro
+       |  1000000 - CAST((CAST(6000000 AS HUGEINT) * ag.sum_d2)
+       |    // (ag.n_common * (ag.n_common * ag.n_common - 1)) AS BIGINT)
+       |    AS rho_micro
        |FROM ag CROSS JOIN only_c oc""".stripMargin
 
   // ------------------------------------------------------------- registry

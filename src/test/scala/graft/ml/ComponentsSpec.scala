@@ -202,6 +202,51 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("q229 naive-split leakage: brute replay off the stage; the naive " +
+    "doc-hash split actually leaks where groups are multi-doc") {
+    val dir = "/root/testdata/sf0.001"
+    val row = Similarity.q229_naive_split_leakage(spark, dir).collect().head
+    val (nG, nD, nLeaky, docsLeaky, maxSpan, permille, leakFree) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4), row.getLong(5), row.getBoolean(6))
+    // groups come from the operator's actual input (the materialized
+    // stage — whose closure parity q73/q100 specs and the q229 oracle's
+    // fresh recursive closure already gate); this spec pins the LEAKAGE
+    // arithmetic and the naive-split hash on top of it
+    val stageRows = Similarity.dedupStage(spark, dir)
+      .select("doc_id", "grp").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def sm64(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def naiveSplit(id: Long): String = {
+      val b = ((sm64(id) % 100) + 100) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val groups = stageRows.groupBy(_._2).map {
+      case (g, v) => g -> v.map(_._1)
+    }
+    assert(nG == groups.size.toLong && nD == stageRows.length.toLong)
+    // toSeq first: mapping a Map to (size, span) tuples would re-key by
+    // size and silently dedupe same-shaped groups (the SKILL.md gotcha)
+    val spans = groups.toSeq.map { case (_, members) =>
+      (members.length.toLong, members.map(naiveSplit).distinct.length.toLong)
+    }
+    assert(nLeaky == spans.count(_._2 >= 2).toLong)
+    assert(docsLeaky == spans.filter(_._2 >= 2).map(_._1).sum)
+    assert(maxSpan == spans.map(_._2).max)
+    assert(permille == 1000L * docsLeaky / nD)
+    assert(leakFree == (nLeaky == 0L))
+    // the operator's raison d'etre: the naive split DOES leak here
+    // (sf0.001 has a ~390-doc near-dup component; its members hash
+    // independently across splits)
+    assert(!leakFree && nLeaky > 0,
+      "expected the doc-hash split to leak on multi-doc groups")
+  }
+
   test("q108 MMR: first pick is the relevance top-1, later picks diversify") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
