@@ -180,10 +180,14 @@ object Walks {
             "WHEN array_contains(pnbrs, x) THEN 4L ELSE 2L END)"))
         .withColumn("r",
           pmod(h(t), expr("aggregate(ws, 0L, (a, x) -> a + x)")))
+        // first index with running cumsum > r, in ONE O(deg) fold (the
+        // slice-per-index form re-aggregated prefixes O(deg²) and cost
+        // q223 2x q167's time at sf0.1 — measured)
         .withColumn("idx", expr(
-          "size(filter(transform(sequence(1, size(ws)), i -> " +
-            "CASE WHEN aggregate(slice(ws, 1, i), 0L, (a, x) -> a + x) " +
-            "<= r THEN 1 END), v -> v IS NOT NULL)) + 1"))
+          "aggregate(ws, struct(0L AS cum, 0 AS i, -1 AS idx), " +
+            "(a, x) -> struct(a.cum + x AS cum, a.i + 1 AS i, " +
+            "CASE WHEN a.idx = -1 AND a.cum + x > r THEN a.i + 1 " +
+            "ELSE a.idx END AS idx), a -> a.idx)"))
         .withColumn("nxt", element_at(col("nbrs"), col("idx").cast("int")))
         .select(col("s"), col("w"), col("nxt").as("cur"),
           col("cur").as("prev"),
