@@ -1,5 +1,6 @@
 package graft.ml
 
+import graft.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -177,11 +178,95 @@ object Pca {
        |FROM bn GROUP BY bin ORDER BY bin""".stripMargin
   }
 
+  // ------------------------------------------- q230 source separability
+  /** Embedding-space source separability (q230) — the Fisher-ratio audit
+    * of "do sources occupy distinct regions?": per source the micro-int
+    * centroid (floor-division via the shared pmod pre-reduction, exact
+    * on negatives at any magnitude — no offset constant to overflow),
+    * per source the mean squared distance to its centroid (within
+    * scatter), and per source PAIR the squared centroid distance over
+    * the within sum as a floor-permille ratio. High values mean a
+    * source is an island (a mixture/dedup decision input: near-identical
+    * sources are merge candidates, far ones are coverage); all exact
+    * BIGINT, so the gate has no tolerance.
+    *
+    * Scale shape: one (source, dim) aggregate (map-side combine) for
+    * centroids, one broadcast join back for within scatter, and a
+    * sources²·dims pairwise stage — catalog arithmetic (sources², not
+    * docs²). Micro values ≤ 2·10⁶ keep every d² sum far below 2⁶³ up to
+    * ~10¹⁴ docs per source. */
+  def q230_source_separability(s: SparkSession, dir: String): DataFrame = {
+    val xe = Cluster.microEmb(s, dir)
+      .join(Tables.documents(s, dir)
+        .select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
+      .select(col("vec_id"), col("source"), posexplode(col("xu")))
+      .toDF("vec_id", "source", "i", "x")
+    val cent = xe.groupBy(col("source"), col("i"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .selectExpr("source", "i", s"${fdivFloor("sx", "n")} AS c")
+    val within = xe.join(broadcast(cent), Seq("source", "i"))
+      .withColumn("d2", (col("x") - col("c")) * (col("x") - col("c")))
+      .groupBy(col("source"))
+      .agg(sum(col("d2")).as("ssw"), countDistinct(col("vec_id")).as("nd"))
+      .selectExpr("source", "nd AS n_docs", "ssw div nd AS within_ms")
+    val pairs = cent.select(col("source").as("sa"), col("i"),
+        col("c").as("ca"))
+      .join(cent.select(col("source").as("sb"), col("i"),
+        col("c").as("cb")), Seq("i"))
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(sum((col("ca") - col("cb")) * (col("ca") - col("cb")))
+        .as("between_d2"))
+    pairs
+      .join(broadcast(within.select(col("source").as("sa"),
+        col("within_ms").as("within_a"))), Seq("sa"))
+      .join(broadcast(within.select(col("source").as("sb"),
+        col("within_ms").as("within_b"))), Seq("sb"))
+      .select(col("sa"), col("sb"), col("between_d2"), col("within_a"),
+        col("within_b"),
+        expr("(1000 * between_d2) div greatest(within_a + within_b, 1L)")
+          .as("separability_permille"))
+      .orderBy(col("sa"), col("sb"))
+  }
+
+  private lazy val sepOracle: String = {
+    val fdivC = fdivFloor("sx", "n").replace(" div ", " // ")
+    s"""WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(round(x * 1000000.0) AS BIGINT)) AS xu
+       |  FROM embeddings),
+       |xe AS (SELECT e.vec_id, d.source, t.i - 1 AS i, xu[t.i] AS x
+       |  FROM e JOIN documents d ON d.doc_id = e.vec_id
+       |  CROSS JOIN range(1, ${Dims + 1}) t(i)),
+       |cent AS (SELECT source, i, $fdivC AS c
+       |  FROM (SELECT source, i, CAST(SUM(x) AS BIGINT) AS sx,
+       |      CAST(COUNT(*) AS BIGINT) AS n FROM xe GROUP BY 1, 2)),
+       |wi AS (SELECT source, CAST(nd AS BIGINT) AS n_docs,
+       |    ssw // nd AS within_ms
+       |  FROM (SELECT xe.source,
+       |      CAST(SUM((xe.x - c.c) * (xe.x - c.c)) AS BIGINT) AS ssw,
+       |      COUNT(DISTINCT xe.vec_id) AS nd
+       |    FROM xe JOIN cent c ON c.source = xe.source AND c.i = xe.i
+       |    GROUP BY 1)),
+       |pr AS (SELECT a.source AS sa, b.source AS sb,
+       |    CAST(SUM((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS between_d2
+       |  FROM cent a JOIN cent b ON a.i = b.i AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT pr.sa, pr.sb, pr.between_d2,
+       |  wa.within_ms AS within_a, wb.within_ms AS within_b,
+       |  (1000 * pr.between_d2)
+       |    // greatest(wa.within_ms + wb.within_ms, 1) AS separability_permille
+       |FROM pr JOIN wi wa ON wa.source = pr.sa
+       |JOIN wi wb ON wb.source = pr.sb
+       |ORDER BY pr.sa, pr.sb""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q188_power_iteration" -> (q188_power_iteration _),
-    "q189_projection_histogram" -> (q189_projection_histogram _))
+    "q189_projection_histogram" -> (q189_projection_histogram _),
+    "q230_source_separability" -> (q230_source_separability _))
 
   val oracle: Map[String, String] = Map(
     "q188_power_iteration" -> pcaOracle,
-    "q189_projection_histogram" -> projOracle)
+    "q189_projection_histogram" -> projOracle,
+    "q230_source_separability" -> sepOracle)
 }

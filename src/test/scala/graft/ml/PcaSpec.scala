@@ -72,4 +72,43 @@ class PcaSpec extends AnyFunSuite {
     val a = Pca.q188_power_iteration(spark, sf).head().getDouble(3)
     assert(a >= -1.0 && a <= 1.0)
   }
+
+  test("q230 separability: centroids, scatters and Fisher permilles " +
+    "replay brutally off the micro embeddings") {
+    val rows = Pca.q230_source_separability(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(CAST(embedding AS array<double>), x -> CAST(round(x * 1000000.0, 0) AS LONG)) AS xu")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val src = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val bySrc = embs.groupBy { case (id, _) => src(id) }
+    def floorDiv(a: Long, b: Long): Long = Math.floorDiv(a, b)
+    val cent = bySrc.map { case (sName, vs) =>
+      sName -> (0 until 64).map(d =>
+        floorDiv(vs.map(_._2(d)).sum, vs.length.toLong)).toArray
+    }
+    val within = bySrc.map { case (sName, vs) =>
+      val c = cent(sName)
+      val ssw = vs.map { case (_, x) =>
+        (0 until 64).map(d => (x(d) - c(d)) * (x(d) - c(d))).sum
+      }.sum
+      sName -> ssw / vs.length
+    }
+    val srcs = bySrc.keys.toSeq.sorted
+    for (i <- srcs.indices; j <- i + 1 until srcs.length) {
+      val (sa, sb) = (srcs(i), srcs(j))
+      val (bD2, wA, wB, sep) = rows((sa, sb))
+      val expB = (0 until 64).map(d =>
+        (cent(sa)(d) - cent(sb)(d)) * (cent(sa)(d) - cent(sb)(d))).sum
+      assert(bD2 == expB, s"($sa,$sb) between scatter")
+      assert(wA == within(sa) && wB == within(sb), s"($sa,$sb) within")
+      assert(sep == 1000L * bD2 / math.max(wA + wB, 1L))
+      assert(bD2 >= 0 && wA > 0 && wB > 0)
+    }
+    assert(rows.size == srcs.length * (srcs.length - 1) / 2)
+  }
 }
