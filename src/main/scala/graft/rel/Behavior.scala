@@ -651,8 +651,97 @@ object Behavior {
        |  i.n_days
        |FROM interior i JOIN seas s USING (dow) ORDER BY i.day""".stripMargin
 
+  // --------------------------------------------- q231 survival curve
+  /** Kaplan-Meier survival over INTER-PURCHASE times (Kaplan & Meier
+    * 1958; renewal analysis) — "how long until the next purchase?", the
+    * censoring-aware distribution behind repurchase forecasting: every
+    * consecutive purchase pair of a user contributes an UNCENSORED
+    * duration (hours to the next purchase), and each user's tail from
+    * last purchase to the horizon end is a CENSORED observation (the
+    * next purchase hasn't happened YET — dropping those tails would
+    * bias the curve optimistic, which is the whole point of KM). A
+    * whole-lifetime churn framing measured degenerate here — every
+    * synthetic user stays active to the horizon, zero events — so the
+    * gap framing is what actually exercises both KM branches. The
+    * survival product Π(1 − d_i/n_i) lifts EXACTLY to log space as a
+    * prefix sum of micro-nat roundings of INTEGER counts: log S(t) =
+    * Σ lnM(n−d) − lnM(n) over event times ≤ t (the q203/q212
+    * ln-of-integers class — no float product drift at any horizon).
+    * S(t) = 0 (all at-risk fire) is the −10⁹ sentinel, mirrored.
+    *
+    * Scale shape: per-user lag windows (activity-bounded) for the gaps,
+    * then a duration-grid rollup with a catalog-sized prefix window
+    * (hours ≤ horizon). No per-user state beyond the window. */
+  def q231_survival_curve(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts_us div 3600000000L").as("hr"))
+    val horizon = p.agg(max(col("hr")).as("h"))
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+    val gaps = p
+      .withColumn("nxt", lead(col("hr"), 1).over(wU))
+      .crossJoin(broadcast(horizon))
+      .select(
+        coalesce(col("nxt") - col("hr"), col("h") - col("hr")).as("dur"),
+        col("nxt").isNotNull.as("fired"))
+    val byDur = gaps.groupBy(col("dur"))
+      .agg(sum(when(col("fired"), 1L).otherwise(0L)).as("d"),
+        sum(when(!col("fired"), 1L).otherwise(0L)).as("c"))
+    val wPrev = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val n = gaps.count()
+    def lnM(x: org.apache.spark.sql.Column) =
+      round(lit(1e6) * log(x)).cast("long")
+    byDur
+      .withColumn("n_risk",
+        lit(n) - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      .withColumn("term",
+        when(col("d") === 0L, lit(0L))
+          .when(col("n_risk") === col("d"), lit(-1000000000L))
+          .otherwise(lnM(col("n_risk") - col("d")) - lnM(col("n_risk"))))
+      .withColumn("log_surv_micro",
+        greatest(sum(col("term")).over(wCum), lit(-1000000000L)))
+      .select(col("dur"), col("n_risk"), col("d").as("n_fired"),
+        col("c").as("n_censored"), col("log_surv_micro"))
+      .orderBy(col("dur"))
+  }
+
+  private lazy val survivalOracle: String =
+    s"""WITH p AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr
+       |  FROM events WHERE event_type = 'purchase'),
+       |h AS (SELECT MAX(hr) AS h FROM p),
+       |g AS (SELECT user_id, hr,
+       |    LEAD(hr) OVER (PARTITION BY user_id ORDER BY hr) AS nxt
+       |  FROM p),
+       |u AS (SELECT COALESCE(nxt - hr, (SELECT h FROM h) - hr) AS dur,
+       |    nxt IS NOT NULL AS fired FROM g),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+       |bd AS (SELECT dur,
+       |    CAST(SUM(CASE WHEN fired THEN 1 ELSE 0 END) AS BIGINT) AS d,
+       |    CAST(SUM(CASE WHEN fired THEN 0 ELSE 1 END) AS BIGINT) AS c
+       |  FROM u GROUP BY 1),
+       |r AS (SELECT dur, d, c,
+       |    (SELECT n FROM tot) - CAST(COALESCE(SUM(d + c) OVER (
+       |      ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+       |      PRECEDING), 0) AS BIGINT) AS n_risk
+       |  FROM bd),
+       |t AS (SELECT dur, d, c, n_risk,
+       |    CASE WHEN d = 0 THEN 0
+       |      WHEN n_risk = d THEN -1000000000
+       |      ELSE CAST(round(1000000.0 * ln(n_risk - d)) AS BIGINT)
+       |        - CAST(round(1000000.0 * ln(n_risk)) AS BIGINT) END AS term
+       |  FROM r)
+       |SELECT dur, n_risk, d AS n_fired, c AS n_censored,
+       |  greatest(CAST(SUM(term) OVER (ORDER BY dur
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT), -1000000000)
+       |    AS log_surv_micro
+       |FROM t ORDER BY dur""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q220_seasonal_decompose" -> (q220_seasonal_decompose _),
+    "q231_survival_curve" -> (q231_survival_curve _),
     "q214_cusum_changepoint" -> (q214_cusum_changepoint _),
     "q215_revenue_attribution" -> (q215_revenue_attribution _),
     "q209_traffic_profile" -> (q209_traffic_profile _),
@@ -665,6 +754,7 @@ object Behavior {
 
   val oracle: Map[String, String] = Map(
     "q220_seasonal_decompose" -> seasonalOracle,
+    "q231_survival_curve" -> survivalOracle,
     "q214_cusum_changepoint" -> cusumOracle,
     "q215_revenue_attribution" -> attributionOracle,
     "q209_traffic_profile" -> trafficOracle,

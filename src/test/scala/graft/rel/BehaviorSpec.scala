@@ -272,4 +272,49 @@ class BehaviorSpec extends AnyFunSuite {
       assert(g.head._5 == floorMean, s"dow $dow seasonal mean")
     }
   }
+
+  test("q231 Kaplan-Meier: gaps + censored tails replay brutally; " +
+    "survival is monotone and both branches fire") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Behavior.q231_survival_curve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val p = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "ts_us div 3600000000L AS hr", "event_type")
+      .where("event_type = 'purchase'")
+      .select("user_id", "hr")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val h = p.map(_._2).max
+    val obs = p.groupBy(_._1).toSeq.flatMap { case (_, v) =>
+      val hrs = v.map(_._2).sorted
+      hrs.sliding(2).filter(_.length == 2)
+        .map(w => (w(1) - w(0), true)).toSeq :+ ((h - hrs.last, false))
+    }
+    val byDur = obs.groupBy(_._1).map { case (dur, v) =>
+      dur -> (v.count(_._2).toLong, v.count(!_._2).toLong)
+    }
+    def lnM(x: Long): Long = math.round(1e6 * math.log(x.toDouble))
+    val durs = byDur.keys.toSeq.sorted
+    var atRisk = obs.length.toLong
+    var logS = 0L
+    val expected = durs.map { dur =>
+      val (d, c) = byDur(dur)
+      val term = if (d == 0) 0L
+        else if (atRisk == d) -1000000000L
+        else lnM(atRisk - d) - lnM(atRisk)
+      logS = math.max(logS + term, -1000000000L)
+      val row = (dur, atRisk, d, c, logS)
+      atRisk -= d + c
+      row
+    }
+    assert(rows.toSeq == expected,
+      s"KM curve mismatch: got ${rows.take(3).toSeq}... " +
+        s"want ${expected.take(3)}...")
+    // survival never increases, and the data exercises BOTH branches
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._5 <= a._5, "log-survival must be non-increasing")
+    }
+    assert(rows.exists(_._3 > 0) && rows.exists(_._4 > 0),
+      "need both fired and censored observations for a meaningful gate")
+  }
 }
