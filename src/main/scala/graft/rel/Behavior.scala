@@ -739,9 +739,161 @@ object Behavior {
        |    AS log_surv_micro
        |FROM t ORDER BY dur""".stripMargin
 
+  // ----------------------------------------------- q232 forecast eval
+  /** Seasonal-naive forecast + MASE evaluation (Hyndman & Koehler 2006,
+    * "Another look at measures of forecast accuracy") — the baseline
+    * every traffic forecast must beat, and the scale-free error metric
+    * that makes "is the fancy model worth it?" answerable: forecast for
+    * a test day is the count 7 days earlier; the error scale is the
+    * in-train one-step naive MAE. MASE lifts exactly to one integer
+    * cross-multiplication: (1000·Σ_test|err|·n_train_diffs) div
+    * (Σ_train|diff|·n_test) — floor-permille, no float. MASE < 1000
+    * means the weekly-seasonal baseline beats the random-walk scale.
+    *
+    * Scale shape: the q220 day grid (one corpus pass to daily counts),
+    * then self-joins at lag 7 / lag 1 over the catalog-sized grid;
+    * output is one row. */
+  def q232_forecast_eval(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(expr("ts_us div 86400000000L").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+    val filled = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"),
+        col("d0"))
+      .join(daily, Seq("day"), "left_outer")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cut", col("d0") + 21)
+    val lag7 = filled.select((col("day") + 7).as("day"), col("c").as("f"))
+    val lag1 = filled.select((col("day") + 1).as("day"), col("c").as("p"))
+    val test = filled.filter(col("day") >= col("cut"))
+      .join(lag7, Seq("day"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(abs(col("c") - col("f"))).as("err_sum"))
+    val train = filled.filter(col("day") < col("cut"))
+      .join(lag1, Seq("day"))
+      .agg(count(lit(1)).as("n_train_diffs"),
+        sum(abs(col("c") - col("p"))).as("scale_sum"))
+    test.crossJoin(broadcast(train))
+      .select(col("n_test"), col("err_sum"), col("n_train_diffs"),
+        col("scale_sum"),
+        expr("(1000 * err_sum * n_train_diffs) div " +
+          "greatest(scale_sum * n_test, 1L)").as("mase_permille"))
+  }
+
+  private lazy val forecastOracle: String =
+    s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+       |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+       |grid AS (SELECT CAST(unnest(range(d0, d1 + 1)) AS BIGINT) AS day,
+       |    d0 + 21 AS cut FROM bounds),
+       |filled AS (SELECT g.day, g.cut, COALESCE(d.c, 0) AS c
+       |  FROM grid g LEFT JOIN daily d ON d.day = g.day),
+       |te AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+       |    CAST(SUM(abs(a.c - b.c)) AS BIGINT) AS err_sum
+       |  FROM filled a JOIN filled b ON b.day = a.day - 7
+       |  WHERE a.day >= a.cut),
+       |tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train_diffs,
+       |    CAST(SUM(abs(a.c - b.c)) AS BIGINT) AS scale_sum
+       |  FROM filled a JOIN filled b ON b.day = a.day - 1
+       |  WHERE a.day < a.cut)
+       |SELECT te.n_test, te.err_sum, tr.n_train_diffs, tr.scale_sum,
+       |  (1000 * te.err_sum * tr.n_train_diffs)
+       |    // greatest(tr.scale_sum * te.n_test, 1) AS mase_permille
+       |FROM te CROSS JOIN tr""".stripMargin
+
+  // ------------------------------------------- q233 Markov holdout eval
+  /** Next-event-prediction holdout accuracy — the eval loop over q193's
+    * transition model (learn→apply consumer #9): the argmax-next-type
+    * model trains on transitions whose BOTH events sit in the first
+    * half of the horizon, then predicts the test half's transitions;
+    * accuracy is an exact permille per source state plus the trivial
+    * majority-class baseline (predict the globally most common dst) so
+    * the number means something. Ties in the argmax break
+    * lexicographically — deterministic in both engines.
+    *
+    * Scale shape: per-user lag windows (the q193 shape) twice, a
+    * |types|²-sized model broadcast back onto the test pairs, and a
+    * |types|-row output. */
+  def q233_markov_holdout(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"))
+    val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("mid"))
+    def pairs(half: String): DataFrame = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val filtered = ev.crossJoin(broadcast(mid))
+        .filter(if (half == "train") col("ts_us") <= col("mid")
+          else col("ts_us") > col("mid"))
+      filtered
+        .withColumn("src", lag(col("event_type"), 1).over(w))
+        .filter(col("src").isNotNull)
+        .select(col("src"), col("event_type").as("dst"))
+    }
+    val model = pairs("train").groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    val wBest = Window.partitionBy(col("src"))
+      .orderBy(col("n").desc, col("dst"))
+    val pred = model.withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("src"), col("dst").as("pred"))
+    val majority = pairs("train").groupBy(col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("dst")).limit(1)
+      .select(col("dst").as("maj"))
+    pairs("test")
+      .join(broadcast(pred), Seq("src"))
+      .crossJoin(broadcast(majority))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_test"),
+        max(col("pred")).as("pred"),
+        sum(when(col("dst") === col("pred"), 1L).otherwise(0L))
+          .as("n_correct"),
+        sum(when(col("dst") === col("maj"), 1L).otherwise(0L))
+          .as("n_majority"))
+      .select(col("src"), col("pred"), col("n_test"), col("n_correct"),
+        expr("(1000 * n_correct) div n_test").as("acc_permille"),
+        expr("(1000 * n_majority) div n_test").as("majority_permille"))
+      .orderBy(col("src"))
+  }
+
+  private lazy val markovHoldoutOracle: String =
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+       |    event_type FROM events),
+       |mid AS (SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid FROM ev),
+       |trp AS (SELECT src, dst FROM (SELECT
+       |    LAG(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts_us, event_id) AS src, event_type AS dst
+       |  FROM ev WHERE ts_us <= (SELECT mid FROM mid))
+       |  WHERE src IS NOT NULL),
+       |tep AS (SELECT src, dst FROM (SELECT
+       |    LAG(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts_us, event_id) AS src, event_type AS dst
+       |  FROM ev WHERE ts_us > (SELECT mid FROM mid))
+       |  WHERE src IS NOT NULL),
+       |model AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM trp GROUP BY 1, 2),
+       |pred AS (SELECT src, dst AS pred FROM (SELECT src, dst,
+       |    ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY n DESC, dst) AS rk FROM model) WHERE rk = 1),
+       |maj AS (SELECT dst AS maj FROM trp GROUP BY dst
+       |  ORDER BY COUNT(*) DESC, dst LIMIT 1)
+       |SELECT t.src, MAX(p.pred) AS pred,
+       |  CAST(COUNT(*) AS BIGINT) AS n_test,
+       |  CAST(SUM(CASE WHEN t.dst = p.pred THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_correct,
+       |  CAST((1000 * SUM(CASE WHEN t.dst = p.pred THEN 1 ELSE 0 END))
+       |    // COUNT(*) AS BIGINT) AS acc_permille,
+       |  CAST((1000 * SUM(CASE WHEN t.dst = (SELECT maj FROM maj)
+       |    THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS majority_permille
+       |FROM tep t JOIN pred p USING (src)
+       |GROUP BY t.src ORDER BY t.src""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q220_seasonal_decompose" -> (q220_seasonal_decompose _),
     "q231_survival_curve" -> (q231_survival_curve _),
+    "q232_forecast_eval" -> (q232_forecast_eval _),
+    "q233_markov_holdout" -> (q233_markov_holdout _),
     "q214_cusum_changepoint" -> (q214_cusum_changepoint _),
     "q215_revenue_attribution" -> (q215_revenue_attribution _),
     "q209_traffic_profile" -> (q209_traffic_profile _),
@@ -755,6 +907,8 @@ object Behavior {
   val oracle: Map[String, String] = Map(
     "q220_seasonal_decompose" -> seasonalOracle,
     "q231_survival_curve" -> survivalOracle,
+    "q232_forecast_eval" -> forecastOracle,
+    "q233_markov_holdout" -> markovHoldoutOracle,
     "q214_cusum_changepoint" -> cusumOracle,
     "q215_revenue_attribution" -> attributionOracle,
     "q209_traffic_profile" -> trafficOracle,

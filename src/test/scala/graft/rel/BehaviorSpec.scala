@@ -317,4 +317,66 @@ class BehaviorSpec extends AnyFunSuite {
     assert(rows.exists(_._3 > 0) && rows.exists(_._4 > 0),
       "need both fired and censored observations for a meaningful gate")
   }
+
+  test("q232 MASE: seasonal-naive errors and the train scale replay " +
+    "off the filled day grid") {
+    val sf = "/root/testdata/sf0.001"
+    val row = Behavior.q232_forecast_eval(spark, sf).collect().head
+    val (nTest, errSum, nTr, scaleSum, mase) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4))
+    val days = graft.Tables.events(spark, sf).select("ts_us").collect()
+      .map(_.getLong(0) / 86400000000L)
+    val byDay = days.groupBy(identity)
+      .map { case (d, v) => d -> v.length.toLong }
+    val (d0, d1) = (days.min, days.max)
+    def c(d: Long): Long = byDay.getOrElse(d, 0L)
+    val cut = d0 + 21
+    val test = (math.max(cut, d0 + 7) to d1)
+      .map(d => math.abs(c(d) - c(d - 7)))
+    val train = (d0 + 1 until cut).map(d => math.abs(c(d) - c(d - 1)))
+    assert(nTest == test.length.toLong && errSum == test.sum)
+    assert(nTr == train.length.toLong && scaleSum == train.sum)
+    assert(mase ==
+      1000L * errSum * nTr / math.max(scaleSum * nTest, 1L))
+  }
+
+  test("q233 Markov holdout: model, predictions and accuracies replay; " +
+    "argmax ties break lexicographically") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Behavior.q233_markov_holdout(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val ev = graft.Tables.events(spark, sf)
+      .select("user_id", "ts_us", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val mid = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    def pairsOf(pred: Long => Boolean): Seq[(String, String)] =
+      ev.filter(e => pred(e._2)).groupBy(_._1).toSeq.flatMap { case (_, v) =>
+        val sorted = v.sortBy(e => (e._2, e._3))
+        sorted.sliding(2).filter(_.length == 2)
+          .map(w => (w(0)._4, w(1)._4)).toSeq
+      }
+    val trp = pairsOf(_ <= mid)
+    val tep = pairsOf(_ > mid)
+    val model = trp.groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val pred = model.groupBy(_._1._1).map { case (src, m) =>
+      src -> m.toSeq.map { case ((_, dst), n) => (dst, n) }
+        .sortBy { case (dst, n) => (-n, dst) }.head._1
+    }
+    val maj = trp.map(_._2).groupBy(identity).toSeq
+      .map { case (d, v) => (d, v.size) }
+      .sortBy { case (d, n) => (-n, d) }.head._1
+    for ((src, byPred) <- tep.groupBy(_._1) if pred.contains(src)) {
+      val (gPred, gN, gCorrect, gAcc, gMaj) = rows(src)
+      assert(gPred == pred(src), s"$src argmax prediction")
+      assert(gN == byPred.length.toLong)
+      val correct = byPred.count(_._2 == pred(src)).toLong
+      assert(gCorrect == correct)
+      assert(gAcc == 1000L * correct / byPred.length)
+      assert(gMaj == 1000L * byPred.count(_._2 == maj) / byPred.length)
+    }
+    assert(rows.keySet == tep.map(_._1).toSet.intersect(pred.keySet))
+  }
 }
