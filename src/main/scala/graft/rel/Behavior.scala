@@ -889,11 +889,75 @@ object Behavior {
        |FROM tep t JOIN pred p USING (src)
        |GROUP BY t.src ORDER BY t.src""".stripMargin
 
+  // ------------------------------------------------ q234 p-chart SPC
+  /** Attribute control chart (Shewhart p-chart; see Montgomery,
+    * "Introduction to Statistical Quality Control" ch. 7) over the daily
+    * purchase rate — the SPC gate an ops dashboard runs on any
+    * conversion metric. The 3σ limit test p̂ ± 3·√(p̄(1−p̄)/n) SQUARES
+    * into pure integers: with daily (c, n) and global (C, N),
+    *   out-of-control ⇔ (cN − nC)² > 9·C·(N−C)·n
+    * — one cross-multiplication, no sqrt, no float; the deviation's
+    * sign separates above/below. Exactly the q202/q214 discipline
+    * applied to proportions.
+    *
+    * Scale shape: one map-side day×flag aggregate; the chart algebra is
+    * day-grid arithmetic. The squared product (cN)² reaches BIGINT
+    * limits near c·N ≈ 3·10⁹ — per-day counts times corpus totals, so
+    * at lake scale the comparison moves to DECIMAL(38,0); the loud
+    * assert names it. */
+  def q234_control_chart(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(expr("ts_us div 86400000000L").as("day"),
+        (col("event_type") === "purchase").as("hit"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("c"))
+    val tot = daily.agg(sum(col("n")).as("nn"), sum(col("c")).as("cc"))
+    daily.crossJoin(broadcast(tot))
+      .filter(coalesce(assert_true(
+        expr(s"c <= (${Long.MaxValue}L div greatest(nn, 1L)) " +
+          s"and n <= (${Long.MaxValue}L div greatest(cc, 1L))"),
+        lit("p-chart cross-product would overflow BIGINT: move the " +
+          "3-sigma comparison to DECIMAL(38,0) at this volume")),
+        lit(true)))
+      .withColumn("dev", col("c") * col("nn") - col("n") * col("cc"))
+      .withColumn("out_of_control",
+        expr("dev * dev > 9 * cc * (nn - cc) * n"))
+      .select(col("day"), col("n"), col("c"),
+        expr("(1000 * c) div n").as("rate_permille"),
+        expr("(1000 * cc) div nn").as("center_permille"),
+        col("out_of_control"),
+        when(col("out_of_control") && col("dev") > 0, "high")
+          .when(col("out_of_control"), "low").otherwise("in").as("side"))
+      .orderBy(col("day"))
+  }
+
+  private lazy val controlOracle: String =
+    s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS c
+       |  FROM events GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+       |    CAST(SUM(c) AS BIGINT) AS cc FROM daily),
+       |j AS (SELECT day, n, c, nn, cc, c * nn - n * cc AS dev
+       |  FROM daily CROSS JOIN tot)
+       |SELECT day, n, c,
+       |  (1000 * c) // n AS rate_permille,
+       |  (1000 * cc) // nn AS center_permille,
+       |  dev * dev > 9 * cc * (nn - cc) * n AS out_of_control,
+       |  CASE WHEN dev * dev > 9 * cc * (nn - cc) * n AND dev > 0
+       |    THEN 'high'
+       |    WHEN dev * dev > 9 * cc * (nn - cc) * n THEN 'low'
+       |    ELSE 'in' END AS side
+       |FROM j ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q220_seasonal_decompose" -> (q220_seasonal_decompose _),
     "q231_survival_curve" -> (q231_survival_curve _),
     "q232_forecast_eval" -> (q232_forecast_eval _),
     "q233_markov_holdout" -> (q233_markov_holdout _),
+    "q234_control_chart" -> (q234_control_chart _),
     "q214_cusum_changepoint" -> (q214_cusum_changepoint _),
     "q215_revenue_attribution" -> (q215_revenue_attribution _),
     "q209_traffic_profile" -> (q209_traffic_profile _),
@@ -909,6 +973,7 @@ object Behavior {
     "q231_survival_curve" -> survivalOracle,
     "q232_forecast_eval" -> forecastOracle,
     "q233_markov_holdout" -> markovHoldoutOracle,
+    "q234_control_chart" -> controlOracle,
     "q214_cusum_changepoint" -> cusumOracle,
     "q215_revenue_attribution" -> attributionOracle,
     "q209_traffic_profile" -> trafficOracle,

@@ -379,4 +379,38 @@ class BehaviorSpec extends AnyFunSuite {
     }
     assert(rows.keySet == tep.map(_._1).toSet.intersect(pred.keySet))
   }
+
+  test("q234 p-chart: the squared 3-sigma test replays and agrees with " +
+    "the float form") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Behavior.q234_control_chart(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getString(6)))
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("ts_us div 86400000000L AS day",
+        "event_type = 'purchase' AS hit").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    val byDay = ev.groupBy(_._1).map { case (d, v) =>
+      d -> (v.length.toLong, v.count(_._2).toLong)
+    }
+    val nn = ev.length.toLong
+    val cc = ev.count(_._2).toLong
+    assert(rows.map(_._1).toSet == byDay.keySet)
+    for ((day, n, c, rate, center, ooc, side) <- rows) {
+      val (bn, bc) = byDay(day)
+      assert(n == bn && c == bc, s"day $day counts")
+      assert(rate == 1000L * c / n && center == 1000L * cc / nn)
+      val dev = c * nn - n * cc
+      val expOoc = dev * dev > 9L * cc * (nn - cc) * n
+      assert(ooc == expOoc, s"day $day control flag")
+      assert(side == (if (expOoc && dev > 0) "high"
+        else if (expOoc) "low" else "in"))
+      // algebra cross-check: the integer form equals the float 3-sigma
+      val pBar = cc.toDouble / nn
+      val pHat = c.toDouble / n
+      val floatOoc =
+        math.abs(pHat - pBar) > 3.0 * math.sqrt(pBar * (1 - pBar) / n)
+      assert(expOoc == floatOoc, s"day $day squared-form equivalence")
+    }
+  }
 }
