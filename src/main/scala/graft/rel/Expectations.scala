@@ -183,12 +183,88 @@ object Expectations {
        |FROM t2 CROSS JOIN tot ORDER BY d""".stripMargin
   }
 
+  // ------------------------------------------- q235 referential integrity
+  /** Star-schema referential-integrity audit (q235) — the FK-coverage
+    * matrix a warehouse publishes before anyone trusts a join: per edge
+    * (lineitem→orders, orders→customer, customer→nation,
+    * lineitem→part, lineitem→supplier), child rows, DISTINCT child
+    * keys, orphan rows (no parent — a LEFT ANTI probe), coverage
+    * permille, and a bit_xor digest of orphan keys so the gate pins the
+    * offending keys, not just their count. Engines without enforced FK
+    * constraints (Spark, most lakes) need exactly this audit as a
+    * query.
+    *
+    * Scale shape: each edge is one anti-join of child keys against the
+    * parent key set — the parent side is dimension-sized and broadcasts
+    * for all but lineitem→orders, which shuffles on the key like any
+    * fact-fact join; output is |edges| rows. */
+  def q235_ri_audit(s: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame = {
+      val c = child.select(col(key).cast("long").as("k"))
+      val p = parent.select(col(pkey).cast("long").as("k")).distinct()
+      val orphans = c.join(p, Seq("k"), "left_anti")
+      val base = c.agg(count(lit(1)).as("n_child"),
+        countDistinct(col("k")).as("n_keys"))
+      val orph = orphans.agg(count(lit(1)).as("n_orphan_rows"),
+        coalesce(expr("bit_xor(k)"), lit(0L)).as("orphan_sig"))
+      base.crossJoin(orph).select(lit(name).as("edge"), col("n_child"),
+        col("n_keys"), col("n_orphan_rows"),
+        expr("(1000 * (n_child - n_orphan_rows)) div n_child")
+          .as("coverage_permille"),
+        col("orphan_sig"))
+    }
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+      .unionByName(edge("orders->customer", o, "o_custkey", c, "c_custkey"))
+      .unionByName(edge("customer->nation", c, "c_nationkey",
+        Tables.nation(s, dir), "n_nationkey"))
+      .unionByName(edge("lineitem->part", li, "l_partkey",
+        Tables.part(s, dir), "p_partkey"))
+      .unionByName(edge("lineitem->supplier", li, "l_suppkey",
+        Tables.supplier(s, dir), "s_suppkey"))
+      .orderBy(col("edge"))
+  }
+
+  private lazy val riOracle: String = {
+    def edge(name: String, child: String, key: String, parent: String,
+        pkey: String): String =
+      s"""SELECT '$name' AS edge,
+         |    CAST(COUNT(*) AS BIGINT) AS n_child,
+         |    CAST(COUNT(DISTINCT CAST($key AS BIGINT)) AS BIGINT)
+         |      AS n_keys,
+         |    CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_orphan_rows,
+         |    CAST((1000 * (COUNT(*) - SUM(CASE WHEN p.k IS NULL THEN 1
+         |      ELSE 0 END))) // COUNT(*) AS BIGINT) AS coverage_permille,
+         |    CAST(COALESCE(bit_xor(CASE WHEN p.k IS NULL
+         |      THEN CAST($key AS BIGINT) END), 0) AS BIGINT) AS orphan_sig
+         |  FROM $child LEFT JOIN (SELECT DISTINCT CAST($pkey AS BIGINT)
+         |    AS k FROM $parent) p ON p.k = CAST($key AS BIGINT)"""
+        .stripMargin
+    s"""WITH u AS (
+       |${edge("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey")}
+       |UNION ALL
+       |${edge("orders->customer", "orders", "o_custkey", "customer", "c_custkey")}
+       |UNION ALL
+       |${edge("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey")}
+       |UNION ALL
+       |${edge("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey")}
+       |UNION ALL
+       |${edge("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey")})
+       |SELECT * FROM u ORDER BY edge""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_expectations" -> (q146_expectations _),
-    "q208_benford_audit" -> (q208_benford_audit _))
+    "q208_benford_audit" -> (q208_benford_audit _),
+    "q235_ri_audit" -> (q235_ri_audit _))
 
   val oracle: Map[String, String] = Map(
     "q146_expectations" -> expectationsOracle,
-    "q208_benford_audit" -> benfordOracle)
+    "q208_benford_audit" -> benfordOracle,
+    "q235_ri_audit" -> riOracle)
 }

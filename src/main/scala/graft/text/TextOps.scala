@@ -142,6 +142,37 @@ object TextOps {
   // ---------------------------------------------------------- language ID
   /** Stopword-overlap language ID: score each doc against tiny per-language
     * marker profiles (broadcast 4-row dim), argmax per doc. */
+  /** Language-ID confusion matrix (q236) — eval loop #10, over q29's
+    * marker heuristic against the documents table's labeled `lang`: per
+    * (true lang, prediction) cell the count, per true lang the recall
+    * permille, and the overall accuracy riding every row. The corpus
+    * includes a language with NO marker profile (zh), so the matrix
+    * exposes the classifier's coverage gap honestly — its row can never
+    * be correct, which is exactly what a governance review needs to see
+    * before trusting q29 as a filter.
+    *
+    * Scale shape: the q29 chain (broadcast profile cross, per-doc
+    * argmax window keyed by doc) plus a |langs|²-sized rollup. */
+  def q236_langid_eval(s: SparkSession, dir: String): DataFrame = {
+    val preds = q29_lang_id(s, dir)
+      .select(col("doc_id"), col("lang_guess"))
+    val truth = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val cells = truth.join(preds, Seq("doc_id"))
+      .groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n"))
+    val perLang = cells.groupBy(col("lang")).agg(sum(col("n")).as("n_lang"))
+    val overall = cells.agg(
+      sum(when(col("lang") === col("lang_guess"), col("n")).otherwise(0L))
+        .as("n_correct"),
+      sum(col("n")).as("n_total"))
+    cells.join(broadcast(perLang), Seq("lang"))
+      .crossJoin(broadcast(overall))
+      .select(col("lang"), col("lang_guess"), col("n"),
+        expr("(1000 * n) div n_lang").as("cell_permille"),
+        expr("(1000 * n_correct) div n_total").as("overall_permille"))
+      .orderBy(col("lang"), col("lang_guess"))
+  }
+
   def q29_lang_id(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val profiles = LangMarkers.toDF("lang_guess", "markers")
@@ -314,6 +345,7 @@ object TextOps {
     "q27_quality_score"    -> (q27_quality_score _),
     "q28_token_count"      -> (q28_token_count _),
     "q29_lang_id"          -> (q29_lang_id _),
+    "q236_langid_eval"     -> (q236_langid_eval _),
     "q30_minhash_signature"-> (q30_minhash_signature _),
     "q31_minhash_buckets"  -> (q31_minhash_buckets _),
     "q39_fingerprint"      -> (q39_fingerprint _),
@@ -401,6 +433,24 @@ object TextOps {
          |ranked AS (SELECT doc_id, lang_guess, hits,
          |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_guess) AS rn FROM scored)
          |SELECT doc_id, lang_guess, hits FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q236_langid_eval" ->
+      s"""WITH toks AS (SELECT doc_id, list_distinct($DToks) AS toks FROM documents),
+         |profiles AS (SELECT * FROM (VALUES ${LangMarkers.map { case (l, ws) => s"('$l', ${sqlArr(ws)})" }.mkString(", ")}) p(lang_guess, markers)),
+         |scored AS (SELECT doc_id, lang_guess,
+         |  CAST(len(list_intersect(toks, markers)) AS INTEGER) AS hits FROM toks, profiles),
+         |preds AS (SELECT doc_id, lang_guess FROM (SELECT doc_id, lang_guess,
+         |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_guess) AS rn FROM scored)
+         |  WHERE rn = 1),
+         |cells AS (SELECT d.lang, p.lang_guess, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM documents d JOIN preds p USING (doc_id) GROUP BY 1, 2),
+         |pl AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang FROM cells GROUP BY 1),
+         |ov AS (SELECT CAST(SUM(CASE WHEN lang = lang_guess THEN n ELSE 0 END) AS BIGINT) AS n_correct,
+         |    CAST(SUM(n) AS BIGINT) AS n_total FROM cells)
+         |SELECT c.lang, c.lang_guess, c.n,
+         |  (1000 * c.n) // pl.n_lang AS cell_permille,
+         |  (1000 * ov.n_correct) // ov.n_total AS overall_permille
+         |FROM cells c JOIN pl USING (lang) CROSS JOIN ov
+         |ORDER BY c.lang, c.lang_guess""".stripMargin,
     "q30_minhash_signature" ->
       s"""WITH toks AS (SELECT doc_id, unnest($DToks) AS term FROM documents)
          |SELECT doc_id,

@@ -58,4 +58,37 @@ class ExpectationsSpec extends AnyFunSuite {
     // Benford permilles are a near-partition of 1000
     assert(math.abs(rows.map(_.getLong(4)).sum - 1000L) <= 2)
   }
+
+  test("q235 RI audit: anti-join orphan counts replay; a poisoned child " +
+    "key shows up with its signature") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Expectations.q235_ri_audit(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(rows.keySet == Set("lineitem->orders", "orders->customer",
+      "customer->nation", "lineitem->part", "lineitem->supplier"))
+    // the generated star schema is referentially intact — coverage 1000
+    rows.foreach { case (e, (nChild, nKeys, orphans, cov, sig)) =>
+      assert(orphans == 0L && cov == 1000L && sig == 0L, s"$e clean")
+      assert(nKeys <= nChild && nKeys > 0, s"$e key counts")
+    }
+    // brute counts for one edge
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey").collect().map(_.getLong(0))
+    val ok = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(rows("lineitem->orders")._1 == li.length.toLong)
+    assert(rows("lineitem->orders")._2 == li.distinct.length.toLong)
+    assert(li.forall(ok.contains), "fixture integrity assumption")
+    // poisoned fixture: drop parents, orphans must surface with a sig
+    import spark.implicits._
+    val child = Seq(1L, 2L, 3L, 99L, 98L).toDF("k")
+    val parent = Seq(1L, 2L, 3L).toDF("k")
+    val orphans = child.join(parent, Seq("k"), "left_anti")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.expr("bit_xor(k)"))
+      .collect().head
+    assert(orphans.getLong(0) == 2L && orphans.getLong(1) == (99L ^ 98L))
+  }
 }

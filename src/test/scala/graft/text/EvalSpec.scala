@@ -274,4 +274,37 @@ class EvalSpec extends AnyFunSuite {
         1000L * (trimmed.sum + k * lo + k * hi) / n, s"$src winsorized")
     }
   }
+
+  test("q236 langid eval: confusion cells replay off the marker argmax; " +
+    "the unprofiled language can never be correct") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextOps.q236_langid_eval(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val markers = TextOps.LangMarkers.toMap
+    def predict(text: String): String = {
+      val toks = text.trim.split(" ").filter(_.nonEmpty).distinct.toSet
+      markers.toSeq.map { case (l, ws) => (l, ws.count(toks)) }
+        .sortBy { case (l, h) => (-h, l) }.head._1
+    }
+    val cells = docs.groupBy(d => (d._3, predict(d._2)))
+      .map { case (k, v) => k -> v.length.toLong }
+    assert(rows.keySet == cells.keySet)
+    val byLang = cells.groupBy(_._1._1).map { case (l, m) =>
+      l -> m.values.sum
+    }
+    val correct = cells.collect { case ((l, g), n) if l == g => n }.sum
+    val total = cells.values.sum
+    for (((lang, guess), (n, cellP, overall)) <- rows) {
+      assert(n == cells((lang, guess)), s"($lang,$guess) cell")
+      assert(cellP == 1000L * n / byLang(lang))
+      assert(overall == 1000L * correct / total)
+    }
+    // zh has no marker profile — its diagonal cell cannot exist
+    assert(!rows.contains(("zh", "zh")),
+      "an unprofiled language must never be predicted")
+  }
 }
