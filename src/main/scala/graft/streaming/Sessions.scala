@@ -752,6 +752,50 @@ object Sessions {
       .select(col("window.start").as("window_start"), col("bucket"),
         col("m_j"), col("n_rows"))
 
+  /** Streaming p-chart gate — q234's continuous twin (advisor→executor
+    * loop #8): the BATCH center line (C hits / N rows over the sealed
+    * horizon — two metadata-scale scalars, the trainer-memo pattern)
+    * broadcasts into a stateless windowed aggregate, and every
+    * watermarked window emits its exact integer 3σ verdict via the
+    * squared cross-multiplication (cN − nC)² > 9·C·(N−C)·n — identical
+    * arithmetic to q234, so batch parity is row-for-row equality of the
+    * same plan over the same rows. State is O(open windows).
+    *
+    * At 100 TB/day the only sized object is the per-window (n, c) pair;
+    * the center line refreses on whatever cadence the batch chart
+    * recomputes — a broadcast swap, not a plan change. */
+  def controlChartStream(events: DataFrame, tsCol: String,
+      hitCol: String, refHits: Long, refTotal: Long, watermark: String,
+      windowLen: String): DataFrame = {
+    require(refTotal > 0 && refHits >= 0 && refHits <= refTotal,
+      "center line must come from a non-empty sealed horizon")
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(hitCol), 1L).otherwise(0L)).as("c"))
+      .withColumn("dev",
+        col("c") * lit(refTotal) - col("n") * lit(refHits))
+      .withColumn("out_of_control", expr(
+        s"dev * dev > 9 * ${refHits}L * ${refTotal - refHits}L * n"))
+      .select(col("window.start").as("window_start"), col("n"), col("c"),
+        expr("(1000 * c) div n").as("rate_permille"),
+        col("out_of_control"),
+        when(col("out_of_control") && col("dev") > 0, "high")
+          .when(col("out_of_control"), "low").otherwise("in").as("side"))
+  }
+
+  /** The q234 center line of a sealed horizon — two scalars
+    * (metadata-scale collect), the batch half of
+    * [[controlChartStream]]'s learn→apply loop. */
+  def controlChartReference(events: DataFrame, hitCol: String)
+      : (Long, Long) = {
+    val r = events.agg(
+      sum(when(col(hitCol), 1L).otherwise(0L)).as("c"),
+      count(lit(1)).as("n")).collect().head
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** The q203-binning reference histogram of a sealed corpus — the
     * collect is 16 rows (metadata-scale), the batch half of
     * [[psiDriftStream]]'s learn→apply loop. */

@@ -557,6 +557,53 @@ class SessionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming p-chart: windowed 3-sigma verdicts match the batch " +
+    "plan; a planted spike trips the gate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def tss(sec: Int) = new Timestamp(1700000040000L + sec * 1000L)
+    // reference: 10% hit rate over a sealed horizon
+    val (refC, refN) = (100L, 1000L)
+    // window 1: 50 events, 5 hits (in control); window 2: 40 events,
+    // 30 hits (a planted spike, way past 3 sigma)
+    val w1 = (0 until 50).map(i => (i % 10 == 0, tss(i)))
+    val w2 = (0 until 40).map(i => (i % 4 != 0, tss(60 + i)))
+    val flush = Seq((false, tss(1400)))
+    val input = MemoryStream[(Boolean, Timestamp)]
+    val q = Sessions.controlChartStream(
+        input.toDF().toDF("hit", "ts"), "ts", "hit", refC, refN,
+        "1 minute", "1 minute")
+      .writeStream.format("memory").queryName("pchart")
+      .outputMode("append").start()
+    try {
+      input.addData(w1.take(25))
+      q.processAllAvailable()
+      input.addData(w1.drop(25) ++ w2 ++ flush)
+      q.processAllAvailable()
+      val got = spark.table("pchart").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4), r.getString(5)))
+      val batch = Sessions.controlChartStream(
+          (w1 ++ w2 ++ flush).toDF("hit", "ts"), "ts", "hit", refC, refN,
+          "1 minute", "1 minute")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4), r.getString(5)))
+      assert(got.nonEmpty && got.toSet.subsetOf(batch.toSet),
+        "stream verdicts must match the batch plan")
+      val g1 = got.find(_._1 == tss(0)).get
+      val g2 = got.find(_._1 == tss(60)).get
+      assert(g1._2 == 50 && g1._3 == 5 && !g1._5 && g1._6 == "in",
+        s"window 1 should be in control: $g1")
+      assert(g2._2 == 40 && g2._3 == 30 && g2._5 && g2._6 == "high",
+        s"window 2 spike must trip the gate: $g2")
+      // the verdict replays the exact integer arithmetic
+      for (g <- Seq(g1, g2)) {
+        val dev = g._3 * refN - g._2 * refC
+        assert(g._5 == (dev * dev > 9L * refC * (refN - refC) * g._2))
+      }
+    } finally q.stop()
+  }
+
   test("windowed counts run identically on a batch frame (unified plan)") {
     import spark.implicits._
     val batch = Seq(
