@@ -111,10 +111,68 @@ object Keywords {
        |SELECT ph, n_occ, n_words, score FROM psc
        |ORDER BY score DESC, n_occ DESC, ph LIMIT 10""".stripMargin
 
+  // ------------------------------------------------ q237 term burstiness
+  private val BurstMinDf = 20L
+
+  /** Term burstiness (q237) — the Church & Gale 1995 dispersion signal:
+    * content words arrive in BURSTS (high variance-to-mean of per-doc
+    * counts) while function words are near-Poisson (D ≈ 1). The Fisher
+    * dispersion index lifts exactly: with cf = Σx over all N docs and
+    * sq = Σx² (zero-count docs add nothing to either),
+    *   D_permille = (1000·(N·sq − cf²)) div (cf·(N−1))
+    * — one integer cross-multiplication per term, no float. Reported
+    * for terms with df ≥ 20 (dispersion of rare terms is noise), top-20
+    * by D — the burstiness ranking is what separates topical vocabulary
+    * from glue for stopword induction and keyword weighting.
+    *
+    * Scale shape: one (doc, term) count aggregate with map-side combine
+    * (the q51 shape), then a vocabulary-sized rollup and a bounded-heap
+    * top-20. N·sq caps BIGINT near 10⁹ docs × 10⁹ sq — the loud assert
+    * names the DECIMAL swap. */
+  def q237_term_burstiness(s: SparkSession, dir: String): DataFrame = {
+    val toks = docToks(s, dir).filter(size(col("t")) >= 1)
+    val n = toks.count()
+    val perDoc = toks
+      .select(col("doc_id"), explode(col("t")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("x"))
+    perDoc.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("x")).as("cf"),
+        sum(col("x") * col("x")).as("sq"))
+      .filter(col("df") >= BurstMinDf)
+      .filter(coalesce(assert_true(
+        expr(s"sq <= (${Long.MaxValue}L div ${math.max(n, 1L)}L) " +
+          s"and cf <= 3037000499L"),
+        lit("burstiness cross-product would overflow BIGINT: move D to " +
+          "DECIMAL(38,0) at this corpus scale")), lit(true)))
+      .withColumn("d_permille",
+        expr(s"(1000 * (${n}L * sq - cf * cf)) div (cf * (${n}L - 1))"))
+      .orderBy(col("d_permille").desc, col("term"))
+      .limit(20)
+      .select(col("term"), col("df"), col("cf"), col("sq"),
+        col("d_permille"))
+  }
+
+  private lazy val burstOracle: String =
+    s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents
+       |  WHERE len($DToks) >= 1),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+       |pd AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS x
+       |  FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
+       |st AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       |    CAST(SUM(x) AS BIGINT) AS cf,
+       |    CAST(SUM(x * x) AS BIGINT) AS sq
+       |  FROM pd GROUP BY 1 HAVING COUNT(*) >= $BurstMinDf)
+       |SELECT term, df, cf, sq,
+       |  (1000 * ((SELECT n FROM n) * sq - cf * cf))
+       |    // (cf * ((SELECT n FROM n) - 1)) AS d_permille
+       |FROM st ORDER BY d_permille DESC, term LIMIT 20""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q213_rake_keywords" -> (q213_rake_keywords _))
+    "q213_rake_keywords" -> (q213_rake_keywords _),
+    "q237_term_burstiness" -> (q237_term_burstiness _))
 
   val oracle: Map[String, String] = Map(
-    "q213_rake_keywords" -> rakeOracle)
+    "q213_rake_keywords" -> rakeOracle,
+    "q237_term_burstiness" -> burstOracle)
 }

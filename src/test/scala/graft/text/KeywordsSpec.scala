@@ -50,4 +50,29 @@ class KeywordsSpec extends AnyFunSuite {
     assert(got.forall(_._4 >= 1000L * 1), "scores bounded below")
     assert(got.map(_._1).distinct.length == got.length, "phrases unique")
   }
+
+  test("q237 burstiness: dispersion indices replay brutally; a Poisson " +
+    "process would sit near 1000") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+      .map(_.trim.split(" ").filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+    val n = docs.length.toLong
+    val stats = docs.flatMap(_.groupBy(identity)
+        .map { case (t, v) => (t, v.length.toLong) })
+      .groupBy(_._1).collect { case (t, v) if v.length >= 20 =>
+        (t, v.length.toLong, v.map(_._2).sum, v.map(x => x._2 * x._2).sum)
+      }
+    val want = stats.map { case (t, df, cf, sq) =>
+      (t, df, cf, sq, 1000L * (n * sq - cf * cf) / (cf * (n - 1)))
+    }.toSeq.sortBy { case (t, _, _, _, d) => (-d, t) }.take(20)
+    val got = Keywords.q237_term_burstiness(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want, s"burstiness mismatch:\n got=$got\nwant=$want")
+    // D is variance/mean: non-negative, and the repeated-token synthetic
+    // corpus must show SOME over-dispersion (D > 1) at the top
+    assert(got.head._5 > 1000L, "top term should be over-dispersed")
+    assert(got.forall(_._5 >= 0L))
+  }
 }
