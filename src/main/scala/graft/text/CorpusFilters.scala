@@ -2428,6 +2428,97 @@ object CorpusFilters {
           + LiftFloor).as("lift_ok"))
   }
 
+  /** Cumulative-gains / lift curve (q238) — eval loop #11, the "how much
+    * of the good stuff do the top deciles hold?" chart that decides a
+    * classifier-thresholded keep-rate (the marketing-science gains chart
+    * applied to the q87 scorer against the q87b filler-ratio label).
+    * Deciles assign by the logit value-group's START rank from the
+    * descending ECDF — ties move as a BLOCK, which is what makes the
+    * assignment exact in both engines (a row_number over tied doubles
+    * would be nondeterministic); ranks ride the bucketedPrefixSum
+    * two-phase machinery, never a global corpus window. Gains and lift
+    * are floor-permilles of exact counts: lift = (1000·cum_pos·N) div
+    * (P·cum_n).
+    *
+    * Scale shape: one scored pass (the q87 chain), a distinct-logit
+    * value-group table, the bucketed prefix sum, and a ≤10-row decile
+    * rollup. The lift cross-product caps BIGINT near cum_pos·N ≈ 2⁶³ —
+    * the loud assert names the DECIMAL swap. */
+  def q238_gains_curve(s: SparkSession, dir: String): DataFrame = {
+    val scored = q87_quality_classifier(s, dir)
+      .select(col("doc_id"), col("logit_r"))
+      .join(qualityLabels(s, dir).select(col("doc_id"), col("label")),
+        Seq("doc_id"))
+    val n = scored.count()
+    val p = scored.filter(col("label")).count()
+    val groups = scored.groupBy(col("logit_r"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("pos"))
+    val cum = Budget.bucketedPrefixSum(groups,
+      expr("CAST(floor(-logit_r * 10) AS INT)"),
+      Seq(col("logit_r").desc), col("cnt"))
+    val deciles = cum
+      .withColumn("decile",
+        expr(s"((cum - cnt) * 10) div ${math.max(n, 1L)}L"))
+      .groupBy(col("decile"))
+      .agg(sum(col("cnt")).as("n"), sum(col("pos")).as("n_pos"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("decile"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    deciles
+      .withColumn("cum_n", sum(col("n")).over(wCum))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .filter(coalesce(assert_true(
+        expr(s"cum_pos <= (${Long.MaxValue}L div ${math.max(n, 1L)}L)"),
+        lit("gains lift cross-product would overflow BIGINT: move to " +
+          "DECIMAL(38,0) at this corpus scale")), lit(true)))
+      .select(col("decile"), col("n"), col("n_pos"), col("cum_n"),
+        col("cum_pos"),
+        expr(s"(1000 * cum_pos) div ${math.max(p, 1L)}L")
+          .as("gain_permille"),
+        expr(s"(1000 * cum_pos * ${n}L) div (${math.max(p, 1L)}L * cum_n)")
+          .as("lift_permille"))
+      .orderBy(col("decile"))
+  }
+
+  private lazy val gainsOracle: String = {
+    val clf = qualityClassifierOracle
+    s"""WITH clf AS ($clf),
+       |lab AS (SELECT doc_id,
+       |    (100 * CAST(len(list_filter($DToks,
+       |      w -> list_contains(${FillerTokens.map(w => s"'$w'")
+                 .mkString("[", ",", "]")}, w))) AS BIGINT)
+       |      >= 13 * CAST(len($DToks) AS BIGINT)) AS label
+       |  FROM documents WHERE len($DToks) >= 1),
+       |sc AS (SELECT c.logit_r, lab.label
+       |  FROM clf c JOIN lab USING (doc_id)),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS p
+       |  FROM sc),
+       |g AS (SELECT logit_r, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos
+       |  FROM sc GROUP BY 1),
+       |c AS (SELECT logit_r, cnt, pos, CAST(SUM(cnt) OVER (
+       |    ORDER BY logit_r DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |    AS cum FROM g),
+       |d AS (SELECT ((cum - cnt) * 10) // (SELECT n FROM tot) AS decile,
+       |    cnt, pos FROM c),
+       |r AS (SELECT decile, CAST(SUM(cnt) AS BIGINT) AS n,
+       |    CAST(SUM(pos) AS BIGINT) AS n_pos FROM d GROUP BY 1),
+       |f AS (SELECT decile, n, n_pos,
+       |    CAST(SUM(n) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS cum_n,
+       |    CAST(SUM(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED
+       |      PRECEDING) AS BIGINT) AS cum_pos FROM r)
+       |SELECT decile, n, n_pos, cum_n, cum_pos,
+       |  (1000 * cum_pos) // greatest((SELECT p FROM tot), 1)
+       |    AS gain_permille,
+       |  (1000 * cum_pos * (SELECT n FROM tot))
+       |    // (greatest((SELECT p FROM tot), 1) * cum_n) AS lift_permille
+       |FROM f ORDER BY decile""".stripMargin
+  }
+
   def q87_quality_classifier(s: SparkSession, dir: String): DataFrame = {
     // bias 0: the seeded mean-weight signal has per-doc std ~0.1/sqrt(n);
     // a large bias would saturate the flag one way and leave the keep
@@ -2965,6 +3056,7 @@ object CorpusFilters {
     "q85b_pack_subword"   -> (q85b_pack_subword _),
     "q87_quality_classifier" -> (q87_quality_classifier _),
     "q87b_quality_trained" -> (q87b_quality_trained _),
+    "q238_gains_curve"    -> (q238_gains_curve _),
     "q94_bpe_learn"       -> (q94_bpe_learn _),
     "q94b_bpe_tokenize"   -> (q94b_bpe_tokenize _),
     "q204_tokenizer_fertility" -> (q204_tokenizer_fertility _),
@@ -3503,6 +3595,7 @@ object CorpusFilters {
         |FROM documents d JOIN m USING (source)
         |WHERE d.n_chars >= m.med
         |GROUP BY d.source, m.med ORDER BY d.source""".stripMargin,
+    "q238_gains_curve" -> gainsOracle,
     // label + split counts recomputed exactly (integer filler-ratio label,
     // md5 split); the trained model's held-out accuracy/lift are contract
     // booleans (coefficients are data-dependent, static SQL can't hold them)

@@ -377,4 +377,55 @@ class CorpusFiltersSpec extends AnyFunSuite {
         r.getAs[Long]("score_unat") + r.getAs[Long]("gumbel_unat"))
     }
   }
+
+  test("q238 gains curve: deciles partition the scored corpus; the " +
+    "curve replays off the gated scorer and label") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = CorpusFilters.q238_gains_curve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // brute off the ALREADY-GATED scorer output + the label rule
+    val scored = CorpusFilters.q87_quality_classifier(spark, sf)
+      .select("doc_id", "logit_r").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val labels = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .flatMap { r =>
+        val t = r.getString(1).trim.split(" ").filter(_.nonEmpty)
+        if (t.isEmpty) None
+        else {
+          val filler = Set("the", "a", "value", "data")
+          Some(r.getLong(0) ->
+            (100L * t.count(filler) >= 13L * t.length))
+        }
+      }.toMap
+    val n = scored.size.toLong
+    val p = scored.keys.count(labels).toLong
+    // value-group start-rank decile assignment (ties move as a block)
+    val groups = scored.toSeq.groupBy(_._2).toSeq
+      .sortBy { case (z, _) => -z }
+    var cum = 0L
+    val docDecile = scala.collection.mutable.Map.empty[Long, Long]
+    for ((_, members) <- groups) {
+      val startRank = cum + 1
+      val dec = (startRank - 1) * 10 / n
+      members.foreach { case (id, _) => docDecile(id) = dec }
+      cum += members.length
+    }
+    val byDec = docDecile.toSeq.groupBy(_._2).map { case (d, v) =>
+      d -> (v.size.toLong, v.count(x => labels(x._1)).toLong)
+    }
+    var (cn, cp) = (0L, 0L)
+    val want = byDec.keys.toSeq.sorted.map { d =>
+      val (nn, np) = byDec(d)
+      cn += nn; cp += np
+      (d, nn, np, cn, cp, 1000L * cp / math.max(p, 1L),
+        1000L * cp * n / (math.max(p, 1L) * cn))
+    }
+    assert(rows.toSeq == want,
+      s"gains mismatch:\n got=${rows.toSeq}\nwant=$want")
+    assert(rows.map(_._2).sum == n, "deciles partition the corpus")
+    assert(rows.last._6 == 1000L, "cumulative gain ends at 1000")
+    assert(rows.last._7 == 1000L, "lift ends at the base rate")
+  }
 }
