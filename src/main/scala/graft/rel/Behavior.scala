@@ -468,10 +468,17 @@ object Behavior {
         min_by(col("s_i"), col("day")).as("s_at"))
       .select(col("n_days"), col("s_n").as("n_events"), col("day_at_max"),
         col("d_num"),
-        expr("(1000 * d_num) div (n_days * s_n)").as("cusum_permille"),
-        expr("(1000 * s_at) div i_at").as("left_rate_milli"),
-        expr("(1000 * (s_n - s_at)) div (n_days - i_at)")
-          .as("right_rate_milli"))
+        // the stat cross-products are asserted ≤ 2^63 above, but
+        // 1000·d_num / 1000·s_at can still wrap BIGINT inside that
+        // envelope — the ratios live in DECIMAL(38,0) (Spark's `div`
+        // on decimals yields BIGINT, bit-identical to the oracle)
+        expr("CAST((CAST(1000 AS DECIMAL(38,0)) * d_num) div " +
+          "(CAST(n_days AS DECIMAL(38,0)) * s_n) AS BIGINT)")
+          .as("cusum_permille"),
+        expr("CAST((CAST(1000 AS DECIMAL(38,0)) * s_at) div i_at " +
+          "AS BIGINT)").as("left_rate_milli"),
+        expr("CAST((CAST(1000 AS DECIMAL(38,0)) * (s_n - s_at)) div " +
+          "(n_days - i_at) AS BIGINT)").as("right_rate_milli"))
   }
 
   private lazy val cusumOracle: String =
@@ -901,10 +908,11 @@ object Behavior {
     * applied to proportions.
     *
     * Scale shape: one map-side day×flag aggregate; the chart algebra is
-    * day-grid arithmetic. The squared product (cN)² reaches BIGINT
-    * limits near c·N ≈ 3·10⁹ — per-day counts times corpus totals, so
-    * at lake scale the comparison moves to DECIMAL(38,0); the loud
-    * assert names it. */
+    * day-grid arithmetic. The squared 3σ comparison runs in
+    * DECIMAL(38,0) outright (dev² wraps BIGINT at \|dev\| > ~3.04e9,
+    * nine orders below the cross-product guard), which is exact up to
+    * nn ≈ 1.2·10¹⁸ total events — the loud assert names that
+    * frontier. */
   def q234_control_chart(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .select(expr("ts_us div 86400000000L").as("day"),
@@ -921,8 +929,17 @@ object Behavior {
           "3-sigma comparison to DECIMAL(38,0) at this volume")),
         lit(true)))
       .withColumn("dev", col("c") * col("nn") - col("n") * col("cc"))
+      // dev² wraps BIGINT at |dev| > ~3.04e9 — far below the c·nn
+      // bound above — so the 3σ comparison lives in DECIMAL(38,0):
+      // under the asserted envelope dev² ≤ 2^126 < 10^38 and
+      // 9·(n·cc)·(nn−cc) ≤ 9·2^63·nn fits while nn ≤ ~1.2e18 (asserted)
+      .filter(coalesce(assert_true(
+        expr("nn <= 1200000000000000000L"),
+        lit("p-chart 3-sigma RHS would overflow DECIMAL(38,0): " +
+          "split the horizon or move to wider arithmetic")), lit(true)))
       .withColumn("out_of_control",
-        expr("dev * dev > 9 * cc * (nn - cc) * n"))
+        expr("CAST(dev AS DECIMAL(38,0)) * dev > " +
+          "CAST(9 AS DECIMAL(38,0)) * cc * (nn - cc) * n"))
       .select(col("day"), col("n"), col("c"),
         expr("(1000 * c) div n").as("rate_permille"),
         expr("(1000 * cc) div nn").as("center_permille"),

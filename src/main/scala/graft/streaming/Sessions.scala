@@ -774,10 +774,16 @@ object Sessions {
       .groupBy(window(col(tsCol), windowLen))
       .agg(count(lit(1)).as("n"),
         sum(when(col(hitCol), 1L).otherwise(0L)).as("c"))
-      .withColumn("dev",
-        col("c") * lit(refTotal) - col("n") * lit(refHits))
+      // mirror q234's decimal discipline: dev in DECIMAL(38,0) (c·N
+      // wraps BIGINT long before the window count does) and the squared
+      // 3σ comparison likewise — exact at any stream volume the
+      // center-line BIGINTs themselves admit
+      .withColumn("dev", expr(
+        s"CAST(c AS DECIMAL(38,0)) * ${refTotal}L - " +
+          s"CAST(n AS DECIMAL(38,0)) * ${refHits}L"))
       .withColumn("out_of_control", expr(
-        s"dev * dev > 9 * ${refHits}L * ${refTotal - refHits}L * n"))
+        s"dev * dev > CAST(9 AS DECIMAL(38,0)) * ${refHits}L * " +
+          s"${refTotal - refHits}L * n"))
       .select(col("window.start").as("window_start"), col("n"), col("c"),
         expr("(1000 * c) div n").as("rate_permille"),
         col("out_of_control"),
@@ -791,8 +797,13 @@ object Sessions {
   def controlChartReference(events: DataFrame, hitCol: String)
       : (Long, Long) = {
     val r = events.agg(
-      sum(when(col(hitCol), 1L).otherwise(0L)).as("c"),
+      // sum() over zero rows is NULL — coalesce so an empty horizon
+      // reaches the descriptive require below, not an opaque NPE
+      coalesce(sum(when(col(hitCol), 1L).otherwise(0L)), lit(0L))
+        .as("c"),
       count(lit(1)).as("n")).collect().head
+    require(r.getLong(1) > 0,
+      "center line must come from a non-empty sealed horizon")
     (r.getLong(0), r.getLong(1))
   }
 

@@ -2469,8 +2469,12 @@ object CorpusFilters {
     deciles
       .withColumn("cum_n", sum(col("n")).over(wCum))
       .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      // numerator 1000·cum_pos·N AND denominator P·cum_n must both fit
+      // — the denominator is N²-shaped so it wraps first at lake scale
       .filter(coalesce(assert_true(
-        expr(s"cum_pos <= (${Long.MaxValue}L div ${math.max(n, 1L)}L)"),
+        expr(s"cum_pos <= (${Long.MaxValue}L div 1000L " +
+          s"div ${math.max(n, 1L)}L) " +
+          s"and cum_n <= (${Long.MaxValue}L div ${math.max(p, 1L)}L)"),
         lit("gains lift cross-product would overflow BIGINT: move to " +
           "DECIMAL(38,0) at this corpus scale")), lit(true)))
       .select(col("decile"), col("n"), col("n_pos"), col("cum_n"),

@@ -132,6 +132,21 @@ object KneserNey {
       .join(broadcast(cont), Seq("w2"), "left_outer")
       .withColumn("scoreable",
         col("c1v").isNotNull && col("n1b").isNotNull)
+      // q212's guard, mirrored: the identical KN rational products
+      // (4·c12·B, 4·c1v·B, 3·N1f·N1b) must fit a BIGINT here too, or
+      // the holdout scorer would silently wrap at exactly the corpus
+      // scale where its batch twin fails loudly (NULLs from the outer
+      // joins coalesce to 0 — unscoreable rows can't overflow)
+      .filter(coalesce(assert_true(
+        expr(s"4 * coalesce(c12, 0L) <= " +
+          s"(${Long.MaxValue}L div ${math.max(b, 1L)}L) " +
+          s"and 4 * coalesce(c1v, 0L) <= " +
+          s"(${Long.MaxValue}L div ${math.max(b, 1L)}L) " +
+          s"and 3 * coalesce(n1f, 0L) <= " +
+          s"(${Long.MaxValue}L div greatest(coalesce(n1b, 1L), 1L))"),
+        lit("KN holdout rational would overflow BIGINT: swap " +
+          "numerator/denominator to DECIMAL(38,0) at this corpus " +
+          "scale")), lit(true)))
       .withColumn("num",
         when(col("c12").isNotNull,
           expr(s"greatest(4 * c12 - 3, 0L) * ${b}L + 3 * n1f * n1b"))
