@@ -115,12 +115,17 @@ object Bench {
 
     // SPARK_GRAFT_DIAG=1: per-run [diag] lines attributing wall to stage
     // wall / executor task time / GC — the tool for chasing long-sequence
-    // degradation (tail queries inflating 2-3x over their isolated times)
+    // degradation (tail queries inflating 2-3x over their isolated times).
+    // The listener itself ALWAYS runs (its cost is one atomic add per
+    // stage) so BENCH_FULL can carry {taskTime, gcTime} beside every wall
+    // sample — environment phases (uniform all-boats inflation, executor
+    // CPU blowups with gc≈0) become separable from plan cost in the
+    // artifact without a rerun (round-15 verdict item 7).
     val diag = sys.env.contains("SPARK_GRAFT_DIAG")
     val stageWall = new java.util.concurrent.atomic.AtomicLong(0)
     val taskTime = new java.util.concurrent.atomic.AtomicLong(0)
     val stageCount = new java.util.concurrent.atomic.AtomicLong(0)
-    if (diag) {
+    locally {
       import org.apache.spark.scheduler._
       spark.sparkContext.addSparkListener(new SparkListener {
         override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
@@ -138,18 +143,21 @@ object Bench {
         .asScala.map(_.getCollectionTime).sum
     }
 
+    // one sample: (wall sec, executor taskTime sec, GC sec); -1 wall = fail
     val results = benchSet.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+      def once(): (Double, Double, Double) = {
         val (g0, sw0, tt0, sc0) =
-          (if (diag) gcMs else 0L, stageWall.get, taskTime.get, stageCount.get)
+          (gcMs, stageWall.get, taskTime.get, stageCount.get)
         val t0 = System.nanoTime()
-        try run(fn, sfDir) catch { case _: Throwable => return -1.0 }
+        try run(fn, sfDir)
+        catch { case _: Throwable => return (-1.0, 0.0, 0.0) }
         val w = (System.nanoTime() - t0) / 1e9
+        val (tt, gc) = ((taskTime.get - tt0) / 1e3, (gcMs - g0) / 1e3)
         if (diag)
           println(f"[diag] $name wall=$w%.2f stageWall=${(stageWall.get - sw0) / 1e3}%.2f " +
-            f"taskTime=${(taskTime.get - tt0) / 1e3}%.2f gc=${(gcMs - g0) / 1e3}%.2f " +
+            f"taskTime=$tt%.2f gc=$gc%.2f " +
             f"stages=${stageCount.get - sc0}")
-        w
+        (w, tt, gc)
       }
       // measurement hygiene: drop every block a predecessor left pinned
       // (eager localCheckpoints, lingering .cache()s) and then drain heap
@@ -170,12 +178,13 @@ object Bench {
       // i.e. an external-contention PHASE spanning consecutive runs.
       // Three samples lose the median to any 2-run phase; five need a
       // ~4-run phase to corrupt, at ~+40s total bench cost.
-      val times = Seq.fill(if (multiJobQueries(name)) 5 else 2)(once())
+      val samples = Seq.fill(if (multiJobQueries(name)) 5 else 2)(once())
+      val times = samples.map(_._1)
       val official = if (times.exists(_ < 0)) -1.0
         else if (multiJobQueries(name)) times.sorted.apply(times.size / 2)
         else times.min
-      (name, official, times)
-    }.map { case (name, official, times) => name -> (official, times) }
+      (name, official, samples)
+    }.map { case (name, official, samples) => name -> (official, samples) }
     // 3-decimal rounding (1 ms resolution — below run-to-run noise): the
     // full-precision doubles doubled the line length and the driver's tail
     // capture truncated the cheap half of the suite out of BENCH_r{5,6}
@@ -208,7 +217,9 @@ object Bench {
     // repo root, where the bench runs from; overwritten per run.
     val full = results.toSeq.sortBy(_._1).map { case (k, (v, ts)) =>
       "\"" + k + "\":{\"time\":" + r3(v) +
-        ",\"samples\":[" + ts.map(r3).mkString(",") + "]}"
+        ",\"samples\":[" + ts.map(s => r3(s._1)).mkString(",") + "]" +
+        ",\"taskTime\":[" + ts.map(s => r3(s._2)).mkString(",") + "]" +
+        ",\"gcTime\":[" + ts.map(s => r3(s._3)).mkString(",") + "]}"
     }.mkString("{", ",", "}")
     // a SPARK_GRAFT_ONLY dev subset must not clobber the full artifact
     // (round-15 lesson: a 2-query probe overwrote the certified run)

@@ -56,6 +56,30 @@ object ProfQ70 {
         times.map { case (t, g) => f"$t%.2f(gc $g%.1f)" }.mkString(" "))
     }
 
+    // PROF_Q70_PASSES=1: time each of the funnel's specialized corpus
+    // passes individually over the SAME pinned token frame the funnel
+    // uses (the pass builders are the very functions q70FunnelOver
+    // composes — no copy drift). Median of 3 per pass.
+    if (sys.env.contains("PROF_Q70_PASSES")) {
+      import graft.text.CorpusFilters._
+      val toks = q70TokenFrame(spark, sfDir).localCheckpoint()
+      val passes: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        ("tagged_counts(u/b/5)", () => q70TaggedCounts(toks)),
+        ("unigram_freqs", () => q70Freqs(toks)),
+        ("total_tokens", () => q70Total(toks)),
+        ("bench_5grams", () => q70Bench(toks)),
+        ("neardup_labels", () => q70NearLabels(toks)),
+        ("span_kept", () => q70SpanKept(toks)))
+      passes.foreach { case (n, f) => noop(f()) } // warm the plan shapes
+      passes.foreach { case (n, f) =>
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); noop(f()); (System.nanoTime() - t0) / 1e9
+        }.sorted
+        println(f"[pass] $n%-22s median=${ts(1)}%.2f  (${ts.map(t => f"$t%.2f").mkString(" ")})")
+      }
+      graft.ml.Similarity.pinnedRdds(toks).foreach(_.unpersist(blocking = false))
+    }
+
     if (sys.env.contains("PROF_STAGES")) {
       import org.apache.spark.scheduler._
       val stages = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, String)]

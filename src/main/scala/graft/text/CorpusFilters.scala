@@ -2741,65 +2741,92 @@ object CorpusFilters {
       md5(col("text").cast("binary")).as("text_md5"),
       Cleanse.tokens(col("text")).as("t"))
 
-  /** The lazy funnel plan over a supplied token frame — package-visible so
-    * ScaleSpec can assert the specialized-pass shape (explode count, join
-    * strategies) on the real plan rather than the pinned result. */
-  private[graft] def q70FunnelOver(s: SparkSession, toksAll: DataFrame): DataFrame = {
-    val emptyKG = "CAST(array() AS ARRAY<STRUCT<kind: STRING, gram: STRING>>)"
-    val fiveGrams =
-      "transform(array_distinct(transform(sequence(1, size(t)-4)," +
-        " i -> concat_ws(' ', element_at(t,i), element_at(t,i+1)," +
-        " element_at(t,i+2), element_at(t,i+3), element_at(t,i+4))))"
-    def docs(s: SparkSession) = toksAll
-    // pass 1: corpus docs only, every gram kind tagged in one explode —
-    // 'u' unigram, 'b' bigram, '5' distinct 5-gram (decontamination unit)
-    val tagged = docs(s).filter(col("bucket") =!= "f")
+  private val q70EmptyKG =
+    "CAST(array() AS ARRAY<STRUCT<kind: STRING, gram: STRING>>)"
+  private val q70FiveGrams =
+    "transform(array_distinct(transform(sequence(1, size(t)-4)," +
+      " i -> concat_ws(' ', element_at(t,i), element_at(t,i+1)," +
+      " element_at(t,i+2), element_at(t,i+3), element_at(t,i+4))))"
+
+  // The five corpus passes of the q70 funnel, extracted as named
+  // builders (r16: so ProfQ70 can time each pass individually against
+  // the same token frame the funnel uses — a pure refactor, the funnel
+  // plan is unchanged).
+
+  /** pass 1: corpus docs only, every gram kind tagged in one explode —
+    * 'u' unigram, 'b' bigram, '5' distinct 5-gram (decontamination
+    * unit); aggregated per (doc, kind, gram). */
+  private[graft] def q70TaggedCounts(toksAll: DataFrame): DataFrame =
+    toksAll.filter(col("bucket") =!= "f")
       .select(col("doc_id"), explode(concat(
         expr("transform(t, x -> struct('u' AS kind, x AS gram))"),
         expr("CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t)-1)," +
           " i -> struct('b' AS kind, concat(element_at(t,i), ' ', element_at(t,i+1)) AS gram))" +
-          s" ELSE $emptyKG END"),
-        expr(s"CASE WHEN size(t) >= 5 THEN $fiveGrams," +
-          s" g -> struct('5' AS kind, g AS gram)) ELSE $emptyKG END")))
+          s" ELSE $q70EmptyKG END"),
+        expr(s"CASE WHEN size(t) >= 5 THEN $q70FiveGrams," +
+          s" g -> struct('5' AS kind, g AS gram)) ELSE $q70EmptyKG END")))
         .as("kg"))
       .select(col("doc_id"), col("kg.kind").as("kind"), col("kg.gram").as("gram"))
-    val counts = tagged
       .groupBy(col("doc_id"), col("kind"), col("gram"))
       .agg(count(lit(1)).as("c"))
-    // pass 2: unigram-only, ALL docs — the q56 LM model (vocabulary-sized)
-    val freqs = docs(s).select(explode(col("t")).as("gram"))
+
+  /** pass 2: unigram-only, ALL docs — the q56 LM model
+    * (vocabulary-sized). */
+  private[graft] def q70Freqs(toksAll: DataFrame): DataFrame =
+    toksAll.select(explode(col("t")).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("tf"))
-    // Σ tf without re-exploding: total token instances is a map-side size
-    // sum (aggregating freqs would re-run the unigram pass — its subtree
-    // has two consumers and no exchange to reuse)
-    val total = docs(s).agg(sum(size(col("t"))).cast("long").as("total"))
-    // pass 3: bench bucket only — the protected 5-gram set
-    val bench = docs(s).filter(col("bucket") === "f" && size(col("t")) >= 5)
-      .select(explode(expr(s"$fiveGrams, g -> g)")).as("gram"))
+
+  /** Σ tf without re-exploding: total token instances is a map-side size
+    * sum (aggregating freqs would re-run the unigram pass — its subtree
+    * has two consumers and no exchange to reuse). */
+  private[graft] def q70Total(toksAll: DataFrame): DataFrame =
+    toksAll.agg(sum(size(col("t"))).cast("long").as("total"))
+
+  /** pass 3: bench bucket only — the protected 5-gram set. */
+  private[graft] def q70Bench(toksAll: DataFrame): DataFrame =
+    toksAll.filter(col("bucket") === "f" && size(col("t")) >= 5)
+      .select(explode(expr(s"$q70FiveGrams, g -> g)")).as("gram"))
       .distinct().withColumn("hit", lit(1L))
-    val corpusToks = docs(s).filter(col("bucket") =!= "f")
-      .select(col("doc_id"), col("t"))
-    // pass 4: near-dup keep-list — the q33 shingle kernel + the q55
-    // component fixpoint, corpus-scoped; a doc is dropped iff it is the
-    // non-canonical member of a Jaccard ≥ 0.5 cluster
-    // componentsAdaptive: the funnel's pair graph is THRESHOLDED output
-    // (jaccard ≥ 0.5 survivors), metadata-scale at any corpus size that
-    // dedups well — the local union-find path erases ~2.4 s of fixpoint
-    // job scheduling measured at sf0.1; corpus-scale graphs take the
-    // distributed fixpoint unchanged
-    val nearLabels = graft.ml.Similarity.componentsAdaptive(
-      graft.ml.Similarity.ngramJaccardPairs(corpusToks)
+
+  /** pass 4: near-dup keep-list — the q33 shingle kernel + the q55
+    * component fixpoint, corpus-scoped; a doc is dropped iff it is the
+    * non-canonical member of a Jaccard ≥ 0.5 cluster.
+    * componentsAdaptive: the funnel's pair graph is THRESHOLDED output
+    * (jaccard ≥ 0.5 survivors), metadata-scale at any corpus size that
+    * dedups well — the local union-find path erases ~2.4 s of fixpoint
+    * job scheduling measured at sf0.1; corpus-scale graphs take the
+    * distributed fixpoint unchanged. */
+  private[graft] def q70NearLabels(toksAll: DataFrame): DataFrame =
+    graft.ml.Similarity.componentsAdaptive(
+      graft.ml.Similarity.ngramJaccardPairs(
+        toksAll.filter(col("bucket") =!= "f")
+          .select(col("doc_id"), col("t")))
         .select(col("doc_a"), col("doc_b")))
       .select(col("doc_id"), col("is_canonical"))
-    // pass 5: span survival — q66's winner argmin, corpus-scoped; a doc
-    // survives iff its q66b rewrite keeps at least the length floor. The
-    // winner's doc decodes straight out of the packed argmin, so kept
-    // counts need NO join-back to the span stream (which would re-execute
-    // its explode for the probe side) — one explode, two aggs
-    val spanKept = spanStreamOf(corpusToks)
+
+  /** pass 5: span survival — q66's winner argmin, corpus-scoped; a doc
+    * survives iff its q66b rewrite keeps at least the length floor. The
+    * winner's doc decodes straight out of the packed argmin, so kept
+    * counts need NO join-back to the span stream (which would re-execute
+    * its explode for the probe side) — one explode, two aggs. */
+  private[graft] def q70SpanKept(toksAll: DataFrame): DataFrame =
+    spanStreamOf(toksAll.filter(col("bucket") =!= "f")
+      .select(col("doc_id"), col("t")))
       .groupBy(col("sg")).agg(min(spanEnc).as("enc"))
       .groupBy(expr("enc div 1000000").as("doc_id"))
       .agg(count(lit(1)).as("n_kept"))
+
+  /** The lazy funnel plan over a supplied token frame — package-visible so
+    * ScaleSpec can assert the specialized-pass shape (explode count, join
+    * strategies) on the real plan rather than the pinned result. */
+  private[graft] def q70FunnelOver(s: SparkSession, toksAll: DataFrame): DataFrame = {
+    def docs(s: SparkSession) = toksAll
+    val counts = q70TaggedCounts(toksAll)
+    val freqs = q70Freqs(toksAll)
+    val total = q70Total(toksAll)
+    val bench = q70Bench(toksAll)
+    val nearLabels = q70NearLabels(toksAll)
+    val spanKept = q70SpanKept(toksAll)
     val rollup = counts
       .join(broadcast(freqs.crossJoin(total)), Seq("gram"), "left")
       .join(broadcast(bench), Seq("gram"), "left")
