@@ -130,6 +130,29 @@ object Pca {
   private val ProjShift = 65536L // 2^16
   private val BinSpan = 1024L
 
+  private val fitMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  /** The fitted dominant direction (dim → v_milli), trained once per
+    * (application, corpus) through the trainer-memo pattern
+    * (CorpusFilters.dsirLambda's shape — r15 verdict item 5): consumers
+    * of the q188 fit (q189's drift histogram, any future whitening
+    * pass) broadcast this 64-entry model without re-running the
+    * corpus-pass moment build. The fit is fully deterministic (integer
+    * power iteration, fixed rounds), so the memoized model is
+    * bit-identical to a fresh fit and every oracle contract is
+    * unchanged; the memo key carries the corpus file fingerprint, so a
+    * changed input re-trains. */
+  private[graft] def fittedDirection(s: SparkSession, dir: String)
+      : Seq[(Int, Long)] =
+    fitMemo.computeIfAbsent(
+      s"${s.sparkContext.applicationId}|pca|$dir|" +
+        graft.ml.Similarity.corpusFingerprint(s, dir),
+      _ => q188_power_iteration(s, dir)
+        .select(col("dim").cast("int"), col("v_milli")).collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    ).asInstanceOf[Seq[(Int, Long)]]
+
   /** The q188 fit CONSUMED (the advisor→executor/learn→apply contract,
     * like q153→q46 and q185→q185b): every embedding projects onto the
     * fitted direction map-side — proj = Σ xuᵢ·vᵢ, an exact BIGINT dot of
@@ -141,8 +164,8 @@ object Pca {
     * shifts keep every quantity inside Long at any corpus size; output
     * is histogram-sized. */
   def q189_projection_histogram(s: SparkSession, dir: String): DataFrame = {
-    val v = q188_power_iteration(s, dir)
-      .select(col("dim").cast("int").as("i"), col("v_milli"))
+    import s.implicits._
+    val v = fittedDirection(s, dir).toDF("i", "v_milli")
     val proj = Cluster.microEmb(s, dir)
       .select(col("vec_id"), posexplode(col("xu")))
       .toDF("vec_id", "i", "xi")
