@@ -56,7 +56,10 @@ object Bench {
       // fixed-round iterations with a checkpoint per round (r14)
       "q138_pagerank", "q148_coreness",
       // 4 synchronous label rounds, checkpoint + fingerprint job each (r15)
-      "q166_lpa_communities")
+      "q166_lpa_communities",
+      // register fixpoint: up to 8 max-merge rounds + a stats probe per
+      // round (r16); first sample additionally trains the exact-twin memo
+      "q239_distance_approx")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

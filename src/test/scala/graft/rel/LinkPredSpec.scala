@@ -103,4 +103,99 @@ class LinkPredSpec extends AnyFunSuite {
     }
     byDist.foreach(r => assert(r.getInt(6) == eff, "eff_diam_p90"))
   }
+
+  test("q239 HyperANF: driver replay of registers, N(d), envelope") {
+    val rows = LinkPred.q239_distance_approx(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.length == 8)
+    // rebuild the budgeted graph driver-side (q201 test's recipe)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_orderkey AS ok", "l_suppkey AS sk").distinct()
+    val edges = li.alias("a").join(li.alias("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("sa"), col("b.sk").as("sb"))
+      .agg(count(lit(1)).as("w"))
+      .orderBy(col("w").desc, col("sa"), col("sb")).limit(4000)
+      .select("sa", "sb").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.Set[Long]]
+    edges.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    // the operator's exact hash/register/estimate arithmetic, replayed
+    def smix(v: Long): Long = {
+      var z = v + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def reg(v: Long): (Long, Long) = {
+      val h = smix(v)
+      val w = h >>> 8
+      val rho = if (w == 0L) 57L
+        else 57L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      (h & 255L, rho)
+    }
+    def estOf(ball: Iterable[Long]): Long = {
+      val regs = ball.map(reg).groupBy(_._1).map { case (b, rs) =>
+        b -> rs.map(_._2).max
+      }
+      val np = regs.size
+      val s = regs.values.map(mj => BigInt(1) << (57 - mj.toInt)).sum +
+        BigInt(256 - np) * (BigInt(1) << 57)
+      val raw = (BigInt(718273L) * 256 * 256 * (BigInt(1) << 57) /
+        (BigInt(1000000) * s)).toLong
+      val vz = 256L - np
+      if (vz > 0 && raw * 2 <= 1280)
+        (256L * (5545177L - math.round(1e6 * math.log(vz.toDouble)))) /
+          1000000L
+      else raw
+    }
+    // BFS balls per radius 0..8 and the exact per-distance histogram
+    val maxD = 8
+    val ns = Array.fill(maxD + 1)(0L)
+    val hist = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for (s0 <- adj.keys) {
+      val seen = scala.collection.mutable.Map(s0 -> 0)
+      var fr = List(s0)
+      var d = 0
+      ns(0) += estOf(seen.keys)
+      while (d < maxD) {
+        d += 1
+        if (fr.nonEmpty) {
+          fr = fr.flatMap(adj(_)).distinct.filterNot(seen.contains)
+          fr.foreach(seen(_) = d)
+        }
+        ns(d) += estOf(seen.keys)
+        if (d >= 1) fr.foreach(v => if (v > s0) hist(d.toLong) += 1)
+      }
+    }
+    val nMono = ns.scanLeft(Long.MinValue)(math.max).drop(1)
+    val cumHat = (1 to maxD).map(k => (nMono(k) - nMono(0)) / 2L)
+    val reachHat = cumHat.last
+    val effHat = (1 to maxD)
+      .find(k => 10L * cumHat(k - 1) >= 9L * reachHat)
+      .map(_.toLong).getOrElse(-1L)
+    val reachExact = hist.values.sum
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val k = i + 1
+      assert(r.getLong(2) == cumHat(k - 1), s"cum_pairs_hat at $k")
+      assert(r.getLong(1) == cumHat(k - 1) -
+        (if (k == 1) 0L else cumHat(k - 2)), s"n_pairs_hat at $k")
+      assert(r.getLong(3) == hist(k.toLong), s"n_pairs_exact at $k")
+      assert(r.getLong(5) == adj.size.toLong, "n_nodes")
+      assert(r.getLong(6) == reachHat, "reach_hat")
+      assert(r.getLong(7) == reachExact, "reach_exact")
+      assert(r.getLong(8) == 1000L * math.abs(reachHat - reachExact) /
+        math.max(reachExact, 1L), "err permille")
+      assert(r.getLong(9) == effHat, "eff_diam_hat")
+      assert(r.getBoolean(11) == (r.getLong(8) <= 150L &&
+        math.abs(r.getLong(9) - r.getLong(10)) <= 1L), "envelope rule")
+      assert(r.getBoolean(11), "within envelope at this SF (58 permille " +
+        "measured at sf0.1, 0 at sf0.01 - bound 150 has clear margin)")
+    }
+  }
 }
