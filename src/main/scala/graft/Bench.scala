@@ -34,7 +34,10 @@ object Bench {
       "q110_ivfpq_residual_recall", // same fits on residuals
       "q105_unigram_learn", "q105b_unigram_tokenize", // Viterbi-EM fits
       "q111_tokenizer_report", // replays the BPE + unigram trainings
-      "q155_lda_recovery") // seeded LDA fit on the planted corpus
+      "q155_lda_recovery", // seeded LDA fit on the planted corpus
+      // bounded streaming replay: times the micro-batch protocol (fixed
+      // 5000-row slice at ANY SF), not engine throughput (r16)
+      "m_hll_stream")
 
   /** Queries that launch MANY driver jobs (convergence fixpoints, the
     * multi-pass funnel): their per-job scheduling noise compounds, so

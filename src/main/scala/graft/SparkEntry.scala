@@ -36,7 +36,7 @@ object SparkEntry {
       ml.Quantize.queries ++ ingest.Tickets.queries ++ ingest.Wet.queries ++
       multimodal.Media.queries ++ sink.Orc.queries ++ sink.Avro.queries ++
       sink.Lake.queries ++ sink.Skipping.queries ++ sink.Dpp.queries ++
-      sink.RangeLayout.queries
+      sink.RangeLayout.queries ++ streaming.Sessions.queries
 
   def oracleSql: Map[String, String] =
     rel.Relational.oracle ++ rel.Behavior.oracle ++

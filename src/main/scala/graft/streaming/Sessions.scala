@@ -1117,4 +1117,67 @@ object Sessions {
       SessionOut(userId, new Timestamp(sess.head), new Timestamp(sess.last),
         sess.size.toLong)
     }
+
+  // --------------------------------- m_hll_stream (bounded replay entry)
+  /** Bounded replay of [[hllRegisterStream]] as a REGISTRY entry (r15
+    * verdict item 6): a fixed micro-batch script — the first 5,000
+    * events by (ts_us, user_id), split into three deterministic
+    * batches plus a far-future flush — drives the real streaming plan
+    * through a memory sink, and the FINALIZED per-(window, bucket)
+    * register rows come back as the result. Everything is
+    * deterministic (ordered slice, fixed splits, max-semilattice
+    * state), so the driver's round-over-round row digest gates
+    * streaming correctness in CORRECTNESS_r*.json rather than only in
+    * SessionsSpec. Engine-only by the harness contract: DuckDB has no
+    * streaming executor to replay the micro-batch protocol (the
+    * REGISTER arithmetic itself is the oracle-gated q219).
+    *
+    * Bounded by construction: the slice is 5,000 rows at ANY corpus
+    * scale (this entry gates the protocol, not throughput), state is
+    * O(open windows × 256), output is windows × ≤256 rows. */
+  def m_hll_stream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = graft.Tables.events(s, dir)
+      .select(col("user_id"), col("ts_us"))
+      .orderBy(col("ts_us"), col("user_id"))
+      .limit(5000)
+      .collect()
+      .map(r => (r.getLong(0), new Timestamp(r.getLong(1) / 1000L)))
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Timestamp)]
+    val name = "m_hll_stream_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = hllRegisterStream(input.toDF().toDF("user_id", "ts"),
+        "user_id", "ts", "1 hour", "1 hour")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val rows =
+      try {
+        val (b1, rest) = ev.splitAt(ev.length / 3)
+        val (b2, b3) = rest.splitAt(rest.length / 2)
+        Seq(b1.toSeq, b2.toSeq, b3.toSeq).filter(_.nonEmpty).foreach { b =>
+          input.addData(b); q.processAllAvailable()
+        }
+        // far-future flush advances the watermark past every real
+        // window; its own (still-open) window is filtered below
+        val flushTs = new Timestamp(ev.map(_._2.getTime).max + 31536000000L)
+        input.addData(Seq((0L, flushTs)))
+        q.processAllAvailable()
+        s.table(name)
+          .filter(col("window_start") < lit(flushTs))
+          .collect()
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(name)
+      }
+    rows.map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+      .toSeq.toDF("window_start", "bucket", "m_j", "n_rows")
+      .orderBy(col("window_start"), col("bucket"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_hll_stream" -> (m_hll_stream _))
 }

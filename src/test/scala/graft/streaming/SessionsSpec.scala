@@ -1323,4 +1323,28 @@ class SessionsSpec extends AnyFunSuite {
       got.foreach { case (w, v) => assert(v == batch(w), s"window $w") }
     } finally q.stop()
   }
+
+  test("m_hll_stream registry replay: deterministic and batch-identical") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Sessions.m_hll_stream(spark, sf).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.nonEmpty, "replay must emit finalized registers")
+    // batch twin: the same plan over the same deterministic slice
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts_us"))
+      .orderBy(col("ts_us"), col("user_id")).limit(5000)
+      .selectExpr("user_id", "timestamp_micros((ts_us div 1000) * 1000) AS ts")
+    val batch = Sessions.hllRegisterStream(ev, "user_id", "ts",
+        "1 hour", "1 hour").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got.toSet.subsetOf(batch),
+      "stream registers must match the batch plan row-for-row")
+    // replay is deterministic run-over-run (the digest the driver gates)
+    val again = Sessions.m_hll_stream(spark, sf).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == again.toSeq, "replay must be bit-deterministic")
+  }
 }
