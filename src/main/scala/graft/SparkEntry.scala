@@ -58,4 +58,54 @@ object SparkEntry {
       multimodal.Media.oracle ++ sink.Orc.oracle ++
       sink.Avro.oracle ++ sink.Lake.oracle ++ sink.Skipping.oracle ++
       sink.Dpp.oracle ++ sink.RangeLayout.oracle
+
+  /** Engine-only residue, made provably residual (r15 verdict item 2):
+    * every registry entry WITHOUT a DuckDB oracle, annotated with the
+    * oracle-GATED contract twin that covers the same kernel — or the
+    * documented reason no SQL replay can exist. The engine-only rows
+    * stay registered because they exercise the REAL library surface
+    * (MLlib fits, codec plumbing, the streaming protocol) that the
+    * integerized twins gate from the outside. */
+  val contractTwin: Map[String, String] = Map(
+    "m_ann_quantized" -> ("q81_ann_quantized_recall gates the same int8 " +
+      "SQ kernel under a recall contract"),
+    "m_ann_ivf" -> ("q82_ann_ivf_recall gates the same IVF index (fitted " +
+      "KMeans centroids) under a recall contract"),
+    "m_ann_pq_fitted" -> ("q99_pq_fitted_recall gates the same PQ/ADC " +
+      "index under a recall contract"),
+    "m_dedup_minhash_lsh" -> ("q84_minhash_lsh_recall gates the MLlib " +
+      "MinHashLSH pipeline against the oracle-gated q30/q31 native " +
+      "MinHash under a recall contract"),
+    "m_bloom_decontaminate" -> ("q80_bloom_decontaminate is the " +
+      "hash-gated twin (deterministic integer Bloom arithmetic); this " +
+      "entry keeps the spark.util.sketch.BloomFilter plumbing exercised"),
+    "m_ingest_nested" -> ("q74_ingest_nested gates the same nested " +
+      "reshape through the engine-neutral line digest"),
+    "m_image_text_pairs" -> ("q83_image_text_pairs gates the same join " +
+      "through the engine-neutral digest"),
+    "m_vocab_countvectorizer" -> ("q24_dictionary/q25_doc2bow gate the " +
+      "same vocabulary + doc2bow semantics natively; this entry keeps " +
+      "the MLlib CountVectorizer path exercised"),
+    "m_lda_topics" -> ("q155_lda_recovery is the oracle-gated planted-" +
+      "topic recovery contract over the same seeded EM fit"),
+    "m_lda_sweep" -> "q155_lda_recovery (see m_lda_topics)",
+    "m_lda_coherence" -> ("q155_lda_recovery for the fit; MlSpec's " +
+      "brute-force sliding-window oracle gates the coherence arithmetic"),
+    "m_lda_doc_topics" -> "q155_lda_recovery (see m_lda_topics)",
+    "m_lda_relevance" -> "q155_lda_recovery (see m_lda_topics)",
+    "m_media_dedup" -> ("q154_media_frames hash-gates the same generated " +
+      "media source + frame tiling; the pHash kernel is spec-gated " +
+      "(MediaSpec) — its bit-level image fold has no tractable SQL " +
+      "replay, same boundary as m_media_features"),
+    "m_media_features" -> ("documented-impossible: the feature seed " +
+      "folds over every content byte — no tractable SQL replay " +
+      "(multimodal/Media.scala scaladoc); MediaSpec gates it"),
+    "m_stem_agreement" -> ("a MEASUREMENT row (Porter2 vs lemma-lite " +
+      "token agreement, consumed by SURVEY §2's M1 row); both stemmers " +
+      "it compares are gated — q38_lemma_tokens and Porter2Spec's " +
+      "published-vector suite"),
+    "m_hll_stream" -> ("bounded replay of the streaming micro-batch " +
+      "protocol; the register arithmetic is the oracle-gated q219, " +
+      "batch parity + determinism in SessionsSpec, and the driver " +
+      "digest-gates the deterministic replay round-over-round"))
 }
