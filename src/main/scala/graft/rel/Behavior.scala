@@ -969,7 +969,93 @@ object Behavior {
        |    ELSE 'in' END AS side
        |FROM j ORDER BY day""".stripMargin
 
+  // ----------------------------------------------- q240 autocorrelation
+  /** Autocorrelation function of the daily event-count series (q240) —
+    * the Box-Jenkins identification profile (Box & Jenkins 1970 §2.1;
+    * the biased estimator with the full-series denominator, the one
+    * ACF plots actually show): r_k = Σ(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)²
+    * over the FILLED day grid, lags 1..14 — the lag-7 cell is the
+    * weekly-seasonality signal q220 decomposes and q232's
+    * seasonal-naive forecast assumes.
+    *
+    * Exact integer lift: y_t = n·x_t − S clears the mean fraction
+    * (multiplying through by n scales numerator and denominator alike,
+    * so r is unchanged); cross-products y_t·y_{t−k} sum in
+    * DECIMAL(38,0) (y ≤ n·max_x — their squares pass BIGINT at lake
+    * horizons by design, the q214 lesson applied up front), and
+    * r_milli divides with Spark `div` ↔ DuckDB `//` — both TRUNCATE
+    * toward zero on integer/decimal operands (measured this round:
+    * −7 // 2 = −3 in DuckDB 1.x), so the negative lags agree with no
+    * pre-reduction. The 95 % white-noise band ±2/√n becomes the
+    * integer comparison r_milli²·n > 4·10⁶ — no sqrt, no float.
+    *
+    * Scale shape: one map-side day aggregate; everything after is
+    * day-grid algebra (n·14 rows for the lag join, keyed on day) —
+    * catalog-sized at any corpus volume. */
+  def q240_acf(s: SparkSession, dir: String): DataFrame = {
+    val maxLag = 14
+    val daily = Tables.events(s, dir)
+      .select(expr("ts_us div 86400000000L").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+    val filled = daily
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left_outer")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val tot = filled.agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+    val y = filled.crossJoin(broadcast(tot))
+      .select(col("day"), (col("n") * col("c") - col("s")).as("y"),
+        col("n"))
+    val den = y.agg(
+      sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("den"),
+      max(col("n")).as("n"))
+    val lags = s.range(1, maxLag + 1).select(col("id").as("lag"))
+    val nums = y.crossJoin(broadcast(lags))
+      .withColumn("match_day", col("day") - col("lag"))
+      .join(y.select(col("day").as("match_day"), col("y").as("y0")),
+        Seq("match_day"))
+      .groupBy(col("lag"))
+      .agg(sum(expr("CAST(y AS DECIMAL(38,0)) * y0")).as("num"),
+        count(lit(1)).as("n_overlap"))
+    nums.crossJoin(broadcast(den))
+      .select(col("lag"), col("n").as("n_days"), col("n_overlap"),
+        expr("CAST((CAST(1000 AS DECIMAL(38,0)) * num) div " +
+          "greatest(den, CAST(1 AS DECIMAL(38,0))) AS BIGINT)")
+          .as("r_milli"))
+      .withColumn("significant",
+        expr("r_milli * r_milli * n_days > 4000000"))
+      .orderBy(col("lag"))
+  }
+
+  private lazy val acfOracle: String =
+    s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+       |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+       |grid AS (SELECT CAST(unnest(range(d0, d1 + 1)) AS BIGINT) AS day
+       |  FROM b),
+       |f AS (SELECT g.day, COALESCE(d.c, 0) AS c
+       |  FROM grid g LEFT JOIN daily d USING (day)),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(c) AS BIGINT) AS s FROM f),
+       |y AS (SELECT day, n * c - s AS y, n FROM f CROSS JOIN tot),
+       |den AS (SELECT SUM(CAST(y AS HUGEINT) * y) AS den, MAX(n) AS n
+       |  FROM y),
+       |lags AS (SELECT CAST(unnest(range(1, 15)) AS BIGINT) AS lag),
+       |nums AS (SELECT l.lag, SUM(CAST(a.y AS HUGEINT) * b2.y) AS num,
+       |    CAST(COUNT(*) AS BIGINT) AS n_overlap
+       |  FROM y a CROSS JOIN lags l
+       |  JOIN y b2 ON a.day - l.lag = b2.day
+       |  GROUP BY l.lag)
+       |SELECT n2.lag, den.n AS n_days, n2.n_overlap,
+       |  CAST((1000 * n2.num) // GREATEST(den.den, 1) AS BIGINT)
+       |    AS r_milli,
+       |  CAST((1000 * n2.num) // GREATEST(den.den, 1) AS BIGINT) *
+       |    CAST((1000 * n2.num) // GREATEST(den.den, 1) AS BIGINT) *
+       |    den.n > 4000000 AS significant
+       |FROM nums n2 CROSS JOIN den ORDER BY n2.lag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q240_acf" -> (q240_acf _),
     "q220_seasonal_decompose" -> (q220_seasonal_decompose _),
     "q231_survival_curve" -> (q231_survival_curve _),
     "q232_forecast_eval" -> (q232_forecast_eval _),
@@ -986,6 +1072,7 @@ object Behavior {
     "q196_revenue_concentration" -> (q196_revenue_concentration _))
 
   val oracle: Map[String, String] = Map(
+    "q240_acf" -> acfOracle,
     "q220_seasonal_decompose" -> seasonalOracle,
     "q231_survival_curve" -> survivalOracle,
     "q232_forecast_eval" -> forecastOracle,

@@ -413,4 +413,41 @@ class BehaviorSpec extends AnyFunSuite {
       assert(expOoc == floatOoc, s"day $day squared-form equivalence")
     }
   }
+
+  test("q240 ACF: brute replay over the filled grid; band and float " +
+    "agreement") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = Behavior.q240_acf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).sortBy(_._1)
+    assert(rows.length == 14)
+    val days = graft.Tables.events(spark, sf)
+      .selectExpr("ts_us div 86400000000L AS day").collect()
+      .map(_.getLong(0))
+    val byDay = days.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val (d0, d1) = (days.min, days.max)
+    val xs = (d0 to d1).map(d => byDay.getOrElse(d, 0L))
+    val n = xs.length.toLong
+    val sTot = xs.sum
+    val ys = xs.map(x => n * x - sTot)
+    val den = ys.map(y => BigInt(y) * BigInt(y)).sum
+    for ((lag, nDays, nOv, rMilli, sig) <- rows) {
+      assert(nDays == n)
+      val k = lag.toInt
+      val num = (k until xs.length)
+        .map(t => BigInt(ys(t)) * BigInt(ys(t - k))).sum
+      assert(nOv == n - k, s"overlap at lag $k")
+      // both engines TRUNCATE integer division toward zero
+      val expected = (BigInt(1000) * num / den.max(BigInt(1))).toLong
+      assert(rMilli == expected, s"r_milli at lag $k")
+      // the integer value tracks the float ACF within quantization
+      val mean = sTot.toDouble / n
+      val fNum = (k until xs.length)
+        .map(t => (xs(t) - mean) * (xs(t - k) - mean)).sum
+      val fDen = xs.map(x => (x - mean) * (x - mean)).sum
+      assert(math.abs(rMilli / 1000.0 - fNum / fDen) < 0.002,
+        s"float agreement at lag $k")
+      assert(sig == (rMilli * rMilli * n > 4000000L), s"band at lag $k")
+    }
+  }
 }
