@@ -263,13 +263,137 @@ object Linkage {
   }
 
   // ------------------------------------------------------------- registry
+  // ------------------------------------------------- q241 t-closeness
+  /** t bound in permille (t = 0.1): measured max-EMD ladders [500, 500,
+    * 350, 24, 9] at sf0.01 and [500, 183, 59, 9, 2] at sf0.1 — the
+    * chosen level sits ≥ 40‰ from the bound on both sides at both SFs,
+    * no knife edge. */
+  private val TClosePermille = 100L
+
+  /** q241: t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007)
+    * over the q141/q216 generalization ladder — the third rung of the
+    * privacy ladder: k-anonymity bounds group SIZE, l-diversity bounds
+    * sensitive CARDINALITY, t-closeness bounds the DISTANCE between
+    * each group's sensitive distribution and the global one, killing
+    * the skewness/similarity attacks l-diversity admits. The sensitive
+    * attribute (order priority) is ORDERED, so the paper's distance is
+    * the ordered-ground EMD: (1/(m−1))·Σᵢ\|Σ_{j≤i}(p_j − q_j)\| over
+    * the m = 5 priority ranks.
+    *
+    * Exact integer lift: per group of size g against global (N, Q_i),
+    * the prefix difference P_i/g − Q_i/N cross-multiplies to
+    * (P_i·N − Q_i·g)/(g·N), so
+    * emd_permille = (1000·Σᵢ\|P_i·N − Q_i·g\|) div (4·g·N) — every
+    * product in DECIMAL(38,0) (P_i·N is corpus² at lake scale; the
+    * q214/q238 lesson applied up front), the quotient ≤ 1000 lands in
+    * BIGINT. Prefix counts P₁..P₄ are conditional sums in the SAME
+    * group aggregate — no per-rank explode, no second pass.
+    *
+    * Scale shape: one fact aggregate per ladder level keyed by the
+    * level's quasi-identifiers (the q141 shape), global marginals
+    * broadcast, per-level rollup to 5 rows. */
+  def q241_t_closeness(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        col("c_nationkey").cast("long").as("nat"),
+        col("n_regionkey").cast("long").as("reg"),
+        (round(col("c_acctbal") * 100).cast("long") + BalOffset).as("bal"),
+        expr("CAST(substring(o_orderpriority, 1, 1) AS INT)").as("rk"))
+    def prefixes(prefix: String): Seq[Column] = (1 to 4).map(i =>
+      sum(when(col("rk") <= i, 1L).otherwise(0L)).as(s"$prefix$i"))
+    val glob = fact.agg(count(lit(1)).as("nn"),
+      prefixes("q"): _*)
+    def level(lv: Int, geo: Column, bucket: Column): DataFrame =
+      fact.groupBy(col("seg"), geo.as("geo"), bucket.as("bb"))
+        .agg(count(lit(1)).as("g"), prefixes("p"): _*)
+        .crossJoin(broadcast(glob))
+        .withColumn("emd", expr(
+          "CAST((CAST(1000 AS DECIMAL(38,0)) * (" +
+            (1 to 4).map(i =>
+              s"abs(CAST(p$i AS DECIMAL(38,0)) * nn - " +
+                s"CAST(q$i AS DECIMAL(38,0)) * g)").mkString(" + ") +
+            ")) div (CAST(4 AS DECIMAL(38,0)) * g * nn) AS BIGINT)"))
+        .agg(count(lit(1)).as("n_groups"), max(col("emd")).as("max_emd"),
+          sum(when(col("emd") > TClosePermille, 1L).otherwise(0L))
+            .as("groups_above"),
+          sum(when(col("emd") > TClosePermille, col("g")).otherwise(0L))
+            .as("rows_at_risk"))
+        .select(lit(lv).as("level"), col("n_groups"),
+          col("max_emd").as("max_emd_permille"), col("groups_above"),
+          col("rows_at_risk"),
+          (col("max_emd") <= TClosePermille).as("t_ok"))
+    val ladder =
+      level(0, col("nat"), expr("bal div 10000"))
+        .unionByName(level(1, col("nat"), expr("bal div 100000")))
+        .unionByName(level(2, col("reg"), expr("bal div 100000")))
+        .unionByName(level(3, col("reg"), lit(0L)))
+        .unionByName(level(4, lit(0L), lit(0L)))
+    val all = Window.partitionBy()
+    ladder
+      .withColumn("chosen", col("level") ===
+        min(when(col("t_ok"), col("level"))).over(all))
+      .orderBy(col("level"))
+  }
+
+  private lazy val tcloseOracle: String = {
+    val pf = (1 to 4).map(i =>
+      s"CAST(SUM(CASE WHEN rk <= $i THEN 1 ELSE 0 END) AS BIGINT)")
+    def lvl(lv: Int, geo: String, bucket: String): String =
+      s"""SELECT $lv AS level, CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |    CAST(MAX(emd) AS BIGINT) AS max_emd_permille,
+         |    CAST(SUM(CASE WHEN emd > $TClosePermille THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS groups_above,
+         |    CAST(SUM(CASE WHEN emd > $TClosePermille THEN g ELSE 0 END)
+         |      AS BIGINT) AS rows_at_risk,
+         |    MAX(emd) <= $TClosePermille AS t_ok
+         |  FROM (SELECT g.g,
+         |      CAST((1000 * (${(1 to 4).map(i =>
+                   s"abs(CAST(p$i AS HUGEINT) * nn - CAST(q$i AS HUGEINT) * g)")
+                   .mkString(" + ")})) // (4 * CAST(g AS HUGEINT) * nn)
+         |        AS BIGINT) AS emd
+         |    FROM (SELECT seg, $geo AS geo, $bucket AS bb,
+         |        CAST(COUNT(*) AS BIGINT) AS g,
+         |        ${(1 to 4).map(i => s"${pf(i - 1)} AS p$i").mkString(", ")}
+         |      FROM fact GROUP BY 1, 2, 3) g CROSS JOIN gl) e$lv""".stripMargin
+    s"""WITH fact AS (SELECT c_mktsegment AS seg,
+       |    CAST(c_nationkey AS BIGINT) AS nat,
+       |    CAST(n_regionkey AS BIGINT) AS reg,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) + $BalOffset AS bal,
+       |    CAST(substring(o_orderpriority, 1, 1) AS INT) AS rk
+       |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |  JOIN orders ON o_custkey = c_custkey),
+       |gl AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+       |    ${(1 to 4).map(i => s"${pf(i - 1)} AS q$i").mkString(", ")}
+       |  FROM fact),
+       |ladder AS (
+       |${lvl(0, "nat", "bal // 10000")}
+       |UNION ALL
+       |${lvl(1, "nat", "bal // 100000")}
+       |UNION ALL
+       |${lvl(2, "reg", "bal // 100000")}
+       |UNION ALL
+       |${lvl(3, "reg", "0")}
+       |UNION ALL
+       |${lvl(4, "0", "0")}),
+       |ch AS (SELECT MIN(CASE WHEN t_ok THEN level END) AS c FROM ladder)
+       |SELECT l.level, l.n_groups, l.max_emd_permille, l.groups_above,
+       |  l.rows_at_risk, l.t_ok, l.level = ch.c AS chosen
+       |FROM ladder l CROSS JOIN ch ORDER BY l.level""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_fuzzy_match" -> (q137_fuzzy_match _),
     "q141_k_anonymity" -> (q141_k_anonymity _),
-    "q216_l_diversity" -> (q216_l_diversity _))
+    "q216_l_diversity" -> (q216_l_diversity _),
+    "q241_t_closeness" -> (q241_t_closeness _))
 
   val oracle: Map[String, String] = Map(
     "q137_fuzzy_match" -> fuzzyOracle,
     "q141_k_anonymity" -> anonOracle,
-    "q216_l_diversity" -> ldivOracle)
+    "q216_l_diversity" -> ldivOracle,
+    "q241_t_closeness" -> tcloseOracle)
 }

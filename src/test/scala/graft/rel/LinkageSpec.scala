@@ -118,4 +118,49 @@ class LinkageSpec extends AnyFunSuite {
       assert(l._6 == (l._4 == 0L) && (l._4 == 0L) == (l._5 == 0L))
     }
   }
+
+  test("q241: EMD brute replay; max-EMD monotone under coarsening " +
+    "(convexity); chosen is first t-ok") {
+    val out = Linkage.q241_t_closeness(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getBoolean(6)))
+    assert(out.map(_._1).toSeq == Seq(0, 1, 2, 3, 4))
+    // EMD is a norm of (p − q): convex in p, so a coarse group (a
+    // weighted average of its fine parts) can never exceed the max of
+    // the parts — the ladder's max is nonincreasing
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3, "max EMD must not grow when coarsening")
+    }
+    val chosen = out.filter(_._7)
+    val firstOk = out.find(_._6)
+    assert(chosen.length == 1 && chosen.head._1 == firstOk.get._1)
+    out.foreach { l =>
+      assert(l._6 == (l._3 <= 100L), "t_ok definition")
+      assert((l._4 == 0L) == (l._5 == 0L), "groups/rows at risk agree")
+    }
+    // brute replay of level 3 (seg × region): exact prefix-EMD permille
+    val fact = spark.read.parquet(s"$sf/customer.parquet")
+      .join(spark.read.parquet(s"$sf/nation.parquet"),
+        org.apache.spark.sql.functions.expr("c_nationkey = n_nationkey"))
+      .join(spark.read.parquet(s"$sf/orders.parquet"),
+        org.apache.spark.sql.functions.expr("o_custkey = c_custkey"))
+      .selectExpr("c_mktsegment AS seg",
+        "CAST(n_regionkey AS BIGINT) AS reg",
+        "CAST(substring(o_orderpriority, 1, 1) AS INT) AS rk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val nn = fact.length.toLong
+    def pref(rows: Seq[Int]): Seq[Long] =
+      (1 to 4).map(i => rows.count(_ <= i).toLong)
+    val q = pref(fact.map(_._3).toSeq)
+    val emds = fact.groupBy(t => (t._1, t._2)).map { case (_, rows) =>
+      val g = rows.length.toLong
+      val p = pref(rows.map(_._3).toSeq)
+      val d = (0 until 4).map(i =>
+        (BigInt(p(i)) * nn - BigInt(q(i)) * g).abs).sum
+      ((BigInt(1000) * d) / (BigInt(4) * g * nn)).toLong
+    }
+    val lvl3 = out(3)
+    assert(lvl3._2 == emds.size.toLong, "level-3 group count")
+    assert(lvl3._3 == emds.max, "level-3 max EMD replay")
+  }
 }
