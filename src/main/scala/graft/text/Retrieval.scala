@@ -551,7 +551,118 @@ object Retrieval {
        |WHERE r2.rank <= 10 ORDER BY qid, rank""".stripMargin
 
   // ------------------------------------------------------------- registry
+  // ---------------------------------------------- q242 query likelihood
+  /** Dirichlet prior — Zhai & Lafferty's recommended range is 500-10⁴;
+    * 2000 is the standard default. A compile-time literal shared by
+    * both engines. */
+  private val DirichletMu = 2000L
+
+  /** q242: Dirichlet-smoothed query-likelihood retrieval (Zhai &
+    * Lafferty, SIGIR 2001 — the language-modeling ranking that sits
+    * beside BM25 in every IR textbook): score(q,d) =
+    * Σ_t ln((tf + μ·p(t\|C)) / (dl + μ)). The exact integer lift
+    * multiplies through by \|C\| and decomposes per Zhai's two-stage
+    * identity, so only MATCHING postings are scored:
+    *
+    *   score_unat = Σ_hit [L(tf·C + μ·cf) − L(μ·cf)]
+    *              + K_q − n_q·L(dl + μ),
+    *   K_q = Σ_{t∈q} L(μ·cf_t) − n_q·L(C),   L(x) = round(10⁶·ln x)
+    *
+    * — micro-nat roundings of INTEGER arguments only (the house q212/
+    * q56 quantization; both engines evaluate ln on identical integers),
+    * summed exactly. Query terms absent from the corpus drop from n_q
+    * and K_q in both engines (their smoothed mass is undefined — cf =
+    * 0 has no finite log). Candidates are docs matching ≥ 1 term, the
+    * impact-ordered-retrieval convention q129 shares.
+    *
+    * Scale shape: identical to BM25 — postings with map-side combine,
+    * broadcast query vocabulary + cf + totals, per-(qid, doc)
+    * aggregate, WindowGroupLimit top-10. The overflow frontier
+    * (tf·C, μ·cf) carries a loud division-only assert. */
+  def q242_qlm_topk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = docToks(s, dir)
+    val qterms = Bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }.toDF("qid", "term")
+    val posts = toks
+      .select(col("doc_id"), size(col("t")).as("dl"),
+        explode(col("t")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = toks.agg(sum(size(col("t"))).cast("long").as("cc"))
+    val cf = posts
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+    def lm(x: String) = s"CAST(round(1000000.0 * ln($x)) AS BIGINT)"
+    val kq = qterms.join(broadcast(cf), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("nq"),
+        sum(expr(lm(s"${DirichletMu}L * cf"))).as("sum_lcf"),
+        max(expr(lm("cc"))).as("lcc"))
+      .select(col("qid"), col("nq"),
+        (col("sum_lcf") - col("nq") * col("lcc")).as("kq"))
+    val matched = posts
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(cf), Seq("term"))
+      .crossJoin(broadcast(stats))
+      // tf·C and μ·cf must each stay under 2^63/2 so their sum cannot
+      // wrap — division-only bounds (the q129 discipline)
+      .filter(coalesce(assert_true(
+        expr(s"cf <= ${Long.MaxValue / 2 / DirichletMu}L " +
+          s"and tf <= (${Long.MaxValue}L div 2L) div greatest(cc, 1L)"),
+        lit("QLM smoothing product would overflow BIGINT: swap the " +
+          "score arguments to DECIMAL(38,0) at this corpus scale")),
+        lit(true)))
+      .withColumn("ts",
+        expr(s"${lm(s"tf * cc + ${DirichletMu}L * cf")} - " +
+          lm(s"${DirichletMu}L * cf")))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("ts")).as("hit_sum"),
+        max(col("dl")).as("dl"))
+    val scored = matched.join(broadcast(kq), Seq("qid"))
+      .withColumn("score_unat", col("hit_sum") + col("kq") -
+        col("nq") * expr(lm(s"dl + ${DirichletMu}L")))
+    val win = Window.partitionBy(col("qid"))
+      .orderBy(col("score_unat").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank").cast("int").as("rank"),
+        col("doc_id"), col("n_terms_hit"), col("score_unat"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private lazy val qlmOracle: String = {
+    val mu = DirichletMu
+    def lm(x: String) = s"CAST(round(1000000.0 * ln($x)) AS BIGINT)"
+    s"""WITH $bm25BaseCtes,
+       |q(qid, term) AS (VALUES $bm25Values),
+       |cfx AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf
+       |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1),
+       |kq AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS nq,
+       |    CAST(SUM(${lm(s"$mu * cf")}) AS BIGINT) -
+       |      CAST(COUNT(*) AS BIGINT) *
+       |      (SELECT ${lm("sum_dl")} FROM stats) AS kq
+       |  FROM q JOIN cfx USING (term) GROUP BY qid),
+       |sc AS (SELECT qid, doc_id, CAST(COUNT(*) AS BIGINT)
+       |      AS n_terms_hit,
+       |    CAST(SUM(${lm(s"tf * sum_dl + $mu * cf")} -
+       |      ${lm(s"$mu * cf")}) AS BIGINT) AS hit_sum,
+       |    MAX(dl) AS dl
+       |  FROM tf JOIN q USING (term) JOIN cfx USING (term), stats
+       |  GROUP BY 1, 2),
+       |fin AS (SELECT s.qid, s.doc_id, s.n_terms_hit,
+       |    s.hit_sum + k.kq - k.nq * ${lm(s"s.dl + $mu")} AS score_unat
+       |  FROM sc s JOIN kq k USING (qid)),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY score_unat DESC, doc_id) AS rank FROM fin)
+       |SELECT CAST(qid AS INTEGER) AS qid, CAST(rank AS INTEGER) AS rank,
+       |  doc_id, n_terms_hit, score_unat
+       |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q242_qlm_topk" -> (q242_qlm_topk _),
     "q129_bm25_topk" -> (q129_bm25_topk _),
     "q135_phrase_search" -> (q135_phrase_search _),
     "q136_rrf_hybrid" -> (q136_rrf_hybrid _),
@@ -559,6 +670,7 @@ object Retrieval {
     "q225_retrieval_eval" -> (q225_retrieval_eval _))
 
   val oracle: Map[String, String] = Map(
+    "q242_qlm_topk" -> qlmOracle,
     "q225_retrieval_eval" -> evalOracle,
     "q129_bm25_topk" -> bm25Oracle,
     "q135_phrase_search" -> phraseOracle,

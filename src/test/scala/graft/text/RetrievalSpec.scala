@@ -155,4 +155,55 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out.values.exists(_._4 < 10L),
       "degenerate label: all top-10 relevant for every query")
   }
+
+  test("q242 QLM: decomposed micro-nat scores replay; float Dirichlet " +
+    "QL agrees within quantization") {
+    val mu = 2000L
+    val rows = Retrieval.q242_qlm_topk(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.split(" ").filter(_.nonEmpty).toSeq))
+    val cc = docs.map(_._2.size.toLong).sum
+    val cfMap = queries.values.flatten.toSet.map { (t: String) =>
+      t -> docs.map(_._2.count(_ == t).toLong).sum
+    }.toMap
+    def lm(x: Long): Long = math.round(1e6 * math.log(x.toDouble))
+    for ((qid, rank, docId, hits, score) <- rows) {
+      val terms = queries(qid).filter(cfMap(_) > 0L)
+      val toks = docs.find(_._1 == docId).get._2
+      val dl = toks.size.toLong
+      val hitTerms = terms.filter(t => toks.contains(t))
+      assert(hits == hitTerms.size.toLong, s"hits q$qid d$docId")
+      // the operator's decomposed integer arithmetic, replayed
+      val hitSum = hitTerms.map { t =>
+        val tf = toks.count(_ == t).toLong
+        lm(tf * cc + mu * cfMap(t)) - lm(mu * cfMap(t))
+      }.sum
+      val kqV = terms.map(t => lm(mu * cfMap(t))).sum -
+        terms.size.toLong * lm(cc)
+      val expected = hitSum + kqV - terms.size.toLong * lm(dl + mu)
+      assert(score == expected, s"score q$qid d$docId")
+      // float Dirichlet QL over the same terms, within quantization
+      val floatQl = terms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        math.log((tf + mu * cfMap(t).toDouble / cc) / (dl + mu))
+      }.sum
+      assert(math.abs(score / 1e6 - floatQl) < 1e-4 * terms.size,
+        s"float agreement q$qid d$docId")
+    }
+    // ranking coherent per query
+    queries.keys.foreach { qid =>
+      val rs = rows.filter(_._1 == qid).sortBy(_._2)
+      assert(rs.map(_._2).toSeq == (1 to rs.length))
+      rs.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 > b._5 ||
+          (a._5 == b._5 && a._3 < b._3), "order")
+        case _ => ()
+      }
+    }
+  }
 }
