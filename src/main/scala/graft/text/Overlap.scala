@@ -296,13 +296,110 @@ object Overlap {
        |JOIN totals tb ON tb.source = source_b
        |ORDER BY source_a, source_b""".stripMargin
 
+  // ------------------------------------------------- q243 winnowing
+  private val WinK = 4 // token k-grams
+  private val WinW = 4 // window of consecutive gram hashes
+
+  /** q243: winnowing document fingerprints (Schleimer, Wilkerson &
+    * Aiken, SIGMOD 2003 — the MOSS algorithm): hash every token
+    * [[WinK]]-gram, slide a window of [[WinW]] consecutive hashes, and
+    * select each window's minimum (RIGHTMOST minimum on ties, per the
+    * paper §2.2 — the choice that makes selection position-local). The
+    * guarantee that makes this the fingerprinting rung above plain
+    * 0 mod p sampling (q39): every match of length ≥ w+k−1 between two
+    * documents shares at least one selected fingerprint, and expected
+    * density is 2/(w+1) — bounded fingerprints per doc with NO
+    * match-length blind spots.
+    *
+    * Exact arithmetic: gram hash = the house 60-bit md5 prefix; the
+    * (min h, rightmost p) selection is one min(struct(h, −p)) per
+    * window — lexicographic struct comparison in both engines — and
+    * the per-doc digest xors h ⊕ (p·2²⁰) over the DISTINCT selected
+    * set. Docs need ≥ w+k−1 tokens (one full window) — filtered
+    * identically in both engines.
+    *
+    * Scale shape: each gram lands in ≤ w windows (a 4× explode of the
+    * gram stream with map-side bounds), one shuffle keyed
+    * (doc, window), distinct selections, per-doc rollup. The digest
+    * makes the fingerprint SET the gated content — the q219 register
+    * discipline applied to MOSS. */
+  def q243_winnowing(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documentsFanned(s, dir)
+      .select(col("doc_id"), Cleanse.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= WinK + WinW - 1)
+    val grams = toks
+      .select(col("doc_id"),
+        (size(col("t")) - (WinK - 1)).as("gn"),
+        posexplode(expr(
+          s"""transform(sequence(1, size(t) - ${WinK - 1}),
+             |  i -> concat_ws(' ', element_at(t,i), element_at(t,i+1),
+             |    element_at(t,i+2), element_at(t,i+3)))"""
+            .stripMargin.replace('\n', ' '))))
+      .select(col("doc_id"), col("gn"), (col("pos") + 1).as("p"),
+        conv(substring(md5(col("col").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val sels = grams
+      .select(col("doc_id"), col("p"), col("h"),
+        explode(expr(s"sequence(greatest(p - ${WinW - 1}, 1), " +
+          s"least(p, gn - ${WinW - 1}))")).as("win"))
+      .groupBy(col("doc_id"), col("win"))
+      .agg(min(struct(col("h"), (-col("p")).as("np"))).as("sel"))
+      .select(col("doc_id"), col("sel.h").as("h"),
+        (-col("sel.np")).as("p"))
+      .distinct()
+    val perDoc = sels.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"),
+        expr("bit_xor(h ^ (p * 1048576L))").as("fp_digest"))
+    toks.select(col("doc_id"),
+        (size(col("t")) - (WinK - 1)).cast("long").as("n_grams"),
+        (size(col("t")) - (WinK + WinW - 2)).cast("long").as("n_windows"))
+      .join(perDoc, Seq("doc_id"))
+      .select(col("doc_id"), col("n_grams"), col("n_windows"),
+        col("n_fp"),
+        expr("(1000 * n_fp) div n_windows").as("density_permille"),
+        col("fp_digest"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val winnowOracle: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |    list_filter(string_split(trim(text), ' '), t -> t <> '') AS t
+       |  FROM documents),
+       |ok AS (SELECT doc_id, t FROM toks
+       |  WHERE len(t) >= ${WinK + WinW - 1}),
+       |grams AS (SELECT doc_id, len(t) - ${WinK - 1} AS gn,
+       |    CAST(u.i AS BIGINT) AS p,
+       |    CAST('0x' || substring(md5(t[u.i] || ' ' || t[u.i+1] || ' ' ||
+       |      t[u.i+2] || ' ' || t[u.i+3]), 1, 15) AS BIGINT) AS h
+       |  FROM ok, unnest(range(1, len(t) - ${WinK - 1} + 1)) AS u(i)),
+       |wins AS (SELECT doc_id, CAST(w.i AS BIGINT) AS win, p, h
+       |  FROM grams, unnest(range(GREATEST(p - ${WinW - 1}, 1),
+       |    LEAST(p, gn - ${WinW - 1}) + 1)) AS w(i)),
+       |sel AS (SELECT doc_id, win,
+       |    MIN(struct_pack(h := h, np := -p)) AS s
+       |  FROM wins GROUP BY 1, 2),
+       |fp AS (SELECT DISTINCT doc_id, s.h AS h, -s.np AS p FROM sel),
+       |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
+       |    CAST(bit_xor(xor(h, p * 1048576)) AS BIGINT) AS fp_digest
+       |  FROM fp GROUP BY 1)
+       |SELECT o.doc_id,
+       |  CAST(len(o.t) - ${WinK - 1} AS BIGINT) AS n_grams,
+       |  CAST(len(o.t) - ${WinK + WinW - 2} AS BIGINT) AS n_windows,
+       |  pd.n_fp,
+       |  (1000 * pd.n_fp) // (len(o.t) - ${WinK + WinW - 2})
+       |    AS density_permille,
+       |  pd.fp_digest
+       |FROM ok o JOIN pd USING (doc_id) ORDER BY o.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_winnowing" -> (q243_winnowing _),
     "q144_ngram_decontaminate" -> (q144_ngram_decontaminate _),
     "q150_containment_join" -> (q150_containment_join _),
     "q186_source_contamination" -> (q186_source_contamination _),
     "q206_novelty_curve" -> (q206_novelty_curve _))
 
   val oracle: Map[String, String] = Map(
+    "q243_winnowing" -> winnowOracle,
     "q144_ngram_decontaminate" -> overlapOracle,
     "q150_containment_join" -> containOracle,
     "q186_source_contamination" -> contaminationOracle,

@@ -107,4 +107,52 @@ class OverlapSpec extends AnyFunSuite {
     val firstDoc = expected.keys.min
     assert(expected(firstDoc)._4 == 1000L)
   }
+
+  test("q243 winnowing: brute replay; every window covered; density " +
+    "tracks 2/(w+1)") {
+    val (k, w) = (4, 4)
+    val rows = Overlap.q243_winnowing(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s0: String): Long = {
+      val hex = md.digest(s0.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.split(" ").filter(_.nonEmpty).toSeq))
+      .filter(_._2.size >= k + w - 1).toMap
+    assert(rows.map(_._1).toSet == docs.keySet)
+    var densSum = 0.0
+    for ((docId, nGrams, nWins, nFp, dens, digest) <- rows) {
+      val toks = docs(docId)
+      val hs = toks.sliding(k).map(g => h60(g.mkString(" "))).toArray
+      assert(nGrams == hs.length.toLong)
+      val nW = hs.length - w + 1
+      assert(nWins == nW.toLong)
+      // rightmost-min selection per window
+      val sel = (0 until nW).map { i =>
+        val win = (i until i + w).map(p => (hs(p), p))
+        win.minBy { case (hv, p) => (hv, -p) }
+      }.distinct
+      assert(nFp == sel.size.toLong, s"fp count doc $docId")
+      assert(dens == 1000L * sel.size / nW, s"density doc $docId")
+      val dg = sel.map { case (hv, p) => hv ^ ((p + 1).toLong << 20) }
+        .reduce(_ ^ _)
+      assert(digest == dg, s"digest doc $docId")
+      // the winnowing coverage invariant: every window holds a selection
+      (0 until nW).foreach { i =>
+        assert(sel.exists { case (_, p) => p >= i && p < i + w },
+          s"window $i of doc $docId uncovered")
+      }
+      densSum += nFp.toDouble / nW
+    }
+    // expected density 2/(w+1) = 0.4 — allow wide corpus variance
+    val mean = densSum / rows.length
+    assert(mean > 0.3 && mean < 0.55, s"mean density $mean off 2/(w+1)")
+  }
 }
