@@ -62,7 +62,9 @@ object Bench {
       "q166_lpa_communities",
       // register fixpoint: up to 8 max-merge rounds + a stats probe per
       // round (r16); first sample additionally trains the exact-twin memo
-      "q239_distance_approx")
+      "q239_distance_approx",
+      // PageRank fixpoint on the word graph: ≤10 rounds + probes (r16)
+      "q246_textrank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -185,11 +185,105 @@ object Itemsets {
        |FROM ag CROSS JOIN only_c oc""".stripMargin
 
   // ------------------------------------------------------------- registry
+  // --------------------------------------------- q244 Kendall tau
+  /** Pair budget: Kendall is pair-quadratic, so the comparison runs
+    * over the TOP-B common parts by early-half revenue — B is a
+    * compile-time budget (the q191 budget-not-threshold posture), so
+    * the pair join is ≤ B²/2 rows at ANY corpus scale and the 4·10⁶·D
+    * product can never leave BIGINT. */
+  private val TauBudget = 500
+
+  /** q244: Kendall rank correlation between the shipping-horizon halves
+    * (Kendall 1938) — the PAIRWISE companion of q227's Spearman: ρ
+    * reads squared rank displacement, τ reads the fraction of
+    * DISCORDANT pairs, the quantity that answers "how often would two
+    * catalog entries swap order" — the ranking-stability phrasing a
+    * recommender eval wants. Over the top-[[TauBudget]] common parts
+    * (by early revenue), both half-ranks re-rank to permutations
+    * (q227's move — NO ties survive, so τ-a = τ-b and the tie terms
+    * vanish exactly), concordant/discordant counts come from one
+    * bounded pair self-join, and
+    * τ_micro = 10⁶ − (4·10⁶·D) div (B·(B−1)) is exact BIGINT
+    * arithmetic throughout.
+    *
+    * Scale shape: ranks via the q227 window machinery (half-keyed),
+    * the subset re-rank is B rows, the pair join ≤ B²/2 — all
+    * broadcast-class regardless of corpus size. */
+  def q244_kendall_tau(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("pk"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("us"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * lit(100)).cast("long").as("cents"))
+    val mid = li.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    val halves = li.crossJoin(broadcast(mid))
+      .withColumn("half", when(col("us") <= col("mid"), "early")
+        .otherwise("late"))
+      .groupBy(col("half"), col("pk")).agg(sum(col("cents")).as("rev"))
+    val early = halves.filter(col("half") === "early")
+      .select(col("pk"), col("rev").as("rev_e"))
+    val late = halves.filter(col("half") === "late")
+      .select(col("pk"), col("rev").as("rev_l"))
+    val top = early.join(late, Seq("pk"))
+      .orderBy(col("rev_e").desc, col("pk")).limit(TauBudget)
+    val perm = top
+      .withColumn("re", row_number()
+        .over(Window.orderBy(col("rev_e").desc, col("pk"))).cast("long"))
+      .withColumn("rl", row_number()
+        .over(Window.orderBy(col("rev_l").desc, col("pk"))).cast("long"))
+      .select(col("pk"), col("re"), col("rl"))
+    val pairs = perm.alias("a").join(broadcast(perm.alias("b")),
+        col("a.re") < col("b.re"))
+      .select((col("a.rl") > col("b.rl")).as("disc"))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("disc"), 1L).otherwise(0L)).as("discordant"))
+      .select(lit(TauBudget.toLong).as("b_budget"), col("n_pairs"),
+        (col("n_pairs") - col("discordant")).as("concordant"),
+        col("discordant"),
+        // τ = (C − D)/(C + D) over the ACTUAL pair count, so a corpus
+        // with fewer than B common parts stays correct; both engines
+        // truncate the (possibly negative) quotient identically
+        expr("((n_pairs - 2 * discordant) * 1000000) div " +
+          "greatest(n_pairs, 1L)").as("tau_micro"))
+  }
+
+  private lazy val kendallOracle: String =
+    s"""WITH li AS (SELECT l_partkey AS pk, epoch_us(l_shipdate) AS us,
+       |    CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+       |      AS BIGINT) AS cents FROM lineitem),
+       |mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM li),
+       |halves AS (SELECT CASE WHEN us <= (SELECT mid FROM mid)
+       |      THEN 'early' ELSE 'late' END AS half, pk,
+       |    CAST(SUM(cents) AS BIGINT) AS rev
+       |  FROM li GROUP BY 1, 2),
+       |e AS (SELECT pk, rev AS rev_e FROM halves WHERE half = 'early'),
+       |l AS (SELECT pk, rev AS rev_l FROM halves WHERE half = 'late'),
+       |top AS (SELECT e.pk, rev_e, rev_l FROM e JOIN l USING (pk)
+       |  ORDER BY rev_e DESC, pk LIMIT $TauBudget),
+       |perm AS (SELECT pk,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY rev_e DESC, pk) AS BIGINT)
+       |      AS re,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY rev_l DESC, pk) AS BIGINT)
+       |      AS rl
+       |  FROM top),
+       |pairs AS (SELECT a.rl > b.rl AS disc
+       |  FROM perm a JOIN perm b ON a.re < b.re),
+       |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |    CAST(SUM(CASE WHEN disc THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS discordant FROM pairs)
+       |SELECT CAST($TauBudget AS BIGINT) AS b_budget, n_pairs,
+       |  n_pairs - discordant AS concordant, discordant,
+       |  ((n_pairs - 2 * discordant) * 1000000) // GREATEST(n_pairs, 1)
+       |    AS tau_micro
+       |FROM ag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q224_frequent_itemsets" -> (q224_frequent_itemsets _),
-    "q227_rank_stability" -> (q227_rank_stability _))
+    "q227_rank_stability" -> (q227_rank_stability _),
+    "q244_kendall_tau" -> (q244_kendall_tau _))
 
   val oracle: Map[String, String] = Map(
     "q224_frequent_itemsets" -> itemsetsOracle,
-    "q227_rank_stability" -> stabilityOracle)
+    "q227_rank_stability" -> stabilityOracle,
+    "q244_kendall_tau" -> kendallOracle)
 }

@@ -861,7 +861,105 @@ object Eval {
        |    // n_s AS winsor_mean_milli
        |FROM agg ORDER BY source""".stripMargin
 
+  // ---------------------------------------------- q245 mutual information
+  /** q245: mutual-information feature selection (the information-gain
+    * criterion — Yang & Pedersen ICML 1997 ranked it beside chi² as
+    * the strongest text feature selectors; Cover & Thomas for the
+    * quantity itself) between unigram PRESENCE and the q87b quality
+    * label — the third member of the association trio: chi² (q175)
+    * reads deviation-from-independence, log-odds (q211) reads
+    * direction, MI reads the INFORMATION the term carries about the
+    * label. Per term, over the presence/label 2×2 table,
+    *
+    *   stat_unat = N·MI in micro-nats
+    *             = Σ_{cells c>0} c·(L(c·N) − L(r·s)),  L = round(10⁶·ln)
+    *
+    * — the plogp identity p·ln(p·N²/(r·s)) multiplied through by N so
+    * every ln argument is an exact INTEGER (the house q56/q212
+    * quantization); empty cells contribute the exact limit 0 in both
+    * engines. The N ≤ 3.04·10⁹ frontier (where c·N passes 2⁶³) carries
+    * a loud assert naming the DECIMAL swap.
+    *
+    * Scale shape: one distinct (doc, term) projection with map-side
+    * combine (q175's), label broadcast, per-term 2×2 algebra, top-20
+    * bounded heap. */
+  def q245_token_mi(s: SparkSession, dir: String): DataFrame = {
+    val lab = CorpusFilters.qualityLabels(s, dir)
+      .select(col("doc_id"), col("label"))
+    val tot = lab.agg(
+      sum(when(col("label"), 1L).otherwise(0L)).as("p_tot"),
+      sum(when(!col("label"), 1L).otherwise(0L)).as("n_tot"))
+    val ab = Tables.documentsFanned(s, dir)
+      .select(col("doc_id"), explode(Cleanse.tokens(col("text"))).as("term"))
+      .distinct()
+      .join(lab, "doc_id")
+      .groupBy(col("term"))
+      .agg(sum(when(col("label"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("label"), 1L).otherwise(0L)).as("b"))
+    def lmx(x: String) = s"CAST(round(1000000.0 * ln($x)) AS BIGINT)"
+    def cell(c: String, r: String, cs: String) =
+      s"CASE WHEN $c > 0 THEN $c * (${lmx(s"$c * nn")} - " +
+        s"${lmx(s"($r) * ($cs)")}) ELSE 0 END"
+    ab.crossJoin(broadcast(tot))
+      .selectExpr("term", "a", "b", "p_tot", "n_tot",
+        "p_tot + n_tot AS nn")
+      .where("a + b >= 5 AND a + b < nn")
+      .filter(coalesce(assert_true(
+        expr("nn <= 3037000499L"),
+        lit("MI cell product c*N would overflow BIGINT: move the " +
+          "micro-nat arguments to DECIMAL(38,0) at this corpus scale")),
+        lit(true)))
+      .selectExpr("term", "a + b AS df", "a AS n_pos_with",
+        s"""${cell("a", "a + b", "p_tot")} +
+           |${cell("b", "a + b", "n_tot")} +
+           |${cell("(p_tot - a)", "nn - a - b", "p_tot")} +
+           |${cell("(n_tot - b)", "nn - a - b", "n_tot")}
+           |AS stat_unat""".stripMargin.replace('\n', ' '),
+        "nn")
+      .selectExpr("term", "df", "n_pos_with", "stat_unat",
+        "stat_unat div nn AS mi_micro")
+      .orderBy(col("stat_unat").desc, col("term"))
+      .limit(20)
+  }
+
+  private lazy val q245Oracle: String = {
+    val fillers = CorpusFilters.FillerTokens.map(f => s"'$f'").mkString(", ")
+    def lmx(x: String) = s"CAST(round(1000000.0 * ln($x)) AS BIGINT)"
+    def cell(c: String, r: String, cs: String) =
+      s"CASE WHEN $c > 0 THEN $c * (${lmx(s"$c * nn")} - " +
+        s"${lmx(s"($r) * ($cs)")}) ELSE 0 END"
+    s"""WITH ctoks AS (SELECT doc_id, ${CorpusFilters.DToks} AS t
+       |  FROM documents),
+       |lab AS (SELECT doc_id,
+       |    (100 * CAST(len(list_filter(t, w -> w IN ($fillers))) AS BIGINT)
+       |      >= 13 * CAST(len(t) AS BIGINT)) AS label
+       |  FROM ctoks WHERE len(t) >= 1),
+       |tot AS (SELECT
+       |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS p_tot,
+       |    CAST(SUM(CASE WHEN NOT label THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_tot
+       |  FROM lab),
+       |dt AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM ctoks),
+       |ab AS (SELECT term,
+       |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS a,
+       |    CAST(SUM(CASE WHEN NOT label THEN 1 ELSE 0 END) AS BIGINT) AS b
+       |  FROM dt JOIN lab USING (doc_id) GROUP BY term),
+       |d AS (SELECT term, a, b, p_tot, n_tot, p_tot + n_tot AS nn
+       |  FROM ab CROSS JOIN tot
+       |  WHERE a + b >= 5 AND a + b < p_tot + n_tot),
+       |st AS (SELECT term, a + b AS df, a AS n_pos_with,
+       |    ${cell("a", "a + b", "p_tot")} +
+       |    ${cell("b", "a + b", "n_tot")} +
+       |    ${cell("(p_tot - a)", "nn - a - b", "p_tot")} +
+       |    ${cell("(n_tot - b)", "nn - a - b", "n_tot")} AS stat_unat,
+       |    nn
+       |  FROM d)
+       |SELECT term, df, n_pos_with, stat_unat, stat_unat // nn AS mi_micro
+       |FROM st ORDER BY stat_unat DESC, term LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q245_token_mi" -> (q245_token_mi _),
     "q210_trimmed_stats" -> (q210_trimmed_stats _),
     "q187_signal_correlation" -> (q187_signal_correlation _),
     "q183_quality_fusion" -> (q183_quality_fusion _),
@@ -877,6 +975,7 @@ object Eval {
     "q177_calibration_bins" -> (q177_calibration_bins _))
 
   val oracle: Map[String, String] = Map(
+    "q245_token_mi" -> q245Oracle,
     "q210_trimmed_stats" -> trimmedOracle,
     "q183_quality_fusion" -> q183Oracle,
     "q184_heaps_forecast" -> q184Oracle,

@@ -168,11 +168,114 @@ object Keywords {
        |FROM st ORDER BY d_permille DESC, term LIMIT 20""".stripMargin
 
   // ------------------------------------------------------------- registry
+  // --------------------------------------------------- q246 TextRank
+  /** Node budget: the co-occurrence graph runs over the top-[[TrV]]
+    * corpus words by frequency (freq desc, word) — a budget, not a
+    * threshold, so the graph is a constant of the operator at any
+    * corpus scale (the q191 posture; the original paper bounds
+    * candidates with a POS filter, which public knowledge can't
+    * replicate without a model — the frequency budget is the declared
+    * stand-in). */
+  private val TrV = 300
+  private val TrIters = 10
+  private val TrTopK = 20
+
+  /** q246: TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004)
+    * — the graph-based member of the keyword trio beside RAKE's
+    * degree/frequency scores (q213) and Church-Gale burstiness (q237):
+    * build the window-2 word co-occurrence graph (adjacent-pair edges,
+    * the paper's keyword configuration, unweighted/undirected) over
+    * the budgeted vocabulary and run the q138 INTEGER PageRank kernel
+    * (damping 0.85 as the exact 85/100 split of 10¹² rank mass,
+    * fingerprint-probe early exit, pin-and-release) — the whole fit
+    * replays in DuckDB as [[TrIters]] unrolled rounds, so TextRank's
+    * actual rank integers are hash-gated, not just the top-k names.
+    *
+    * Scale shape: one corpus pass for frequencies (map-side combine),
+    * one for adjacent pairs filtered to the broadcast budget
+    * vocabulary; the PageRank loop runs on a ≤ TrV-node graph —
+    * catalog-sized forever. */
+  def q246_textrank(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documentsFanned(s, dir)
+      .select(col("doc_id"), Cleanse.tokens(col("text")).as("t"))
+    val vocab = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(TrV)
+      .select(col("w"))
+    val pairs = toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t)-1), " +
+          "i -> struct(element_at(t,i) AS a, element_at(t,i+1) AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+      .join(broadcast(vocab.select(col("w").as("a"))), Seq("a"))
+      .join(broadcast(vocab.select(col("w").as("b"))), Seq("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
+    val (ranks, deg, _, converged) =
+      graft.rel.Graph.pagerankRanks(edges, TrIters)
+    ranks.join(deg.select(col("src").as("node"), col("deg")), Seq("node"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("r").desc, col("node"))).cast("int"))
+      .filter(col("rank") <= TrTopK)
+      .select(col("rank"), col("node").as("term"),
+        col("deg").as("degree"), col("r").as("rank_u"),
+        lit(converged).as("converged"))
+      .orderBy(col("rank"))
+  }
+
+  private lazy val textrankOracle: String = {
+    val mass = 1000000000000L
+    def round(k: Int): String =
+      s"""it$k AS (SELECT e.dst AS node,
+         |    (SELECT base FROM params) +
+         |      (85 * SUM(r.r // d.deg)) // 100 AS r
+         |  FROM edges e JOIN it${k - 1} r ON e.src = r.node
+         |  JOIN deg d ON d.node = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    s"""WITH toks AS (SELECT doc_id, ${CorpusFilters.DToks} AS t
+       |  FROM documents),
+       |vocab AS (SELECT w FROM (SELECT unnest(t) AS w FROM toks) u
+       |  GROUP BY w ORDER BY COUNT(*) DESC, w LIMIT $TrV),
+       |adj AS (SELECT t[u.i] AS a, t[u.i + 1] AS b
+       |  FROM toks, unnest(range(1, len(t))) AS u(i)
+       |  WHERE len(t) >= 2),
+       |pairs AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+       |  FROM adj
+       |  WHERE a <> b AND a IN (SELECT w FROM vocab)
+       |    AND b IN (SELECT w FROM vocab)),
+       |edges AS (SELECT u AS src, v AS dst FROM pairs
+       |  UNION ALL SELECT v, u FROM pairs),
+       |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+       |  FROM edges GROUP BY 1),
+       |params AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    $mass // COUNT(*) AS init,
+       |    (15 * ($mass // COUNT(*))) // 100 AS base FROM deg),
+       |it0 AS (SELECT node, (SELECT init FROM params) AS r FROM deg),
+       |${(1 to TrIters).map(round).mkString(",\n")},
+       |conv AS (SELECT MAX(CASE WHEN a.r <> b.r THEN 1 ELSE 0 END) = 0
+       |    AS converged
+       |  FROM it$TrIters a JOIN it${TrIters - 1} b USING (node)),
+       |ranked AS (SELECT r.node, r.r, d.deg,
+       |    ROW_NUMBER() OVER (ORDER BY r.r DESC, r.node) AS rk
+       |  FROM it$TrIters r JOIN deg d USING (node))
+       |SELECT CAST(rk AS INTEGER) AS rank, node AS term,
+       |  deg AS degree, CAST(r AS BIGINT) AS rank_u, converged
+       |FROM ranked, conv WHERE rk <= $TrTopK ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q213_rake_keywords" -> (q213_rake_keywords _),
-    "q237_term_burstiness" -> (q237_term_burstiness _))
+    "q237_term_burstiness" -> (q237_term_burstiness _),
+    "q246_textrank" -> (q246_textrank _))
 
   val oracle: Map[String, String] = Map(
     "q213_rake_keywords" -> rakeOracle,
-    "q237_term_burstiness" -> burstOracle)
+    "q237_term_burstiness" -> burstOracle,
+    "q246_textrank" -> textrankOracle)
 }

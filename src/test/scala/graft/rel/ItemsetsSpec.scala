@@ -81,4 +81,44 @@ class ItemsetsSpec extends AnyFunSuite {
     assert(rho == 1000000L - (6000000L * sumD2) / (n * (n * n - 1)))
     assert(rho >= -1000000L && rho <= 1000000L, "rho in [-1, 1]")
   }
+
+  test("q244 Kendall tau: inversion-count driver replay on the " +
+    "budgeted common set") {
+    val r = Itemsets.q244_kendall_tau(spark, sf).collect().head
+    val (b, nPairs, conc, disc, tau) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+    assert(b == 500L)
+    // driver twin: same halves, same budget, same permutations
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_partkey AS pk",
+        "unix_micros(CAST(l_shipdate AS TIMESTAMP)) AS us",
+        "CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS LONG)" +
+          " AS cents")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val mid = (li.map(_._2).min + li.map(_._2).max) / 2
+    def revs(early: Boolean): Map[Long, Long] =
+      li.filter(t => (t._2 <= mid) == early)
+        .groupBy(_._1).map { case (pk, v) => pk -> v.map(_._3).sum }
+    val (re, rl) = (revs(true), revs(false))
+    val common = re.keySet.intersect(rl.keySet)
+    val top = common.toSeq.map(pk => (pk, re(pk), rl(pk)))
+      .sortBy { case (pk, rev, _) => (-rev, pk) }.take(500)
+    val reRank = top.sortBy { case (pk, rev, _) => (-rev, pk) }
+      .zipWithIndex.map { case ((pk, _, _), i) => pk -> (i + 1) }.toMap
+    val rlRank = top.sortBy { case (pk, _, rev) => (-rev, pk) }
+      .zipWithIndex.map { case ((pk, _, _), i) => pk -> (i + 1) }.toMap
+    val perm = top.map(_._1).sortBy(reRank).map(rlRank)
+    val n = perm.length.toLong
+    val expPairs = n * (n - 1) / 2
+    val expDisc = (for {
+      i <- perm.indices; j <- (i + 1) until perm.length
+      if perm(i) > perm(j)
+    } yield 1).size.toLong
+    assert(nPairs == expPairs, "pair count")
+    assert(disc == expDisc, "discordant count")
+    assert(conc == expPairs - expDisc)
+    assert(tau == ((nPairs - 2 * expDisc) * 1000000L) / math.max(nPairs, 1L))
+    assert(tau >= -1000000L && tau <= 1000000L)
+  }
 }

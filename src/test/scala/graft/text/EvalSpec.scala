@@ -307,4 +307,57 @@ class EvalSpec extends AnyFunSuite {
     assert(!rows.contains(("zh", "zh")),
       "an unprofiled language must never be predicted")
   }
+
+  test("q245 token MI: 2x2 plogp replay; nonnegative up to " +
+    "quantization; float agreement") {
+    val rows = Eval.q245_token_mi(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.split(" ").filter(_.nonEmpty).toSeq))
+      .filter(_._2.nonEmpty)
+    val fillers = CorpusFilters.FillerTokens.toSet
+    val lab = docs.map { case (id, t) =>
+      id -> (100L * t.count(fillers) >= 13L * t.size)
+    }.toMap
+    val nP = lab.values.count(identity).toLong
+    val nN = lab.size.toLong - nP
+    val nn = nP + nN
+    def lmx(x: Long): Long = math.round(1e6 * math.log(x.toDouble))
+    for ((term, df, a, stat, miMicro) <- rows) {
+      val withT = docs.filter(_._2.contains(term)).map(_._1)
+      assert(df == withT.size.toLong, s"df of $term")
+      val aa = withT.count(lab).toLong
+      assert(a == aa, s"n_pos_with of $term")
+      val b = df - aa
+      def cell(c: Long, r: Long, cs: Long): Long =
+        if (c > 0) c * (lmx(c * nn) - lmx(r * cs)) else 0L
+      val exp = cell(aa, df, nP) + cell(b, df, nN) +
+        cell(nP - aa, nn - df, nP) + cell(nN - b, nn - df, nN)
+      assert(stat == exp, s"stat of $term")
+      assert(miMicro == stat / nn, s"mi_micro of $term")
+      // MI >= 0 in exact math; integer quantization can dip by at most
+      // ~2 micro-nats per cell boundary
+      assert(stat >= -8L * nn, s"stat of $term below quantization floor")
+      // float MI agreement
+      val floatMi = Seq((aa, df, nP), (b, df, nN),
+        (nP - aa, nn - df, nP), (nN - b, nn - df, nN)).map {
+        case (c, r, cs) =>
+          if (c == 0) 0.0
+          else (c.toDouble / nn) *
+            math.log(c.toDouble * nn / (r.toDouble * cs))
+      }.sum
+      assert(math.abs(stat.toDouble / nn / 1e6 - floatMi) < 1e-4,
+        s"float agreement of $term")
+    }
+    // descending by stat, term tiebreak
+    rows.sliding(2).foreach {
+      case Array(x, y) =>
+        assert(x._4 > y._4 || (x._4 == y._4 && x._1 < y._1))
+      case _ => ()
+    }
+  }
 }

@@ -75,4 +75,46 @@ class KeywordsSpec extends AnyFunSuite {
     assert(got.head._5 > 1000L, "top term should be over-dispersed")
     assert(got.forall(_._5 >= 0L))
   }
+
+  test("q246 TextRank: integer PageRank driver replay on the budgeted " +
+    "word graph") {
+    val rows = Keywords.q246_textrank(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect()
+      .map(_.getString(0).trim.split(" ").filter(_.nonEmpty).toSeq)
+    val freq = docs.flatten.groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val vocab = freq.toSeq.sortBy { case (w, c) => (-c, w) }.take(300)
+      .map(_._1).toSet
+    val pairs = docs.flatMap(t => t.zip(t.drop(1)))
+      .filter { case (a, b) => a != b && vocab(a) && vocab(b) }
+      .map { case (a, b) => if (a < b) (a, b) else (b, a) }.distinct
+    val adj = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.Set[String]]
+    pairs.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    val nodes = adj.keys.toSeq.sorted
+    val deg = nodes.map(n => n -> adj(n).size.toLong).toMap
+    val mass = 1000000000000L
+    val init = mass / nodes.length
+    val base = (15L * init) / 100L
+    var r = nodes.map(_ -> init).toMap
+    for (_ <- 1 to 10) {
+      r = nodes.map { n =>
+        n -> (base + (85L * adj(n).toSeq.map(u => r(u) / deg(u)).sum) / 100L)
+      }.toMap
+    }
+    val expected = r.toSeq.sortBy { case (w, rv) => (-rv, w) }.take(20)
+    rows.zip(expected).foreach { case ((rk, term, dg, ru, _), (ew, er)) =>
+      assert(term == ew, s"rank $rk term")
+      assert(ru == er, s"rank $rk rank_u")
+      assert(dg == deg(ew), s"rank $rk degree")
+    }
+    assert(rows.map(_._1).toSeq == (1 to rows.length))
+  }
 }
