@@ -277,13 +277,117 @@ object Itemsets {
        |    AS tau_micro
        |FROM ag""".stripMargin
 
+  // ------------------------------------------ q247 sequential patterns
+  /** Max gap between consecutive pattern steps (1 day in micros):
+    * UNWINDOWED user-scope support measured DEGENERATE (every 2/3-step
+    * pattern present for 150/150 users — months-long streams contain
+    * everything), while 1-hour gaps saturate the other way (max 5/150).
+    * The day gap reads 39-67/150 at sf0.01 — differentiated. */
+  private val GspGapUs = 86400000000L
+  /** Level-prune floor: support·100 ≥ 20·n_users (GSP's anti-monotone
+    * prune — a pattern's support cannot exceed its prefix's). */
+  private val GspFloorPct = 20L
+
+  /** q247: gap-constrained sequential pattern mining (GSP — Srikant &
+    * Agrawal, EDBT 1996, the level-wise Apriori of SEQUENCES with the
+    * paper's max-gap constraint; q224's ordered sibling): a user
+    * supports pattern a→b→c iff the first a is followed by a b within
+    * [[GspGapUs]], and that b by a c within the gap — the first-
+    * occurrence chain (earliest-completion semantics, q133's funnel
+    * arithmetic generalized over the whole |types|^k candidate grid).
+    * Candidates prune level-wise at [[GspFloorPct]] % support before
+    * the next extension — the anti-monotonicity that bounds fan-out.
+    *
+    * Scale shape: each level is one events-side join keyed on user
+    * against the previous level's ≤ \|types\|^(k-1) survivors, with
+    * map-side min-aggregates; amplification is bounded by \|types\|²
+    * per event and the output by \|types\|³ rows. Support permilles
+    * are floor divisions of exact counts. */
+  def q247_sequential_patterns(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id").as("u"), col("event_type").as("ty"),
+        col("ts_us").as("t"))
+    val tot = ev.agg(countDistinct(col("u")).as("nu"))
+    val u1 = ev.groupBy(col("u"), col("ty").as("a"))
+      .agg(min(col("t")).as("t1"))
+    val f1 = u1.groupBy(col("a")).agg(count(lit(1)).as("sup"))
+      .crossJoin(broadcast(tot))
+      .filter(col("sup") * 100 >= lit(GspFloorPct) * col("nu"))
+      .select(col("a"))
+    val u2 = ev
+      .join(u1.join(broadcast(f1), Seq("a")), Seq("u"))
+      .filter(col("t") > col("t1") && col("t") <= col("t1") + GspGapUs)
+      .groupBy(col("u"), col("a"), col("ty").as("b"))
+      .agg(min(col("t")).as("t2"))
+    val s2 = u2.groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
+    val f2 = s2.crossJoin(broadcast(tot))
+      .filter(col("sup") * 100 >= lit(GspFloorPct) * col("nu"))
+    val u3 = ev
+      .join(u2.join(broadcast(f2.select(col("a"), col("b"))),
+        Seq("a", "b")), Seq("u"))
+      .filter(col("t") > col("t2") && col("t") <= col("t2") + GspGapUs)
+      .groupBy(col("u"), col("a"), col("b"), col("ty").as("c"))
+      .agg(min(col("t")).as("t3"))
+    val s3 = u3.groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("sup"))
+    val f3 = s3.crossJoin(broadcast(tot))
+      .filter(col("sup") * 100 >= lit(GspFloorPct) * col("nu"))
+    val out2 = f2.select(lit(2L).as("level"),
+      concat_ws(">", col("a"), col("b")).as("pattern"),
+      col("sup").as("n_users"), col("nu"))
+    val out3 = f3.select(lit(3L).as("level"),
+      concat_ws(">", col("a"), col("b"), col("c")).as("pattern"),
+      col("sup").as("n_users"), col("nu"))
+    out2.unionByName(out3)
+      .select(col("level"), col("pattern"), col("n_users"),
+        expr("(1000 * n_users) div nu").as("support_permille"))
+      .orderBy(col("level"), col("n_users").desc, col("pattern"))
+  }
+
+  private lazy val gspOracle: String =
+    s"""WITH ev AS (SELECT user_id AS u, event_type AS ty,
+       |    epoch_us(ts) AS t FROM events),
+       |tot AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS nu FROM ev),
+       |u1 AS (SELECT u, ty AS a, MIN(t) AS t1 FROM ev GROUP BY 1, 2),
+       |f1 AS (SELECT a FROM (SELECT a, CAST(COUNT(*) AS BIGINT) AS sup
+       |    FROM u1 GROUP BY a) s1 CROSS JOIN tot
+       |  WHERE sup * 100 >= $GspFloorPct * nu),
+       |u2 AS (SELECT e.u, u1.a, e.ty AS b, MIN(e.t) AS t2
+       |  FROM ev e JOIN u1 ON e.u = u1.u
+       |  WHERE u1.a IN (SELECT a FROM f1)
+       |    AND e.t > u1.t1 AND e.t <= u1.t1 + $GspGapUs
+       |  GROUP BY 1, 2, 3),
+       |s2 AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS sup FROM u2
+       |  GROUP BY 1, 2),
+       |f2 AS (SELECT a, b, sup FROM s2 CROSS JOIN tot
+       |  WHERE sup * 100 >= $GspFloorPct * nu),
+       |u3 AS (SELECT e.u, u2.a, u2.b, e.ty AS c, MIN(e.t) AS t3
+       |  FROM ev e JOIN u2 ON e.u = u2.u
+       |  JOIN f2 ON f2.a = u2.a AND f2.b = u2.b
+       |  WHERE e.t > u2.t2 AND e.t <= u2.t2 + $GspGapUs
+       |  GROUP BY 1, 2, 3, 4),
+       |s3 AS (SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS sup FROM u3
+       |  GROUP BY 1, 2, 3),
+       |f3 AS (SELECT a, b, c, sup FROM s3 CROSS JOIN tot
+       |  WHERE sup * 100 >= $GspFloorPct * nu),
+       |o AS (
+       |  SELECT 2 AS level, a || '>' || b AS pattern, sup AS n_users
+       |  FROM f2
+       |  UNION ALL
+       |  SELECT 3, a || '>' || b || '>' || c, sup FROM f3)
+       |SELECT CAST(level AS BIGINT) AS level, pattern, n_users,
+       |  (1000 * n_users) // (SELECT nu FROM tot) AS support_permille
+       |FROM o ORDER BY level, n_users DESC, pattern""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q224_frequent_itemsets" -> (q224_frequent_itemsets _),
     "q227_rank_stability" -> (q227_rank_stability _),
-    "q244_kendall_tau" -> (q244_kendall_tau _))
+    "q244_kendall_tau" -> (q244_kendall_tau _),
+    "q247_sequential_patterns" -> (q247_sequential_patterns _))
 
   val oracle: Map[String, String] = Map(
     "q224_frequent_itemsets" -> itemsetsOracle,
     "q227_rank_stability" -> stabilityOracle,
-    "q244_kendall_tau" -> kendallOracle)
+    "q244_kendall_tau" -> kendallOracle,
+    "q247_sequential_patterns" -> gspOracle)
 }

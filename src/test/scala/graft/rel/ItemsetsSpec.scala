@@ -121,4 +121,57 @@ class ItemsetsSpec extends AnyFunSuite {
     assert(tau == ((nPairs - 2 * expDisc) * 1000000L) / math.max(nPairs, 1L))
     assert(tau >= -1000000L && tau <= 1000000L)
   }
+
+  test("q247 GSP: first-occurrence chain driver replay; anti-monotone " +
+    "prefix support") {
+    val gap = 86400000000L
+    val rows = Itemsets.q247_sequential_patterns(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("user_id AS u", "event_type AS ty", "ts_us AS t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(x => (x._2, x._1)))
+      .toMap
+    val nu = byUser.size.toLong
+    val types = ev.map(_._2).distinct.sorted
+    // first-occurrence chain: t1 = min t(a); t_k = min t(step) in
+    // (t_{k-1}, t_{k-1} + gap]
+    def chain(seq: Seq[(String, Long)], pat: Seq[String]): Boolean = {
+      var tPrev = -1L
+      for ((step, i) <- pat.zipWithIndex) {
+        val cand =
+          if (i == 0) seq.filter(_._1 == step).map(_._2)
+          else seq.filter(e => e._1 == step && e._2 > tPrev &&
+            e._2 <= tPrev + gap).map(_._2)
+        if (cand.isEmpty) return false
+        tPrev = cand.min
+      }
+      true
+    }
+    def support(pat: Seq[String]): Long =
+      byUser.values.count(s0 => chain(s0, pat)).toLong
+    val exp2 = (for {a <- types; b <- types} yield Seq(a, b))
+      .map(p => p -> support(p)).filter(_._2 * 100 >= 20L * nu)
+    val got2 = rows.filter(_._1 == 2L).map(r => r._2 -> r._3).toMap
+    assert(got2 == exp2.map { case (p, s0) => p.mkString(">") -> s0 }
+      .toMap, "level-2 patterns")
+    val frequentPairs = exp2.map(_._1).toSet
+    val exp3 = (for {
+      a <- types; b <- types; c <- types
+      if frequentPairs(Seq(a, b))
+    } yield Seq(a, b, c))
+      .map(p => p -> support(p)).filter(_._2 * 100 >= 20L * nu)
+    val got3 = rows.filter(_._1 == 3L).map(r => r._2 -> r._3).toMap
+    assert(got3 == exp3.map { case (p, s0) => p.mkString(">") -> s0 }
+      .toMap, "level-3 patterns")
+    // anti-monotonicity: a triple's support never exceeds its prefix's
+    exp3.foreach { case (p, s0) =>
+      assert(s0 <= exp2.toMap.apply(p.take(2)), s"prefix bound of $p")
+    }
+    rows.foreach { r =>
+      assert(r._4 == 1000L * r._3 / nu, "support permille")
+    }
+  }
 }
