@@ -1054,7 +1054,91 @@ object Behavior {
        |    den.n > 4000000 AS significant
        |FROM nums n2 CROSS JOIN den ORDER BY n2.lag""".stripMargin
 
+  // ----------------------------------------------------- q248 SPRT
+  /** Wald SPRT hypotheses on the purchase rate: H0 p=0.15, H1 p=0.20
+    * (the corpus rate measures ≈ 0.198, so the test should accept H1 —
+    * but the DECISION is whatever the exact arithmetic says, gated in
+    * both engines). Per-event log-likelihood-ratio increments and the
+    * α = β = 0.05 Wald bounds ±ln(19) are COMPILE-TIME micro-nat
+    * literals shared by both plans. */
+  private val SprtHitMicro: Long = math.round(1e6 * math.log(0.20 / 0.15))
+  private val SprtMissMicro: Long = math.round(1e6 * math.log(0.80 / 0.85))
+  private val SprtBoundMicro: Long = math.round(1e6 * math.log(19.0))
+
+  /** q248: Wald's sequential probability ratio test (Wald 1945) over
+    * the daily purchase rate — the SEQUENTIAL member of the monitoring
+    * family (q234's p-chart flags days; SPRT DECIDES between two
+    * hypotheses with guaranteed error rates α, β, stopping as early as
+    * the evidence allows — the always-valid-inference primitive
+    * product experimentation runs): cum LLR_d = Σ_{days ≤ d}
+    * (c·A + (n−c)·B) with A, B the per-event micro-nat literals, and
+    * the decision is the FIRST day the cumulative walk leaves
+    * (−ln 19, +ln 19). Exact BIGINT arithmetic end to end; the
+    * decision day and verdict are properties of the integer walk, so
+    * they hash-gate.
+    *
+    * Scale shape: one map-side day aggregate, the day-grid prefix sum,
+    * and a broadcast 1-row decision frame — catalog algebra at any
+    * volume. */
+  def q248_sprt(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(expr("ts_us div 86400000000L").as("day"),
+        (col("event_type") === "purchase").as("hit"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("c"))
+      .withColumn("llr_day_micro",
+        col("c") * SprtHitMicro + (col("n") - col("c")) * SprtMissMicro)
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val walk = daily
+      .withColumn("cum_llr_micro", sum(col("llr_day_micro")).over(wCum))
+      .withColumn("state",
+        when(col("cum_llr_micro") >= SprtBoundMicro, "accept_h1")
+          .when(col("cum_llr_micro") <= -SprtBoundMicro, "accept_h0")
+          .otherwise("continue"))
+    val dec = walk.filter(col("state") =!= "continue")
+      .agg(min(col("day")).as("decision_day"))
+    val decv = walk.join(broadcast(dec),
+        walk("day") === dec("decision_day"), "left_outer")
+      .agg(coalesce(min(col("decision_day")), lit(-1L)).as("dday"),
+        coalesce(min(when(col("day") === col("decision_day"),
+          col("state"))), lit("continue")).as("decision"))
+    walk.crossJoin(broadcast(decv))
+      .select(col("day"), col("n"), col("c"), col("llr_day_micro"),
+        col("cum_llr_micro"), col("state"),
+        col("dday").as("decision_day"), col("decision"))
+      .orderBy(col("day"))
+  }
+
+  private lazy val sprtOracle: String =
+    s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS c
+       |  FROM events GROUP BY 1),
+       |walk AS (SELECT day, n, c,
+       |    c * $SprtHitMicro + (n - c) * ($SprtMissMicro) AS llr_day_micro,
+       |    CAST(SUM(c * $SprtHitMicro + (n - c) * ($SprtMissMicro))
+       |      OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |      AS cum_llr_micro
+       |  FROM daily),
+       |st AS (SELECT *, CASE
+       |    WHEN cum_llr_micro >= $SprtBoundMicro THEN 'accept_h1'
+       |    WHEN cum_llr_micro <= -$SprtBoundMicro THEN 'accept_h0'
+       |    ELSE 'continue' END AS state FROM walk),
+       |dec AS (SELECT COALESCE(MIN(day), -1) AS dday FROM st
+       |  WHERE state <> 'continue'),
+       |dv AS (SELECT d.dday,
+       |    COALESCE((SELECT state FROM st WHERE st.day = d.dday),
+       |      'continue') AS decision
+       |  FROM dec d)
+       |SELECT s.day, s.n, s.c, s.llr_day_micro, s.cum_llr_micro,
+       |  s.state, dv.dday AS decision_day, dv.decision
+       |FROM st s CROSS JOIN dv ORDER BY s.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q248_sprt" -> (q248_sprt _),
     "q240_acf" -> (q240_acf _),
     "q220_seasonal_decompose" -> (q220_seasonal_decompose _),
     "q231_survival_curve" -> (q231_survival_curve _),
@@ -1072,6 +1156,7 @@ object Behavior {
     "q196_revenue_concentration" -> (q196_revenue_concentration _))
 
   val oracle: Map[String, String] = Map(
+    "q248_sprt" -> sprtOracle,
     "q240_acf" -> acfOracle,
     "q220_seasonal_decompose" -> seasonalOracle,
     "q231_survival_curve" -> survivalOracle,

@@ -281,11 +281,91 @@ object KneserNey {
        |FROM d ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------- registry
+  // ------------------------------------------------ q249 Good-Turing
+  private val GtMaxR = 10
+
+  /** q249: Good-Turing frequency re-estimation (Good 1953; the
+    * frequency-of-frequencies table Gale & Sampson 1995 call the
+    * method's entire empirical input) over the corpus unigrams — the
+    * smoothing rung BESIDE Kneser-Ney's absolute discounting: KN
+    * subtracts a fixed d, GT re-estimates each count r as
+    * r* = (r+1)·N_{r+1}/N_r from the N_r table itself, and the unseen
+    * mass is P₀ = N₁/N — Turing's estimate of how much probability the
+    * corpus has never shown you. Computed over TRIGRAM types — exactly
+    * where Katz backoff applies GT, and the scope was MEASURED first:
+    * the 31-word unigram vocabulary has NO low counts (every N_{r≤11}
+    * = 0, a degenerate table), while trigrams read N₁ = 9424,
+    * N₂ = 4532 at sf0.01 — the live Zipf tail the method exists for.
+    * For r = 1..10: N_r, r*_micro = (10⁶·(r+1)·N_{r+1}) div N_r, and
+    * the corpus summary (instances, types, P₀ permille, singleton
+    * share) rides every row. All exact floor divisions.
+    *
+    * Scale shape: trigram counts (map-side combine, type-bounded),
+    * then a ≤ max(r) frequency-of-frequencies rollup — catalog math. */
+  def q249_good_turing(s: SparkSession, dir: String): DataFrame = {
+    val tf = docToks(s, dir).filter(size(col("t")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(t)-2), i -> concat_ws(' ', " +
+          "element_at(t,i), element_at(t,i+1), element_at(t,i+2)))"))
+        .as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("r"))
+    val tot = tf.agg(sum(col("r")).as("n_tokens"),
+      count(lit(1)).as("n_vocab"),
+      sum(when(col("r") === 1L, 1L).otherwise(0L)).as("n1"))
+    val nr = tf.filter(col("r") <= GtMaxR + 1)
+      .groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+    val grid = s.range(1, GtMaxR + 1).select(col("id").as("r"))
+    grid.join(nr, Seq("r"), "left_outer")
+      .withColumn("n_r", coalesce(col("n_r"), lit(0L)))
+      .join(nr.select((col("r") - 1).as("r"), col("n_r").as("n_r1")),
+        Seq("r"), "left_outer")
+      .withColumn("n_r1", coalesce(col("n_r1"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"), col("n_r1").as("n_r_plus_1"),
+        when(col("n_r") > 0L,
+          expr("(1000000 * (r + 1) * n_r1) div n_r")).otherwise(lit(null))
+          .as("r_star_micro"),
+        col("n_tokens"), col("n_vocab"),
+        expr("(1000 * n1) div n_tokens").as("p0_permille"),
+        expr("(1000 * n1) div n_vocab").as("singleton_permille"))
+      .orderBy(col("r"))
+  }
+
+  private lazy val gtOracle: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |    list_filter(string_split(trim(text), ' '), t -> t <> '') AS t
+       |  FROM documents),
+       |g AS (SELECT t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] AS w
+       |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+       |  WHERE len(t) >= 3),
+       |tf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS r FROM g GROUP BY w),
+       |tot AS (SELECT CAST(SUM(r) AS BIGINT) AS n_tokens,
+       |    CAST(COUNT(*) AS BIGINT) AS n_vocab,
+       |    CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+       |  FROM tf),
+       |nr AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM tf
+       |  WHERE r <= ${GtMaxR + 1} GROUP BY r),
+       |grid AS (SELECT CAST(unnest(range(1, ${GtMaxR + 1})) AS BIGINT)
+       |    AS r)
+       |SELECT g.r, COALESCE(a.n_r, 0) AS n_r,
+       |  COALESCE(b.n_r, 0) AS n_r_plus_1,
+       |  CASE WHEN COALESCE(a.n_r, 0) > 0 THEN
+       |    (1000000 * (g.r + 1) * COALESCE(b.n_r, 0)) // a.n_r
+       |    ELSE NULL END AS r_star_micro,
+       |  tot.n_tokens, tot.n_vocab,
+       |  (1000 * tot.n1) // tot.n_tokens AS p0_permille,
+       |  (1000 * tot.n1) // tot.n_vocab AS singleton_permille
+       |FROM grid g LEFT JOIN nr a ON a.r = g.r
+       |LEFT JOIN nr b ON b.r = g.r + 1
+       |CROSS JOIN tot ORDER BY g.r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q212_kneser_ney" -> (q212_kneser_ney _),
-    "q222_kn_holdout" -> (q222_kn_holdout _))
+    "q222_kn_holdout" -> (q222_kn_holdout _),
+    "q249_good_turing" -> (q249_good_turing _))
 
   val oracle: Map[String, String] = Map(
     "q212_kneser_ney" -> knOracle,
-    "q222_kn_holdout" -> holdoutOracle)
+    "q222_kn_holdout" -> holdoutOracle,
+    "q249_good_turing" -> gtOracle)
 }

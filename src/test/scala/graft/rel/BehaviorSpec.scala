@@ -450,4 +450,36 @@ class BehaviorSpec extends AnyFunSuite {
       assert(sig == (rMilli * rMilli * n > 4000000L), s"band at lag $k")
     }
   }
+
+  test("q248 SPRT: the integer walk replays; decision is the first " +
+    "boundary crossing; literals match Wald's bounds") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = Behavior.q248_sprt(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getLong(6), r.getString(7)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    val hitM = math.round(1e6 * math.log(0.20 / 0.15))
+    val missM = math.round(1e6 * math.log(0.80 / 0.85))
+    val bound = math.round(1e6 * math.log(19.0))
+    var cum = 0L
+    var decided: Option[(Long, String)] = None
+    for ((day, n, c, llrDay, cumGot, state, dday, dec) <- rows) {
+      assert(llrDay == c * hitM + (n - c) * missM, s"day $day llr")
+      cum += llrDay
+      assert(cumGot == cum, s"day $day cum")
+      val expState =
+        if (cum >= bound) "accept_h1"
+        else if (cum <= -bound) "accept_h0"
+        else "continue"
+      assert(state == expState, s"day $day state")
+      if (decided.isEmpty && expState != "continue")
+        decided = Some((day, expState))
+      assert(dday == decided.map(_._1).getOrElse(-1L), s"day $day dday")
+      assert(dec == decided.map(_._2).getOrElse("continue"))
+    }
+    // the measured 19.8% purchase rate sits above H1 = 20%'s indiff
+    // zone midpoint, so this corpus must accept H1
+    assert(decided.exists(_._2 == "accept_h1"), "corpus should accept H1")
+  }
 }

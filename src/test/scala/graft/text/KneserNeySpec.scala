@@ -144,4 +144,41 @@ class KneserNeySpec extends AnyFunSuite {
       assert(flag == (st * nv >= sv * nt), "overfit flag cross-mult")
     }
   }
+
+  test("q249 Good-Turing: trigram freq-of-freqs replays; r* discounts " +
+    "singletons; mass identities hold") {
+    val rows = KneserNey.q249_good_turing(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect()
+      .map(_.getString(0).trim.split(" ").filter(_.nonEmpty).toSeq)
+    val tri = docs.filter(_.size >= 3)
+      .flatMap(t => t.sliding(3).map(_.mkString(" ")))
+    val tf = tri.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nTok = tri.length.toLong
+    val nVoc = tf.size.toLong
+    val n1 = tf.values.count(_ == 1L).toLong
+    val nr = tf.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    for ((r, nR, nR1, rStar, tok, voc, p0, sing) <- rows) {
+      assert(nR == nr.getOrElse(r, 0L), s"N_$r")
+      assert(nR1 == nr.getOrElse(r + 1, 0L), s"N_${r + 1}")
+      rStar match {
+        case Some(v) =>
+          assert(nR > 0 && v == 1000000L * (r + 1) * nR1 / nR, s"r*_$r")
+        case None => assert(nR == 0L, s"null r* only when N_$r = 0")
+      }
+      assert(tok == nTok && voc == nVoc)
+      assert(p0 == 1000L * n1 / nTok)
+      assert(sing == 1000L * n1 / nVoc)
+    }
+    // Turing discount: singletons re-estimate BELOW their raw count
+    val r1 = rows.head
+    assert(r1._2 > 0L && r1._4.exists(_ < 1000000L),
+      "r*(1) must discount below 1 on a live Zipf tail")
+  }
 }
