@@ -359,13 +359,232 @@ object KneserNey {
        |LEFT JOIN nr b ON b.r = g.r + 1
        |CROSS JOIN tot ORDER BY g.r""".stripMargin
 
+  // ------------------------------------------------ q250 Katz backoff
+  /** Katz's discount cutoff: counts above k keep their raw value
+    * (Katz 1987 §2 — "large counts are reliable"). */
+  private val KatzK = 5L
+  /** round(10⁶·ln 10⁶) — the quantization constant the discounted
+    * probabilities divide through. */
+  private val LnMegaMicro: Long = math.round(1e6 * math.log(1e6))
+
+  /** q250: Katz backoff TRIGRAM scoring (Katz, IEEE TASSP 1987) — the
+    * third LM rung, CONSUMING q249's Good-Turing table the way the
+    * paper composes them. The model trains on the 80 % hash slice and
+    * SCORES the held-out 20 % (the q217/q222 split discipline), at the
+    * TRIGRAM order — both choices MEASURED: in-corpus bigram scoring
+    * left every event 'seen' and the backoff machinery dead code (the
+    * 31-word vocabulary saturates bigrams), while held-out trigrams
+    * read ~56 % seen / ~44 % backoff. Seen trigrams take the
+    * GT-discounted probability c*(uvw)/c(uv·) with
+    * c* = (r+1)·N_{r+1}/N_r for r ≤ [[KatzK]] (raw above the cutoff,
+    * and raw when the N_r table is locally empty — the standard
+    * practical fallback, applied IDENTICALLY in both engines); unseen
+    * trigrams under a seen context take the leftover mass
+    * β(uv) = 1 − Σ_seen c* / c(uv·) times the bigram conditional
+    * P_ml(w\|v); an unseen CONTEXT backs off to the bigram conditional
+    * outright.
+    *
+    * The exact lift: c* quantizes ONCE to micro units
+    * (c*_micro = (10⁶·(r+1)·N_{r+1}) div N_r — integer, the q249 row),
+    * β_num(uv) = 10⁶·c(uv·) − Σ c*_micro is a per-context BIGINT, and
+    * log-probs are micro-nat roundings of INTEGER arguments:
+    * seen lp = L(c*_micro) − L(c(uv·)) − L(10⁶); backoff lp =
+    * L(β_num) − L(10⁶·c(uv·)) + L(c(vw)) − L(c(v·)); context-unseen
+    * lp = L(c(vw)) − L(c(v·)). Events with no finite log (unseen
+    * bigram; β = 0) are COUNTED as OOV, never floor-fudged — the q222
+    * accounting. Per doc: n_seen/n_backoff/n_oov, the exact micro-nat
+    * sum, and the q212-style keep flag by integer cross-multiplication.
+    *
+    * Scale shape: trigram/bigram model tables from the train partition
+    * of one corpus scan (type-bounded), the ≤ (k+1)-row GT table
+    * broadcast, scoring joins shuffled on the trigram key; the
+    * overflow frontier (10⁶-scaled products) carries a loud assert. */
+  def q250_katz_backoff(s: SparkSession, dir: String): DataFrame = {
+    val toksAll = docToks(s, dir)
+      .withColumn("bucket",
+        pmod(graft.rel.JoinCard.splitmix64(col("doc_id")), lit(100L)))
+    val train = toksAll.filter(col("bucket") < 80)
+    val triExpr = "transform(sequence(1, size(t)-2), i -> struct(" +
+      "element_at(t,i) AS w1, element_at(t,i+1) AS w2, " +
+      "element_at(t,i+2) AS w3))"
+    val tri = toksAll.filter(col("bucket") >= 80)
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(triExpr)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"),
+        col("b.w3").as("w3"))
+    val trainTri = train.filter(size(col("t")) >= 3)
+      .select(explode(expr(triExpr)).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"),
+        col("b.w3").as("w3"))
+    val tric = trainTri.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val ctx = tric.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c3")).as("cv"))
+    // bigram conditional model for the backoff leg
+    val bic = train.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t)-1), i -> struct(element_at(t,i) AS w2, element_at(t,i+1) AS w3))"))
+        .as("b"))
+      .select(col("b.w2").as("w2"), col("b.w3").as("w3"))
+      .groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("cb"))
+    val biv = bic.groupBy(col("w2")).agg(sum(col("cb")).as("cbv"))
+    val nr = tric.filter(col("c3") <= KatzK + 1)
+      .groupBy(col("c3").as("r")).agg(count(lit(1)).as("n_r"))
+    // c*_micro per seen trigram: GT-discount r ≤ k when the local
+    // table supports it, raw otherwise — broadcast ≤ k+1 rows
+    val cstar = tric
+      .join(broadcast(nr), col("c3") === col("r"), "left_outer")
+      .drop("r")
+      .join(broadcast(nr.select((col("r") - 1).as("c3"),
+        col("n_r").as("n_r1"))), Seq("c3"), "left_outer")
+      .filter(coalesce(assert_true(
+        expr(s"coalesce(n_r1, 0L) <= ((${Long.MaxValue}L div 1000000L) " +
+          s"div (c3 + 1))"),
+        lit("Katz c* product would overflow BIGINT: move the GT " +
+          "micros to DECIMAL(38,0) at this corpus scale")), lit(true)))
+      .withColumn("cstar_micro",
+        when(col("c3") <= KatzK && coalesce(col("n_r"), lit(0L)) > 0L &&
+          coalesce(col("n_r1"), lit(0L)) > 0L,
+          expr("(1000000 * (c3 + 1) * n_r1) div n_r"))
+          .otherwise(col("c3") * 1000000L))
+      .select(col("w1"), col("w2"), col("w3"), col("cstar_micro"))
+    val beta = cstar.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("cstar_micro")).as("sum_cstar"))
+      .join(ctx, Seq("w1", "w2"))
+      .filter(coalesce(assert_true(
+        expr(s"cv <= (${Long.MaxValue}L div 1000000L)"),
+        lit("Katz beta base 1e6*c(uv.) would overflow BIGINT: swap to " +
+          "DECIMAL(38,0) at this corpus scale")), lit(true)))
+      .withColumn("beta_num", col("cv") * 1000000L - col("sum_cstar"))
+      .select(col("w1"), col("w2"), col("cv"), col("beta_num"))
+    def lm(x: String) = s"CAST(round(1000000.0 * ln($x)) AS BIGINT)"
+    val scored = tri
+      .join(cstar, Seq("w1", "w2", "w3"), "left_outer")
+      .join(broadcast(beta), Seq("w1", "w2"), "left_outer")
+      .join(broadcast(bic), Seq("w2", "w3"), "left_outer")
+      .join(broadcast(biv), Seq("w2"), "left_outer")
+      .withColumn("mode",
+        when(col("cstar_micro").isNotNull, "seen")
+          .when(col("cv").isNotNull && col("beta_num") > 0L &&
+            coalesce(col("cb"), lit(0L)) > 0L, "backoff")
+          .when(col("cv").isNull && coalesce(col("cb"), lit(0L)) > 0L,
+            "bigram")
+          .otherwise("oov"))
+      .withColumn("lp",
+        when(col("mode") === "seen",
+          expr(s"${lm("cstar_micro")} - ${lm("cv")} - $LnMegaMicro"))
+          .when(col("mode") === "backoff",
+            expr(s"${lm("beta_num")} - ${lm("cv * 1000000")} + " +
+              s"${lm("cb")} - ${lm("cbv")}"))
+          .when(col("mode") === "bigram",
+            expr(s"${lm("cb")} - ${lm("cbv")}"))
+          .otherwise(lit(0L)))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("mode") === "seen", 1L).otherwise(0L)).as("n_seen"),
+        sum(when(col("mode").isin("backoff", "bigram"), 1L)
+          .otherwise(0L)).as("n_backoff"),
+        sum(when(col("mode") === "oov", 1L).otherwise(0L)).as("n_oov"),
+        sum(col("lp")).as("sum_lp_micro"))
+      .withColumn("keep",
+        lit(2L) * col("sum_lp_micro") >=
+          lit(-19000000L) * (col("n_trigrams") - col("n_oov")))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val katzOracle: String = {
+    def lm(x: String) = s"CAST(round(1000000.0 * ln($x)) AS BIGINT)"
+    val z1 = "(z + 11400714819323198485) % 18446744073709551616"
+    val m2 = mulmodSql("x1", BigInt("13787848793156543929"))
+    val m3 = mulmodSql("x2", BigInt("10723151780598845931"))
+    s"""WITH d0 AS (SELECT doc_id, $DToks AS t,
+       |    CAST(doc_id AS HUGEINT) AS z FROM documents),
+       |s1 AS (SELECT doc_id, t, $z1 AS z1 FROM d0),
+       |s2 AS (SELECT doc_id, t, xor(z1, z1 // 1073741824) AS x1 FROM s1),
+       |s3 AS (SELECT doc_id, t, $m2 AS z2 FROM s2),
+       |s4 AS (SELECT doc_id, t, xor(z2, z2 // 134217728) AS x2 FROM s3),
+       |s5 AS (SELECT doc_id, t, $m3 AS z3 FROM s4),
+       |s6 AS (SELECT doc_id, t, xor(z3, z3 // 2147483648) AS m FROM s5),
+       |sp AS (SELECT doc_id, t,
+       |    (((CASE WHEN m >= 9223372036854775808
+       |      THEN m - 18446744073709551616 ELSE m END) % 100) + 100)
+       |      % 100 < 80 AS is_train
+       |  FROM s6),
+       |tri AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+       |  FROM sp, unnest(range(1, len(t) - 1)) AS u(i)
+       |  WHERE len(t) >= 3 AND NOT is_train),
+       |ttri AS (SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+       |  FROM sp, unnest(range(1, len(t) - 1)) AS u(i)
+       |  WHERE len(t) >= 3 AND is_train),
+       |tric AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3
+       |  FROM ttri GROUP BY 1, 2, 3),
+       |ctx AS (SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS cv
+       |  FROM tric GROUP BY 1, 2),
+       |bic AS (SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS cb FROM
+       |  (SELECT t[i] AS w2, t[i+1] AS w3
+       |    FROM sp, unnest(range(1, len(t))) AS u(i)
+       |    WHERE len(t) >= 2 AND is_train) b GROUP BY 1, 2),
+       |biv AS (SELECT w2, CAST(SUM(cb) AS BIGINT) AS cbv FROM bic
+       |  GROUP BY 1),
+       |nr AS (SELECT c3 AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+       |  FROM tric WHERE c3 <= ${KatzK + 1} GROUP BY 1),
+       |cstar AS (SELECT tc.w1, tc.w2, tc.w3,
+       |    CASE WHEN tc.c3 <= $KatzK AND COALESCE(a.n_r, 0) > 0
+       |        AND COALESCE(b2.n_r, 0) > 0
+       |      THEN (1000000 * (tc.c3 + 1) * b2.n_r) // a.n_r
+       |      ELSE tc.c3 * 1000000 END AS cstar_micro
+       |  FROM tric tc LEFT JOIN nr a ON a.r = tc.c3
+       |  LEFT JOIN nr b2 ON b2.r = tc.c3 + 1),
+       |beta AS (SELECT c.w1, c.w2, ctx.cv,
+       |    ctx.cv * 1000000 - SUM(c.cstar_micro) AS beta_num
+       |  FROM cstar c JOIN ctx ON ctx.w1 = c.w1 AND ctx.w2 = c.w2
+       |  GROUP BY 1, 2, 3),
+       |sc AS (SELECT tri.doc_id,
+       |    CASE WHEN cs.cstar_micro IS NOT NULL THEN 'seen'
+       |      WHEN bt.cv IS NOT NULL AND bt.beta_num > 0
+       |        AND COALESCE(bg.cb, 0) > 0 THEN 'backoff'
+       |      WHEN bt.cv IS NULL AND COALESCE(bg.cb, 0) > 0
+       |        THEN 'bigram'
+       |      ELSE 'oov' END AS mode,
+       |    cs.cstar_micro, bt.cv, bt.beta_num, bg.cb, bv.cbv
+       |  FROM tri
+       |  LEFT JOIN cstar cs ON cs.w1 = tri.w1 AND cs.w2 = tri.w2
+       |    AND cs.w3 = tri.w3
+       |  LEFT JOIN beta bt ON bt.w1 = tri.w1 AND bt.w2 = tri.w2
+       |  LEFT JOIN bic bg ON bg.w2 = tri.w2 AND bg.w3 = tri.w3
+       |  LEFT JOIN biv bv ON bv.w2 = tri.w2),
+       |lp AS (SELECT doc_id, mode,
+       |    CASE mode
+       |      WHEN 'seen' THEN ${lm("cstar_micro")} - ${lm("cv")}
+       |        - $LnMegaMicro
+       |      WHEN 'backoff' THEN ${lm("beta_num")}
+       |        - ${lm("cv * 1000000")} + ${lm("cb")} - ${lm("cbv")}
+       |      WHEN 'bigram' THEN ${lm("cb")} - ${lm("cbv")}
+       |      ELSE 0 END AS lp
+       |  FROM sc),
+       |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       |    CAST(SUM(CASE WHEN mode = 'seen' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_seen,
+       |    CAST(SUM(CASE WHEN mode IN ('backoff', 'bigram') THEN 1
+       |      ELSE 0 END) AS BIGINT) AS n_backoff,
+       |    CAST(SUM(CASE WHEN mode = 'oov' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_oov,
+       |    CAST(SUM(lp) AS BIGINT) AS sum_lp_micro
+       |  FROM lp GROUP BY 1)
+       |SELECT doc_id, n_trigrams, n_seen, n_backoff, n_oov, sum_lp_micro,
+       |  (2 * sum_lp_micro >= -19000000 * (n_trigrams - n_oov)) AS keep
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q212_kneser_ney" -> (q212_kneser_ney _),
     "q222_kn_holdout" -> (q222_kn_holdout _),
-    "q249_good_turing" -> (q249_good_turing _))
+    "q249_good_turing" -> (q249_good_turing _),
+    "q250_katz_backoff" -> (q250_katz_backoff _))
 
   val oracle: Map[String, String] = Map(
     "q212_kneser_ney" -> knOracle,
     "q222_kn_holdout" -> holdoutOracle,
-    "q249_good_turing" -> gtOracle)
+    "q249_good_turing" -> gtOracle,
+    "q250_katz_backoff" -> katzOracle)
 }

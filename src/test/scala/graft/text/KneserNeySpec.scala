@@ -181,4 +181,80 @@ class KneserNeySpec extends AnyFunSuite {
     assert(r1._2 > 0L && r1._4.exists(_ < 1000000L),
       "r*(1) must discount below 1 on a live Zipf tail")
   }
+
+  test("q250 Katz: full driver replay (split, GT discounts, beta, " +
+    "per-mode log-probs)") {
+    val rows = KneserNey.q250_katz_backoff(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    def smix(v: Long): Long = {
+      var z = v + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.split(" ").filter(_.nonEmpty).toSeq))
+    def bucket(id: Long): Long = ((smix(id) % 100) + 100) % 100
+    val train = docs.filter(d => bucket(d._1) < 80)
+    val hold = docs.filter(d => bucket(d._1) >= 80)
+    val tric = train.flatMap(_._2.sliding(3).filter(_.size == 3))
+      .map(t => (t(0), t(1), t(2))).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val ctx = tric.groupBy { case ((a, b, _), _) => (a, b) }.view
+      .mapValues(_.values.sum).toMap
+    val bic = train.flatMap(_._2.sliding(2).filter(_.size == 2))
+      .map(t => (t(0), t(1))).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val biv = bic.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nr = tric.values.filter(_ <= 6L).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    def cstarMicro(c3: Long): Long =
+      if (c3 <= 5L && nr.getOrElse(c3, 0L) > 0L &&
+        nr.getOrElse(c3 + 1, 0L) > 0L)
+        1000000L * (c3 + 1) * nr(c3 + 1) / nr(c3)
+      else c3 * 1000000L
+    val sumCstar = tric.toSeq.groupBy(k => (k._1._1, k._1._2))
+      .view.mapValues(_.map { case (_, c3) => cstarMicro(c3) }.sum).toMap
+    def lmx(x: Long): Long = math.round(1e6 * math.log(x.toDouble))
+    val lnMega = math.round(1e6 * math.log(1e6))
+    val got = rows.map(r => r._1 -> r).toMap
+    assert(got.keySet == hold.filter(_._2.size >= 3).map(_._1).toSet)
+    var seenTot = 0L
+    var backTot = 0L
+    for ((docId, toks) <- hold.filter(_._2.size >= 3)) {
+      var (nT, nS, nB, nO, sum) = (0L, 0L, 0L, 0L, 0L)
+      toks.sliding(3).filter(_.size == 3).foreach { t =>
+        val key = (t(0), t(1), t(2))
+        val cKey = (t(0), t(1))
+        val bKey = (t(1), t(2))
+        nT += 1
+        if (tric.contains(key)) {
+          nS += 1
+          sum += lmx(cstarMicro(tric(key))) - lmx(ctx(cKey)) - lnMega
+        } else if (ctx.contains(cKey) &&
+          ctx(cKey) * 1000000L - sumCstar(cKey) > 0L &&
+          bic.getOrElse(bKey, 0L) > 0L) {
+          nB += 1
+          sum += lmx(ctx(cKey) * 1000000L - sumCstar(cKey)) -
+            lmx(ctx(cKey) * 1000000L) + lmx(bic(bKey)) -
+            lmx(biv(bKey._1))
+        } else if (!ctx.contains(cKey) && bic.getOrElse(bKey, 0L) > 0L) {
+          nB += 1
+          sum += lmx(bic(bKey)) - lmx(biv(bKey._1))
+        } else nO += 1
+      }
+      val (_, gT, gS, gB, gO, gSum, gKeep) = got(docId)
+      assert(gT == nT && gS == nS && gB == nB && gO == nO,
+        s"mode counts doc $docId")
+      assert(gSum == sum, s"lp sum doc $docId")
+      assert(gKeep == (2L * sum >= -19000000L * (nT - nO)))
+      seenTot += nS; backTot += nB
+    }
+    // the holdout must exercise BOTH legs (the reason for the split)
+    assert(seenTot > 0L && backTot > 0L, "both modes must fire")
+  }
 }
