@@ -1137,7 +1137,91 @@ object Behavior {
        |  s.state, dv.dday AS decision_day, dv.decision
        |FROM st s CROSS JOIN dv ORDER BY s.day""".stripMargin
 
+  // ------------------------------------------- q251 Mann-Kendall trend
+  /** q251: the Mann-Kendall trend test (Mann 1945; Kendall's S
+    * statistic with the tie-corrected variance, the standard
+    * environmental/SRE monotone-trend monitor) on the filled daily
+    * event-count series — the NONPARAMETRIC member of the monitoring
+    * family: q214 locates a level shift, q248 decides between two
+    * rates, MK asks "is there a monotone trend at all" with no
+    * distributional assumption. S = Σ_{i<j} sgn(x_j − x_i) over all
+    * day pairs; Var(S) = [n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)]/18.
+    *
+    * Exact arithmetic: S and the 18-scaled variance are exact BIGINTs
+    * (the tie term from one value-group aggregate); the normal
+    * approximation's significance test z = (\|S\|−1)/√Var > 1.96
+    * squares into ONE integer cross-multiplication
+    * 10⁴·18·(\|S\|−1)² > 38416·var18 — no sqrt, no float (the q234
+    * move). The day-pair join is horizon² — day-grid algebra at any
+    * corpus volume.
+    *
+    * Scale: one map-side day aggregate; pairs are (horizon days)² —
+    * thousands of days → ≤ 10⁷ pair rows, catalog-class; everything
+    * else is a value-group rollup. */
+  def q251_mann_kendall(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(expr("ts_us div 86400000000L").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+    val filled = daily
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left_outer")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val pairs = filled.alias("a").join(filled.alias("b"),
+        col("a.day") < col("b.day"))
+      .select(signum(col("b.c") - col("a.c")).cast("long").as("sg"))
+    val sStat = pairs.agg(sum(col("sg")).as("s_stat"),
+      count(lit(1)).as("n_pairs"))
+    val ties = filled.groupBy(col("c")).agg(count(lit(1)).as("t"))
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie18"),
+        sum(col("t")).as("n_days"))
+    sStat.crossJoin(broadcast(ties))
+      .withColumn("var18",
+        expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie18"))
+      .select(col("n_days"), col("n_pairs"), col("s_stat"), col("var18"),
+        expr("(1000 * s_stat) div greatest(n_pairs, 1L)")
+          .as("s_permille"),
+        when(col("s_stat") > 0, "increasing")
+          .when(col("s_stat") < 0, "decreasing").otherwise("none")
+          .as("trend"),
+        // z² > 1.96² with z = (|S|−1)/sqrt(var18/18):
+        // 18·10⁴·(|S|−1)² > 38416·var18, exact integers
+        (col("s_stat") =!= 0L &&
+          expr("180000 * (abs(s_stat) - 1) * (abs(s_stat) - 1) " +
+            "> 38416 * var18")).as("significant"))
+  }
+
+  private lazy val mkOracle: String =
+    s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+       |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+       |grid AS (SELECT CAST(unnest(range(d0, d1 + 1)) AS BIGINT) AS day
+       |  FROM b),
+       |f AS (SELECT g.day, COALESCE(d.c, 0) AS c
+       |  FROM grid g LEFT JOIN daily d USING (day)),
+       |p AS (SELECT CAST(SUM(CASE WHEN y.c > x.c THEN 1
+       |      WHEN y.c < x.c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat,
+       |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |  FROM f x JOIN f y ON x.day < y.day),
+       |t AS (SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+       |      AS tie18,
+       |    CAST(SUM(t) AS BIGINT) AS n_days
+       |  FROM (SELECT c, CAST(COUNT(*) AS BIGINT) AS t FROM f
+       |    GROUP BY c) g)
+       |SELECT t.n_days, p.n_pairs, p.s_stat,
+       |  t.n_days * (t.n_days - 1) * (2 * t.n_days + 5) - t.tie18
+       |    AS var18,
+       |  (1000 * p.s_stat) // GREATEST(p.n_pairs, 1) AS s_permille,
+       |  CASE WHEN p.s_stat > 0 THEN 'increasing'
+       |    WHEN p.s_stat < 0 THEN 'decreasing' ELSE 'none' END AS trend,
+       |  p.s_stat <> 0 AND 180000 * (abs(p.s_stat) - 1) *
+       |    (abs(p.s_stat) - 1) > 38416 *
+       |    (t.n_days * (t.n_days - 1) * (2 * t.n_days + 5) - t.tie18)
+       |    AS significant
+       |FROM p CROSS JOIN t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q251_mann_kendall" -> (q251_mann_kendall _),
     "q248_sprt" -> (q248_sprt _),
     "q240_acf" -> (q240_acf _),
     "q220_seasonal_decompose" -> (q220_seasonal_decompose _),
@@ -1156,6 +1240,7 @@ object Behavior {
     "q196_revenue_concentration" -> (q196_revenue_concentration _))
 
   val oracle: Map[String, String] = Map(
+    "q251_mann_kendall" -> mkOracle,
     "q248_sprt" -> sprtOracle,
     "q240_acf" -> acfOracle,
     "q220_seasonal_decompose" -> seasonalOracle,

@@ -886,7 +886,116 @@ object Budget {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // --------------------------------------------- q252 rendezvous shards
+  private val HrwShards = 8
+
+  /** q252: rendezvous (highest-random-weight) sharding audit (Thaler &
+    * Ravishankar, IEEE/ACM ToN 1998 — the consistent-placement scheme
+    * behind cache arrays and object stores): each document lands on
+    * argmax_s h(doc, s) over per-(doc, shard) hashes, and growing the
+    * cluster from S to S+1 shards can ONLY steal documents for the NEW
+    * shard — the minimal-disruption guarantee mod-sharding lacks
+    * (q218's epoch reshuffle MOVES ~(S−1)/S of the corpus by design;
+    * this is the placement that moves ~1/(S+1)). Both properties gate:
+    * `guarantee_ok` (every mover lands on the new shard — structural,
+    * exact) and the measured moved permille beside its 1000/(S+1)
+    * expectation. Hashes are splitmix64(doc_id·16 + s) — seed-disjoint
+    * per (doc, shard) because s < 16 — replayed in DuckDB through the
+    * HUGEINT limb chain with the signed-conversion discipline, and the
+    * argmax is max(struct(h, s)): one deterministic lexicographic
+    * comparison in both engines.
+    *
+    * Scale: a 9× map-side explode, one groupBy(doc) max — no joins, no
+    * driver state; per-shard rollup output. */
+  def q252_rendezvous_shards(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(s, dir).select(col("doc_id"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), lit(HrwShards.toLong))).as("sh"))
+      .withColumn("h", graft.rel.JoinCard.splitmix64(
+        col("doc_id") * 16L + col("sh")))
+    val assign = g.groupBy(col("doc_id"))
+      .agg(
+        max(when(col("sh") < HrwShards, struct(col("h"), col("sh"))))
+          .as("m8"),
+        max(struct(col("h"), col("sh"))).as("m9"))
+      .select(col("doc_id"), col("m8.sh").as("a_old"),
+        col("m9.sh").as("a_new"))
+      .withColumn("moved", col("a_old") =!= col("a_new"))
+    val tot = assign.agg(count(lit(1)).as("n_docs"),
+      sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"),
+      min(when(col("moved"), col("a_new") === HrwShards.toLong))
+        .as("g_ok"))
+    assign.groupBy(col("a_new").as("shard"))
+      .agg(sum(when(col("a_old") === col("a_new"), 1L).otherwise(0L))
+        .as("n_stay"),
+        sum(when(col("moved"), 1L).otherwise(0L)).as("n_arrived"))
+      .join(assign.groupBy(col("a_old").as("shard"))
+        .agg(count(lit(1)).as("n_old")), Seq("shard"), "full_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("shard"), coalesce(col("n_old"), lit(0L)).as("n_old"),
+        (coalesce(col("n_stay"), lit(0L)) +
+          coalesce(col("n_arrived"), lit(0L))).as("n_new"),
+        coalesce(col("n_arrived"), lit(0L)).as("n_arrived"),
+        col("n_docs"), col("n_moved"),
+        expr("(1000 * n_moved) div n_docs").as("moved_permille"),
+        lit(1000L / (HrwShards + 1)).as("expected_permille"),
+        coalesce(col("g_ok"), lit(true)).as("guarantee_ok"))
+      .orderBy(col("shard"))
+  }
+
+  private lazy val hrwOracle: String = {
+    val z1 = "(z + 11400714819323198485) % 18446744073709551616"
+    val m2 = mulmodSql("x1", BigInt("13787848793156543929"))
+    val m3 = mulmodSql("x2", BigInt("10723151780598845931"))
+    s"""WITH ds AS (SELECT doc_id, CAST(sh AS BIGINT) AS sh,
+       |    CAST(CAST(doc_id AS HUGEINT) * 16 + sh AS HUGEINT)
+       |      % 18446744073709551616 AS z
+       |  FROM documents, unnest(range(0, ${HrwShards + 1})) AS u(sh)),
+       |s1 AS (SELECT doc_id, sh, $z1 AS z1 FROM ds),
+       |s2 AS (SELECT doc_id, sh, xor(z1, z1 // 1073741824) AS x1 FROM s1),
+       |s3 AS (SELECT doc_id, sh, $m2 AS z2 FROM s2),
+       |s4 AS (SELECT doc_id, sh, xor(z2, z2 // 134217728) AS x2 FROM s3),
+       |s5 AS (SELECT doc_id, sh, $m3 AS z3 FROM s4),
+       |s6 AS (SELECT doc_id, sh,
+       |    CAST(CASE WHEN m >= 9223372036854775808
+       |      THEN m - 18446744073709551616 ELSE m END AS BIGINT) AS h
+       |  FROM (SELECT doc_id, sh, xor(z3, z3 // 2147483648) AS m
+       |    FROM s5) t),
+       |asg AS (SELECT doc_id,
+       |    (MAX(CASE WHEN sh < $HrwShards
+       |      THEN struct_pack(h := h, sh := sh) END)).sh AS a_old,
+       |    (MAX(struct_pack(h := h, sh := sh))).sh AS a_new
+       |  FROM s6 GROUP BY doc_id),
+       |mv AS (SELECT doc_id, a_old, a_new, a_old <> a_new AS moved
+       |  FROM asg),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN moved THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_moved,
+       |    COALESCE(MIN(CASE WHEN moved THEN a_new = $HrwShards END),
+       |      TRUE) AS g_ok
+       |  FROM mv),
+       |nw AS (SELECT a_new AS shard,
+       |    CAST(SUM(CASE WHEN a_old = a_new THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_stay,
+       |    CAST(SUM(CASE WHEN moved THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_arrived
+       |  FROM mv GROUP BY 1),
+       |od AS (SELECT a_old AS shard, CAST(COUNT(*) AS BIGINT) AS n_old
+       |  FROM mv GROUP BY 1)
+       |SELECT COALESCE(nw.shard, od.shard) AS shard,
+       |  COALESCE(od.n_old, 0) AS n_old,
+       |  COALESCE(nw.n_stay, 0) + COALESCE(nw.n_arrived, 0) AS n_new,
+       |  COALESCE(nw.n_arrived, 0) AS n_arrived,
+       |  tot.n_docs, tot.n_moved,
+       |  (1000 * tot.n_moved) // tot.n_docs AS moved_permille,
+       |  CAST(${1000L / (HrwShards + 1)} AS BIGINT) AS expected_permille,
+       |  tot.g_ok AS guarantee_ok
+       |FROM nw FULL OUTER JOIN od ON nw.shard = od.shard
+       |CROSS JOIN tot ORDER BY shard""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q252_rendezvous_shards" -> (q252_rendezvous_shards _),
     "q217_split_manifest" -> (q217_split_manifest _),
     "q218_epoch_shuffle" -> (q218_epoch_shuffle _),
     "q182_weighted_reservoir" -> (q182_weighted_reservoir _),
@@ -899,6 +1008,7 @@ object Budget {
     "q164_neyman_allocation" -> (q164_neyman_allocation _))
 
   val oracle: Map[String, String] = Map(
+    "q252_rendezvous_shards" -> hrwOracle,
     "q217_split_manifest" -> splitOracle,
     "q218_epoch_shuffle" -> shuffleOracle,
     "q182_weighted_reservoir" -> reservoirOracle,

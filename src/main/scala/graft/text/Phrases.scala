@@ -523,7 +523,92 @@ object Phrases {
        |SELECT a, b, n_ab, c_a, k_b, ppmi_micro FROM sc
        |ORDER BY ppmi_micro DESC, a, b LIMIT 20""".stripMargin
 
+  // -------------------------------------------- q253 Dunning G² pairs
+  /** q253: log-likelihood-ratio collocations (Dunning, CL 1993 —
+    * "Accurate methods for the statistics of surprise and
+    * coincidence", THE collocation significance test): for each
+    * adjacent bigram, G² = 2·Σ_cells c·ln(c·N/(r·s)) over the 2×2
+    * contingency of (first word = a) × (second word = b) across all N
+    * bigram positions. Dunning's point vs PMI (q221): the LLR is valid
+    * at SMALL counts where PMI explodes on singletons — which is
+    * exactly why both belong in the phrase-mining toolbox. The
+    * integer lift is q245's: every cell contributes
+    * 2·c·(L(c·N) − L(r·s)) with L the micro-nat rounding of INTEGER
+    * products (empty cells the exact 0 limit), so the statistic is
+    * N·quantized and exactly summable; support floor c(ab) ≥ 5,
+    * top-20 by statistic.
+    *
+    * Scale shape: one bigram aggregate (map-side combine), marginals
+    * broadcast (vocabulary-sized), per-pair 2×2 algebra, bounded
+    * heap; the N ≤ 3.04·10⁹ frontier carries the loud assert. */
+  def q253_dunning_collocations(s: SparkSession, dir: String)
+      : DataFrame = {
+    val bi = docToks(s, dir).filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t)-1), i -> struct(element_at(t,i) AS a, element_at(t,i+1) AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val bic = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c11"))
+    val ra = bic.groupBy(col("a")).agg(sum(col("c11")).as("ca"))
+    val cb = bic.groupBy(col("b")).agg(sum(col("c11")).as("cbn"))
+    val tot = bic.agg(sum(col("c11")).as("nn"))
+    def lmx(x: String) = s"CAST(round(1000000.0 * ln($x)) AS BIGINT)"
+    def cell(c: String, r: String, cs: String) =
+      s"CASE WHEN $c > 0 THEN $c * (${lmx(s"($c) * nn")} - " +
+        s"${lmx(s"($r) * ($cs)")}) ELSE 0 END"
+    bic.filter(col("c11") >= 5L)
+      .join(broadcast(ra), Seq("a"))
+      .join(broadcast(cb), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .filter(coalesce(assert_true(
+        expr("nn <= 3037000499L"),
+        lit("G2 cell product c*N would overflow BIGINT: move the " +
+          "micro-nat arguments to DECIMAL(38,0) at this corpus scale")),
+        lit(true)))
+      .selectExpr("a", "b", "c11", "ca", "cbn", "nn",
+        s"""2 * (${cell("c11", "ca", "cbn")} +
+           |${cell("(ca - c11)", "ca", "(nn - cbn)")} +
+           |${cell("(cbn - c11)", "(nn - ca)", "cbn")} +
+           |${cell("(nn - ca - cbn + c11)", "(nn - ca)", "(nn - cbn)")})
+           |AS g2_unat""".stripMargin.replace('\n', ' '))
+      .select(col("a"), col("b"), col("c11").as("n_pair"),
+        col("ca").as("n_first"), col("cbn").as("n_second"),
+        col("g2_unat"),
+        expr("g2_unat div nn").as("g2_micro"))
+      .orderBy(col("g2_unat").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  private lazy val dunningOracle: String = {
+    def lmx(x: String) = s"CAST(round(1000000.0 * ln($x)) AS BIGINT)"
+    def cell(c: String, r: String, cs: String) =
+      s"CASE WHEN $c > 0 THEN $c * (${lmx(s"($c) * nn")} - " +
+        s"${lmx(s"($r) * ($cs)")}) ELSE 0 END"
+    s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
+       |bi AS (SELECT t[i] AS a, t[i+1] AS b
+       |  FROM toks, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+       |bic AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c11
+       |  FROM bi GROUP BY 1, 2),
+       |ra AS (SELECT a, CAST(SUM(c11) AS BIGINT) AS ca FROM bic
+       |  GROUP BY 1),
+       |cbt AS (SELECT b, CAST(SUM(c11) AS BIGINT) AS cbn FROM bic
+       |  GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c11) AS BIGINT) AS nn FROM bic),
+       |g AS (SELECT bic.a, bic.b, bic.c11, ra.ca, cbt.cbn, tot.nn,
+       |    2 * (${cell("c11", "ca", "cbn")} +
+       |    ${cell("(ca - c11)", "ca", "(nn - cbn)")} +
+       |    ${cell("(cbn - c11)", "(nn - ca)", "cbn")} +
+       |    ${cell("(nn - ca - cbn + c11)", "(nn - ca)", "(nn - cbn)")})
+       |      AS g2_unat
+       |  FROM bic JOIN ra USING (a) JOIN cbt USING (b) CROSS JOIN tot
+       |  WHERE bic.c11 >= 5)
+       |SELECT a, b, c11 AS n_pair, ca AS n_first, cbn AS n_second,
+       |  g2_unat, g2_unat // nn AS g2_micro
+       |FROM g ORDER BY g2_unat DESC, a, b LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q253_dunning_collocations" -> (q253_dunning_collocations _),
     "q221_ppmi_pairs" -> (q221_ppmi_pairs _),
     "q211_distinctive_terms" -> (q211_distinctive_terms _),
     "q161_phrase_mining" -> (q161_phrase_mining _),
@@ -568,6 +653,7 @@ object Phrases {
   }
 
   val oracle: Map[String, String] = Map(
+    "q253_dunning_collocations" -> dunningOracle,
     "q221_ppmi_pairs" -> ppmiOracle,
     "q211_distinctive_terms" -> distinctiveOracle,
     "q161_phrase_mining" -> miningOracle,

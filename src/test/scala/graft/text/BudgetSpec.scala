@@ -318,4 +318,41 @@ class BudgetSpec extends AnyFunSuite {
     assert(later.map(_._7).sum * 2 < later.map(_._3).sum,
       "a real reshuffle keeps well under half the docs in place")
   }
+
+  test("q252 rendezvous: driver replay of the HRW argmax; minimal-" +
+    "disruption guarantee; balance") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Budget.q252_rendezvous_shards(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getBoolean(8))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L to 8L))
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    def assignment(id: Long, nShards: Int): Long =
+      (0 until nShards).maxBy(sh => (sm64(id * 16 + sh), sh)).toLong
+    val moves = ids.map { id =>
+      (id, assignment(id, 8), assignment(id, 9))
+    }
+    val nMoved = moves.count(m => m._2 != m._3).toLong
+    // the HRW guarantee, re-derived independently: every mover's new
+    // winner IS the new shard (its hash won; nothing else changed)
+    moves.filter(m => m._2 != m._3)
+      .foreach(m => assert(m._3 == 8L, s"doc ${m._1} moved to ${m._3}"))
+    for ((shard, nOld, nNew, nArr, nDocs, gMoved, permille, exp, ok)
+        <- rows) {
+      assert(nDocs == ids.length.toLong)
+      assert(gMoved == nMoved)
+      assert(nOld == moves.count(_._2 == shard).toLong, s"old $shard")
+      assert(nNew == moves.count(_._3 == shard).toLong, s"new $shard")
+      assert(nArr == moves.count(m => m._2 != m._3 && m._3 == shard)
+        .toLong, s"arrived $shard")
+      assert(permille == 1000L * nMoved / nDocs)
+      assert(exp == 111L)
+      assert(ok)
+    }
+    // moved fraction within 3x of 1/(S+1) even on the small corpus
+    assert(nMoved * 3 >= ids.length / 9 &&
+      nMoved <= ids.length, "moved mass sane")
+  }
 }

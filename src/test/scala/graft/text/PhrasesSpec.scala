@@ -177,4 +177,51 @@ class PhrasesSpec extends AnyFunSuite {
     got.foreach { case (a, _, _, cA, _, _) => assert(cA == kb(a)) }
     assert(got.forall(_._6 >= 0L))
   }
+
+  test("q253 Dunning G2: 2x2 cell replay; float-LLR agreement; " +
+    "positive on top collocations") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Phrases.q253_dunning_collocations(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect()
+      .map(_.getString(0).trim.split(" ").filter(_.nonEmpty).toSeq)
+    val bis = docs.filter(_.size >= 2)
+      .flatMap(t => t.zip(t.drop(1)))
+    val bic = bis.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ra = bic.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cbm = bic.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val nn = bis.length.toLong
+    def lmx(x: Long): Long = math.round(1e6 * math.log(x.toDouble))
+    def cell(c: Long, r: Long, cs: Long): Long =
+      if (c > 0) c * (lmx(c * nn) - lmx(r * cs)) else 0L
+    for ((a, b, c11, ca, cb, g2, g2micro) <- rows) {
+      assert(c11 == bic((a, b)) && ca == ra(a) && cb == cbm(b))
+      val exp = 2L * (cell(c11, ca, cb) +
+        cell(ca - c11, ca, nn - cb) +
+        cell(cb - c11, nn - ca, cb) +
+        cell(nn - ca - cb + c11, nn - ca, nn - cb))
+      assert(g2 == exp, s"G2 of ($a,$b)")
+      assert(g2micro == g2 / nn)
+      // float LLR agreement within quantization
+      val cells = Seq((c11, ca, cb), (ca - c11, ca, nn - cb),
+        (cb - c11, nn - ca, cb), (nn - ca - cb + c11, nn - ca, nn - cb))
+      val floatG2 = 2.0 * cells.map { case (c, r, cs) =>
+        if (c == 0) 0.0
+        else c.toDouble * math.log(c.toDouble * nn / (r.toDouble * cs))
+      }.sum
+      assert(math.abs(g2.toDouble / 1e6 - floatG2) < 1.0,
+        s"float agreement ($a,$b): ${g2 / 1e6} vs $floatG2")
+    }
+    // the top collocation is genuinely associated (positive LLR)
+    assert(rows.head._6 > 0L)
+    // descending order with (a, b) tiebreak
+    rows.sliding(2).foreach {
+      case Array(x, y) => assert(x._6 > y._6 ||
+        (x._6 == y._6 && (x._1 < y._1 || (x._1 == y._1 && x._2 <= y._2))))
+      case _ => ()
+    }
+  }
 }
