@@ -196,10 +196,107 @@ object Cluster {
        |      i -> (xu[i]-c[i])*(xu[i]-c[i]))) AS BIGINT) * $K + cid) AS packed
        |  FROM e CROSS JOIN c$Rounds GROUP BY vec_id, xu)""".stripMargin
 
+  // --------------------------------------------- q254 Davies-Bouldin
+  /** q254: Davies-Bouldin cluster-validity index (Davies & Bouldin,
+    * IEEE TPAMI 1979) over the q178 integer k-means fit — the
+    * clustering EVAL the family lacked: q179 reports inertia (how
+    * tight), DB reads tightness AGAINST separation — for each cluster,
+    * R_i = max_{j≠i} (S_i + S_j)/M_ij, and the index is the mean R.
+    * Computed at the paper's (p=1, q=1) Minkowski parameterization so
+    * every quantity is EXACT: S_j is the L1 scatter sum a_j/n_j (kept
+    * as a rational), M_ij the L1 centroid distance, and
+    * R_micro = (10⁶·(a_i·n_j + a_j·n_i)) div (n_i·n_j·M_ij) — one
+    * DECIMAL(38,0) expression (the cross-products are corpus²-shaped).
+    * The per-cluster argmax runs on the quantized R (max(struct(R,−j)),
+    * min-j ties) and DB_micro = Σ R_max div k — quantize-before-
+    * aggregate, the house discipline.
+    *
+    * Scale shape: one assignment pass + a members×dims explode with
+    * map-side combine into K rows; everything after is K²·d catalog
+    * algebra. */
+  def q254_davies_bouldin(s: SparkSession, dir: String): DataFrame = {
+    val e = microEmb(s, dir)
+    val cent = kmeans(s, dir)
+    val centD = cent.select(col("cid"), posexplode(col("c")))
+      .select(col("cid"), col("pos").as("i"), col("col").as("cu"))
+    val mem = assign(e, cent)
+      .select(pmod(col("packed"), lit(K.toLong)).as("cid"), col("xu"))
+    val scat = mem.select(col("cid"), posexplode(col("xu")))
+      .toDF("cid", "i", "xi")
+      .join(broadcast(centD), Seq("cid", "i"))
+      .groupBy(col("cid"))
+      .agg(sum(abs(col("xi") - col("cu"))).as("a"),
+        (count(lit(1)) / Dims).cast("long").as("nm"))
+    val m = centD.alias("x")
+      .join(centD.alias("y"), col("x.i") === col("y.i"))
+      .filter(col("x.cid") =!= col("y.cid"))
+      .groupBy(col("x.cid").as("ci"), col("y.cid").as("cj"))
+      .agg(sum(abs(col("x.cu") - col("y.cu"))).as("mij"))
+    val r = m
+      .join(broadcast(scat.select(col("cid").as("ci"),
+        col("a").as("ai"), col("nm").as("ni"))), Seq("ci"))
+      .join(broadcast(scat.select(col("cid").as("cj"),
+        col("a").as("aj"), col("nm").as("nj"))), Seq("cj"))
+      .withColumn("r_micro", expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * " +
+          "(CAST(ai AS DECIMAL(38,0)) * nj + " +
+          "CAST(aj AS DECIMAL(38,0)) * ni)) div " +
+          "(CAST(ni AS DECIMAL(38,0)) * nj * greatest(mij, 1L)) " +
+          "AS BIGINT)"))
+    val per = r.groupBy(col("ci").as("cid"))
+      .agg(max(struct(col("r_micro"), (-col("cj")).as("nc"))).as("sel"))
+      .select(col("cid"), col("sel.r_micro").as("r_max_micro"),
+        (-col("sel.nc")).as("nearest_cid"))
+    val db = per.agg(
+      expr("sum(r_max_micro) div count(1)").as("db_micro"))
+    scat.join(per, Seq("cid"))
+      .crossJoin(broadcast(db))
+      .select(col("cid"), col("nm").as("n_members"),
+        col("a").as("scatter_l1"), col("nearest_cid"),
+        col("r_max_micro"), col("db_micro"))
+      .orderBy(col("cid"))
+  }
+
+  private lazy val dbOracle: String =
+    s"""WITH $kmeansCtes,
+       |$finalAssign,
+       |cd AS (SELECT cid, CAST(t.i AS BIGINT) AS i, c[t.i] AS cu
+       |  FROM c$Rounds CROSS JOIN range(1, ${Dims + 1}) t(i)),
+       |mem AS (SELECT fa.packed % $K AS cid, e.xu
+       |  FROM fa JOIN e USING (vec_id)),
+       |sc AS (SELECT m.cid,
+       |    CAST(SUM(abs(m.xu[t.i] - cd.cu)) AS BIGINT) AS a,
+       |    CAST(COUNT(*) // ${Dims} AS BIGINT) AS nm
+       |  FROM mem m CROSS JOIN range(1, ${Dims + 1}) t(i)
+       |  JOIN cd ON cd.cid = m.cid AND cd.i = t.i
+       |  GROUP BY 1),
+       |mm AS (SELECT x.cid AS ci, y.cid AS cj,
+       |    CAST(SUM(abs(x.cu - y.cu)) AS BIGINT) AS mij
+       |  FROM cd x JOIN cd y ON x.i = y.i AND x.cid <> y.cid
+       |  GROUP BY 1, 2),
+       |r AS (SELECT mm.ci, mm.cj,
+       |    CAST((1000000 * (CAST(si.a AS HUGEINT) * sj.nm +
+       |      CAST(sj.a AS HUGEINT) * si.nm)) //
+       |      (CAST(si.nm AS HUGEINT) * sj.nm * GREATEST(mm.mij, 1))
+       |      AS BIGINT) AS r_micro
+       |  FROM mm JOIN sc si ON si.cid = mm.ci
+       |  JOIN sc sj ON sj.cid = mm.cj),
+       |per AS (SELECT ci AS cid,
+       |    (MAX(struct_pack(r := r_micro, nc := -cj))).r AS r_max_micro,
+       |    -(MAX(struct_pack(r := r_micro, nc := -cj))).nc AS nearest_cid
+       |  FROM r GROUP BY 1),
+       |db AS (SELECT CAST(SUM(r_max_micro) // COUNT(*) AS BIGINT)
+       |    AS db_micro FROM per)
+       |SELECT sc.cid, sc.nm AS n_members, sc.a AS scatter_l1,
+       |  per.nearest_cid, per.r_max_micro, db.db_micro
+       |FROM sc JOIN per USING (cid) CROSS JOIN db ORDER BY sc.cid"""
+      .stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_kmeans_centroids" -> (q178_kmeans_centroids _),
     "q179_cluster_report" -> (q179_cluster_report _),
-    "q180_cluster_balanced_sample" -> (q180_cluster_balanced_sample _))
+    "q180_cluster_balanced_sample" -> (q180_cluster_balanced_sample _),
+    "q254_davies_bouldin" -> (q254_davies_bouldin _))
 
   val oracle: Map[String, String] = Map(
     "q178_kmeans_centroids" ->
@@ -221,5 +318,6 @@ object Cluster {
          |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
          |  FROM fa)
          |SELECT cid, vec_id FROM rk WHERE rk <= $SampleCap
-         |ORDER BY cid, vec_id""".stripMargin)
+         |ORDER BY cid, vec_id""".stripMargin,
+    "q254_davies_bouldin" -> dbOracle)
 }

@@ -87,4 +87,57 @@ class ClusterSpec extends AnyFunSuite {
     assert(inertia(fit) <= inertia(seeds),
       "fitted centroids can't be worse than the raw seeds")
   }
+
+  test("q254 Davies-Bouldin: R ratios replay from the fitted model; " +
+    "index is the mean of per-cluster maxima") {
+    val rows = Cluster.q254_davies_bouldin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    // rebuild (a, n, centroid) per cluster from the gated q178/q179
+    // surfaces + raw embeddings
+    val cent = Cluster.q178_kmeans_centroids(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toIndexedSeq)
+      .toMap
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(round(x * 1000000.0) AS LONG)) AS xu")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))
+    def l1(a: IndexedSeq[Long], b: IndexedSeq[Long]): Long =
+      a.zip(b).map { case (x, y) => math.abs(x - y) }.sum
+    def sq(a: IndexedSeq[Long], b: IndexedSeq[Long]): BigInt =
+      a.zip(b).map { case (x, y) => BigInt(x - y) * (x - y) }.sum
+    val assignments = embs.map { case (id, xu) =>
+      val cid = cent.keys.toSeq.sorted
+        .minBy(c => (sq(xu, cent(c)), c))
+      (id, cid, xu)
+    }
+    val byC = assignments.groupBy(_._2)
+    val scat = byC.map { case (c, ms) =>
+      c -> (ms.map(m => l1(m._3, cent(c))).sum, ms.length.toLong)
+    }
+    val cids = scat.keys.toSeq.sorted
+    val rExp = cids.map { i =>
+      val (ai, ni) = scat(i)
+      val cand = cids.filter(_ != i).map { j =>
+        val (aj, nj) = scat(j)
+        val mij = math.max(l1(cent(i), cent(j)), 1L)
+        val r = (BigInt(1000000) * (BigInt(ai) * nj + BigInt(aj) * ni) /
+          (BigInt(ni) * nj * mij)).toLong
+        (r, j)
+      }
+      val best = cand.maxBy { case (r, j) => (r, -j) }
+      i -> best
+    }.toMap
+    val dbExp = rExp.values.map(_._1).sum / cids.length
+    for ((cid, nm, a, nearest, rMax, db) <- rows) {
+      assert(nm == scat(cid)._2, s"members $cid")
+      assert(a == scat(cid)._1, s"scatter $cid")
+      assert(rMax == rExp(cid)._1, s"R max $cid")
+      assert(nearest == rExp(cid)._2, s"nearest $cid")
+      assert(db == dbExp)
+    }
+  }
 }
