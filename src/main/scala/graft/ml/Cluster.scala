@@ -292,11 +292,95 @@ object Cluster {
        |FROM sc JOIN per USING (cid) CROSS JOIN db ORDER BY sc.cid"""
       .stripMargin
 
+  // ------------------------------------------ q256 Calinski-Harabasz
+  /** q256: the Calinski-Harabasz variance-ratio criterion (Calinski &
+    * Harabasz, Comm. in Statistics 1974 — sklearn's default k-picker)
+    * over the same q178 fit: CH = (SSB/(k−1)) / (SSW/(n−k)). Unlike
+    * silhouette or L2-Davies-Bouldin it needs NO square roots —
+    * between/within scatter are sums of SQUARED micro distances, so
+    * the whole criterion is exact: SSW is the assignment's packed
+    * inertia (q179's quantity), the grand mean quantizes through the
+    * centroid-update's own half-up division, SSB = Σ n_j·‖c_j − ḡ‖²
+    * is one K·d aggregate, and ch_micro = (10⁶·SSB·(n−k)) div
+    * (SSW·(k−1)) lives in DECIMAL(38,0) with the BIGINT output
+    * frontier asserted loudly. DB (q254) and CH read opposite
+    * conventions — lower-better vs higher-better — which is why eval
+    * suites ship both.
+    *
+    * Scale shape: one assignment pass + one vecs×dims map-side
+    * aggregate for the grand mean; SSB is K·d algebra. */
+  def q256_calinski_harabasz(s: SparkSession, dir: String): DataFrame = {
+    val e = microEmb(s, dir)
+    val cent = kmeans(s, dir)
+    val asg = assign(e, cent)
+    val ssw = asg.agg(
+      sum(expr(s"CAST(packed div $K AS DECIMAL(38,0))")).as("ssw_dec"),
+      count(lit(1)).as("nv"))
+    val gmean = e.select(posexplode(col("xu")))
+      .groupBy(col("pos").as("i"))
+      .agg(sum(col("col")).as("su"), count(lit(1)).as("n"))
+      .selectExpr("i", s"${fdivHalfUp("2*su + n", "2*n")} AS g")
+    val nPer = asg.select(pmod(col("packed"), lit(K.toLong)).as("cid"))
+      .groupBy(col("cid")).agg(count(lit(1)).as("nj"))
+    val ssb = cent.select(col("cid"), posexplode(col("c")))
+      .select(col("cid"), col("pos").as("i"), col("col").as("cu"))
+      .join(broadcast(gmean), Seq("i"))
+      .groupBy(col("cid"))
+      .agg(sum(expr(
+        "CAST(cu - g AS DECIMAL(38,0)) * (cu - g)")).as("d2"))
+      .join(nPer, Seq("cid"))
+      .agg(sum(expr("d2 * nj")).as("ssb_dec"),
+        count(lit(1)).as("k_used"))
+    ssw.crossJoin(broadcast(ssb))
+      .filter(coalesce(assert_true(
+        expr(s"ssw_dec <= CAST(${Long.MaxValue} AS DECIMAL(38,0)) " +
+          s"and ssb_dec <= CAST(${Long.MaxValue} AS DECIMAL(38,0))"),
+        lit("CH scatter sums leave BIGINT: report them in wider units " +
+          "at this corpus scale")), lit(true)))
+      .select(col("nv").as("n_vecs"), col("k_used"),
+        expr("CAST(ssw_dec AS BIGINT)").as("ssw"),
+        expr("CAST(ssb_dec AS BIGINT)").as("ssb"),
+        expr(s"CAST((CAST(1000000 AS DECIMAL(38,0)) * ssb_dec * " +
+          s"(nv - k_used)) div (greatest(ssw_dec, " +
+          s"CAST(1 AS DECIMAL(38,0))) * (k_used - 1)) AS BIGINT)")
+          .as("ch_micro"))
+  }
+
+  private lazy val chOracle: String =
+    s"""WITH $kmeansCtes,
+       |$finalAssign,
+       |ssw AS (SELECT SUM(CAST(packed // $K AS HUGEINT)) AS ssw_h,
+       |    CAST(COUNT(*) AS BIGINT) AS nv FROM fa),
+       |gm AS (SELECT t.i AS i,
+       |    ${fdivHalfUp("2*su + n", "2*n").replace(" div ", " // ")} AS g
+       |  FROM (SELECT t.i, CAST(SUM(xu[t.i]) AS BIGINT) AS su,
+       |      CAST(COUNT(*) AS BIGINT) AS n
+       |    FROM e CROSS JOIN range(1, ${Dims + 1}) t(i) GROUP BY t.i)
+       |    t),
+       |np AS (SELECT packed % $K AS cid, CAST(COUNT(*) AS BIGINT) AS nj
+       |  FROM fa GROUP BY 1),
+       |sb AS (SELECT SUM(d2 * nj) AS ssb_h,
+       |    CAST(COUNT(*) AS BIGINT) AS k_used
+       |  FROM (SELECT cd.cid,
+       |      SUM(CAST(cd.cu - gm.g AS HUGEINT) * (cd.cu - gm.g)) AS d2
+       |    FROM (SELECT cid, CAST(t.i AS BIGINT) AS i, c[t.i] AS cu
+       |      FROM c$Rounds CROSS JOIN range(1, ${Dims + 1}) t(i)) cd
+       |    JOIN gm ON gm.i = cd.i GROUP BY cd.cid) d
+       |  JOIN np USING (cid))
+       |SELECT ssw.nv AS n_vecs, sb.k_used,
+       |  CAST(ssw.ssw_h AS BIGINT) AS ssw,
+       |  CAST(sb.ssb_h AS BIGINT) AS ssb,
+       |  CAST((1000000 * sb.ssb_h * (ssw.nv - sb.k_used)) //
+       |    (GREATEST(ssw.ssw_h, 1) * (sb.k_used - 1)) AS BIGINT)
+       |    AS ch_micro
+       |FROM ssw CROSS JOIN sb""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_kmeans_centroids" -> (q178_kmeans_centroids _),
     "q179_cluster_report" -> (q179_cluster_report _),
     "q180_cluster_balanced_sample" -> (q180_cluster_balanced_sample _),
-    "q254_davies_bouldin" -> (q254_davies_bouldin _))
+    "q254_davies_bouldin" -> (q254_davies_bouldin _),
+    "q256_calinski_harabasz" -> (q256_calinski_harabasz _))
 
   val oracle: Map[String, String] = Map(
     "q178_kmeans_centroids" ->
@@ -319,5 +403,6 @@ object Cluster {
          |  FROM fa)
          |SELECT cid, vec_id FROM rk WHERE rk <= $SampleCap
          |ORDER BY cid, vec_id""".stripMargin,
-    "q254_davies_bouldin" -> dbOracle)
+    "q254_davies_bouldin" -> dbOracle,
+    "q256_calinski_harabasz" -> chOracle)
 }

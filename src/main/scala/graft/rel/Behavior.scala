@@ -1220,7 +1220,129 @@ object Behavior {
        |    AS significant
        |FROM p CROSS JOIN t""".stripMargin
 
+  // --------------------------------------------- q255 bootstrap CI
+  private val BootReps = 1000L
+
+  /** q255: nonparametric bootstrap confidence interval (Efron, Annals
+    * of Statistics 1979; percentile method) for the mean daily event
+    * count — the uncertainty statement the point estimates upstream
+    * (q209's traffic profile, q232's forecasts) lack. Resampling is
+    * DETERMINISTIC: replicate b draws day index
+    * pmod(splitmix64(b·100003 + i), n) for i = 1..n (the q218 seeding
+    * discipline), so both engines materialize the IDENTICAL [[BootReps]]
+    * resamples; replicate means quantize to milli (floor), the CI
+    * bounds are exact order statistics of the 1000 sorted means (ranks
+    * 25 and 976 — the 2.5 %/97.5 % percentile indices), and the
+    * replicate variance numerator B·Σm² − (Σm)² is one exact
+    * cross-multiplication.
+    *
+    * Scale shape: the day grid is horizon-sized; the resample explode
+    * is B·n rows (30k here, B·horizon at lake — catalog-class), one
+    * shuffle keyed on replicate. */
+  def q255_bootstrap_ci(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(expr("ts_us div 86400000000L").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+    val filled = daily
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left_outer")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("i", row_number()
+        .over(Window.orderBy(col("day"))).cast("long") - 1)
+    val tot = filled.agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+    val draws = s.range(0, BootReps).select(col("id").as("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("b"), col("n"),
+        explode(sequence(lit(1L), col("n"))).as("i0"))
+      .withColumn("idx", pmod(JoinCard.splitmix64(
+        col("b") * 100003L + col("i0")), col("n")))
+    val reps = draws
+      .join(filled.select(col("i").as("idx"), col("c")), Seq("idx"))
+      .groupBy(col("b"), col("n"))
+      .agg(sum(col("c")).as("rep_sum"))
+      .withColumn("m_milli", expr("(1000 * rep_sum) div n"))
+    val stats = reps.agg(
+      sum(col("m_milli")).as("sum_m"),
+      sum(expr("CAST(m_milli AS DECIMAL(38,0)) * m_milli")).as("sum_m2"))
+    val ranked = reps
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("m_milli"), col("b"))).cast("long"))
+    val bounds = ranked.agg(
+      max(when(col("rk") === 25L, col("m_milli"))).as("ci_lo_milli"),
+      max(when(col("rk") === 976L, col("m_milli"))).as("ci_hi_milli"))
+    tot.crossJoin(broadcast(stats)).crossJoin(broadcast(bounds))
+      .select(col("n").as("n_days"), lit(BootReps).as("b_reps"),
+        expr("(1000 * s) div n").as("mean_milli"),
+        col("ci_lo_milli"), col("ci_hi_milli"),
+        expr(s"CAST((CAST($BootReps AS DECIMAL(38,0)) * sum_m2 - " +
+          "CAST(sum_m AS DECIMAL(38,0)) * sum_m) div " +
+          s"(CAST($BootReps AS DECIMAL(38,0)) * ${BootReps - 1}) " +
+          "AS BIGINT)").as("var_milli2"))
+  }
+
+  private lazy val bootOracle: String = {
+    val z1 = "(z + 11400714819323198485) % 18446744073709551616"
+    def mulmod(x: String, c: BigInt): String = {
+      val base = BigInt(4294967296L)
+      val lo = c % base
+      val hi = c / base
+      s"((($x % 4294967296) * $lo + " +
+        s"((($x % 4294967296) * $hi + ($x // 4294967296) * $lo) % 4294967296)" +
+        s" * 4294967296) % 18446744073709551616)"
+    }
+    val m2 = mulmod("x1", BigInt("13787848793156543929"))
+    val m3 = mulmod("x2", BigInt("10723151780598845931"))
+    s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+       |bnd AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+       |grid AS (SELECT CAST(unnest(range(d0, d1 + 1)) AS BIGINT) AS day
+       |  FROM bnd),
+       |f AS (SELECT g.day, COALESCE(d.c, 0) AS c,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY g.day) AS BIGINT) - 1 AS i
+       |  FROM grid g LEFT JOIN daily d USING (day)),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(c) AS BIGINT) AS s FROM f),
+       |dr AS (SELECT CAST(b.b AS BIGINT) AS b, tot.n,
+       |    CAST(CAST(b.b AS HUGEINT) * 100003 + i0.i0 AS HUGEINT)
+       |      % 18446744073709551616 AS z
+       |  FROM (SELECT unnest(range(0, $BootReps)) AS b) b
+       |  CROSS JOIN tot,
+       |  unnest(range(1, tot.n + 1)) AS i0(i0)),
+       |s1 AS (SELECT b, n, $z1 AS z1 FROM dr),
+       |s2 AS (SELECT b, n, xor(z1, z1 // 1073741824) AS x1 FROM s1),
+       |s3 AS (SELECT b, n, $m2 AS z2 FROM s2),
+       |s4 AS (SELECT b, n, xor(z2, z2 // 134217728) AS x2 FROM s3),
+       |s5 AS (SELECT b, n, $m3 AS z3 FROM s4),
+       |s6 AS (SELECT b, n,
+       |    CAST(CASE WHEN m >= 9223372036854775808
+       |      THEN m - 18446744073709551616 ELSE m END AS BIGINT) AS h
+       |  FROM (SELECT b, n, xor(z3, z3 // 2147483648) AS m FROM s5) t),
+       |dx AS (SELECT b, n, ((h % n) + n) % n AS idx FROM s6),
+       |reps AS (SELECT dx.b, dx.n,
+       |    CAST(SUM(f.c) AS BIGINT) AS rep_sum
+       |  FROM dx JOIN f ON f.i = dx.idx GROUP BY 1, 2),
+       |ms AS (SELECT b, (1000 * rep_sum) // n AS m_milli FROM reps),
+       |st AS (SELECT CAST(SUM(m_milli) AS HUGEINT) AS sum_m,
+       |    SUM(CAST(m_milli AS HUGEINT) * m_milli) AS sum_m2 FROM ms),
+       |rk AS (SELECT m_milli,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY m_milli, b) AS BIGINT) AS rk
+       |  FROM ms),
+       |ci AS (SELECT
+       |    MAX(CASE WHEN rk = 25 THEN m_milli END) AS ci_lo_milli,
+       |    MAX(CASE WHEN rk = 976 THEN m_milli END) AS ci_hi_milli
+       |  FROM rk)
+       |SELECT tot.n AS n_days, CAST($BootReps AS BIGINT) AS b_reps,
+       |  (1000 * tot.s) // tot.n AS mean_milli,
+       |  ci.ci_lo_milli, ci.ci_hi_milli,
+       |  CAST(($BootReps * st.sum_m2 - st.sum_m * st.sum_m) //
+       |    (CAST($BootReps AS HUGEINT) * ${BootReps - 1}) AS BIGINT)
+       |    AS var_milli2
+       |FROM tot CROSS JOIN st CROSS JOIN ci""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q255_bootstrap_ci" -> (q255_bootstrap_ci _),
     "q251_mann_kendall" -> (q251_mann_kendall _),
     "q248_sprt" -> (q248_sprt _),
     "q240_acf" -> (q240_acf _),
@@ -1240,6 +1362,7 @@ object Behavior {
     "q196_revenue_concentration" -> (q196_revenue_concentration _))
 
   val oracle: Map[String, String] = Map(
+    "q255_bootstrap_ci" -> bootOracle,
     "q251_mann_kendall" -> mkOracle,
     "q248_sprt" -> sprtOracle,
     "q240_acf" -> acfOracle,

@@ -140,4 +140,45 @@ class ClusterSpec extends AnyFunSuite {
       assert(db == dbExp)
     }
   }
+
+  test("q256 Calinski-Harabasz: SSW/SSB replay; ratio arithmetic; " +
+    "variance decomposition sanity") {
+    val r = Cluster.q256_calinski_harabasz(spark, sf).collect().head
+    val (nv, k, ssw, ssb, ch) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    val cent = Cluster.q178_kmeans_centroids(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toIndexedSeq)
+      .toMap
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(round(x * 1000000.0) AS LONG)) AS xu")
+      .collect().map(x => x.getSeq[Long](1).toIndexedSeq)
+    assert(nv == embs.length.toLong)
+    def sq(a: IndexedSeq[Long], b: IndexedSeq[Long]): BigInt =
+      a.zip(b).map { case (x, y) => BigInt(x - y) * (x - y) }.sum
+    val asg = embs.map { xu =>
+      val cid = cent.keys.toSeq.sorted.minBy(c => (sq(xu, cent(c)), c))
+      (cid, xu)
+    }
+    val sswExp = asg.map { case (c, xu) => sq(xu, cent(c)) }.sum
+    assert(BigInt(ssw) == sswExp, "SSW")
+    val n = embs.length.toLong
+    val dims = embs.head.length
+    val gm = (0 until dims).map { i =>
+      val su = embs.map(_(i)).sum
+      val a = 2 * su + n
+      val b = 2 * n
+      (a - (((a % b) + b) % b)) / b
+    }
+    val nj = asg.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ssbExp = nj.keys.map { c =>
+      BigInt(nj(c)) * sq(cent(c), gm)
+    }.sum
+    assert(BigInt(ssb) == ssbExp, "SSB")
+    assert(k == nj.size.toLong)
+    assert(BigInt(ch) ==
+      BigInt(1000000) * ssbExp * (n - k) / (sswExp.max(BigInt(1)) * (k - 1)))
+    assert(ch > 0L)
+  }
 }
