@@ -1341,7 +1341,95 @@ object Behavior {
        |FROM tot CROSS JOIN st CROSS JOIN ci""".stripMargin
   }
 
+  // ------------------------------------------- q258 Theil-Sen slope
+  /** q258: the Theil-Sen slope estimator (Theil 1950; Sen, JASA 1968)
+    * on the filled daily series — the robust trend MAGNITUDE that
+    * pairs with q251's Mann-Kendall direction test (the standard
+    * MK+Sen monitoring duo: MK says whether, Sen says how much, both
+    * immune to outliers that wreck least squares). The slope is the
+    * MEDIAN of all pairwise slopes (x_j − x_i)/(j − i); each slope
+    * quantizes ONCE to milli units by truncating division (identical
+    * in both engines — the r16 `div`↔`//` measurement), and the median
+    * of the quantized values is an exact order statistic (lower median
+    * at even counts, the deterministic choice). The q240/q251 day-grid
+    * shape: horizon² pairs, catalog-class forever.
+    *
+    * Output rides one row: the Sen slope, the pair count, the
+    * least-squares slope in the SAME milli quantization for contrast
+    * (β̂ = (n·Σiy − Σi·Σy)/(n·Σi² − (Σi)²) — exact integers,
+    * DECIMAL-guarded), and the min/max pairwise slopes. */
+  def q258_theil_sen(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(expr("ts_us div 86400000000L").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+    val filled = daily
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left_outer")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("i", row_number()
+        .over(Window.orderBy(col("day"))).cast("long"))
+    val slopes = filled.alias("a").join(filled.alias("b"),
+        col("a.i") < col("b.i"))
+      .select(expr("(1000 * (b.c - a.c)) div (b.i - a.i)")
+        .as("s_milli"))
+    val ranked = slopes.withColumn("rk", row_number()
+      .over(Window.orderBy(col("s_milli"))).cast("long"))
+    val med = ranked.agg(count(lit(1)).as("n_pairs"),
+      min(col("s_milli")).as("min_slope"),
+      max(col("s_milli")).as("max_slope"))
+      .crossJoin(broadcast(ranked.select(col("rk"), col("s_milli"))))
+      .filter(col("rk") === expr("(n_pairs + 1) div 2"))
+      .select(col("n_pairs"), col("s_milli").as("sen_slope_milli"),
+        col("min_slope"), col("max_slope"))
+    val ls = filled.agg(count(lit(1)).as("n"),
+      sum(col("i")).as("si"), sum(col("c")).as("sy"),
+      sum(expr("CAST(i AS DECIMAL(38,0)) * c")).as("siy"),
+      sum(expr("CAST(i AS DECIMAL(38,0)) * i")).as("si2"))
+      .select(expr(
+        "CAST((CAST(1000 AS DECIMAL(38,0)) * (n * siy - " +
+          "CAST(si AS DECIMAL(38,0)) * sy)) div " +
+          "(CAST(n AS DECIMAL(38,0)) * si2 - " +
+          "CAST(si AS DECIMAL(38,0)) * si) AS BIGINT)")
+        .as("ls_slope_milli"))
+    med.crossJoin(broadcast(ls))
+      .select(col("n_pairs"), col("sen_slope_milli"),
+        col("ls_slope_milli"), col("min_slope"), col("max_slope"))
+  }
+
+  private lazy val senOracle: String =
+    s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+       |bnd AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+       |grid AS (SELECT CAST(unnest(range(d0, d1 + 1)) AS BIGINT) AS day
+       |  FROM bnd),
+       |f AS (SELECT g.day, COALESCE(d.c, 0) AS c,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY g.day) AS BIGINT) AS i
+       |  FROM grid g LEFT JOIN daily d USING (day)),
+       |sl AS (SELECT (1000 * (b.c - a.c)) // (b.i - a.i) AS s_milli
+       |  FROM f a JOIN f b ON a.i < b.i),
+       |rk AS (SELECT s_milli,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY s_milli) AS BIGINT) AS rk
+       |  FROM sl),
+       |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |    CAST(MIN(s_milli) AS BIGINT) AS min_slope,
+       |    CAST(MAX(s_milli) AS BIGINT) AS max_slope FROM sl),
+       |md AS (SELECT ag.n_pairs, rk.s_milli AS sen_slope_milli,
+       |    ag.min_slope, ag.max_slope
+       |  FROM ag JOIN rk ON rk.rk = (ag.n_pairs + 1) // 2),
+       |ls AS (SELECT CAST((1000 * (n * siy - si * sy)) //
+       |    (n * si2 - si * si) AS BIGINT) AS ls_slope_milli
+       |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |      CAST(SUM(i) AS HUGEINT) AS si,
+       |      CAST(SUM(c) AS HUGEINT) AS sy,
+       |      SUM(CAST(i AS HUGEINT) * c) AS siy,
+       |      SUM(CAST(i AS HUGEINT) * i) AS si2 FROM f) t)
+       |SELECT md.n_pairs, md.sen_slope_milli, ls.ls_slope_milli,
+       |  md.min_slope, md.max_slope
+       |FROM md CROSS JOIN ls""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q258_theil_sen" -> (q258_theil_sen _),
     "q255_bootstrap_ci" -> (q255_bootstrap_ci _),
     "q251_mann_kendall" -> (q251_mann_kendall _),
     "q248_sprt" -> (q248_sprt _),
@@ -1362,6 +1450,7 @@ object Behavior {
     "q196_revenue_concentration" -> (q196_revenue_concentration _))
 
   val oracle: Map[String, String] = Map(
+    "q258_theil_sen" -> senOracle,
     "q255_bootstrap_ci" -> bootOracle,
     "q251_mann_kendall" -> mkOracle,
     "q248_sprt" -> sprtOracle,

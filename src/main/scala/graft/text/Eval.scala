@@ -958,7 +958,85 @@ object Eval {
        |FROM st ORDER BY stat_unat DESC, term LIMIT 20""".stripMargin
   }
 
+  // ------------------------------------------------- q257 McNemar
+  /** q257: McNemar's test (McNemar, Psychometrika 1947 — the PAIRED
+    * classifier comparison; Dietterich 1998 established it as the
+    * right test for "is classifier A actually better than B on the
+    * same data") between the two EXACT keep rules the corpus ships:
+    * the q87 rule classifier and the q68 bigram-LM filter
+    * (avg_logprob ≥ −3.5, q70's f_lm rule), judged against the q87b
+    * label on their common domain. Marginal accuracies mislead when
+    * errors overlap; McNemar reads only the DISCORDANT pairs — b =
+    * rules-only-correct, c = LM-only-correct — and the continuity-
+    * corrected χ² = (\|b−c\|−1)²/(b+c) squares into the exact integer
+    * comparison 10⁴·(\|b−c\|−1)² > 38416·(b+c) (95 %, the q234/q251
+    * move). Both inputs are oracle-exact (q68's rounded score is
+    * hash-gated), so every cell is engine-identical.
+    *
+    * Scale shape: two per-doc scoring chains (each already
+    * corpus-linear with map-side combine) joined on doc_id, one 2×2
+    * rollup — the output is ONE row. */
+  def q257_mcnemar(s: SparkSession, dir: String): DataFrame = {
+    val rules = CorpusFilters.q87_quality_classifier(s, dir)
+      .select(col("doc_id"), col("keep").as("p_rules"))
+    val lm = CorpusFilters.q68_bigram_lm(s, dir)
+      .select(col("doc_id"),
+        (col("avg_logprob") >= -3.5).as("p_lm"))
+    val lab = CorpusFilters.qualityLabels(s, dir)
+      .select(col("doc_id"), col("label"))
+    rules.join(lm, "doc_id").join(lab, "doc_id")
+      .select((col("p_rules") === col("label")).as("ok_r"),
+        (col("p_lm") === col("label")).as("ok_l"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ok_r") && col("ok_l"), 1L).otherwise(0L))
+          .as("both_correct"),
+        sum(when(!col("ok_r") && !col("ok_l"), 1L).otherwise(0L))
+          .as("both_wrong"),
+        sum(when(col("ok_r") && !col("ok_l"), 1L).otherwise(0L))
+          .as("rules_only"),
+        sum(when(!col("ok_r") && col("ok_l"), 1L).otherwise(0L))
+          .as("lm_only"))
+      .select(col("n_docs"), col("both_correct"), col("both_wrong"),
+        col("rules_only"), col("lm_only"),
+        expr("(1000 * (both_correct + rules_only)) div n_docs")
+          .as("acc_rules_permille"),
+        expr("(1000 * (both_correct + lm_only)) div n_docs")
+          .as("acc_lm_permille"),
+        expr("rules_only + lm_only > 0 AND " +
+          "10000 * (abs(rules_only - lm_only) - 1) * " +
+          "(abs(rules_only - lm_only) - 1) > " +
+          "38416 * (rules_only + lm_only)").as("significant"))
+  }
+
+  private lazy val mcnemarOracle: String =
+    s"""WITH $PredLabCtes,
+       |lm AS (SELECT doc_id, avg_logprob >= -3.5 AS p_lm
+       |  FROM (${CorpusFilters.oracle("q68_bigram_lm")})),
+       |cells AS (SELECT p.keep = l.label AS ok_r,
+       |    lm.p_lm = l.label AS ok_l
+       |  FROM pred p JOIN lm USING (doc_id) JOIN lab l USING (doc_id)),
+       |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN ok_r AND ok_l THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS both_correct,
+       |    CAST(SUM(CASE WHEN NOT ok_r AND NOT ok_l THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS both_wrong,
+       |    CAST(SUM(CASE WHEN ok_r AND NOT ok_l THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS rules_only,
+       |    CAST(SUM(CASE WHEN NOT ok_r AND ok_l THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS lm_only
+       |  FROM cells)
+       |SELECT n_docs, both_correct, both_wrong, rules_only, lm_only,
+       |  (1000 * (both_correct + rules_only)) // n_docs
+       |    AS acc_rules_permille,
+       |  (1000 * (both_correct + lm_only)) // n_docs AS acc_lm_permille,
+       |  rules_only + lm_only > 0 AND
+       |    10000 * (abs(rules_only - lm_only) - 1) *
+       |    (abs(rules_only - lm_only) - 1) >
+       |    38416 * (rules_only + lm_only) AS significant
+       |FROM ag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q257_mcnemar" -> (q257_mcnemar _),
     "q245_token_mi" -> (q245_token_mi _),
     "q210_trimmed_stats" -> (q210_trimmed_stats _),
     "q187_signal_correlation" -> (q187_signal_correlation _),
@@ -975,6 +1053,7 @@ object Eval {
     "q177_calibration_bins" -> (q177_calibration_bins _))
 
   val oracle: Map[String, String] = Map(
+    "q257_mcnemar" -> mcnemarOracle,
     "q245_token_mi" -> q245Oracle,
     "q210_trimmed_stats" -> trimmedOracle,
     "q183_quality_fusion" -> q183Oracle,

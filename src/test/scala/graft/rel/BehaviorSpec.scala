@@ -482,4 +482,35 @@ class BehaviorSpec extends AnyFunSuite {
     // zone midpoint, so this corpus must accept H1
     assert(decided.exists(_._2 == "accept_h1"), "corpus should accept H1")
   }
+
+  test("q258 Theil-Sen: pairwise-slope median replays; robust vs LS " +
+    "on the same grid") {
+    val sf = "/root/testdata/sf0.01"
+    val r = Behavior.q258_theil_sen(spark, sf).collect().head
+    val (nPairs, sen, ls, mn, mx) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    val days = graft.Tables.events(spark, sf)
+      .selectExpr("ts_us div 86400000000L AS day").collect()
+      .map(_.getLong(0))
+    val byDay = days.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    val xs = (days.min to days.max).map(d => byDay.getOrElse(d, 0L))
+    val n = xs.length
+    def tdiv(a: Long, b: Long): Long = a / b // truncation, both engines
+    val slopes = (for {
+      i <- 0 until n; j <- (i + 1) until n
+    } yield tdiv(1000L * (xs(j) - xs(i)), (j - i).toLong)).sorted
+    assert(nPairs == slopes.length.toLong)
+    assert(sen == slopes(((slopes.length + 1) / 2) - 1), "lower median")
+    assert(mn == slopes.head && mx == slopes.last)
+    val si = (1L to n.toLong).sum
+    val sy = xs.sum
+    val siy = xs.zipWithIndex.map { case (y, i0) =>
+      BigInt(i0 + 1) * y
+    }.sum
+    val si2 = (1L to n.toLong).map(i => BigInt(i) * i).sum
+    val expLs = (BigInt(1000) * (BigInt(n) * siy - BigInt(si) * sy) /
+      (BigInt(n) * si2 - BigInt(si) * si)).toLong
+    assert(ls == expLs, "least-squares twin")
+  }
 }

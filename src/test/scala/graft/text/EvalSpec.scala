@@ -360,4 +360,22 @@ class EvalSpec extends AnyFunSuite {
       case _ => ()
     }
   }
+
+  test("q257 McNemar: cells partition; statistic replays; float-chi2 " +
+    "agreement on the continuity-corrected form") {
+    val r = Eval.q257_mcnemar(spark, sf).collect().head
+    val (n, bc, bw, b, c) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))
+    assert(bc + bw + b + c == n, "cells partition the joined docs")
+    assert(r.getLong(5) == 1000L * (bc + b) / n)
+    assert(r.getLong(6) == 1000L * (bc + c) / n)
+    val sig = r.getBoolean(7)
+    assert(sig == (b + c > 0 &&
+      10000L * (math.abs(b - c) - 1) * (math.abs(b - c) - 1) >
+        38416L * (b + c)), "integer form")
+    if (b + c > 0) {
+      val chi2 = math.pow(math.abs(b - c) - 1.0, 2) / (b + c).toDouble
+      assert(sig == (chi2 > 3.8416), "float equivalence")
+    }
+  }
 }
