@@ -1428,7 +1428,103 @@ object Behavior {
        |  md.min_slope, md.max_slope
        |FROM md CROSS JOIN ls""".stripMargin
 
+  // ------------------------------------------- q259 Mann-Whitney U
+  /** q259: the Mann-Whitney U / Wilcoxon rank-sum test (Mann-Whitney
+    * Ann. Math. Stat. 1947) comparing WEEKEND vs WEEKDAY daily event
+    * volumes — the two-sample nonparametric companion of q251's
+    * one-series trend test: "do weekend days come from a shifted
+    * distribution?", with no normality assumption. Cliff's delta
+    * (Cliff, Psych. Bull. 1993) rides the same row: the effect size
+    * the significance bit lacks, and an exact rational of the same
+    * rank sums (δ = (2U₁ − n₁n₂)/(n₁n₂)).
+    *
+    * Exact arithmetic: tie-average ranks are kept DOUBLED so they stay
+    * integers (a tie group spanning ranks lo..hi has doubled average
+    * rank lo+hi = 2·cum_below + t + 1); R₁ (doubled) comes from one
+    * value-group rollup, 2U₁ = 2R₁_doubled/... = R1d − n₁(n₁+1); the
+    * tie-corrected normal approximation z² > 1.96² squares into one
+    * cross-multiplication — with σ²_U = n₁n₂[n(n−1)(n+1) − Σ(t³−t)] /
+    * (12n(n−1)) and diff = 2U₁ − n₁n₂,
+    *   120000·n·(n−1)·diff² > 153664·n₁n₂·[n(n−1)(n+1) − Σ(t³−t)],
+    * computed in DECIMAL(38,0) (diff² alone passes 2⁶³ once the
+    * horizon passes ~55k days; the decimal holds to 10³⁸ — no
+    * knife-edge at any realistic horizon). Weekday decode is pure
+    * epoch-day algebra: dow = pmod(day+4, 7) (1970-01-01 = Thursday),
+    * weekend = {0, 6} — no timezone/date functions to diverge on.
+    *
+    * Scale: one map-side day aggregate; everything after is value-group
+    * algebra on the day grid (horizon-sized at any corpus volume). The
+    * one window is over distinct VALUES of the daily count — hundreds
+    * of rows; the q145 bucketed form is corpus-prefix machinery, not
+    * needed at grid scale. */
+  def q259_mann_whitney(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(expr("ts_us div 86400000000L").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+    val filled = daily
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left_outer")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("wkend",
+        when(pmod(col("day") + 4L, lit(7L)).isin(0L, 6L), 1L)
+          .otherwise(0L))
+    val grp = filled.groupBy(col("c"))
+      .agg(count(lit(1)).as("t"), sum(col("wkend")).as("t1"))
+      .withColumn("cum", coalesce(sum(col("t")).over(
+        Window.orderBy(col("c")).rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("dr", lit(2L) * col("cum") + col("t") + 1L)
+    val agg = grp.agg(
+      sum(col("t")).as("n"), sum(col("t1")).as("n1"),
+      sum(col("t1") * col("dr")).as("r1d"),
+      sum(expr("t * t * t - t")).as("tie3"))
+    agg
+      .withColumn("n2", col("n") - col("n1"))
+      .withColumn("u1_2x", col("r1d") - col("n1") * (col("n1") + 1L))
+      .withColumn("diff", col("u1_2x") - col("n1") * col("n2"))
+      .select(
+        col("n1").as("n_weekend"), col("n2").as("n_weekday"),
+        col("u1_2x"), col("tie3"),
+        expr("(1000 * diff) div greatest(n1 * n2, 1L)")
+          .as("cliffs_delta_milli"),
+        expr("CAST(120000 AS DECIMAL(38,0)) * n * (n - 1) * diff * diff" +
+          " > CAST(153664 AS DECIMAL(38,0)) * n1 * n2 * " +
+          "(n * (n - 1) * (n + 1) - tie3)").as("significant"))
+  }
+
+  private lazy val mwOracle: String =
+    s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+       |bnd AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+       |grid AS (SELECT CAST(unnest(range(d0, d1 + 1)) AS BIGINT) AS day
+       |  FROM bnd),
+       |f AS (SELECT g.day, COALESCE(d.c, 0) AS c,
+       |    CASE WHEN ((g.day + 4) % 7) IN (0, 6) THEN 1 ELSE 0 END
+       |      AS wkend
+       |  FROM grid g LEFT JOIN daily d USING (day)),
+       |grp AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS t,
+       |    CAST(SUM(wkend) AS BIGINT) AS t1 FROM f GROUP BY c),
+       |w AS (SELECT *, COALESCE(CAST(SUM(t) OVER (ORDER BY c
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS BIGINT), 0) AS cum FROM grp),
+       |dr AS (SELECT *, 2 * cum + t + 1 AS dr FROM w),
+       |ag AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+       |    CAST(SUM(t1) AS BIGINT) AS n1,
+       |    CAST(SUM(t1 * dr) AS BIGINT) AS r1d,
+       |    CAST(SUM(t * t * t - t) AS BIGINT) AS tie3 FROM dr),
+       |st AS (SELECT n, n1, n - n1 AS n2, tie3,
+       |    r1d - n1 * (n1 + 1) AS u1_2x FROM ag),
+       |d AS (SELECT *, u1_2x - n1 * n2 AS diff FROM st)
+       |SELECT n1 AS n_weekend, n2 AS n_weekday, u1_2x, tie3,
+       |  (1000 * diff) // GREATEST(n1 * n2, 1) AS cliffs_delta_milli,
+       |  CAST(120000 AS HUGEINT) * n * (n - 1) * diff * diff
+       |    > CAST(153664 AS HUGEINT) * n1 * n2 *
+       |      (n * (n - 1) * (n + 1) - tie3) AS significant
+       |FROM d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q259_mann_whitney" -> (q259_mann_whitney _),
     "q258_theil_sen" -> (q258_theil_sen _),
     "q255_bootstrap_ci" -> (q255_bootstrap_ci _),
     "q251_mann_kendall" -> (q251_mann_kendall _),
@@ -1450,6 +1546,7 @@ object Behavior {
     "q196_revenue_concentration" -> (q196_revenue_concentration _))
 
   val oracle: Map[String, String] = Map(
+    "q259_mann_whitney" -> mwOracle,
     "q258_theil_sen" -> senOracle,
     "q255_bootstrap_ci" -> bootOracle,
     "q251_mann_kendall" -> mkOracle,

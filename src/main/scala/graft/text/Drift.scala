@@ -262,14 +262,130 @@ object Drift {
        |JOIN st ON st.source = d.source
        |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------------- q260 Jensen-Shannon drift
+  /** q260: per-source Jensen-Shannon divergence (Lin, IEEE Trans. IT
+    * 1991), source vs rest-of-corpus, over the unigram token
+    * distribution — the symmetric, bounded (≤ ln 2) divergence that
+    * completes the drift family: q202's KS reads one scalar signal,
+    * q203's PSI reads 16 binned proportions, JSD reads the FULL
+    * vocabulary distribution (the mixture-design "how different is
+    * this source, distributionally" number a domain-weighting pass
+    * consumes; cf. DoReMi-style domain reweighting).
+    *
+    * Exactness: with a_i the source's count of term i (total A) and
+    * r_i the rest count (total R), the mixture ratio is a ratio of
+    * INTEGERS — p_i/m_i = 2·a_i·R / (a_i·R + r_i·A) — so per the house
+    * micro-nat rule each KL term is a_i·(L(2·a_i·R) − L(den_i)),
+    * L = round(10⁶·ln(integer)), quantized per-ln BEFORE summation.
+    * Terms absent from the source (a_i = 0 — the exact-limit class of
+    * q245) still carry rest mass r_i·(L(2·r_i·A) − L(r_i·A)); they
+    * enter through the sources×vocab grid, so S_q covers all of R.
+    *   jsd_micro = (R·S_p + A·S_q) div (2·A·R)
+    * computed in DECIMAL(38,0)/HUGEINT (R·S_p alone passes 2⁶³ once a
+    * source holds ~10⁶ tokens); the ln-argument products get the loud
+    * BIGINT assert naming the DECIMAL swap.
+    *
+    * Scale shape: one (source, term) aggregate off the fanned corpus
+    * pass; the grid is |sources|×|vocab| — Heaps-bounded catalog
+    * class; marginals broadcast (vocab-sized, the q211 shape). */
+  def q260_jsd_drift(s: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documentsFanned(s, dir)
+      .select(col("source"),
+        explode(Cleanse.tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("a"))
+    val gt = st.groupBy(col("term")).agg(sum(col("a")).as("g"))
+    val totals = st.groupBy(col("source")).agg(sum(col("a")).as("a_tot"))
+    val grand = gt.agg(sum(col("g")).as("g_tot"))
+    def lnMicro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(lit(1e6) * log(c.cast("double"))).cast("long")
+    val grid = totals.crossJoin(broadcast(gt))
+      .join(st, Seq("source", "term"), "left_outer")
+      .withColumn("a", coalesce(col("a"), lit(0L)))
+      .crossJoin(broadcast(grand))
+      .withColumn("r", col("g") - col("a"))
+      .withColumn("r_tot", col("g_tot") - col("a_tot"))
+      // ln arguments are 2·count·total products; past ~2⁶² they must
+      // move to DECIMAL(38,0) — fail loudly, not wrap
+      .filter(coalesce(assert_true(
+        expr(s"2 * greatest(a, r) <= (${Long.MaxValue}L div " +
+          "greatest(a_tot, greatest(r_tot, 1L)))"),
+        lit("JSD mixture products would overflow BIGINT: swap the " +
+          "ln arguments to DECIMAL(38,0) at this corpus scale")),
+        lit(true)))
+      .withColumn("den",
+        col("a") * col("r_tot") + col("r") * col("a_tot"))
+      .withColumn("sp_term", when(col("a") > 0,
+        col("a") * (lnMicro(lit(2L) * col("a") * col("r_tot")) -
+          lnMicro(col("den")))).otherwise(0L))
+      .withColumn("sq_term", when(col("r") > 0,
+        col("r") * (lnMicro(lit(2L) * col("r") * col("a_tot")) -
+          lnMicro(col("den")))).otherwise(0L))
+    grid.groupBy(col("source"))
+      .agg(max(col("a_tot")).as("n_tok"), max(col("r_tot")).as("n_rest"),
+        sum(when(col("a") > 0, 1L).otherwise(0L)).as("n_terms"),
+        sum(when(col("a") > 0 && col("r") > 0, 1L).otherwise(0L))
+          .as("shared_terms"),
+        sum(col("sp_term")).as("sp"), sum(col("sq_term")).as("sq"))
+      .select(col("source"), col("n_tok"), col("n_rest"),
+        col("n_terms"), col("shared_terms"),
+        expr("CAST((CAST(n_rest AS DECIMAL(38,0)) * sp + " +
+          "CAST(n_tok AS DECIMAL(38,0)) * sq) div " +
+          "(CAST(2 AS DECIMAL(38,0)) * n_tok * n_rest) AS BIGINT)")
+          .as("jsd_micro"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val jsdOracle: String = {
+    val dToks = CorpusFilters.DToks
+    def lnM(x: String): String =
+      s"CAST(round(1000000.0 * ln($x)) AS BIGINT)"
+    s"""WITH st AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS a
+       |  FROM (SELECT source, unnest($dToks) AS term FROM documents)
+       |  GROUP BY 1, 2),
+       |gt AS (SELECT term, CAST(SUM(a) AS BIGINT) AS g FROM st
+       |  GROUP BY 1),
+       |tot AS (SELECT source, CAST(SUM(a) AS BIGINT) AS a_tot FROM st
+       |  GROUP BY 1),
+       |grand AS (SELECT CAST(SUM(g) AS BIGINT) AS g_tot FROM gt),
+       |grid AS (SELECT t.source, t.a_tot, gt.term, gt.g,
+       |    COALESCE(st.a, 0) AS a
+       |  FROM tot t CROSS JOIN gt
+       |  LEFT JOIN st ON st.source = t.source AND st.term = gt.term),
+       |terms AS (SELECT source, a_tot, g_tot - a_tot AS r_tot, a,
+       |    g - a AS r,
+       |    a * (g_tot - a_tot) + (g - a) * a_tot AS den
+       |  FROM grid CROSS JOIN grand),
+       |scored AS (SELECT source, a_tot, r_tot, a, r,
+       |    CASE WHEN a > 0 THEN
+       |      a * (${lnM("2 * a * r_tot")} - ${lnM("den")})
+       |      ELSE 0 END AS sp_term,
+       |    CASE WHEN r > 0 THEN
+       |      r * (${lnM("2 * r * a_tot")} - ${lnM("den")})
+       |      ELSE 0 END AS sq_term
+       |  FROM terms)
+       |SELECT source, CAST(MAX(a_tot) AS BIGINT) AS n_tok,
+       |  CAST(MAX(r_tot) AS BIGINT) AS n_rest,
+       |  CAST(SUM(CASE WHEN a > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_terms,
+       |  CAST(SUM(CASE WHEN a > 0 AND r > 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS shared_terms,
+       |  CAST((CAST(MAX(r_tot) AS HUGEINT) * SUM(sp_term) +
+       |    CAST(MAX(a_tot) AS HUGEINT) * SUM(sq_term)) //
+       |    (CAST(2 AS HUGEINT) * MAX(a_tot) * MAX(r_tot)) AS BIGINT)
+       |    AS jsd_micro
+       |FROM scored GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q202_ks_drift" -> (q202_ks_drift _),
     "q203_psi_drift" -> (q203_psi_drift _),
+    "q260_jsd_drift" -> (q260_jsd_drift _),
     "q207_quantile_calibrate" -> (q207_quantile_calibrate _))
 
   val oracle: Map[String, String] = Map(
     "q202_ks_drift" -> ksOracle,
     "q203_psi_drift" -> psiOracle,
+    "q260_jsd_drift" -> jsdOracle,
     "q207_quantile_calibrate" -> calibrateOracle)
 }

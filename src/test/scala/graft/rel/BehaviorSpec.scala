@@ -513,4 +513,59 @@ class BehaviorSpec extends AnyFunSuite {
       (BigInt(n) * si2 - BigInt(si) * si)).toLong
     assert(ls == expLs, "least-squares twin")
   }
+
+  test("q259 Mann-Whitney: doubled tie-average ranks replay; delta is " +
+    "the rank-sum rational; squared z-test agrees with the float form") {
+    val sf = "/root/testdata/sf0.01"
+    val r = Behavior.q259_mann_whitney(spark, sf).collect().head
+    val (n1Got, n2Got, u2xGot, tie3Got, deltaGot, sigGot) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))
+    val days = graft.Tables.events(spark, sf)
+      .selectExpr("ts_us div 86400000000L AS day").collect()
+      .map(_.getLong(0))
+    val byDay = days.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    val grid = (days.min to days.max)
+      .map(d => (byDay.getOrElse(d, 0L), ((d + 4) % 7 == 0) || ((d + 4) % 7 == 6)))
+    val n = grid.length.toLong
+    val n1 = grid.count(_._2).toLong
+    val n2 = n - n1
+    assert(n1Got == n1 && n2Got == n2)
+    // doubled average rank per value group = 2*cumBelow + t + 1
+    val groups = grid.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (v, rows) =>
+        (v, rows.length.toLong, rows.count(_._2).toLong)
+      }
+    var cum = 0L
+    var r1d = 0L
+    var tie3 = 0L
+    for ((_, t, t1) <- groups) {
+      val dr = 2 * cum + t + 1
+      r1d += t1 * dr
+      tie3 += t * t * t - t
+      cum += t
+    }
+    val u2x = r1d - n1 * (n1 + 1)
+    assert(u2xGot == u2x, "doubled U1")
+    assert(tie3Got == tie3, "tie correction term")
+    val diff = u2x - n1 * n2
+    assert(deltaGot == 1000L * diff / (n1 * n2).max(1L), "Cliff's delta")
+    val lhs = BigInt(120000) * n * (n - 1) * BigInt(diff) * BigInt(diff)
+    val rhs = BigInt(153664) * n1 * n2 *
+      (BigInt(n) * (n - 1) * (n + 1) - tie3)
+    assert(sigGot == (lhs > rhs), "squared significance test")
+    // the squared integer test IS the float z-test
+    val u1 = u2x / 2.0
+    val sigma2 = n1.toDouble * n2 *
+      ((n.toDouble * (n - 1) * (n + 1) - tie3) / (12.0 * n * (n - 1)))
+    val z = (u1 - n1.toDouble * n2 / 2.0) / math.sqrt(sigma2)
+    assert(sigGot == (z * z > 3.8416), "float z-test equivalence")
+    // brute U from pairwise wins + half-ties matches the rank-sum form
+    val a = grid.filter(_._2).map(_._1)
+    val b = grid.filterNot(_._2).map(_._1)
+    val u2xBrute = a.map(x =>
+      2L * b.count(x > _) + b.count(x == _)).sum
+    assert(u2xBrute == u2x, "pairwise-wins identity")
+  }
 }

@@ -101,4 +101,41 @@ class DriftSpec extends AnyFunSuite {
       assert(out(maxDoc._1)._3 == 1000L, s"source $src max rank")
     }
   }
+
+  test("q260 JSD: micro-nat mixture terms replay brutally; bounds and " +
+    "mass identities hold") {
+    val out = Drift.q260_jsd_drift(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).trim.split(" ").filter(_.nonEmpty)
+        .map(t => (r.getString(0), t)))
+    val gt = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val gTot = toks.length.toLong
+    def lnMicro(x: Long): Long = math.round(1e6 * math.log(x.toDouble))
+    assert(out.keySet == toks.map(_._1).toSet)
+    for ((src, (nTok, nRest, nTerms, shared, jsdMicro)) <- out) {
+      val mine = toks.filter(_._1 == src).map(_._2)
+      val a = mine.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val aTot = mine.length.toLong
+      val rTot = gTot - aTot
+      assert(nTok == aTot && nRest == rTot, s"$src totals")
+      assert(nTerms == a.size.toLong, s"$src vocab size")
+      assert(shared == a.count { case (t, c) => gt(t) - c > 0 }.toLong)
+      var sp = BigInt(0); var sq = BigInt(0)
+      for ((t, g) <- gt) {
+        val ai = a.getOrElse(t, 0L)
+        val ri = g - ai
+        val den = ai * rTot + ri * aTot
+        if (ai > 0) sp += BigInt(ai) * (lnMicro(2 * ai * rTot) - lnMicro(den))
+        if (ri > 0) sq += BigInt(ri) * (lnMicro(2 * ri * aTot) - lnMicro(den))
+      }
+      val expected = (BigInt(rTot) * sp + BigInt(aTot) * sq) /
+        (BigInt(2) * aTot * rTot)
+      assert(jsdMicro == expected.toLong, s"$src jsd replay")
+      // JSD ∈ [0, ln 2]: quantization slack is far below the micro scale
+      assert(jsdMicro >= -1L && jsdMicro <= 693148L, s"$src bounds")
+    }
+  }
 }
