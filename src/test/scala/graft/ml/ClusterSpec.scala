@@ -181,4 +181,47 @@ class ClusterSpec extends AnyFunSuite {
       BigInt(1000000) * ssbExp * (n - k) / (sswExp.max(BigInt(1)) * (k - 1)))
     assert(ch > 0L)
   }
+
+  test("q261 silhouette: per-point L1 a/b replay off the gated fit; " +
+    "milli means and negative counts agree") {
+    val rows = Cluster.q261_silhouette(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    val cent = Cluster.q178_kmeans_centroids(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toIndexedSeq)
+      .toMap
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(round(x * 1000000.0) AS LONG)) AS xu")
+      .collect().map(r => r.getSeq[Long](1).toIndexedSeq)
+    def sq(a: IndexedSeq[Long], b: IndexedSeq[Long]): BigInt =
+      a.zip(b).map { case (x, y) => BigInt(x - y) * (x - y) }.sum
+    def l1(a: IndexedSeq[Long], b: IndexedSeq[Long]): Long =
+      a.zip(b).map { case (x, y) => math.abs(x - y) }.sum
+    val cids = cent.keys.toSeq.sorted
+    // assignment stays the fit's L2 argmin; scoring is L1
+    val sByC = embs.map { xu =>
+      val own = cids.minBy(c => (sq(xu, cent(c)), c))
+      val a = l1(xu, cent(own))
+      val b = cids.filter(_ != own).map(c => l1(xu, cent(c))).min
+      val sM = 1000L * (b - a) / math.max(math.max(a, b), 1L)
+      (own, sM)
+    }.groupBy(_._1)
+    var sumAll = 0L
+    var nAll = 0L
+    for ((cid, nm, nNeg, silM, _) <- rows) {
+      val mine = sByC(cid).map(_._2)
+      assert(nm == mine.length.toLong, s"members $cid")
+      assert(nNeg == mine.count(_ < 0).toLong, s"negatives $cid")
+      assert(silM == mine.sum / nm, s"cluster mean $cid")
+      assert(silM >= -1000L && silM <= 1000L, s"bounds $cid")
+      sumAll += mine.sum
+      nAll += nm
+    }
+    val overall = rows.head._5
+    assert(rows.forall(_._5 == overall))
+    assert(overall == sumAll / nAll, "overall mean over points")
+  }
 }
