@@ -514,6 +514,37 @@ class BehaviorSpec extends AnyFunSuite {
     assert(ls == expLs, "least-squares twin")
   }
 
+  test("q262 Ljung-Box: Q profile replays from q240's gated ACF; " +
+    "thresholds are the chi-square table; verdict consistent") {
+    val sf = "/root/testdata/sf0.01"
+    val acf = Behavior.q240_acf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._1)
+    val lb = Behavior.q262_ljung_box(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).sortBy(_._1)
+    assert(lb.length == 14)
+    val n = acf.head._2
+    var cum = 0L
+    for (((lag, rM, q, crit, rej), (aLag, _, aR)) <- lb.zip(acf)) {
+      assert(lag == aLag && rM == aR, s"lag $lag consumes q240's r")
+      cum += (rM * rM) / (n - lag)
+      assert(q == n * (n + 2) * cum, s"lag $lag Q")
+      assert(rej == (q > crit), s"lag $lag verdict")
+      // the float Ljung-Box tracks the quantized one
+      val qf = lb.take(lag.toInt).map { case (l2, r2, _, _, _) =>
+        (r2 / 1000.0) * (r2 / 1000.0) / (n - l2)
+      }.sum * n * (n + 2)
+      assert(math.abs(q / 1e6 - qf) < 0.05, s"lag $lag float agreement")
+    }
+    // chi-square criticals are monotone in df and match scipy's table
+    // at the endpoints (3.841, 23.685)
+    assert(lb.head._4 == 3841459L && lb.last._4 == 23684791L)
+    assert(lb.map(_._4).sliding(2).forall(p => p(0) < p(1)))
+    // the synthetic series is white noise: no rejection anywhere,
+    // consistent with q251's no-trend
+    assert(lb.forall(!_._5), "white-noise corpus must not reject")
+  }
+
   test("q259 Mann-Whitney: doubled tie-average ranks replay; delta is " +
     "the rank-sum rational; squared z-test agrees with the float form") {
     val sf = "/root/testdata/sf0.01"
