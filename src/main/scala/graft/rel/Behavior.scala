@@ -1058,6 +1058,131 @@ object Behavior {
        |    den.n > 4000000 AS significant
        |FROM nums n2 CROSS JOIN den ORDER BY n2.lag""".stripMargin
 
+  // ------------------------------------------- q263 Theil inequality
+  /** q263: Theil's T inequality index with its between/within
+    * decomposition (Theil, "Economics and Information Theory" 1967)
+    * over per-customer revenue by market segment — the DECOMPOSABLE
+    * companion of q196's Gini (Gini cannot split into between-group +
+    * within-group parts; Theil is the canonical index that can, which
+    * is why mixture/concentration audits report both): T = (1/N)·
+    * Σ (x_i/μ)·ln(x_i/μ), T_between reads segment shares against
+    * segment sizes, T_g reads inequality inside each segment.
+    *
+    * Exactness: the house micro-nat lift — x_i/μ = x_i·N/S is a ratio
+    * of integers, so S·T = Σ x_i·(L(x_i·N) − L(S)) with
+    * L = round(10⁶·ln(integer)), per-ln quantization before the sum;
+    * t_total_micro = that sum div S (DECIMAL(38,0) sum — per-term
+    * products are Long-safe under the loud x·N ≤ 2⁶³ assert, their
+    * corpus sum is not). Identically S·T_between = Σ_g S_g·(L(S_g·N)
+    * − L(S·N_g)) and S_g·T_g = Σ_{i∈g} x_i·(L(x_i·N_g) − L(S_g)).
+    * Zero-revenue rows contribute the exact 0 limit. The float
+    * decomposition identity T = T_b + Σ (S_g/S)·T_g holds to
+    * quantization (spec-checked); each reported number is exact on
+    * its own.
+    *
+    * Scale shape: one orders rollup keyed on custkey, one dimension
+    * join, segment-level algebra after; the only corpus-sized frame is
+    * the per-customer pass (map-side products, two aggregates). */
+  def q263_theil_index(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.orders(s, dir)
+      .selectExpr("o_custkey",
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS price")
+      .groupBy(col("o_custkey"))
+      .agg(expr("CAST(SUM(price) * 100 AS BIGINT)").as("x"))
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment").as("seg")), Seq("o_custkey"))
+    val tot = cust.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val segTot = cust.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"))
+    def lnMicro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(lit(1e6) * log(c.cast("double"))).cast("long")
+    val terms = cust.join(broadcast(segTot), Seq("seg"))
+      .crossJoin(broadcast(tot))
+      // ln arguments are revenue·count products; the loud assert names
+      // the DECIMAL(38,0) swap past the 2⁶³ frontier
+      .filter(coalesce(assert_true(
+        expr(s"x <= (${Long.MaxValue}L div greatest(n, 1L)) " +
+          s"and s_g <= (${Long.MaxValue}L div greatest(n_g, 1L))"),
+        lit("Theil ln arguments would overflow BIGINT: swap the " +
+          "revenue-count products to DECIMAL(38,0) at this scale")),
+        lit(true)))
+      .withColumn("t_tot_term", when(col("x") > 0,
+        col("x") * (lnMicro(col("x") * col("n")) - lnMicro(col("s"))))
+        .otherwise(0L))
+      .withColumn("t_in_term", when(col("x") > 0,
+        col("x") * (lnMicro(col("x") * col("n_g")) - lnMicro(col("s_g"))))
+        .otherwise(0L))
+    val perSeg = terms.groupBy(col("seg"))
+      .agg(max(col("n_g")).as("n_customers"),
+        max(col("s_g")).as("revenue_cents"),
+        sum(expr("CAST(t_in_term AS DECIMAL(38,0))")).as("in_num"))
+      .select(col("seg"), col("n_customers"), col("revenue_cents"),
+        expr("CAST(in_num div CAST(revenue_cents AS DECIMAL(38,0)) " +
+          "AS BIGINT)").as("t_within_micro"))
+    val total = terms.agg(
+      sum(expr("CAST(t_tot_term AS DECIMAL(38,0))")).as("tot_num"),
+      max(col("s")).as("s"), max(col("n")).as("n"))
+    val between = segTot.crossJoin(broadcast(tot))
+      .filter(coalesce(assert_true(
+        expr(s"s_g <= (${Long.MaxValue}L div greatest(n, 1L)) " +
+          s"and s <= (${Long.MaxValue}L div greatest(n_g, 1L))"),
+        lit("Theil between-group products would overflow BIGINT: " +
+          "swap to DECIMAL(38,0) at this scale")), lit(true)))
+      .select((col("s_g") *
+        (lnMicro(col("s_g") * col("n")) - lnMicro(col("s") * col("n_g"))))
+        .as("b_term"))
+      .agg(sum(expr("CAST(b_term AS DECIMAL(38,0))")).as("b_num"))
+    val globals = total.crossJoin(broadcast(between))
+      .select(
+        expr("CAST(tot_num div CAST(s AS DECIMAL(38,0)) AS BIGINT)")
+          .as("t_total_micro"),
+        expr("CAST(b_num div CAST(s AS DECIMAL(38,0)) AS BIGINT)")
+          .as("t_between_micro"))
+    perSeg.crossJoin(broadcast(globals))
+      .orderBy(col("seg"))
+  }
+
+  private lazy val theilOracle: String = {
+    def lnM(x: String): String =
+      s"CAST(round(1000000.0 * ln($x)) AS BIGINT)"
+    s"""WITH cust AS (SELECT o.o_custkey,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+       |      AS BIGINT) AS x
+       |  FROM orders o GROUP BY 1),
+       |cs AS (SELECT cust.x, c.c_mktsegment AS seg
+       |  FROM cust JOIN customer c ON c.c_custkey = cust.o_custkey),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS s FROM cs),
+       |seg AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_g,
+       |    CAST(SUM(x) AS BIGINT) AS s_g FROM cs GROUP BY 1),
+       |terms AS (SELECT cs.seg,
+       |    CASE WHEN cs.x > 0 THEN
+       |      cs.x * (${lnM("cs.x * tot.n")} - ${lnM("tot.s")})
+       |      ELSE 0 END AS t_tot_term,
+       |    CASE WHEN cs.x > 0 THEN
+       |      cs.x * (${lnM("cs.x * seg.n_g")} - ${lnM("seg.s_g")})
+       |      ELSE 0 END AS t_in_term
+       |  FROM cs JOIN seg USING (seg) CROSS JOIN tot),
+       |per AS (SELECT t.seg, seg.n_g AS n_customers,
+       |    seg.s_g AS revenue_cents,
+       |    CAST(SUM(CAST(t.t_in_term AS HUGEINT)) //
+       |      CAST(seg.s_g AS HUGEINT) AS BIGINT) AS t_within_micro
+       |  FROM terms t JOIN seg USING (seg)
+       |  GROUP BY t.seg, seg.n_g, seg.s_g),
+       |tt AS (SELECT CAST(SUM(CAST(t_tot_term AS HUGEINT)) //
+       |    (SELECT CAST(s AS HUGEINT) FROM tot) AS BIGINT)
+       |    AS t_total_micro FROM terms),
+       |bt AS (SELECT CAST(SUM(CAST(s_g AS HUGEINT) *
+       |    (${lnM("s_g * tot.n")} - ${lnM("tot.s * seg.n_g")})) //
+       |    (SELECT CAST(s AS HUGEINT) FROM tot) AS BIGINT)
+       |    AS t_between_micro
+       |  FROM seg CROSS JOIN tot)
+       |SELECT per.seg, per.n_customers, per.revenue_cents,
+       |  per.t_within_micro, tt.t_total_micro, bt.t_between_micro
+       |FROM per CROSS JOIN tt CROSS JOIN bt ORDER BY per.seg""".stripMargin
+  }
+
   // -------------------------------------------- q262 Ljung-Box test
   /** χ²(h) upper-5% critical values for h = 1..14 in micro units — the
     * standard table (e.g. Abramowitz & Stegun 26.8), compile-time
@@ -1613,6 +1738,7 @@ object Behavior {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q259_mann_whitney" -> (q259_mann_whitney _),
     "q262_ljung_box" -> (q262_ljung_box _),
+    "q263_theil_index" -> (q263_theil_index _),
     "q258_theil_sen" -> (q258_theil_sen _),
     "q255_bootstrap_ci" -> (q255_bootstrap_ci _),
     "q251_mann_kendall" -> (q251_mann_kendall _),
@@ -1636,6 +1762,7 @@ object Behavior {
   val oracle: Map[String, String] = Map(
     "q259_mann_whitney" -> mwOracle,
     "q262_ljung_box" -> ljungOracle,
+    "q263_theil_index" -> theilOracle,
     "q258_theil_sen" -> senOracle,
     "q255_bootstrap_ci" -> bootOracle,
     "q251_mann_kendall" -> mkOracle,

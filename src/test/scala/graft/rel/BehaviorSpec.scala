@@ -514,6 +514,52 @@ class BehaviorSpec extends AnyFunSuite {
     assert(ls == expLs, "least-squares twin")
   }
 
+  test("q263 Theil: micro-nat terms replay brutally; decomposition " +
+    "identity holds in float-land") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = Behavior.q263_theil_index(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    val cust = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey", "CAST(o_totalprice AS DECIMAL(18,2)) AS p")
+      .groupBy("o_custkey")
+      .agg(expr("CAST(SUM(p) * 100 AS BIGINT)").as("x"))
+      .join(spark.read.parquet(s"$sf/customer.parquet")
+        .selectExpr("c_custkey AS o_custkey", "c_mktsegment AS seg"),
+        Seq("o_custkey"))
+      .select("seg", "x").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def lnMicro(x: Long): Long = math.round(1e6 * math.log(x.toDouble))
+    val n = cust.length.toLong
+    val sAll = cust.map(_._2).sum
+    val bySeg = cust.groupBy(_._1)
+    val tTotExp = (cust.map { case (_, x) =>
+      if (x > 0) BigInt(x) * (lnMicro(x * n) - lnMicro(sAll)) else BigInt(0)
+    }.sum / BigInt(sAll)).toLong
+    var bNum = BigInt(0)
+    for ((seg, nG, sG, tW, tTot, tB) <- rows) {
+      val mine = bySeg(seg).map(_._2)
+      assert(nG == mine.length.toLong && sG == mine.sum, s"$seg totals")
+      val wNum = mine.map { x =>
+        if (x > 0) BigInt(x) * (lnMicro(x * nG) - lnMicro(sG)) else BigInt(0)
+      }.sum
+      assert(tW == (wNum / BigInt(sG)).toLong, s"$seg within")
+      assert(tTot == tTotExp, s"$seg total column")
+      bNum += BigInt(sG) * (lnMicro(sG * n) - lnMicro(sAll * nG))
+      assert(tW >= -1L, s"$seg within non-negative up to quantization")
+      val _ = tB
+    }
+    val tBetweenExp = (bNum / BigInt(sAll)).toLong
+    assert(rows.head._6 == tBetweenExp, "between replay")
+    // decomposition: T ≈ T_b + Σ (s_g/s)·T_g (float identity)
+    val lhs = rows.head._5 / 1e6
+    val rhs = rows.head._6 / 1e6 + rows.map { case (_, _, sG, tW, _, _) =>
+      (sG.toDouble / sAll) * (tW / 1e6)
+    }.sum
+    assert(math.abs(lhs - rhs) < 0.001, s"decomposition $lhs vs $rhs")
+  }
+
   test("q262 Ljung-Box: Q profile replays from q240's gated ACF; " +
     "thresholds are the chi-square table; verdict consistent") {
     val sf = "/root/testdata/sf0.01"
