@@ -1183,6 +1183,104 @@ object Behavior {
        |FROM per CROSS JOIN tt CROSS JOIN bt ORDER BY per.seg""".stripMargin
   }
 
+  // ---------------------------------------- q264 Wald-Wolfowitz runs
+  /** q264: the Wald-Wolfowitz runs test (Wald & Wolfowitz, Ann. Math.
+    * Stat. 1940) for randomness of the daily event series about its
+    * median — the monitoring family's randomness check: q251 asks
+    * "monotone trend?", q262 asks "autocorrelated?", the runs test
+    * asks "does the sign sequence itself look random?" (too FEW runs =
+    * clustering/regime persistence, too MANY = oscillation). Days
+    * equal to the median drop, per the textbook treatment.
+    *
+    * Exactness: the median is an exact order statistic (lower median,
+    * rank (n+1) div 2 — the q258 protocol); runs count by one lag
+    * comparison over the day-ordered sign sequence; with N = n₁+n₂
+    * and A = 2·n₁·n₂ the normal-approximation significance
+    * z² = (R−μ)²/σ², μ = 1 + A/N, σ² = A(A−N)/(N²(N−1)), squares into
+    *   10⁴·(N−1)·(R·N − N − A)² > 38416·A·(A−N)
+    * — one cross-multiplication in DECIMAL(38,0) (the LHS passes 2⁶³
+    * near N ≈ 10⁴ days; decimal holds to 10³⁸). Expected runs are
+    * reported as the exact milli quantity 1000 + (1000·A) div N.
+    *
+    * Scale shape: day-grid algebra end to end; the sign-sequence
+    * window is horizon-sized (the corpus never enters a window). */
+  def q264_runs_test(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(expr("ts_us div 86400000000L").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+    val filled = daily
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left_outer")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val ranked = filled.withColumn("rk", row_number()
+      .over(Window.orderBy(col("c"), col("day"))).cast("long"))
+    val med = ranked.agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(ranked.select(col("rk"), col("c"))))
+      .filter(col("rk") === expr("(nd + 1) div 2"))
+      .select(col("c").as("median"))
+    val signs = filled.crossJoin(broadcast(med))
+      .filter(col("c") =!= col("median"))
+      .withColumn("sgn", when(col("c") > col("median"), 1L).otherwise(-1L))
+      .withColumn("prev",
+        lag(col("sgn"), 1).over(Window.orderBy(col("day"))))
+    val agg = signs.agg(
+      sum(when(col("sgn") === 1L, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("sgn") === -1L, 1L).otherwise(0L)).as("n2"),
+      (sum(when(col("prev").isNotNull && col("prev") =!= col("sgn"), 1L)
+        .otherwise(0L)) + 1L).as("runs"))
+    val ties = filled.crossJoin(broadcast(med))
+      .agg(sum(when(col("c") === col("median"), 1L).otherwise(0L))
+        .as("n_ties"))
+    agg.crossJoin(broadcast(ties))
+      .withColumn("nn", col("n1") + col("n2"))
+      .withColumn("aa", lit(2L) * col("n1") * col("n2"))
+      .select(col("n1").as("n_above"), col("n2").as("n_below"),
+        col("n_ties"), col("runs"),
+        (lit(1000L) + expr("(1000 * aa) div greatest(nn, 1L)"))
+          .as("runs_expected_milli"),
+        expr("CAST(10000 AS DECIMAL(38,0)) * (nn - 1) * " +
+          "(runs * nn - nn - aa) * (runs * nn - nn - aa) > " +
+          "CAST(38416 AS DECIMAL(38,0)) * aa * (aa - nn)")
+          .as("significant"))
+  }
+
+  private lazy val runsOracle: String =
+    s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+       |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+       |grid AS (SELECT CAST(unnest(range(d0, d1 + 1)) AS BIGINT) AS day
+       |  FROM b),
+       |f AS (SELECT g.day, COALESCE(d.c, 0) AS c
+       |  FROM grid g LEFT JOIN daily d USING (day)),
+       |rk AS (SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c, day)
+       |    AS BIGINT) AS rk FROM f),
+       |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM f),
+       |med AS (SELECT rk.c AS median FROM rk CROSS JOIN nd
+       |  WHERE rk.rk = (nd.nd + 1) // 2),
+       |sg AS (SELECT day, CASE WHEN c > (SELECT median FROM med)
+       |      THEN 1 ELSE -1 END AS sgn
+       |  FROM f WHERE c <> (SELECT median FROM med)),
+       |lg AS (SELECT sgn, LAG(sgn) OVER (ORDER BY day) AS prev FROM sg),
+       |ag AS (SELECT
+       |    CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n1,
+       |    CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n2,
+       |    CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> sgn
+       |      THEN 1 ELSE 0 END) + 1 AS BIGINT) AS runs
+       |  FROM lg),
+       |tie AS (SELECT CAST(SUM(CASE WHEN c = (SELECT median FROM med)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_ties FROM f),
+       |st AS (SELECT n1, n2, runs, n_ties, n1 + n2 AS nn,
+       |    2 * n1 * n2 AS aa FROM ag CROSS JOIN tie)
+       |SELECT n1 AS n_above, n2 AS n_below, n_ties, runs,
+       |  1000 + (1000 * aa) // GREATEST(nn, 1) AS runs_expected_milli,
+       |  CAST(10000 AS HUGEINT) * (nn - 1) *
+       |    (runs * nn - nn - aa) * (runs * nn - nn - aa) >
+       |    CAST(38416 AS HUGEINT) * aa * (aa - nn) AS significant
+       |FROM st""".stripMargin
+
   // -------------------------------------------- q262 Ljung-Box test
   /** χ²(h) upper-5% critical values for h = 1..14 in micro units — the
     * standard table (e.g. Abramowitz & Stegun 26.8), compile-time
@@ -1739,6 +1837,7 @@ object Behavior {
     "q259_mann_whitney" -> (q259_mann_whitney _),
     "q262_ljung_box" -> (q262_ljung_box _),
     "q263_theil_index" -> (q263_theil_index _),
+    "q264_runs_test" -> (q264_runs_test _),
     "q258_theil_sen" -> (q258_theil_sen _),
     "q255_bootstrap_ci" -> (q255_bootstrap_ci _),
     "q251_mann_kendall" -> (q251_mann_kendall _),
@@ -1763,6 +1862,7 @@ object Behavior {
     "q259_mann_whitney" -> mwOracle,
     "q262_ljung_box" -> ljungOracle,
     "q263_theil_index" -> theilOracle,
+    "q264_runs_test" -> runsOracle,
     "q258_theil_sen" -> senOracle,
     "q255_bootstrap_ci" -> bootOracle,
     "q251_mann_kendall" -> mkOracle,

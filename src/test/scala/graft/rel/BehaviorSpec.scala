@@ -514,6 +514,41 @@ class BehaviorSpec extends AnyFunSuite {
     assert(ls == expLs, "least-squares twin")
   }
 
+  test("q264 runs test: runs count and squared z-test replay; float " +
+    "z-test equivalence") {
+    val sf = "/root/testdata/sf0.01"
+    val r = Behavior.q264_runs_test(spark, sf).collect().head
+    val (n1, n2, nTies, runs, expM, sig) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))
+    val days = graft.Tables.events(spark, sf)
+      .selectExpr("ts_us div 86400000000L AS day").collect()
+      .map(_.getLong(0))
+    val byDay = days.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    val xs = (days.min to days.max).map(d => byDay.getOrElse(d, 0L))
+    val nd = xs.length
+    val median = xs.zipWithIndex.sortBy(identity).map(_._1)
+      .apply((nd + 1) / 2 - 1)
+    val sgns = xs.filter(_ != median).map(x => if (x > median) 1 else -1)
+    assert(n1 == sgns.count(_ == 1).toLong)
+    assert(n2 == sgns.count(_ == -1).toLong)
+    assert(nTies == xs.count(_ == median).toLong)
+    val runsExp = 1 + sgns.sliding(2).count(p => p(0) != p(1))
+    assert(runs == runsExp.toLong, "runs count")
+    val nn = n1 + n2
+    val aa = 2 * n1 * n2
+    assert(expM == 1000 + 1000 * aa / nn)
+    val lhs = BigInt(10000) * (nn - 1) *
+      BigInt(runs * nn - nn - aa) * BigInt(runs * nn - nn - aa)
+    val rhs = BigInt(38416) * aa * (aa - nn)
+    assert(sig == (lhs > rhs), "squared test")
+    // float equivalence
+    val mu = 1.0 + aa.toDouble / nn
+    val s2 = aa.toDouble * (aa - nn) / (nn.toDouble * nn * (nn - 1))
+    val z = (runs - mu) / math.sqrt(s2)
+    assert(sig == (z * z > 3.8416), "float z equivalence")
+  }
+
   test("q263 Theil: micro-nat terms replay brutally; decomposition " +
     "identity holds in float-land") {
     val sf = "/root/testdata/sf0.01"
