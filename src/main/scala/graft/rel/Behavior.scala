@@ -1183,6 +1183,137 @@ object Behavior {
        |FROM per CROSS JOIN tt CROSS JOIN bt ORDER BY per.seg""".stripMargin
   }
 
+  // ------------------------------------------ q265 permutation test
+  private val PermReps = 1000L
+
+  /** q265: Fisher's randomization (permutation) test (Fisher 1935;
+    * p-value convention of Phipson & Smyth 2010 — add-one on both
+    * sides, the version that never reports p = 0) for the
+    * weekend-vs-weekday difference in daily event volume — the EXACT
+    * companion of q259's rank test: same contrast, but the null is
+    * "labels are exchangeable" and the reference distribution is the
+    * data's own, no normal approximation at all.
+    *
+    * Determinism: permutation b ranks the days by
+    * splitmix64(b·1000003 + day) (the q255/q218 seeding discipline —
+    * both engines materialize the IDENTICAL 1000 label shuffles; the
+    * first n₁ ranks take the weekend label). The statistic is the
+    * scale-free integer form T = |S₁·n₂ − S₂·n₁| (cross-multiplied
+    * mean difference — no division anywhere), so the exceedance count
+    * and p_permille = (1000·(1+#{T_b ≥ T_obs})) div (B+1) are exact
+    * BIGINTs in both engines.
+    *
+    * Scale shape: the shuffle frame is B × horizon days (grid algebra,
+    * corpus never enters); the per-b rank window partitions on b —
+    * B-way parallel, each partition horizon-sized. */
+  def q265_permutation_test(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(expr("ts_us div 86400000000L").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+    val filled = daily
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left_outer")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("wkend",
+        when(pmod(col("day") + 4L, lit(7L)).isin(0L, 6L), 1L)
+          .otherwise(0L))
+    val grp = filled.agg(
+      sum(col("wkend")).as("n1"), count(lit(1)).as("nn"),
+      sum(col("c")).as("s_tot"),
+      sum(when(col("wkend") === 1L, col("c")).otherwise(0L)).as("s1"))
+      .withColumn("n2", col("nn") - col("n1"))
+      .withColumn("t_obs",
+        abs(col("s1") * col("n2") - (col("s_tot") - col("s1")) * col("n1")))
+    val draws = s.range(0, PermReps).select(col("id").as("b"))
+      .crossJoin(filled.select(col("day"), col("c")))
+      .withColumn("h", JoinCard.splitmix64(
+        col("b") * 1000003L + col("day")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("b")).orderBy(col("h"), col("day")))
+        .cast("long"))
+    val perms = draws.crossJoin(broadcast(grp.select(
+        col("n1"), col("n2"), col("s_tot"), col("t_obs"))))
+      .groupBy(col("b"))
+      .agg(sum(when(col("rk") <= col("n1"), col("c")).otherwise(0L))
+        .as("s1b"),
+        max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(col("s_tot")).as("s_tot"), max(col("t_obs")).as("t_obs"))
+      .withColumn("t_b",
+        abs(col("s1b") * col("n2") - (col("s_tot") - col("s1b")) * col("n1")))
+    perms.agg(
+      max(col("n1")).as("n_weekend"), max(col("n2")).as("n_weekday"),
+      max(col("t_obs")).as("t_obs"), count(lit(1)).as("b_reps"),
+      sum(when(col("t_b") >= col("t_obs"), 1L).otherwise(0L)).as("n_ge"))
+      .select(col("n_weekend"), col("n_weekday"), col("t_obs"),
+        col("b_reps"), col("n_ge"),
+        expr("(1000 * (1 + n_ge)) div (b_reps + 1)").as("p_permille"),
+        (expr("(1000 * (1 + n_ge)) div (b_reps + 1)") < 50L)
+          .as("significant"))
+  }
+
+  private lazy val permOracle: String = {
+    val z1 = "(z + 11400714819323198485) % 18446744073709551616"
+    def mulmod(x: String, c: BigInt): String = {
+      val base = BigInt(4294967296L)
+      val lo = c % base
+      val hi = c / base
+      s"((($x % 4294967296) * $lo + " +
+        s"((($x % 4294967296) * $hi + ($x // 4294967296) * $lo) % 4294967296)" +
+        s" * 4294967296) % 18446744073709551616)"
+    }
+    val m2 = mulmod("x1", BigInt("13787848793156543929"))
+    val m3 = mulmod("x2", BigInt("10723151780598845931"))
+    s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+       |bnd AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+       |grid AS (SELECT CAST(unnest(range(d0, d1 + 1)) AS BIGINT) AS day
+       |  FROM bnd),
+       |f AS (SELECT g.day, COALESCE(d.c, 0) AS c,
+       |    CASE WHEN ((g.day + 4) % 7) IN (0, 6) THEN 1 ELSE 0 END
+       |      AS wkend
+       |  FROM grid g LEFT JOIN daily d USING (day)),
+       |grp AS (SELECT CAST(SUM(wkend) AS BIGINT) AS n1,
+       |    CAST(COUNT(*) AS BIGINT) AS nn,
+       |    CAST(SUM(c) AS BIGINT) AS s_tot,
+       |    CAST(SUM(CASE WHEN wkend = 1 THEN c ELSE 0 END) AS BIGINT)
+       |      AS s1 FROM f),
+       |g2 AS (SELECT n1, nn - n1 AS n2, s_tot,
+       |    abs(s1 * (nn - n1) - (s_tot - s1) * n1) AS t_obs FROM grp),
+       |dr AS (SELECT CAST(b.b AS BIGINT) AS b, f.day, f.c,
+       |    CAST(CAST(b.b AS HUGEINT) * 1000003 + f.day AS HUGEINT)
+       |      % 18446744073709551616 AS z
+       |  FROM (SELECT unnest(range(0, $PermReps)) AS b) b CROSS JOIN f),
+       |s1c AS (SELECT b, day, c, $z1 AS z1 FROM dr),
+       |s2 AS (SELECT b, day, c, xor(z1, z1 // 1073741824) AS x1 FROM s1c),
+       |s3 AS (SELECT b, day, c, $m2 AS z2 FROM s2),
+       |s4 AS (SELECT b, day, c, xor(z2, z2 // 134217728) AS x2 FROM s3),
+       |s5 AS (SELECT b, day, c, $m3 AS z3 FROM s4),
+       |s6 AS (SELECT b, day, c,
+       |    CAST(CASE WHEN m >= 9223372036854775808
+       |      THEN m - 18446744073709551616 ELSE m END AS BIGINT) AS h
+       |  FROM (SELECT b, day, c, xor(z3, z3 // 2147483648) AS m
+       |    FROM s5) t),
+       |rk AS (SELECT b, c, CAST(ROW_NUMBER() OVER (PARTITION BY b
+       |    ORDER BY h, day) AS BIGINT) AS rk FROM s6),
+       |pm AS (SELECT rk.b,
+       |    CAST(SUM(CASE WHEN rk.rk <= g2.n1 THEN rk.c ELSE 0 END)
+       |      AS BIGINT) AS s1b
+       |  FROM rk CROSS JOIN g2 GROUP BY 1),
+       |tb AS (SELECT pm.b,
+       |    abs(pm.s1b * g2.n2 - (g2.s_tot - pm.s1b) * g2.n1) AS t_b
+       |  FROM pm CROSS JOIN g2),
+       |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_reps,
+       |    CAST(SUM(CASE WHEN tb.t_b >= g2.t_obs THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_ge
+       |  FROM tb CROSS JOIN g2)
+       |SELECT g2.n1 AS n_weekend, g2.n2 AS n_weekday, g2.t_obs,
+       |  ex.b_reps, ex.n_ge,
+       |  (1000 * (1 + ex.n_ge)) // (ex.b_reps + 1) AS p_permille,
+       |  (1000 * (1 + ex.n_ge)) // (ex.b_reps + 1) < 50 AS significant
+       |FROM g2 CROSS JOIN ex""".stripMargin
+  }
+
   // ---------------------------------------- q264 Wald-Wolfowitz runs
   /** q264: the Wald-Wolfowitz runs test (Wald & Wolfowitz, Ann. Math.
     * Stat. 1940) for randomness of the daily event series about its
@@ -1838,6 +1969,7 @@ object Behavior {
     "q262_ljung_box" -> (q262_ljung_box _),
     "q263_theil_index" -> (q263_theil_index _),
     "q264_runs_test" -> (q264_runs_test _),
+    "q265_permutation_test" -> (q265_permutation_test _),
     "q258_theil_sen" -> (q258_theil_sen _),
     "q255_bootstrap_ci" -> (q255_bootstrap_ci _),
     "q251_mann_kendall" -> (q251_mann_kendall _),
@@ -1863,6 +1995,7 @@ object Behavior {
     "q262_ljung_box" -> ljungOracle,
     "q263_theil_index" -> theilOracle,
     "q264_runs_test" -> runsOracle,
+    "q265_permutation_test" -> permOracle,
     "q258_theil_sen" -> senOracle,
     "q255_bootstrap_ci" -> bootOracle,
     "q251_mann_kendall" -> mkOracle,

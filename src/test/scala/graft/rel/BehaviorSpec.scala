@@ -514,6 +514,41 @@ class BehaviorSpec extends AnyFunSuite {
     assert(ls == expLs, "least-squares twin")
   }
 
+  test("q265 permutation test: identical deterministic shuffles replay; " +
+    "p-value counts exceedances with the add-one convention") {
+    val sf = "/root/testdata/sf0.01"
+    val r = Behavior.q265_permutation_test(spark, sf).collect().head
+    val (n1, n2, tObs, bReps, nGe, pPm, sig) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+      r.getBoolean(6))
+    assert(bReps == 1000L)
+    val days = graft.Tables.events(spark, sf)
+      .selectExpr("ts_us div 86400000000L AS day").collect()
+      .map(_.getLong(0))
+    val byDay = days.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    val grid = (days.min to days.max)
+      .map(d => (d, byDay.getOrElse(d, 0L), (d + 4) % 7 == 0 || (d + 4) % 7 == 6))
+    val n1E = grid.count(_._3).toLong
+    val n2E = grid.size - n1E
+    assert(n1 == n1E && n2 == n2E)
+    val sTot = grid.map(_._2).sum
+    val s1 = grid.filter(_._3).map(_._2).sum
+    assert(tObs == math.abs(s1 * n2 - (sTot - s1) * n1))
+    var ge = 0L
+    for (b <- 0L until 1000L) {
+      val ranked = grid.map { case (d, c, _) =>
+        (SplitMix64Kernel.mix(b * 1000003L + d), d, c)
+      }.sortBy(t => (t._1, t._2))
+      val s1b = ranked.take(n1.toInt).map(_._3).sum
+      val tB = math.abs(s1b * n2 - (sTot - s1b) * n1)
+      if (tB >= tObs) ge += 1
+    }
+    assert(nGe == ge, "exceedance count over identical shuffles")
+    assert(pPm == 1000L * (1 + ge) / 1001L)
+    assert(sig == (pPm < 50L))
+  }
+
   test("q264 runs test: runs count and squared z-test replay; float " +
     "z-test equivalence") {
     val sf = "/root/testdata/sf0.01"
