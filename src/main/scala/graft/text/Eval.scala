@@ -1035,7 +1035,97 @@ object Eval {
        |    38416 * (rules_only + lm_only) AS significant
        |FROM ag""".stripMargin
 
+  // ------------------------------------------------ q266 Cramér's V
+  /** χ²(76) upper-5% critical value in micro units (R qchisq(0.95,76),
+    * cross-checked against the incomplete-gamma inversion) — df is
+    * structural: (20 sources − 1)·(5 langs − 1). */
+  private val Chi2Crit76Micro = 97350970L
+
+  /** q266: the chi-square test of independence with Cramér's V effect
+    * size (Cramér, "Mathematical Methods of Statistics" 1946 §21.9)
+    * over the source × lang contingency — the association-strength
+    * number the 2×2 family (q175 per-term χ², q245 MI, q253 G²)
+    * cannot give for a FULL r×c table: "how coupled are source and
+    * language in this corpus?" is the stratification question a
+    * mixture designer asks before assuming the two dimensions can be
+    * weighted independently.
+    *
+    * Exactness: the full grid (zero cells included — they carry
+    * (r·c)²/(N·r·c) mass) quantizes per cell:
+    * term_micro = (10⁶·(o·N − r·c)²) div (N·r·c) in DECIMAL(38,0)
+    * (the squared determinant passes 2⁶³ immediately; the decimal
+    * frontier is N ≈ 10⁸ docs — the loud assert names the wider-unit
+    * swap); chi2_micro sums the quantized terms, and V² — exact where
+    * V itself needs a sqrt — is v2_micro = chi2_micro div
+    * (N·(min(r,c) − 1)). The verdict compares the integer against the
+    * compile-time χ²(76) literal, identical in both engines.
+    *
+    * Scale shape: one (source, lang) rollup (dimension-bounded),
+    * margins broadcast, grid = |sources|·|langs| rows. */
+  def q266_cramers_v(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.documents(s, dir)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
+    val rMar = o.groupBy(col("source")).agg(sum(col("o")).as("r"))
+    val cMar = o.groupBy(col("lang")).agg(sum(col("o")).as("cc"))
+    val tot = o.agg(sum(col("o")).as("n"))
+    val dims = rMar.agg(count(lit(1)).as("n_sources"))
+      .crossJoin(broadcast(cMar.agg(count(lit(1)).as("n_langs"))))
+    val grid = rMar.crossJoin(broadcast(cMar))
+      .join(o, Seq("source", "lang"), "left_outer")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .filter(coalesce(assert_true(col("n") <= lit(100000000L),
+        lit("Cramér grid determinants would overflow DECIMAL(38,0): " +
+          "swap the squared terms to wider units past 1e8 docs")),
+        lit(true)))
+      .withColumn("term_micro", expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * (o * n - r * cc) * " +
+          "(o * n - r * cc)) div (CAST(n AS DECIMAL(38,0)) * r * cc) " +
+          "AS BIGINT)"))
+    grid.agg(max(col("n")).as("n_docs"),
+      sum(col("term_micro")).as("chi2_micro"))
+      .crossJoin(broadcast(dims))
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        ((col("n_sources") - 1L) * (col("n_langs") - 1L)).as("dof"),
+        col("chi2_micro"),
+        expr("chi2_micro div (n_docs * (least(n_sources, n_langs) - 1))")
+          .as("v2_micro"),
+        (col("chi2_micro") > Chi2Crit76Micro).as("significant"))
+  }
+
+  private lazy val cramersOracle: String =
+    s"""WITH o AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+       |  FROM documents GROUP BY 1, 2),
+       |rm AS (SELECT source, CAST(SUM(o) AS BIGINT) AS r FROM o
+       |  GROUP BY 1),
+       |cm AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS cc FROM o
+       |  GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM o),
+       |dims AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rm)
+       |    AS n_sources,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cm) AS n_langs),
+       |grid AS (SELECT rm.source, cm.lang, rm.r, cm.cc,
+       |    COALESCE(o.o, 0) AS o, tot.n
+       |  FROM rm CROSS JOIN cm
+       |  LEFT JOIN o ON o.source = rm.source AND o.lang = cm.lang
+       |  CROSS JOIN tot),
+       |t AS (SELECT n,
+       |    CAST((1000000 * CAST(o * n - r * cc AS HUGEINT) *
+       |      (o * n - r * cc)) // (CAST(n AS HUGEINT) * r * cc)
+       |      AS BIGINT) AS term_micro
+       |  FROM grid),
+       |ag AS (SELECT MAX(n) AS n_docs,
+       |    CAST(SUM(term_micro) AS BIGINT) AS chi2_micro FROM t)
+       |SELECT ag.n_docs, dims.n_sources, dims.n_langs,
+       |  (dims.n_sources - 1) * (dims.n_langs - 1) AS dof,
+       |  ag.chi2_micro,
+       |  ag.chi2_micro // (ag.n_docs * (LEAST(dims.n_sources,
+       |    dims.n_langs) - 1)) AS v2_micro,
+       |  ag.chi2_micro > $Chi2Crit76Micro AS significant
+       |FROM ag CROSS JOIN dims""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q266_cramers_v" -> (q266_cramers_v _),
     "q257_mcnemar" -> (q257_mcnemar _),
     "q245_token_mi" -> (q245_token_mi _),
     "q210_trimmed_stats" -> (q210_trimmed_stats _),
@@ -1053,6 +1143,7 @@ object Eval {
     "q177_calibration_bins" -> (q177_calibration_bins _))
 
   val oracle: Map[String, String] = Map(
+    "q266_cramers_v" -> cramersOracle,
     "q257_mcnemar" -> mcnemarOracle,
     "q245_token_mi" -> q245Oracle,
     "q210_trimmed_stats" -> trimmedOracle,

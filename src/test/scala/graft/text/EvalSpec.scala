@@ -378,4 +378,41 @@ class EvalSpec extends AnyFunSuite {
       assert(sig == (chi2 > 3.8416), "float equivalence")
     }
   }
+
+  test("q266 Cramér's V: full-grid chi-square replays brutally; float " +
+    "agreement; V² bounds") {
+    val sf = "/root/testdata/sf0.001"
+    val r = Eval.q266_cramers_v(spark, sf).collect().head
+    val (nDocs, nS, nL, dof, chi2M, v2M, sig) = (r.getLong(0),
+      r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getBoolean(6))
+    val cells = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("lang")).collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    val n = cells.length.toLong
+    assert(nDocs == n)
+    val rm = cells.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cm = cells.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(nS == rm.size.toLong && nL == cm.size.toLong)
+    assert(dof == (nS - 1) * (nL - 1))
+    val oCnt = cells.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    var chi2Exp = 0L
+    var chi2F = 0.0
+    for (src <- rm.keys; lg <- cm.keys) {
+      val o = oCnt.getOrElse((src, lg), 0L)
+      val det = BigInt(o * n) - BigInt(rm(src)) * cm(lg)
+      chi2Exp += (BigInt(1000000) * det * det /
+        (BigInt(n) * rm(src) * cm(lg))).toLong
+      val e = rm(src).toDouble * cm(lg) / n
+      chi2F += (o - e) * (o - e) / e
+    }
+    assert(chi2M == chi2Exp, "chi2 replay")
+    assert(math.abs(chi2M / 1e6 - chi2F) < 0.01 * (nS * nL),
+      "float chi2 agreement up to per-cell quantization")
+    assert(v2M == chi2Exp / (n * (math.min(nS, nL) - 1)), "V2")
+    // V² ∈ [0, 1] up to quantization
+    assert(v2M >= 0L && v2M <= 1000001L)
+    assert(sig == (chi2M > 97350970L))
+  }
 }
