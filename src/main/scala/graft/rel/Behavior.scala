@@ -1183,6 +1183,106 @@ object Behavior {
        |FROM per CROSS JOIN tt CROSS JOIN bt ORDER BY per.seg""".stripMargin
   }
 
+  // ----------------------------------------- q267 Kruskal-Wallis H
+  /** q267: the Kruskal-Wallis rank test (Kruskal & Wallis, JASA 1952)
+    * for the daily event volume across the SEVEN days of the week —
+    * the k-group generalization of q259's two-group rank test ("does
+    * any weekday differ?", the omnibus question to ask before q259's
+    * pairwise contrast), with the tie-corrected H referred to χ²(6).
+    *
+    * Exactness: the q259 doubled-rank machinery (tie group at values
+    * below cum: doubled average rank 2·cum + t + 1) gives integer
+    * doubled rank sums Rd_g per group; with R_g = Rd_g/2,
+    *   H₀ = 12/(N(N+1))·Σ R_g²/n_g − 3(N+1)
+    * lifts to micro as Σ_g ((3·10⁶·Rd_g²) div n_g) div (N(N+1)) −
+    * 3·10⁶·(N+1) (per-group quantization before the sum, DECIMAL for
+    * the squares), and the tie correction multiplies by
+    * (N³−N)/((N³−N) − Σ(t³−t)) as one exact DECIMAL product-divide.
+    * The verdict compares h_micro against the compile-time χ²(6)
+    * literal. Mean ranks report as (500·Rd_g) div n_g milli.
+    *
+    * Scale shape: day-grid value-group algebra throughout (the q259
+    * shape with a 7-way group key); nothing corpus-sized. */
+  def q267_kruskal_wallis(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(expr("ts_us div 86400000000L").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+    val filled = daily
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left_outer")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("dow", pmod(col("day") + 4L, lit(7L)))
+    val byVal = filled.groupBy(col("c")).agg(count(lit(1)).as("t"))
+      .withColumn("cum", coalesce(sum(col("t")).over(
+        Window.orderBy(col("c")).rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("dr", lit(2L) * col("cum") + col("t") + 1L)
+    val rg = filled.groupBy(col("c"), col("dow"))
+      .agg(count(lit(1)).as("tg"))
+      .join(broadcast(byVal.select(col("c"), col("dr"))), Seq("c"))
+      .groupBy(col("dow"))
+      .agg(sum(col("tg")).as("ng"), sum(col("tg") * col("dr")).as("rd"))
+    val tot = byVal.agg(sum(col("t")).as("n"),
+      sum(expr("t * t * t - t")).as("tie3"))
+    val hh = rg.crossJoin(broadcast(tot))
+      .select(expr(
+        "(CAST(3000000 AS DECIMAL(38,0)) * rd * rd) div " +
+          "CAST(ng AS DECIMAL(38,0))").as("contrib"),
+        col("n"), col("tie3"))
+      .groupBy(col("n"), col("tie3"))
+      .agg(sum(col("contrib")).as("sc"))
+      .select(col("n"), col("tie3"), expr(
+        "CAST((sc div (CAST(n AS DECIMAL(38,0)) * (n + 1))) " +
+          "- CAST(3000000 AS DECIMAL(38,0)) * (n + 1) AS DECIMAL(38,0))")
+        .as("h0"), expr("CAST(n AS DECIMAL(38,0)) * n * n - n")
+        .as("n3n"))
+      .select(col("n"), col("tie3"),
+        expr("CAST((h0 * n3n) div greatest(n3n - tie3, " +
+          "CAST(1 AS DECIMAL(38,0))) AS BIGINT)").as("h_micro"))
+    rg.crossJoin(broadcast(hh))
+      .select(col("dow"), col("ng").as("n_days"),
+        col("rd").as("rank_sum_2x"),
+        expr("(500 * rd) div ng").as("mean_rank_milli"),
+        col("h_micro"),
+        (col("h_micro") > 12591587L).as("significant"))
+      .orderBy(col("dow"))
+  }
+
+  private lazy val kwOracle: String =
+    s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+       |bnd AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+       |grid AS (SELECT CAST(unnest(range(d0, d1 + 1)) AS BIGINT) AS day
+       |  FROM bnd),
+       |f AS (SELECT g.day, COALESCE(d.c, 0) AS c,
+       |    (g.day + 4) % 7 AS dow
+       |  FROM grid g LEFT JOIN daily d USING (day)),
+       |bv AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS t FROM f
+       |  GROUP BY 1),
+       |w AS (SELECT *, COALESCE(CAST(SUM(t) OVER (ORDER BY c
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS BIGINT), 0) AS cum FROM bv),
+       |dr AS (SELECT c, 2 * cum + t + 1 AS dr FROM w),
+       |rg AS (SELECT f.dow, CAST(COUNT(*) AS BIGINT) AS ng,
+       |    CAST(SUM(dr.dr) AS BIGINT) AS rd
+       |  FROM f JOIN dr USING (c) GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+       |    CAST(SUM(t * t * t - t) AS BIGINT) AS tie3 FROM bv),
+       |hh AS (SELECT
+       |    CAST(((SUM((3000000 * CAST(rd AS HUGEINT) * rd) //
+       |        CAST(ng AS HUGEINT)) //
+       |      (CAST(tot.n AS HUGEINT) * (tot.n + 1))
+       |      - CAST(3000000 AS HUGEINT) * (tot.n + 1)) *
+       |      (CAST(tot.n AS HUGEINT) * tot.n * tot.n - tot.n)) //
+       |      GREATEST(CAST(tot.n AS HUGEINT) * tot.n * tot.n - tot.n
+       |        - tot.tie3, 1) AS BIGINT) AS h_micro
+       |  FROM rg CROSS JOIN tot GROUP BY tot.n, tot.tie3)
+       |SELECT rg.dow, rg.ng AS n_days, rg.rd AS rank_sum_2x,
+       |  (500 * rg.rd) // rg.ng AS mean_rank_milli, hh.h_micro,
+       |  hh.h_micro > 12591587 AS significant
+       |FROM rg CROSS JOIN hh ORDER BY rg.dow""".stripMargin
+
   // ------------------------------------------ q265 permutation test
   private val PermReps = 1000L
 
@@ -1970,6 +2070,7 @@ object Behavior {
     "q263_theil_index" -> (q263_theil_index _),
     "q264_runs_test" -> (q264_runs_test _),
     "q265_permutation_test" -> (q265_permutation_test _),
+    "q267_kruskal_wallis" -> (q267_kruskal_wallis _),
     "q258_theil_sen" -> (q258_theil_sen _),
     "q255_bootstrap_ci" -> (q255_bootstrap_ci _),
     "q251_mann_kendall" -> (q251_mann_kendall _),
@@ -1996,6 +2097,7 @@ object Behavior {
     "q263_theil_index" -> theilOracle,
     "q264_runs_test" -> runsOracle,
     "q265_permutation_test" -> permOracle,
+    "q267_kruskal_wallis" -> kwOracle,
     "q258_theil_sen" -> senOracle,
     "q255_bootstrap_ci" -> bootOracle,
     "q251_mann_kendall" -> mkOracle,

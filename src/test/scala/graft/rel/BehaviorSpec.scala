@@ -514,6 +514,55 @@ class BehaviorSpec extends AnyFunSuite {
     assert(ls == expLs, "least-squares twin")
   }
 
+  test("q267 Kruskal-Wallis: doubled-rank H replays; float agreement " +
+    "with scipy's tie-corrected form") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = Behavior.q267_kruskal_wallis(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).sortBy(_._1)
+    assert(rows.length == 7)
+    val days = graft.Tables.events(spark, sf)
+      .selectExpr("ts_us div 86400000000L AS day").collect()
+      .map(_.getLong(0))
+    val byDay = days.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    val grid = (days.min to days.max)
+      .map(d => ((d + 4) % 7, byDay.getOrElse(d, 0L)))
+    val n = grid.length.toLong
+    // doubled tie-average ranks per value
+    val groups = grid.map(_._2).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap.toSeq.sortBy(_._1)
+    var cum = 0L
+    val drMap = groups.map { case (v, t) =>
+      val dr = 2 * cum + t + 1
+      cum += t
+      v -> dr
+    }.toMap
+    val tie3 = groups.map { case (_, t) => t * t * t - t }.sum
+    val byDow = grid.groupBy(_._1)
+    var sc = BigInt(0)
+    for ((dow, ng, rd, meanM, _, _) <- rows) {
+      val mine = byDow(dow).map(_._2)
+      assert(ng == mine.length.toLong, s"dow $dow size")
+      val rdExp = mine.map(drMap).sum
+      assert(rd == rdExp, s"dow $dow doubled rank sum")
+      assert(meanM == 500L * rdExp / ng, s"dow $dow mean rank")
+      sc += BigInt(3000000) * rdExp * rdExp / ng
+    }
+    val h0 = sc / (BigInt(n) * (n + 1)) - BigInt(3000000) * (n + 1)
+    val n3n = BigInt(n) * n * n - n
+    val hExp = (h0 * n3n / (n3n - tie3).max(BigInt(1))).toLong
+    assert(rows.head._5 == hExp, "H replay")
+    assert(rows.forall(_._5 == hExp))
+    assert(rows.head._6 == (hExp > 12591587L))
+    // float H (scipy.kruskal's tie-corrected formula) agrees
+    val rSums = rows.map(r => (r._3 / 2.0, r._2.toDouble))
+    val hF0 = 12.0 / (n * (n + 1.0)) *
+      rSums.map { case (rs, ng) => rs * rs / ng }.sum - 3 * (n + 1.0)
+    val hF = hF0 / (1.0 - tie3.toDouble / (n.toDouble * n * n - n))
+    assert(math.abs(hExp / 1e6 - hF) < 0.01, s"float H: $hF vs $hExp")
+  }
+
   test("q265 permutation test: identical deterministic shuffles replay; " +
     "p-value counts exceedances with the add-one convention") {
     val sf = "/root/testdata/sf0.01"
