@@ -1183,6 +1183,106 @@ object Behavior {
        |FROM per CROSS JOIN tt CROSS JOIN bt ORDER BY per.seg""".stripMargin
   }
 
+  // ------------------------------------- q268 Cochran-Armitage trend
+  /** q268: the Cochran-Armitage test for trend in proportions
+    * (Cochran, Biometrics 1954; Armitage, Biometrics 1955) — does
+    * "first event is a purchase" TREND with user activity level?
+    * Groups are the distinct per-user event counts (the dose w IS the
+    * activity value — the textbook dose-scored version, no quantile
+    * binning); the outcome is whether a purchase sits at the user's
+    * minimum event timestamp (MEASURED non-degenerate: 29/150 at
+    * sf0.01, 294/1500 at sf0.1 — "ever purchased" measured degenerate
+    * at 150/150 and was rejected). This is the ordered-group test the
+    * unordered q266 chi-square cannot express: a monotone propensity
+    * gradient concentrates evidence into one df.
+    *
+    * Exactness: with per-dose (n_i users, c_i purchasers), N = Σn,
+    * C = Σc, the statistic lifts to integers as
+    *   A = Σ w_i·(c_i·N − n_i·C)   (N²·T for the textbook T)
+    *   B = C·(N−C)·(N·Σw²n − (Σw·n)²)   (N⁴·Var)
+    * and z² = A²·N/B, so the verdict is 10⁴·A²·N > 38416·B in
+    * DECIMAL(38,0); z2_micro = (10⁶·A²·N) div B reports the exact
+    * quantized statistic. The loud assert bounds |A| and the B factors
+    * where the decimal frontier (10³⁸) would pass.
+    *
+    * Scale shape: one user-keyed rollup, then value-group (dose)
+    * algebra — the dose table is bounded by the distinct activity
+    * values, catalog-sized at any corpus. */
+  def q268_cochran_armitage(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("w"), min(col("ts_us")).as("fe"),
+        min(when(col("event_type") === "purchase", col("ts_us")))
+          .as("fp"))
+      .withColumn("purch",
+        when(col("fp") === col("fe"), 1L).otherwise(0L))
+    val doses = users.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_i"), sum(col("purch")).as("c_i"))
+    val tot = doses.agg(sum(col("n_i")).as("nn"), sum(col("c_i")).as("cc"),
+      count(lit(1)).as("n_doses"))
+    val stats = doses.crossJoin(broadcast(tot))
+      .agg(
+        sum(expr("CAST(w AS DECIMAL(38,0)) * (c_i * nn - n_i * cc)"))
+          .as("a_dec"),
+        sum(expr("CAST(w AS DECIMAL(38,0)) * w * n_i")).as("w2n"),
+        sum(expr("CAST(w AS DECIMAL(38,0)) * n_i")).as("wn"),
+        max(col("nn")).as("nn"), max(col("cc")).as("cc"),
+        max(col("n_doses")).as("n_doses"))
+      .withColumn("b_dec", expr(
+        "CAST(cc AS DECIMAL(38,0)) * (nn - cc) * " +
+          "(CAST(nn AS DECIMAL(38,0)) * w2n - wn * wn)"))
+      // exact decimal-frontier guard: 10⁶·A²·N ≤ 10³⁷ and 38416·B ≤
+      // ~4·10³⁷ keep every product inside DECIMAL(38,0)/HUGEINT.
+      // Compare PRODUCTS, never decimal `div`: Spark's div on decimals
+      // casts the quotient to BIGINT with SILENT wraparound (measured
+      // this round: 1e31 div 150 = -7040234678130136406)
+      .filter(coalesce(assert_true(
+        expr("abs(a_dec) <= CAST(3e15 AS DECIMAL(38,0)) and " +
+          "a_dec * a_dec * nn <= CAST(1e31 AS DECIMAL(38,0)) and " +
+          "b_dec <= CAST(1e33 AS DECIMAL(38,0))"),
+        lit("Cochran-Armitage cross-products approach the " +
+          "DECIMAL(38,0) frontier: report in wider units at this " +
+          "corpus scale")), lit(true)))
+    stats.select(col("nn").as("n_users"), col("cc").as("n_purchasers"),
+      col("n_doses"),
+      expr("CAST(a_dec AS BIGINT)").as("a_stat"),
+      expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * a_dec * a_dec * nn) " +
+        "div greatest(b_dec, CAST(1 AS DECIMAL(38,0))) AS BIGINT)")
+        .as("z2_micro"),
+      expr("CAST(10000 AS DECIMAL(38,0)) * a_dec * a_dec * nn > " +
+        "CAST(38416 AS DECIMAL(38,0)) * b_dec").as("significant"))
+  }
+
+  private lazy val caOracle: String =
+    s"""WITH u0 AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS w,
+       |    MIN(epoch_us(ts)) AS fe,
+       |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+       |      AS fp
+       |  FROM events GROUP BY 1),
+       |users AS (SELECT user_id, w,
+       |    CASE WHEN fp = fe THEN 1 ELSE 0 END AS purch FROM u0),
+       |doses AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_i,
+       |    CAST(SUM(purch) AS BIGINT) AS c_i FROM users GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_i) AS BIGINT) AS nn,
+       |    CAST(SUM(c_i) AS BIGINT) AS cc,
+       |    CAST(COUNT(*) AS BIGINT) AS n_doses FROM doses),
+       |st AS (SELECT
+       |    SUM(CAST(w AS HUGEINT) * (c_i * tot.nn - n_i * tot.cc))
+       |      AS a_h,
+       |    SUM(CAST(w AS HUGEINT) * w * n_i) AS w2n,
+       |    SUM(CAST(w AS HUGEINT) * n_i) AS wn,
+       |    MAX(tot.nn) AS nn, MAX(tot.cc) AS cc,
+       |    MAX(tot.n_doses) AS n_doses
+       |  FROM doses CROSS JOIN tot),
+       |b AS (SELECT *, CAST(cc AS HUGEINT) * (nn - cc) *
+       |    (CAST(nn AS HUGEINT) * w2n - wn * wn) AS b_h FROM st)
+       |SELECT nn AS n_users, cc AS n_purchasers, n_doses,
+       |  CAST(a_h AS BIGINT) AS a_stat,
+       |  CAST((1000000 * a_h * a_h * nn) // GREATEST(b_h, 1) AS BIGINT)
+       |    AS z2_micro,
+       |  10000 * a_h * a_h * nn > 38416 * b_h AS significant
+       |FROM b""".stripMargin
+
   // ----------------------------------------- q267 Kruskal-Wallis H
   /** q267: the Kruskal-Wallis rank test (Kruskal & Wallis, JASA 1952)
     * for the daily event volume across the SEVEN days of the week —
@@ -2071,6 +2171,7 @@ object Behavior {
     "q264_runs_test" -> (q264_runs_test _),
     "q265_permutation_test" -> (q265_permutation_test _),
     "q267_kruskal_wallis" -> (q267_kruskal_wallis _),
+    "q268_cochran_armitage" -> (q268_cochran_armitage _),
     "q258_theil_sen" -> (q258_theil_sen _),
     "q255_bootstrap_ci" -> (q255_bootstrap_ci _),
     "q251_mann_kendall" -> (q251_mann_kendall _),
@@ -2098,6 +2199,7 @@ object Behavior {
     "q264_runs_test" -> runsOracle,
     "q265_permutation_test" -> permOracle,
     "q267_kruskal_wallis" -> kwOracle,
+    "q268_cochran_armitage" -> caOracle,
     "q258_theil_sen" -> senOracle,
     "q255_bootstrap_ci" -> bootOracle,
     "q251_mann_kendall" -> mkOracle,

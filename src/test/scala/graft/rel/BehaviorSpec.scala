@@ -514,6 +514,41 @@ class BehaviorSpec extends AnyFunSuite {
     assert(ls == expLs, "least-squares twin")
   }
 
+  test("q268 Cochran-Armitage: dose-scored trend statistic replays; " +
+    "float z2 equivalence") {
+    val sf = "/root/testdata/sf0.01"
+    val r = Behavior.q268_cochran_armitage(spark, sf).collect().head
+    val (nU, nP, nD, aStat, z2M, sig) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))
+    val users = graft.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(expr("count(1) AS w"), expr("min(ts_us) AS fe"),
+        expr("min(CASE WHEN event_type = 'purchase' THEN ts_us END) AS fp"))
+      .selectExpr("w", "CASE WHEN fp = fe THEN 1L ELSE 0L END AS p")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val n = users.length.toLong
+    val c = users.map(_._2).sum
+    assert(nU == n && nP == c)
+    val doses = users.groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
+    assert(nD == doses.size.toLong)
+    val a = doses.map { case (w, (ni, ci)) =>
+      BigInt(w) * (ci * n - ni * c)
+    }.sum
+    assert(BigInt(aStat) == a, "A statistic")
+    val w2n = doses.map { case (w, (ni, _)) => BigInt(w) * w * ni }.sum
+    val wn = doses.map { case (w, (ni, _)) => BigInt(w) * ni }.sum
+    val b = BigInt(c) * (n - c) * (BigInt(n) * w2n - wn * wn)
+    assert(BigInt(z2M) == BigInt(1000000) * a * a * n / b.max(BigInt(1)))
+    assert(sig == (BigInt(10000) * a * a * n > BigInt(38416) * b))
+    // float z² agrees (Armitage's T/Var form: A = N·T, B = N³·Var)
+    val t = a.toDouble / n
+    val v = b.toDouble / (n.toDouble * n * n)
+    val z2 = t * t / v
+    assert(math.abs(z2M / 1e6 - z2) < 1e-3, s"float z2 $z2")
+    assert(sig == (z2 > 3.8416), "float verdict")
+  }
+
   test("q267 Kruskal-Wallis: doubled-rank H replays; float agreement " +
     "with scipy's tie-corrected form") {
     val sf = "/root/testdata/sf0.01"
