@@ -1183,6 +1183,99 @@ object Behavior {
        |FROM per CROSS JOIN tt CROSS JOIN bt ORDER BY per.seg""".stripMargin
   }
 
+  // --------------------------------------- q269 Page-Hinkley monitor
+  /** q269: the Page-Hinkley sequential change detector (Page,
+    * Biometrika 1954 — the PH variant standard in stream-mining
+    * libraries, cf. Gama et al. 2014 §3.2) on the daily event series —
+    * the ALARM-oriented member of the monitoring family: q214's CUSUM
+    * locates the best single changepoint in hindsight; PH walks the
+    * series forward and fires the moment the drift-compensated
+    * cumulative deviation exceeds λ, the semantics a live pipeline
+    * gate wants. Both directions run (mean increase and decrease —
+    * the mirrored test). Parameters are MEAN-RELATIVE (measured:
+    * absolute δ = 0.5/day false-alarmed at sf0.1's ~500/day mean):
+    * δ = 5 % of the running mean, λ = one horizon-mean day of
+    * drift-compensated excess (the q234 sealed-horizon calibration).
+    *
+    * Exactness: the running mean lifts to milli per the house rule —
+    * term_t = 1000·x_t − (1000·S_t) div t − (50·S_t) div t, each
+    * division quantized per day BEFORE the prefix sums; PH_t is a
+    * prefix sum, the reference m_t = min_{j≤t} PH_j a prefix min, and
+    * the alarm is the integer comparison PH_t − m_t > λ_milli with
+    * λ_milli = (1000·S_n) div n. All BIGINT — Long-safe at any
+    * realistic horizon.
+    *
+    * Scale shape: day-grid prefix algebra (the q248 walk shape);
+    * global-order windows are horizon-sized by construction, never
+    * corpus-sized. */
+  def q269_page_hinkley(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(expr("ts_us div 86400000000L").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+    val filled = daily
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left_outer")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val lam = filled.agg(
+      expr("(1000 * sum(c)) div count(1)").as("lambda_milli"))
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val walk = filled
+      .withColumn("t", row_number().over(Window.orderBy(col("day")))
+        .cast("long"))
+      .withColumn("s_t", sum(col("c")).over(wCum))
+      .withColumn("up_term",
+        lit(1000L) * col("c") - expr("(1000 * s_t) div t")
+          - expr("(50 * s_t) div t"))
+      .withColumn("dn_term",
+        expr("(1000 * s_t) div t") - lit(1000L) * col("c")
+          - expr("(50 * s_t) div t"))
+      .withColumn("ph_up", sum(col("up_term")).over(wCum))
+      .withColumn("ph_dn", sum(col("dn_term")).over(wCum))
+      .withColumn("gap_up", col("ph_up") - min(col("ph_up")).over(wCum))
+      .withColumn("gap_dn", col("ph_dn") - min(col("ph_dn")).over(wCum))
+    walk.crossJoin(broadcast(lam))
+      .select(col("day"), col("c"), col("ph_up"), col("gap_up"),
+        col("gap_dn"), col("lambda_milli"),
+        (col("gap_up") > col("lambda_milli")).as("alarm_increase"),
+        (col("gap_dn") > col("lambda_milli")).as("alarm_decrease"))
+      .orderBy(col("day"))
+  }
+
+  private lazy val phOracle: String =
+    s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+       |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+       |grid AS (SELECT CAST(unnest(range(d0, d1 + 1)) AS BIGINT) AS day
+       |  FROM b),
+       |f AS (SELECT g.day, COALESCE(d.c, 0) AS c
+       |  FROM grid g LEFT JOIN daily d USING (day)),
+       |w AS (SELECT day, c,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+       |    CAST(SUM(c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS s_t FROM f),
+       |lam AS (SELECT (1000 * CAST(SUM(c) AS BIGINT)) //
+       |    CAST(COUNT(*) AS BIGINT) AS lambda_milli FROM f),
+       |tm AS (SELECT day, c,
+       |    1000 * c - (1000 * s_t) // t - (50 * s_t) // t AS up_term,
+       |    (1000 * s_t) // t - 1000 * c - (50 * s_t) // t AS dn_term
+       |  FROM w),
+       |ph AS (SELECT day, c,
+       |    CAST(SUM(up_term) OVER (ORDER BY day ROWS UNBOUNDED
+       |      PRECEDING) AS BIGINT) AS ph_up,
+       |    CAST(SUM(dn_term) OVER (ORDER BY day ROWS UNBOUNDED
+       |      PRECEDING) AS BIGINT) AS ph_dn FROM tm),
+       |gp AS (SELECT day, c, ph_up,
+       |    ph_up - MIN(ph_up) OVER (ORDER BY day ROWS UNBOUNDED
+       |      PRECEDING) AS gap_up,
+       |    ph_dn - MIN(ph_dn) OVER (ORDER BY day ROWS UNBOUNDED
+       |      PRECEDING) AS gap_dn FROM ph)
+       |SELECT day, c, ph_up, gap_up, gap_dn, lam.lambda_milli,
+       |  gap_up > lam.lambda_milli AS alarm_increase,
+       |  gap_dn > lam.lambda_milli AS alarm_decrease
+       |FROM gp CROSS JOIN lam ORDER BY day""".stripMargin
+
   // ------------------------------------- q268 Cochran-Armitage trend
   /** q268: the Cochran-Armitage test for trend in proportions
     * (Cochran, Biometrics 1954; Armitage, Biometrics 1955) — does
@@ -2172,6 +2265,7 @@ object Behavior {
     "q265_permutation_test" -> (q265_permutation_test _),
     "q267_kruskal_wallis" -> (q267_kruskal_wallis _),
     "q268_cochran_armitage" -> (q268_cochran_armitage _),
+    "q269_page_hinkley" -> (q269_page_hinkley _),
     "q258_theil_sen" -> (q258_theil_sen _),
     "q255_bootstrap_ci" -> (q255_bootstrap_ci _),
     "q251_mann_kendall" -> (q251_mann_kendall _),
@@ -2200,6 +2294,7 @@ object Behavior {
     "q265_permutation_test" -> permOracle,
     "q267_kruskal_wallis" -> kwOracle,
     "q268_cochran_armitage" -> caOracle,
+    "q269_page_hinkley" -> phOracle,
     "q258_theil_sen" -> senOracle,
     "q255_bootstrap_ci" -> bootOracle,
     "q251_mann_kendall" -> mkOracle,

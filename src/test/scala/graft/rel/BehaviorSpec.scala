@@ -514,6 +514,50 @@ class BehaviorSpec extends AnyFunSuite {
     assert(ls == expLs, "least-squares twin")
   }
 
+  test("q269 Page-Hinkley: milli walk replays sequentially; a planted " +
+    "level shift trips the increase alarm") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = Behavior.q269_page_hinkley(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6), r.getBoolean(7)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    val xs = rows.map(_._2)
+    val lambdaM = 1000L * xs.sum / xs.length
+    var sT = 0L
+    var phUp = 0L; var phDn = 0L
+    var mUp = Long.MaxValue; var mDn = Long.MaxValue
+    for (((day, c, phU, gapU, gapD, lam, aU, aD), i) <- rows.zipWithIndex) {
+      val t = i + 1L
+      sT += c
+      phUp += 1000 * c - (1000 * sT) / t - (50 * sT) / t
+      phDn += (1000 * sT) / t - 1000 * c - (50 * sT) / t
+      mUp = math.min(mUp, phUp); mDn = math.min(mDn, phDn)
+      assert(phU == phUp, s"day $day PH")
+      assert(gapU == phUp - mUp && gapD == phDn - mDn, s"day $day gaps")
+      assert(lam == lambdaM)
+      assert(aU == (gapU > lambdaM) && aD == (gapD > lambdaM))
+    }
+    // stationary corpus at the mean-relative calibration: no alarms
+    assert(rows.forall(r => !r._7 && !r._8), "stationary series is quiet")
+    // planted shift: a +200/day tail (~60% over the ~335/day mean —
+    // +60 measured knife-edge at gap 360701 vs lambda 363333) must
+    // fire the increase alarm (detector sensitivity contract)
+    val planted = xs.zipWithIndex.map { case (c, i) =>
+      if (i >= xs.length / 2) c + 200L else c
+    }
+    val lam2 = 1000L * planted.sum / planted.length
+    var s2 = 0L; var p2 = 0L; var m2 = Long.MaxValue; var fired = false
+    for ((c, i) <- planted.zipWithIndex) {
+      val t = i + 1L
+      s2 += c
+      p2 += 1000 * c - (1000 * s2) / t - (50 * s2) / t
+      m2 = math.min(m2, p2)
+      if (p2 - m2 > lam2) fired = true
+    }
+    assert(fired, "a +60/day level shift must trip the alarm")
+  }
+
   test("q268 Cochran-Armitage: dose-scored trend statistic replays; " +
     "float z2 equivalence") {
     val sf = "/root/testdata/sf0.01"
