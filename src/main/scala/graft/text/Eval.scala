@@ -1035,6 +1035,103 @@ object Eval {
        |    38416 * (rules_only + lm_only) AS significant
        |FROM ag""".stripMargin
 
+  // ------------------------------------------------ q270 Brier score
+  /** q270: the Brier score with Murphy's three-way decomposition
+    * (Brier, Monthly Weather Review 1950; Murphy, J. Appl. Meteorology
+    * 1973) for the q87 quality classifier against the q87b label —
+    * eval loop #14: q174 ranks (AUC), q177 bins (calibration table),
+    * the Brier score PRICES the probabilities themselves and Murphy
+    * splits it into reliability (calibration error, lower better),
+    * resolution (sharpness, higher better) and the irreducible
+    * uncertainty ȳ(1−ȳ).
+    *
+    * Exactness: the score quantizes ONCE to micro (p_u =
+    * round(10⁶·logit_r), q177's integerization); the raw score is
+    * Σ(p_u − 10⁶y)² div N in DECIMAL(38,0); the decomposition runs at
+    * the 0.02-probability bins (bin = p_u div 20000, forecast = bin
+    * mean): REL = Σ_b ((A_b − 10⁶·pos_b)² div n_b) div N,
+    * RES = Σ_b ((10⁶(pos_b·N − pos·n_b))² div (n_b·N²)) div N,
+    * UNC = (10¹²·pos·(N−pos)) div N² — every division a quantization
+    * of an integer ratio, the Murphy identity holding in float to bin
+    * granularity (spec-checked). The (10⁶·pos·N)² products cross the
+    * DECIMAL(38,0) frontier near N ≈ 3·10⁶ docs — the loud assert
+    * names the wider-unit swap.
+    *
+    * Scale shape: one corpus pass to (bin, n, pos, Σp_u) — 50 bins —
+    * plus one scalar aggregate; catalog algebra after. */
+  def q270_brier(s: SparkSession, dir: String): DataFrame = {
+    val pl = predLab(s, dir)
+      .selectExpr("CAST(round(logit_r * 1000000.0) AS BIGINT) AS p_u",
+        "CASE WHEN label THEN 1L ELSE 0L END AS y")
+    val tot = pl.agg(count(lit(1)).as("n"), sum(col("y")).as("pos"),
+      sum(expr("CAST((p_u - 1000000 * y) AS DECIMAL(38,0)) * " +
+        "(p_u - 1000000 * y)")).as("sq"))
+    val bins = pl.groupBy(expr("p_u div 20000").as("bin"))
+      .agg(count(lit(1)).as("n_b"), sum(col("y")).as("pos_b"),
+        sum(col("p_u")).as("a_b"))
+    val dec = bins.crossJoin(broadcast(tot))
+      .filter(coalesce(assert_true(
+        expr("pos * n <= 10000000000000L"),
+        lit("Brier decomposition squares pass the DECIMAL(38,0) " +
+          "frontier: report in wider units past ~3e6 docs")),
+        lit(true)))
+      .agg(
+        sum(expr("(CAST(a_b - 1000000 * pos_b AS DECIMAL(38,0)) * " +
+          "(a_b - 1000000 * pos_b)) div CAST(n_b AS DECIMAL(38,0))"))
+          .as("rel_num"),
+        sum(expr("(CAST(1000000 AS DECIMAL(38,0)) * " +
+          "(pos_b * n - pos * n_b) * (CAST(1000000 AS DECIMAL(38,0)) * " +
+          "(pos_b * n - pos * n_b))) div (CAST(n_b AS DECIMAL(38,0)) " +
+          "* n * n)")).as("res_num"),
+        count(lit(1)).as("n_bins"))
+    tot.crossJoin(broadcast(dec))
+      .select(col("n").as("n_docs"), col("pos").as("n_pos"),
+        col("n_bins"),
+        expr("CAST(sq div CAST(n AS DECIMAL(38,0)) AS BIGINT)")
+          .as("brier_micro2"),
+        expr("CAST(rel_num div CAST(n AS DECIMAL(38,0)) AS BIGINT)")
+          .as("rel_micro2"),
+        expr("CAST(res_num div CAST(n AS DECIMAL(38,0)) AS BIGINT)")
+          .as("res_micro2"),
+        expr("CAST((CAST(1000000000000 AS DECIMAL(38,0)) * pos * " +
+          "(n - pos)) div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)")
+          .as("unc_micro2"))
+  }
+
+  private lazy val brierOracle: String =
+    s"""WITH $PredLabCtes,
+       |pu AS (SELECT CAST(round(logit_r * 1000000.0) AS BIGINT) AS p_u,
+       |    CASE WHEN label THEN 1 ELSE 0 END AS y FROM pl),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(y) AS BIGINT) AS pos,
+       |    SUM(CAST(p_u - 1000000 * y AS HUGEINT) *
+       |      (p_u - 1000000 * y)) AS sq FROM pu),
+       |bins AS (SELECT p_u // 20000 AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS n_b,
+       |    CAST(SUM(y) AS BIGINT) AS pos_b,
+       |    CAST(SUM(p_u) AS BIGINT) AS a_b FROM pu GROUP BY 1),
+       |dec AS (SELECT
+       |    SUM((CAST(a_b - 1000000 * pos_b AS HUGEINT) *
+       |      (a_b - 1000000 * pos_b)) // CAST(n_b AS HUGEINT))
+       |      AS rel_num,
+       |    SUM((CAST(1000000 AS HUGEINT) * (pos_b * tot.n - tot.pos *
+       |      n_b) * (CAST(1000000 AS HUGEINT) * (pos_b * tot.n -
+       |      tot.pos * n_b))) // (CAST(n_b AS HUGEINT) * tot.n * tot.n))
+       |      AS res_num,
+       |    CAST(COUNT(*) AS BIGINT) AS n_bins
+       |  FROM bins CROSS JOIN tot)
+       |SELECT tot.n AS n_docs, tot.pos AS n_pos, dec.n_bins,
+       |  CAST(tot.sq // CAST(tot.n AS HUGEINT) AS BIGINT)
+       |    AS brier_micro2,
+       |  CAST(dec.rel_num // CAST(tot.n AS HUGEINT) AS BIGINT)
+       |    AS rel_micro2,
+       |  CAST(dec.res_num // CAST(tot.n AS HUGEINT) AS BIGINT)
+       |    AS res_micro2,
+       |  CAST((CAST(1000000000000 AS HUGEINT) * tot.pos *
+       |    (tot.n - tot.pos)) // (CAST(tot.n AS HUGEINT) * tot.n)
+       |    AS BIGINT) AS unc_micro2
+       |FROM tot CROSS JOIN dec""".stripMargin
+
   // ------------------------------------------------ q266 Cramér's V
   /** χ²(76) upper-5% critical value in micro units (R qchisq(0.95,76),
     * cross-checked against the incomplete-gamma inversion) — df is
@@ -1126,6 +1223,7 @@ object Eval {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q266_cramers_v" -> (q266_cramers_v _),
+    "q270_brier" -> (q270_brier _),
     "q257_mcnemar" -> (q257_mcnemar _),
     "q245_token_mi" -> (q245_token_mi _),
     "q210_trimmed_stats" -> (q210_trimmed_stats _),
@@ -1144,6 +1242,7 @@ object Eval {
 
   val oracle: Map[String, String] = Map(
     "q266_cramers_v" -> cramersOracle,
+    "q270_brier" -> brierOracle,
     "q257_mcnemar" -> mcnemarOracle,
     "q245_token_mi" -> q245Oracle,
     "q210_trimmed_stats" -> trimmedOracle,

@@ -379,6 +379,52 @@ class EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("q270 Brier: score and Murphy terms replay; binned identity " +
+    "brier_binned = rel - res + unc holds in float") {
+    val sf = "/root/testdata/sf0.001"
+    val r = Eval.q270_brier(spark, sf).collect().head
+    val (n, pos, nBins, brier, rel, res, unc) = (r.getLong(0),
+      r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6))
+    val pl = CorpusFilters.q87_quality_classifier(spark, sf)
+      .select(col("doc_id"), col("logit_r"))
+      .join(CorpusFilters.qualityLabels(spark, sf)
+        .select(col("doc_id"), col("label")), "doc_id")
+      .selectExpr("CAST(round(logit_r * 1000000.0) AS BIGINT) AS p",
+        "CASE WHEN label THEN 1L ELSE 0L END AS y")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(n == pl.length.toLong && pos == pl.map(_._2).sum)
+    val sq = pl.map { case (p, y) =>
+      BigInt(p - 1000000 * y) * (p - 1000000 * y)
+    }.sum
+    assert(BigInt(brier) == sq / n, "raw Brier")
+    val bins = pl.groupBy(_._1 / 20000)
+    assert(nBins == bins.size.toLong)
+    var relNum = BigInt(0); var resNum = BigInt(0)
+    for ((_, g) <- bins) {
+      val nB = g.length.toLong
+      val posB = g.map(_._2).sum
+      val aB = g.map(_._1).sum
+      relNum += BigInt(aB - 1000000 * posB) * (aB - 1000000 * posB) / nB
+      val d = BigInt(1000000) * (posB * n - pos * nB)
+      resNum += d * d / (BigInt(nB) * n * n)
+    }
+    assert(BigInt(rel) == relNum / n, "reliability")
+    assert(BigInt(res) == resNum / n, "resolution")
+    assert(BigInt(unc) ==
+      BigInt("1000000000000") * pos * (n - pos) / (BigInt(n) * n))
+    // Murphy identity at bin granularity (forecast = bin mean):
+    // brier_binned = REL - RES + UNC exactly in the rationals
+    val brierBinned = bins.values.map { g =>
+      val nB = g.length
+      val pBar = g.map(_._1).sum.toDouble / nB
+      g.map { case (_, y) => (pBar - 1e6 * y) * (pBar - 1e6 * y) }.sum
+    }.sum / n
+    val idLhs = brierBinned / 1e12
+    val idRhs = (rel - res + unc) / 1e12
+    assert(math.abs(idLhs - idRhs) < 1e-4, s"Murphy identity $idLhs $idRhs")
+  }
+
   test("q266 Cramér's V: full-grid chi-square replays brutally; float " +
     "agreement; V² bounds") {
     val sf = "/root/testdata/sf0.001"
