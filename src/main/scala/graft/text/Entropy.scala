@@ -119,9 +119,72 @@ object Entropy {
        |FROM h ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------- registry
+  // --------------------------------------- q271 Simpson diversity
+  /** q271: Simpson's diversity of the per-language unigram
+    * distribution (Simpson, Nature 1948 — the UNBIASED estimator
+    * λ̂ = Σ c(c−1)/(N(N−1)), which is a pure ratio of integers, no
+    * logarithm at all) with the inverse-Simpson effective vocabulary
+    * size — the diversity number beside the entropy family (q139
+    * chars, q27/q69 Zipf shape): "how many equally-common types would
+    * give this repeat-probability?" is the lexical-richness report a
+    * per-language curation pass reads (a language whose effective
+    * vocabulary collapses is template/boilerplate text).
+    *
+    * Exactness: λ_micro = (10⁶·Σc(c−1)) div (N(N−1)) and
+    * eff_types_milli = (1000·N(N−1)) div Σc(c−1), both single DECIMAL
+    * (38,0) divisions of exact BIGINTs (Σc(c−1) ≤ N² — the N ≈ 3·10⁹
+    * token frontier carries the loud assert); Gini-Simpson rides as
+    * 10⁶ − λ_micro. Every quantity is a one-rollup aggregate.
+    *
+    * Scale shape: one (lang, term) count off the fanned corpus pass
+    * (Heaps-bounded), one lang rollup — the q211 shape minus the
+    * grid. */
+  def q271_simpson_diversity(s: SparkSession, dir: String): DataFrame = {
+    val lt = Tables.documentsFanned(s, dir)
+      .select(col("lang"), explode(Cleanse.tokens(col("text"))).as("term"))
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("c"))
+    lt.groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("n_types"),
+        sum(expr("c * (c - 1)")).as("rep2"))
+      .filter(coalesce(assert_true(
+        expr(s"1000000 * n_tok <= (${Long.MaxValue}L div " +
+          "greatest(n_tok, 1L))"),
+        lit("Simpson micro products pass BIGINT near 3e6 tokens per " +
+          "language: swap the ratios to DECIMAL(38,0) at this scale")),
+        lit(true)))
+      .select(col("lang"), col("n_tok"), col("n_types"),
+        expr("(1000000 * rep2) div greatest(n_tok * (n_tok - 1), 1L)")
+          .as("simpson_micro"),
+        expr("1000000 - (1000000 * rep2) div " +
+          "greatest(n_tok * (n_tok - 1), 1L)").as("gini_simpson_micro"),
+        expr("(1000 * n_tok * (n_tok - 1)) div greatest(rep2, 1L)")
+          .as("eff_types_milli"))
+      .orderBy(col("lang"))
+  }
+
+  private lazy val simpsonOracle: String = {
+    val dToks = CorpusFilters.DToks
+    s"""WITH lt AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT lang, unnest($dToks) AS term FROM documents)
+       |  GROUP BY 1, 2),
+       |ag AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tok,
+       |    CAST(COUNT(*) AS BIGINT) AS n_types,
+       |    CAST(SUM(c * (c - 1)) AS BIGINT) AS rep2 FROM lt GROUP BY 1)
+       |SELECT lang, n_tok, n_types,
+       |  (1000000 * rep2) // GREATEST(n_tok * (n_tok - 1), 1)
+       |    AS simpson_micro,
+       |  1000000 - (1000000 * rep2) //
+       |    GREATEST(n_tok * (n_tok - 1), 1) AS gini_simpson_micro,
+       |  (1000 * n_tok * (n_tok - 1)) // GREATEST(rep2, 1)
+       |    AS eff_types_milli
+       |FROM ag ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q271_simpson_diversity" -> (q271_simpson_diversity _),
     "q139_char_entropy" -> (q139_char_entropy _))
 
   val oracle: Map[String, String] = Map(
-    "q139_char_entropy" -> entropyOracle)
+    "q139_char_entropy" -> entropyOracle,
+    "q271_simpson_diversity" -> simpsonOracle)
 }

@@ -74,4 +74,34 @@ class EntropySpec extends AnyFunSuite {
       assert(r.getLong(2) >= 0L)
     }
   }
+
+  test("q271 Simpson: unbiased repeat-probability replays brutally; " +
+    "inverse-Simpson bounds against the type count") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Entropy.q271_simpson_diversity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .flatMap(r => r.getString(1).trim.split(" ").filter(_.nonEmpty)
+        .map(t => (r.getString(0), t)))
+    val byLang = toks.groupBy(_._1)
+    assert(rows.map(_._1).toSet == byLang.keySet)
+    for ((lang, nTok, nTypes, simp, gini, eff) <- rows) {
+      val counts = byLang(lang).map(_._2).groupBy(identity).view
+        .mapValues(_.length.toLong).toMap
+      val n = byLang(lang).length.toLong
+      assert(nTok == n && nTypes == counts.size.toLong, s"$lang totals")
+      val rep2 = counts.values.map(c => c * (c - 1)).sum
+      assert(simp == 1000000L * rep2 / (n * (n - 1)).max(1L))
+      assert(gini == 1000000L - simp)
+      assert(eff == 1000L * n * (n - 1) / rep2.max(1L))
+      // repeat-probability in [0,1]; effective size at least 1 (the
+      // unbiased estimator is NOT Jensen-bounded by the type count)
+      assert(simp >= 0L && simp <= 1000000L, s"$lang simpson bounds")
+      assert(eff >= 1000L, s"$lang eff")
+    }
+  }
 }
