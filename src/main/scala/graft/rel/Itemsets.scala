@@ -379,13 +379,81 @@ object Itemsets {
        |  (1000 * n_users) // (SELECT nu FROM tot) AS support_permille
        |FROM o ORDER BY level, n_users DESC, pattern""".stripMargin
 
+  // --------------------------------------- q272 HHI concentration
+  /** q272: the Herfindahl-Hirschman concentration index (Herfindahl
+    * 1950 / Hirschman 1945; the antitrust-standard market-structure
+    * number) of supplier revenue within each nation — the
+    * market-structure companion of the inequality pair (q196 Gini,
+    * q263 Theil): Gini/Theil read the SHAPE of the distribution, HHI
+    * reads how few players hold it, and its reciprocal is the
+    * "effective number of competitors" a sourcing-risk audit wants.
+    *
+    * Exactness: per-supplier revenue integerizes once to cents (the
+    * q227 protocol); HHI = Σ(r_i/R)² lifts to ONE division of exact
+    * sums — hhi_micro = (10⁶·Σr²) div R² in DECIMAL(38,0) (Σr² is
+    * corpus²-shaped; the decimal carries it to ~10¹⁶-cent nations) —
+    * no per-supplier quantization loss; top-share permille and
+    * effective competitors (10³·R² div Σr²) ride the same sums.
+    *
+    * Scale shape: one lineitem rollup keyed on suppkey, a broadcast
+    * dimension join, one nation rollup — nation table is 25 rows. */
+  def q272_hhi_concentration(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * lit(100)).cast("long").as("cents"))
+      .groupBy(col("l_suppkey")).agg(sum(col("cents")).as("r"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))),
+        Seq("l_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name"))),
+        Seq("s_nationkey"))
+    sup.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"), sum(col("r")).as("rev"),
+        sum(expr("CAST(r AS DECIMAL(38,0)) * r")).as("r2"),
+        max(col("r")).as("r_top"))
+      .select(col("n_name"), col("n_suppliers"),
+        col("rev").as("revenue_cents"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * r2) div " +
+          "(CAST(rev AS DECIMAL(38,0)) * rev) AS BIGINT)")
+          .as("hhi_micro"),
+        expr("(1000 * r_top) div rev").as("top_share_permille"),
+        expr("CAST((CAST(1000 AS DECIMAL(38,0)) * rev * rev) div " +
+          "greatest(r2, CAST(1 AS DECIMAL(38,0))) AS BIGINT)")
+          .as("eff_competitors_milli"))
+      .orderBy(col("n_name"))
+  }
+
+  private lazy val hhiOracle: String =
+    s"""WITH sup AS (SELECT l_suppkey,
+       |    CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount)
+       |      * 100) AS BIGINT)) AS BIGINT) AS r
+       |  FROM lineitem GROUP BY 1),
+       |j AS (SELECT n.n_name, sup.r
+       |  FROM sup JOIN supplier s ON s.s_suppkey = sup.l_suppkey
+       |  JOIN nation n ON n.n_nationkey = s.s_nationkey),
+       |ag AS (SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       |    CAST(SUM(r) AS BIGINT) AS rev,
+       |    SUM(CAST(r AS HUGEINT) * r) AS r2,
+       |    CAST(MAX(r) AS BIGINT) AS r_top FROM j GROUP BY 1)
+       |SELECT n_name, n_suppliers, rev AS revenue_cents,
+       |  CAST((1000000 * r2) // (CAST(rev AS HUGEINT) * rev) AS BIGINT)
+       |    AS hhi_micro,
+       |  (1000 * r_top) // rev AS top_share_permille,
+       |  CAST((CAST(1000 AS HUGEINT) * rev * rev) // GREATEST(r2, 1)
+       |    AS BIGINT) AS eff_competitors_milli
+       |FROM ag ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q272_hhi_concentration" -> (q272_hhi_concentration _),
     "q224_frequent_itemsets" -> (q224_frequent_itemsets _),
     "q227_rank_stability" -> (q227_rank_stability _),
     "q244_kendall_tau" -> (q244_kendall_tau _),
     "q247_sequential_patterns" -> (q247_sequential_patterns _))
 
   val oracle: Map[String, String] = Map(
+    "q272_hhi_concentration" -> hhiOracle,
     "q224_frequent_itemsets" -> itemsetsOracle,
     "q227_rank_stability" -> stabilityOracle,
     "q244_kendall_tau" -> kendallOracle,

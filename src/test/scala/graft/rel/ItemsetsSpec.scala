@@ -174,4 +174,39 @@ class ItemsetsSpec extends AnyFunSuite {
       assert(r._4 == 1000L * r._3 / nu, "support permille")
     }
   }
+
+  test("q272 HHI: one-division concentration replays from per-supplier " +
+    "cents; reciprocal identity holds") {
+    val rows = Itemsets.q272_hhi_concentration(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_suppkey",
+        "CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS cents")
+      .groupBy("l_suppkey")
+      .agg(org.apache.spark.sql.functions.expr("sum(cents) AS r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val snk = spark.read.parquet(s"$sf/supplier.parquet")
+      .selectExpr("s_suppkey", "s_nationkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val nn = spark.read.parquet(s"$sf/nation.parquet")
+      .selectExpr("n_nationkey", "n_name").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toMap
+    val byNation = li.toSeq.groupBy { case (sk, _) => nn(snk(sk)) }
+    for ((name, nSup, rev, hhi, top, eff) <- rows) {
+      val rs = byNation(name).map(_._2)
+      assert(nSup == rs.length.toLong, s"$name suppliers")
+      val r = rs.sum
+      assert(rev == r, s"$name revenue")
+      val r2 = rs.map(x => BigInt(x) * x).sum
+      assert(BigInt(hhi) == BigInt(1000000) * r2 / (BigInt(r) * r))
+      assert(top == 1000L * rs.max / r)
+      assert(BigInt(eff) == BigInt(1000) * r * r / r2.max(BigInt(1)))
+      // HHI in [10^6/n, 10^6]; eff in [1, n] (Cauchy-Schwarz, exact
+      // direction holds for the plug-in estimator)
+      assert(hhi >= 1000000L / nSup - 1 && hhi <= 1000000L)
+      assert(eff >= 1000L - 1 && eff <= 1000L * nSup + 1)
+    }
+  }
 }
