@@ -1421,6 +1421,87 @@ object Similarity {
     labels.orderBy(col("doc_id"))
   }
 
+  // ------------------------------------ q274 capture-recapture audit
+  /** q274: capture-recapture estimation of the TOTAL near-duplicate
+    * pair population from two independent-ish detectors (Chapman's
+    * bias-corrected Lincoln-Petersen estimator, Chapman 1951; variance
+    * per Seber 1970) — eval loop #15 over the dedup family: MinHash
+    * band collisions are capture A, SimHash Hamming ≤ 12 is capture B,
+    * their overlap m estimates how many near-dup pairs BOTH miss —
+    * the "how much dedup is left on the table" number a recall-gated
+    * pipeline (q84) wants corpus-wide, where exhaustive truth is
+    * unaffordable. The exact n-gram Jaccard signal and the union ride
+    * the row as references. The independence assumption is declared:
+    * both detectors read token overlap, so the estimate is a LOWER
+    * bound on the miss mass (positively correlated captures shrink
+    * N̂ toward the union).
+    *
+    * Exactness: N̂ = ((n_A+1)(n_B+1)) div (m+1) − 1 and
+    * Var = ((n_A+1)(n_B+1)(n_A−m)(n_B−m)) div ((m+1)²(m+2)) are single
+    * integer divisions (DECIMAL(38,0) for the 4-factor product);
+    * coverage permilles are exact ratios against N̂.
+    *
+    * Scale shape: the three kernels are q73's bucketed candidate
+    * generators off ONE tokenized pass (no all-pairs anywhere); the
+    * audit adds pair-keyed joins and scalar aggregates. */
+  def q274_capture_recapture(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documentsFanned(s, dir)
+      .select(col("doc_id"), Cleanse.tokens(col("text")).as("t"))
+      .localCheckpoint()
+    val a = minhashBandPairsOf(graft.text.TextOps.minhashSignaturesOf(toks))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val b = simhashPairsOf(simhashOf(toks))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val j = ngramJaccardPairs(toks)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val na = a.agg(count(lit(1)).as("n_minhash"))
+    val nb = b.agg(count(lit(1)).as("n_simhash"))
+    val m = a.join(b, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_both"))
+    val nj = j.agg(count(lit(1)).as("n_jaccard"))
+    val nu = a.unionByName(b).unionByName(j).distinct()
+      .agg(count(lit(1)).as("n_union"))
+    val out = na.crossJoin(broadcast(nb)).crossJoin(broadcast(m))
+      .crossJoin(broadcast(nj)).crossJoin(broadcast(nu))
+      .select(col("n_minhash"), col("n_simhash"), col("n_both"),
+        col("n_jaccard"), col("n_union"),
+        expr("((n_minhash + 1) * (n_simhash + 1)) div (n_both + 1) - 1")
+          .as("chapman_est"),
+        expr("CAST((CAST(n_minhash + 1 AS DECIMAL(38,0)) * " +
+          "(n_simhash + 1) * (n_minhash - n_both) * " +
+          "(n_simhash - n_both)) div (CAST(n_both + 1 AS DECIMAL(38,0))" +
+          " * (n_both + 1) * (n_both + 2)) AS BIGINT)")
+          .as("chapman_var"),
+        expr("(1000 * n_union) div greatest(" +
+          "((n_minhash + 1) * (n_simhash + 1)) div (n_both + 1) - 1, 1L)")
+          .as("union_coverage_permille"))
+      .localCheckpoint()
+    pinnedRdds(toks).foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  private lazy val captureOracle: String =
+    s"""WITH $unionPairsCtes,
+       |sp AS (SELECT doc_a, doc_b FROM spairs WHERE hamming <= 12),
+       |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_minhash FROM mpairs),
+       |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_simhash FROM sp),
+       |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_both
+       |  FROM mpairs JOIN sp USING (doc_a, doc_b)),
+       |nj AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_jaccard FROM jpairs),
+       |nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_union FROM upairs)
+       |SELECT n_minhash, n_simhash, n_both, n_jaccard, n_union,
+       |  ((n_minhash + 1) * (n_simhash + 1)) // (n_both + 1) - 1
+       |    AS chapman_est,
+       |  CAST((CAST(n_minhash + 1 AS HUGEINT) * (n_simhash + 1) *
+       |    (n_minhash - n_both) * (n_simhash - n_both)) //
+       |    (CAST(n_both + 1 AS HUGEINT) * (n_both + 1) * (n_both + 2))
+       |    AS BIGINT) AS chapman_var,
+       |  (1000 * n_union) // GREATEST(((n_minhash + 1) *
+       |    (n_simhash + 1)) // (n_both + 1) - 1, 1)
+       |    AS union_coverage_permille
+       |FROM na CROSS JOIN nb CROSS JOIN mm CROSS JOIN nj CROSS JOIN nu"""
+      .stripMargin
+
   /** Metadata-only SNAPSHOT FINGERPRINT of the documents table under
     * `dir`: md5 over the sorted (file path, length, mtime) listing — the
     * same information a table format's snapshot id summarizes. Listing a
@@ -2043,6 +2124,7 @@ object Similarity {
     "m_ann_ivf_seeded"    -> (m_ann_ivf_seeded _),
     "q55_dedup_components"-> (q55_dedup_components _),
     "q73_dedup_union"     -> (q73_dedup_union _),
+    "q274_capture_recapture" -> (q274_capture_recapture _),
     "q73b_dedup_survivorship" -> (q73b_dedup_survivorship _),
     "q100_component_split" -> (q100_component_split _),
     "q101_curation_report" -> (q101_curation_report _),
@@ -2417,6 +2499,7 @@ object Similarity {
          |  FROM reach GROUP BY src)
          |SELECT id AS doc_id, component, (id = component) AS is_canonical
          |FROM lab ORDER BY doc_id""".stripMargin,
+    "q274_capture_recapture" -> captureOracle,
     // union of all three near-dup signals (n-gram Jaccard, SimHash,
     // MinHash band collisions), then the same recursive-CTE closure
     "q73_dedup_union" ->
@@ -2695,7 +2778,10 @@ object Similarity {
   /** q73's full closure chain (three signal families → union → recursive
     * transitive closure → `lab(id, component)`), shared by the q73 gate
     * and q73b's survivorship rollup. */
-  private lazy val dedupUnionCtes: String = {
+  /** The three near-dup signal pair sets + their union, WITHOUT the
+    * closure — shared by q73's fixpoint twins and q274's
+    * capture-recapture audit. */
+  private lazy val unionPairsCtes: String = {
     val minhashSig = graft.text.TextOps.MinhashSeeds.zipWithIndex
       .map { case (seed, i) => s" min(md5('$seed' || term)) AS h${i + 1}" }
       .mkString(",\n")
@@ -2720,14 +2806,17 @@ object Similarity {
        |  JOIN mok ON a.band = mok.band AND a.h = mok.h),
        |upairs AS (SELECT doc_a, doc_b FROM jpairs
        |  UNION SELECT doc_a, doc_b FROM spairs WHERE hamming <= 12
-       |  UNION SELECT doc_a, doc_b FROM mpairs),
+       |  UNION SELECT doc_a, doc_b FROM mpairs)""".stripMargin
+  }
+
+  private lazy val dedupUnionCtes: String =
+    s"""$unionPairsCtes,
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM upairs
        |  UNION SELECT doc_b, doc_a FROM upairs),
        |reach AS (SELECT src, dst FROM edges
        |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
        |lab AS (SELECT src AS id, LEAST(src, MIN(dst)) AS component
        |  FROM reach GROUP BY src)""".stripMargin
-  }
 
   /** Shared CTE chain producing the near-dup candidate `inter` counts +
     * `sizes` (the q33 kernel) — composed into q33's scoring and q55's /

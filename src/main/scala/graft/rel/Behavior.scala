@@ -1183,6 +1183,93 @@ object Behavior {
        |FROM per CROSS JOIN tt CROSS JOIN bt ORDER BY per.seg""".stripMargin
   }
 
+  // ------------------------------------------- q273 EWMA control chart
+  /** q273: the EWMA control chart (Roberts, Technometrics 1959;
+    * Hunter, J. Quality Technology 1986 for the λ = 1/8-class
+    * smoothing weights) on the daily event series — the small-shift
+    * monitor between q234's memoryless p-chart and q214's full-memory
+    * CUSUM: EWMA S_t = λ·x_t + (1−λ)·S_{t−1} forgets geometrically,
+    * catching sustained small drifts Shewhart limits miss.
+    *
+    * Exactness: λ = 1/8 makes the recurrence one integer step —
+    * S_t = (1000·x_t + 7·S_{t−1}) div 8 in milli, initialized at the
+    * sealed-horizon mean μ_milli = (1000·Σc) div n (the q234 center
+    * line discipline); the asymptotic 3σ limit squares into
+    *   15·n·(n−1)·dev² > 9·10⁶·(n·Σc² − (Σc)²)
+    * (λ/(2−λ) = 1/15), one DECIMAL cross-multiplication per day. The
+    * recurrence is inherently sequential, so the engine folds the DAY
+    * GRID on the driver — a TIME-bounded frame (10⁵ rows is 273
+    * years), the one sequential structure that is metadata-scale by
+    * construction; the oracle replays it as a recursive CTE. Both
+    * walks are identical integer arithmetic.
+    *
+    * Scale shape: one map-side day aggregate, one horizon-sized fold,
+    * output day-grid-sized. */
+  def q273_ewma_chart(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(expr("ts_us div 86400000000L").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+    val filled = daily
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left_outer")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    // horizon-bounded by construction: days are time, not corpus size
+    val grid = filled.orderBy(col("day")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = grid.length.toLong
+    val sSum = grid.map(_._2).sum
+    val s2 = grid.map(x => BigInt(x._2) * x._2).sum
+    val mu = 1000L * sSum / n
+    val varNum = BigInt(n) * s2 - BigInt(sSum) * sSum
+    val rhs = BigInt(9000000) * varNum
+    val lhsFac = BigInt(15) * n * (n - 1)
+    var ew = mu
+    val out = grid.map { case (day, c) =>
+      ew = (1000L * c + 7L * ew) / 8L
+      val dev = ew - mu
+      val trip = lhsFac * BigInt(dev) * BigInt(dev) > rhs
+      (day, c, ew, dev, trip && dev > 0, trip && dev < 0)
+    }
+    import s.implicits._
+    out.toSeq.toDF("day", "c", "ewma_milli", "dev_milli",
+      "alarm_high", "alarm_low")
+  }
+
+  private lazy val ewmaOracle: String =
+    s"""WITH RECURSIVE daily AS (SELECT epoch_us(ts) // 86400000000
+       |    AS day, CAST(COUNT(*) AS BIGINT) AS c FROM events
+       |  GROUP BY 1),
+       |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+       |grid AS (SELECT CAST(unnest(range(d0, d1 + 1)) AS BIGINT) AS day
+       |  FROM b),
+       |f AS (SELECT g.day, COALESCE(d.c, 0) AS c,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY g.day) AS BIGINT) AS t
+       |  FROM grid g LEFT JOIN daily d USING (day)),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(c) AS BIGINT) AS s,
+       |    SUM(CAST(c AS HUGEINT) * c) AS s2 FROM f),
+       |mu AS (SELECT (1000 * s) // n AS mu FROM tot),
+       |ew(t, s_milli) AS (
+       |  SELECT CAST(0 AS BIGINT), mu FROM mu
+       |  UNION ALL
+       |  SELECT f.t, (1000 * f.c + 7 * ew.s_milli) // 8
+       |  FROM ew JOIN f ON f.t = ew.t + 1)
+       |SELECT f.day, f.c, ew.s_milli AS ewma_milli,
+       |  ew.s_milli - mu.mu AS dev_milli,
+       |  CAST(15 AS HUGEINT) * tot.n * (tot.n - 1) *
+       |    (ew.s_milli - mu.mu) * (ew.s_milli - mu.mu) >
+       |    CAST(9000000 AS HUGEINT) * (tot.n * tot.s2 -
+       |      CAST(tot.s AS HUGEINT) * tot.s)
+       |    AND ew.s_milli > mu.mu AS alarm_high,
+       |  CAST(15 AS HUGEINT) * tot.n * (tot.n - 1) *
+       |    (ew.s_milli - mu.mu) * (ew.s_milli - mu.mu) >
+       |    CAST(9000000 AS HUGEINT) * (tot.n * tot.s2 -
+       |      CAST(tot.s AS HUGEINT) * tot.s)
+       |    AND ew.s_milli < mu.mu AS alarm_low
+       |FROM ew JOIN f USING (t) CROSS JOIN mu CROSS JOIN tot
+       |ORDER BY f.day""".stripMargin
+
   // --------------------------------------- q269 Page-Hinkley monitor
   /** q269: the Page-Hinkley sequential change detector (Page,
     * Biometrika 1954 — the PH variant standard in stream-mining
@@ -2266,6 +2353,7 @@ object Behavior {
     "q267_kruskal_wallis" -> (q267_kruskal_wallis _),
     "q268_cochran_armitage" -> (q268_cochran_armitage _),
     "q269_page_hinkley" -> (q269_page_hinkley _),
+    "q273_ewma_chart" -> (q273_ewma_chart _),
     "q258_theil_sen" -> (q258_theil_sen _),
     "q255_bootstrap_ci" -> (q255_bootstrap_ci _),
     "q251_mann_kendall" -> (q251_mann_kendall _),
@@ -2295,6 +2383,7 @@ object Behavior {
     "q267_kruskal_wallis" -> kwOracle,
     "q268_cochran_armitage" -> caOracle,
     "q269_page_hinkley" -> phOracle,
+    "q273_ewma_chart" -> ewmaOracle,
     "q258_theil_sen" -> senOracle,
     "q255_bootstrap_ci" -> bootOracle,
     "q251_mann_kendall" -> mkOracle,

@@ -364,4 +364,22 @@ class ComponentsSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(key1))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(key2))
   }
+
+  test("q274 capture-recapture: Chapman arithmetic replays from the " +
+    "gated counts; estimator dominance invariants hold") {
+    val sf = "/root/testdata/sf0.001"
+    val r = Similarity.q274_capture_recapture(spark, sf).collect().head
+    val (nA, nB, m, nJ, nU, est, vr, cov) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+      r.getLong(6), r.getLong(7))
+    assert(m <= math.min(nA, nB), "overlap bounded by captures")
+    assert(nU <= nA + nB + nJ, "union bounded by signal sum")
+    assert(nU >= math.max(math.max(nA, nB), nJ), "union dominates each")
+    assert(est == (nA + 1) * (nB + 1) / (m + 1) - 1, "Chapman")
+    assert(BigInt(vr) == BigInt(nA + 1) * (nB + 1) * (nA - m) * (nB - m) /
+      (BigInt(m + 1) * (m + 1) * (m + 2)), "Seber variance")
+    assert(cov == 1000L * nU / math.max(est, 1L), "coverage")
+    // Chapman dominates both captures (m <= nB makes (nB+1)/(m+1) >= 1)
+    assert(est >= nA && est >= nB, "estimator dominance")
+  }
 }

@@ -514,6 +514,53 @@ class BehaviorSpec extends AnyFunSuite {
     assert(ls == expLs, "least-squares twin")
   }
 
+  test("q273 EWMA: the integer recurrence replays; tracks the float " +
+    "EWMA; limit test squares the 3-sigma asymptote") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = Behavior.q273_ewma_chart(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    val xs = rows.map(_._2)
+    val n = xs.length.toLong
+    val sSum = xs.sum
+    val s2 = xs.map(x => BigInt(x) * x).sum
+    val mu = 1000L * sSum / n
+    val varNum = BigInt(n) * s2 - BigInt(sSum) * sSum
+    var ew = mu
+    for ((day, c, got, dev, aH, aL) <- rows) {
+      ew = (1000L * c + 7L * ew) / 8L
+      assert(got == ew, s"day $day ewma")
+      assert(dev == ew - mu)
+      val trip = BigInt(15) * n * (n - 1) * BigInt(dev) * dev >
+        BigInt(9000000) * varNum
+      assert(aH == (trip && dev > 0) && aL == (trip && dev < 0))
+    }
+    // float agreement: rerun the float recurrence cleanly
+    var f = mu / 1000.0
+    for ((day, c, got, _, _, _) <- rows) {
+      f = (c + 7.0 * f) / 8.0
+      assert(math.abs(got / 1000.0 - f) < 0.01, s"day $day float EWMA")
+    }
+    // sensitivity: a +3-sigma sustained tail must alarm
+    val sigma = math.sqrt(varNum.toDouble / (n * (n - 1)))
+    val shift = math.ceil(3 * sigma).toLong + 1
+    val planted = xs.zipWithIndex.map { case (c, i) =>
+      if (i >= xs.length / 2) c + shift else c
+    }
+    val mu2 = 1000L * planted.sum / planted.length
+    val s22 = planted.map(x => BigInt(x) * x).sum
+    val vn2 = BigInt(n) * s22 - BigInt(planted.sum) * planted.sum
+    var e2 = mu2
+    var fired = false
+    for (c <- planted) {
+      e2 = (1000L * c + 7L * e2) / 8L
+      if (BigInt(15) * n * (n - 1) * BigInt(e2 - mu2) * (e2 - mu2) >
+        BigInt(9000000) * vn2) fired = true
+    }
+    assert(fired, "sustained +3-sigma shift must alarm")
+  }
+
   test("q269 Page-Hinkley: milli walk replays sequentially; a planted " +
     "level shift trips the increase alarm") {
     val sf = "/root/testdata/sf0.01"
