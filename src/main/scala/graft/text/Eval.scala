@@ -1035,6 +1035,65 @@ object Eval {
        |    38416 * (rules_only + lm_only) AS significant
        |FROM ag""".stripMargin
 
+  // ------------------------------------- q275 Chao1 richness estimate
+  /** q275: the Chao1 lower-bound species-richness estimator with
+    * Good's sample-coverage companion (Chao, Scand. J. Statistics
+    * 1984; Good, Biometrika 1953) per language — the "how much
+    * vocabulary exists that this corpus has NOT seen" number beside
+    * q184's Heaps growth forecast (Heaps extrapolates the observed
+    * curve; Chao1 bounds the asymptote from the singleton/doubleton
+    * profile alone, and Good's 1 − f₁/N says what fraction of the
+    * next token is already covered — the OOV-rate forecast a
+    * tokenizer design reads).
+    *
+    * Exactness: Chao1 = D + f₁²/(2·f₂) in milli as 1000·D +
+    * (1000·f₁·f₁) div (2·f₂) (the bias-corrected f₂ = 0 branch
+    * D + f₁(f₁−1)/2 mirrored in both engines); coverage_permille =
+    * 1000 − (1000·f₁) div N; unseen_milli = chao1 − 1000·D. Single
+    * integer divisions of exact counts — no logs at all.
+    *
+    * Scale shape: one (lang, term) rollup (Heaps-bounded), then a
+    * frequency-of-frequencies rollup per language (the q249 GT
+    * shape) — catalog algebra. */
+  def q275_chao1(s: SparkSession, dir: String): DataFrame = {
+    val lt = Tables.documentsFanned(s, dir)
+      .select(col("lang"),
+        explode(graft.text.Cleanse.tokens(col("text"))).as("term"))
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("c"))
+    lt.groupBy(col("lang"))
+      .agg(count(lit(1)).as("d_types"), sum(col("c")).as("n_tok"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("lang"), col("n_tok"), col("d_types"), col("f1"),
+        col("f2"),
+        (lit(1000L) * col("d_types") +
+          when(col("f2") > 0,
+            expr("(1000 * f1 * f1) div (2 * f2)"))
+          .otherwise(expr("(1000 * f1 * (f1 - 1)) div 2")))
+          .as("chao1_milli"),
+        (lit(1000L) - expr("(1000 * f1) div n_tok"))
+          .as("coverage_permille"))
+      .orderBy(col("lang"))
+  }
+
+  private lazy val chao1Oracle: String = {
+    val dToks = CorpusFilters.DToks
+    s"""WITH lt AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT lang, unnest($dToks) AS term FROM documents)
+       |  GROUP BY 1, 2),
+       |ag AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS d_types,
+       |    CAST(SUM(c) AS BIGINT) AS n_tok,
+       |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+       |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+       |  FROM lt GROUP BY 1)
+       |SELECT lang, n_tok, d_types, f1, f2,
+       |  1000 * d_types + CASE WHEN f2 > 0
+       |    THEN (1000 * f1 * f1) // (2 * f2)
+       |    ELSE (1000 * f1 * (f1 - 1)) // 2 END AS chao1_milli,
+       |  1000 - (1000 * f1) // n_tok AS coverage_permille
+       |FROM ag ORDER BY lang""".stripMargin
+  }
+
   // ------------------------------------------------ q270 Brier score
   /** q270: the Brier score with Murphy's three-way decomposition
     * (Brier, Monthly Weather Review 1950; Murphy, J. Appl. Meteorology
@@ -1224,6 +1283,7 @@ object Eval {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q266_cramers_v" -> (q266_cramers_v _),
     "q270_brier" -> (q270_brier _),
+    "q275_chao1" -> (q275_chao1 _),
     "q257_mcnemar" -> (q257_mcnemar _),
     "q245_token_mi" -> (q245_token_mi _),
     "q210_trimmed_stats" -> (q210_trimmed_stats _),
@@ -1243,6 +1303,7 @@ object Eval {
   val oracle: Map[String, String] = Map(
     "q266_cramers_v" -> cramersOracle,
     "q270_brier" -> brierOracle,
+    "q275_chao1" -> chao1Oracle,
     "q257_mcnemar" -> mcnemarOracle,
     "q245_token_mi" -> q245Oracle,
     "q210_trimmed_stats" -> trimmedOracle,

@@ -379,6 +379,35 @@ class EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("q275 Chao1: singleton/doubleton profile replays; lower-bound " +
+    "and coverage invariants hold") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Eval.q275_chao1(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("lang"), col("text")).collect()
+      .flatMap(r => r.getString(1).trim.split(" ").filter(_.nonEmpty)
+        .map(t => (r.getString(0), t)))
+    val byLang = toks.groupBy(_._1)
+    for ((lang, nTok, d, f1, f2, chao, cov) <- rows) {
+      val counts = byLang(lang).map(_._2).groupBy(identity).view
+        .mapValues(_.length.toLong).toMap
+      assert(nTok == byLang(lang).length.toLong)
+      assert(d == counts.size.toLong)
+      assert(f1 == counts.values.count(_ == 1L).toLong)
+      assert(f2 == counts.values.count(_ == 2L).toLong)
+      val expChao = 1000L * d + (if (f2 > 0) 1000L * f1 * f1 / (2 * f2)
+        else 1000L * f1 * (f1 - 1) / 2)
+      assert(chao == expChao, s"$lang chao1")
+      assert(cov == 1000L - 1000L * f1 / nTok, s"$lang coverage")
+      // Chao1 is a lower-bound estimate of richness >= observed types
+      assert(chao >= 1000L * d, s"$lang lower bound")
+      assert(cov >= 0L && cov <= 1000L)
+    }
+  }
+
   test("q270 Brier: score and Murphy terms replay; binned identity " +
     "brier_binned = rel - res + unc holds in float") {
     val sf = "/root/testdata/sf0.001"
