@@ -391,7 +391,68 @@ object Overlap {
        |  pd.fp_digest
        |FROM ok o JOIN pd USING (doc_id) ORDER BY o.doc_id""".stripMargin
 
+  // ------------------------------------- q276 distinct-n diversity
+  /** q276: distinct-n lexical diversity per source (the distinct-1/
+    * distinct-2 metrics of Li et al., NAACL 2016 "A Diversity-
+    * Promoting Objective" — the standard template/boilerplate smell
+    * beside q51's Gopher repetition scores: repetition reads
+    * WITHIN-doc self-copy, distinct-n reads ACROSS-doc formulaicity,
+    * which is how template farms evade per-doc filters).
+    *
+    * Exactness: pure count ratios — distinct unigrams/bigrams over
+    * their totals, permille by one integer division each; bigrams by
+    * in-doc adjacency (transform over the token array, the q161
+    * shape). No floats anywhere.
+    *
+    * Scale shape: two (source, gram) rollups off the fanned corpus
+    * pass, Heaps-bounded outputs; one source rollup each. */
+  def q276_distinct_n(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documentsFanned(s, dir)
+      .select(col("source"), Cleanse.tokens(col("text")).as("t"))
+    val uni = toks
+      .select(col("source"), explode(col("t")).as("g"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_uni"),
+        countDistinct(col("g")).as("d_uni"))
+    val bi = toks.filter(size(col("t")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> concat(t[i - 1], ' ', t[i]))")).as("g"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bi"),
+        countDistinct(col("g")).as("d_bi"))
+    uni.join(bi, Seq("source"), "left_outer")
+      .select(col("source"), col("n_uni"), col("d_uni"),
+        coalesce(col("n_bi"), lit(0L)).as("n_bi"),
+        coalesce(col("d_bi"), lit(0L)).as("d_bi"),
+        expr("(1000 * d_uni) div n_uni").as("distinct1_permille"),
+        expr("(1000 * coalesce(d_bi, 0L)) div " +
+          "greatest(coalesce(n_bi, 0L), 1L)").as("distinct2_permille"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val distinctNOracle: String = {
+    val dToks = graft.text.CorpusFilters.DToks
+    s"""WITH toks AS (SELECT source, $dToks AS t FROM documents),
+       |uni AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_uni,
+       |    CAST(COUNT(DISTINCT g) AS BIGINT) AS d_uni
+       |  FROM (SELECT source, unnest(t) AS g FROM toks) GROUP BY 1),
+       |bi AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bi,
+       |    CAST(COUNT(DISTINCT g) AS BIGINT) AS d_bi
+       |  FROM (SELECT source, unnest(list_transform(
+       |      range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS g
+       |    FROM toks WHERE len(t) >= 2) GROUP BY 1)
+       |SELECT uni.source, uni.n_uni, uni.d_uni,
+       |  COALESCE(bi.n_bi, 0) AS n_bi, COALESCE(bi.d_bi, 0) AS d_bi,
+       |  (1000 * uni.d_uni) // uni.n_uni AS distinct1_permille,
+       |  (1000 * COALESCE(bi.d_bi, 0)) //
+       |    GREATEST(COALESCE(bi.n_bi, 0), 1) AS distinct2_permille
+       |FROM uni LEFT JOIN bi USING (source) ORDER BY uni.source"""
+      .stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q276_distinct_n" -> (q276_distinct_n _),
     "q243_winnowing" -> (q243_winnowing _),
     "q144_ngram_decontaminate" -> (q144_ngram_decontaminate _),
     "q150_containment_join" -> (q150_containment_join _),
@@ -399,6 +460,7 @@ object Overlap {
     "q206_novelty_curve" -> (q206_novelty_curve _))
 
   val oracle: Map[String, String] = Map(
+    "q276_distinct_n" -> distinctNOracle,
     "q243_winnowing" -> winnowOracle,
     "q144_ngram_decontaminate" -> overlapOracle,
     "q150_containment_join" -> containOracle,

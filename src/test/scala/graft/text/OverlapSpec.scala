@@ -155,4 +155,28 @@ class OverlapSpec extends AnyFunSuite {
     val mean = densSum / rows.length
     assert(mean > 0.3 && mean < 0.55, s"mean density $mean off 2/(w+1)")
   }
+
+  test("q276 distinct-n: gram counts replay brutally; diversity bounds") {
+    val sfd = "/root/testdata/sf0.001"
+    val rows = Overlap.q276_distinct_n(spark, sfd).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$sfd/documents.parquet")
+      .selectExpr("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).trim.split(" ")
+        .filter(_.nonEmpty).toSeq))
+    val bySrc = docs.groupBy(_._1)
+    for ((src, nU, dU, nB, dB, d1, d2) <- rows) {
+      val ts = bySrc(src).map(_._2)
+      val unis = ts.flatten
+      val bis = ts.filter(_.length >= 2)
+        .flatMap(t => t.sliding(2).map(_.mkString(" ")))
+      assert(nU == unis.length.toLong && dU == unis.distinct.length.toLong)
+      assert(nB == bis.length.toLong && dB == bis.distinct.length.toLong)
+      assert(d1 == 1000L * dU / nU && d2 == 1000L * dB / math.max(nB, 1L))
+      // bigrams are strictly more diverse than unigrams on natural text
+      assert(d2 >= d1, s"$src bigram diversity dominates")
+    }
+  }
 }
