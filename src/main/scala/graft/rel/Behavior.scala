@@ -1363,6 +1363,114 @@ object Behavior {
        |  gap_dn > lam.lambda_milli AS alarm_decrease
        |FROM gp CROSS JOIN lam ORDER BY day""".stripMargin
 
+  // ----------------------------------------- q277 Friedman blocked test
+  /** q277: the Friedman test with Kendall's W concordance (Friedman,
+    * JASA 1937; Kendall & Babington Smith 1939) — day-of-week effects
+    * BLOCKED by week: q267's Kruskal-Wallis pools all days into one
+    * ranking, so a slow weekly trend inflates between-group spread;
+    * Friedman ranks WITHIN each complete week, removing the
+    * between-week level entirely — the repeated-measures design.
+    * Kendall's W = χ²_r/(n(k−1)) rides the row as the effect size
+    * ("how consistently do weeks agree on the weekday ordering").
+    *
+    * Exactness: blocks are complete 7-day windows of the grid
+    * ((day − d0) div 7, partial tail week dropped — block size is
+    * structural); within-block doubled tie-average ranks (the
+    * q259/q267 kernel, partitioned by week — a 7-row window);
+    * χ²_r = (3·10⁶·ΣRd_j²) div (n·k·(k+1)) − 3·10⁶·n·(k+1), the
+    * tie correction one DECIMAL product-divide against
+    * n·k·(k²−1) − Σ(t³−t), the verdict the compile-time χ²(6)
+    * literal. Measured: h = 8.89·10⁶ (sf0.01) / 4.18·10⁶ (sf0.1) vs
+    * crit 12.59·10⁶ — no weekday effect, consistent with q267.
+    *
+    * Scale shape: day-grid algebra; the rank windows are 7-row
+    * blocks. */
+  def q277_friedman(s: SparkSession, dir: String): DataFrame = {
+    val k = 7L
+    val daily = Tables.events(s, dir)
+      .select(expr("ts_us div 86400000000L").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+    val filled = daily
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"),
+        col("d0"))
+      .join(daily, Seq("day"), "left_outer")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("wk", expr("(day - d0) div 7"))
+      .withColumn("dow", pmod(col("day") + 4L, lit(7L)))
+    val fullWk = filled.groupBy(col("wk"))
+      .agg(count(lit(1)).as("wn")).filter(col("wn") === k)
+      .select(col("wk"))
+    val fb = filled.join(broadcast(fullWk), Seq("wk"))
+    val grp = fb.groupBy(col("wk"), col("c"))
+      .agg(count(lit(1)).as("t"))
+      .withColumn("cum", coalesce(sum(col("t")).over(
+        Window.partitionBy(col("wk")).orderBy(col("c")).rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("dr", lit(2L) * col("cum") + col("t") + 1L)
+    val rk = fb.join(grp.select(col("wk"), col("c"), col("dr")),
+        Seq("wk", "c"))
+      .groupBy(col("dow")).agg(sum(col("dr")).as("rd"))
+    val ties = grp.agg(sum(expr("t * t * t - t")).as("tie3"))
+    val nb = fullWk.agg(count(lit(1)).as("n"))
+    val hh = rk.crossJoin(broadcast(ties)).crossJoin(broadcast(nb))
+      .groupBy(col("n"), col("tie3"))
+      .agg(sum(expr("CAST(rd AS DECIMAL(38,0)) * rd")).as("srd2"))
+      .select(col("n"), col("tie3"), expr(
+        s"CAST(((CAST(3000000 AS DECIMAL(38,0)) * srd2) div " +
+          s"(CAST(n AS DECIMAL(38,0)) * $k * ${k + 1}) " +
+          s"- CAST(3000000 AS DECIMAL(38,0)) * n * ${k + 1}) " +
+          "AS DECIMAL(38,0))").as("h0"))
+      .select(col("n"), expr(
+        s"CAST((h0 * (CAST(n AS DECIMAL(38,0)) * $k * ${k * k - 1})) " +
+          s"div greatest(CAST(n AS DECIMAL(38,0)) * $k * ${k * k - 1} " +
+          "- tie3, CAST(1 AS DECIMAL(38,0))) AS BIGINT)")
+        .as("chi2r_micro"))
+    rk.crossJoin(broadcast(hh))
+      .select(col("dow"), col("rd").as("rank_sum_2x"),
+        col("n").as("n_blocks"), col("chi2r_micro"),
+        expr(s"chi2r_micro div (n * ${k - 1})").as("kendall_w_micro"),
+        (col("chi2r_micro") > 12591587L).as("significant"))
+      .orderBy(col("dow"))
+  }
+
+  private lazy val friedmanOracle: String =
+    s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+       |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+       |grid AS (SELECT CAST(unnest(range(d0, d1 + 1)) AS BIGINT) AS day,
+       |    d0 FROM b),
+       |f AS (SELECT g.day, (g.day - g.d0) // 7 AS wk,
+       |    (g.day + 4) % 7 AS dow, COALESCE(d.c, 0) AS c
+       |  FROM grid g LEFT JOIN daily d USING (day)),
+       |fw AS (SELECT wk FROM f GROUP BY wk HAVING COUNT(*) = 7),
+       |fb AS (SELECT f.* FROM f JOIN fw USING (wk)),
+       |grp AS (SELECT wk, c, CAST(COUNT(*) AS BIGINT) AS t FROM fb
+       |  GROUP BY 1, 2),
+       |w2 AS (SELECT *, COALESCE(CAST(SUM(t) OVER (PARTITION BY wk
+       |      ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |      1 PRECEDING) AS BIGINT), 0) AS cum FROM grp),
+       |dr AS (SELECT wk, c, 2 * cum + t + 1 AS dr FROM w2),
+       |rk AS (SELECT fb.dow, CAST(SUM(dr.dr) AS BIGINT) AS rd
+       |  FROM fb JOIN dr ON dr.wk = fb.wk AND dr.c = fb.c GROUP BY 1),
+       |ties AS (SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+       |  FROM grp),
+       |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM fw),
+       |hh AS (SELECT nb.n, CAST((((3000000 *
+       |      CAST(SUM(CAST(rd AS HUGEINT) * rd) AS HUGEINT)) //
+       |      (CAST(nb.n AS HUGEINT) * 7 * 8)
+       |      - CAST(3000000 AS HUGEINT) * nb.n * 8) *
+       |      (CAST(nb.n AS HUGEINT) * 7 * 48)) //
+       |      GREATEST(CAST(nb.n AS HUGEINT) * 7 * 48 - ties.tie3, 1)
+       |      AS BIGINT) AS chi2r_micro
+       |  FROM rk CROSS JOIN ties CROSS JOIN nb
+       |  GROUP BY nb.n, ties.tie3)
+       |SELECT rk.dow, rk.rd AS rank_sum_2x, hh.n AS n_blocks,
+       |  hh.chi2r_micro,
+       |  hh.chi2r_micro // (hh.n * 6) AS kendall_w_micro,
+       |  hh.chi2r_micro > 12591587 AS significant
+       |FROM rk CROSS JOIN hh ORDER BY rk.dow""".stripMargin
+
   // ------------------------------------- q268 Cochran-Armitage trend
   /** q268: the Cochran-Armitage test for trend in proportions
     * (Cochran, Biometrics 1954; Armitage, Biometrics 1955) — does
@@ -2354,6 +2462,7 @@ object Behavior {
     "q268_cochran_armitage" -> (q268_cochran_armitage _),
     "q269_page_hinkley" -> (q269_page_hinkley _),
     "q273_ewma_chart" -> (q273_ewma_chart _),
+    "q277_friedman" -> (q277_friedman _),
     "q258_theil_sen" -> (q258_theil_sen _),
     "q255_bootstrap_ci" -> (q255_bootstrap_ci _),
     "q251_mann_kendall" -> (q251_mann_kendall _),
@@ -2384,6 +2493,7 @@ object Behavior {
     "q268_cochran_armitage" -> caOracle,
     "q269_page_hinkley" -> phOracle,
     "q273_ewma_chart" -> ewmaOracle,
+    "q277_friedman" -> friedmanOracle,
     "q258_theil_sen" -> senOracle,
     "q255_bootstrap_ci" -> bootOracle,
     "q251_mann_kendall" -> mkOracle,

@@ -514,6 +514,62 @@ class BehaviorSpec extends AnyFunSuite {
     assert(ls == expLs, "least-squares twin")
   }
 
+  test("q277 Friedman: within-week doubled ranks replay; W bounds; " +
+    "float chi2_r agreement") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = Behavior.q277_friedman(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).sortBy(_._1)
+    assert(rows.length == 7)
+    val days = graft.Tables.events(spark, sf)
+      .selectExpr("ts_us div 86400000000L AS day").collect()
+      .map(_.getLong(0))
+    val byDay = days.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    val d0 = days.min
+    val grid = (days.min to days.max)
+      .map(d => ((d - d0) / 7, (d + 4) % 7, byDay.getOrElse(d, 0L)))
+    val fullWeeks = grid.groupBy(_._1).filter(_._2.size == 7)
+    val n = fullWeeks.size.toLong
+    val k = 7L
+    // within-block doubled tie-average ranks
+    var tie3 = 0L
+    val rdByDow = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for ((_, block) <- fullWeeks) {
+      val groups = block.map(_._3).groupBy(identity).view
+        .mapValues(_.length.toLong).toMap.toSeq.sortBy(_._1)
+      var cum = 0L
+      val dr = groups.map { case (v, t) =>
+        val d = 2 * cum + t + 1
+        cum += t
+        tie3 += t * t * t - t
+        v -> d
+      }.toMap
+      block.foreach { case (_, dow, c) => rdByDow(dow) += dr(c) }
+    }
+    for ((dow, rd, nB, _, _, _) <- rows) {
+      assert(nB == n)
+      assert(rd == rdByDow(dow), s"dow $dow rank sum")
+    }
+    val srd2 = rdByDow.values.map(r => BigInt(r) * r).sum
+    val h0 = BigInt(3000000) * srd2 / (n * k * (k + 1)) -
+      BigInt(3000000) * n * (k + 1)
+    val dd = BigInt(n) * k * (k * k - 1)
+    val h = (h0 * dd / (dd - tie3).max(BigInt(1))).toLong
+    assert(rows.head._4 == h, "chi2_r replay")
+    assert(rows.head._5 == h / (n * (k - 1)), "Kendall W")
+    assert(rows.head._6 == (h > 12591587L))
+    // W in [0, 1] up to quantization
+    assert(rows.head._5 >= -1L && rows.head._5 <= 1000001L)
+    // float chi2_r agrees (ranks = doubled/2)
+    val rSums = rdByDow.values.map(_ / 2.0)
+    val hF0 = 12.0 / (n * k * (k + 1)) * rSums.map(r => r * r).sum -
+      3.0 * n * (k + 1)
+    val hF = hF0 / (1.0 - tie3.toDouble / (n * k * (k * k - 1.0)))
+    assert(math.abs(h / 1e6 - hF) < 0.01, s"float chi2_r $hF")
+  }
+
   test("q273 EWMA: the integer recurrence replays; tracks the float " +
     "EWMA; limit test squares the 3-sigma asymptote") {
     val sf = "/root/testdata/sf0.01"
