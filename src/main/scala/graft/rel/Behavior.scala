@@ -1363,6 +1363,121 @@ object Behavior {
        |  gap_dn > lam.lambda_milli AS alarm_decrease
        |FROM gp CROSS JOIN lam ORDER BY day""".stripMargin
 
+  // -------------------------------------- q278 Brown-Forsythe spread
+  /** F(6, 23) upper-5% critical value in micro units (incomplete-beta
+    * inversion, checked against the known F(1,10) = 4.965 entry) —
+    * both df are structural: 7 day-of-week groups over the fixed
+    * 30-day horizon. */
+  private val FCrit623Micro = 2527655L
+
+  /** q278: the Brown-Forsythe test for homogeneity of SPREAD across
+    * day-of-week groups (Brown & Forsythe, JASA 1974 — Levene's test
+    * with the median center, the robust variant) — the scale
+    * counterpart of q267's location test: Kruskal-Wallis asks "do
+    * weekdays differ in LEVEL", Brown-Forsythe asks "do they differ
+    * in VOLATILITY" (a weekday whose variance explodes is an
+    * operational signal even at an unchanged mean).
+    *
+    * Exactness: per-group lower medians are exact order statistics;
+    * z = |x − median_g| are exact BIGINTs; the one-way ANOVA F on z
+    * lifts by cross-multiplication — SSB quantizes per group as
+    * ((Z_g·N − Z·n_g)²·10⁶) div (n_g·N²), SSW as 10⁶·Σz² −
+    * Σ_g (10⁶·Z_g²) div n_g, and F_micro = (10⁶·(N−k)·ssb) div
+    * ((k−1)·ssw) in DECIMAL(38,0); the verdict compares the
+    * compile-time F(6,23) literal.
+    *
+    * Scale shape: day-grid value-group algebra; the median windows
+    * are 7 per-dow partitions of the horizon. */
+  def q278_brown_forsythe(s: SparkSession, dir: String): DataFrame = {
+    val k = 7L
+    val daily = Tables.events(s, dir)
+      .select(expr("ts_us div 86400000000L").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+    val filled = daily
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left_outer")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("dow", pmod(col("day") + 4L, lit(7L)))
+    val ranked = filled.withColumn("rk", row_number().over(
+      Window.partitionBy(col("dow")).orderBy(col("c"), col("day")))
+      .cast("long"))
+      .withColumn("ng", count(lit(1)).over(
+        Window.partitionBy(col("dow"))))
+    val med = ranked.filter(col("rk") === expr("(ng + 1) div 2"))
+      .select(col("dow"), col("c").as("med"))
+    val z = filled.join(broadcast(med), Seq("dow"))
+      .withColumn("z", abs(col("c") - col("med")))
+    val perG = z.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_g"), sum(col("z")).as("z_g"),
+        sum(expr("CAST(z AS DECIMAL(38,0)) * z")).as("z2_g"))
+    val tot = perG.agg(sum(col("n_g")).as("nn"), sum(col("z_g")).as("zz"),
+      sum(col("z2_g")).as("z2"))
+    val stats = perG.crossJoin(broadcast(tot))
+      .agg(
+        sum(expr("(CAST(1000000 AS DECIMAL(38,0)) * (z_g * nn - " +
+          "zz * n_g) * (z_g * nn - zz * n_g)) div " +
+          "(CAST(n_g AS DECIMAL(38,0)) * nn * nn)")).as("ssb_micro"),
+        sum(expr("(CAST(1000000 AS DECIMAL(38,0)) * z_g * z_g) div " +
+          "CAST(n_g AS DECIMAL(38,0))")).as("w_sub"),
+        max(col("nn")).as("nn"), max(col("z2")).as("z2"))
+      .withColumn("ssw_micro",
+        expr("CAST(1000000 AS DECIMAL(38,0)) * z2 - w_sub"))
+    val f = stats.select(col("nn"),
+      expr("CAST(ssb_micro AS BIGINT)").as("ssb_micro"),
+      expr("CAST(ssw_micro AS BIGINT)").as("ssw_micro"),
+      expr(s"CAST((CAST(1000000 AS DECIMAL(38,0)) * (nn - $k) * " +
+        s"ssb_micro) div greatest(CAST(${k - 1} AS DECIMAL(38,0)) * " +
+        "ssw_micro, CAST(1 AS DECIMAL(38,0))) AS BIGINT)")
+        .as("f_micro"))
+    med.crossJoin(broadcast(f))
+      .select(col("dow"), col("med").as("group_median"),
+        col("nn").as("n_days"), col("ssb_micro"), col("ssw_micro"),
+        col("f_micro"),
+        (col("f_micro") > FCrit623Micro).as("significant"))
+      .orderBy(col("dow"))
+  }
+
+  private lazy val bfOracle: String =
+    s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+       |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+       |grid AS (SELECT CAST(unnest(range(d0, d1 + 1)) AS BIGINT) AS day
+       |  FROM b),
+       |f AS (SELECT g.day, (g.day + 4) % 7 AS dow, COALESCE(d.c, 0) AS c
+       |  FROM grid g LEFT JOIN daily d USING (day)),
+       |rk AS (SELECT dow, c,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY dow ORDER BY c, day)
+       |      AS BIGINT) AS rk,
+       |    CAST(COUNT(*) OVER (PARTITION BY dow) AS BIGINT) AS ng
+       |  FROM f),
+       |med AS (SELECT dow, c AS med FROM rk WHERE rk = (ng + 1) // 2),
+       |z AS (SELECT f.dow, abs(f.c - med.med) AS z
+       |  FROM f JOIN med USING (dow)),
+       |pg AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_g,
+       |    CAST(SUM(z) AS BIGINT) AS z_g,
+       |    SUM(CAST(z AS HUGEINT) * z) AS z2_g FROM z GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS nn,
+       |    CAST(SUM(z_g) AS BIGINT) AS zz, SUM(z2_g) AS z2 FROM pg),
+       |st AS (SELECT
+       |    SUM((1000000 * CAST(z_g * tot.nn - tot.zz * n_g AS HUGEINT)
+       |      * (z_g * tot.nn - tot.zz * n_g)) //
+       |      (CAST(n_g AS HUGEINT) * tot.nn * tot.nn)) AS ssb_micro,
+       |    CAST(1000000 AS HUGEINT) * MAX(tot.z2) -
+       |      SUM((1000000 * CAST(z_g AS HUGEINT) * z_g) //
+       |      CAST(n_g AS HUGEINT)) AS ssw_micro,
+       |    MAX(tot.nn) AS nn
+       |  FROM pg CROSS JOIN tot),
+       |ff AS (SELECT nn, CAST(ssb_micro AS BIGINT) AS ssb_micro,
+       |    CAST(ssw_micro AS BIGINT) AS ssw_micro,
+       |    CAST((CAST(1000000 AS HUGEINT) * (nn - 7) * ssb_micro) //
+       |      GREATEST(CAST(6 AS HUGEINT) * ssw_micro, 1) AS BIGINT)
+       |      AS f_micro FROM st)
+       |SELECT med.dow, med.med AS group_median, ff.nn AS n_days,
+       |  ff.ssb_micro, ff.ssw_micro, ff.f_micro,
+       |  ff.f_micro > $FCrit623Micro AS significant
+       |FROM med CROSS JOIN ff ORDER BY med.dow""".stripMargin
+
   // ----------------------------------------- q277 Friedman blocked test
   /** q277: the Friedman test with Kendall's W concordance (Friedman,
     * JASA 1937; Kendall & Babington Smith 1939) — day-of-week effects
@@ -2463,6 +2578,7 @@ object Behavior {
     "q269_page_hinkley" -> (q269_page_hinkley _),
     "q273_ewma_chart" -> (q273_ewma_chart _),
     "q277_friedman" -> (q277_friedman _),
+    "q278_brown_forsythe" -> (q278_brown_forsythe _),
     "q258_theil_sen" -> (q258_theil_sen _),
     "q255_bootstrap_ci" -> (q255_bootstrap_ci _),
     "q251_mann_kendall" -> (q251_mann_kendall _),
@@ -2494,6 +2610,7 @@ object Behavior {
     "q269_page_hinkley" -> phOracle,
     "q273_ewma_chart" -> ewmaOracle,
     "q277_friedman" -> friedmanOracle,
+    "q278_brown_forsythe" -> bfOracle,
     "q258_theil_sen" -> senOracle,
     "q255_bootstrap_ci" -> bootOracle,
     "q251_mann_kendall" -> mkOracle,

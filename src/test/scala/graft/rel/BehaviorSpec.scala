@@ -514,6 +514,58 @@ class BehaviorSpec extends AnyFunSuite {
     assert(ls == expLs, "least-squares twin")
   }
 
+  test("q278 Brown-Forsythe: medians, deviations and the quantized F " +
+    "replay; float-F agreement") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = Behavior.q278_brown_forsythe(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))).sortBy(_._1)
+    assert(rows.length == 7)
+    val days = graft.Tables.events(spark, sf)
+      .selectExpr("ts_us div 86400000000L AS day").collect()
+      .map(_.getLong(0))
+    val byDay = days.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    val grid = (days.min to days.max)
+      .map(d => ((d + 4) % 7, byDay.getOrElse(d, 0L)))
+    val byDow = grid.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val meds = byDow.map { case (dw, xs) =>
+      dw -> xs.sorted.apply(((xs.length + 1) / 2) - 1)
+    }
+    for ((dow, med, _, _, _, _, _) <- rows)
+      assert(med == meds(dow), s"dow $dow median")
+    val z = grid.map { case (dw, c) => (dw, math.abs(c - meds(dw))) }
+    val n = z.length.toLong
+    val zz = z.map(_._2).sum
+    val z2 = z.map(x => BigInt(x._2) * x._2).sum
+    var ssb = BigInt(0); var wSub = BigInt(0)
+    for ((dw, g) <- z.groupBy(_._1)) {
+      val nG = g.length.toLong
+      val zG = g.map(_._2).sum
+      val d = BigInt(zG) * n - BigInt(zz) * nG
+      ssb += BigInt(1000000) * d * d / (BigInt(nG) * n * n)
+      wSub += BigInt(1000000) * zG * zG / nG
+      val _ = dw
+    }
+    val ssw = BigInt(1000000) * z2 - wSub
+    assert(BigInt(rows.head._4) == ssb, "SSB")
+    assert(BigInt(rows.head._5) == ssw, "SSW")
+    val fExp = (BigInt(1000000) * (n - 7) * ssb /
+      (BigInt(6) * ssw).max(BigInt(1))).toLong
+    assert(rows.head._6 == fExp, "F replay")
+    assert(rows.head._7 == (fExp > 2527655L))
+    // float F agrees
+    val means = z.groupBy(_._1).view.mapValues(g =>
+      g.map(_._2).sum.toDouble / g.length).toMap
+    val zBar = zz.toDouble / n
+    val ssbF = z.groupBy(_._1).map { case (dw, g) =>
+      g.length * math.pow(means(dw) - zBar, 2)
+    }.sum
+    val sswF = z.map { case (dw, v) => math.pow(v - means(dw), 2) }.sum
+    val fF = (n - 7).toDouble / 6 * ssbF / sswF
+    assert(math.abs(fExp / 1e6 - fF) < 0.01, s"float F $fF")
+  }
+
   test("q277 Friedman: within-week doubled ranks replay; W bounds; " +
     "float chi2_r agreement") {
     val sf = "/root/testdata/sf0.01"
