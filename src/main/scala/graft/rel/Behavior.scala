@@ -1363,6 +1363,72 @@ object Behavior {
        |  gap_dn > lam.lambda_milli AS alarm_decrease
        |FROM gp CROSS JOIN lam ORDER BY day""".stripMargin
 
+  // --------------------------------------- q279 decomposition strength
+  /** q279: seasonal and trend STRENGTH of the daily series (Hyndman &
+    * Athanasopoulos, "Forecasting: Principles and Practice" §3.4 —
+    * the Wang-Smith-Hyndman feature pair: F_S = max(0, 1 −
+    * Var(R)/Var(S+R)), F_T likewise against T+R) CONSUMING q220's
+    * gated decomposition — eval loop #16: q220 produces the
+    * components, q279 reduces them to the two numbers a forecasting
+    * triage reads ("is this series worth a seasonal model?"), the
+    * justification for q232's seasonal-naive choice.
+    *
+    * Exactness: q220's components are ×7-scaled integers; variances
+    * scale by 49 uniformly so the STRENGTH ratios are unchanged —
+    * each variance lifts to n·Σx² − (Σx)² (DECIMAL(38,0)), and
+    * strength_milli = greatest(0, 1000 − (1000·num) div den) is one
+    * quantized division of exact integers.
+    *
+    * Scale shape: one aggregate over q220's interior day grid. */
+  def q279_seasonal_strength(s: SparkSession, dir: String): DataFrame = {
+    val base = q220_seasonal_decompose(s, dir)
+      .select(col("remainder7").as("r"),
+        (col("seasonal7") + col("remainder7")).as("sr"),
+        (col("trend7") + col("remainder7")).as("tr"))
+    base.agg(count(lit(1)).as("n"),
+      sum(col("r")).as("s_r"),
+      sum(expr("CAST(r AS DECIMAL(38,0)) * r")).as("s_r2"),
+      sum(col("sr")).as("s_sr"),
+      sum(expr("CAST(sr AS DECIMAL(38,0)) * sr")).as("s_sr2"),
+      sum(col("tr")).as("s_tr"),
+      sum(expr("CAST(tr AS DECIMAL(38,0)) * tr")).as("s_tr2"))
+      .select(col("n").as("n_interior"),
+        expr("greatest(0L, 1000 - CAST((CAST(1000 AS DECIMAL(38,0)) * " +
+          "(n * s_r2 - CAST(s_r AS DECIMAL(38,0)) * s_r)) div " +
+          "greatest(CAST(n AS DECIMAL(38,0)) * s_sr2 - " +
+          "CAST(s_sr AS DECIMAL(38,0)) * s_sr, " +
+          "CAST(1 AS DECIMAL(38,0))) AS BIGINT))")
+          .as("seasonal_strength_milli"),
+        expr("greatest(0L, 1000 - CAST((CAST(1000 AS DECIMAL(38,0)) * " +
+          "(n * s_r2 - CAST(s_r AS DECIMAL(38,0)) * s_r)) div " +
+          "greatest(CAST(n AS DECIMAL(38,0)) * s_tr2 - " +
+          "CAST(s_tr AS DECIMAL(38,0)) * s_tr, " +
+          "CAST(1 AS DECIMAL(38,0))) AS BIGINT))")
+          .as("trend_strength_milli"))
+  }
+
+  private lazy val strengthOracle: String =
+    s"""WITH base AS (SELECT remainder7 AS r,
+       |    seasonal7 + remainder7 AS sr, trend7 + remainder7 AS tr
+       |  FROM ($seasonalOracle) q220),
+       |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(r) AS BIGINT) AS s_r,
+       |    SUM(CAST(r AS HUGEINT) * r) AS s_r2,
+       |    CAST(SUM(sr) AS BIGINT) AS s_sr,
+       |    SUM(CAST(sr AS HUGEINT) * sr) AS s_sr2,
+       |    CAST(SUM(tr) AS BIGINT) AS s_tr,
+       |    SUM(CAST(tr AS HUGEINT) * tr) AS s_tr2 FROM base)
+       |SELECT n AS n_interior,
+       |  GREATEST(0, 1000 - CAST((1000 * (n * s_r2 -
+       |    CAST(s_r AS HUGEINT) * s_r)) // GREATEST(CAST(n AS HUGEINT)
+       |    * s_sr2 - CAST(s_sr AS HUGEINT) * s_sr, 1) AS BIGINT))
+       |    AS seasonal_strength_milli,
+       |  GREATEST(0, 1000 - CAST((1000 * (n * s_r2 -
+       |    CAST(s_r AS HUGEINT) * s_r)) // GREATEST(CAST(n AS HUGEINT)
+       |    * s_tr2 - CAST(s_tr AS HUGEINT) * s_tr, 1) AS BIGINT))
+       |    AS trend_strength_milli
+       |FROM ag""".stripMargin
+
   // -------------------------------------- q278 Brown-Forsythe spread
   /** F(6, 23) upper-5% critical value in micro units (incomplete-beta
     * inversion, checked against the known F(1,10) = 4.965 entry) —
@@ -2579,6 +2645,7 @@ object Behavior {
     "q273_ewma_chart" -> (q273_ewma_chart _),
     "q277_friedman" -> (q277_friedman _),
     "q278_brown_forsythe" -> (q278_brown_forsythe _),
+    "q279_seasonal_strength" -> (q279_seasonal_strength _),
     "q258_theil_sen" -> (q258_theil_sen _),
     "q255_bootstrap_ci" -> (q255_bootstrap_ci _),
     "q251_mann_kendall" -> (q251_mann_kendall _),
@@ -2611,6 +2678,7 @@ object Behavior {
     "q273_ewma_chart" -> ewmaOracle,
     "q277_friedman" -> friedmanOracle,
     "q278_brown_forsythe" -> bfOracle,
+    "q279_seasonal_strength" -> strengthOracle,
     "q258_theil_sen" -> senOracle,
     "q255_bootstrap_ci" -> bootOracle,
     "q251_mann_kendall" -> mkOracle,

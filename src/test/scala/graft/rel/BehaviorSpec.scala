@@ -514,6 +514,41 @@ class BehaviorSpec extends AnyFunSuite {
     assert(ls == expLs, "least-squares twin")
   }
 
+  test("q279 strengths: variances replay off the gated q220 components; " +
+    "float-strength agreement; bounds") {
+    val sf = "/root/testdata/sf0.01"
+    val r = Behavior.q279_seasonal_strength(spark, sf).collect().head
+    val (n, fS, fT) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val comp = Behavior.q220_seasonal_decompose(spark, sf).collect()
+      .map(x => (x.getLong(5), x.getLong(4), x.getLong(3)))
+    assert(n == comp.length.toLong)
+    def varNum(xs: Seq[Long]): (BigInt, BigInt) = {
+      val s = xs.sum
+      val s2 = xs.map(x => BigInt(x) * x).sum
+      (BigInt(n) * s2 - BigInt(s) * s, BigInt(s))
+    }
+    val rs = comp.map(_._1)
+    val srs = comp.map(c => c._1 + c._2)
+    val trs = comp.map(c => c._1 + c._3)
+    val (vr, _) = varNum(rs)
+    val (vsr, _) = varNum(srs)
+    val (vtr, _) = varNum(trs)
+    assert(fS == (BigInt(1000) - BigInt(1000) * vr / vsr.max(BigInt(1)))
+      .max(BigInt(0)).toLong, "seasonal strength")
+    assert(fT == (BigInt(1000) - BigInt(1000) * vr / vtr.max(BigInt(1)))
+      .max(BigInt(0)).toLong, "trend strength")
+    assert(fS >= 0 && fS <= 1000 && fT >= 0 && fT <= 1000)
+    // float agreement
+    def fvar(xs: Seq[Long]): Double = {
+      val m = xs.map(_.toDouble).sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    val fSf = math.max(0.0, 1.0 - fvar(rs) / fvar(srs))
+    val fTf = math.max(0.0, 1.0 - fvar(rs) / fvar(trs))
+    assert(math.abs(fS / 1000.0 - fSf) < 0.002, s"float F_S $fSf")
+    assert(math.abs(fT / 1000.0 - fTf) < 0.002, s"float F_T $fTf")
+  }
+
   test("q278 Brown-Forsythe: medians, deviations and the quantized F " +
     "replay; float-F agreement") {
     val sf = "/root/testdata/sf0.01"
