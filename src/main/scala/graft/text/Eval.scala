@@ -1035,6 +1035,67 @@ object Eval {
        |    38416 * (rules_only + lm_only) AS significant
        |FROM ag""".stripMargin
 
+  // ----------------------------------------- q280 OOV coverage audit
+  private val OovVocabK = 1000
+
+  /** q280: out-of-vocabulary rate per source against the global
+    * top-[[OovVocabK]] vocabulary — the fixed-vocab coverage audit
+    * (the question a tokenizer/embedding-table design asks per source:
+    * "how much of this source falls outside the budgeted vocab?"),
+    * complementing q275 (Chao1 bounds what NO vocab has seen) and
+    * q204 (fertility prices what BPE spends per word). A source whose
+    * OOV rate is an outlier either needs vocab budget or is noise.
+    *
+    * Exactness: the vocabulary is a deterministic bounded heap (count
+    * desc, term asc, LIMIT K — ties at the boundary break on the term
+    * string in both engines); coverage is one broadcast semi-join and
+    * two integer ratios (token-level and type-level OOV permille).
+    *
+    * Scale shape: vocab rollup (Heaps-bounded) → K-row broadcast →
+    * one (source, term) rollup; no corpus-global windows. */
+  def q280_oov_audit(s: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documentsFanned(s, dir)
+      .select(col("source"),
+        explode(graft.text.Cleanse.tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+    val vocab = st.groupBy(col("term")).agg(sum(col("c")).as("g"))
+      .orderBy(col("g").desc, col("term")).limit(OovVocabK)
+      .select(col("term"), lit(1L).as("in_vocab"))
+    st.join(broadcast(vocab), Seq("term"), "left_outer")
+      .withColumn("in_vocab", coalesce(col("in_vocab"), lit(0L)))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("n_types"),
+        sum(col("c") * col("in_vocab")).as("cov_tok"),
+        sum(col("in_vocab")).as("cov_types"))
+      .select(col("source"), col("n_tok"), col("n_types"),
+        (lit(1000L) - expr("(1000 * cov_tok) div n_tok"))
+          .as("oov_token_permille"),
+        (lit(1000L) - expr("(1000 * cov_types) div n_types"))
+          .as("oov_type_permille"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val oovOracle: String = {
+    val dToks = CorpusFilters.DToks
+    s"""WITH st AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT source, unnest($dToks) AS term FROM documents)
+       |  GROUP BY 1, 2),
+       |vocab AS (SELECT term FROM (SELECT term,
+       |      CAST(SUM(c) AS BIGINT) AS g FROM st GROUP BY 1)
+       |  ORDER BY g DESC, term LIMIT $OovVocabK),
+       |j AS (SELECT st.source, st.c,
+       |    CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END AS iv
+       |  FROM st LEFT JOIN vocab v USING (term)),
+       |ag AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tok,
+       |    CAST(COUNT(*) AS BIGINT) AS n_types,
+       |    CAST(SUM(c * iv) AS BIGINT) AS cov_tok,
+       |    CAST(SUM(iv) AS BIGINT) AS cov_types FROM j GROUP BY 1)
+       |SELECT source, n_tok, n_types,
+       |  1000 - (1000 * cov_tok) // n_tok AS oov_token_permille,
+       |  1000 - (1000 * cov_types) // n_types AS oov_type_permille
+       |FROM ag ORDER BY source""".stripMargin
+  }
+
   // ------------------------------------- q275 Chao1 richness estimate
   /** q275: the Chao1 lower-bound species-richness estimator with
     * Good's sample-coverage companion (Chao, Scand. J. Statistics
@@ -1284,6 +1345,7 @@ object Eval {
     "q266_cramers_v" -> (q266_cramers_v _),
     "q270_brier" -> (q270_brier _),
     "q275_chao1" -> (q275_chao1 _),
+    "q280_oov_audit" -> (q280_oov_audit _),
     "q257_mcnemar" -> (q257_mcnemar _),
     "q245_token_mi" -> (q245_token_mi _),
     "q210_trimmed_stats" -> (q210_trimmed_stats _),
@@ -1304,6 +1366,7 @@ object Eval {
     "q266_cramers_v" -> cramersOracle,
     "q270_brier" -> brierOracle,
     "q275_chao1" -> chao1Oracle,
+    "q280_oov_audit" -> oovOracle,
     "q257_mcnemar" -> mcnemarOracle,
     "q245_token_mi" -> q245Oracle,
     "q210_trimmed_stats" -> trimmedOracle,

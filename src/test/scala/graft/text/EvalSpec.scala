@@ -379,6 +379,34 @@ class EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("q280 OOV audit: top-K vocabulary and coverage ratios replay; " +
+    "type OOV dominates token OOV") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Eval.q280_oov_audit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).trim.split(" ").filter(_.nonEmpty)
+        .map(t => (r.getString(0), t)))
+    val global = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val vocab = global.toSeq.sortBy { case (t, g) => (-g, t) }
+      .take(1000).map(_._1).toSet
+    for ((src, nTok, nTypes, oovTok, oovType) <- rows) {
+      val mine = toks.filter(_._1 == src).map(_._2)
+      val counts = mine.groupBy(identity).view.mapValues(_.length.toLong)
+        .toMap
+      assert(nTok == mine.length.toLong && nTypes == counts.size.toLong)
+      val covTok = counts.filter(c => vocab(c._1)).values.sum
+      val covTypes = counts.keys.count(vocab).toLong
+      assert(oovTok == 1000L - 1000L * covTok / nTok, s"$src token OOV")
+      assert(oovType == 1000L - 1000L * covTypes / nTypes, s"$src type")
+      // frequent terms cover more tokens than types: type OOV >= token
+      assert(oovType >= oovTok, s"$src Zipf direction")
+    }
+  }
+
   test("q275 Chao1: singleton/doubleton profile replays; lower-bound " +
     "and coverage invariants hold") {
     val sf = "/root/testdata/sf0.001"
