@@ -1363,6 +1363,70 @@ object Behavior {
        |  gap_dn > lam.lambda_milli AS alarm_decrease
        |FROM gp CROSS JOIN lam ORDER BY day""".stripMargin
 
+  // -------------------------------------- q281 turning-points test
+  /** q281: the turning-points test for randomness (Kendall & Stuart,
+    * "The Advanced Theory of Statistics" vol. 3 §45.18; Bienaymé 1874
+    * for the expectation) on the daily series — the runs test's (q264)
+    * companion with a different alternative: runs-about-the-median
+    * catches LEVEL persistence, turning points catch local
+    * oscillation structure (too few turns = smooth drift, too many =
+    * alternation). Only STRICT local extrema count; tied plateaus
+    * contribute nothing (the standard discrete-data caveat, mirrored
+    * in both engines).
+    *
+    * Exactness: T counts lag/lead strict comparisons; E[T] =
+    * 2(n−2)/3, Var[T] = (16n−29)/90, and z² > 1.96² squares into
+    *   9·10⁵·(3T − 2(n−2))² > 345744·(16n−29)
+    * — exact BIGINTs at any horizon (LHS ≤ 9·10⁵·(3n)² — Long-safe to
+    * n ≈ 10⁶ days).
+    *
+    * Scale shape: day-grid window algebra, one aggregate. */
+  def q281_turning_points(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(expr("ts_us div 86400000000L").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+    val filled = daily
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left_outer")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val w = Window.orderBy(col("day"))
+    filled
+      .withColumn("p", lag(col("c"), 1).over(w))
+      .withColumn("nx", lead(col("c"), 1).over(w))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("p").isNotNull && col("nx").isNotNull &&
+          ((col("c") > col("p") && col("c") > col("nx")) ||
+            (col("c") < col("p") && col("c") < col("nx"))), 1L)
+          .otherwise(0L)).as("t_turns"))
+      .select(col("n").as("n_days"), col("t_turns"),
+        expr("(2000 * (n - 2)) div 3").as("expected_milli"),
+        expr("900000 * (3 * t_turns - 2 * (n - 2)) * " +
+          "(3 * t_turns - 2 * (n - 2)) > 345744 * (16 * n - 29)")
+          .as("significant"))
+  }
+
+  private lazy val turnsOracle: String =
+    s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+       |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+       |grid AS (SELECT CAST(unnest(range(d0, d1 + 1)) AS BIGINT) AS day
+       |  FROM b),
+       |f AS (SELECT g.day, COALESCE(d.c, 0) AS c
+       |  FROM grid g LEFT JOIN daily d USING (day)),
+       |lg AS (SELECT c, LAG(c) OVER (ORDER BY day) AS p,
+       |    LEAD(c) OVER (ORDER BY day) AS nx FROM f),
+       |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN p IS NOT NULL AND nx IS NOT NULL AND
+       |      ((c > p AND c > nx) OR (c < p AND c < nx))
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS t_turns FROM lg)
+       |SELECT n AS n_days, t_turns,
+       |  (2000 * (n - 2)) // 3 AS expected_milli,
+       |  900000 * (3 * t_turns - 2 * (n - 2)) *
+       |    (3 * t_turns - 2 * (n - 2)) > 345744 * (16 * n - 29)
+       |    AS significant
+       |FROM ag""".stripMargin
+
   // --------------------------------------- q279 decomposition strength
   /** q279: seasonal and trend STRENGTH of the daily series (Hyndman &
     * Athanasopoulos, "Forecasting: Principles and Practice" §3.4 —
@@ -2646,6 +2710,7 @@ object Behavior {
     "q277_friedman" -> (q277_friedman _),
     "q278_brown_forsythe" -> (q278_brown_forsythe _),
     "q279_seasonal_strength" -> (q279_seasonal_strength _),
+    "q281_turning_points" -> (q281_turning_points _),
     "q258_theil_sen" -> (q258_theil_sen _),
     "q255_bootstrap_ci" -> (q255_bootstrap_ci _),
     "q251_mann_kendall" -> (q251_mann_kendall _),
@@ -2679,6 +2744,7 @@ object Behavior {
     "q277_friedman" -> friedmanOracle,
     "q278_brown_forsythe" -> bfOracle,
     "q279_seasonal_strength" -> strengthOracle,
+    "q281_turning_points" -> turnsOracle,
     "q258_theil_sen" -> senOracle,
     "q255_bootstrap_ci" -> bootOracle,
     "q251_mann_kendall" -> mkOracle,

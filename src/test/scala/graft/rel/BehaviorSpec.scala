@@ -514,6 +514,31 @@ class BehaviorSpec extends AnyFunSuite {
     assert(ls == expLs, "least-squares twin")
   }
 
+  test("q281 turning points: strict extrema count replays; float-z " +
+    "equivalence") {
+    val sf = "/root/testdata/sf0.01"
+    val r = Behavior.q281_turning_points(spark, sf).collect().head
+    val (n, t, expM, sig) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getBoolean(3))
+    val days = graft.Tables.events(spark, sf)
+      .selectExpr("ts_us div 86400000000L AS day").collect()
+      .map(_.getLong(0))
+    val byDay = days.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    val xs = (days.min to days.max).map(d => byDay.getOrElse(d, 0L))
+    assert(n == xs.length.toLong)
+    val tExp = (1 until xs.length - 1).count { i =>
+      (xs(i) > xs(i - 1) && xs(i) > xs(i + 1)) ||
+        (xs(i) < xs(i - 1) && xs(i) < xs(i + 1))
+    }.toLong
+    assert(t == tExp, "turning points")
+    assert(expM == 2000L * (n - 2) / 3)
+    val lhs = BigInt(900000) * (3 * t - 2 * (n - 2)) * (3 * t - 2 * (n - 2))
+    assert(sig == (lhs > BigInt(345744) * (16 * n - 29)))
+    val z = (t - 2.0 * (n - 2) / 3) / math.sqrt((16.0 * n - 29) / 90)
+    assert(sig == (z * z > 3.8416), "float z equivalence")
+  }
+
   test("q279 strengths: variances replay off the gated q220 components; " +
     "float-strength agreement; bounds") {
     val sf = "/root/testdata/sf0.01"
