@@ -1363,6 +1363,110 @@ object Behavior {
        |  gap_dn > lam.lambda_milli AS alarm_decrease
        |FROM gp CROSS JOIN lam ORDER BY day""".stripMargin
 
+  // ------------------------------------------- q282 PACF profile
+  /** q282: the partial autocorrelation function via Durbin-Levinson
+    * (Durbin, Biometrika 1960; Box & Jenkins §3.2.3), lags 1..14,
+    * CONSUMING q240's gated r_milli — the third leg of the
+    * identification tripod: ACF (q240) reads MA signatures, PACF
+    * reads AR signatures (an AR(p) cuts off after lag p), Ljung-Box
+    * (q262) tests the joint null. Eval loop #17.
+    *
+    * Exactness: the DL recursion divides at every level, so it is
+    * quantized PER STEP like q273's EWMA — all quantities in micro,
+    *   φ_mm = (10⁶·(R_m − Σφ_{m−1,j}R_{m−j} div 10⁶)) div
+    *          (10⁶ − Σφ_{m−1,j}R_j div 10⁶),
+    *   φ_mj = φ_{m−1,j} − (φ_mm·φ_{m−1,m−j}) div 10⁶,
+    * with R = 1000·r_milli. Truncating division agrees between Scala,
+    * Spark and DuckDB on negatives (the r16 measurement); products are
+    * ≤ 10¹²·14 — Long-safe. The 14-level recursion folds 14 rows on
+    * the driver (metadata-scale by construction) and replays as a
+    * recursive CTE carrying the φ list. The white-noise band is the
+    * same ±2/√n as q240: φ_micro²·n > 4·10¹².
+    *
+    * Scale shape: q240's day-grid kernel + a 14-step driver fold. */
+  def q282_pacf(s: SparkSession, dir: String): DataFrame = {
+    val acf = acfFrame(s, dir, 14).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .sortBy(_._1)
+    val n = acf.head._2
+    val rr = acf.map(_._3 * 1000L) // micro, rr(0) = R_1
+    def dot(phis: Array[Long], f: Int => Long): Long = {
+      var s0 = 0L
+      for (j <- 1 to phis.length) s0 += phis(j - 1) * f(j)
+      s0
+    }
+    var phis = Array(rr(0))
+    val out = scala.collection.mutable.ArrayBuffer((1L, rr(0)))
+    for (m <- 2 to 14) {
+      val k = m - 1
+      val num = rr(m - 1) - dot(phis, j => rr(m - 1 - j)) / 1000000L
+      val den = 1000000L - dot(phis, j => rr(j - 1)) / 1000000L
+      val phikk = 1000000L * num / (if (den == 0L) 1L else den)
+      phis = Array.tabulate(k)(i =>
+        phis(i) - phikk * phis(k - 1 - i) / 1000000L) :+ phikk
+      out += ((m.toLong, phikk))
+    }
+    import s.implicits._
+    out.toSeq.toDF("lag", "phi_micro")
+      .withColumn("n_days", lit(n))
+      .withColumn("significant",
+        expr("phi_micro * phi_micro * n_days > 4000000000000"))
+      .orderBy(col("lag"))
+  }
+
+  private lazy val pacfOracle: String =
+    s"""WITH RECURSIVE daily AS (SELECT epoch_us(ts) // 86400000000
+       |    AS day, CAST(COUNT(*) AS BIGINT) AS c FROM events
+       |  GROUP BY 1),
+       |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+       |grid AS (SELECT CAST(unnest(range(d0, d1 + 1)) AS BIGINT) AS day
+       |  FROM b),
+       |f AS (SELECT g.day, COALESCE(d.c, 0) AS c
+       |  FROM grid g LEFT JOIN daily d USING (day)),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(c) AS BIGINT) AS s FROM f),
+       |y AS (SELECT day, n * c - s AS y, n FROM f CROSS JOIN tot),
+       |den AS (SELECT SUM(CAST(y AS HUGEINT) * y) AS den, MAX(n) AS n
+       |  FROM y),
+       |lags AS (SELECT CAST(unnest(range(1, 15)) AS BIGINT) AS lag),
+       |nums AS (SELECT l.lag, SUM(CAST(a.y AS HUGEINT) * b2.y) AS num
+       |  FROM y a CROSS JOIN lags l
+       |  JOIN y b2 ON a.day - l.lag = b2.day GROUP BY l.lag),
+       |r AS (SELECT n2.lag,
+       |    CAST((1000 * n2.num) // GREATEST(den.den, 1) AS BIGINT)
+       |      AS r_milli FROM nums n2 CROSS JOIN den),
+       |rl AS (SELECT list(r_milli * 1000 ORDER BY lag) AS rr FROM r),
+       |dl(m, phis) AS (
+       |  SELECT CAST(1 AS BIGINT), [rr[1]] FROM rl
+       |  UNION ALL
+       |  SELECT m + 1, list_append(
+       |      list_transform(range(1, CAST(m + 1 AS INTEGER)),
+       |        j -> phis[j] - (phikk * phis[CAST(m AS INTEGER) + 1 - j])
+       |          // 1000000),
+       |      phikk)
+       |  FROM (SELECT m, phis,
+       |      (1000000 * (rr[CAST(m AS INTEGER) + 1] -
+       |        CAST(list_sum(list_transform(
+       |          range(1, CAST(m + 1 AS INTEGER)),
+       |          j -> phis[j] * rr[CAST(m AS INTEGER) + 1 - j]))
+       |          AS BIGINT) // 1000000)) //
+       |      CASE WHEN (1000000 - CAST(list_sum(list_transform(
+       |          range(1, CAST(m + 1 AS INTEGER)),
+       |          j -> phis[j] * rr[j])) AS BIGINT) // 1000000) = 0
+       |        THEN 1
+       |        ELSE (1000000 - CAST(list_sum(list_transform(
+       |          range(1, CAST(m + 1 AS INTEGER)),
+       |          j -> phis[j] * rr[j])) AS BIGINT) // 1000000) END
+       |        AS phikk
+       |    FROM dl CROSS JOIN rl WHERE m < 14) t)
+       |SELECT dl.m AS lag, CAST(phis[CAST(dl.m AS INTEGER)] AS BIGINT)
+       |    AS phi_micro,
+       |  den.n AS n_days,
+       |  CAST(phis[CAST(dl.m AS INTEGER)] AS BIGINT) *
+       |    CAST(phis[CAST(dl.m AS INTEGER)] AS BIGINT) * den.n
+       |    > 4000000000000 AS significant
+       |FROM dl CROSS JOIN den ORDER BY dl.m""".stripMargin
+
   // -------------------------------------- q281 turning-points test
   /** q281: the turning-points test for randomness (Kendall & Stuart,
     * "The Advanced Theory of Statistics" vol. 3 §45.18; Bienaymé 1874
@@ -2711,6 +2815,7 @@ object Behavior {
     "q278_brown_forsythe" -> (q278_brown_forsythe _),
     "q279_seasonal_strength" -> (q279_seasonal_strength _),
     "q281_turning_points" -> (q281_turning_points _),
+    "q282_pacf" -> (q282_pacf _),
     "q258_theil_sen" -> (q258_theil_sen _),
     "q255_bootstrap_ci" -> (q255_bootstrap_ci _),
     "q251_mann_kendall" -> (q251_mann_kendall _),
@@ -2745,6 +2850,7 @@ object Behavior {
     "q278_brown_forsythe" -> bfOracle,
     "q279_seasonal_strength" -> strengthOracle,
     "q281_turning_points" -> turnsOracle,
+    "q282_pacf" -> pacfOracle,
     "q258_theil_sen" -> senOracle,
     "q255_bootstrap_ci" -> bootOracle,
     "q251_mann_kendall" -> mkOracle,

@@ -514,6 +514,54 @@ class BehaviorSpec extends AnyFunSuite {
     assert(ls == expLs, "least-squares twin")
   }
 
+  test("q282 PACF: quantized Durbin-Levinson replays off q240's r; " +
+    "lag-1 identity; float-DL agreement") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = Behavior.q282_pacf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).sortBy(_._1)
+    assert(rows.length == 14)
+    val acf = Behavior.q240_acf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._1)
+    val n = acf.head._2
+    val rr = acf.map(_._3 * 1000L)
+    // integer replay
+    var phis = Array(rr(0))
+    val got = rows.map(_._2)
+    assert(got(0) == rr(0), "lag-1 identity phi11 = r1")
+    for (m <- 2 to 14) {
+      val k = m - 1
+      var dn = 0L; var dd = 0L
+      for (j <- 1 to k) { dn += phis(j - 1) * rr(m - 1 - j);
+        dd += phis(j - 1) * rr(j - 1) }
+      val num = rr(m - 1) - dn / 1000000L
+      val den0 = 1000000L - dd / 1000000L
+      val phikk = 1000000L * num / (if (den0 == 0L) 1L else den0)
+      phis = Array.tabulate(k)(i =>
+        phis(i) - phikk * phis(k - 1 - i) / 1000000L) :+ phikk
+      assert(got(m - 1) == phikk, s"lag $m pacf")
+    }
+    for ((lag, phi, nD, sig) <- rows) {
+      assert(nD == n)
+      assert(sig == (phi * phi * n > 4000000000000L), s"lag $lag band")
+    }
+    // float Durbin-Levinson tracks the quantized one
+    val rF = acf.map(_._3 / 1000.0)
+    var pF = Array(rF(0))
+    val gotF = scala.collection.mutable.ArrayBuffer(rF(0))
+    for (m <- 2 to 14) {
+      val k = m - 1
+      val num = rF(m - 1) - (1 to k).map(j => pF(j - 1) * rF(m - 1 - j)).sum
+      val den0 = 1.0 - (1 to k).map(j => pF(j - 1) * rF(j - 1)).sum
+      val pkk = num / den0
+      pF = Array.tabulate(k)(i => pF(i) - pkk * pF(k - 1 - i)) :+ pkk
+      gotF += pkk
+    }
+    for (m <- 1 to 14)
+      assert(math.abs(got(m - 1) / 1e6 - gotF(m - 1)) < 0.01,
+        s"lag $m float agreement ${gotF(m - 1)}")
+  }
+
   test("q281 turning points: strict extrema count replays; float-z " +
     "equivalence") {
     val sf = "/root/testdata/sf0.01"
