@@ -328,7 +328,9 @@ object Eval {
       .selectExpr("doc_id",
         "CAST(round(logit_r * 1000000.0) AS BIGINT) AS logit_u")
 
-  def q183_quality_fusion(s: SparkSession, dir: String): DataFrame = {
+  /** The three quality-signal rank columns per doc (pre-fusion) —
+    * q183's fusion input, shared with q283's consistency audit. */
+  private def fusionRanks(s: SparkSession, dir: String): DataFrame = {
     val pred = logitU(s, dir)
     val ent = Tables.documentsFanned(s, dir)
       .select(col("doc_id"), Entropy.char_entropy_unat(col("text")).as("ent_u"))
@@ -347,17 +349,21 @@ object Eval {
     r1.withColumnRenamed("rk", "r_logit")
       .join(r2.withColumnRenamed("rk", "r_ent"), "doc_id")
       .join(r3.withColumnRenamed("rk", "r_dtr"), "doc_id")
+  }
+
+  def q183_quality_fusion(s: SparkSession, dir: String): DataFrame =
+    fusionRanks(s, dir)
       .selectExpr("doc_id", "r_logit", "r_ent", "r_dtr",
         "1000000 div (60 + r_logit) + 1000000 div (60 + r_ent) + " +
           "1000000 div (60 + r_dtr) AS rrf_u")
       .orderBy(col("rrf_u").desc, col("doc_id"))
       .limit(25)
       .orderBy(col("doc_id"))
-  }
 
-  private lazy val q183Oracle: String = {
-    val fillers = CorpusFilters.FillerTokens.map(f => s"'$f'").mkString(", ")
-    s"""WITH pred AS (SELECT doc_id,
+  /** q183's rank chain up to the joined pre-fusion frame `fr` — shared
+    * by the fusion dump and q283's Cronbach audit. */
+  private lazy val fusionRanksCtes: String =
+    s"""pred AS (SELECT doc_id,
        |    CAST(round(logit_r * 1000000.0) AS BIGINT) AS logit_u
        |  FROM (${CorpusFilters.qualityClassifierOracle})),
        |ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
@@ -383,16 +389,112 @@ object Eval {
        |    ORDER BY ent_u DESC, doc_id) AS r_ent FROM ent),
        |r3 AS (SELECT doc_id, ROW_NUMBER() OVER (
        |    ORDER BY dtr DESC, doc_id) AS r_dtr FROM dtr),
+       |fr AS (SELECT doc_id, CAST(r_logit AS BIGINT) AS r_logit,
+       |    CAST(r_ent AS BIGINT) AS r_ent, CAST(r_dtr AS BIGINT) AS r_dtr
+       |  FROM r1 JOIN r2 USING (doc_id) JOIN r3 USING (doc_id))"""
+      .stripMargin
+
+  private lazy val q183Oracle: String =
+    s"""WITH $fusionRanksCtes,
        |f AS (SELECT doc_id, r_logit, r_ent, r_dtr,
        |    1000000 // (60 + r_logit) + 1000000 // (60 + r_ent) +
-       |      1000000 // (60 + r_dtr) AS rrf_u
-       |  FROM r1 JOIN r2 USING (doc_id) JOIN r3 USING (doc_id)),
+       |      1000000 // (60 + r_dtr) AS rrf_u FROM fr),
        |top AS (SELECT * FROM f ORDER BY rrf_u DESC, doc_id LIMIT 25)
-       |SELECT doc_id, CAST(r_logit AS BIGINT) AS r_logit,
-       |  CAST(r_ent AS BIGINT) AS r_ent, CAST(r_dtr AS BIGINT) AS r_dtr,
+       |SELECT doc_id, r_logit, r_ent, r_dtr,
        |  CAST(rrf_u AS BIGINT) AS rrf_u
        |FROM top ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------- q283 Cronbach's alpha
+  /** q283: Cronbach's α over the three quality-signal RANKS (Cronbach,
+    * Psychometrika 1951) — the internal-consistency audit of the q183
+    * fusion battery: RRF fusion presumes the signals measure one
+    * "quality" construct; α says how much they actually agree (α near
+    * 1 = redundant battery, near 0 = the fusion is averaging unrelated
+    * orderings — either answer changes the fusion design). Items are
+    * the rank columns themselves, so this is α on the Spearman scale,
+    * unit-free by construction. Eval loop #18.
+    *
+    * Exactness: items are integer ranks; every variance lifts to
+    * n·Σx² − S² (DECIMAL(38,0) — rank⁴-shaped, the loud assert names
+    * the swap past ~10⁹ docs), and
+    *   α_milli = (1000·k·(V_t − ΣV_i)) div ((k−1)·V_t)
+    * is one division of exact integers; per-item variances report as
+    * V div (n(n−1)) — the sample variance, exactly quantized.
+    *
+    * Scale shape: q183's bucketed rank machinery (never a corpus
+    * window) + one 4-sum aggregate. */
+  def q283_cronbach_alpha(s: SparkSession, dir: String): DataFrame = {
+    val fr = fusionRanks(s, dir)
+      .withColumn("tot", col("r_logit") + col("r_ent") + col("r_dtr"))
+    val agg = fr.agg(count(lit(1)).as("n"),
+      sum(col("r_logit")).as("s1"),
+      sum(expr("CAST(r_logit AS DECIMAL(38,0)) * r_logit")).as("q1"),
+      sum(col("r_ent")).as("s2"),
+      sum(expr("CAST(r_ent AS DECIMAL(38,0)) * r_ent")).as("q2"),
+      sum(col("r_dtr")).as("s3"),
+      sum(expr("CAST(r_dtr AS DECIMAL(38,0)) * r_dtr")).as("q3"),
+      sum(col("tot")).as("st"),
+      sum(expr("CAST(tot AS DECIMAL(38,0)) * tot")).as("qt"))
+    agg
+      .filter(coalesce(assert_true(col("n") <= lit(1000000000L),
+        lit("Cronbach rank-variance lifts pass DECIMAL(38,0) near " +
+          "1e9 docs: swap to wider units at this corpus scale")),
+        lit(true)))
+      .withColumn("v1", expr(
+        "CAST(n AS DECIMAL(38,0)) * q1 - CAST(s1 AS DECIMAL(38,0)) * s1"))
+      .withColumn("v2", expr(
+        "CAST(n AS DECIMAL(38,0)) * q2 - CAST(s2 AS DECIMAL(38,0)) * s2"))
+      .withColumn("v3", expr(
+        "CAST(n AS DECIMAL(38,0)) * q3 - CAST(s3 AS DECIMAL(38,0)) * s3"))
+      .withColumn("vt", expr(
+        "CAST(n AS DECIMAL(38,0)) * qt - CAST(st AS DECIMAL(38,0)) * st"))
+      .select(col("n").as("n_docs"), lit(3L).as("k_items"),
+        expr("CAST(v1 div (CAST(n AS DECIMAL(38,0)) * (n - 1)) " +
+          "AS BIGINT)").as("var_logit"),
+        expr("CAST(v2 div (CAST(n AS DECIMAL(38,0)) * (n - 1)) " +
+          "AS BIGINT)").as("var_ent"),
+        expr("CAST(v3 div (CAST(n AS DECIMAL(38,0)) * (n - 1)) " +
+          "AS BIGINT)").as("var_dtr"),
+        expr("CAST(vt div (CAST(n AS DECIMAL(38,0)) * (n - 1)) " +
+          "AS BIGINT)").as("var_total"),
+        expr("CAST((CAST(3000 AS DECIMAL(38,0)) * " +
+          "(vt - v1 - v2 - v3)) div (CAST(2 AS DECIMAL(38,0)) * " +
+          "greatest(vt, CAST(1 AS DECIMAL(38,0)))) AS BIGINT)")
+          .as("alpha_milli"))
   }
+
+  private lazy val cronbachOracle: String =
+    s"""WITH $fusionRanksCtes,
+       |tt AS (SELECT r_logit, r_ent, r_dtr,
+       |    r_logit + r_ent + r_dtr AS tot FROM fr),
+       |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(r_logit) AS BIGINT) AS s1,
+       |    SUM(CAST(r_logit AS HUGEINT) * r_logit) AS q1,
+       |    CAST(SUM(r_ent) AS BIGINT) AS s2,
+       |    SUM(CAST(r_ent AS HUGEINT) * r_ent) AS q2,
+       |    CAST(SUM(r_dtr) AS BIGINT) AS s3,
+       |    SUM(CAST(r_dtr AS HUGEINT) * r_dtr) AS q3,
+       |    CAST(SUM(tot) AS BIGINT) AS st,
+       |    SUM(CAST(tot AS HUGEINT) * tot) AS qt FROM tt),
+       |v AS (SELECT n,
+       |    CAST(n AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1 AS v1,
+       |    CAST(n AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2 AS v2,
+       |    CAST(n AS HUGEINT) * q3 - CAST(s3 AS HUGEINT) * s3 AS v3,
+       |    CAST(n AS HUGEINT) * qt - CAST(st AS HUGEINT) * st AS vt
+       |  FROM ag)
+       |SELECT n AS n_docs, CAST(3 AS BIGINT) AS k_items,
+       |  CAST(v1 // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT)
+       |    AS var_logit,
+       |  CAST(v2 // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT)
+       |    AS var_ent,
+       |  CAST(v3 // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT)
+       |    AS var_dtr,
+       |  CAST(vt // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT)
+       |    AS var_total,
+       |  CAST((3000 * (vt - v1 - v2 - v3)) //
+       |    (CAST(2 AS HUGEINT) * GREATEST(vt, 1)) AS BIGINT)
+       |    AS alpha_milli
+       |FROM v""".stripMargin
 
   // --------------------------------- q185 keep-rate threshold advisor
   private val KeepTargetPermille = 600L
@@ -1346,6 +1448,7 @@ object Eval {
     "q270_brier" -> (q270_brier _),
     "q275_chao1" -> (q275_chao1 _),
     "q280_oov_audit" -> (q280_oov_audit _),
+    "q283_cronbach_alpha" -> (q283_cronbach_alpha _),
     "q257_mcnemar" -> (q257_mcnemar _),
     "q245_token_mi" -> (q245_token_mi _),
     "q210_trimmed_stats" -> (q210_trimmed_stats _),
@@ -1367,6 +1470,7 @@ object Eval {
     "q270_brier" -> brierOracle,
     "q275_chao1" -> chao1Oracle,
     "q280_oov_audit" -> oovOracle,
+    "q283_cronbach_alpha" -> cronbachOracle,
     "q257_mcnemar" -> mcnemarOracle,
     "q245_token_mi" -> q245Oracle,
     "q210_trimmed_stats" -> trimmedOracle,

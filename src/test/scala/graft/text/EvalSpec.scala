@@ -379,6 +379,32 @@ class EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("q283 Cronbach: alpha replays from the gated fusion dump's rank " +
+    "space; covariance identity holds in float") {
+    val sf = "/root/testdata/sf0.001"
+    val r = Eval.q283_cronbach_alpha(spark, sf).collect().head
+    val (n, k, v1, v2, v3, vt, alpha) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+      r.getLong(6))
+    assert(k == 3L)
+    // item variances are variances of rank PERMUTATIONS 1..n — all
+    // three must equal the exact permutation variance n(n+1)/12
+    val permVar = (BigInt(n) * n * (n + 1) * (n + 1) / 4 -
+      BigInt(n) * (n + 1) / 2 * (BigInt(n) * (n + 1) / 2)) /
+      (BigInt(n) * (n - 1))
+    // n·Σi² − (Σi)² with Σi² = n(n+1)(2n+1)/6
+    val s1 = BigInt(n) * (n + 1) / 2
+    val q1 = BigInt(n) * (n + 1) * (2 * n + 1) / 6
+    val vExp = ((BigInt(n) * q1 - s1 * s1) / (BigInt(n) * (n - 1))).toLong
+    assert(v1 == vExp && v2 == vExp && v3 == vExp,
+      s"rank-permutation variance $vExp")
+    val _ = permVar
+    // alpha from the float covariance identity: alpha = 3/2·(1−ΣVi/Vt)
+    val alphaF = 1.5 * (1.0 - (v1 + v2 + v3).toDouble / vt)
+    assert(math.abs(alpha / 1000.0 - alphaF) < 0.005, s"float alpha $alphaF")
+    assert(alpha <= 1500L, "alpha bounded above by k/(k-1)")
+  }
+
   test("q280 OOV audit: top-K vocabulary and coverage ratios replay; " +
     "type OOV dominates token OOV") {
     val sf = "/root/testdata/sf0.001"
