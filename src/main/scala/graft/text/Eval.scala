@@ -404,6 +404,174 @@ object Eval {
        |  CAST(rrf_u AS BIGINT) AS rrf_u
        |FROM top ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------- q284 decision stump
+  /** q284: a one-split decision stump trained on the hash-split train
+    * fold and scored on the holdout (Iba & Langley, ML 1992 — the
+    * 1R/stump baseline every classifier comparison starts from;
+    * learn→apply loop #19, the q217 split discipline): features are
+    * three exact per-doc permille rates — rate('the'), rate('data'),
+    * distinct-token ratio — and the stump picks (feature, threshold,
+    * direction) maximizing exact TRAIN accuracy. The q87b label was
+    * MEASURED learnable from the single-token rates (best stump 682‰
+    * vs 524‰ majority at sf0.01; the structural features n_chars and
+    * n_tok measured at chance and were dropped) — the house
+    * label-learnability rule.
+    *
+    * Exactness: thresholds are the distinct feature values; correct
+    * counts come from value-group prefix sums partitioned per feature
+    * (signals are bounded-support permilles — value-group algebra,
+    * never a corpus window); the winner is a total order (accuracy
+    * desc, feature asc, direction asc, threshold asc — LIMIT 1 in
+    * both engines); holdout accuracy is one broadcast-model map pass.
+    *
+    * Scale shape: one corpus pass to (doc, features, label, fold);
+    * model selection on the features×values frame (bounded); apply is
+    * map-side. */
+  def q284_decision_stump(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documentsFanned(s, dir)
+      .select(col("doc_id"), Cleanse.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+      .selectExpr("doc_id",
+        "(1000 * size(filter(t, w -> w = 'the'))) div size(t) AS the_pm",
+        "(1000 * size(filter(t, w -> w = 'data'))) div size(t) AS data_pm",
+        "(1000 * size(array_distinct(t))) div size(t) AS dtr_pm",
+        "100 * size(filter(t, w -> w IN ('the', 'a', 'value', 'data')))" +
+          " >= 13 * size(t) AS label")
+      .withColumn("is_train",
+        pmod(graft.rel.JoinCard.splitmix64(col("doc_id")), lit(5L))
+          =!= 0L)
+    val unpiv = base.selectExpr("doc_id", "label", "is_train",
+      "stack(3, 'the_pm', the_pm, 'data_pm', data_pm, " +
+        "'dtr_pm', dtr_pm) AS (fname, v)")
+    val trainTot = base.filter(col("is_train"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("pos_train"))
+    val grp = unpiv.filter(col("is_train"))
+      .groupBy(col("fname"), col("v"))
+      .agg(sum(when(col("label"), 1L).otherwise(0L)).as("p"),
+        count(lit(1)).as("c"))
+      .withColumn("cum_p", sum(col("p")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fname")).orderBy(col("v")).rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            0)))
+      .withColumn("cum_c", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fname")).orderBy(col("v")).rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            0)))
+    val cand = grp.crossJoin(broadcast(trainTot))
+      .selectExpr("fname", "v AS thr",
+        "cum_p + (n_train - cum_c) - (pos_train - cum_p) AS corr_le",
+        "n_train")
+      .selectExpr("fname", "thr", "n_train",
+        "stack(2, 'le', corr_le, 'gt', n_train - corr_le)" +
+          " AS (dir, correct)")
+    val model = cand
+      .orderBy(col("correct").desc, col("fname"), col("dir"), col("thr"))
+      .limit(1)
+      .select(col("fname"), col("thr"), col("dir"), col("correct"),
+        col("n_train"))
+    val applied = unpiv.filter(!col("is_train"))
+      .join(broadcast(model), Seq("fname"))
+      .withColumn("pred",
+        when(col("dir") === "le", col("v") <= col("thr"))
+          .otherwise(col("v") > col("thr")))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+          .as("test_correct"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("pos_test"))
+    model.crossJoin(broadcast(applied))
+      .select(col("fname").as("feature"), col("thr").as("threshold"),
+        col("dir").as("direction"),
+        col("n_train"), col("n_test"),
+        expr("(1000 * correct) div n_train").as("train_acc_permille"),
+        expr("(1000 * test_correct) div n_test").as("test_acc_permille"),
+        expr("(1000 * greatest(pos_test, n_test - pos_test)) div n_test")
+          .as("majority_test_permille"))
+  }
+
+  private lazy val stumpOracle: String = {
+    val dToks = CorpusFilters.DToks
+    val z1 = "(z + 11400714819323198485) % 18446744073709551616"
+    def mulmod(x: String, c: BigInt): String = {
+      val base = BigInt(4294967296L)
+      val lo = c % base
+      val hi = c / base
+      s"((($x % 4294967296) * $lo + " +
+        s"((($x % 4294967296) * $hi + ($x // 4294967296) * $lo) % 4294967296)" +
+        s" * 4294967296) % 18446744073709551616)"
+    }
+    val m2 = mulmod("x1", BigInt("13787848793156543929"))
+    val m3 = mulmod("x2", BigInt("10723151780598845931"))
+    s"""WITH dt AS (SELECT doc_id, $dToks AS t FROM documents),
+       |b0 AS (SELECT doc_id,
+       |    (1000 * len(list_filter(t, w -> w = 'the'))) // len(t)
+       |      AS the_pm,
+       |    (1000 * len(list_filter(t, w -> w = 'data'))) // len(t)
+       |      AS data_pm,
+       |    (1000 * len(list_distinct(t))) // len(t) AS dtr_pm,
+       |    100 * len(list_filter(t,
+       |      w -> w IN ('the', 'a', 'value', 'data'))) >= 13 * len(t)
+       |      AS label,
+       |    CAST(CAST(doc_id AS HUGEINT) % 18446744073709551616
+       |      AS HUGEINT) AS z
+       |  FROM dt WHERE len(t) >= 1),
+       |h1 AS (SELECT *, $z1 AS z1 FROM b0),
+       |h2 AS (SELECT *, xor(z1, z1 // 1073741824) AS x1 FROM h1),
+       |h3 AS (SELECT *, $m2 AS z2 FROM h2),
+       |h4 AS (SELECT *, xor(z2, z2 // 134217728) AS x2 FROM h3),
+       |h5 AS (SELECT *, $m3 AS z3 FROM h4),
+       |h6 AS (SELECT doc_id, the_pm, data_pm, dtr_pm, label,
+       |    CAST(CASE WHEN m >= 9223372036854775808
+       |      THEN m - 18446744073709551616 ELSE m END AS BIGINT) AS h
+       |  FROM (SELECT *, xor(z3, z3 // 2147483648) AS m FROM h5) t),
+       |base AS (SELECT doc_id, the_pm, data_pm, dtr_pm, label,
+       |    ((h % 5) + 5) % 5 <> 0 AS is_train FROM h6),
+       |up AS (SELECT doc_id, label, is_train, 'the_pm' AS fname,
+       |    the_pm AS v FROM base
+       |  UNION ALL SELECT doc_id, label, is_train, 'data_pm', data_pm
+       |  FROM base
+       |  UNION ALL SELECT doc_id, label, is_train, 'dtr_pm', dtr_pm
+       |  FROM base),
+       |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train,
+       |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS pos_train FROM base WHERE is_train),
+       |grp AS (SELECT fname, v,
+       |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS p,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM up WHERE is_train GROUP BY 1, 2),
+       |cm AS (SELECT fname, v,
+       |    CAST(SUM(p) OVER (PARTITION BY fname ORDER BY v
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_p,
+       |    CAST(SUM(c) OVER (PARTITION BY fname ORDER BY v
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c FROM grp),
+       |cand AS (SELECT fname, v AS thr, tt.n_train, dir,
+       |    CASE WHEN dir = 'le' THEN
+       |      cum_p + (tt.n_train - cum_c) - (tt.pos_train - cum_p)
+       |    ELSE tt.n_train -
+       |      (cum_p + (tt.n_train - cum_c) - (tt.pos_train - cum_p))
+       |    END AS correct
+       |  FROM cm CROSS JOIN tt
+       |  CROSS JOIN (SELECT unnest(['le', 'gt']) AS dir) d),
+       |model AS (SELECT * FROM cand
+       |  ORDER BY correct DESC, fname, dir, thr LIMIT 1),
+       |ap AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+       |    CAST(SUM(CASE WHEN (CASE WHEN m.dir = 'le' THEN u.v <= m.thr
+       |      ELSE u.v > m.thr END) = u.label THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS test_correct,
+       |    CAST(SUM(CASE WHEN u.label THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS pos_test
+       |  FROM up u JOIN model m USING (fname) WHERE NOT u.is_train)
+       |SELECT m.fname AS feature, m.thr AS threshold,
+       |  m.dir AS direction, m.n_train, ap.n_test,
+       |  (1000 * m.correct) // m.n_train AS train_acc_permille,
+       |  (1000 * ap.test_correct) // ap.n_test AS test_acc_permille,
+       |  (1000 * GREATEST(ap.pos_test, ap.n_test - ap.pos_test)) //
+       |    ap.n_test AS majority_test_permille
+       |FROM model m CROSS JOIN ap""".stripMargin
+  }
+
   // --------------------------------------- q283 Cronbach's alpha
   /** q283: Cronbach's α over the three quality-signal RANKS (Cronbach,
     * Psychometrika 1951) — the internal-consistency audit of the q183
@@ -1449,6 +1617,7 @@ object Eval {
     "q275_chao1" -> (q275_chao1 _),
     "q280_oov_audit" -> (q280_oov_audit _),
     "q283_cronbach_alpha" -> (q283_cronbach_alpha _),
+    "q284_decision_stump" -> (q284_decision_stump _),
     "q257_mcnemar" -> (q257_mcnemar _),
     "q245_token_mi" -> (q245_token_mi _),
     "q210_trimmed_stats" -> (q210_trimmed_stats _),
@@ -1471,6 +1640,7 @@ object Eval {
     "q275_chao1" -> chao1Oracle,
     "q280_oov_audit" -> oovOracle,
     "q283_cronbach_alpha" -> cronbachOracle,
+    "q284_decision_stump" -> stumpOracle,
     "q257_mcnemar" -> mcnemarOracle,
     "q245_token_mi" -> q245Oracle,
     "q210_trimmed_stats" -> trimmedOracle,

@@ -379,6 +379,62 @@ class EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("q284 stump: winner replays against a brute train sweep; " +
+    "holdout beats majority; split is the q217 hash") {
+    val sf = "/root/testdata/sf0.001"
+    val r = Eval.q284_decision_stump(spark, sf).collect().head
+    val (feat, thr, dir, nTr, nTe, trAcc, teAcc, majTe) =
+      (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(x => (x.getLong(0), x.getString(1).trim.split(" ")
+        .filter(_.nonEmpty).toSeq))
+      .filter(_._2.nonEmpty)
+    val fill = Set("the", "a", "value", "data")
+    val rows = docs.map { case (id, t) =>
+      val n = t.length.toLong
+      val feats = Map(
+        "the_pm" -> 1000L * t.count(_ == "the") / n,
+        "data_pm" -> 1000L * t.count(_ == "data") / n,
+        "dtr_pm" -> 1000L * t.distinct.length / n)
+      val label = 100L * t.count(fill) >= 13L * n
+      val h = graft.rel.SplitMix64Kernel.mix(id)
+      val train = ((h % 5) + 5) % 5 != 0
+      (feats, label, train)
+    }
+    val tr = rows.filter(_._3)
+    val te = rows.filterNot(_._3)
+    assert(nTr == tr.length.toLong && nTe == te.length.toLong)
+    // brute sweep over every (feature, threshold, direction)
+    var best: (Long, String, String, Long) = (-1L, "", "", 0L)
+    for (f <- Seq("data_pm", "dtr_pm", "the_pm").sorted;
+         t <- tr.map(_._1(f)).distinct.sorted;
+         d <- Seq("gt", "le")) {
+      val corr = tr.count { case (fe, lb, _) =>
+        (if (d == "le") fe(f) <= t else fe(f) > t) == lb
+      }.toLong
+      // total order: correct desc, fname asc, dir asc, thr asc
+      val cand = (corr, f, d, t)
+      val better = corr > best._1 ||
+        (corr == best._1 && (f < best._2 ||
+          (f == best._2 && (d < best._3 ||
+            (d == best._3 && t < best._4)))))
+      if (better) best = cand
+    }
+    assert(feat == best._2 && thr == best._4 && dir == best._3,
+      s"winner $best")
+    assert(trAcc == 1000L * best._1 / nTr)
+    val teCorr = te.count { case (fe, lb, _) =>
+      (if (dir == "le") fe(feat) <= thr else fe(feat) > thr) == lb
+    }.toLong
+    assert(teAcc == 1000L * teCorr / nTe)
+    val posTe = te.count(_._2).toLong
+    assert(majTe == 1000L * math.max(posTe, nTe - posTe) / nTe)
+    // the learnability contract: the stump generalizes above majority
+    assert(teAcc > majTe, s"stump $teAcc must beat majority $majTe")
+  }
+
   test("q283 Cronbach: alpha replays from the gated fusion dump's rank " +
     "space; covariance identity holds in float") {
     val sf = "/root/testdata/sf0.001"
