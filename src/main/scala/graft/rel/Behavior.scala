@@ -1363,6 +1363,137 @@ object Behavior {
        |  gap_dn > lam.lambda_milli AS alarm_decrease
        |FROM gp CROSS JOIN lam ORDER BY day""".stripMargin
 
+  // ------------------------------------ q285 Holm post-hoc pairwise
+  /** χ²(1) upper quantiles at α = 0.05/k for k = 1..21 in micro units
+    * (incomplete-gamma inversion; k = 1 is the 3.841459 table entry)
+    * — the Holm step-down ladder for 21 pairwise comparisons. */
+  private val HolmCritMicro: Seq[Long] = Seq(
+    3841459L, 5023886L, 5731139L, 6238533L, 6634897L, 6960401L,
+    7236689L, 7476773L, 7689093L, 7879439L, 8051956L, 8209716L,
+    8355057L, 8489801L, 8615396L, 8733011L, 8843605L, 8947972L,
+    9046780L, 9140593L, 9229895L)
+
+  /** q285: Holm step-down post-hoc pairwise Mann-Whitney over the 21
+    * day-of-week pairs (Holm, Scand. J. Statistics 1979) — the
+    * follow-up q267's omnibus demands: KW says "some weekday
+    * differs"; the post-hoc says WHICH pairs, with familywise error
+    * controlled (plain per-pair 5% tests would fire spuriously across
+    * 21 comparisons). Eval loop #20.
+    *
+    * Exactness: each pair runs q259's doubled-rank kernel (per-pair
+    * rank windows over the two groups' days); the quantized statistic
+    * z2_micro = (3·10⁶·n(n−1)·diff²) div (n₁n₂·(n(n−1)(n+1)−tie3))
+    * ranks the pairs (desc, then pair id), and Holm's step-down is
+    * the running minimum of the indicator z2_(i) > crit(α/(m−i+1)) —
+    * the crit ladder is 21 compile-time micro literals; since z² is
+    * monotone in the p-value, this IS Holm's procedure with no CDF
+    * evaluation anywhere.
+    *
+    * Scale shape: the tagged frame is 2·21 copies of the day grid —
+    * grid algebra; everything after is 21-row algebra. */
+  def q285_posthoc_pairwise(s: SparkSession, dir: String): DataFrame = {
+    val crit = array(HolmCritMicro.map(lit): _*)
+    val daily = Tables.events(s, dir)
+      .select(expr("ts_us div 86400000000L").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+    val filled = daily
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left_outer")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("dow", pmod(col("day") + 4L, lit(7L)))
+    val pairs = s.range(0, 7).select(col("id").as("pa"))
+      .crossJoin(s.range(0, 7).select(col("id").as("pb")))
+      .filter(col("pa") < col("pb"))
+    val tagged = filled.crossJoin(broadcast(pairs))
+      .filter(col("dow") === col("pa") || col("dow") === col("pb"))
+      .withColumn("g1", when(col("dow") === col("pa"), 1L).otherwise(0L))
+    val grp = tagged.groupBy(col("pa"), col("pb"), col("c"))
+      .agg(count(lit(1)).as("t"), sum(col("g1")).as("t1"))
+      .withColumn("cum", coalesce(sum(col("t")).over(
+        Window.partitionBy(col("pa"), col("pb")).orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("dr", lit(2L) * col("cum") + col("t") + 1L)
+    val z = grp.groupBy(col("pa"), col("pb"))
+      .agg(sum(col("t")).as("n"), sum(col("t1")).as("n1"),
+        sum(col("t1") * col("dr")).as("r1d"),
+        sum(expr("t * t * t - t")).as("tie3"))
+      .withColumn("n2", col("n") - col("n1"))
+      .withColumn("diff",
+        col("r1d") - col("n1") * (col("n1") + 1L) - col("n1") * col("n2"))
+      .withColumn("z2_micro", expr(
+        "CAST((CAST(3000000 AS DECIMAL(38,0)) * n * (n - 1) * diff * " +
+          "diff) div greatest(CAST(n1 AS DECIMAL(38,0)) * n2 * " +
+          "(n * (n - 1) * (n + 1) - tie3), CAST(1 AS DECIMAL(38,0))) " +
+          "AS BIGINT)"))
+    val ranked = z.withColumn("rk", row_number().over(
+      Window.orderBy(col("z2_micro").desc, col("pa"), col("pb")))
+      .cast("long"))
+      .withColumn("crit_micro",
+        element_at(crit, (lit(22L) - col("rk")).cast("int")))
+      .withColumn("step_ok",
+        when(col("z2_micro") > col("crit_micro"), 1L).otherwise(0L))
+      .withColumn("holm_significant",
+        min(col("step_ok")).over(Window.orderBy(col("rk"))
+          .rowsBetween(Window.unboundedPreceding, 0)) === 1L)
+    ranked.select(col("pa").as("dow_a"), col("pb").as("dow_b"),
+      col("n1").as("n_a"), col("n2").as("n_b"), col("z2_micro"),
+      col("rk").as("holm_rank"), col("crit_micro"),
+      col("holm_significant"))
+      .orderBy(col("dow_a"), col("dow_b"))
+  }
+
+  private lazy val posthocOracle: String = {
+    val critVals = HolmCritMicro.zipWithIndex
+      .map { case (c, i) => s"(${i + 1}, ${c}::BIGINT)" }.mkString(", ")
+    s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+       |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+       |grid AS (SELECT CAST(unnest(range(d0, d1 + 1)) AS BIGINT) AS day
+       |  FROM b),
+       |f AS (SELECT g.day, (g.day + 4) % 7 AS dow, COALESCE(d.c, 0) AS c
+       |  FROM grid g LEFT JOIN daily d USING (day)),
+       |pr AS (SELECT a.pa, bb.pb
+       |  FROM (SELECT unnest(range(0, 7)) AS pa) a,
+       |    (SELECT unnest(range(0, 7)) AS pb) bb
+       |  WHERE a.pa < bb.pb),
+       |tg AS (SELECT pr.pa, pr.pb, f.c,
+       |    CASE WHEN f.dow = pr.pa THEN 1 ELSE 0 END AS g1
+       |  FROM f JOIN pr ON f.dow = pr.pa OR f.dow = pr.pb),
+       |grp AS (SELECT pa, pb, c, CAST(COUNT(*) AS BIGINT) AS t,
+       |    CAST(SUM(g1) AS BIGINT) AS t1 FROM tg GROUP BY 1, 2, 3),
+       |w AS (SELECT *, COALESCE(CAST(SUM(t) OVER (PARTITION BY pa, pb
+       |      ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |      1 PRECEDING) AS BIGINT), 0) AS cum FROM grp),
+       |dr AS (SELECT *, 2 * cum + t + 1 AS dr FROM w),
+       |z AS (SELECT pa, pb, CAST(SUM(t) AS BIGINT) AS n,
+       |    CAST(SUM(t1) AS BIGINT) AS n1,
+       |    CAST(SUM(t1 * dr) AS BIGINT) AS r1d,
+       |    CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+       |  FROM dr GROUP BY 1, 2),
+       |z2 AS (SELECT pa, pb, n1, n - n1 AS n2,
+       |    r1d - n1 * (n1 + 1) - n1 * (n - n1) AS diff, n, tie3
+       |  FROM z),
+       |zz AS (SELECT pa, pb, n1, n2,
+       |    CAST((CAST(3000000 AS HUGEINT) * n * (n - 1) * diff * diff)
+       |      // GREATEST(CAST(n1 AS HUGEINT) * n2 *
+       |      (n * (n - 1) * (n + 1) - tie3), 1) AS BIGINT) AS z2_micro
+       |  FROM z2),
+       |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY z2_micro DESC,
+       |    pa, pb) AS BIGINT) AS rk FROM zz),
+       |crit(k, crit_micro) AS (VALUES $critVals),
+       |st AS (SELECT rk.*, crit.crit_micro,
+       |    CASE WHEN rk.z2_micro > crit.crit_micro THEN 1 ELSE 0 END
+       |      AS step_ok
+       |  FROM rk JOIN crit ON crit.k = 22 - rk.rk),
+       |hm AS (SELECT *, CAST(MIN(step_ok) OVER (ORDER BY rk
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_min FROM st)
+       |SELECT pa AS dow_a, pb AS dow_b, n1 AS n_a, n2 AS n_b,
+       |  z2_micro, rk AS holm_rank, crit_micro,
+       |  run_min = 1 AS holm_significant
+       |FROM hm ORDER BY dow_a, dow_b""".stripMargin
+  }
+
   // ------------------------------------------- q282 PACF profile
   /** q282: the partial autocorrelation function via Durbin-Levinson
     * (Durbin, Biometrika 1960; Box & Jenkins §3.2.3), lags 1..14,
@@ -2816,6 +2947,7 @@ object Behavior {
     "q279_seasonal_strength" -> (q279_seasonal_strength _),
     "q281_turning_points" -> (q281_turning_points _),
     "q282_pacf" -> (q282_pacf _),
+    "q285_posthoc_pairwise" -> (q285_posthoc_pairwise _),
     "q258_theil_sen" -> (q258_theil_sen _),
     "q255_bootstrap_ci" -> (q255_bootstrap_ci _),
     "q251_mann_kendall" -> (q251_mann_kendall _),
@@ -2851,6 +2983,7 @@ object Behavior {
     "q279_seasonal_strength" -> strengthOracle,
     "q281_turning_points" -> turnsOracle,
     "q282_pacf" -> pacfOracle,
+    "q285_posthoc_pairwise" -> posthocOracle,
     "q258_theil_sen" -> senOracle,
     "q255_bootstrap_ci" -> bootOracle,
     "q251_mann_kendall" -> mkOracle,

@@ -514,6 +514,56 @@ class BehaviorSpec extends AnyFunSuite {
     assert(ls == expLs, "least-squares twin")
   }
 
+  test("q285 Holm post-hoc: per-pair z2 replays via the q259 kernel; " +
+    "step-down is monotone; consistent with the q267 omnibus") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = Behavior.q285_posthoc_pairwise(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))
+    assert(rows.length == 21)
+    val days = graft.Tables.events(spark, sf)
+      .selectExpr("ts_us div 86400000000L AS day").collect()
+      .map(_.getLong(0))
+    val byDay = days.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    val grid = (days.min to days.max)
+      .map(d => ((d + 4) % 7, byDay.getOrElse(d, 0L)))
+    for ((pa, pb, nA, nB, z2, _, _, _) <- rows) {
+      val sub = grid.filter(x => x._1 == pa || x._1 == pb)
+      val n = sub.length.toLong
+      assert(nA == sub.count(_._1 == pa).toLong)
+      assert(nB == sub.count(_._1 == pb).toLong)
+      val groups = sub.map(_._2).groupBy(identity).view
+        .mapValues(_.length.toLong).toMap.toSeq.sortBy(_._1)
+      var cum = 0L; var r1d = 0L; var tie3 = 0L
+      val byVal = sub.groupBy(_._2)
+      for ((v, t) <- groups) {
+        val dr = 2 * cum + t + 1
+        r1d += byVal(v).count(_._1 == pa).toLong * dr
+        tie3 += t * t * t - t
+        cum += t
+      }
+      val diff = r1d - nA * (nA + 1) - nA * nB
+      val z2Exp = BigInt(3000000) * n * (n - 1) * diff * diff /
+        (BigInt(nA) * nB * (BigInt(n) * (n - 1) * (n + 1) - tie3))
+        .max(BigInt(1))
+      assert(z2 == z2Exp.toLong, s"pair ($pa,$pb) z2")
+    }
+    // Holm structure: ranks are 1..21 by z2 desc; the significance set
+    // is a prefix of the rank order; crit ladder is monotone
+    val byRank = rows.sortBy(_._6)
+    assert(byRank.map(_._6).toSeq == (1L to 21L).toSeq)
+    assert(byRank.map(_._5).sliding(2).forall(p => p(0) >= p(1)),
+      "z2 sorted desc by rank")
+    val sigFlags = byRank.map(_._8)
+    assert(!sigFlags.dropWhile(identity).contains(true),
+      "Holm significance is a prefix")
+    assert(byRank.map(_._7).sliding(2).forall(p => p(0) >= p(1)),
+      "crit ladder decreasing in rank order")
+    // no-dow-effect corpus (q267): nothing should survive Holm
+    assert(sigFlags.forall(!_), "quiet corpus — no pair survives")
+  }
+
   test("q282 PACF: quantized Durbin-Levinson replays off q240's r; " +
     "lag-1 identity; float-DL agreement") {
     val sf = "/root/testdata/sf0.01"
