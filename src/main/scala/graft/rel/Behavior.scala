@@ -1363,6 +1363,86 @@ object Behavior {
        |  gap_dn > lam.lambda_milli AS alarm_decrease
        |FROM gp CROSS JOIN lam ORDER BY day""".stripMargin
 
+  // ----------------------------------- q286 Jonckheere-Terpstra trend
+  /** q286: the Jonckheere-Terpstra test for an ORDERED alternative
+    * (Jonckheere, Biometrika 1954; Terpstra 1952) across calendar
+    * weeks — "do daily volumes trend monotonically week over week?":
+    * q251's Mann-Kendall reads the day-to-day sequence; JT pools
+    * between-group dominance across the ordered week blocks, the
+    * form dose-response analyses use (and strictly more powerful than
+    * q267's unordered KW when the alternative IS ordered).
+    *
+    * Exactness: the doubled statistic J₂ = Σ_{g<h} (2·#{x<y} + #{x=y})
+    * is one exact integer from the week-pair day join (weeks² ×
+    * days-per-week² pairs — grid algebra); with D = 2·J₂ − (N²−Σn_g²)
+    * and V = N²(2N+3) − Σn_g²(2n_g+3), the normal z² > 1.96² squares
+    * into 11250·D² > 9604·V (exact: z = (J−E)/σ, E = (N²−Σn²)/4,
+    * Var = V/72) in DECIMAL(38,0). Trend direction is sign(D).
+    *
+    * Scale shape: the pair join is horizon² — day-grid algebra at any
+    * corpus size; everything else is week-level rollups. */
+  def q286_jonckheere(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(expr("ts_us div 86400000000L").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+    val filled = daily
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"),
+        col("d0"))
+      .join(daily, Seq("day"), "left_outer")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("wk", expr("(day - d0) div 7"))
+    val j2 = filled.alias("a").join(filled.alias("b"),
+        col("a.wk") < col("b.wk"))
+      .agg(sum(when(col("a.c") < col("b.c"), 2L)
+        .when(col("a.c") === col("b.c"), 1L).otherwise(0L)).as("j2"))
+    val sizes = filled.groupBy(col("wk")).agg(count(lit(1)).as("n_g"))
+      .agg(sum(col("n_g")).as("n"), count(lit(1)).as("n_weeks"),
+        sum(col("n_g") * col("n_g")).as("sn2"),
+        sum(expr("n_g * n_g * (2 * n_g + 3)")).as("sn23"))
+    j2.crossJoin(broadcast(sizes))
+      .withColumn("d_stat", lit(2L) * col("j2") - (col("n") * col("n")
+        - col("sn2")))
+      .withColumn("v_stat",
+        expr("n * n * (2 * n + 3) - sn23"))
+      .select(col("n").as("n_days"), col("n_weeks"), col("j2"),
+        col("d_stat"),
+        when(col("d_stat") > 0, "increasing")
+          .when(col("d_stat") < 0, "decreasing").otherwise("none")
+          .as("trend"),
+        expr("CAST(11250 AS DECIMAL(38,0)) * d_stat * d_stat > " +
+          "CAST(9604 AS DECIMAL(38,0)) * v_stat").as("significant"))
+  }
+
+  private lazy val jtOracle: String =
+    s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+       |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+       |grid AS (SELECT CAST(unnest(range(d0, d1 + 1)) AS BIGINT) AS day,
+       |    d0 FROM b),
+       |f AS (SELECT g.day, (g.day - g.d0) // 7 AS wk,
+       |    COALESCE(d.c, 0) AS c
+       |  FROM grid g LEFT JOIN daily d USING (day)),
+       |jj AS (SELECT CAST(SUM(CASE WHEN a.c < bb.c THEN 2
+       |      WHEN a.c = bb.c THEN 1 ELSE 0 END) AS BIGINT) AS j2
+       |  FROM f a JOIN f bb ON a.wk < bb.wk),
+       |sz AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+       |    CAST(COUNT(*) AS BIGINT) AS n_weeks,
+       |    CAST(SUM(n_g * n_g) AS BIGINT) AS sn2,
+       |    CAST(SUM(n_g * n_g * (2 * n_g + 3)) AS BIGINT) AS sn23
+       |  FROM (SELECT wk, CAST(COUNT(*) AS BIGINT) AS n_g FROM f
+       |    GROUP BY 1) t),
+       |st AS (SELECT jj.j2, sz.n, sz.n_weeks,
+       |    2 * jj.j2 - (sz.n * sz.n - sz.sn2) AS d_stat,
+       |    sz.n * sz.n * (2 * sz.n + 3) - sz.sn23 AS v_stat
+       |  FROM jj CROSS JOIN sz)
+       |SELECT n AS n_days, n_weeks, j2, d_stat,
+       |  CASE WHEN d_stat > 0 THEN 'increasing'
+       |    WHEN d_stat < 0 THEN 'decreasing' ELSE 'none' END AS trend,
+       |  CAST(11250 AS HUGEINT) * d_stat * d_stat >
+       |    CAST(9604 AS HUGEINT) * v_stat AS significant
+       |FROM st""".stripMargin
+
   // ------------------------------------ q285 Holm post-hoc pairwise
   /** χ²(1) upper quantiles at α = 0.05/k for k = 1..21 in micro units
     * (incomplete-gamma inversion; k = 1 is the 3.841459 table entry)
@@ -2948,6 +3028,7 @@ object Behavior {
     "q281_turning_points" -> (q281_turning_points _),
     "q282_pacf" -> (q282_pacf _),
     "q285_posthoc_pairwise" -> (q285_posthoc_pairwise _),
+    "q286_jonckheere" -> (q286_jonckheere _),
     "q258_theil_sen" -> (q258_theil_sen _),
     "q255_bootstrap_ci" -> (q255_bootstrap_ci _),
     "q251_mann_kendall" -> (q251_mann_kendall _),
@@ -2984,6 +3065,7 @@ object Behavior {
     "q281_turning_points" -> turnsOracle,
     "q282_pacf" -> pacfOracle,
     "q285_posthoc_pairwise" -> posthocOracle,
+    "q286_jonckheere" -> jtOracle,
     "q258_theil_sen" -> senOracle,
     "q255_bootstrap_ci" -> bootOracle,
     "q251_mann_kendall" -> mkOracle,

@@ -514,6 +514,41 @@ class BehaviorSpec extends AnyFunSuite {
     assert(ls == expLs, "least-squares twin")
   }
 
+  test("q286 Jonckheere: doubled dominance statistic replays; float-z " +
+    "equivalence on the untied variance") {
+    val sf = "/root/testdata/sf0.01"
+    val r = Behavior.q286_jonckheere(spark, sf).collect().head
+    val (n, nW, j2, d, trend, sig) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getString(4), r.getBoolean(5))
+    val days = graft.Tables.events(spark, sf)
+      .selectExpr("ts_us div 86400000000L AS day").collect()
+      .map(_.getLong(0))
+    val byDay = days.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    val d0 = days.min
+    val grid = (days.min to days.max)
+      .map(dd => ((dd - d0) / 7, byDay.getOrElse(dd, 0L)))
+    assert(n == grid.length.toLong)
+    assert(nW == grid.map(_._1).distinct.length.toLong)
+    var j2Exp = 0L
+    for ((wa, ca) <- grid; (wb, cb) <- grid if wa < wb)
+      j2Exp += (if (ca < cb) 2L else if (ca == cb) 1L else 0L)
+    assert(j2 == j2Exp, "doubled JT statistic")
+    val sn2 = grid.groupBy(_._1).values.map(g =>
+      g.length.toLong * g.length).sum
+    val sn23 = grid.groupBy(_._1).values.map { g =>
+      val m = g.length.toLong; m * m * (2 * m + 3)
+    }.sum
+    assert(d == 2 * j2 - (n * n - sn2))
+    val v = n * n * (2 * n + 3) - sn23
+    assert(sig == (BigInt(11250) * d * d > BigInt(9604) * v))
+    assert(trend == (if (d > 0) "increasing"
+      else if (d < 0) "decreasing" else "none"))
+    // float z agrees: J = J2/2, E = (N^2-Σn²)/4, Var = V/72
+    val z = (j2 / 2.0 - (n.toDouble * n - sn2) / 4) / math.sqrt(v / 72.0)
+    assert(sig == (z * z > 3.8416), "float z equivalence")
+  }
+
   test("q285 Holm post-hoc: per-pair z2 replays via the q259 kernel; " +
     "step-down is monotone; consistent with the q267 omnibus") {
     val sf = "/root/testdata/sf0.01"
