@@ -1363,6 +1363,99 @@ object Behavior {
        |  gap_dn > lam.lambda_milli AS alarm_decrease
        |FROM gp CROSS JOIN lam ORDER BY day""".stripMargin
 
+  // ------------------------------------ q287 Mantel-Haenszel pooling
+  /** q287: the Mantel-Haenszel pooled odds ratio with the
+    * Cochran-Mantel-Haenszel test (Mantel & Haenszel, JNCI 1959;
+    * Cochran 1954) for the weekend × purchase association STRATIFIED
+    * by calendar week — the confounding-control primitive the marginal
+    * 2×2 (q266's class) lacks: if weeks differ in both traffic mix and
+    * purchase rate, the pooled-over-weeks OR is the Simpson's-paradox-
+    * proof estimate. A week with no weekend days (the trailing partial
+    * stratum) contributes exactly zero to every sum — the estimator's
+    * own degenerate-stratum behavior, mirrored via coalesce.
+    *
+    * Exactness: per-stratum quantization (the house rule) —
+    * num_i = (10⁶·a·d) div n, den_i = (10⁶·b·c) div n,
+    * or_milli = (1000·Σnum) div Σden; the CMH statistic uses
+    * e_micro = (10⁶·r₁c₁) div n and v_micro2 = (10¹²·r₁r₀c₁c₀) div
+    * (n²(n−1)) per stratum (DECIMAL(38,0) — the 4-cell product is
+    * n⁴-shaped), with the verdict 10⁴·D² > 38416·ΣV on
+    * D = 10⁶·Σa − Σe.
+    *
+    * Scale shape: one map-side event rollup to week×2×2 cells;
+    * everything after is strata-count algebra. */
+  def q287_mantel_haenszel(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .select(expr("ts_us div 86400000000L").as("day"),
+        (col("event_type") === "purchase").as("y"))
+      .crossJoin(broadcast(Tables.events(s, dir)
+        .agg(expr("min(ts_us div 86400000000L)").as("d0"))))
+      .withColumn("wk", expr("(day - d0) div 7"))
+      .withColumn("ex", pmod(col("day") + 4L, lit(7L)).isin(0L, 6L))
+      .groupBy(col("wk"))
+      .agg(sum(when(col("ex") && col("y"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("ex") && !col("y"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("ex") && col("y"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("ex") && !col("y"), 1L).otherwise(0L)).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+    val agg = cells.agg(count(lit(1)).as("n_strata"),
+      sum(col("n")).as("n_events"), sum(col("a")).as("sum_a"),
+      // cell products are n²-shaped: compute in DECIMAL(38,0); the
+      // quotients are ≤ 10⁶·n — BIGINT-safe (no decimal-div wrap risk
+      // below ~10¹² events per stratum)
+      sum(expr("(CAST(1000000 AS DECIMAL(38,0)) * a * d) div " +
+        "CAST(n AS DECIMAL(38,0))")).as("num"),
+      sum(expr("(CAST(1000000 AS DECIMAL(38,0)) * b * c) div " +
+        "CAST(n AS DECIMAL(38,0))")).as("den"),
+      sum(expr("(CAST(1000000 AS DECIMAL(38,0)) * (a + b) * (a + c)) " +
+        "div CAST(n AS DECIMAL(38,0))")).as("e_micro"),
+      sum(expr("CAST((CAST(1000000000000 AS DECIMAL(38,0)) * (a + b) * " +
+        "(c + d) * (a + c) * (b + d)) div (CAST(n AS DECIMAL(38,0)) * " +
+        "n * greatest(n - 1, 1L)) AS DECIMAL(38,0))")).as("v_micro2"))
+    agg.select(col("n_strata"), col("n_events"), col("sum_a"),
+      expr("(1000 * num) div greatest(den, 1L)").as("or_milli"),
+      (lit(1000000L) * col("sum_a") - col("e_micro")).as("d_micro"),
+      expr("CAST(10000 AS DECIMAL(38,0)) * " +
+        "(1000000 * sum_a - e_micro) * (1000000 * sum_a - e_micro) > " +
+        "CAST(38416 AS DECIMAL(38,0)) * v_micro2").as("significant"))
+  }
+
+  private lazy val mhOracle: String =
+    s"""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+       |    event_type = 'purchase' AS y FROM events),
+       |b0 AS (SELECT MIN(day) AS d0 FROM e),
+       |t AS (SELECT (day - (SELECT d0 FROM b0)) // 7 AS wk,
+       |    ((day + 4) % 7) IN (0, 6) AS ex, y FROM e),
+       |cells AS (SELECT wk,
+       |    CAST(SUM(CASE WHEN ex AND y THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS a,
+       |    CAST(SUM(CASE WHEN ex AND NOT y THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS b,
+       |    CAST(SUM(CASE WHEN NOT ex AND y THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS c,
+       |    CAST(SUM(CASE WHEN NOT ex AND NOT y THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS d
+       |  FROM t GROUP BY 1),
+       |cn AS (SELECT *, a + b + c + d AS n FROM cells),
+       |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+       |    CAST(SUM(n) AS BIGINT) AS n_events,
+       |    CAST(SUM(a) AS BIGINT) AS sum_a,
+       |    CAST(SUM((1000000 * a * d) // n) AS BIGINT) AS num,
+       |    CAST(SUM((1000000 * b * c) // n) AS BIGINT) AS den,
+       |    CAST(SUM((1000000 * (a + b) * (a + c)) // n) AS BIGINT)
+       |      AS e_micro,
+       |    SUM((CAST(1000000000000 AS HUGEINT) * (a + b) * (c + d) *
+       |      (a + c) * (b + d)) // (CAST(n AS HUGEINT) * n *
+       |      GREATEST(n - 1, 1))) AS v_micro2
+       |  FROM cn)
+       |SELECT n_strata, n_events, sum_a,
+       |  (1000 * num) // GREATEST(den, 1) AS or_milli,
+       |  1000000 * sum_a - e_micro AS d_micro,
+       |  CAST(10000 AS HUGEINT) * (1000000 * sum_a - e_micro) *
+       |    (1000000 * sum_a - e_micro) >
+       |    CAST(38416 AS HUGEINT) * v_micro2 AS significant
+       |FROM ag""".stripMargin
+
   // ----------------------------------- q286 Jonckheere-Terpstra trend
   /** q286: the Jonckheere-Terpstra test for an ORDERED alternative
     * (Jonckheere, Biometrika 1954; Terpstra 1952) across calendar
@@ -3029,6 +3122,7 @@ object Behavior {
     "q282_pacf" -> (q282_pacf _),
     "q285_posthoc_pairwise" -> (q285_posthoc_pairwise _),
     "q286_jonckheere" -> (q286_jonckheere _),
+    "q287_mantel_haenszel" -> (q287_mantel_haenszel _),
     "q258_theil_sen" -> (q258_theil_sen _),
     "q255_bootstrap_ci" -> (q255_bootstrap_ci _),
     "q251_mann_kendall" -> (q251_mann_kendall _),
@@ -3066,6 +3160,7 @@ object Behavior {
     "q282_pacf" -> pacfOracle,
     "q285_posthoc_pairwise" -> posthocOracle,
     "q286_jonckheere" -> jtOracle,
+    "q287_mantel_haenszel" -> mhOracle,
     "q258_theil_sen" -> senOracle,
     "q255_bootstrap_ci" -> bootOracle,
     "q251_mann_kendall" -> mkOracle,

@@ -514,6 +514,49 @@ class BehaviorSpec extends AnyFunSuite {
     assert(ls == expLs, "least-squares twin")
   }
 
+  test("q287 Mantel-Haenszel: per-stratum quantized sums replay; " +
+    "degenerate stratum contributes zero; float-CMH equivalence") {
+    val sf = "/root/testdata/sf0.01"
+    val r = Behavior.q287_mantel_haenszel(spark, sf).collect().head
+    val (nS, nE, sumA, orM, dM, sig) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("ts_us div 86400000000L AS day",
+        "event_type = 'purchase' AS y").collect()
+      .map(x => (x.getLong(0), x.getBoolean(1)))
+    val d0 = ev.map(_._1).min
+    val cells = ev.groupBy(x => (x._1 - d0) / 7).map { case (wk, g) =>
+      val a = g.count(x => ((x._1 + 4) % 7 == 0 || (x._1 + 4) % 7 == 6) && x._2).toLong
+      val b = g.count(x => ((x._1 + 4) % 7 == 0 || (x._1 + 4) % 7 == 6) && !x._2).toLong
+      val c = g.count(x => !((x._1 + 4) % 7 == 0 || (x._1 + 4) % 7 == 6) && x._2).toLong
+      val d = g.count(x => !((x._1 + 4) % 7 == 0 || (x._1 + 4) % 7 == 6) && !x._2).toLong
+      (wk, a, b, c, d)
+    }.toSeq
+    assert(nS == cells.length.toLong)
+    assert(nE == cells.map(x => x._2 + x._3 + x._4 + x._5).sum)
+    assert(sumA == cells.map(_._2).sum)
+    var num = 0L; var den = 0L; var eM = 0L; var vM = BigInt(0)
+    for ((_, a, b, c, d) <- cells) {
+      val n = a + b + c + d
+      num += (BigInt(1000000) * a * d / n).toLong
+      den += (BigInt(1000000) * b * c / n).toLong
+      eM += (BigInt(1000000) * (a + b) * (a + c) / n).toLong
+      vM += BigInt("1000000000000") * (a + b) * (c + d) * (a + c) *
+        (b + d) / (BigInt(n) * n * math.max(n - 1, 1))
+    }
+    assert(orM == 1000L * num / math.max(den, 1L), "MH odds ratio")
+    assert(dM == 1000000L * sumA - eM, "CMH numerator")
+    val lhs = BigInt(10000) * dM * dM
+    assert(sig == (lhs > BigInt(38416) * vM), "squared CMH verdict")
+    // degenerate stratum: the partial trailing week has no weekend —
+    // its a = b = 0 and it contributes zero to num/den
+    val degen = cells.filter(x => x._2 + x._3 == 0)
+    assert(degen.nonEmpty, "partial week present")
+    // float CMH equivalence
+    val chi2 = (dM / 1e6) * (dM / 1e6) / (vM.toDouble / 1e12)
+    assert(sig == (chi2 > 3.8416), s"float CMH $chi2")
+  }
+
   test("q286 Jonckheere: doubled dominance statistic replays; float-z " +
     "equivalence on the untied variance") {
     val sf = "/root/testdata/sf0.01"
