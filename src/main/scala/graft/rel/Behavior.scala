@@ -1363,6 +1363,108 @@ object Behavior {
        |  gap_dn > lam.lambda_milli AS alarm_decrease
        |FROM gp CROSS JOIN lam ORDER BY day""".stripMargin
 
+  // ----------------------------------- q288 ANOVA F + intraclass r
+  /** q288: one-way ANOVA across day-of-week groups with the
+    * intraclass correlation ICC(1) (Fisher 1925 for the F;
+    * Shrout & Fleiss, Psych. Bull. 1979 case 1 for the ICC; the
+    * unbalanced-group n₀ per Searle 1971) on the RAW daily counts —
+    * the parametric companion of q267's rank test and the variance-
+    * COMPONENTS statement the significance bit alone lacks: ICC =
+    * share of daily-volume variance attributable to weekday identity
+    * (the number a capacity planner reads: "how much does knowing the
+    * weekday tell me?").
+    *
+    * Exactness: the q278 lifts on c instead of |c−med| — SSB
+    * quantizes per group as ((S_g·N − S·n_g)²·10⁶) div (n_g·N²), SSW
+    * as 10⁶·Σc² − Σ(10⁶·S_g²) div n_g; F_micro = (10⁶·(N−k)·ssb) div
+    * ((k−1)·ssw) against the same F(6,23) literal; the unbalanced ICC
+    * clears its rational n₀ by cross-multiplication —
+    *   icc_milli = (1000·N(k−1)·(A(N−k) − W(k−1))) div
+    *               (N(k−1)·A(N−k) + (N²−Σn² − N(k−1))·W(k−1))
+    * with A = ssb_micro, W = ssw_micro, one DECIMAL division.
+    *
+    * Scale shape: day-grid value-group algebra, k = 7 group rollups. */
+  def q288_anova_icc(s: SparkSession, dir: String): DataFrame = {
+    val k = 7L
+    val daily = Tables.events(s, dir)
+      .select(expr("ts_us div 86400000000L").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+    val filled = daily
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left_outer")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("dow", pmod(col("day") + 4L, lit(7L)))
+    val perG = filled.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_g"), sum(col("c")).as("s_g"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("q_g"))
+    val tot = perG.agg(sum(col("n_g")).as("nn"), sum(col("s_g")).as("ss"),
+      sum(col("q_g")).as("qq"), sum(col("n_g") * col("n_g")).as("sn2"))
+    val stats = perG.crossJoin(broadcast(tot))
+      .agg(
+        sum(expr("(CAST(1000000 AS DECIMAL(38,0)) * (s_g * nn - " +
+          "ss * n_g) * (s_g * nn - ss * n_g)) div " +
+          "(CAST(n_g AS DECIMAL(38,0)) * nn * nn)")).as("a_micro"),
+        sum(expr("(CAST(1000000 AS DECIMAL(38,0)) * s_g * s_g) div " +
+          "CAST(n_g AS DECIMAL(38,0))")).as("w_sub"),
+        max(col("nn")).as("nn"), max(col("qq")).as("qq"),
+        max(col("sn2")).as("sn2"))
+      .withColumn("w_micro",
+        expr("CAST(1000000 AS DECIMAL(38,0)) * qq - w_sub"))
+    stats.select(col("nn").as("n_days"),
+      expr("CAST(a_micro AS BIGINT)").as("ssb_micro"),
+      expr("CAST(w_micro AS BIGINT)").as("ssw_micro"),
+      expr(s"CAST((CAST(1000000 AS DECIMAL(38,0)) * (nn - $k) * " +
+        s"a_micro) div greatest(CAST(${k - 1} AS DECIMAL(38,0)) * " +
+        "w_micro, CAST(1 AS DECIMAL(38,0))) AS BIGINT)").as("f_micro"),
+      expr(s"CAST((CAST(1000 AS DECIMAL(38,0)) * nn * ${k - 1} * " +
+        s"(a_micro * (nn - $k) - w_micro * ${k - 1})) div " +
+        s"greatest(CAST(nn AS DECIMAL(38,0)) * ${k - 1} * a_micro * " +
+        s"(nn - $k) + (CAST(nn AS DECIMAL(38,0)) * nn - sn2 - " +
+        s"nn * ${k - 1}) * w_micro * ${k - 1}, " +
+        "CAST(1 AS DECIMAL(38,0))) AS BIGINT)").as("icc_milli"),
+      (expr(s"CAST(1000000 AS DECIMAL(38,0)) * (nn - $k) * a_micro") >
+        expr(s"CAST($FCrit623Micro AS DECIMAL(38,0)) * ${k - 1} * " +
+          "w_micro")).as("significant"))
+  }
+
+  private lazy val anovaOracle: String =
+    s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+       |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+       |grid AS (SELECT CAST(unnest(range(d0, d1 + 1)) AS BIGINT) AS day
+       |  FROM b),
+       |f AS (SELECT g.day, (g.day + 4) % 7 AS dow, COALESCE(d.c, 0) AS c
+       |  FROM grid g LEFT JOIN daily d USING (day)),
+       |pg AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_g,
+       |    CAST(SUM(c) AS BIGINT) AS s_g,
+       |    SUM(CAST(c AS HUGEINT) * c) AS q_g FROM f GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS nn,
+       |    CAST(SUM(s_g) AS BIGINT) AS ss, SUM(q_g) AS qq,
+       |    CAST(SUM(n_g * n_g) AS BIGINT) AS sn2 FROM pg),
+       |st AS (SELECT
+       |    SUM((1000000 * CAST(s_g * tot.nn - tot.ss * n_g AS HUGEINT)
+       |      * (s_g * tot.nn - tot.ss * n_g)) //
+       |      (CAST(n_g AS HUGEINT) * tot.nn * tot.nn)) AS a_micro,
+       |    CAST(1000000 AS HUGEINT) * MAX(tot.qq) -
+       |      SUM((1000000 * CAST(s_g AS HUGEINT) * s_g) //
+       |      CAST(n_g AS HUGEINT)) AS w_micro,
+       |    MAX(tot.nn) AS nn, MAX(tot.sn2) AS sn2
+       |  FROM pg CROSS JOIN tot)
+       |SELECT nn AS n_days, CAST(a_micro AS BIGINT) AS ssb_micro,
+       |  CAST(w_micro AS BIGINT) AS ssw_micro,
+       |  CAST((CAST(1000000 AS HUGEINT) * (nn - 7) * a_micro) //
+       |    GREATEST(CAST(6 AS HUGEINT) * w_micro, 1) AS BIGINT)
+       |    AS f_micro,
+       |  CAST((CAST(1000 AS HUGEINT) * nn * 6 *
+       |    (a_micro * (nn - 7) - w_micro * 6)) //
+       |    GREATEST(CAST(nn AS HUGEINT) * 6 * a_micro * (nn - 7) +
+       |    (CAST(nn AS HUGEINT) * nn - sn2 - nn * 6) * w_micro * 6, 1)
+       |    AS BIGINT) AS icc_milli,
+       |  CAST(1000000 AS HUGEINT) * (nn - 7) * a_micro >
+       |    CAST($FCrit623Micro AS HUGEINT) * 6 * w_micro AS significant
+       |FROM st""".stripMargin
+
   // ------------------------------------ q287 Mantel-Haenszel pooling
   /** q287: the Mantel-Haenszel pooled odds ratio with the
     * Cochran-Mantel-Haenszel test (Mantel & Haenszel, JNCI 1959;
@@ -3123,6 +3225,7 @@ object Behavior {
     "q285_posthoc_pairwise" -> (q285_posthoc_pairwise _),
     "q286_jonckheere" -> (q286_jonckheere _),
     "q287_mantel_haenszel" -> (q287_mantel_haenszel _),
+    "q288_anova_icc" -> (q288_anova_icc _),
     "q258_theil_sen" -> (q258_theil_sen _),
     "q255_bootstrap_ci" -> (q255_bootstrap_ci _),
     "q251_mann_kendall" -> (q251_mann_kendall _),
@@ -3161,6 +3264,7 @@ object Behavior {
     "q285_posthoc_pairwise" -> posthocOracle,
     "q286_jonckheere" -> jtOracle,
     "q287_mantel_haenszel" -> mhOracle,
+    "q288_anova_icc" -> anovaOracle,
     "q258_theil_sen" -> senOracle,
     "q255_bootstrap_ci" -> bootOracle,
     "q251_mann_kendall" -> mkOracle,

@@ -514,6 +514,54 @@ class BehaviorSpec extends AnyFunSuite {
     assert(ls == expLs, "least-squares twin")
   }
 
+  test("q288 ANOVA/ICC: sums-of-squares replay; float F and ICC " +
+    "agreement; ICC bounds") {
+    val sf = "/root/testdata/sf0.01"
+    val r = Behavior.q288_anova_icc(spark, sf).collect().head
+    val (n, ssb, ssw, fM, iccM, sig) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))
+    val days = graft.Tables.events(spark, sf)
+      .selectExpr("ts_us div 86400000000L AS day").collect()
+      .map(_.getLong(0))
+    val byDay = days.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    val grid = (days.min to days.max)
+      .map(d => ((d + 4) % 7, byDay.getOrElse(d, 0L)))
+    assert(n == grid.length.toLong)
+    val k = 7L
+    val ss = grid.map(_._2).sum
+    val byG = grid.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var a = BigInt(0); var wSub = BigInt(0); var sn2 = 0L
+    for ((_, xs) <- byG) {
+      val nG = xs.length.toLong
+      val sG = xs.sum
+      val d = BigInt(sG) * n - BigInt(ss) * nG
+      a += BigInt(1000000) * d * d / (BigInt(nG) * n * n)
+      wSub += BigInt(1000000) * sG * sG / nG
+      sn2 += nG * nG
+    }
+    val qq = grid.map(x => BigInt(x._2) * x._2).sum
+    val w = BigInt(1000000) * qq - wSub
+    assert(BigInt(ssb) == a && BigInt(ssw) == w, "SS replay")
+    assert(fM == (BigInt(1000000) * (n - k) * a /
+      (BigInt(k - 1) * w).max(BigInt(1))).toLong, "F replay")
+    val iccNum = BigInt(1000) * n * (k - 1) *
+      (a * (n - k) - w * (k - 1))
+    val iccDen = (BigInt(n) * (k - 1) * a * (n - k) +
+      (BigInt(n) * n - sn2 - n * (k - 1)) * w * (k - 1)).max(BigInt(1))
+    assert(iccM == (iccNum / iccDen).toLong, "ICC replay")
+    assert(sig == (BigInt(1000000) * (n - k) * a >
+      BigInt(2527655) * (k - 1) * w))
+    // float agreement (Searle's unbalanced n0)
+    val msb = a.toDouble / 1e6 / (k - 1)
+    val msw = w.toDouble / 1e6 / (n - k)
+    assert(math.abs(fM / 1e6 - msb / msw) < 0.01, "float F")
+    val n0 = (n - sn2.toDouble / n) / (k - 1)
+    val iccF = (msb - msw) / (msb + (n0 - 1) * msw)
+    assert(math.abs(iccM / 1000.0 - iccF) < 0.005, s"float ICC $iccF")
+    assert(iccM <= 1000L, "ICC bounded above by 1")
+  }
+
   test("q287 Mantel-Haenszel: per-stratum quantized sums replay; " +
     "degenerate stratum contributes zero; float-CMH equivalence") {
     val sf = "/root/testdata/sf0.01"
