@@ -1463,9 +1463,22 @@ object Similarity {
       .agg(count(lit(1)).as("n_union"))
     val out = na.crossJoin(broadcast(nb)).crossJoin(broadcast(m))
       .crossJoin(broadcast(nj)).crossJoin(broadcast(nu))
+      // chapman_est's product is corpus-shaped (ADVICE r16): past ~3e9
+      // pairs per detector the raw BIGINT product wraps, so the product
+      // lives in DECIMAL(38,0) like chapman_var; the BIGINT quotient is
+      // guarded by a PRODUCT comparison (never a decimal quotient —
+      // Spark decimal `div` wraps silently, the r16 seam)
+      .filter(coalesce(assert_true(
+        expr("CAST(n_minhash + 1 AS DECIMAL(38,0)) * (n_simhash + 1) " +
+          "<= CAST(9223372036854775807 AS DECIMAL(38,0)) * " +
+          "(n_both + 1)"),
+        lit("Chapman estimate would overflow its BIGINT column: the " +
+          "detector pair sets are too uncorrelated at this scale")),
+        lit(true)))
       .select(col("n_minhash"), col("n_simhash"), col("n_both"),
         col("n_jaccard"), col("n_union"),
-        expr("((n_minhash + 1) * (n_simhash + 1)) div (n_both + 1) - 1")
+        expr("(CAST(n_minhash + 1 AS DECIMAL(38,0)) * " +
+          "(n_simhash + 1)) div (n_both + 1) - 1")
           .as("chapman_est"),
         expr("CAST((CAST(n_minhash + 1 AS DECIMAL(38,0)) * " +
           "(n_simhash + 1) * (n_minhash - n_both) * " +
@@ -1473,7 +1486,8 @@ object Similarity {
           " * (n_both + 1) * (n_both + 2)) AS BIGINT)")
           .as("chapman_var"),
         expr("(1000 * n_union) div greatest(" +
-          "((n_minhash + 1) * (n_simhash + 1)) div (n_both + 1) - 1, 1L)")
+          "(CAST(n_minhash + 1 AS DECIMAL(38,0)) * (n_simhash + 1)) " +
+          "div (n_both + 1) - 1, 1L)")
           .as("union_coverage_permille"))
       .localCheckpoint()
     pinnedRdds(toks).foreach(_.unpersist(blocking = false))
@@ -1490,15 +1504,15 @@ object Similarity {
        |nj AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_jaccard FROM jpairs),
        |nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_union FROM upairs)
        |SELECT n_minhash, n_simhash, n_both, n_jaccard, n_union,
-       |  ((n_minhash + 1) * (n_simhash + 1)) // (n_both + 1) - 1
-       |    AS chapman_est,
+       |  CAST((CAST(n_minhash + 1 AS HUGEINT) * (n_simhash + 1)) //
+       |    (n_both + 1) - 1 AS BIGINT) AS chapman_est,
        |  CAST((CAST(n_minhash + 1 AS HUGEINT) * (n_simhash + 1) *
        |    (n_minhash - n_both) * (n_simhash - n_both)) //
        |    (CAST(n_both + 1 AS HUGEINT) * (n_both + 1) * (n_both + 2))
        |    AS BIGINT) AS chapman_var,
-       |  (1000 * n_union) // GREATEST(((n_minhash + 1) *
-       |    (n_simhash + 1)) // (n_both + 1) - 1, 1)
-       |    AS union_coverage_permille
+       |  (1000 * n_union) // GREATEST(CAST((CAST(n_minhash + 1 AS
+       |    HUGEINT) * (n_simhash + 1)) // (n_both + 1) - 1 AS BIGINT),
+       |    1) AS union_coverage_permille
        |FROM na CROSS JOIN nb CROSS JOIN mm CROSS JOIN nj CROSS JOIN nu"""
       .stripMargin
 

@@ -1794,6 +1794,14 @@ object Behavior {
     val acf = acfFrame(s, dir, 14).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
       .sortBy(_._1)
+    // Degenerate-input guard (ADVICE r16): a day grid shorter than 15
+    // days yields fewer than 14 lag rows (the lag join is empty past
+    // the horizon) and the rr(m−1) indexing below would throw a bare
+    // ArrayIndexOutOfBounds; fail loudly and descriptively instead.
+    require(acf.length == 14,
+      s"q282_pacf: Durbin-Levinson to lag 14 needs a day grid longer " +
+        s"than 15 days; the ACF kernel produced only ${acf.length} " +
+        s"lag rows")
     val n = acf.head._2
     val rr = acf.map(_._3 * 1000L) // micro, rr(0) = R_1
     def dot(phis: Array[Long], f: Int => Long): Long = {
@@ -2869,10 +2877,14 @@ object Behavior {
           .when(col("s_stat") < 0, "decreasing").otherwise("none")
           .as("trend"),
         // z² > 1.96² with z = (|S|−1)/sqrt(var18/18):
-        // 18·10⁴·(|S|−1)² > 38416·var18, exact integers
+        // 18·10⁴·(|S|−1)² > 38416·var18 — lifted to DECIMAL(38,0)
+        // like the q259/q264/q286 siblings: |S| ≤ n(n−1)/2, so the
+        // raw BIGINT product passes 2⁶³ once |S| > ~7.2e6 (a trending
+        // series over a ~3,800-day horizon)
         (col("s_stat") =!= 0L &&
-          expr("180000 * (abs(s_stat) - 1) * (abs(s_stat) - 1) " +
-            "> 38416 * var18")).as("significant"))
+          expr("CAST(180000 AS DECIMAL(38,0)) * (abs(s_stat) - 1) * " +
+            "(abs(s_stat) - 1) > CAST(38416 AS DECIMAL(38,0)) * var18"))
+          .as("significant"))
   }
 
   private lazy val mkOracle: String =
@@ -2898,8 +2910,9 @@ object Behavior {
        |  (1000 * p.s_stat) // GREATEST(p.n_pairs, 1) AS s_permille,
        |  CASE WHEN p.s_stat > 0 THEN 'increasing'
        |    WHEN p.s_stat < 0 THEN 'decreasing' ELSE 'none' END AS trend,
-       |  p.s_stat <> 0 AND 180000 * (abs(p.s_stat) - 1) *
-       |    (abs(p.s_stat) - 1) > 38416 *
+       |  p.s_stat <> 0 AND CAST(180000 AS HUGEINT) *
+       |    (abs(p.s_stat) - 1) *
+       |    (abs(p.s_stat) - 1) > CAST(38416 AS HUGEINT) *
        |    (t.n_days * (t.n_days - 1) * (2 * t.n_days + 5) - t.tie18)
        |    AS significant
        |FROM p CROSS JOIN t""".stripMargin

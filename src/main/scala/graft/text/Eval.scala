@@ -431,12 +431,19 @@ object Eval {
     val base = Tables.documentsFanned(s, dir)
       .select(col("doc_id"), Cleanse.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 1)
+      // size() is INT: lift to BIGINT before the ×1000/×100 products
+      // (ADVICE r16) or docs past ~2.1M tokens abort under ANSI while
+      // the DuckDB oracle's BIGINT len() sails on — a width mismatch
       .selectExpr("doc_id",
-        "(1000 * size(filter(t, w -> w = 'the'))) div size(t) AS the_pm",
-        "(1000 * size(filter(t, w -> w = 'data'))) div size(t) AS data_pm",
-        "(1000 * size(array_distinct(t))) div size(t) AS dtr_pm",
-        "100 * size(filter(t, w -> w IN ('the', 'a', 'value', 'data')))" +
-          " >= 13 * size(t) AS label")
+        "(1000 * CAST(size(filter(t, w -> w = 'the')) AS BIGINT)) " +
+          "div size(t) AS the_pm",
+        "(1000 * CAST(size(filter(t, w -> w = 'data')) AS BIGINT)) " +
+          "div size(t) AS data_pm",
+        "(1000 * CAST(size(array_distinct(t)) AS BIGINT)) " +
+          "div size(t) AS dtr_pm",
+        "100 * CAST(size(filter(t, w -> w IN ('the', 'a', 'value', " +
+          "'data'))) AS BIGINT) >= 13 * CAST(size(t) AS BIGINT) " +
+          "AS label")
       .withColumn("is_train",
         pmod(graft.rel.JoinCard.splitmix64(col("doc_id")), lit(5L))
           =!= 0L)
