@@ -35,9 +35,9 @@ object Bench {
       "q105_unigram_learn", "q105b_unigram_tokenize", // Viterbi-EM fits
       "q111_tokenizer_report", // replays the BPE + unigram trainings
       "q155_lda_recovery", // seeded LDA fit on the planted corpus
-      // bounded streaming replay: times the micro-batch protocol (fixed
-      // 5000-row slice at ANY SF), not engine throughput (r16)
-      "m_hll_stream")
+      // bounded streaming replays: they time the micro-batch protocol
+      // (fixed 5000-/2000-row slices at ANY SF), not engine throughput
+      "m_hll_stream", "m_session_stream", "m_psi_stream")
 
   /** Queries that launch MANY driver jobs (convergence fixpoints, the
     * multi-pass funnel): their per-job scheduling noise compounds, so

@@ -107,5 +107,13 @@ object SparkEntry {
     "m_hll_stream" -> ("bounded replay of the streaming micro-batch " +
       "protocol; the register arithmetic is the oracle-gated q219, " +
       "batch parity + determinism in SessionsSpec, and the driver " +
-      "digest-gates the deterministic replay round-over-round"))
+      "digest-gates the deterministic replay round-over-round"),
+    "m_session_stream" -> ("bounded replay of the watermarked " +
+      "session_window protocol; the gap-sessionization arithmetic is " +
+      "the oracle-gated q16/q16b, batch parity + determinism in " +
+      "SessionsSpec, and the driver digest-gates the replay"),
+    "m_psi_stream" -> ("bounded replay of the streaming PSI drift " +
+      "gate; the PSI arithmetic is the oracle-gated q203, exact " +
+      "replay + alert sensitivity + batch parity in SessionsSpec, " +
+      "and the driver digest-gates the replay"))
 }

@@ -1178,6 +1178,145 @@ object Sessions {
       .orderBy(col("window_start"), col("bucket"))
   }
 
+  /** The deterministic event slice every bounded replay drives: the
+    * first 5,000 events by (ts_us, user_id), ms-truncated timestamps. */
+  private def eventSlice(s: SparkSession, dir: String)
+      : Array[(Long, Timestamp)] =
+    graft.Tables.events(s, dir)
+      .select(col("user_id"), col("ts_us"))
+      .orderBy(col("ts_us"), col("user_id"))
+      .limit(5000)
+      .collect()
+      .map(r => (r.getLong(0), new Timestamp(r.getLong(1) / 1000L)))
+
+  /** Drives a streaming transform through a MemoryStream with the
+    * m_hll_stream micro-batch script — three deterministic batches plus
+    * TWO far-future watermark flush batches — and returns the finalized
+    * rows (collector decides which columns / how to drop the flushes'
+    * own window). Two flushes because the watermark a batch applies was
+    * computed from the PREVIOUS batch's max event time: a single flush
+    * leaves the last real windows' emission in a no-data batch that
+    * processAllAvailable is not obliged to run (measured: m_psi_stream
+    * emitted 1 of its 4 windows single-flushed). */
+  private def boundedReplay[T <: Product : org.apache.spark.sql.Encoder](
+      s: SparkSession, batches: Seq[Seq[T]], flushes: Seq[T], name: String,
+      plan: DataFrame => DataFrame,
+      collectRows: (DataFrame, Timestamp) => Array[org.apache.spark.sql.Row],
+      flushTs: Timestamp): Array[org.apache.spark.sql.Row] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[T]
+    val qn = name + "_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = plan(input.toDF())
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      (batches.filter(_.nonEmpty) ++ flushes.map(Seq(_))).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      collectRows(s.table(qn), flushTs)
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(qn)
+    }
+  }
+
+  // ------------------------------ m_session_stream (bounded replay entry)
+  /** Bounded replay of [[sessionizeNative]] as a REGISTRY entry (r16
+    * verdict item 4, the m_hll_stream pattern): the deterministic
+    * 5,000-event slice drives the real watermarked session_window plan
+    * through a memory sink in three micro-batches, a far-future flush
+    * finalizes every session, and the driver's round-over-round row
+    * digest gates the streaming protocol in CORRECTNESS_r*.json.
+    * Engine-only by the harness contract (DuckDB has no streaming
+    * executor); the gap-sessionization ARITHMETIC is the oracle-gated
+    * q16/q16b, batch parity + determinism in SessionsSpec.
+    *
+    * Bounded by construction: 5,000 rows at ANY corpus scale — this
+    * entry gates the protocol, not throughput; state is O(open
+    * sessions), output is the finalized session table. */
+  def m_session_stream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = eventSlice(s, dir)
+    val flushTs = new Timestamp(ev.map(_._2.getTime).max + 31536000000L)
+    val (b1, rest) = ev.splitAt(ev.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val rows = boundedReplay[(Long, Timestamp)](s,
+      Seq(b1.toSeq, b2.toSeq, b3.toSeq),
+      Seq((0L, flushTs),
+        (0L, new Timestamp(flushTs.getTime + 31536000000L))),
+      "m_session_stream",
+      in => sessionizeNative(in.toDF("user_id", "ts")),
+      // drop the flush events' own sessions (the first may finalize
+      // once the second flush advances the watermark past it)
+      (t, f) => t.filter(col("start") < lit(f)).collect(),
+      flushTs)
+    rows.map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3)))
+      .toSeq.toDF("user_id", "start", "end", "n_events")
+      .orderBy(col("user_id"), col("start"))
+  }
+
+  // ---------------------------------- m_psi_stream (bounded replay entry)
+  /** Bounded replay of [[psiDriftStream]] as a REGISTRY entry (r16
+    * verdict item 4): the batch half learns the q203 reference
+    * histogram from the SEALED corpus (psiReference — the
+    * advisor→executor contract), the streaming half scores the first
+    * 2,000 documents by doc_id, assigned deterministic 10-minute
+    * window slots of 500 docs each from an epoch-aligned anchor (the
+    * window(ts, len) boundary rule), through the real watermarked plan
+    * in three micro-batches plus a far-future flush. Every quantity is
+    * the q203 integer arithmetic, so the driver digest gates the
+    * replay round-over-round; exact-PSI replay, alert sensitivity and
+    * batch parity live in SessionsSpec. Engine-only by the harness
+    * contract (no streaming executor in DuckDB).
+    *
+    * Bounded by construction: 2,000 rows at ANY corpus scale; state is
+    * O(open windows); output is 4 window rows. */
+  def m_psi_stream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    val refCounts = psiReference(docs, "n_chars")
+    // 1599999600 = 1.6e9 floored to a 600 s boundary: window STARTS
+    // align to epoch multiples of the length (the SKILL boundary rule)
+    val t0 = 1599999600000L
+    val picked = docs.orderBy(col("doc_id")).limit(2000).collect()
+      .map(r => r.getLong(1))
+    // four windows at ANY corpus size (sf0.01's documents table is 500
+    // rows): slot width derives from the actual slice length
+    val per = math.max(1, (picked.length + 3) / 4)
+    val slice = picked.zipWithIndex.map { case (ch, i) =>
+      (new Timestamp(t0 + (i / per) * 600000L), ch)
+    }
+    val flushTs = new Timestamp(t0 + 365L * 86400000L)
+    val (b1, rest) = slice.splitAt(slice.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val rows = boundedReplay[(Timestamp, Long)](s,
+      Seq(b1.toSeq, b2.toSeq, b3.toSeq),
+      Seq((flushTs, 1L),
+        (new Timestamp(flushTs.getTime + 31536000000L), 1L)),
+      "m_psi_stream",
+      // 3e8 nano = PSI 0.3, the textbook major-shift level: a window
+      // that is a SLICE of the reference corpus carries ~(bins−1)/n of
+      // pure sampling PSI (~1.2e8 at n=125), so the monitor must sit
+      // clear above noise — measured max 1.00e8 (sf0.01, n=125) and
+      // 0.42e8 (sf0.1, n=500), ≥3× margin; alert sensitivity on a
+      // planted shift is SessionsSpec's job
+      in => psiDriftStream(in.toDF("ts", "n_chars"), "ts", "n_chars",
+        refCounts, "5 minutes", "10 minutes", 300000000L),
+      (t, f) => t.filter(col("window_start") < lit(f)).collect(),
+      flushTs)
+    rows.map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toSeq.toDF("window_start", "n_docs", "psi_nano", "max_term",
+        "bin_at_max", "drift_alert")
+      .orderBy(col("window_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m_hll_stream" -> (m_hll_stream _))
+    "m_hll_stream" -> (m_hll_stream _),
+    "m_session_stream" -> (m_session_stream _),
+    "m_psi_stream" -> (m_psi_stream _))
 }

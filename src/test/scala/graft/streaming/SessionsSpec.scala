@@ -1347,4 +1347,68 @@ class SessionsSpec extends AnyFunSuite {
         r.getLong(3)))
     assert(got.toSeq == again.toSeq, "replay must be bit-deterministic")
   }
+
+  test("m_session_stream registry replay: deterministic, batch-subset") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Sessions.m_session_stream(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3)))
+    assert(got.nonEmpty, "replay must emit finalized sessions")
+    assert(got.exists(_._4 > 1L),
+      "the slice must contain at least one multi-event session")
+    // batch twin: the same session_window plan over the same slice
+    // (sessionizeNative runs identically on batch frames); the stream
+    // emits the finalized subset
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts_us"))
+      .orderBy(col("ts_us"), col("user_id")).limit(5000)
+      .selectExpr("user_id",
+        "timestamp_micros((ts_us div 1000) * 1000) AS ts")
+    val batch = Sessions.sessionizeNative(ev).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3))).toSet
+    assert(got.toSet.subsetOf(batch),
+      "stream sessions must match the batch plan row-for-row")
+    // ≥95% of batch sessions finalize under the double-flush script
+    assert(1000L * got.length >= 950L * batch.size,
+      s"flush must finalize nearly all sessions: ${got.length}/${batch.size}")
+    val again = Sessions.m_session_stream(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3)))
+    assert(got.toSeq == again.toSeq, "replay must be bit-deterministic")
+  }
+
+  test("m_psi_stream registry replay: 4 windows, batch parity, healthy") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Sessions.m_psi_stream(spark, sf).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(got.length == 4, s"all four windows must finalize: ${got.length}")
+    assert(got.map(_._2).sum == 500L, "every sliced doc lands in a window")
+    assert(got.forall(!_._6),
+      "reference-slice windows must read healthy (PSI noise ≪ 3e8 nano)")
+    // batch twin: psiDriftStream over the same deterministic rows
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    val refCounts = Sessions.psiReference(docs, "n_chars")
+    val picked = docs.orderBy(col("doc_id")).limit(2000).collect()
+      .map(r => r.getLong(1))
+    val per = math.max(1, (picked.length + 3) / 4)
+    val t0 = 1599999600000L
+    import spark.implicits._
+    val slice = picked.zipWithIndex.map { case (ch, i) =>
+      (new Timestamp(t0 + (i / per) * 600000L), ch)
+    }.toSeq
+    val batch = Sessions.psiDriftStream(slice.toDF("ts", "n_chars"),
+        "ts", "n_chars", refCounts, "5 minutes", "10 minutes", 300000000L)
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+    assert(got.toSet == batch,
+      "stream windows must equal the batch plan row-for-row")
+    val again = Sessions.m_psi_stream(spark, sf).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(got.toSeq == again.toSeq, "replay must be bit-deterministic")
+  }
 }
