@@ -21,7 +21,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, In}
+import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -155,6 +155,15 @@ object Avro {
     val pIdx = schema.fieldIndex(partitionCol)
     val dataSchema = StructType(schema.fields.filterNot(_.name == partitionCol))
     val dataIdx = dataSchema.fields.map(f => schema.fieldIndex(f.name))
+    // per-file min/max stats for integral fields (the Skipping.scala
+    // zone-map pattern, r16 verdict item 5): each task appends one
+    // `_stats/part-<idx>.txt` sidecar — `relPath|field|min|max` lines —
+    // the reader consults for NON-partition predicates. Row formats
+    // can't skip inside a file, but a lake can skip whole files.
+    val statIdx: Array[(String, Int)] = dataSchema.fields.collect {
+      case f if f.dataType == LongType || f.dataType == IntegerType =>
+        (f.name, schema.fieldIndex(f.name))
+    }
     val avroJson = toAvroSchema(dataSchema, "graft_record").toString
     val conf = new SerializableHadoopConf(
       df.sparkSession.sparkContext.hadoopConfiguration)
@@ -166,6 +175,8 @@ object Avro {
       val avSchema = new ASchema.Parser().parse(avroJson)
       val fieldTypes = dataSchema.fields.map(_.dataType)
       val writers = mutable.Map.empty[String, DataFileWriter[GenericRecord]]
+      // pv -> per-stat-field (min, max, sawNonNull)
+      val fileStats = mutable.Map.empty[String, Array[(Long, Long, Boolean)]]
       rows.foreach { row =>
         val pv = String.valueOf(row.get(pIdx))
         val w = writers.getOrElseUpdate(pv, {
@@ -175,6 +186,20 @@ object Avro {
             new GenericDatumWriter[GenericRecord](avSchema))
           dw.create(avSchema, os)
         })
+        val st = fileStats.getOrElseUpdate(pv,
+          Array.fill(statIdx.length)((Long.MaxValue, Long.MinValue, false)))
+        var j = 0
+        while (j < statIdx.length) {
+          row.get(statIdx(j)._2) match {
+            case null => ()
+            case n: Number =>
+              val v = n.longValue()
+              val (mn, mx, _) = st(j)
+              st(j) = (math.min(mn, v), math.max(mx, v), true)
+            case _ => ()
+          }
+          j += 1
+        }
         val rec = new GenericData.Record(avSchema)
         var i = 0
         while (i < dataIdx.length) {
@@ -184,6 +209,19 @@ object Avro {
         w.append(rec)
       }
       writers.values.foreach(_.close())
+      if (fileStats.nonEmpty) {
+        val lines = fileStats.toSeq.sortBy(_._1).flatMap { case (pv, st) =>
+          statIdx.indices.collect {
+            case j if st(j)._3 =>
+              s"$partitionCol=$pv/part-$idx.avro|${statIdx(j)._1}|" +
+                s"${st(j)._1}|${st(j)._2}"
+          }
+        }
+        val sp = new Path(s"$outDir/_stats/part-$idx.txt")
+        val os = sp.getFileSystem(conf.value).create(sp, true)
+        try os.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally os.close()
+      }
       Iterator.single(writers.size)
     }.count() // the action that runs the distributed write
     // commit marker, matching the lake writer's convention
@@ -314,6 +352,9 @@ private[sink] class SerializableHadoopConf(@transient var value: Configuration)
   * files. */
 object AvroCounters {
   val filesOpened = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Files a scan dropped from zone-map sidecars alone (driver-side,
+    * before any open) — the machine check for the r17 skipping rung. */
+  val filesSkippedByStats = new java.util.concurrent.atomic.AtomicLong(0)
 }
 
 /** DSv2 table provider: `spark.read.format("graft.sink.AvroSource")
@@ -349,7 +390,11 @@ private[sink] case class AvroLayout(
     // resolve writer→reader per the Avro spec (added fields fill their
     // defaults, dropped fields are skipped during decode, aliases map
     // renamed fields) — the catalog-pinned-schema read path.
-    readerSchemaJson: Option[String] = None) {
+    readerSchemaJson: Option[String] = None,
+    // per-file zone maps from the writer's `_stats` sidecars:
+    // relPath -> field -> (min, max). Missing entries read as
+    // "unknown" (never skip) — old dirs without sidecars still work.
+    stats: Map[String, Map[String, (Long, Long)]] = Map.empty) {
   def sparkSchema: StructType = partitionCol match {
     case Some(c) => StructType(dataSchema.fields :+ StructField(c, StringType, false))
     case None    => dataSchema
@@ -398,8 +443,29 @@ private[sink] object AvroLayout {
         rdr.close()
         ws
     }
+    // zone-map sidecars (one manifest-scale driver read, like the file
+    // listing itself): relPath|field|min|max lines per writer task
+    val statsDir = new Path(root, "_stats")
+    val stats: Map[String, Map[String, (Long, Long)]] =
+      if (!fs.exists(statsDir)) Map.empty
+      else fs.listStatus(statsDir).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".txt"))
+        .flatMap { st =>
+          val in = fs.open(st.getPath)
+          val text =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          text.split("\n").filter(_.nonEmpty).map { line =>
+            val Array(rel, field, mn, mx) = line.split("\\|", 4)
+            (rel, field, mn.toLong, mx.toLong)
+          }
+        }
+        .groupBy(_._1)
+        .map { case (rel, rows) =>
+          rel -> rows.map(r => r._2 -> (r._3, r._4)).toMap
+        }
     AvroLayout(path, partitionCol, files, Avro.toStructType(avSchema),
-      readerSchemaJson)
+      readerSchemaJson, stats)
   }
 }
 
@@ -418,10 +484,39 @@ private[sink] class AvroScanBuilder(layout: AvroLayout, splitBytes: Long)
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var required: StructType = layout.sparkSchema
   private var pushed: Array[Filter] = Array.empty
+  private var statsFilters: Array[Filter] = Array.empty
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case n: java.lang.Long => Some(n.longValue())
+    case n: java.lang.Integer => Some(n.longValue())
+    case n: java.lang.Short => Some(n.longValue())
+    case n: java.lang.Byte => Some(n.longValue())
+    case _ => None
+  }
+
+  /** A comparison the per-file zone maps can answer: =/</<=/>/>=/IN on
+    * an integral data column with an integral literal. */
+  private def statsEligible(f: Filter): Boolean = f match {
+    case EqualTo(c, v) => statCol(c) && asLong(v).isDefined
+    case GreaterThan(c, v) => statCol(c) && asLong(v).isDefined
+    case GreaterThanOrEqual(c, v) => statCol(c) && asLong(v).isDefined
+    case LessThan(c, v) => statCol(c) && asLong(v).isDefined
+    case LessThanOrEqual(c, v) => statCol(c) && asLong(v).isDefined
+    case In(c, vs) => statCol(c) && vs.nonEmpty && vs.forall(asLong(_).isDefined)
+    case _ => false
+  }
+  private def statCol(c: String): Boolean =
+    !layout.partitionCol.contains(c) &&
+      layout.dataSchema.fields.exists(f => f.name == c &&
+        (f.dataType == LongType || f.dataType == IntegerType))
 
   /** Partition-column EqualTo/In are EXACT at directory granularity, so
-    * they are consumed here (not re-evaluated post-scan); everything else
-    * stays residual for Spark. */
+    * they are consumed here (not re-evaluated post-scan). Zone-map-
+    * answerable comparisons on integral data columns are consumed
+    * INEXACTLY — they skip whole files whose [min,max] cannot match but
+    * stay residual so Spark re-applies them row-level (the parquet
+    * row-group-stats contract; r16 verdict item 5). Everything else is
+    * residual only. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val pc = layout.partitionCol
     val (take, rest) = filters.partition {
@@ -430,10 +525,11 @@ private[sink] class AvroScanBuilder(layout: AvroLayout, splitBytes: Long)
       case In(c, _) if pc.contains(c)            => true
       case _                                     => false
     }
+    statsFilters = rest.filter(statsEligible)
     pushed = take
     rest
   }
-  override def pushedFilters(): Array[Filter] = pushed
+  override def pushedFilters(): Array[Filter] = pushed ++ statsFilters
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -451,9 +547,44 @@ private[sink] class AvroScanBuilder(layout: AvroLayout, splitBytes: Long)
       }
       pv => preds.forall(_(pv))
     }
-    val survivors = layout.files.filter(f => keep(f._1))
+    // a file survives a stats filter unless its zone map PROVES no row
+    // can match; absent stats never skip
+    def mayMatch(f: Filter, mn: Long, mx: Long): Boolean = f match {
+      case EqualTo(_, v) => asLong(v).forall(x => mn <= x && x <= mx)
+      case GreaterThan(_, v) => asLong(v).forall(x => mx > x)
+      case GreaterThanOrEqual(_, v) => asLong(v).forall(x => mx >= x)
+      case LessThan(_, v) => asLong(v).forall(x => mn < x)
+      case LessThanOrEqual(_, v) => asLong(v).forall(x => mn <= x)
+      case In(_, vs) => vs.exists(v => asLong(v).forall(x => mn <= x && x <= mx))
+      case _ => true
+    }
+    def colOf(f: Filter): String = f match {
+      case EqualTo(c, _) => c
+      case GreaterThan(c, _) => c
+      case GreaterThanOrEqual(c, _) => c
+      case LessThan(c, _) => c
+      case LessThanOrEqual(c, _) => c
+      case In(c, _) => c
+      case other => throw new IllegalStateException(
+        s"graft Avro source: non-stats filter recorded: $other")
+    }
+    def statsKeep(pv: String, fullPath: String): Boolean =
+      statsFilters.forall { f =>
+        val rel = layout.partitionCol
+          .map(c => s"$c=$pv/").getOrElse("") +
+          new Path(fullPath).getName
+        layout.stats.get(rel).flatMap(_.get(colOf(f))) match {
+          case Some((mn, mx)) => mayMatch(f, mn, mx)
+          case None => true
+        }
+      }
+    val dirSurvivors = layout.files.filter(f => keep(f._1))
+    val survivors = dirSurvivors.filter(f => statsKeep(f._1, f._2))
+    AvroCounters.filesSkippedByStats
+      .addAndGet(dirSurvivors.size - survivors.size)
     new AvroScan(survivors, layout.partitionCol, layout.dataSchema, required,
-      splitBytes, pushed.map(_.toString), layout.readerSchemaJson)
+      splitBytes, (pushed ++ statsFilters).map(_.toString),
+      layout.readerSchemaJson)
   }
 }
 

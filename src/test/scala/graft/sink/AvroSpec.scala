@@ -86,6 +86,45 @@ class AvroSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
+  test("avro zone-map skipping: a NON-partition filter opens fewer files") {
+    val out = tmp("zonemap")
+    // range-partition by doc_id so each task's files carry tight
+    // [min,max] sidecars — the layout a range-clustered lake table has
+    Avro.writePartitioned(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartitionByRange(8, col("doc_id")),
+      out, "lang")
+    assert(new java.io.File(s"$out/_stats").listFiles()
+      .count(_.getName.endsWith(".txt")) > 0, "writer must emit sidecars")
+    val allFiles = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .filterNot(_.getName == "_stats")
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".avro"))
+    val truth = Tables.documents(spark, dir).filter(col("doc_id") < 100L)
+    val scan = spark.read.format("graft.sink.AvroSource").load(out)
+      .filter(col("doc_id") < 100L) // NO partition filter
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftAvroScan") && plan.contains("doc_id"),
+      s"expected the stats filter in the scan description:\n$plan")
+    AvroCounters.filesOpened.set(0)
+    AvroCounters.filesSkippedByStats.set(0)
+    val n = scan.count()
+    assert(AvroCounters.filesOpened.get() < allFiles,
+      s"zone maps must skip files: opened ${AvroCounters.filesOpened.get()} " +
+        s"of $allFiles present")
+    assert(AvroCounters.filesSkippedByStats.get() > 0,
+      "the skip must come from the stats sidecars")
+    assert(n == truth.count(), "skipping must lose no matching row")
+    // the stats filter stays RESIDUAL: rows inside surviving files that
+    // fail the predicate are still dropped row-level
+    val sum = spark.read.format("graft.sink.AvroSource").load(out)
+      .filter(col("doc_id") >= 200L && col("doc_id") < 300L)
+      .agg(sum_distinct(col("doc_id"))).head().getLong(0)
+    assert(sum == (200L until 300L).sum,
+      "mid-range predicate must return exactly its rows")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   test("avro splittable read: byte-range splits partition records exactly") {
     val out = tmp("split")
     // one task -> one file holding every row, so splitting must come from
