@@ -449,14 +449,125 @@ object JoinCard {
        |FROM agg""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q289
+
+  /** The two candidate left-deep shapes of customer ⋈ orders ⋈
+    * lineitem, parameterized so specs can drive both and assert (a) the
+    * rows are order-invariant and (b) the deepest join really is the
+    * chosen pair. */
+  private[graft] def threeWayJoin(orders: DataFrame, customer: DataFrame,
+      lineitem: DataFrame, coFirst: Boolean): DataFrame = {
+    val o = orders.select(col("o_orderkey"), col("o_custkey"))
+    val c = customer.select(col("c_custkey"), col("c_nationkey"))
+    val l = lineitem.select(col("l_orderkey"), col("l_extendedprice"))
+    val joined =
+      if (coFirst)
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+      else
+        o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+    joined.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+  }
+
+  /** q289: cost-estimated JOIN ORDER across a 3-table chain (r16
+    * verdict item 6 — the advisor rung above q159b's build-side pick):
+    * the q159 correlated-sampling estimator (Vengerov et al., VLDB
+    * 2015) prices BOTH left-deep orders of customer ⋈ orders ⋈
+    * lineitem by their first intermediate — est(O⋈C) vs est(O⋈L) — and
+    * the executed plan joins the cheaper pair first (Selinger et al.,
+    * SIGMOD 1979, at its smallest useful instance: on a join chain the
+    * first intermediate dominates the cost difference between
+    * left-deep orders). Everything gates: the sampled estimates replay
+    * exactly in DuckDB through the splitmix64 HUGEINT limb chain (the
+    * q159 oracle recipe), so the CHOICE itself is oracle-certified —
+    * not just the rows, which are order-invariant by construction (the
+    * aggregate gate proves it).
+    *
+    * Scale shape: the advisor prices each join on a 1/P key sample —
+    * two bounded aggregates collected as two scalars, plan-time
+    * metadata — and the executed 3-way join shuffles each table once
+    * on its join key. Here the choice saves riding |L| ≈ 4·|O| rows
+    * into the second join; on a skewed lake the difference is
+    * arbitrary, and the decision costs two sampled scans. */
+  def q289_join_order(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val customer = Tables.customer(s, dir)
+    val lineitem = Tables.lineitem(s, dir)
+    val estCo =
+      estimatedJoinRows(orders, "o_custkey", customer, "c_custkey")
+    val estOl =
+      estimatedJoinRows(orders, "o_orderkey", lineitem, "l_orderkey")
+    val coFirst = estCo <= estOl
+    threeWayJoin(orders, customer, lineitem, coFirst)
+      .withColumn("est_co_rows", lit(estCo))
+      .withColumn("est_ol_rows", lit(estOl))
+      .withColumn("join_order", lit(
+        if (coFirst) "customer_orders_first" else "orders_lineitem_first"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** The q159 sampled-estimate replay for one key pair, as CTEs ending
+    * in `est_<tag>(est)`: per-key counts joined on the key, the
+    * splitmix64 HUGEINT limb chain, est = P·Σ_{sampled} ca·cb. */
+  private def sampledEstCtes(tag: String, aTable: String, aKey: String,
+      bTable: String, bKey: String): String = {
+    val z1 = "(z + 11400714819323198485) % 18446744073709551616"
+    val m2 = mulmodSql("x1", BigInt("13787848793156543929"))
+    val m3 = mulmodSql("x2", BigInt("10723151780598845931"))
+    s"""pa_$tag AS (SELECT CAST($aKey AS BIGINT) AS k,
+       |    CAST(COUNT(*) AS BIGINT) AS ca FROM $aTable GROUP BY 1),
+       |pb_$tag AS (SELECT CAST($bKey AS BIGINT) AS k,
+       |    CAST(COUNT(*) AS BIGINT) AS cb FROM $bTable GROUP BY 1),
+       |j_$tag AS (SELECT k, ca, cb FROM pa_$tag JOIN pb_$tag USING (k)),
+       |zs_$tag AS (SELECT *, CAST(k AS HUGEINT) AS z FROM j_$tag),
+       |s1_$tag AS (SELECT *, $z1 AS z1 FROM zs_$tag),
+       |s2_$tag AS (SELECT *, xor(z1, z1 // 1073741824) AS x1
+       |  FROM s1_$tag),
+       |s3_$tag AS (SELECT *, $m2 AS z2 FROM s2_$tag),
+       |s4_$tag AS (SELECT *, xor(z2, z2 // 134217728) AS x2
+       |  FROM s3_$tag),
+       |s5_$tag AS (SELECT *, $m3 AS z3 FROM s4_$tag),
+       |s6_$tag AS (SELECT *, xor(z3, z3 // 2147483648) AS m
+       |  FROM s5_$tag),
+       |est_$tag AS (SELECT CAST(8 * COALESCE(SUM(CASE WHEN (m % 8) = 0
+       |    THEN ca * cb ELSE 0 END), 0) AS BIGINT) AS est
+       |  FROM s6_$tag)""".stripMargin
+  }
+
+  private lazy val joinOrderOracle: String =
+    s"""WITH ${sampledEstCtes("co", "orders", "o_custkey",
+          "customer", "c_custkey")},
+       |${sampledEstCtes("ol", "orders", "o_orderkey",
+          "lineitem", "l_orderkey")},
+       |ag AS (SELECT c.c_nationkey,
+       |    CAST(COUNT(*) AS BIGINT) AS n_items,
+       |    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+       |      AS revenue
+       |  FROM orders o
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |  GROUP BY 1)
+       |SELECT ag.c_nationkey, ag.n_items, ag.revenue,
+       |  e1.est AS est_co_rows, e2.est AS est_ol_rows,
+       |  CASE WHEN e1.est <= e2.est THEN 'customer_orders_first'
+       |       ELSE 'orders_lineitem_first' END AS join_order
+       |FROM ag CROSS JOIN est_co e1 CROSS JOIN est_ol e2
+       |ORDER BY ag.c_nationkey""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_join_cardinality" -> (q159_join_cardinality _),
     "q159b_advised_join" -> (q159b_advised_join _),
-    "q165_endbiased_estimate" -> (q165_endbiased_estimate _))
+    "q165_endbiased_estimate" -> (q165_endbiased_estimate _),
+    "q289_join_order" -> (q289_join_order _))
 
   val oracle: Map[String, String] = Map(
     "q159_join_cardinality" -> joinCardOracle,
     "q159b_advised_join" -> advisedJoinOracle,
-    "q165_endbiased_estimate" -> endbiasedOracle)
+    "q165_endbiased_estimate" -> endbiasedOracle,
+    "q289_join_order" -> joinOrderOracle)
 }

@@ -88,6 +88,51 @@ class JoinCardSpec extends AnyFunSuite {
     assert(JoinCard.q159b_advised_join(spark, dir).count() > 0)
   }
 
+  test("q289: join order follows the cheaper estimate; rows invariant") {
+    val orders = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    // both left-deep orders return identical rows (what the oracle gate
+    // certifies at sf0.01)
+    def rows(coFirst: Boolean) =
+      JoinCard.threeWayJoin(orders, customer, lineitem, coFirst)
+        .orderBy(col("c_nationkey")).collect()
+        .map(r => (String.valueOf(r.get(0)), r.getLong(1),
+          r.getDouble(2))).toSeq
+    assert(rows(true) == rows(false), "join order must not change rows")
+    // the deepest join in the optimized plan IS the requested pair
+    def deepestJoinCols(coFirst: Boolean): Set[String] = {
+      import org.apache.spark.sql.catalyst.plans.logical.Join
+      val plan = JoinCard
+        .threeWayJoin(orders, customer, lineitem, coFirst)
+        .queryExecution.optimizedPlan
+      // collect is pre-order (parent first) — last Join is the deepest
+      plan.collect { case j: Join => j }.last.output.map(_.name).toSet
+    }
+    assert(deepestJoinCols(true).contains("c_custkey") &&
+      !deepestJoinCols(true).contains("l_orderkey"),
+      "coFirst=true must join orders⋈customer innermost")
+    assert(deepestJoinCols(false).contains("l_orderkey") &&
+      !deepestJoinCols(false).contains("c_custkey"),
+      "coFirst=false must join orders⋈lineitem innermost")
+    // q289's published decision matches the re-derived estimates, and
+    // the chain data makes it the genuinely cheaper first intermediate
+    val estCo = JoinCard
+      .estimatedJoinRows(orders, "o_custkey", customer, "c_custkey")
+    val estOl = JoinCard
+      .estimatedJoinRows(orders, "o_orderkey", lineitem, "l_orderkey")
+    val out = JoinCard.q289_join_order(spark, dir)
+      .select(col("est_co_rows"), col("est_ol_rows"), col("join_order"))
+      .head()
+    assert(out.getLong(0) == estCo && out.getLong(1) == estOl)
+    assert(out.getString(2) ==
+      (if (estCo <= estOl) "customer_orders_first"
+       else "orders_lineitem_first"))
+    assert(estCo < estOl,
+      s"|O⋈C| ($estCo) should price below |O⋈L| ($estOl) on TPC-H-ish " +
+        "data — the demonstration needs a real cost difference")
+  }
+
   test("q165: heavy tier is a superset and rescues the skewed estimate") {
     val r = JoinCard.q165_endbiased_estimate(spark, dir).head()
     assert(r.getAs[Boolean]("heavy_superset_ok"),
