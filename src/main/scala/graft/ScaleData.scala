@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic 10× corpus synthesis for the scaling-exponent
+  * measurement (r16 verdict item 3): the first empirical rung of the
+  * "would survive a 100× scale-up" claim, which nothing above sf0.1 had
+  * ever tested. Usage:
+  *
+  *   sbt "runMain graft.ScaleData /root/testdata/sf0.1 /tmp/graft_scale10 10"
+  *
+  * then time the expensive-query set at 1× and 10× with Bench
+  * (SPARK_GRAFT_ONLY=…, SPARK_GRAFT_SF_DIR=…) and record per-query
+  * ratios in SCALING.md.
+  *
+  * Salting design — copies must be DISTINCT, not duplicates:
+  *  - `documents`: copy r Caesar-shifts letters by r (`translate`,
+  *    length-preserving so `n_chars` stays truthful and the token
+  *    SHAPE — lengths, repetition, punctuation — is identical). Naive
+  *    duplication would hand the near-dup kernels C(10,2) artificial
+  *    pairs per doc (a 45× pair blowup at 10× data that measures the
+  *    DATA, not the algorithm); disjoint per-copy vocabularies keep
+  *    pair volume honestly linear. doc_id' = doc_id·C + r keeps ids
+  *    dense and disjoint.
+  *  - `embeddings`: per-element deterministic micro-jitter
+  *    (±1e-3, splitmix64-seeded by (vec_id', element)) on copies r>0 —
+  *    exact duplicates would collapse ANN shortlists and SemDeDup
+  *    components into degenerate all-pairs cliques.
+  *  - `orders`/`lineitem`: every key (order, customer, part, supplier)
+  *    maps k' = k·C + r — ten DISJOINT copies of the co-occurrence
+  *    graph, so node/edge counts scale 10× with no artificial
+  *    cross-copy edges.
+  *  - everything else (region nation customer supplier part events)
+  *    copies byte-for-byte: the timed set reads them only as
+  *    broadcast-class dims, and key lookups into scaled tables are not
+  *    exercised by the scaling set.
+  *
+  * Everything is seed-free or splitmix64-seeded — re-running the main
+  * reproduces the corpus bit-for-bit. */
+object ScaleData {
+  private val Alpha = "abcdefghijklmnopqrstuvwxyz"
+
+  private def rot(s: String, r: Int): String = {
+    val k = r % s.length
+    s.drop(k) + s.take(k)
+  }
+
+  /** Caesar shift of letters by r (identity at r = 0), both cases. */
+  private def shifted(text: Column, rCol: Column, copies: Int): Column = {
+    val arms = (1 until copies).foldLeft(when(rCol === 0, text)) {
+      (acc, r) =>
+        acc.when(rCol === r, translate(text,
+          Alpha + Alpha.toUpperCase,
+          rot(Alpha, r) + rot(Alpha.toUpperCase, r)))
+    }
+    arms.otherwise(text)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "/tmp/graft_scale10"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    if (new java.io.File("/dev/shm").isDirectory)
+      builder.config("spark.local.dir", "/dev/shm/spark-local")
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val outDir = new java.io.File(out)
+    org.apache.commons.io.FileUtils.deleteQuietly(outDir)
+    outDir.mkdirs()
+
+    val cop = spark.range(copies).select(col("id").cast("int").as("r"))
+    val c = lit(copies.toLong)
+
+    def write(df: DataFrame, table: String, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite")
+        .parquet(s"$out/$table.parquet")
+
+    // documents: id fan-out + per-copy Caesar vocabulary
+    write(Tables.documents(spark, src).crossJoin(broadcast(cop))
+      .select((col("doc_id") * c + col("r")).as("doc_id"),
+        shifted(col("text"), col("r"), copies).as("text"),
+        col("lang"), col("source"), col("n_chars")),
+      "documents", copies)
+
+    // embeddings: id fan-out + deterministic micro-jitter on copies r>0
+    write(Tables.embeddings(spark, src).crossJoin(broadcast(cop))
+      .select((col("vec_id") * c + col("r")).as("vec_id"),
+        when(col("r") === 0, col("embedding")).otherwise(
+          transform(col("embedding"), (x, i) =>
+            (x + (pmod(graft.rel.JoinCard.splitmix64(
+                (col("vec_id") * c + col("r")) * lit(64L) + i),
+              lit(2001L)) - lit(1000L)).cast("float") / lit(1e6f))
+              .cast("float"))).as("embedding"),
+        col("label")),
+      "embeddings", copies)
+
+    // orders / lineitem: disjoint graph copies via k' = k·C + r
+    write(Tables.orders(spark, src).crossJoin(broadcast(cop))
+      .select((col("o_orderkey") * c + col("r")).as("o_orderkey"),
+        (col("o_custkey") * c + col("r")).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority")),
+      "orders", copies)
+    write(Tables.lineitem(spark, src).crossJoin(broadcast(cop))
+      .select((col("l_orderkey") * c + col("r")).as("l_orderkey"),
+        (col("l_partkey") * c + col("r")).as("l_partkey"),
+        (col("l_suppkey") * c + col("r")).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate")),
+      "lineitem", copies)
+
+    // dims + events: byte-for-byte copies
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "events")) {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$src/$t.parquet"),
+        java.nio.file.Paths.get(s"$out/$t.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    println(s"[scale] wrote ${copies}x of $src to $out")
+    spark.stop()
+  }
+}
