@@ -92,8 +92,14 @@ object Bench {
     // Shuffle spill on the container's overlay rootfs intermittently stalls
     // tasks for 10-100s; tmpfs sidesteps it (local-mode only — a real
     // cluster would use fast local SSDs for spark.local.dir).
-    if (new java.io.File("/dev/shm").isDirectory)
-      builder.config("spark.local.dir", "/dev/shm/spark-local")
+    // SPARK_GRAFT_LOCAL_DIR overrides: at the 100× scale probe (r17) the
+    // RAM-backed tmpfs spill competed with the enlarged heap for the same
+    // physical memory and the OS OOM-killed the JVM — big-corpus probes
+    // point this at real disk.
+    val localDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/spark-local"
+      else "")
+    if (localDir.nonEmpty) builder.config("spark.local.dir", localDir)
     val spark = builder.getOrCreate()
     GraftExtensions.register(spark) // SQL functions + optimizer rules
     // ERROR: keep the single JSON result line easy for the driver to find

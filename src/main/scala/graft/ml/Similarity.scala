@@ -338,6 +338,20 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Band-bucket size distribution for the seeded-hyperplane LSH keys —
+    * the measurement behind [[BandBucketCap]] (spec/probe surface). */
+  private[graft] def bandBucketStats(s: SparkSession, dir: String)
+      : (Long, Long, Double) = {
+    val e = emb(s, dir)
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+      .select(col("vec_id"),
+        transform(col("emb"), x => x / col("nrm")).as("emb"))
+    val r = bandKeys(s, e, bands = 8, planes = 6)
+      .groupBy(col("band"), col("key")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")), count(lit(1)), avg(col("n"))).head()
+    (r.getLong(0), r.getLong(1), r.getDouble(2))
+  }
+
   /** Global top-20 most-similar embedding pairs via banded LSH candidates
     * (threshold-free: labels are uncorrelated with cosine in this corpus,
     * max pair cosine ≈0.51, so a 0.9-style cutoff would be vacuous).
@@ -354,11 +368,7 @@ object Similarity {
         transform(col("emb"), x => x / col("nrm")).as("emb"))
     val keys = bandKeys(s, e, bands = 8, planes = 6)
       .select(col("vec_id"), col("band"), col("key"))
-    val pairs = keys.as("a").join(keys.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
+    val pairs = cappedBandPairs(keys, BandBucketCap).distinct()
     pairs
       .join(e.select(col("vec_id").as("id_a"), col("emb").as("emb_a")), "id_a")
       .join(e.select(col("vec_id").as("id_b"), col("emb").as("emb_b")), "id_b")
@@ -598,10 +608,7 @@ object Similarity {
       .select(col("vec_id"), transform(col("emb"), x => x / col("nrm")).as("emb"))
     val keys = bandKeys(s, e, bands = 8, planes = 6)
       .select(col("vec_id"), col("band"), col("key"))
-    val lshPairs = keys.as("a").join(keys.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    val lshPairs = cappedBandPairs(keys, BandBucketCap)
     val scoreArr = array((0 until k).map(i =>
       lit(-2.0) * dot(col("emb"), typedlit(cents(i))) + lit(ss(i))): _*)
     val assigned = e.withColumn("sc", scoreArr)
@@ -632,6 +639,29 @@ object Similarity {
     * the q33 df ≤ 20 stop-shingle posture, enforced in code not comment
     * (round-8 verdict item 4). Identical guard in the oracle twin. */
   private[graft] val IvfListCap = 512
+
+  /** q92/m_dedup_embedding's LSH band-bucket ceiling — the IvfListCap
+    * posture applied to the seeded-hyperplane band path (found by the
+    * r17 100× scale probe: UNcapped buckets made candidate volume
+    * quadratic — 8 bands × 64 keys over 200k vectors is ~3.1k vectors
+    * per bucket, ~2.5e9 pairs, OOM-killing a 64 GB JVM where the gate
+    * SFs never noticed). Healthy maxima MEASURED: 22 at sf0.01, 81 at
+    * sf0.1 — 512 has ≥6× margin and never binds at any gated SF, while
+    * bounding pair volume at buckets × C(512,2) at ANY corpus scale (a
+    * production deployment also scales planes with corpus size so
+    * buckets stay small; the cap is the safety net, exactly like the
+    * q33 df ≤ 20 stop-shingle). Identical guard in both oracles. */
+  private[graft] val BandBucketCap = 512
+
+  /** Same-bucket candidate pairs for (band, key) LSH keys with the
+    * bucket-size guard: pack the bucket id and reuse the hash-ordered
+    * WindowGroupLimit sample of [[cappedListPairs]]. Pairs can repeat
+    * across bands — consumers dedup. */
+  private[graft] def cappedBandPairs(keys: DataFrame, cap: Int): DataFrame =
+    cappedListPairs(
+      keys.select(col("vec_id"),
+        (col("band") * lit(64) + col("key")).cast("int").as("list_id")),
+      cap)
 
   /** Same-list candidate pairs with the list-size guard applied: lists
     * over `cap` contribute pairs only among a deterministic hash-ordered
@@ -2220,9 +2250,14 @@ object Similarity {
        |keys AS (
        |${keysSql("e", 8, 6, hyper)}
        |),
-       |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-       |  FROM keys a JOIN keys b
-       |  ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+       |bk AS (SELECT vec_id, band * 64 + key AS bl FROM keys),
+       |bkc AS (SELECT vec_id, bl FROM (
+       |  SELECT vec_id, bl, ROW_NUMBER() OVER (PARTITION BY bl
+       |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS br FROM bk)
+       |  WHERE br <= $BandBucketCap),
+       |pairs AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM bkc x JOIN bkc y
+       |  ON x.bl = y.bl AND x.vec_id < y.vec_id)
        |SELECT id_a, id_b, round(list_dot_product(x.emb, y.emb), 6) AS sim
        |FROM pairs JOIN e x ON x.vec_id = id_a JOIN e y ON y.vec_id = id_b
        |ORDER BY sim DESC, id_a, id_b LIMIT 20""".stripMargin
@@ -2335,9 +2370,14 @@ object Similarity {
        |keys AS (
        |${keysSql("e", 8, 6, hyper)}
        |),
-       |lpairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-       |  FROM keys a JOIN keys b
-       |  ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+       |bk AS (SELECT vec_id, band * 64 + key AS bl FROM keys),
+       |bkc AS (SELECT vec_id, bl FROM (
+       |  SELECT vec_id, bl, ROW_NUMBER() OVER (PARTITION BY bl
+       |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS br FROM bk)
+       |  WHERE br <= $BandBucketCap),
+       |lpairs AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM bkc x JOIN bkc y
+       |  ON x.bl = y.bl AND x.vec_id < y.vec_id),
        |sc AS (SELECT vec_id, emb,
        |  $scoreExprs AS sc FROM e),
        |asg AS (SELECT vec_id,
