@@ -46,11 +46,17 @@ object ScaleData {
     s.drop(k) + s.take(k)
   }
 
-  /** Caesar shift of letters by r (identity at r = 0), both cases. */
+  /** Caesar shift of letters by r mod 26 (identity at 0), both cases.
+    * The when-chain has at most 26 arms regardless of the copy count —
+    * a per-copy chain at 1000 copies would build a Catalyst tree three
+    * orders larger for the same 26 distinct translations (copies past
+    * 26 share a shift class; near-dup kernels then see bounded
+    * duplicate groups, which a production corpus has anyway). */
   private def shifted(text: Column, rCol: Column, copies: Int): Column = {
-    val arms = (1 until copies).foldLeft(when(rCol === 0, text)) {
+    val m = pmod(rCol, lit(26))
+    val arms = (1 until math.min(copies, 26)).foldLeft(when(m === 0, text)) {
       (acc, r) =>
-        acc.when(rCol === r, translate(text,
+        acc.when(m === r, translate(text,
           Alpha + Alpha.toUpperCase,
           rot(Alpha, r) + rot(Alpha.toUpperCase, r)))
     }
@@ -61,6 +67,11 @@ object ScaleData {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "/tmp/graft_scale10"
     val copies = if (args.length > 2) args(2).toInt else 10
+    // optional 4th arg: comma-list of tables to SCALE (others copy 1×)
+    // — a 1000× doc-kernel probe has no use for a 120 GB lineitem
+    val scaleSet: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet
+      else Set("documents", "embeddings", "orders", "lineitem")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -80,52 +91,60 @@ object ScaleData {
     val c = lit(copies.toLong)
 
     def write(df: DataFrame, table: String, parts: Int): Unit =
-      df.repartition(parts).write.mode("overwrite")
+      df.repartition(math.min(parts, 256)).write.mode("overwrite")
         .parquet(s"$out/$table.parquet")
+    def copy1x(t: String): Unit =
+      org.apache.commons.io.FileUtils.copyFile(
+        new java.io.File(s"$src/$t.parquet"),
+        new java.io.File(s"$out/$t.parquet"))
 
     // documents: id fan-out + per-copy Caesar vocabulary
-    write(Tables.documents(spark, src).crossJoin(broadcast(cop))
-      .select((col("doc_id") * c + col("r")).as("doc_id"),
-        shifted(col("text"), col("r"), copies).as("text"),
-        col("lang"), col("source"), col("n_chars")),
-      "documents", copies)
+    if (scaleSet("documents"))
+      write(Tables.documents(spark, src).crossJoin(broadcast(cop))
+        .select((col("doc_id") * c + col("r")).as("doc_id"),
+          shifted(col("text"), col("r"), copies).as("text"),
+          col("lang"), col("source"), col("n_chars")),
+        "documents", copies)
+    else copy1x("documents")
 
     // embeddings: id fan-out + deterministic micro-jitter on copies r>0
-    write(Tables.embeddings(spark, src).crossJoin(broadcast(cop))
-      .select((col("vec_id") * c + col("r")).as("vec_id"),
-        when(col("r") === 0, col("embedding")).otherwise(
-          transform(col("embedding"), (x, i) =>
-            (x + (pmod(graft.rel.JoinCard.splitmix64(
-                (col("vec_id") * c + col("r")) * lit(64L) + i),
-              lit(2001L)) - lit(1000L)).cast("float") / lit(1e6f))
-              .cast("float"))).as("embedding"),
-        col("label")),
-      "embeddings", copies)
+    if (scaleSet("embeddings"))
+      write(Tables.embeddings(spark, src).crossJoin(broadcast(cop))
+        .select((col("vec_id") * c + col("r")).as("vec_id"),
+          when(col("r") === 0, col("embedding")).otherwise(
+            transform(col("embedding"), (x, i) =>
+              (x + (pmod(graft.rel.JoinCard.splitmix64(
+                  (col("vec_id") * c + col("r")) * lit(64L) + i),
+                lit(2001L)) - lit(1000L)).cast("float") / lit(1e6f))
+                .cast("float"))).as("embedding"),
+          col("label")),
+        "embeddings", copies)
+    else copy1x("embeddings")
 
     // orders / lineitem: disjoint graph copies via k' = k·C + r
-    write(Tables.orders(spark, src).crossJoin(broadcast(cop))
-      .select((col("o_orderkey") * c + col("r")).as("o_orderkey"),
-        (col("o_custkey") * c + col("r")).as("o_custkey"),
-        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
-        col("o_orderpriority")),
-      "orders", copies)
-    write(Tables.lineitem(spark, src).crossJoin(broadcast(cop))
-      .select((col("l_orderkey") * c + col("r")).as("l_orderkey"),
-        (col("l_partkey") * c + col("r")).as("l_partkey"),
-        (col("l_suppkey") * c + col("r")).as("l_suppkey"),
-        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
-        col("l_discount"), col("l_tax"), col("l_returnflag"),
-        col("l_linestatus"), col("l_shipdate")),
-      "lineitem", copies)
+    if (scaleSet("orders"))
+      write(Tables.orders(spark, src).crossJoin(broadcast(cop))
+        .select((col("o_orderkey") * c + col("r")).as("o_orderkey"),
+          (col("o_custkey") * c + col("r")).as("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority")),
+        "orders", copies)
+    else copy1x("orders")
+    if (scaleSet("lineitem"))
+      write(Tables.lineitem(spark, src).crossJoin(broadcast(cop))
+        .select((col("l_orderkey") * c + col("r")).as("l_orderkey"),
+          (col("l_partkey") * c + col("r")).as("l_partkey"),
+          (col("l_suppkey") * c + col("r")).as("l_suppkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"), col("l_returnflag"),
+          col("l_linestatus"), col("l_shipdate")),
+        "lineitem", copies)
+    else copy1x("lineitem")
 
     // dims + events: byte-for-byte copies
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "events")) {
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$src/$t.parquet"),
-        java.nio.file.Paths.get(s"$out/$t.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+        "events"))
+      copy1x(t)
     println(s"[scale] wrote ${copies}x of $src to $out")
     spark.stop()
   }
