@@ -150,6 +150,17 @@ object Bench {
     val stageWall = new java.util.concurrent.atomic.AtomicLong(0)
     val taskTime = new java.util.concurrent.atomic.AtomicLong(0)
     val stageCount = new java.util.concurrent.atomic.AtomicLong(0)
+    // Shuffle/spill/input bytes (r17): local[32] timings cannot prove
+    // cluster behavior — what transfers is the DATA MOVEMENT the plan
+    // asks for. Shuffle write bytes per query is exactly the network
+    // cost a 1000-executor run would pay, so the scaling ladder records
+    // it alongside wall time: a kernel whose shuffle bytes scale
+    // linearly with the corpus stays network-feasible at 100 TB even if
+    // local wall time is memory-bandwidth-bound.
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong(0)
+    val shufRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    val inputBytes = new java.util.concurrent.atomic.AtomicLong(0)
     locally {
       import org.apache.spark.scheduler._
       spark.sparkContext.addSparkListener(new SparkListener {
@@ -157,7 +168,13 @@ object Bench {
           val si = sc.stageInfo
           stageWall.addAndGet(
             si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L))
-          taskTime.addAndGet(si.taskMetrics.executorRunTime)
+          val tm = si.taskMetrics
+          taskTime.addAndGet(tm.executorRunTime)
+          shufWrite.addAndGet(tm.shuffleWriteMetrics.bytesWritten)
+          shufRead.addAndGet(tm.shuffleReadMetrics.localBytesRead +
+            tm.shuffleReadMetrics.remoteBytesRead)
+          spillBytes.addAndGet(tm.diskBytesSpilled)
+          inputBytes.addAndGet(tm.inputMetrics.bytesRead)
           stageCount.incrementAndGet()
         }
       })
@@ -168,21 +185,31 @@ object Bench {
         .asScala.map(_.getCollectionTime).sum
     }
 
-    // one sample: (wall sec, executor taskTime sec, GC sec); -1 wall = fail
+    // one sample: (wall sec, executor taskTime sec, GC sec, shuffle-write
+    // MB, shuffle-read MB, disk-spill MB, input MB); -1 wall = fail
     val results = benchSet.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): (Double, Double, Double) = {
+      def once(): (Double, Double, Double, Double, Double, Double, Double) = {
         val (g0, sw0, tt0, sc0) =
           (gcMs, stageWall.get, taskTime.get, stageCount.get)
+        val (sw1, sr1, sp1, in1) =
+          (shufWrite.get, shufRead.get, spillBytes.get, inputBytes.get)
         val t0 = System.nanoTime()
         try run(fn, sfDir)
-        catch { case _: Throwable => return (-1.0, 0.0, 0.0) }
+        catch { case _: Throwable =>
+          return (-1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0) }
         val w = (System.nanoTime() - t0) / 1e9
         val (tt, gc) = ((taskTime.get - tt0) / 1e3, (gcMs - g0) / 1e3)
+        val mb = 1024.0 * 1024.0
+        val (swB, srB, spB, inB) = ((shufWrite.get - sw1) / mb,
+          (shufRead.get - sr1) / mb, (spillBytes.get - sp1) / mb,
+          (inputBytes.get - in1) / mb)
         if (diag)
           println(f"[diag] $name wall=$w%.2f stageWall=${(stageWall.get - sw0) / 1e3}%.2f " +
             f"taskTime=$tt%.2f gc=$gc%.2f " +
-            f"stages=${stageCount.get - sc0}")
-        (w, tt, gc)
+            f"stages=${stageCount.get - sc0} " +
+            f"shufWriteMB=$swB%.1f shufReadMB=$srB%.1f spillMB=$spB%.1f " +
+            f"inputMB=$inB%.1f")
+        (w, tt, gc, swB, srB, spB, inB)
       }
       // measurement hygiene: drop every block a predecessor left pinned
       // (eager localCheckpoints, lingering .cache()s) and then drain heap
@@ -203,7 +230,13 @@ object Bench {
       // i.e. an external-contention PHASE spanning consecutive runs.
       // Three samples lose the median to any 2-run phase; five need a
       // ~4-run phase to corrupt, at ~+40s total bench cost.
-      val samples = Seq.fill(if (multiJobQueries(name)) 5 else 2)(once())
+      // SPARK_GRAFT_SAMPLES caps the per-query sample count — probe-only
+      // (big-corpus scaling rungs where one sample runs minutes and the
+      // BYTE metrics are sample-invariant anyway); the official run
+      // leaves it unset and keeps median-of-5 / best-of-2.
+      val nSamples = sys.env.get("SPARK_GRAFT_SAMPLES").map(_.toInt)
+        .getOrElse(if (multiJobQueries(name)) 5 else 2)
+      val samples = Seq.fill(nSamples)(once())
       val times = samples.map(_._1)
       val official = if (times.exists(_ < 0)) -1.0
         else if (multiJobQueries(name)) times.sorted.apply(times.size / 2)
@@ -240,11 +273,20 @@ object Bench {
     // query's official time AND the raw sample vector (so the multi-job
     // set's spread — not just the median — is recorded). Written to the
     // repo root, where the bench runs from; overwritten per run.
+    def r1(v: Double): String =
+      BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
     val full = results.toSeq.sortBy(_._1).map { case (k, (v, ts)) =>
       "\"" + k + "\":{\"time\":" + r3(v) +
         ",\"samples\":[" + ts.map(s => r3(s._1)).mkString(",") + "]" +
         ",\"taskTime\":[" + ts.map(s => r3(s._2)).mkString(",") + "]" +
-        ",\"gcTime\":[" + ts.map(s => r3(s._3)).mkString(",") + "]}"
+        ",\"gcTime\":[" + ts.map(s => r3(s._3)).mkString(",") + "]" +
+        // data-movement profile (MB, r17): shuffle write is the
+        // cluster-network cost the plan would pay at scale; spill > 0
+        // flags partitions outgrowing executor memory at this SF
+        ",\"shufWriteMB\":[" + ts.map(s => r1(s._4)).mkString(",") + "]" +
+        ",\"shufReadMB\":[" + ts.map(s => r1(s._5)).mkString(",") + "]" +
+        ",\"spillMB\":[" + ts.map(s => r1(s._6)).mkString(",") + "]" +
+        ",\"inputMB\":[" + ts.map(s => r1(s._7)).mkString(",") + "]}"
     }.mkString("{", ",", "}")
     // a SPARK_GRAFT_ONLY dev subset must not clobber the full artifact
     // (round-15 lesson: a 2-query probe overwrote the certified run)

@@ -63,6 +63,33 @@ object ScaleData {
     arms.otherwise(text)
   }
 
+  /** Suffix salting (r17 §5): append a per-copy base-26 code to EVERY
+    * whitespace token, so each copy's vocabulary is fully disjoint from
+    * every other copy's at ANY copy count — unlike the 26-arm Caesar
+    * chain, whose shift classes collide past 26 copies and hand the
+    * near-dup kernels bounded duplicate cliques (fine for the capped
+    * pair kernels, but it changes q55's component structure
+    * qualitatively: the 1000× fixpoint would measure the synthetic
+    * corpus's duplicate cliques, not the algorithm's exponent). With
+    * disjoint vocabularies the pair graph is exactly `copies` disjoint
+    * replicas of the 1× graph — component diameters (hence fixpoint
+    * round counts) provably unchanged, edges exactly linear: the pure
+    * scaling-exponent corpus. Copy r=0 keeps the original text so the
+    * 1× rung stays comparable. Token shape caveat (documented, not
+    * hidden): every token grows by 3 chars, so shingle/minhash HASHES
+    * differ from the source corpus — irrelevant for exponent
+    * measurement, which only compares the salted corpus to itself
+    * across copy counts. */
+  private def suffixed(text: Column, rCol: Column): Column = {
+    val code = concat(
+      expr("char(97 + pmod(r, 26))"),
+      expr("char(97 + pmod(r div 26, 26))"),
+      expr("char(97 + pmod(r div 676, 26))"))
+    when(rCol === 0, text).otherwise(
+      array_join(transform(split(text, " "),
+        t => when(t === "", t).otherwise(concat(t, code))), " "))
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "/tmp/graft_scale10"
@@ -72,6 +99,13 @@ object ScaleData {
     val scaleSet: Set[String] =
       if (args.length > 3) args(3).split(",").map(_.trim).toSet
       else Set("documents", "embeddings", "orders", "lineitem")
+    // optional 5th arg: document salting mode — "caesar" (default;
+    // length-preserving, 26 shift classes) or "suffix" (per-token
+    // base-26 copy code: fully disjoint vocabularies at any copy count,
+    // the fixpoint-exponent corpus — see `suffixed`)
+    val saltMode = if (args.length > 4) args(4) else "caesar"
+    require(Set("caesar", "suffix")(saltMode),
+      s"unknown salt mode '$saltMode' (caesar|suffix)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -98,14 +132,19 @@ object ScaleData {
         new java.io.File(s"$src/$t.parquet"),
         new java.io.File(s"$out/$t.parquet"))
 
-    // documents: id fan-out + per-copy Caesar vocabulary
-    if (scaleSet("documents"))
-      write(Tables.documents(spark, src).crossJoin(broadcast(cop))
+    // documents: id fan-out + per-copy salted vocabulary
+    if (scaleSet("documents")) {
+      val salted =
+        if (saltMode == "suffix") suffixed(col("text"), col("r"))
+        else shifted(col("text"), col("r"), copies)
+      val base = Tables.documents(spark, src).crossJoin(broadcast(cop))
         .select((col("doc_id") * c + col("r")).as("doc_id"),
-          shifted(col("text"), col("r"), copies).as("text"),
-          col("lang"), col("source"), col("n_chars")),
-        "documents", copies)
-    else copy1x("documents")
+          salted.as("text"), col("lang"), col("source"), col("n_chars"))
+      // suffix mode grows tokens by 3 chars: keep n_chars truthful
+      val docs = if (saltMode == "suffix")
+        base.withColumn("n_chars", length(col("text"))) else base
+      write(docs, "documents", copies)
+    } else copy1x("documents")
 
     // embeddings: id fan-out + deterministic micro-jitter on copies r>0
     if (scaleSet("embeddings"))
