@@ -62,6 +62,11 @@ object GraftExtensions {
       info("splitmix64", "_FUNC_(x) - splitmix64 finalizer of a 64-bit key " +
         "(Steele, Lea & Flood 2014; the q159 sampling hash)."),
       (args: Seq[Expression]) => rel.SplitMix64(args.head)),
+    ("ln_shared",
+      info("ln_shared", "_FUNC_(n) - Engine-neutral ln of a positive " +
+        "BIGINT (IEEE-exact op sequence, bit-identical to the DuckDB " +
+        "oracle rendering; NULL below 1)."),
+      (args: Seq[Expression]) => graft.functions.LnShared(args.head)),
     ("simhash_agg",
       info("simhash_agg", "_FUNC_(hash, weight) - 64-bit weighted SimHash aggregate."),
       (args: Seq[Expression]) =>

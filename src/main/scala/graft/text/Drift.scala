@@ -296,8 +296,13 @@ object Drift {
     val gt = st.groupBy(col("term")).agg(sum(col("a")).as("g"))
     val totals = st.groupBy(col("source")).agg(sum(col("a")).as("a_tot"))
     val grand = gt.agg(sum(col("g")).as("g_tot"))
+    // L(n) = round(1e6·ln(n)) through the ENGINE-NEUTRAL shared ln
+    // (functions.SharedLn): bit-identical to the oracle's generated
+    // formula by construction, retiring the libm knife-edge on this
+    // |sources|×|vocab| grid — the highest-cardinality micro-nat
+    // surface in the registry (r17 verdict item 3)
     def lnMicro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      round(lit(1e6) * log(c.cast("double"))).cast("long")
+      graft.functions.SharedLn.lnMicro(c)
     val grid = totals.crossJoin(broadcast(gt))
       .join(st, Seq("source", "term"), "left_outer")
       .withColumn("a", coalesce(col("a"), lit(0L)))
@@ -337,8 +342,14 @@ object Drift {
 
   private lazy val jsdOracle: String = {
     val dToks = CorpusFilters.DToks
-    def lnM(x: String): String =
-      s"CAST(round(1000000.0 * ln($x)) AS BIGINT)"
+    // the micro-nat roundings consume graft.functions.SharedLn's
+    // generated engine-neutral ln columns (lnt layer below) — the same
+    // IEEE op sequence the Spark side runs, bit-exact by construction
+    def lnM(x: String): String = graft.functions.SharedLn.microSql(x)
+    val lntLayer = graft.functions.SharedLn.oracleLn("terms",
+      Seq("source", "a_tot", "r_tot", "a", "r"),
+      Seq(("ln_p", "2 * a * r_tot"), ("ln_d", "den"),
+        ("ln_q", "2 * r * a_tot")))
     s"""WITH st AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS a
        |  FROM (SELECT source, unnest($dToks) AS term FROM documents)
        |  GROUP BY 1, 2),
@@ -355,14 +366,15 @@ object Drift {
        |    g - a AS r,
        |    a * (g_tot - a_tot) + (g - a) * a_tot AS den
        |  FROM grid CROSS JOIN grand),
+       |lnt AS ($lntLayer),
        |scored AS (SELECT source, a_tot, r_tot, a, r,
        |    CASE WHEN a > 0 THEN
-       |      a * (${lnM("2 * a * r_tot")} - ${lnM("den")})
+       |      a * (${lnM("ln_p")} - ${lnM("ln_d")})
        |      ELSE 0 END AS sp_term,
        |    CASE WHEN r > 0 THEN
-       |      r * (${lnM("2 * r * a_tot")} - ${lnM("den")})
+       |      r * (${lnM("ln_q")} - ${lnM("ln_d")})
        |      ELSE 0 END AS sq_term
-       |  FROM terms)
+       |  FROM lnt)
        |SELECT source, CAST(MAX(a_tot) AS BIGINT) AS n_tok,
        |  CAST(MAX(r_tot) AS BIGINT) AS n_rest,
        |  CAST(SUM(CASE WHEN a > 0 THEN 1 ELSE 0 END) AS BIGINT)

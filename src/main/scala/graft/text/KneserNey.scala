@@ -364,8 +364,11 @@ object KneserNey {
     * (Katz 1987 §2 — "large counts are reliable"). */
   private val KatzK = 5L
   /** round(10⁶·ln 10⁶) — the quantization constant the discounted
-    * probabilities divide through. */
-  private val LnMegaMicro: Long = math.round(1e6 * math.log(1e6))
+    * probabilities divide through; derived from the shared
+    * engine-neutral ln so it stays consistent with every other L()
+    * value in the score (r18: the libm knife-edge retirement). */
+  private val LnMegaMicro: Long =
+    math.round(1e6 * graft.functions.SharedLnUtil.ln(1000000L))
 
   /** q250: Katz backoff TRIGRAM scoring (Katz, IEEE TASSP 1987) — the
     * third LM rung, CONSUMING q249's Good-Turing table the way the
@@ -457,7 +460,11 @@ object KneserNey {
           "DECIMAL(38,0) at this corpus scale")), lit(true)))
       .withColumn("beta_num", col("cv") * 1000000L - col("sum_cstar"))
       .select(col("w1"), col("w2"), col("cv"), col("beta_num"))
-    def lm(x: String) = s"CAST(round(1000000.0 * ln($x)) AS BIGINT)"
+    // engine-neutral shared ln (functions.SharedLn) — bit-exact with
+    // the oracle's generated formula; retires the libm knife-edge on
+    // the per-trigram score surface (r17 verdict item 3)
+    def lm(c: org.apache.spark.sql.Column) =
+      graft.functions.SharedLn.lnMicro(c)
     val scored = tri
       .join(cstar, Seq("w1", "w2", "w3"), "left_outer")
       .join(broadcast(beta), Seq("w1", "w2"), "left_outer")
@@ -472,12 +479,12 @@ object KneserNey {
           .otherwise("oov"))
       .withColumn("lp",
         when(col("mode") === "seen",
-          expr(s"${lm("cstar_micro")} - ${lm("cv")} - $LnMegaMicro"))
+          lm(col("cstar_micro")) - lm(col("cv")) - lit(LnMegaMicro))
           .when(col("mode") === "backoff",
-            expr(s"${lm("beta_num")} - ${lm("cv * 1000000")} + " +
-              s"${lm("cb")} - ${lm("cbv")}"))
+            lm(col("beta_num")) - lm(col("cv") * lit(1000000L)) +
+              lm(col("cb")) - lm(col("cbv")))
           .when(col("mode") === "bigram",
-            expr(s"${lm("cb")} - ${lm("cbv")}"))
+            lm(col("cb")) - lm(col("cbv")))
           .otherwise(lit(0L)))
     scored.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_trigrams"),
@@ -493,7 +500,15 @@ object KneserNey {
   }
 
   private lazy val katzOracle: String = {
-    def lm(x: String) = s"CAST(round(1000000.0 * ln($x)) AS BIGINT)"
+    // micro-nat roundings consume graft.functions.SharedLn's generated
+    // engine-neutral ln columns (scln layer) — the same IEEE op
+    // sequence the Spark side runs, bit-exact by construction
+    def lm(x: String) = graft.functions.SharedLn.microSql(x)
+    val scln = graft.functions.SharedLn.oracleLn("sc",
+      Seq("doc_id", "mode"),
+      Seq(("l_cstar", "cstar_micro"), ("l_cv", "cv"),
+        ("l_cvm", "cv * 1000000"), ("l_beta", "beta_num"),
+        ("l_cb", "cb"), ("l_cbv", "cbv")))
     val z1 = "(z + 11400714819323198485) % 18446744073709551616"
     val m2 = mulmodSql("x1", BigInt("13787848793156543929"))
     val m3 = mulmodSql("x2", BigInt("10723151780598845931"))
@@ -553,15 +568,16 @@ object KneserNey {
        |  LEFT JOIN beta bt ON bt.w1 = tri.w1 AND bt.w2 = tri.w2
        |  LEFT JOIN bic bg ON bg.w2 = tri.w2 AND bg.w3 = tri.w3
        |  LEFT JOIN biv bv ON bv.w2 = tri.w2),
+       |scln AS ($scln),
        |lp AS (SELECT doc_id, mode,
        |    CASE mode
-       |      WHEN 'seen' THEN ${lm("cstar_micro")} - ${lm("cv")}
+       |      WHEN 'seen' THEN ${lm("l_cstar")} - ${lm("l_cv")}
        |        - $LnMegaMicro
-       |      WHEN 'backoff' THEN ${lm("beta_num")}
-       |        - ${lm("cv * 1000000")} + ${lm("cb")} - ${lm("cbv")}
-       |      WHEN 'bigram' THEN ${lm("cb")} - ${lm("cbv")}
+       |      WHEN 'backoff' THEN ${lm("l_beta")}
+       |        - ${lm("l_cvm")} + ${lm("l_cb")} - ${lm("l_cbv")}
+       |      WHEN 'bigram' THEN ${lm("l_cb")} - ${lm("l_cbv")}
        |      ELSE 0 END AS lp
-       |  FROM sc),
+       |  FROM scln),
        |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
        |    CAST(SUM(CASE WHEN mode = 'seen' THEN 1 ELSE 0 END)
        |      AS BIGINT) AS n_seen,
