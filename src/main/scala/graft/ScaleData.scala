@@ -81,10 +81,14 @@ object ScaleData {
     * measurement, which only compares the salted corpus to itself
     * across copy counts. */
   private def suffixed(text: Column, rCol: Column): Column = {
-    val code = concat(
-      expr("char(97 + pmod(r, 26))"),
-      expr("char(97 + pmod(r div 26, 26))"),
-      expr("char(97 + pmod(r div 676, 26))"))
+    // built from rCol itself, not a string-embedded "r" column name, so
+    // the helper binds correctly wherever the copy column comes from
+    // (ADVICE r17)
+    def digit(d: Column): Column =
+      call_function("char", lit(97) + pmod(d, lit(26)))
+    val code = concat(digit(rCol),
+      digit(floor(rCol / lit(26)).cast("int")),
+      digit(floor(rCol / lit(676)).cast("int")))
     when(rCol === 0, text).otherwise(
       array_join(transform(split(text, " "),
         t => when(t === "", t).otherwise(concat(t, code))), " "))
@@ -140,9 +144,14 @@ object ScaleData {
       val base = Tables.documents(spark, src).crossJoin(broadcast(cop))
         .select((col("doc_id") * c + col("r")).as("doc_id"),
           salted.as("text"), col("lang"), col("source"), col("n_chars"))
-      // suffix mode grows tokens by 3 chars: keep n_chars truthful
+      // suffix mode grows tokens by 3 chars: keep n_chars truthful —
+      // and keep its TYPE identical to the source column's (length()
+      // returns INT; the source column is BIGINT — a silent schema
+      // drift between the two salt modes otherwise, ADVICE r17)
+      val nCharsType = Tables.documents(spark, src).schema("n_chars").dataType
       val docs = if (saltMode == "suffix")
-        base.withColumn("n_chars", length(col("text"))) else base
+        base.withColumn("n_chars", length(col("text")).cast(nCharsType))
+      else base
       write(docs, "documents", copies)
     } else copy1x("documents")
 
