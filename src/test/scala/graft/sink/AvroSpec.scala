@@ -125,6 +125,39 @@ class AvroSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
+  test("avro zone-map skipping answers IN filters on data columns") {
+    val out = tmp("zonemap_in")
+    Avro.writePartitioned(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartitionByRange(8, col("doc_id")),
+      out, "lang")
+    val allFiles = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .filterNot(_.getName == "_stats")
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".avro"))
+    // an IN probe on the range-clustered column: every value lands in
+    // the low range, so zone maps must prove most files irrelevant
+    val probe = Seq(5L, 10L, 50L)
+    val scan = spark.read.format("graft.sink.AvroSource").load(out)
+      .filter(col("doc_id").isin(probe: _*)) // NO partition filter
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftAvroScan") && plan.contains("doc_id"),
+      s"expected the IN stats filter in the scan description:\n$plan")
+    AvroCounters.filesOpened.set(0)
+    AvroCounters.filesSkippedByStats.set(0)
+    val got = scan.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(AvroCounters.filesOpened.get() < allFiles,
+      s"IN zone maps must skip files: opened " +
+        s"${AvroCounters.filesOpened.get()} of $allFiles present")
+    assert(AvroCounters.filesSkippedByStats.get() > 0,
+      "the IN skip must come from the stats sidecars")
+    val truth = Tables.documents(spark, dir)
+      .filter(col("doc_id").isin(probe: _*))
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(truth), "IN skipping must lose no matching row")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   test("avro splittable read: byte-range splits partition records exactly") {
     val out = tmp("split")
     // one task -> one file holding every row, so splitting must come from
