@@ -116,6 +116,13 @@ object ScaleData {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // big-corpus generation on a steal-prone host: a multi-second
+      // stall (GC or hypervisor) must not let the in-process executor
+      // give up heartbeating the driver and shut the context down —
+      // an r18 100× lineitem build died exactly this way ("unable to
+      // send heartbeats to driver more than 60 times")
+      .config("spark.executor.heartbeatInterval", "30s")
+      .config("spark.network.timeout", "600s")
     if (new java.io.File("/dev/shm").isDirectory)
       builder.config("spark.local.dir", "/dev/shm/spark-local")
     val spark = builder.getOrCreate()
