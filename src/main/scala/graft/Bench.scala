@@ -65,7 +65,12 @@ object Bench {
       // pre-warmed untimed before the timed loop (r17)
       "q239_distance_approx",
       // PageRank fixpoint on the word graph: ≤10 rounds + probes (r16)
-      "q246_textrank")
+      "q246_textrank",
+      // budget-bounded BFS: a fixpoint with per-round count probes —
+      // exactly this set's shape, yet it was min-of-2 through r17 and
+      // the official number carried a 3.5× sample spread (r17 verdict
+      // item 1a)
+      "q201_distance_histogram")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -105,9 +110,20 @@ object Bench {
     // ERROR: keep the single JSON result line easy for the driver to find
     spark.sparkContext.setLogLevel("ERROR")
 
+    // SPARK_GRAFT_TIER=trainer (r17 verdict item 5): time the
+    // model-fit/streaming-replay entries the main loop excludes — one
+    // sample each after the standard warmup, written to
+    // BENCH_TRAINER.json and embedded into the next official
+    // BENCH_FULL.json as a "trainer" section. These measure iteration
+    // counts, not engine throughput, so they stay OUT of the official
+    // total — but a trainer-path regression (a fit suddenly 10×) now
+    // has a recorded number to regress FROM.
+    val trainerTier = sys.env.get("SPARK_GRAFT_TIER").contains("trainer")
     val benchSet = {
       val base =
-        if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) SparkEntry.queries
+        if (trainerTier)
+          SparkEntry.queries.view.filterKeys(heavyModelFits).toMap
+        else if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) SparkEntry.queries
         else SparkEntry.queries -- heavyModelFits
       // dev-only subset (comma-separated names), like Verify's; driver
       // leaves it unset
@@ -184,32 +200,104 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
+    // Machine-load attribution (r17 verdict item 1b): the r17 artifact
+    // inflated 1.33× over r16 with 3-7× taskTime swings on IDENTICAL
+    // plans — environment contention, but nothing in the artifact could
+    // prove it. Record the 1-minute loadavg and the count of OTHER java
+    // processes alongside every sample, so a contended run is
+    // attributable from the artifact alone.
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    // Hypervisor steal (r18): loadavg and otherJvms see only INSIDE the
+    // VM; /proc/stat's steal column counts cycles the HOST withheld.
+    // The r18 probe that motivated this read 7% steal at idle and ~13%
+    // of active CPU stolen cumulatively — enough to inflate identical
+    // plans' executor taskTime 1.5-2× and breach the bench contract
+    // with zero in-VM signal. Per-sample steal-seconds make that
+    // attribution readable straight from BENCH_FULL.
+    def stealJiffies: Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try {
+          val f = src.getLines().next().trim.split("\\s+")
+          if (f.length > 8) f(8).toLong else -1L
+        } finally src.close()
+      } catch { case _: Throwable => -1L }
+    val selfPid = ProcessHandle.current().pid()
+    def otherJvms: Int =
+      try {
+        val procs = new java.io.File("/proc").listFiles()
+        if (procs == null) -1
+        else procs.count { f =>
+          f.getName.forall(_.isDigit) && f.getName.toLong != selfPid && {
+            val comm = new java.io.File(f, "comm")
+            comm.isFile && {
+              try {
+                val s = scala.io.Source.fromFile(comm)
+                try s.mkString.trim == "java" finally s.close()
+              } catch { case _: Throwable => false }
+            }
+          }
+        }
+      } catch { case _: Throwable => -1 }
+    // SparkListener events arrive on an async bus: without a drain,
+    // trailing onStageCompleted events get attributed to the NEXT
+    // sample (ADVICE r17). The bus exposes waitUntilEmpty() as
+    // private[spark] — public in bytecode, so reflection reaches it
+    // without an org.apache.spark shim; the fallback sleep bounds the
+    // skew at one scheduling quantum.
+    def drainListenerBus(): Unit =
+      try {
+        val bus = spark.sparkContext.getClass
+          .getMethod("listenerBus").invoke(spark.sparkContext)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case _: Throwable => Thread.sleep(30) }
 
-    // one sample: (wall sec, executor taskTime sec, GC sec, shuffle-write
-    // MB, shuffle-read MB, disk-spill MB, input MB); -1 wall = fail
+    // one sample; wall = -1 marks a failure
+    case class Sample(wall: Double, tt: Double, gc: Double, swB: Double,
+      srB: Double, spB: Double, inB: Double, load: Double, jvms: Int,
+      steal: Double)
+    // validate the probe-mode sample override BEFORE the run starts, not
+    // mid-bench inside times.min (ADVICE r17)
+    val envSamples = sys.env.get("SPARK_GRAFT_SAMPLES").map { v =>
+      val n = try v.toInt catch { case _: NumberFormatException =>
+        sys.error(s"SPARK_GRAFT_SAMPLES must be a positive int, got '$v'") }
+      require(n >= 1, s"SPARK_GRAFT_SAMPLES must be >= 1, got $n")
+      n
+    }
     val results = benchSet.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): (Double, Double, Double, Double, Double, Double, Double) = {
+      def once(): Sample = {
+        drainListenerBus() // don't inherit the predecessor's stragglers
+        val (load0, jvms0, st0) = (loadAvg, otherJvms, stealJiffies)
         val (g0, sw0, tt0, sc0) =
           (gcMs, stageWall.get, taskTime.get, stageCount.get)
         val (sw1, sr1, sp1, in1) =
           (shufWrite.get, shufRead.get, spillBytes.get, inputBytes.get)
+        def stealSec: Double = {
+          val s1 = stealJiffies
+          if (st0 < 0 || s1 < 0) -1.0 else (s1 - st0) / 100.0
+        }
         val t0 = System.nanoTime()
         try run(fn, sfDir)
         catch { case _: Throwable =>
-          return (-1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0) }
+          return Sample(-1.0, 0, 0, 0, 0, 0, 0, load0, jvms0, stealSec) }
         val w = (System.nanoTime() - t0) / 1e9
+        drainListenerBus() // attribute every stage to THIS sample
         val (tt, gc) = ((taskTime.get - tt0) / 1e3, (gcMs - g0) / 1e3)
         val mb = 1024.0 * 1024.0
         val (swB, srB, spB, inB) = ((shufWrite.get - sw1) / mb,
           (shufRead.get - sr1) / mb, (spillBytes.get - sp1) / mb,
           (inputBytes.get - in1) / mb)
+        val stealNow = stealSec
         if (diag)
           println(f"[diag] $name wall=$w%.2f stageWall=${(stageWall.get - sw0) / 1e3}%.2f " +
             f"taskTime=$tt%.2f gc=$gc%.2f " +
             f"stages=${stageCount.get - sc0} " +
             f"shufWriteMB=$swB%.1f shufReadMB=$srB%.1f spillMB=$spB%.1f " +
-            f"inputMB=$inB%.1f")
-        (w, tt, gc, swB, srB, spB, inB)
+            f"inputMB=$inB%.1f load=$load0%.1f jvms=$jvms0 " +
+            f"steal=$stealNow%.1f")
+        Sample(w, tt, gc, swB, srB, spB, inB, load0, jvms0, stealNow)
       }
       // measurement hygiene: drop every block a predecessor left pinned
       // (eager localCheckpoints, lingering .cache()s) and then drain heap
@@ -234,10 +322,26 @@ object Bench {
       // (big-corpus scaling rungs where one sample runs minutes and the
       // BYTE metrics are sample-invariant anyway); the official run
       // leaves it unset and keeps median-of-5 / best-of-2.
-      val nSamples = sys.env.get("SPARK_GRAFT_SAMPLES").map(_.toInt)
-        .getOrElse(if (multiJobQueries(name)) 5 else 2)
-      val samples = Seq.fill(nSamples)(once())
-      val times = samples.map(_._1)
+      val nSamples = envSamples
+        .getOrElse(if (trainerTier) 1
+        else if (multiJobQueries(name)) 5 else 2)
+      var samples = Seq.fill(nSamples)(once())
+      // Escalate on spread (r17 verdict item 1c): a >2× in-run spread on
+      // a non-trivial query means a contention phase crossed the run —
+      // q201's official 15.4 s was min-of-2 over {15.4, 54.5}. Take up
+      // to 3 more samples so the reported number comes from the quiet
+      // side of the phase, not from whichever draw it dealt. Only when
+      // the caller didn't pin the count (probe mode) and the query is
+      // big enough for spread to mean contention rather than timer noise.
+      if (envSamples.isEmpty && !trainerTier) {
+        def spreadHigh = {
+          val ok = samples.map(_.wall).filter(_ >= 0)
+          ok.nonEmpty && ok.min >= 0.5 && ok.max / ok.min > 2.0
+        }
+        var extra = 0
+        while (spreadHigh && extra < 3) { samples :+= once(); extra += 1 }
+      }
+      val times = samples.map(_.wall)
       val official = if (times.exists(_ < 0)) -1.0
         else if (multiJobQueries(name)) times.sorted.apply(times.size / 2)
         else times.min
@@ -261,12 +365,13 @@ object Bench {
       .mkString("{", ",", "}")
     val nFailed = results.count(_._2._1 < 0)
     val total = results.collect { case (_, (v, _)) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"queries":$qs}""")
+    val metric = if (trainerTier) "trainer_total" else "total"
+    println(s"""{"metric":"$metric","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"queries":$qs}""")
     // Second, SHORT line with the headline numbers alone: short enough to
     // survive truncation from EITHER direction, so the official artifact
     // always records the total even if the per-query line is cut
     // (round-8 verdict item 2).
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed}""")
+    println(s"""{"metric":"$metric","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed}""")
     // COMPLETE per-query artifact on disk (round-14 verdict item 8): the
     // stdout capture preserves only the tail of the long line, which
     // limited r13↔r14 comparison to ~70 queries. This file carries every
@@ -277,24 +382,58 @@ object Bench {
       BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
     val full = results.toSeq.sortBy(_._1).map { case (k, (v, ts)) =>
       "\"" + k + "\":{\"time\":" + r3(v) +
-        ",\"samples\":[" + ts.map(s => r3(s._1)).mkString(",") + "]" +
-        ",\"taskTime\":[" + ts.map(s => r3(s._2)).mkString(",") + "]" +
-        ",\"gcTime\":[" + ts.map(s => r3(s._3)).mkString(",") + "]" +
+        ",\"samples\":[" + ts.map(s => r3(s.wall)).mkString(",") + "]" +
+        ",\"taskTime\":[" + ts.map(s => r3(s.tt)).mkString(",") + "]" +
+        ",\"gcTime\":[" + ts.map(s => r3(s.gc)).mkString(",") + "]" +
         // data-movement profile (MB, r17): shuffle write is the
         // cluster-network cost the plan would pay at scale; spill > 0
         // flags partitions outgrowing executor memory at this SF
-        ",\"shufWriteMB\":[" + ts.map(s => r1(s._4)).mkString(",") + "]" +
-        ",\"shufReadMB\":[" + ts.map(s => r1(s._5)).mkString(",") + "]" +
-        ",\"spillMB\":[" + ts.map(s => r1(s._6)).mkString(",") + "]" +
-        ",\"inputMB\":[" + ts.map(s => r1(s._7)).mkString(",") + "]}"
+        ",\"shufWriteMB\":[" + ts.map(s => r1(s.swB)).mkString(",") + "]" +
+        ",\"shufReadMB\":[" + ts.map(s => r1(s.srB)).mkString(",") + "]" +
+        ",\"spillMB\":[" + ts.map(s => r1(s.spB)).mkString(",") + "]" +
+        ",\"inputMB\":[" + ts.map(s => r1(s.inB)).mkString(",") + "]" +
+        // machine-load attribution (r18): 1-min loadavg + count of
+        // OTHER jvm processes at each sample's start — a 3× wall
+        // inflation with load ≫ cpus and jvms > 0 is the environment,
+        // not the plan
+        ",\"loadAvg\":[" + ts.map(s => r1(s.load)).mkString(",") + "]" +
+        ",\"otherJvms\":[" + ts.map(_.jvms).mkString(",") + "]" +
+        // hypervisor steal-seconds during the sample (r18): taskTime
+        // inflating on an identical plan while stealSec tracks wall is
+        // the HOST, not the plan — the one contention source loadavg
+        // and otherJvms cannot see
+        ",\"stealSec\":[" + ts.map(s => r1(s.steal)).mkString(",") + "]}"
     }.mkString("{", ",", "}")
     // a SPARK_GRAFT_ONLY dev subset must not clobber the full artifact
-    // (round-15 lesson: a 2-query probe overwrote the certified run)
-    if (!sys.env.contains("SPARK_GRAFT_ONLY")) try {
-      val w = new java.io.PrintWriter("BENCH_FULL.json")
-      try w.println(
-        s"""{"sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"total":${r3(total)},"queries":$full}""")
-      finally w.close()
+    // (round-15 lesson: a 2-query probe overwrote the certified run);
+    // same for SPARK_GRAFT_SAMPLES — it is documented probe-only
+    // (1-sample big-corpus rungs at a different SF dir), so its runs
+    // must never replace the certified median-of-5 artifact (ADVICE r17)
+    if (!sys.env.contains("SPARK_GRAFT_ONLY") &&
+        !sys.env.contains("SPARK_GRAFT_SAMPLES")) try {
+      if (trainerTier) {
+        // trainer tier writes its OWN artifact; the next official run
+        // embeds it, so BENCH_FULL always carries the latest recorded
+        // trainer-path costs without the official total absorbing them
+        val w = new java.io.PrintWriter("BENCH_TRAINER.json")
+        try w.println(
+          s"""{"sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"total":${r3(total)},"queries":$full}""")
+        finally w.close()
+      } else {
+        val trainer = try {
+          val f = new java.io.File("BENCH_TRAINER.json")
+          if (f.isFile)
+            scala.io.Source.fromFile(f).mkString.trim match {
+              case s if s.startsWith("{") => s
+              case _ => "null"
+            }
+          else "null"
+        } catch { case _: Throwable => "null" }
+        val w = new java.io.PrintWriter("BENCH_FULL.json")
+        try w.println(
+          s"""{"sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"total":${r3(total)},"queries":$full,"trainer":$trainer}""")
+        finally w.close()
+      }
     } catch { case _: Throwable => () } // artifact is best-effort
     spark.stop()
   }
