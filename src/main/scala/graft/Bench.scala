@@ -7,8 +7,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Methodology: one untimed warmup pass at sf0.001 first (JIT + whole-stage
   * codegen compilation dominate cold-JVM timings on small data), then each
-  * query is timed twice at the target SF and the best run is reported —
-  * measuring the engine's plan, not JVM warmup noise.
+  * query is timed at the target SF — best-of-2 by default, median-of-5 for
+  * the multi-job fixpoint set, with automatic escalation (up to 3 extra
+  * samples) when a query's in-run spread exceeds 2× — measuring the
+  * engine's plan, not JVM warmup noise or a host-contention phase. Every
+  * sample's taskTime/gc/shuffle/spill/input bytes plus loadAvg, other-JVM
+  * count and /proc/stat steal-seconds land in BENCH_FULL.json, so a
+  * contended run is attributable from the artifact alone.
   */
 object Bench {
   /** Iterative MLlib model fits (LDA sweeps, LSH/KMeans fits) are excluded
