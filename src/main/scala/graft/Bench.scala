@@ -8,12 +8,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Methodology: one untimed warmup pass at sf0.001 first (JIT + whole-stage
   * codegen compilation dominate cold-JVM timings on small data), then each
   * query is timed at the target SF — best-of-2 by default, median-of-5 for
-  * the multi-job fixpoint set, with automatic escalation (up to 3 extra
-  * samples) when a query's in-run spread exceeds 2× — measuring the
-  * engine's plan, not JVM warmup noise or a host-contention phase. Every
-  * sample's taskTime/gc/shuffle/spill/input bytes plus loadAvg, other-JVM
-  * count and /proc/stat steal-seconds land in BENCH_FULL.json, so a
-  * contended run is attributable from the artifact alone.
+  * the multi-job fixpoint set. Two escalation triggers (r18/r19 verdicts):
+  * a sample whose /proc/stat steal-seconds exceed half its wall is TAINTED
+  * (a hypervisor steal phase, not the plan — r18 shipped q283 at 15.5 s
+  * off two samples carrying ~70 steal-s each against a 3.8 s intrinsic),
+  * and the run resamples until ≥2 untainted samples exist (cap 8); then
+  * a >2× spread ACROSS UNTAINTED samples adds up to 3 more. The official
+  * number comes from the untainted set alone (least-stolen pair as a
+  * last-resort fallback if a phase outlives the cap), so a uniform steal
+  * phase can no longer ship an inflated median that spread checks can't
+  * see. Every sample's taskTime/gc/shuffle/spill/input bytes plus
+  * loadAvg, other-JVM count, /proc/stat steal-seconds and the per-query
+  * tainted-sample count land in BENCH_FULL.json, so a contended run is
+  * attributable from the artifact alone.
   */
 object Bench {
   /** Iterative MLlib model fits (LDA sweeps, LSH/KMeans fits) are excluded
@@ -331,24 +338,51 @@ object Bench {
         .getOrElse(if (trainerTier) 1
         else if (multiJobQueries(name)) 5 else 2)
       var samples = Seq.fill(nSamples)(once())
-      // Escalate on spread (r17 verdict item 1c): a >2× in-run spread on
-      // a non-trivial query means a contention phase crossed the run —
-      // q201's official 15.4 s was min-of-2 over {15.4, 54.5}. Take up
-      // to 3 more samples so the reported number comes from the quiet
-      // side of the phase, not from whichever draw it dealt. Only when
-      // the caller didn't pin the count (probe mode) and the query is
-      // big enough for spread to mean contention rather than timer noise.
+      // A sample is TAINTED when the host stole more than half its wall
+      // (r18 verdict item 1): steal < 0 means /proc/stat is unreadable —
+      // no evidence either way, treat as clean rather than resample
+      // forever on a host that hides the counter.
+      def untaintedOf(ss: Seq[Sample]): Seq[Sample] = ss.filter(s =>
+        s.wall >= 0 && (s.steal < 0 || s.steal <= 0.5 * s.wall))
       if (envSamples.isEmpty && !trainerTier) {
+        // Steal-taint resample FIRST (r18 verdict item 1): a steal phase
+        // inflates every sample it covers UNIFORMLY, so the spread check
+        // below is blind to it — r18's q283 read 16.4/15.5 s (spread
+        // 1.06, no escalation) with ~70 steal-s per sample against a
+        // 3.8 s certified intrinsic. Resample until ≥2 untainted samples
+        // exist, cap 8 — if the phase outlives the cap, the fallback
+        // below reports the least-stolen pair and the artifact's
+        // taintedSamples count says why.
+        while (untaintedOf(samples).size < 2 && samples.size < 8)
+          samples :+= once()
+        // Escalate on spread (r17 verdict item 1c): a >2× spread across
+        // UNTAINTED samples means residual contention (load, other JVMs)
+        // crossed the run — q201's official 15.4 s was min-of-2 over
+        // {15.4, 54.5}. Take up to 3 more samples so the reported number
+        // comes from the quiet side of the phase. Only when the caller
+        // didn't pin the count (probe mode) and the query is big enough
+        // for spread to mean contention rather than timer noise.
         def spreadHigh = {
-          val ok = samples.map(_.wall).filter(_ >= 0)
+          val ok = untaintedOf(samples).map(_.wall)
           ok.nonEmpty && ok.min >= 0.5 && ok.max / ok.min > 2.0
         }
         var extra = 0
         while (spreadHigh && extra < 3) { samples :+= once(); extra += 1 }
       }
-      val times = samples.map(_.wall)
-      val official = if (times.exists(_ < 0)) -1.0
-        else if (multiJobQueries(name)) times.sorted.apply(times.size / 2)
+      // official basis: untainted samples only; if a steal phase tainted
+      // everything, fall back to the two least-stolen samples (the number
+      // is still an overstatement, but the artifact records the taint)
+      val untainted = untaintedOf(samples)
+      val basis =
+        if (untainted.nonEmpty) untainted
+        else samples.filter(_.wall >= 0)
+          .sortBy(s => if (s.steal < 0) Double.MaxValue else s.steal)
+          .take(2)
+      val times = basis.map(_.wall)
+      val official = if (samples.exists(_.wall < 0) || times.isEmpty) -1.0
+        // lower-middle median: the upper-middle of an even-sized escalated
+        // set biased the official number high (ADVICE r18)
+        else if (multiJobQueries(name)) times.sorted.apply((times.size - 1) / 2)
         else times.min
       (name, official, samples)
     }.map { case (name, official, samples) => name -> (official, samples) }
@@ -407,7 +441,13 @@ object Bench {
         // inflating on an identical plan while stealSec tracks wall is
         // the HOST, not the plan — the one contention source loadavg
         // and otherJvms cannot see
-        ",\"stealSec\":[" + ts.map(s => r1(s.steal)).mkString(",") + "]}"
+        ",\"stealSec\":[" + ts.map(s => r1(s.steal)).mkString(",") + "]" +
+        // count of samples the steal-taint rule excluded from the
+        // official basis (r19): >0 with a sane official time means the
+        // protocol caught a steal phase; == samples.size means the
+        // phase outlived the resample cap and the time is least-stolen
+        ",\"taintedSamples\":" + ts.count(s =>
+          s.wall >= 0 && s.steal >= 0 && s.steal > 0.5 * s.wall) + "}"
     }.mkString("{", ",", "}")
     // a SPARK_GRAFT_ONLY dev subset must not clobber the full artifact
     // (round-15 lesson: a 2-query probe overwrote the certified run);
@@ -429,7 +469,10 @@ object Bench {
           val f = new java.io.File("BENCH_TRAINER.json")
           if (f.isFile)
             scala.io.Source.fromFile(f).mkString.trim match {
-              case s if s.startsWith("{") => s
+              // a truncated trainer artifact (writer crash mid-line) must
+              // not render the whole embedding unparseable (ADVICE r18):
+              // require the blob to CLOSE as well as open
+              case s if s.startsWith("{") && s.endsWith("}") => s
               case _ => "null"
             }
           else "null"

@@ -46,7 +46,9 @@ object Hll {
   /** α_micro · m² · 2^57 — the estimate numerator, shared literal. */
   private val Numer: BigInt =
     BigInt(AlphaMicro) * BigInt(M) * BigInt(M) * (BigInt(1) << MaxRho)
-  private val LnMMicro: Long = math.round(1e6 * math.log(M.toDouble))
+  // shared-formula ln (r18 verdict item 4): the same constant text both
+  // engines derive, no libm in the definition
+  private val LnMMicro: Long = math.round(1e6 * graft.functions.SharedLnUtil.ln(M.toLong))
 
   /** Pure register fold shared by the streaming twin's consumers and the
     * specs — the identical arithmetic to the q219 relational plan:
@@ -61,7 +63,7 @@ object Hll {
     val raw = (Numer / (BigInt(1000000) * s)).toLong
     val est =
       if (vZero > 0 && raw * 2 <= 5L * M)
-        (M * (LnMMicro - math.round(1e6 * math.log(vZero.toDouble)))) /
+        (M * (LnMMicro - math.round(1e6 * graft.functions.SharedLnUtil.ln(vZero)))) /
           1000000L
       else raw
     (vZero, raw, est)
@@ -110,7 +112,7 @@ object Hll {
       .withColumn("est",
         when(col("v_zero") > 0L && col("raw_est") * 2 <= lit(5L * M),
           expr(s"(${M}L * (${LnMMicro}L - " +
-            "CAST(round(1000000.0 * ln(v_zero)) AS BIGINT))) div 1000000"))
+            "CAST(round(1000000.0 * ln_shared(v_zero)) AS BIGINT))) div 1000000"))
           .otherwise(col("raw_est")))
     val exact = li.select(
         countDistinct(col("l_orderkey")).as("orderkey"),
@@ -177,7 +179,7 @@ object Hll {
       .withColumn("est",
         when(col("v_zero") > 0L && col("raw_est") * 2 <= lit(5L * M),
           expr(s"(${M}L * (${LnMMicro}L - " +
-            "CAST(round(1000000.0 * ln(v_zero)) AS BIGINT))) div 1000000"))
+            "CAST(round(1000000.0 * ln_shared(v_zero)) AS BIGINT))) div 1000000"))
           .otherwise(col("raw_est")))
     val contract = sketch.groupBy()
       .agg(
@@ -231,8 +233,10 @@ object Hll {
        |est AS (SELECT side, v_zero, reg_sig, raw_est,
        |    CASE WHEN v_zero > 0 AND raw_est * 2 <= ${5 * M}
        |      THEN ($M * ($LnMMicro -
-       |        CAST(round(1000000.0 * ln(v_zero)) AS BIGINT))) // 1000000
-       |      ELSE raw_est END AS est FROM est0),
+       |        ${graft.functions.SharedLn.microSql("__lnvz")})) // 1000000
+       |      ELSE raw_est END AS est FROM (${graft.functions.SharedLn
+            .oracleLn("est0", Seq("side", "v_zero", "reg_sig", "raw_est"),
+              Seq(("__lnvz", "v_zero")))})),
        |c AS (SELECT COUNT(DISTINCT reg_sig) = 1 AS sigs_equal,
        |    COUNT(DISTINCT est) = 1 AS ests_equal FROM est)
        |SELECT e.side, e.v_zero, e.reg_sig, e.raw_est, e.est,
@@ -438,8 +442,10 @@ object Hll {
        |est AS (SELECT name, v_zero, reg_sig, raw_est,
        |    CASE WHEN v_zero > 0 AND raw_est * 2 <= ${5 * M}
        |      THEN ($M * ($LnMMicro -
-       |        CAST(round(1000000.0 * ln(v_zero)) AS BIGINT))) // 1000000
-       |      ELSE raw_est END AS est FROM est0),
+       |        ${graft.functions.SharedLn.microSql("__lnvz")})) // 1000000
+       |      ELSE raw_est END AS est FROM (${graft.functions.SharedLn
+            .oracleLn("est0", Seq("name", "v_zero", "reg_sig", "raw_est"),
+              Seq(("__lnvz", "v_zero")))})),
        |ex AS (
        |  SELECT 'orderkey' AS name,
        |      CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact

@@ -1159,10 +1159,30 @@ object Similarity {
   }
 
   // ------------------------------------------------ engine-only: MinHashLSH
+  /** The MLlib-LSH gate corpus: a deterministic 3/16 (≈19 %) md5-prefix
+    * sample of documents (the q49 hash-split primitive — stable across
+    * runs, engines and partitionings). MLlib's `approxSimilarityJoin`
+    * has no hot-bucket cap, so replaying it on the FULL corpus is the
+    * one registry cost that grows super-linear-shaped in practice
+    * (r18 trainer tier: 777 s + 4.8 GB spill at sf0.1, days at 100×).
+    * The replay exists to keep the MLlib plumbing exercised and q84's
+    * recall contract is statistical, so a fixed-fraction sub-corpus
+    * carries the same evidence at bounded cost (r18 verdict item 3);
+    * the production near-dup path (q30/q31 capped native bands) still
+    * runs on the full corpus. */
+  private def lshGateDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+        .isin("0", "1", "2"))
+
+  /** The matching DuckDB predicate for [[lshGateDocs]]. */
+  private val LshGateSql: String =
+    "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')"
+
   /** G18: MLlib MinHashLSH near-dup join over binary token vectors
-    * (Jaccard distance ≤ 0.3). */
+    * (Jaccard distance ≤ 0.3), on the [[lshGateDocs]] gate corpus. */
   def m_dedup_minhash_lsh(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = lshGateDocs(s, dir)
       .select(col("doc_id"), array_distinct(Cleanse.tokens(col("text"))).as("tokens"))
       .filter(size(col("tokens")) > 0)
     // vocabSize must cover EVERY distinct token: CountVectorizer's default
@@ -1206,8 +1226,10 @@ object Similarity {
     *    (must be 0 — approxSimilarityJoin post-filters by exact distance,
     *    so a false positive means the distance computation broke). */
   def q84_minhash_lsh_recall(s: SparkSession, dir: String): DataFrame = {
+    // truth over the SAME gate sub-corpus the MLlib replay runs on —
+    // the recall/false-positive contract is within-corpus
     val truth = prefixJaccardPairs(
-      Tables.documents(s, dir)
+      lshGateDocs(s, dir)
         .select(col("doc_id"),
           explode(array_distinct(Cleanse.tokens(col("text")))).as("shingle")),
       t = 0.7)
@@ -1298,12 +1320,33 @@ object Similarity {
 
   /** Band-bucketed SimHash pair kernel over a precomputed (doc_id, simhash)
     * signature frame. */
+  /** Stop-bucket cap for the 16-bit simhash bands (r18 verdict item 5,
+    * measured on the q73 ladder): the band KEYSPACE is a fixed 65,536
+    * values, so bucket occupancy grows linearly with the corpus and the
+    * band self-join QUADRATICALLY once the space saturates (~0 noise
+    * collisions at 5 k docs; ~7.6 docs/bucket at 500 k; ~76 at 5 M —
+    * the 12.2×/decade shuffle excess on the 100× rung). A bucket past
+    * the cap is hash-noise saturation, not near-dup signal — the q33
+    * hot-shingle / minhash stop-bucket posture applied to simhash, with
+    * the IDENTICAL rule in the generated oracle so the gate stays
+    * exact. 128 is far above any true duplicate cluster in testdata
+    * (max identical-text group: 2) and bounds per-bucket fanout at
+    * C(128,2) at ANY corpus size. */
+  private[graft] val SimBandBucketCap = 128
+
   private def simhashPairsOf(sig: DataFrame): DataFrame = {
     val bands = sig.select(col("doc_id"), col("simhash"), explode(array(
       (0 until 4).map(i => struct(lit(i).as("band"),
         shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = bands.as("a"); val b = bands.as("b")
+    // stop-bucket filter: the ok table is ≤ 4·65,536 rows at ANY corpus
+    // size — broadcast-class by construction
+    val ok = broadcast(bands.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("nb"))
+      .filter(col("nb").between(2L, SimBandBucketCap.toLong))
+      .select(col("band"), col("key")))
+    val cold = bands.join(ok, Seq("band", "key"), "left_semi")
+    val a = cold.as("a"); val b = cold.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -1346,9 +1389,14 @@ object Similarity {
        |${p}bands AS (SELECT doc_id, simhash, band,
        |    ((simhash >> (band * 16)) & 65535) AS key
        |  FROM ${p}sig, (VALUES (0),(1),(2),(3)) b(band)),
+       |${p}bok AS (SELECT band, key FROM ${p}bands GROUP BY band, key
+       |  HAVING COUNT(*) BETWEEN 2 AND $SimBandBucketCap),
+       |${p}cold AS (SELECT bs.doc_id, bs.simhash, bs.band, bs.key
+       |  FROM ${p}bands bs JOIN ${p}bok
+       |  ON bs.band = ${p}bok.band AND bs.key = ${p}bok.key),
        |${p}pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-       |  FROM ${p}bands a JOIN ${p}bands b ON a.band = b.band AND a.key = b.key
+       |  FROM ${p}cold a JOIN ${p}cold b ON a.band = b.band AND a.key = b.key
        |    AND a.doc_id < b.doc_id)""".stripMargin
   }
 
@@ -2411,7 +2459,8 @@ object Similarity {
     // brute inverted-index truth over distinct token sets; the engine's
     // probabilistic columns are contract booleans / literal zero
     "q84_minhash_lsh_recall" ->
-      s"""WITH toks AS (SELECT doc_id, list_distinct($DToks) AS t FROM documents),
+      s"""WITH toks AS (SELECT doc_id, list_distinct($DToks) AS t
+         |  FROM documents WHERE $LshGateSql),
          |sh AS (SELECT doc_id, unnest(t) AS item FROM toks),
          |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
          |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter

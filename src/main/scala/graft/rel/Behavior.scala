@@ -700,7 +700,7 @@ object Behavior {
       .rowsBetween(Window.unboundedPreceding, 0)
     val n = gaps.count()
     def lnM(x: org.apache.spark.sql.Column) =
-      round(lit(1e6) * log(x)).cast("long")
+      graft.functions.SharedLn.lnMicro(x)
     byDur
       .withColumn("n_risk",
         lit(n) - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
@@ -734,12 +734,15 @@ object Behavior {
        |      ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1
        |      PRECEDING), 0) AS BIGINT) AS n_risk
        |  FROM bd),
+       |rl AS (${graft.functions.SharedLn.oracleLn("r",
+          Seq("dur", "d", "c", "n_risk"),
+          Seq(("__lsur", "n_risk - d"), ("__lrisk", "n_risk")))}),
        |t AS (SELECT dur, d, c, n_risk,
        |    CASE WHEN d = 0 THEN 0
        |      WHEN n_risk = d THEN -1000000000
-       |      ELSE CAST(round(1000000.0 * ln(n_risk - d)) AS BIGINT)
-       |        - CAST(round(1000000.0 * ln(n_risk)) AS BIGINT) END AS term
-       |  FROM r)
+       |      ELSE ${graft.functions.SharedLn.microSql("__lsur")}
+       |        - ${graft.functions.SharedLn.microSql("__lrisk")} END AS term
+       |  FROM rl)
        |SELECT dur, n_risk, d AS n_fired, c AS n_censored,
        |  greatest(CAST(SUM(term) OVER (ORDER BY dur
        |    ROWS UNBOUNDED PRECEDING) AS BIGINT), -1000000000)

@@ -694,17 +694,17 @@ object Sessions {
     val ref = (0 until nBins).map { b =>
       val c = refMap.getOrElse(b.toLong, 0L)
       ((1000L * (c + 1)) / (nRef + nBins),
-        math.round(1e6 * math.log((c + 1).toDouble)) -
-          math.round(1e6 * math.log((nRef + nBins).toDouble)))
+        math.round(1e6 * graft.functions.SharedLnUtil.ln(c + 1)) -
+          math.round(1e6 * graft.functions.SharedLnUtil.ln(nRef + nBins)))
     }
     val binCols = (0 until nBins).map(b =>
       sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"c$b"))
     def term(b: Int) = {
       val (p2, l2) = ref(b)
       (expr(s"(1000 * (c$b + 1)) div (n_docs + $nBins)") - lit(p2)) *
-        ((round(lit(1e6) * log(col(s"c$b") + lit(1L))).cast("long") -
-          round(lit(1e6) * log(col("n_docs") + lit(nBins.toLong)))
-            .cast("long")) - lit(l2))
+        ((graft.functions.SharedLn.lnMicro(col(s"c$b") + lit(1L)) -
+          graft.functions.SharedLn.lnMicro(col("n_docs") + lit(nBins.toLong)))
+          - lit(l2))
     }
     docs
       .withWatermark(tsCol, watermark)
@@ -950,10 +950,10 @@ object Sessions {
           } else {
             var top = state.getOption.getOrElse(ResState(Seq.empty)).top
             rows.foreach { r =>
-              val u = ((graft.rel.SplitMix64Kernel.mix(r.doc_id) >>> 11) + 1)
-                .toDouble / 9007199254740992.0
+              val x = (graft.rel.SplitMix64Kernel.mix(r.doc_id) >>> 11) + 1
               val cand = (r.doc_id, r.weight,
-                math.round(1e6 * math.log(u)))
+                math.round(1e6 * (graft.functions.SharedLnUtil.ln(x) -
+                  graft.text.Budget.Ln2Pow53)))
               if (!top.exists(_._1 == cand._1)) {
                 val merged = (cand +: top).sortWith(better).take(k)
                 top = merged

@@ -555,15 +555,21 @@ object Budget {
   // ------------------------------------------------------------- registry
   // --------------------------------------- q182 weighted reservoir (A-ES)
   private val ResK = 50
+  /** ln(2⁵³) = 53·ln2 as the ONE shared double literal both engines
+    * subtract — u = x/2⁵³ becomes ln_shared(x) − this constant, each
+    * step IEEE-correctly rounded and hence bit-identical cross-engine. */
+  private[graft] val Ln2Pow53: Double = 53.0 * graft.functions.SharedLnUtil.Ln2
 
   /** Weighted sampling without replacement via exponential races
     * (Efraimidis & Spirakis 2006, algorithm A-ES): per doc a seeded
     * uniform u = (splitmix64(doc_id) >>> 11 + 1)/2⁵³ ∈ (0,1], priority
     * u^(1/w) with w = token count, keep the top [[ResK]] priorities.
     * Priorities compare in log space: ln(u)/w, with ln integerized ONCE
-    * per doc (round(10⁶·ln u) — the q125/q129 micro-nat knife-edge class;
-    * BudgetSpec asserts the .5 boundary margins) and the per-doc ratio
-    * one IEEE division of exact integers.
+    * per doc as round(10⁶·(ln_shared(x) − 53·ln2)) for the integer
+    * x = (h >>> 11) + 1 — the engine-neutral shared formula (r18 verdict
+    * item 4), so the gate carries no libm knife edge; BudgetSpec asserts
+    * the .5 boundary margins — and the per-doc ratio one IEEE division
+    * of exact integers.
     *
     * Why this sampler at 100 TB (vs q157's systematic PPS, which needs a
     * global prefix sum): priorities are per-row local state — the top-k
@@ -579,8 +585,8 @@ object Budget {
       .filter(col("tk") > 0)
       .withColumn("h", graft.rel.JoinCard.splitmix64(col("doc_id")))
       .selectExpr("doc_id", "tk",
-        "CAST(round(1000000.0 * ln(CAST(shiftrightunsigned(h, 11) + 1 " +
-          "AS DOUBLE) / 9007199254740992.0)) AS BIGINT) AS lnu_unat")
+        "CAST(round(1000000.0 * (ln_shared(shiftrightunsigned(h, 11) + 1) " +
+          s"- ${Budget.Ln2Pow53})) AS BIGINT) AS lnu_unat")
       .withColumn("pr",
         expr("CAST(lnu_unat AS DOUBLE) / CAST(tk AS DOUBLE)"))
       .orderBy(col("pr").desc, col("doc_id"))
@@ -730,10 +736,14 @@ object Budget {
        |s4 AS (SELECT doc_id, tk, xor(z2, z2 // 134217728) AS x2 FROM s3),
        |s5 AS (SELECT doc_id, tk, $m3 AS z3 FROM s4),
        |s6 AS (SELECT doc_id, tk, xor(z3, z3 // 2147483648) AS m FROM s5),
-       |p AS (SELECT doc_id, tk,
-       |    CAST(round(1000000.0 * ln(CAST(m // 2048 + 1 AS DOUBLE)
-       |      / 9007199254740992.0)) AS BIGINT) AS lnu_unat
+       |p0 AS (SELECT doc_id, tk, CAST(m // 2048 + 1 AS BIGINT) AS x
        |  FROM s6),
+       |pl AS (${graft.functions.SharedLn.oracleLn("p0", Seq("doc_id", "tk"),
+          Seq(("__lnx", "x")))}),
+       |p AS (SELECT doc_id, tk,
+       |    CAST(round(1000000.0 * (__lnx - ${Budget.Ln2Pow53}))
+       |      AS BIGINT) AS lnu_unat
+       |  FROM pl),
        |r AS (SELECT doc_id, tk, lnu_unat,
        |    CAST(lnu_unat AS DOUBLE) / CAST(tk AS DOUBLE) AS pr
        |  FROM p ORDER BY pr DESC, doc_id LIMIT $ResK)

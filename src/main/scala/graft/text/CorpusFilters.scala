@@ -18,6 +18,14 @@ import org.apache.spark.sql.types.DoubleType
   */
 object CorpusFilters {
 
+  /** ln(2⁴⁸) and ln(10¹⁷) as the single shared double literals the q125
+    * Gumbel key subtracts — both derived from the engine-neutral shared
+    * formula and embedded as identical text on both sides of the gate. */
+  private[text] val GumLn2Pow48: Double =
+    48.0 * graft.functions.SharedLnUtil.Ln2
+  private[text] val GumLnScale: Double =
+    graft.functions.SharedLnUtil.ln(100000000000000000L)
+
   // documentsFanned: every consumer of this frame is a compute-amplifying
   // explode/gram kernel — see Tables.fanned for the small-scan rationale
   private def docToks(s: SparkSession, dir: String): DataFrame =
@@ -2991,13 +2999,19 @@ object CorpusFilters {
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
     // corpus totals are the bucket table's own marginals — no extra pass
     val totals = bucketCounts.agg(
-      sum(col("cr")).cast("double").as("nr"),
-      sum(col("ct")).cast("double").as("nt"))
+      sum(col("cr")).as("nr"),
+      sum(col("ct")).as("nt"))
+    // shared ln (r18 verdict item 4): the log-odds ratio decomposes into
+    // four INTEGER shared-ln terms — ln(((ct+1)/(nt+b)) / ((cr+1)/(nr+b)))
+    // = (ln(ct+1) − ln(nt+b)) − (ln(cr+1) − ln(nr+b)) — evaluated in this
+    // exact association order on both sides, so every double (and the
+    // rounded micro-nat) is engine-identical with no product overflow
+    import graft.functions.SharedLn.{ln => lnsh}
     bucketCounts.crossJoin(broadcast(totals))
       .select(col("b"),
-        round(lit(1e6) * log(
-          ((col("ct") + lit(1.0)) / (col("nt") + lit(b.toDouble))) /
-            ((col("cr") + lit(1.0)) / (col("nr") + lit(b.toDouble)))))
+        round(lit(1e6) * ((lnsh(col("ct") + lit(1L)) -
+          lnsh(col("nt") + lit(b.toLong))) -
+          (lnsh(col("cr") + lit(1L)) - lnsh(col("nr") + lit(b.toLong)))))
           .cast("long").as("lam"))
   }
 
@@ -3005,10 +3019,21 @@ object CorpusFilters {
     dsirLambdaOf(dsirTb(s, dir))
 
   def q125_dsir_resample(s: SparkSession, dir: String): DataFrame = {
-    val gum = round(lit(1e6) *
-      -log(-log((conv(substring(md5(col("doc_id").cast("string")
-        .cast("binary")), 1, 12), 16, 10).cast("double") + 1.0) /
-        lit(281474976710656.0)))).cast("long")
+    // Gumbel key via SHARED ln only (r18 verdict item 4): with integer
+    // x = md5-prefix + 1 and u = x/2^48, −ln u = 48·ln2 − ln_shared(x)
+    // (every op IEEE-correctly rounded, engine-identical). The OUTER ln
+    // takes that double; the key is DEFINED through an explicit 1e-17
+    // quantization w = max(1, round((−ln u)·10¹⁷)) so the outer ln is
+    // again integer-argument shared: −ln(−ln u) ≐ ln(10¹⁷) − ln_shared(w).
+    // Quantization error ≤ 1e-17 absolute on −ln u — far below the
+    // micro-nat resolution the key is rounded to; u = 1 (prob 2^-48)
+    // now yields the deterministic max key instead of a NULL edge.
+    val x1 = conv(substring(md5(col("doc_id").cast("string")
+      .cast("binary")), 1, 12), 16, 10).cast("long") + lit(1L)
+    val vln = lit(CorpusFilters.GumLn2Pow48) - graft.functions.SharedLn.ln(x1)
+    val w = greatest(round(vln * lit(1e17)).cast("long"), lit(1L))
+    val gum = round(lit(1e6) * (lit(CorpusFilters.GumLnScale) -
+      graft.functions.SharedLn.ln(w))).cast("long")
     val keyed = dsirScores(s, dir)
       .withColumn("gumbel_unat", gum)
       .withColumn("key_unat", col("score_unat") + col("gumbel_unat"))
@@ -3036,21 +3061,37 @@ object CorpusFilters {
        |bc AS (SELECT b, COUNT(*) AS cr,
        |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
        |  FROM tb GROUP BY b),
-       |tot AS (SELECT 0.0 + COUNT(*) AS nr,
-       |    0.0 + SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt FROM tb),
-       |lam AS (SELECT b, CAST(round(1000000.0 * ln(
-       |      ((ct + 1.0) / (nt + $b.0)) / ((cr + 1.0) / (nr + $b.0))))
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS nt FROM tb),
+       |lam0 AS (SELECT b, ct + 1 AS a1, nt + $b AS a2, cr + 1 AS a3,
+       |    nr + $b AS a4 FROM bc, tot),
+       |laml AS (${graft.functions.SharedLn.oracleLn("lam0", Seq("b"),
+          Seq(("__l1", "a1"), ("__l2", "a2"), ("__l3", "a3"),
+            ("__l4", "a4")))}),
+       |lam AS (SELECT b, CAST(round(1000000.0 *
+       |      ((__l1 - __l2) - (__l3 - __l4)))
        |    AS BIGINT) AS lam
-       |  FROM bc, tot),
+       |  FROM laml),
        |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        |    CAST(SUM(lam) AS BIGINT) AS score_unat
        |  FROM tb JOIN lam USING (b) GROUP BY doc_id),
-       |k AS (SELECT doc_id, n_tokens, score_unat,
-       |    CAST(round(1000000.0 * -ln(-ln(
-       |      (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
-       |        AS BIGINT) + 1.0) / 281474976710656.0))) AS BIGINT)
-       |      AS gumbel_unat
+       |k0 AS (SELECT doc_id, n_tokens, score_unat,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+       |      AS BIGINT) + 1 AS x1
        |  FROM sc),
+       |kl AS (${graft.functions.SharedLn.oracleLn("k0",
+          Seq("doc_id", "n_tokens", "score_unat"), Seq(("__lx", "x1")))}),
+       |k1 AS (SELECT doc_id, n_tokens, score_unat,
+       |    greatest(CAST(round((${CorpusFilters.GumLn2Pow48} - __lx) *
+       |      ${(1e17).toString}) AS BIGINT), 1) AS w
+       |  FROM kl),
+       |k2 AS (${graft.functions.SharedLn.oracleLn("k1",
+          Seq("doc_id", "n_tokens", "score_unat"), Seq(("__lw", "w")))}),
+       |k AS (SELECT doc_id, n_tokens, score_unat,
+       |    CAST(round(1000000.0 * (${CorpusFilters.GumLnScale} - __lw))
+       |      AS BIGINT) AS gumbel_unat
+       |  FROM k2),
        |r AS (SELECT *, score_unat + gumbel_unat AS key_unat,
        |    ROW_NUMBER() OVER (ORDER BY score_unat + gumbel_unat DESC,
        |      doc_id) AS rank

@@ -140,12 +140,14 @@ object Drift {
     val terms = grid
       .withColumn("p1", expr(s"(1000 * (c1 + 1)) div (n_s + $NBins)"))
       .withColumn("p2", expr(s"(1000 * (c2 + 1)) div (n_rest + $NBins)"))
+      // shared ln (r18 verdict item 4): every micro-nat here is the
+      // engine-neutral formula on both sides of the gate
       .withColumn("l1",
-        round(lit(1e6) * log(col("c1") + 1L)).cast("long") -
-          round(lit(1e6) * log(col("n_s") + NBins)).cast("long"))
+        graft.functions.SharedLn.lnMicro(col("c1") + 1L) -
+          graft.functions.SharedLn.lnMicro(col("n_s") + NBins))
       .withColumn("l2",
-        round(lit(1e6) * log(col("c2") + 1L)).cast("long") -
-          round(lit(1e6) * log(col("n_rest") + NBins)).cast("long"))
+        graft.functions.SharedLn.lnMicro(col("c2") + 1L) -
+          graft.functions.SharedLn.lnMicro(col("n_rest") + NBins))
       .withColumn("term",
         (col("p1") - col("p2")) * (col("l1") - col("l2")))
     val t2 = terms.withColumn("mx",
@@ -176,14 +178,19 @@ object Drift {
        |  FROM st CROSS JOIN bins
        |  LEFT JOIN ba ON ba.bin = bins.bin
        |  LEFT JOIN sb ON sb.source = st.source AND sb.bin = bins.bin),
+       |gl AS (${graft.functions.SharedLn.oracleLn("grid",
+          Seq("source", "n_s", "n_rest", "bin", "c_all", "c1"),
+          Seq(("__lc1", "c1 + 1"), ("__lns", s"n_s + $NBins"),
+            ("__lc2", "c_all - c1 + 1"),
+            ("__lnr", s"n_rest + $NBins")))}),
        |terms AS (SELECT source, n_s, n_rest, bin,
        |    (1000 * (c1 + 1)) // (n_s + $NBins) AS p1,
        |    (1000 * (c_all - c1 + 1)) // (n_rest + $NBins) AS p2,
-       |    CAST(round(1000000.0 * ln(c1 + 1)) AS BIGINT) -
-       |      CAST(round(1000000.0 * ln(n_s + $NBins)) AS BIGINT) AS l1,
-       |    CAST(round(1000000.0 * ln(c_all - c1 + 1)) AS BIGINT) -
-       |      CAST(round(1000000.0 * ln(n_rest + $NBins)) AS BIGINT) AS l2
-       |  FROM grid),
+       |    ${graft.functions.SharedLn.microSql("__lc1")} -
+       |      ${graft.functions.SharedLn.microSql("__lns")} AS l1,
+       |    ${graft.functions.SharedLn.microSql("__lc2")} -
+       |      ${graft.functions.SharedLn.microSql("__lnr")} AS l2
+       |  FROM gl),
        |tm AS (SELECT source, n_s, n_rest, bin,
        |    (p1 - p2) * (l1 - l2) AS term FROM terms),
        |t2 AS (SELECT *, MAX(term) OVER (PARTITION BY source) AS mx

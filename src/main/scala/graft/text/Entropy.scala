@@ -31,8 +31,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * explode shape multiplies the shuffle by average document length.
   */
 object EntropyKernel {
-  /** round(1e6·ln(x)) for x ≥ 1. */
-  private def iln(x: Long): Long = math.round(1e6 * math.log(x.toDouble))
+  /** round(1e6·ln(x)) for x ≥ 1 — the engine-neutral shared formula
+    * (r18 verdict item 4), so the oracle's generated-SQL twin is
+    * bit-identical by construction, not by libm luck. */
+  private def iln(x: Long): Long =
+    math.round(1e6 * graft.functions.SharedLnUtil.ln(x))
 
   /** Per-CODE-POINT entropy in micro-nats; 0 for empty/null-length
     * strings. Counts Unicode code points (matches DuckDB's
@@ -100,23 +103,28 @@ object Entropy {
       .withColumn("low_entropy", col("h_unat") < LowEntropyUnat)
       .orderBy(col("doc_id"))
 
-  private lazy val entropyOracle: String =
+  private lazy val entropyOracle: String = {
+    import graft.functions.SharedLn.{microSql, oracleLn}
     s"""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
        |  FROM documents),
        |cc AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cnt
        |  FROM ch GROUP BY 1, 2),
+       |ccl AS (${oracleLn("cc", Seq("doc_id", "cnt"), Seq(("__lnc", "cnt")))}),
        |agg AS (SELECT doc_id, SUM(cnt) AS n,
-       |    SUM(cnt * CAST(round(1000000.0 * ln(cnt)) AS BIGINT)) AS sm
-       |  FROM cc GROUP BY 1),
+       |    SUM(cnt * ${microSql("__lnc")}) AS sm
+       |  FROM ccl GROUP BY 1),
+       |aggl AS (${oracleLn("agg", Seq("doc_id", "n", "sm"),
+          Seq(("__lnn", "n")))}),
        |h AS (SELECT d.doc_id,
        |    CAST(length(d.text) AS BIGINT) AS n_chars_text,
        |    CAST(CASE WHEN a.n IS NULL OR a.n = 0 THEN 0
-       |      ELSE CAST(round(1000000.0 * ln(a.n)) AS BIGINT) - sm // a.n
+       |      ELSE ${microSql("__lnn")} - sm // a.n
        |    END AS BIGINT) AS h_unat
-       |  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id)
+       |  FROM documents d LEFT JOIN aggl a ON d.doc_id = a.doc_id)
        |SELECT doc_id, n_chars_text, h_unat,
        |  h_unat < $LowEntropyUnat AS low_entropy
        |FROM h ORDER BY doc_id""".stripMargin
+  }
 
   // ------------------------------------------------------------- registry
   // --------------------------------------- q271 Simpson diversity

@@ -1,6 +1,7 @@
 package graft.text
 
 import graft.Tables
+import graft.functions.SharedLn
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -370,14 +371,18 @@ object Eval {
        |  FROM documents),
        |cc AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cnt
        |  FROM ch GROUP BY 1, 2),
+       |ccl AS (${SharedLn.oracleLn("cc", Seq("doc_id", "cnt"),
+          Seq(("__lnc", "cnt")))}),
        |eagg AS (SELECT doc_id, SUM(cnt) AS n,
-       |    SUM(cnt * CAST(round(1000000.0 * ln(cnt)) AS BIGINT)) AS sm
-       |  FROM cc GROUP BY 1),
+       |    SUM(cnt * ${SharedLn.microSql("__lnc")}) AS sm
+       |  FROM ccl GROUP BY 1),
+       |eaggl AS (${SharedLn.oracleLn("eagg", Seq("doc_id", "n", "sm"),
+          Seq(("__lnn", "n")))}),
        |ent AS (SELECT p.doc_id,
        |    CAST(CASE WHEN a.n IS NULL OR a.n = 0 THEN 0
-       |      ELSE CAST(round(1000000.0 * ln(a.n)) AS BIGINT) - sm // a.n
+       |      ELSE ${SharedLn.microSql("__lnn")} - sm // a.n
        |    END AS BIGINT) AS ent_u
-       |  FROM pred p LEFT JOIN eagg a ON p.doc_id = a.doc_id),
+       |  FROM pred p LEFT JOIN eaggl a ON p.doc_id = a.doc_id),
        |dt AS (SELECT doc_id, ${CorpusFilters.DToks} AS t FROM documents),
        |dtr AS (SELECT doc_id,
        |    CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)
@@ -914,8 +919,8 @@ object Eval {
       .agg(count(lit(1)).as("vocab"))
     val rows = nTok.join(vocab, "j")
       .selectExpr("j", "t AS cut_doc", "n_tokens", "vocab",
-        "CAST(round(1000000.0 * ln(n_tokens)) AS BIGINT) AS lnn_u",
-        "CAST(round(1000000.0 * ln(vocab)) AS BIGINT) AS lnv_u")
+        "CAST(round(1000000.0 * ln_shared(n_tokens)) AS BIGINT) AS lnn_u",
+        "CAST(round(1000000.0 * ln_shared(vocab)) AS BIGINT) AS lnv_u")
     val fit = rows.agg(
         max(when(col("j") === 1, col("lnn_u"))).as("lnn1"),
         max(when(col("j") === 1, col("lnv_u"))).as("lnv1"),
@@ -942,10 +947,13 @@ object Eval {
        |    SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY term),
        |vb AS (SELECT c.j, CAST(COUNT(*) AS BIGINT) AS vocab
        |  FROM fd CROSS JOIN cuts c WHERE fd.fd < c.t GROUP BY c.j),
-       |rows_ AS (SELECT j, t AS cut_doc, n_tokens, vocab,
-       |    CAST(round(1000000.0 * ln(n_tokens)) AS BIGINT) AS lnn_u,
-       |    CAST(round(1000000.0 * ln(vocab)) AS BIGINT) AS lnv_u
-       |  FROM nt JOIN vb USING (j)),
+       |rows_ AS (SELECT j, cut_doc, n_tokens, vocab,
+       |    ${SharedLn.microSql("__lnn")} AS lnn_u,
+       |    ${SharedLn.microSql("__lnv")} AS lnv_u
+       |  FROM (${SharedLn.oracleLn(
+          "(SELECT j, t AS cut_doc, n_tokens, vocab FROM nt JOIN vb USING (j))",
+          Seq("j", "cut_doc", "n_tokens", "vocab"),
+          Seq(("__lnn", "n_tokens"), ("__lnv", "vocab")))})),
        |fit AS (SELECT
        |    (1000 * (MAX(CASE WHEN j = 8 THEN lnv_u END) -
        |      MAX(CASE WHEN j = 1 THEN lnv_u END))) //
@@ -1032,14 +1040,18 @@ object Eval {
        |  FROM documents),
        |cc AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cnt
        |  FROM ch GROUP BY 1, 2),
+       |ccl AS (${SharedLn.oracleLn("cc", Seq("doc_id", "cnt"),
+          Seq(("__lnc", "cnt")))}),
        |eagg AS (SELECT doc_id, SUM(cnt) AS cn,
-       |    SUM(cnt * CAST(round(1000000.0 * ln(cnt)) AS BIGINT)) AS sm
-       |  FROM cc GROUP BY 1),
+       |    SUM(cnt * ${SharedLn.microSql("__lnc")}) AS sm
+       |  FROM ccl GROUP BY 1),
+       |eaggl AS (${SharedLn.oracleLn("eagg", Seq("doc_id", "cn", "sm"),
+          Seq(("__lncn", "cn")))}),
        |sig AS (SELECT d.n_chars AS x1, d.n_toks AS x2,
        |    CAST(CASE WHEN a.cn IS NULL OR a.cn = 0 THEN 0
-       |      ELSE CAST(round(1000000.0 * ln(a.cn)) AS BIGINT) - sm // a.cn
+       |      ELSE ${SharedLn.microSql("__lncn")} - sm // a.cn
        |    END AS BIGINT) // 1000 AS x3
-       |  FROM dt d LEFT JOIN eagg a ON d.doc_id = a.doc_id),
+       |  FROM dt d LEFT JOIN eaggl a ON d.doc_id = a.doc_id),
        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
        |    CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
        |    CAST(SUM(x3) AS BIGINT) AS s3,
@@ -1173,7 +1185,10 @@ object Eval {
       .groupBy(col("term"))
       .agg(sum(when(col("label"), 1L).otherwise(0L)).as("a"),
         sum(when(!col("label"), 1L).otherwise(0L)).as("b"))
-    def lmx(x: String) = s"CAST(round(1000000.0 * ln($x)) AS BIGINT)"
+    // shared ln (r18 verdict item 4): Spark parses ln_shared from the
+    // registered function registry; the oracle twin below computes the
+    // same generated formula, so the exact-limit terms carry no libm
+    def lmx(x: String) = s"CAST(round(1000000.0 * ln_shared($x)) AS BIGINT)"
     def cell(c: String, r: String, cs: String) =
       s"CASE WHEN $c > 0 THEN $c * (${lmx(s"$c * nn")} - " +
         s"${lmx(s"($r) * ($cs)")}) ELSE 0 END"
@@ -1201,10 +1216,20 @@ object Eval {
 
   private lazy val q245Oracle: String = {
     val fillers = CorpusFilters.FillerTokens.map(f => s"'$f'").mkString(", ")
-    def lmx(x: String) = s"CAST(round(1000000.0 * ln($x)) AS BIGINT)"
-    def cell(c: String, r: String, cs: String) =
-      s"CASE WHEN $c > 0 THEN $c * (${lmx(s"$c * nn")} - " +
-        s"${lmx(s"($r) * ($cs)")}) ELSE 0 END"
+    // the 8 ln arguments (4 cells x num/den), each a named shared-ln
+    // column; a cell is then pure arithmetic over them
+    def cell(c: String, num: String, den: String) =
+      s"CASE WHEN $c > 0 THEN $c * (${SharedLn.microSql(num)} - " +
+        s"${SharedLn.microSql(den)}) ELSE 0 END"
+    val lnLayer = SharedLn.oracleLn("d",
+      Seq("term", "a", "b", "p_tot", "n_tot", "nn"),
+      Seq(
+        ("__l_a_nn", "a * nn"), ("__l_ab_p", "(a + b) * p_tot"),
+        ("__l_b_nn", "b * nn"), ("__l_ab_n", "(a + b) * n_tot"),
+        ("__l_pa_nn", "(p_tot - a) * nn"),
+        ("__l_rest_p", "(nn - a - b) * p_tot"),
+        ("__l_nb_nn", "(n_tot - b) * nn"),
+        ("__l_rest_n", "(nn - a - b) * n_tot")))
     s"""WITH ctoks AS (SELECT doc_id, ${CorpusFilters.DToks} AS t
        |  FROM documents),
        |lab AS (SELECT doc_id,
@@ -1224,13 +1249,14 @@ object Eval {
        |d AS (SELECT term, a, b, p_tot, n_tot, p_tot + n_tot AS nn
        |  FROM ab CROSS JOIN tot
        |  WHERE a + b >= 5 AND a + b < p_tot + n_tot),
+       |dl AS ($lnLayer),
        |st AS (SELECT term, a + b AS df, a AS n_pos_with,
-       |    ${cell("a", "a + b", "p_tot")} +
-       |    ${cell("b", "a + b", "n_tot")} +
-       |    ${cell("(p_tot - a)", "nn - a - b", "p_tot")} +
-       |    ${cell("(n_tot - b)", "nn - a - b", "n_tot")} AS stat_unat,
+       |    ${cell("a", "__l_a_nn", "__l_ab_p")} +
+       |    ${cell("b", "__l_b_nn", "__l_ab_n")} +
+       |    ${cell("(p_tot - a)", "__l_pa_nn", "__l_rest_p")} +
+       |    ${cell("(n_tot - b)", "__l_nb_nn", "__l_rest_n")} AS stat_unat,
        |    nn
-       |  FROM d)
+       |  FROM dl)
        |SELECT term, df, n_pos_with, stat_unat, stat_unat // nn AS mi_micro
        |FROM st ORDER BY stat_unat DESC, term LIMIT 20""".stripMargin
   }

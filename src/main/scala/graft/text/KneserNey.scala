@@ -71,11 +71,12 @@ object KneserNey {
           s"and 3 * n1f <= (${Long.MaxValue}L div greatest(n1b, 1L))"),
         lit("KN rational would overflow BIGINT: swap numerator/denominator " +
           "to DECIMAL(38,0) at this corpus scale")), lit(true)))
+      // shared ln (r18 verdict item 4): both engines evaluate the same
+      // arithmetic DAG for the micro-nat, no libm knife edge
       .withColumn("lp",
-        round(lit(1e6) * log(
-          expr(s"greatest(4 * c12 - 3, 0L) * ${b}L + 3 * n1f * n1b")))
-          .cast("long") -
-          round(lit(1e6) * log(expr(s"4 * c1v * ${b}L"))).cast("long"))
+        graft.functions.SharedLn.lnMicro(
+          expr(s"greatest(4 * c12 - 3, 0L) * ${b}L + 3 * n1f * n1b")) -
+          graft.functions.SharedLn.lnMicro(expr(s"4 * c1v * ${b}L")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("sum_lp_micro"))
       .withColumn("keep",
@@ -153,8 +154,8 @@ object KneserNey {
           .otherwise(expr(s"3 * n1f * n1b")))
       .withColumn("lp",
         when(col("scoreable"),
-          round(lit(1e6) * log(col("num"))).cast("long") -
-            round(lit(1e6) * log(expr(s"4 * c1v * ${b}L"))).cast("long"))
+          graft.functions.SharedLn.lnMicro(col("num")) -
+            graft.functions.SharedLn.lnMicro(expr(s"4 * c1v * ${b}L")))
           .otherwise(lit(0L)))
     val perSplit = scored.groupBy(col("split"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
@@ -222,20 +223,26 @@ object KneserNey {
        |cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b
        |  FROM bic GROUP BY 1),
        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM bic),
-       |sc AS (SELECT bi.doc_id, bi.split,
+       |sc0 AS (SELECT bi.doc_id, bi.split,
        |    (ctx.c1v IS NOT NULL AND cont.n1b IS NOT NULL) AS scoreable,
-       |    CASE WHEN ctx.c1v IS NOT NULL AND cont.n1b IS NOT NULL THEN
-       |      CAST(round(1000000.0 * ln(
-       |        CASE WHEN bic.c12 IS NOT NULL
-       |          THEN greatest(4 * bic.c12 - 3, 0) * tot.b
-       |            + 3 * ctx.n1f * cont.n1b
-       |          ELSE 3 * ctx.n1f * cont.n1b END)) AS BIGINT)
-       |      - CAST(round(1000000.0 * ln(4 * ctx.c1v * tot.b)) AS BIGINT)
-       |    ELSE 0 END AS lp
+       |    CASE WHEN bic.c12 IS NOT NULL
+       |      THEN greatest(4 * bic.c12 - 3, 0) * tot.b
+       |        + 3 * ctx.n1f * cont.n1b
+       |      ELSE 3 * ctx.n1f * cont.n1b END AS numx,
+       |    4 * ctx.c1v * tot.b AS denx
        |  FROM bi
        |  LEFT JOIN bic USING (w1, w2)
        |  LEFT JOIN ctx USING (w1)
        |  LEFT JOIN cont USING (w2), tot),
+       |scl AS (${graft.functions.SharedLn.oracleLn("sc0",
+          Seq("doc_id", "split", "scoreable"),
+          Seq(("__lnum", "numx"), ("__lden", "denx")))}),
+       |sc AS (SELECT doc_id, split, scoreable,
+       |    CASE WHEN scoreable THEN
+       |      ${graft.functions.SharedLn.microSql("__lnum")}
+       |      - ${graft.functions.SharedLn.microSql("__lden")}
+       |    ELSE 0 END AS lp
+       |  FROM scl),
        |ps AS (SELECT split, CAST(COUNT(DISTINCT doc_id) AS BIGINT)
        |      AS n_docs,
        |    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
@@ -268,12 +275,17 @@ object KneserNey {
        |cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b
        |  FROM bic GROUP BY 1),
        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM bic),
-       |terms AS (SELECT doc_id,
-       |    CAST(round(1000000.0 * ln(
-       |      greatest(4 * c12 - 3, 0) * b + 3 * n1f * n1b)) AS BIGINT)
-       |    - CAST(round(1000000.0 * ln(4 * c1v * b)) AS BIGINT) AS lp
+       |t0 AS (SELECT doc_id,
+       |    greatest(4 * c12 - 3, 0) * b + 3 * n1f * n1b AS numx,
+       |    4 * c1v * b AS denx
        |  FROM bi JOIN bic USING (w1, w2) JOIN ctx USING (w1)
        |  JOIN cont USING (w2), tot),
+       |tl AS (${graft.functions.SharedLn.oracleLn("t0", Seq("doc_id"),
+          Seq(("__lnum", "numx"), ("__lden", "denx")))}),
+       |terms AS (SELECT doc_id,
+       |    ${graft.functions.SharedLn.microSql("__lnum")}
+       |    - ${graft.functions.SharedLn.microSql("__lden")} AS lp
+       |  FROM tl),
        |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        |    CAST(SUM(lp) AS BIGINT) AS sum_lp_micro FROM terms GROUP BY 1)
        |SELECT doc_id, n_bigrams, sum_lp_micro,

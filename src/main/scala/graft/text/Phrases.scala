@@ -397,8 +397,10 @@ object Phrases {
     val totals = st.groupBy(col("source")).agg(sum(col("y_s")).as("n_s"))
     val grand = broadcast(gt.agg(sum(col("y_all")).as("n_all"),
       count(lit(1)).as("vocab")))
+    // shared ln (r18 verdict item 4): the gated micro-nat is the
+    // engine-neutral formula on both sides
     def lnMicro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      round(lit(1e6) * log(c.cast("double"))).cast("long")
+      graft.functions.SharedLn.lnMicro(c)
     val scored = st.join(broadcast(gt), Seq("term"))
       .join(broadcast(totals), Seq("source"))
       .crossJoin(grand)
@@ -420,8 +422,6 @@ object Phrases {
   }
 
   private lazy val distinctiveOracle: String = {
-    def lnMicro(x: String): String =
-      s"CAST(round(1000000.0 * ln($x)) AS BIGINT)"
     s"""WITH st AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS y_s
        |  FROM (SELECT source, unnest($DToks) AS term FROM documents)
        |  GROUP BY 1, 2),
@@ -431,15 +431,25 @@ object Phrases {
        |  FROM st GROUP BY 1),
        |grand AS (SELECT CAST(SUM(y_all) AS BIGINT) AS n_all,
        |    CAST(COUNT(*) AS BIGINT) AS vocab FROM gt),
-       |scored AS (SELECT st.source, st.term, st.y_s,
+       |sc0 AS (SELECT st.source, st.term, st.y_s,
        |    gt.y_all - st.y_s AS y_r,
-       |    (${lnMicro("st.y_s + 1")} -
-       |     ${lnMicro("t.n_s + g.vocab - st.y_s - 1")}) -
-       |    (${lnMicro("gt.y_all - st.y_s + 1")} -
-       |     ${lnMicro("g.n_all - t.n_s + g.vocab - (gt.y_all - st.y_s) - 1")})
-       |      AS delta_micro
+       |    st.y_s + 1 AS a1,
+       |    t.n_s + g.vocab - st.y_s - 1 AS a2,
+       |    gt.y_all - st.y_s + 1 AS a3,
+       |    g.n_all - t.n_s + g.vocab - (gt.y_all - st.y_s) - 1 AS a4
        |  FROM st JOIN gt USING (term) JOIN totals t USING (source)
        |  CROSS JOIN grand g),
+       |scl AS (${graft.functions.SharedLn.oracleLn("sc0",
+          Seq("source", "term", "y_s", "y_r"),
+          Seq(("__l1", "a1"), ("__l2", "a2"), ("__l3", "a3"),
+            ("__l4", "a4")))}),
+       |scored AS (SELECT source, term, y_s, y_r,
+       |    (${graft.functions.SharedLn.microSql("__l1")} -
+       |     ${graft.functions.SharedLn.microSql("__l2")}) -
+       |    (${graft.functions.SharedLn.microSql("__l3")} -
+       |     ${graft.functions.SharedLn.microSql("__l4")})
+       |      AS delta_micro
+       |  FROM scl),
        |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
        |    ORDER BY delta_micro DESC, term) AS INTEGER) AS rank
        |  FROM scored)
@@ -482,7 +492,7 @@ object Phrases {
     val ca = pairs.groupBy(col("a")).agg(sum(col("n_ab")).as("c_a"))
     val kb = pairs.groupBy(col("b")).agg(sum(col("n_ab")).as("k_b"))
     def lnM(c: org.apache.spark.sql.Column) =
-      round(lit(1e6) * log(c)).cast("long")
+      graft.functions.SharedLn.lnMicro(c)
     pairs.filter(col("n_ab") >= 5)
       .join(broadcast(ca), Seq("a"))
       .join(broadcast(kb), Seq("b"))
@@ -511,15 +521,22 @@ object Phrases {
        |  FROM pairs GROUP BY 1),
        |kb AS (SELECT b, CAST(SUM(n_ab) AS BIGINT) AS k_b
        |  FROM pairs GROUP BY 1),
-       |sc AS (SELECT p.a, p.b, p.n_ab, ca.c_a, kb.k_b,
-       |    greatest(0,
-       |      CAST(round(1000000.0 * ln(p.n_ab)) AS BIGINT)
-       |      + CAST(round(1000000.0 * ln((SELECT n FROM tot))) AS BIGINT)
-       |      - CAST(round(1000000.0 * ln(ca.c_a)) AS BIGINT)
-       |      - CAST(round(1000000.0 * ln(kb.k_b)) AS BIGINT))
-       |      AS ppmi_micro
+       |sc0 AS (SELECT p.a, p.b, p.n_ab, ca.c_a, kb.k_b,
+       |    (SELECT n FROM tot) AS n
        |  FROM pairs p JOIN ca USING (a) JOIN kb USING (b)
-       |  WHERE p.n_ab >= 5)
+       |  WHERE p.n_ab >= 5),
+       |scl AS (${graft.functions.SharedLn.oracleLn("sc0",
+          Seq("a", "b", "n_ab", "c_a", "k_b"),
+          Seq(("__lab", "n_ab"), ("__ln", "n"), ("__lca", "c_a"),
+            ("__lkb", "k_b")))}),
+       |sc AS (SELECT a, b, n_ab, c_a, k_b,
+       |    greatest(0,
+       |      ${graft.functions.SharedLn.microSql("__lab")}
+       |      + ${graft.functions.SharedLn.microSql("__ln")}
+       |      - ${graft.functions.SharedLn.microSql("__lca")}
+       |      - ${graft.functions.SharedLn.microSql("__lkb")})
+       |      AS ppmi_micro
+       |  FROM scl)
        |SELECT a, b, n_ab, c_a, k_b, ppmi_micro FROM sc
        |ORDER BY ppmi_micro DESC, a, b LIMIT 20""".stripMargin
 
@@ -552,7 +569,7 @@ object Phrases {
     val ra = bic.groupBy(col("a")).agg(sum(col("c11")).as("ca"))
     val cb = bic.groupBy(col("b")).agg(sum(col("c11")).as("cbn"))
     val tot = bic.agg(sum(col("c11")).as("nn"))
-    def lmx(x: String) = s"CAST(round(1000000.0 * ln($x)) AS BIGINT)"
+    def lmx(x: String) = s"CAST(round(1000000.0 * ln_shared($x)) AS BIGINT)"
     def cell(c: String, r: String, cs: String) =
       s"CASE WHEN $c > 0 THEN $c * (${lmx(s"($c) * nn")} - " +
         s"${lmx(s"($r) * ($cs)")}) ELSE 0 END"
@@ -580,10 +597,17 @@ object Phrases {
   }
 
   private lazy val dunningOracle: String = {
-    def lmx(x: String) = s"CAST(round(1000000.0 * ln($x)) AS BIGINT)"
-    def cell(c: String, r: String, cs: String) =
-      s"CASE WHEN $c > 0 THEN $c * (${lmx(s"($c) * nn")} - " +
-        s"${lmx(s"($r) * ($cs)")}) ELSE 0 END"
+    def cell(c: String, num: String, den: String) =
+      s"CASE WHEN $c > 0 THEN $c * (${graft.functions.SharedLn.microSql(num)} - " +
+        s"${graft.functions.SharedLn.microSql(den)}) ELSE 0 END"
+    val lnLayer = graft.functions.SharedLn.oracleLn("g0",
+      Seq("a", "b", "c11", "ca", "cbn", "nn"),
+      Seq(
+        ("__c1n", "c11 * nn"), ("__r1", "ca * cbn"),
+        ("__c2n", "(ca - c11) * nn"), ("__r2", "ca * (nn - cbn)"),
+        ("__c3n", "(cbn - c11) * nn"), ("__r3", "(nn - ca) * cbn"),
+        ("__c4n", "(nn - ca - cbn + c11) * nn"),
+        ("__r4", "(nn - ca) * (nn - cbn)")))
     s"""WITH toks AS (SELECT doc_id, $DToks AS t FROM documents),
        |bi AS (SELECT t[i] AS a, t[i+1] AS b
        |  FROM toks, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
@@ -594,14 +618,17 @@ object Phrases {
        |cbt AS (SELECT b, CAST(SUM(c11) AS BIGINT) AS cbn FROM bic
        |  GROUP BY 1),
        |tot AS (SELECT CAST(SUM(c11) AS BIGINT) AS nn FROM bic),
-       |g AS (SELECT bic.a, bic.b, bic.c11, ra.ca, cbt.cbn, tot.nn,
-       |    2 * (${cell("c11", "ca", "cbn")} +
-       |    ${cell("(ca - c11)", "ca", "(nn - cbn)")} +
-       |    ${cell("(cbn - c11)", "(nn - ca)", "cbn")} +
-       |    ${cell("(nn - ca - cbn + c11)", "(nn - ca)", "(nn - cbn)")})
-       |      AS g2_unat
+       |g0 AS (SELECT bic.a, bic.b, bic.c11, ra.ca, cbt.cbn, tot.nn
        |  FROM bic JOIN ra USING (a) JOIN cbt USING (b) CROSS JOIN tot
-       |  WHERE bic.c11 >= 5)
+       |  WHERE bic.c11 >= 5),
+       |gl AS ($lnLayer),
+       |g AS (SELECT a, b, c11, ca, cbn, nn,
+       |    2 * (${cell("c11", "__c1n", "__r1")} +
+       |    ${cell("(ca - c11)", "__c2n", "__r2")} +
+       |    ${cell("(cbn - c11)", "__c3n", "__r3")} +
+       |    ${cell("(nn - ca - cbn + c11)", "__c4n", "__r4")})
+       |      AS g2_unat
+       |  FROM gl)
        |SELECT a, b, c11 AS n_pair, ca AS n_first, cbn AS n_second,
        |  g2_unat, g2_unat // nn AS g2_micro
        |FROM g ORDER BY g2_unat DESC, a, b LIMIT 20""".stripMargin

@@ -593,7 +593,9 @@ object Retrieval {
     val cf = posts
       .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
       .groupBy(col("term")).agg(sum(col("tf")).as("cf"))
-    def lm(x: String) = s"CAST(round(1000000.0 * ln($x)) AS BIGINT)"
+    // shared ln (r18 verdict item 4): every L(x) is the engine-neutral
+    // formula, matching the generated-SQL oracle bit-for-bit
+    def lm(x: String) = s"CAST(round(1000000.0 * ln_shared($x)) AS BIGINT)"
     val kq = qterms.join(broadcast(cf), Seq("term"))
       .crossJoin(broadcast(stats))
       .groupBy(col("qid"))
@@ -634,26 +636,39 @@ object Retrieval {
 
   private lazy val qlmOracle: String = {
     val mu = DirichletMu
-    def lm(x: String) = s"CAST(round(1000000.0 * ln($x)) AS BIGINT)"
+    import graft.functions.SharedLn.{microSql, oracleLn}
     s"""WITH $bm25BaseCtes,
        |q(qid, term) AS (VALUES $bm25Values),
        |cfx AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf
        |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1),
+       |cfxl AS (${oracleLn("cfx", Seq("term", "cf"),
+          Seq(("__lmcf", s"$mu * cf")))}),
        |kq AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS nq,
-       |    CAST(SUM(${lm(s"$mu * cf")}) AS BIGINT) -
+       |    CAST(SUM(${microSql("__lmcf")}) AS BIGINT) -
        |      CAST(COUNT(*) AS BIGINT) *
-       |      (SELECT ${lm("sum_dl")} FROM stats) AS kq
-       |  FROM q JOIN cfx USING (term) GROUP BY qid),
+       |      (SELECT ${microSql("__lcc")} FROM
+       |        (${oracleLn("stats", Nil, Seq(("__lcc", "sum_dl")))})) AS kq
+       |  FROM q JOIN cfxl USING (term) GROUP BY qid),
+       |sc0 AS (SELECT qid, doc_id, dl,
+       |    tf * sum_dl + $mu * cf AS a1, $mu * cf AS a2
+       |  FROM tf JOIN q USING (term) JOIN cfx USING (term), stats),
+       |scl AS (${oracleLn("sc0", Seq("qid", "doc_id", "dl"),
+          Seq(("__la1", "a1"), ("__la2", "a2")))}),
        |sc AS (SELECT qid, doc_id, CAST(COUNT(*) AS BIGINT)
        |      AS n_terms_hit,
-       |    CAST(SUM(${lm(s"tf * sum_dl + $mu * cf")} -
-       |      ${lm(s"$mu * cf")}) AS BIGINT) AS hit_sum,
+       |    CAST(SUM(${microSql("__la1")} -
+       |      ${microSql("__la2")}) AS BIGINT) AS hit_sum,
        |    MAX(dl) AS dl
-       |  FROM tf JOIN q USING (term) JOIN cfx USING (term), stats
-       |  GROUP BY 1, 2),
-       |fin AS (SELECT s.qid, s.doc_id, s.n_terms_hit,
-       |    s.hit_sum + k.kq - k.nq * ${lm(s"s.dl + $mu")} AS score_unat
+       |  FROM scl GROUP BY 1, 2),
+       |fin0 AS (SELECT s.qid, s.doc_id, s.n_terms_hit, s.hit_sum,
+       |    k.kq, k.nq, s.dl + $mu AS dmu
        |  FROM sc s JOIN kq k USING (qid)),
+       |finl AS (${oracleLn("fin0",
+          Seq("qid", "doc_id", "n_terms_hit", "hit_sum", "kq", "nq"),
+          Seq(("__ldl", "dmu")))}),
+       |fin AS (SELECT qid, doc_id, n_terms_hit,
+       |    hit_sum + kq - nq * ${microSql("__ldl")} AS score_unat
+       |  FROM finl),
        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
        |    ORDER BY score_unat DESC, doc_id) AS rank FROM fin)
        |SELECT CAST(qid AS INTEGER) AS qid, CAST(rank AS INTEGER) AS rank,

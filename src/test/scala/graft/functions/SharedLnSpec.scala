@@ -80,9 +80,14 @@ class SharedLnSpec extends AnyFunSuite {
 
   test("generated oracle SQL embeds the exact shared coefficients") {
     val sql = SharedLn.oracleLn("t", Seq("k"), Seq(("lnv", "n")))
-    // every coefficient literal must round-trip to the JVM double
-    SharedLnUtil.C.foreach { c =>
-      assert(sql.contains(c.toString), s"missing coefficient $c")
+    // every coefficient literal must round-trip to the JVM double, and
+    // must be matched IN ITS HORNER CONTEXT — a bare contains() is
+    // trivially satisfied for C(0)="1.0" by unrelated text like
+    // "(__y - 1.0)" (ADVICE r18). C(13) seeds the innermost product;
+    // C(0..12) each appear as the added constant of one Horner layer.
+    SharedLnUtil.C.zipWithIndex.foreach { case (c, k) =>
+      val ctx = if (k == 13) s"(${c.toString} * __s_" else s" + ${c.toString})"
+      assert(sql.contains(ctx), s"missing coefficient $c in context '$ctx'")
       assert(c.toString.toDouble == c)
     }
     assert(sql.contains(SharedLnUtil.Ln2.toString))

@@ -33,9 +33,10 @@ class HllSpec extends AnyFunSuite {
     val alphaMicro = math.round(1e6 * 0.7213 / (1.0 + 1.079 / m))
     val numer = BigInt(alphaMicro) * m * m * (BigInt(1) << 57)
     val rawEst = (numer / (BigInt(1000000) * s)).toLong
-    val lnM = math.round(1e6 * math.log(m.toDouble))
+    val lnM = math.round(1e6 * graft.functions.SharedLnUtil.ln(m.toLong))
     val est = if (vZero > 0 && rawEst * 2 <= 5L * m)
-      (m * (lnM - math.round(1e6 * math.log(vZero.toDouble)))) / 1000000L
+      (m * (lnM - math.round(1e6 * graft.functions.SharedLnUtil.ln(vZero)))) /
+        1000000L
     else rawEst
     val sig = regs.zipWithIndex.map { case (mj, b) => b * 64L + mj }
       .reduce(_ ^ _)

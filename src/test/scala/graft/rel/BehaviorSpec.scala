@@ -293,7 +293,7 @@ class BehaviorSpec extends AnyFunSuite {
     val byDur = obs.groupBy(_._1).map { case (dur, v) =>
       dur -> (v.count(_._2).toLong, v.count(!_._2).toLong)
     }
-    def lnM(x: Long): Long = math.round(1e6 * math.log(x.toDouble))
+    def lnM(x: Long): Long = math.round(1e6 * graft.functions.SharedLnUtil.ln(x))
     val durs = byDur.keys.toSeq.sorted
     var atRisk = obs.length.toLong
     var logS = 0L
@@ -1167,7 +1167,7 @@ class BehaviorSpec extends AnyFunSuite {
         Seq("o_custkey"))
       .select("seg", "x").collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    def lnMicro(x: Long): Long = math.round(1e6 * math.log(x.toDouble))
+    def lnMicro(x: Long): Long = math.round(1e6 * graft.functions.SharedLnUtil.ln(x))
     val n = cust.length.toLong
     val sAll = cust.map(_._2).sum
     val bySeg = cust.groupBy(_._1)

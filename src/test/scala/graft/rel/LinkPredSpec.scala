@@ -104,6 +104,24 @@ class LinkPredSpec extends AnyFunSuite {
     byDist.foreach(r => assert(r.getInt(6) == eff, "eff_diam_p90"))
   }
 
+  test("q201 adaptive: driver kernel ≡ distributed fixpoint, bit-identical") {
+    // the componentsAdaptive discipline: the below-cap driver path must
+    // emit exactly the rows the distributed pair-frontier fixpoint emits
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_orderkey AS ok", "l_suppkey AS sk").distinct()
+    val edges = li.alias("a").join(li.alias("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("sa"), col("b.sk").as("sb"))
+      .agg(count(lit(1)).as("w"))
+      .orderBy(col("w").desc, col("sa"), col("sb")).limit(4000)
+      .select("sa", "sb").localCheckpoint()
+    val drv = LinkPred.distanceHistogramDriver(spark, edges)
+      .collect().map(_.toSeq).toSeq
+    val dist = LinkPred.distanceHistogramDistributed(spark, edges)
+      .collect().map(_.toSeq).toSeq
+    assert(drv == dist, s"adaptive paths diverge:\n$drv\nvs\n$dist")
+  }
+
   test("q239 HyperANF: driver replay of registers, N(d), envelope") {
     val rows = LinkPred.q239_distance_approx(spark, sf).collect()
       .sortBy(_.getLong(0))
@@ -149,7 +167,8 @@ class LinkPredSpec extends AnyFunSuite {
         (BigInt(1000000) * s)).toLong
       val vz = 256L - np
       if (vz > 0 && raw * 2 <= 1280)
-        (256L * (5545177L - math.round(1e6 * math.log(vz.toDouble)))) /
+        (256L * (5545177L -
+          math.round(1e6 * graft.functions.SharedLnUtil.ln(vz)))) /
           1000000L
       else raw
     }

@@ -182,6 +182,50 @@ class AvroSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
+  test("avro SUB-FILE skipping: segment zone maps drop splits inside one big file") {
+    val out = tmp("segskip")
+    // ONE sorted file with many segments: sub-file skipping is the only
+    // skipping possible — file-level stats cover the whole id range
+    Avro.writePartitioned(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .withColumn("p", lit("all"))
+        .repartition(1).sortWithinPartitions(col("doc_id")),
+      out, "p", segRows = 50)
+    val files = new java.io.File(s"$out/p=all").listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(files.length == 1, "the fixture must be a single file")
+    // sidecar must now carry 6-field segment lines beside the file line
+    val statLines = new java.io.File(s"$out/_stats").listFiles()
+      .filter(_.getName.endsWith(".txt"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines())
+    assert(statLines.exists(_.split("\\|").length == 6),
+      s"expected segment lines in the sidecar:\n${statLines.mkString("\n")}")
+    val scan = spark.read.format("graft.sink.AvroSource")
+      .option("splitBytes", 1024).load(out)
+      .filter(col("doc_id") < 40L) // selective on the clustered column
+    AvroCounters.splitsPlanned.set(0)
+    AvroCounters.splitsSkippedByStats.set(0)
+    val n = scan.count()
+    val planned = AvroCounters.splitsPlanned.get()
+    val skipped = AvroCounters.splitsSkippedByStats.get()
+    assert(planned > 4, s"fixture must be multi-split, planned=$planned")
+    assert(skipped > 0 && skipped < planned,
+      s"segment zone maps must skip splits: skipped $skipped of $planned")
+    assert(n == Tables.documents(spark, dir)
+      .filter(col("doc_id") < 40L).count(),
+      "split skipping must lose no matching row")
+    // residual discipline: a mid-range predicate still returns exactly
+    // its rows through surviving splits
+    val sum = spark.read.format("graft.sink.AvroSource")
+      .option("splitBytes", 1024).load(out)
+      .filter(col("doc_id") >= 200L && col("doc_id") < 300L)
+      .agg(sum_distinct(col("doc_id"))).head().getLong(0)
+    assert(sum == (200L until 300L).sum,
+      "mid-range predicate must return exactly its rows")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   test("schema evolution: default fill, alias rename, dropped field") {
     val out = tmp("evo")
     val evolved = Avro.avroEvolutionAgg(spark, dir, out)

@@ -1248,9 +1248,9 @@ class SessionsSpec extends AnyFunSuite {
       assert(res1.length == 3, "short window keeps everything")
       // brute-force A-ES twin with the same kernel + exact rational order
       def lnu(d: Long): Long = {
-        val u = ((graft.rel.SplitMix64Kernel.mix(d) >>> 11) + 1).toDouble /
-          9007199254740992.0
-        math.round(1e6 * math.log(u))
+        val x = (graft.rel.SplitMix64Kernel.mix(d) >>> 11) + 1
+        math.round(1e6 * (graft.functions.SharedLnUtil.ln(x) -
+          graft.text.Budget.Ln2Pow53))
       }
       val expect0 = win0.map { case (_, d, w) => (d, w, lnu(d)) }
         .sortWith { (a, b) =>
@@ -1301,7 +1301,7 @@ class SessionsSpec extends AnyFunSuite {
       assert(w1._5, "all-outlier window must alert")
       assert(w1._4 == 15L, "worst bin is the outlier bin")
       // driver replay of the window-1 score (q203 quantization)
-      def lnMicro(x: Long): Long = math.round(1e6 * math.log(x.toDouble))
+      def lnMicro(x: Long): Long = math.round(1e6 * graft.functions.SharedLnUtil.ln(x))
       val nRef = refRows.length.toLong
       val psi1 = (0 until 16).map { b =>
         val c1 = if (b == 15) 8L else 0L

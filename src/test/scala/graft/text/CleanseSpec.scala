@@ -13,6 +13,12 @@ object SparkTestSession {
     if (new java.io.File("/dev/shm").isDirectory)
       b.config("spark.local.dir", "/dev/shm/spark-local")
     val s = b.getOrCreate()
+    // SQL functions (ln_shared, …) + optimizer rules: registered here so
+    // every suite sees the production session surface regardless of
+    // which suites run or in what order — an isolated testOnly of a
+    // suite whose query uses a registered function must not depend on a
+    // sibling suite having registered it first
+    graft.GraftExtensions.register(s)
     s.sparkContext.setLogLevel("ERROR")
     s
   }

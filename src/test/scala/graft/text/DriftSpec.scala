@@ -47,7 +47,7 @@ class DriftSpec extends AnyFunSuite {
         r.getLong(4), r.getLong(5))).toMap
     val all = docs().map { case (s, v) => (s, math.min(15L, v / 64L)) }
     val n = all.length.toLong
-    def lnMicro(x: Long): Long = math.round(1e6 * math.log(x.toDouble))
+    def lnMicro(x: Long): Long = math.round(1e6 * graft.functions.SharedLnUtil.ln(x))
     for ((src, (nS, nRest, psiNano, maxTerm, binAtMax)) <- out) {
       val mine = all.filter(_._1 == src)
       assert(nS == mine.length.toLong && nRest == n - nS)
@@ -113,7 +113,7 @@ class DriftSpec extends AnyFunSuite {
         .map(t => (r.getString(0), t)))
     val gt = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
     val gTot = toks.length.toLong
-    def lnMicro(x: Long): Long = math.round(1e6 * math.log(x.toDouble))
+    def lnMicro(x: Long): Long = math.round(1e6 * graft.functions.SharedLnUtil.ln(x))
     assert(out.keySet == toks.map(_._1).toSet)
     for ((src, (nTok, nRest, nTerms, shared, jsdMicro)) <- out) {
       val mine = toks.filter(_._1 == src).map(_._2)

@@ -14,7 +14,7 @@ class EntropySpec extends AnyFunSuite {
   private def h(s: String): Long =
     EntropyKernel.charEntropyUnat(UTF8String.fromString(s))
 
-  private def iln(x: Long): Long = math.round(1e6 * math.log(x.toDouble))
+  private def iln(x: Long): Long = math.round(1e6 * graft.functions.SharedLnUtil.ln(x))
 
   test("golden closed forms") {
     assert(h("") == 0L)

@@ -326,7 +326,7 @@ class EvalSpec extends AnyFunSuite {
     val nP = lab.values.count(identity).toLong
     val nN = lab.size.toLong - nP
     val nn = nP + nN
-    def lmx(x: Long): Long = math.round(1e6 * math.log(x.toDouble))
+    def lmx(x: Long): Long = math.round(1e6 * graft.functions.SharedLnUtil.ln(x))
     for ((term, df, a, stat, miMicro) <- rows) {
       val withT = docs.filter(_._2.contains(term)).map(_._1)
       assert(df == withT.size.toLong, s"df of $term")

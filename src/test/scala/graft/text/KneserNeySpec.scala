@@ -53,7 +53,7 @@ class KneserNeySpec extends AnyFunSuite {
 
   test("q212: per-document scores replay brutally; keep flag consistent") {
     val (bic, ctx, cont, b, docBis) = model()
-    def lnMicro(x: Long): Long = math.round(1e6 * math.log(x.toDouble))
+    def lnMicro(x: Long): Long = math.round(1e6 * graft.functions.SharedLnUtil.ln(x))
     val expected = docBis.map { case (id, bis) =>
       val sumLp = bis.map { case (v, w) =>
         val c = bic((v, w)); val (c1v, n1f) = ctx(v); val n1b = cont(w)
@@ -109,7 +109,7 @@ class KneserNeySpec extends AnyFunSuite {
     }
     val cont = bic.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
     val b = bic.size.toLong
-    def lnMicro(x: Long): Long = math.round(1e6 * math.log(x.toDouble))
+    def lnMicro(x: Long): Long = math.round(1e6 * graft.functions.SharedLnUtil.ln(x))
     val exp = docBis.groupBy(_._2).map { case (sp, ds) =>
       var nScored = 0L; var nOov = 0L; var sum = 0L
       for ((_, _, bis) <- ds; (v, w) <- bis) {
@@ -219,8 +219,8 @@ class KneserNeySpec extends AnyFunSuite {
       else c3 * 1000000L
     val sumCstar = tric.toSeq.groupBy(k => (k._1._1, k._1._2))
       .view.mapValues(_.map { case (_, c3) => cstarMicro(c3) }.sum).toMap
-    def lmx(x: Long): Long = math.round(1e6 * math.log(x.toDouble))
-    val lnMega = math.round(1e6 * math.log(1e6))
+    def lmx(x: Long): Long = math.round(1e6 * graft.functions.SharedLnUtil.ln(x))
+    val lnMega = math.round(1e6 * graft.functions.SharedLnUtil.ln(1000000L))
     val got = rows.map(r => r._1 -> r).toMap
     assert(got.keySet == hold.filter(_._2.size >= 3).map(_._1).toSet)
     var seenTot = 0L

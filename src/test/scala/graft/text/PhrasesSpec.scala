@@ -126,7 +126,7 @@ class PhrasesSpec extends AnyFunSuite {
     }
     val nAll = yAll.values.sum
     val vocab = yAll.size.toLong
-    def lnMicro(x: Long): Long = math.round(1e6 * math.log(x.toDouble))
+    def lnMicro(x: Long): Long = math.round(1e6 * graft.functions.SharedLnUtil.ln(x))
     def delta(src: String, term: String): Long = {
       val ys = counts((src, term)); val yr = yAll(term) - ys
       val ns = nS(src); val nr = nAll - ns
@@ -164,7 +164,7 @@ class PhrasesSpec extends AnyFunSuite {
     val n = pairs.values.sum
     val ca = pairs.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
     val kb = pairs.groupBy(_._1._2).map { case (b, m) => b -> m.values.sum }
-    def lnM(x: Long): Long = math.round(1e6 * math.log(x.toDouble))
+    def lnM(x: Long): Long = math.round(1e6 * graft.functions.SharedLnUtil.ln(x))
     val scored = pairs.toSeq.filter(_._2 >= 5).map { case ((a, b), nab) =>
       val p = math.max(0L, lnM(nab) + lnM(n) - lnM(ca(a)) - lnM(kb(b)))
       (a, b, nab, ca(a), kb(b), p)
@@ -194,7 +194,7 @@ class PhrasesSpec extends AnyFunSuite {
     val ra = bic.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
     val cbm = bic.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
     val nn = bis.length.toLong
-    def lmx(x: Long): Long = math.round(1e6 * math.log(x.toDouble))
+    def lmx(x: Long): Long = math.round(1e6 * graft.functions.SharedLnUtil.ln(x))
     def cell(c: Long, r: Long, cs: Long): Long =
       if (c > 0) c * (lmx(c * nn) - lmx(r * cs)) else 0L
     for ((a, b, c11, ca, cb, g2, g2micro) <- rows) {

@@ -171,7 +171,7 @@ class RetrievalSpec extends AnyFunSuite {
     val cfMap = queries.values.flatten.toSet.map { (t: String) =>
       t -> docs.map(_._2.count(_ == t).toLong).sum
     }.toMap
-    def lm(x: Long): Long = math.round(1e6 * math.log(x.toDouble))
+    def lm(x: Long): Long = math.round(1e6 * graft.functions.SharedLnUtil.ln(x))
     for ((qid, rank, docId, hits, score) <- rows) {
       val terms = queries(qid).filter(cfMap(_) > 0L)
       val toks = docs.find(_._1 == docId).get._2
