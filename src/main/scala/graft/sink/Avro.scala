@@ -702,7 +702,13 @@ private[sink] class AvroScan(files: Seq[(String, String, Long)],
     * filters (a matching row's values sit inside its own segment's
     * [min,max], so this is conservative); with no segment stats every
     * split survives — old dirs and single-segment files are unaffected. */
-  override def planInputPartitions(): Array[InputPartition] = {
+  // memoized: Spark may invoke planInputPartitions more than once per
+  // query (plan reuse, AQE re-planning, batch re-creation), which would
+  // double-count the machine-check counters AvroSpec and the verify
+  // protocol read as evidence of sub-file skipping (ADVICE r19). The
+  // lazy val plans — and bumps splitsPlanned/splitsSkippedByStats —
+  // exactly once per Scan instance.
+  private lazy val plannedSplits: Array[InputPartition] = {
     import AvroStats.{colOf, mayMatch}
     val all = files.iterator.flatMap { case (pv, path, len) =>
       val n = math.max(1L, (len + splitBytes - 1) / splitBytes)
@@ -730,6 +736,7 @@ private[sink] class AvroScan(files: Seq[(String, String, Long)],
     AvroCounters.splitsSkippedByStats.addAndGet(all.length - kept.length)
     kept.asInstanceOf[Array[InputPartition]]
   }
+  override def planInputPartitions(): Array[InputPartition] = plannedSplits
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroReaderFactory(dataSchema, required, partitionCol,
       readerSchemaJson)

@@ -1,6 +1,6 @@
 package graft.sink
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** MERGE-INTO-style lake upsert writer — the operator every production CDC
@@ -249,6 +249,55 @@ object Lake {
       }.toMap
   }
 
+  /** Write `rows` (with a `lang` column) so that each (lang, bucket)
+    * cell lands in EXACTLY one part file directly under
+    * `lake/lang=<v>/` — the deterministic fragmented-lake fixture the
+    * q126/q131 oracles predict file counts from. One staged write
+    * partitioned by (lang, bucket) and hash-repartitioned by the same
+    * pair (each cell → exactly one task → exactly one file), then
+    * driver-side renames into the lang= dirs — replacing the former
+    * per-bucket sequential appends (16 full scans + 16 shuffles for a
+    * constant-size fixture; r19 verdict item 4 / guide §2.4: one pass
+    * instead of B). Hash repartitioning keys every (lang, bucket) group
+    * to one task regardless of AQE coalescing, so the one-file-per-cell
+    * invariant is structural, not sampled (and q131's requires
+    * machine-check it per run). */
+  private[sink] def writeOneFilePerCell(s: SparkSession, rows: DataFrame,
+      bucket: Column, lake: String): Unit = {
+    val staging = lake + "_staging"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+    rows.withColumn("bucket", bucket)
+      .repartition(col("lang"), col("bucket"))
+      .write.mode("overwrite").partitionBy("lang", "bucket").parquet(staging)
+    val fs = hfs(s, staging)
+    val lakeRoot = new org.apache.hadoop.fs.Path(lake)
+    fs.mkdirs(lakeRoot)
+    fs.listStatus(new org.apache.hadoop.fs.Path(staging)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("lang="))
+      .foreach { langDir =>
+        val dest = new org.apache.hadoop.fs.Path(lakeRoot, langDir.getPath.getName)
+        fs.mkdirs(dest)
+        fs.listStatus(langDir.getPath).toSeq
+          .filter(b => b.isDirectory && b.getPath.getName.startsWith("bucket="))
+          .foreach { bDir =>
+            val b = bDir.getPath.getName.stripPrefix("bucket=").toLong
+            fs.listStatus(bDir.getPath).toSeq
+              .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+              .foreach { f =>
+                // keep the part- prefix (partitionFileCounts and hidden-
+                // file conventions key on it); prefix the bucket for
+                // uniqueness within the lang dir
+                val nm = f"part-b$b%02d-" +
+                  f.getPath.getName.stripPrefix("part-")
+                require(fs.rename(f.getPath,
+                  new org.apache.hadoop.fs.Path(dest, nm)),
+                  s"fixture rename failed for ${f.getPath}")
+              }
+          }
+      }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+  }
+
   private[graft] def compactLake(s: SparkSession, lakeDir: String,
       maxRecords: Int): Unit = {
     val rows = s.read.parquet(lakeDir)
@@ -266,11 +315,15 @@ object Lake {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(lake))
     val docs = graft.Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
-    (0 until CompactBuckets).foreach { b =>
-      docs.filter(col("doc_id") % CompactBuckets === b)
-        .repartition(col("lang"))
-        .write.mode("append").partitionBy("lang").parquet(lake)
-    }
+    // Build the fragmented fixture in ONE job, not 16 sequential appends
+    // (r19 verdict item 4: the appends made q126 the suite's slowest
+    // official line at 5.1-6.3 s — 16 full scans + 16 shuffles for a
+    // constant-size fixture). The physical layout is IDENTICAL to the
+    // sequential appends — one file per (lang, bucket-of-that-lang) —
+    // so files_before(lang) = COUNT(DISTINCT doc_id % 16) stays the
+    // oracle-predicted count, and each file holds the same rows the
+    // append for that bucket wrote.
+    writeOneFilePerCell(s, docs, col("doc_id") % CompactBuckets, lake)
     val before = partitionFileCounts(s, lake)
     compactLake(s, lake, CompactMaxRecords)
     val after = partitionFileCounts(s, lake)

@@ -67,11 +67,11 @@ object Skipping {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
     val cellw = mx / Buckets + 1 // doc_id div cellw ∈ [0, 8)
-    (0 until Buckets).foreach { b =>
-      docs.filter(expr(s"doc_id div ${cellw}L") === b)
-        .repartition(col("lang"))
-        .write.mode("append").partitionBy("lang").parquet(lake)
-    }
+    // one staged write instead of 8 sequential appends (r20, the q126
+    // batching — see Lake.writeOneFilePerCell); the requires below
+    // machine-check the one-file-per-cell invariant the oracle predicts
+    // file counts from
+    Lake.writeOneFilePerCell(s, docs, expr(s"doc_id div ${cellw}L"), lake)
     val back = s.read.parquet(lake)
       .select(input_file_name().as("file"), col("doc_id"), col("lang"))
     // zone maps: one row per file

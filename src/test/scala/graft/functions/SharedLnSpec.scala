@@ -95,4 +95,21 @@ class SharedLnSpec extends AnyFunSuite {
     assert(sql.contains((1L << 62).toString))
     assert(!sql.contains("ln(")) // no libm anywhere
   }
+
+  test("all four integral widths pass analysis; fractional still fails (ADVICE r19)") {
+    import spark.implicits._
+    val df = Seq((1.toByte, 2.toShort, 3, 4L, 5.0))
+      .toDF("b", "s", "i", "l", "d")
+    // byte/short/int widen losslessly to long: every integral column
+    // must analyze AND evaluate through both paths
+    Seq("b", "s", "i", "l").foreach { c =>
+      val got = df.select(SharedLn.ln(col(c))).head().getDouble(0)
+      val n = c match { case "b" => 1L; case "s" => 2L; case "i" => 3L; case _ => 4L }
+      assert(got == SharedLnUtil.ln(n), s"column $c")
+    }
+    // a DOUBLE child must still fail at analysis with the typed message
+    val err = intercept[Exception](df.select(SharedLn.ln(col("d"))).head())
+    assert(err.getMessage.contains("ln_shared requires an integral argument"),
+      err.getMessage)
+  }
 }

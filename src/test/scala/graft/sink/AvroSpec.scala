@@ -226,6 +226,27 @@ class AvroSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
+  test("planInputPartitions memoized: counters bump once per Scan (ADVICE r19)") {
+    // Spark may call planInputPartitions more than once per query (plan
+    // reuse, AQE re-planning, batch re-creation); the machine-check
+    // counters must count the SCAN, not the invocations
+    val scan = new AvroScan(
+      files = Seq(("all", "/nonexistent-memo-fixture.avro", 4096L)),
+      partitionCol = Some("p"),
+      dataSchema = new StructType().add("doc_id", LongType),
+      required = new StructType().add("doc_id", LongType),
+      splitBytes = 1024L, pushedDesc = Array.empty)
+    AvroCounters.splitsPlanned.set(0)
+    AvroCounters.splitsSkippedByStats.set(0)
+    val first = scan.planInputPartitions()
+    val second = scan.planInputPartitions()
+    assert(first eq second, "the planned array must be memoized")
+    assert(first.length == 4) // 4096 / 1024
+    assert(AvroCounters.splitsPlanned.get() == 4,
+      s"splitsPlanned must bump exactly once, got ${AvroCounters.splitsPlanned.get()}")
+    assert(AvroCounters.splitsSkippedByStats.get() == 0)
+  }
+
   test("schema evolution: default fill, alias rename, dropped field") {
     val out = tmp("evo")
     val evolved = Avro.avroEvolutionAgg(spark, dir, out)

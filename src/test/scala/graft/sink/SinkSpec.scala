@@ -108,6 +108,25 @@ class SinkSpec extends AnyFunSuite {
       s"expected a loud bloom_build arg error, got: ${err.getMessage}")
   }
 
+  test("q126 batched fixture build preserves the append-per-bucket layout") {
+    // r20: the 16 sequential bucket appends became one staged write +
+    // renames; the physical contract is unchanged — one file per
+    // (lang, bucket-of-that-lang), so files_before(lang) must still be
+    // COUNT(DISTINCT doc_id % 16) and the rewrite must stay lossless
+    val got = Lake.q126_compact_small_files(spark, dir)
+      .collect().map(_.toString).toSeq
+    Tables.documents(spark, dir).createOrReplaceTempView("docs_q126_spec")
+    val want = spark.sql(
+      """SELECT lang, COUNT(1) AS n_docs,
+        |  CAST(COUNT(DISTINCT doc_id % 16) AS LONG) AS files_before,
+        |  (COUNT(1) + 99) DIV 100 AS files_after,
+        |  CAST(SUM(CAST(CONV(SUBSTRING(MD5(CAST(text AS BINARY)), 1, 12),
+        |    16, 10) AS LONG)) AS LONG) AS text_sig
+        |FROM docs_q126_spec GROUP BY lang ORDER BY lang""".stripMargin)
+      .collect().map(_.toString).toSeq
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+  }
+
   test("q98 merge: untouched partitions byte-identical, emptied partition dropped") {
     import spark.implicits._
     def fileState(root: String): Map[String, String] = {
