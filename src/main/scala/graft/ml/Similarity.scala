@@ -721,22 +721,21 @@ object Similarity {
     * variants, so the fitted path exercises exactly the plan the oracle
     * already pins on seeded constants. */
   /** PQ ENCODE: per-subspace argmin over −2⟨x_m,c⟩+‖c‖² (‖x_m‖² common)
-    * → (vec_id, c0..c{mSub-1}) nibble codes. */
+    * → (vec_id, c0..c{mSub-1}) nibble codes. One compact codegen'd
+    * [[graft.ml.PqArgminCode]] per subspace since r20 — the inline
+    * 16-dot expression array cost ~2 s of Janino compile per bench run
+    * and fell back to interpreted eval (see PqUtil's scaladoc); output
+    * is bit-identical (PqSpec pins kernel ≡ inline expressions). */
   private def pqEncode(e: DataFrame,
       cents: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
       mSub: Int, k: Int, sub: Int): DataFrame = {
     val ss = cents.map(_.map(_.map(x => x * x).sum))
-    var coded = e
-    for (m <- 0 until mSub) {
-      val xs = expr(s"slice(emb, ${m * sub + 1}, $sub)")
-      val sc = array((0 until k).map(j =>
-        lit(-2.0) * dot(xs, typedlit(cents(m)(j))) + lit(ss(m)(j))): _*)
-      coded = coded.withColumn(s"__sc", sc)
-        .withColumn(s"c$m",
-          (expr("array_position(__sc, array_min(__sc))") - 1).cast("int"))
-        .drop("__sc")
+    val codes = (0 until mSub).map { m =>
+      VecFunctions.pq_argmin_code(
+        expr(s"slice(emb, ${m * sub + 1}, $sub)"), cents(m), ss(m))
+        .as(s"c$m")
     }
-    coded.select(col("vec_id") +: (0 until mSub).map(m => col(s"c$m")): _*)
+    e.select(col("vec_id") +: codes: _*)
   }
 
   /** ADC distance tables t_m[j] = ‖q_m‖² − 2⟨q_m,c_mj⟩ + ‖c_mj‖² appended
@@ -747,11 +746,12 @@ object Similarity {
       cents: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
       mSub: Int, k: Int, sub: Int): DataFrame = {
     val ss = cents.map(_.map(_.map(x => x * x).sum))
+    // One compact codegen'd PqAdcTable per subspace (r20) — same
+    // rationale and exactness argument as pqEncode above.
     var q = qFrame
     for (m <- 0 until mSub) {
-      val qs = expr(s"slice(qemb, ${m * sub + 1}, $sub)")
-      q = q.withColumn(s"t$m", array((0 until k).map(j =>
-        dot(qs, qs) + lit(-2.0) * dot(qs, typedlit(cents(m)(j))) + lit(ss(m)(j))): _*))
+      q = q.withColumn(s"t$m", VecFunctions.pq_adc_table(
+        expr(s"slice(qemb, ${m * sub + 1}, $sub)"), cents(m), ss(m)))
     }
     q.drop("qemb")
   }

@@ -196,8 +196,12 @@ object Keywords {
     * vocabulary; the PageRank loop runs on a ≤ TrV-node graph —
     * catalog-sized forever. */
   def q246_textrank(s: SparkSession, dir: String): DataFrame = {
+    // One tokenize pass shared by the vocab and adjacent-pair passes —
+    // the q70/q73 pre-explode token frame discipline (each pass re-ran
+    // Cleanse.tokens over the full corpus before r20); released below.
     val toks = Tables.documentsFanned(s, dir)
       .select(col("doc_id"), Cleanse.tokens(col("text")).as("t"))
+      .localCheckpoint()
     val vocab = toks.select(explode(col("t")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w")).limit(TrV)
@@ -216,9 +220,20 @@ object Keywords {
       .distinct()
     val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint() // materialized once: count probe + rank kernel
+    // Budget-bounded graph (≤ TrV·(TrV−1) symmetric edges at ANY corpus
+    // scale — the node set is a top-TrV constant) → the q201
+    // componentsAdaptive discipline (r20): exact-integer PageRank runs as
+    // a driver kernel below Graph.PagerankDriverCap, the distributed
+    // fixpoint is retained as the above-cap path, and GraphSpec asserts
+    // the two bit-identical. A 10-round distributed run schedules ~30
+    // sequential shuffle jobs — the whole wall cost of a 300-node graph.
     val (ranks, deg, _, converged) =
-      graft.rel.Graph.pagerankRanks(edges, TrIters)
-    ranks.join(deg.select(col("src").as("node"), col("deg")), Seq("node"))
+      if (edges.count() <= graft.rel.Graph.PagerankDriverCap)
+        graft.rel.Graph.pagerankRanksDriver(edges, TrIters)
+      else graft.rel.Graph.pagerankRanks(edges, TrIters)
+    val out = ranks
+      .join(deg.select(col("src").as("node"), col("deg")), Seq("node"))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("r").desc, col("node"))).cast("int"))
@@ -227,6 +242,14 @@ object Keywords {
         col("deg").as("degree"), col("r").as("rank_u"),
         lit(converged).as("converged"))
       .orderBy(col("rank"))
+      // pin the ≤TrTopK-row result, release the corpus-scale token frame
+      // and the loop inputs (q88 pin-and-release discipline)
+      .localCheckpoint()
+    (graft.ml.Similarity.pinnedRdds(toks) ++
+      graft.ml.Similarity.pinnedRdds(edges) ++
+      graft.ml.Similarity.pinnedRdds(ranks))
+      .foreach(_.unpersist(blocking = false))
+    out
   }
 
   private lazy val textrankOracle: String = {

@@ -76,6 +76,57 @@ class GraphSpec extends AnyFunSuite {
     assert(got == reference(edges, 5), "early exit == full-depth values")
   }
 
+  test("driver kernel ≡ distributed fixpoint (ranks, deg, rounds, converged)") {
+    import spark.implicits._
+    // irregular star + a disconnected regular pair: exercises both the
+    // no-fixpoint and fixpoint-adjacent behaviors in one graph
+    val leaves = (2L to 6L)
+    val edges = leaves.flatMap(l => Seq((1L, l), (l, 1L))) ++
+      Seq((10L, 11L), (11L, 10L))
+    for (iters <- Seq(1, 4)) {
+      val (dr, dd, drounds, dconv) =
+        Graph.pagerankRanksDriver(edges.toDF("src", "dst"), iters)
+      val (xr, xd, xrounds, xconv) =
+        Graph.pagerankRanks(edges.toDF("src", "dst"), iters)
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(m(dr) == m(xr), s"ranks diverge at iters=$iters")
+      assert(m(dd) == m(xd), s"degrees diverge at iters=$iters")
+      assert(drounds == xrounds && dconv == xconv,
+        s"loop contract diverges at iters=$iters: " +
+          s"driver ($drounds,$dconv) vs distributed ($xrounds,$xconv)")
+      assert(m(dr) == reference(edges, xrounds))
+    }
+  }
+
+  test("driver kernel handles string node ids (the q246 vocabulary graph)") {
+    import spark.implicits._
+    val edges = Seq(("alpha", "beta"), ("beta", "alpha"),
+      ("beta", "gamma"), ("gamma", "beta"))
+    val (ranks, deg, _, _) =
+      Graph.pagerankRanksDriver(edges.toDF("src", "dst"), 5)
+    val got = ranks.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val longEdges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+    val ref = reference(longEdges, 5)
+    assert(got("alpha") == ref(1L) && got("beta") == ref(2L) &&
+      got("gamma") == ref(3L), "string graph must rank like its long twin")
+    val dm = deg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dm == Map("alpha" -> 1L, "beta" -> 2L, "gamma" -> 1L))
+  }
+
+  test("driver kernel refuses an edge list past the compute cap") {
+    import spark.implicits._
+    // don't build 2^17 real rows — assert the require fires via a small
+    // cap stand-in is impossible (cap is a val), so drive the real cap
+    // boundary from the count contract instead: the guard must name it
+    val e = intercept[IllegalArgumentException] {
+      val big = spark.range(0, Graph.PagerankDriverCap + 1L)
+        .selectExpr("id AS src", "id AS dst")
+      Graph.pagerankRanksDriver(big, 1)
+    }
+    assert(e.getMessage.contains("compute cap"))
+  }
+
   test("convergence probe: irregular graph runs every round, reports false") {
     import spark.implicits._
     // star is irregular: hub/leaf values keep sliding by truncation for

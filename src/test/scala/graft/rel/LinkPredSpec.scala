@@ -122,6 +122,33 @@ class LinkPredSpec extends AnyFunSuite {
     assert(drv == dist, s"adaptive paths diverge:\n$drv\nvs\n$dist")
   }
 
+  test("q239 adaptive: driver register kernel ≡ distributed loop, bit-identical") {
+    // r20: the ANF register loop got the same componentsAdaptive split as
+    // q201 — the driver kernel must reproduce the distributed loop's
+    // N-sequence, node count and convergence flag EXACTLY, on the real
+    // budget edges and on a tiny early-converging synthetic
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_orderkey AS ok", "l_suppkey AS sk").distinct()
+    val edges = li.alias("a").join(li.alias("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("sa"), col("b.sk").as("sb"))
+      .agg(count(lit(1)).as("w"))
+      .orderBy(col("w").desc, col("sa"), col("sb")).limit(4000)
+      .select("sa", "sb").localCheckpoint()
+    val (nsD, nD, cD) = LinkPred.anfNsDriver(spark, edges)
+    val (nsX, nX, cX) = LinkPred.anfNsDistributed(spark, edges)
+    assert(nsD == nsX, s"N-sequences diverge:\n$nsD\nvs\n$nsX")
+    assert(nD == nX && cD == cX,
+      s"loop contract diverges: driver ($nD,$cD) vs distributed ($nX,$cX)")
+    import spark.implicits._
+    val tiny = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("sa", "sb")
+      .localCheckpoint()
+    val (tD, tnD, tcD) = LinkPred.anfNsDriver(spark, tiny)
+    val (tX, tnX, tcX) = LinkPred.anfNsDistributed(spark, tiny)
+    assert(tD == tX && tnD == tnX && tcD == tcX)
+    assert(tcD, "diameter-2 components must converge inside the horizon")
+  }
+
   test("q239 HyperANF: driver replay of registers, N(d), envelope") {
     val rows = LinkPred.q239_distance_approx(spark, sf).collect()
       .sortBy(_.getLong(0))
