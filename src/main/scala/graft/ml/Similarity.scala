@@ -728,14 +728,14 @@ object Similarity {
     * is bit-identical (PqSpec pins kernel ≡ inline expressions). */
   private def pqEncode(e: DataFrame,
       cents: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
-      mSub: Int, k: Int, sub: Int): DataFrame = {
+      mSub: Int, k: Int, sub: Int, keep: Seq[Column] = Nil): DataFrame = {
     val ss = cents.map(_.map(_.map(x => x * x).sum))
     val codes = (0 until mSub).map { m =>
       VecFunctions.pq_argmin_code(
         expr(s"slice(emb, ${m * sub + 1}, $sub)"), cents(m), ss(m))
         .as(s"c$m")
     }
-    e.select(col("vec_id") +: codes: _*)
+    e.select((col("vec_id") +: keep) ++ codes: _*)
   }
 
   /** ADC distance tables t_m[j] = ‖q_m‖² − 2⟨q_m,c_mj⟩ + ‖c_mj‖² appended
@@ -1035,13 +1035,27 @@ object Similarity {
     val cents = s.createDataFrame(
       km.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) })
       .toDF("list_id", "cent")
-    // residuals: x − c(list(x)); codebooks fit ON the residuals
+    // residuals: x − c(list(x)); codebooks fit ON the residuals.
+    // PINNED once (r21, VERDICT r20 item 3): the 8 per-subspace KMeans
+    // fits each take an action on this frame, and before the pin every
+    // fit re-ran the whole coarse pipeline — km.transform + two joins +
+    // zip_with over the corpus, 8× (plus once more for the encode); the
+    // measured cost of q110's 35.6 s trainer line was that recompute
+    // fan-out, not the ADC tables. The checkpoint materializes the same
+    // plan once; the fits and the encode then read pinned blocks, so
+    // every fit sees the identical rows in the identical partition
+    // order — the fitted codebooks are bit-identical to the unpinned
+    // form. The pin stays referenced by the returned plan (coded reads
+    // it); the bench's between-query sweep releases it, per the house
+    // convention for checkpoint-returning queries.
     val resid = e.join(assigned, "vec_id").join(broadcast(cents), "list_id")
       .select(col("vec_id"), col("list_id"),
         zip_with(col("emb"), col("cent"), (x, c) => x - c).as("emb"))
+      .localCheckpoint()
     val codebooks = fittedPqCentroidsOf(resid.select(col("vec_id"), col("emb")), 8, 16, 8)
-    val coded = pqEncode(resid.select(col("vec_id"), col("emb")), codebooks, 8, 16, 8)
-      .join(assigned, "vec_id")
+    // list_id rides through the encode (keep column) — the old re-join
+    // with `assigned` re-ran km.transform over the corpus a 10th time
+    val coded = pqEncode(resid, codebooks, 8, 16, 8, Seq(col("list_id")))
     // probe selection (exact centroid L2), then PER-(query, list) residual
     // ADC tables: the query's residual w.r.t. each probed centroid
     val wProbe = Window.partitionBy(col("query_id"))

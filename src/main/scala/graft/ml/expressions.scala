@@ -70,7 +70,15 @@ case class DotProductD(left: Expression, right: Expression)
   * expression forms on seeded random vectors. */
 object PqUtil {
   /** Index (0-based) of the first minimal −2⟨xs,cbⱼ⟩+ssⱼ over k codebook
-    * rows; `cb` is row-major k×sub. */
+    * rows; `cb` is row-major k×sub.
+    *
+    * Input contract: `xs` must be NaN-free — every caller encodes finite
+    * embeddings. Off-contract (all-NaN scores) the first-index scan can
+    * never match (`NaN == NaN` is false); the fallthrough clamps to −1,
+    * the value the retired `array_position(sc, array_min(sc)) − 1`
+    * expression returned in that case (ADVICE r20: the unclamped scan
+    * returned k, an out-of-range code a downstream ADC lookup would
+    * index past). */
   def argminCode(xs: ArrayData, cb: Array[Double], ss: Array[Double],
       k: Int, sub: Int): Int = {
     val n = math.min(xs.numElements(), sub)
@@ -92,7 +100,7 @@ object PqUtil {
     }
     j = 0
     while (j < k && !(scores(j) == mn)) j += 1
-    j
+    if (j == k) -1 else j // -1 only when every score is NaN (off-contract)
   }
 
   /** ADC distance table tⱼ = ‖qs‖² − 2⟨qs,cbⱼ⟩ + ssⱼ over k codebook

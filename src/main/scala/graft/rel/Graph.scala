@@ -151,13 +151,17 @@ object Graph {
             .collect()
             .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
         else Map(1 -> fingerprint(next1))
-      val fp1 = fps(1)
+      // empty-frame guard (ADVICE r20): groupBy on an empty frame yields
+      // no rows, where the old global-agg fingerprint returned one —
+      // preserve that (0, 0) fingerprint rather than throwing; currently
+      // unreachable (Mass/n fails first on an empty graph)
+      val fp1 = fps.getOrElse(1, (0L, 0L))
       if (fp1 == prevFp) converged = exactMatch(ranks, next1)
       prevFp = fp1
       ranks = next1
       rounds += 1
       if (!converged && two) {
-        val fp2 = fps(2)
+        val fp2 = fps.getOrElse(2, (0L, 0L))
         if (fp2 == prevFp) converged = exactMatch(ranks, next2)
         prevFp = fp2
         ranks = next2
@@ -213,9 +217,16 @@ object Graph {
       val acc = new scala.collection.mutable.HashMap[Any, Long]()
       rows.foreach { r =>
         val src = r.get(0)
-        val contrib = ranks(src) / deg(src) // floor div, both positive —
-        acc.update(r.get(1), acc.getOrElse(r.get(1), 0L) + contrib)
-      } // identical to the fixpoint's `r div deg`
+        // mirror the distributed join semantics (ADVICE r20): after round
+        // 1 the rank map holds only DESTINATION nodes, so an edge whose
+        // src never appears as a dst contributes nothing — the fixpoint's
+        // inner join drops it silently; unreachable for the symmetric
+        // graphs pagerankRanks contracts for, where src set == dst set
+        ranks.get(src).foreach { rk =>
+          val contrib = rk / deg(src) // floor div, both positive —
+          acc.update(r.get(1), acc.getOrElse(r.get(1), 0L) + contrib)
+        } // identical to the fixpoint's `r div deg`
+      }
       val next: scala.collection.Map[Any, Long] =
         acc.map { case (node, sum) => node -> (base + (85L * sum) / 100L) }
       if (next == ranks) converged = true // the exact integer fixpoint

@@ -469,6 +469,14 @@ object Relational {
         max(struct(col("ts_us"), col("value"))).getField("value").as("hv"))
     val grid = ev.groupBy(col("user_id"))
       .agg(min(col("hb")).as("h0"), max(col("hb")).as("h1"))
+      // The bounds frame is 1 row/user — tiny in BYTES — so AQE coalesces
+      // its shuffle to one partition, and the sequence explode below then
+      // fans the whole hour grid out inside a single task (measured at
+      // sf0.1: the explode+join+window chain ran as two 1-task stages of
+      // 0.6-0.8 s each). Pre-explode bytes under-represent post-explode
+      // rows at ANY scale, so pin the fan-out explicitly (the q79
+      // defaultParallelism pattern — scale-adaptive, not a constant).
+      .repartition(s.sparkContext.defaultParallelism, col("user_id"))
       .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hb"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("hb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

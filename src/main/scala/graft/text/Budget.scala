@@ -277,20 +277,31 @@ object Budget {
   /** General form: `bucket` must be coarsely MONOTONE in `order` (every
     * row of bucket b orders before every row of bucket b+1) — true for
     * any `key div span` bucketing of the leading order key. Appends
-    * `cum` = inclusive running sum of `value` in the global `order`. */
+    * `cum` = inclusive running sum of `value` in the global `order`.
+    *
+    * `part` (r21): optional partition keys — the prefix sum runs
+    * INDEPENDENTLY inside each `part` group (bucket monotonicity is then
+    * required per group, and the O(buckets) offsets window partitions by
+    * the group instead of running single-partition). With `part` empty
+    * the plan is the original global form, unchanged — this is what lets
+    * several same-shaped rank chains share ONE pass (q183/q283's three
+    * fused signals). */
   private[graft] def bucketedPrefixSum(df: DataFrame, bucket: Column,
-      order: Seq[Column], value: Column): DataFrame = {
+      order: Seq[Column], value: Column,
+      part: Seq[String] = Nil): DataFrame = {
+    val partCols = part.map(col)
     val bucketed = df.withColumn("bkt", bucket)
-    val wLocal = Window.partitionBy(col("bkt")).orderBy(order: _*)
+    val wLocal = Window.partitionBy(partCols :+ col("bkt"): _*)
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = bucketed.withColumn("lcum", sum(value).over(wLocal))
-    val wBkts = Window.orderBy(col("bkt"))
+    val wBkts = Window.partitionBy(partCols: _*).orderBy(col("bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed.groupBy(col("bkt"))
+    val offsets = bucketed.groupBy(partCols :+ col("bkt"): _*)
       .agg(sum(value).as("bsum"))
       .withColumn("boff", coalesce(sum(col("bsum")).over(wBkts), lit(0L)))
-      .select(col("bkt"), col("boff"))
-    local.join(broadcast(offsets), Seq("bkt"))
+      .select(partCols :+ col("bkt") :+ col("boff"): _*)
+    local.join(broadcast(offsets), part :+ "bkt")
       .withColumn("cum", col("lcum") + col("boff"))
       .drop("bkt", "lcum")
   }
